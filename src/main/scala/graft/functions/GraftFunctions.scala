@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level surface of the engine's custom scalar functions, plus SQL
+  * registration. Mirrors the layering of `org.apache.spark.sql.functions`.
+  */
+object GraftFunctions {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+
+  /** A13: ordered-strategy filename date extraction →
+    * struct(start_datetime, end_datetime, single_datetime). */
+  def extract_filename_dates(filename: Column, datetimeRange: Column): Column =
+    toCol(ExtractFilenameDates(expression(filename), expression(datetimeRange)))
+
+  /** A15: item-id derivation (capture-group join or stem). */
+  def derive_item_id(filename: Column, idRegex: Column): Column =
+    toCol(DeriveItemId(expression(filename), expression(idRegex)))
+
+  /** A14 (reference build-stac/utils/stac.py:83-99): explicit
+    * (start,end) wins, else explicit single, else filename extraction.
+    * Returns the same 3-field struct as [[extract_filename_dates]].
+    */
+  def resolve_datetimes(start: Column, end: Column, single: Column,
+      filename: Column, datetimeRange: Column): Column = {
+    val nullTs = lit(null).cast("timestamp")
+    when(start.isNotNull && end.isNotNull,
+        struct(start.as("start_datetime"), end.as("end_datetime"),
+          nullTs.as("single_datetime")))
+      .when(single.isNotNull,
+        struct(nullTs.as("start_datetime"), nullTs.as("end_datetime"),
+          single.as("single_datetime")))
+      .otherwise(extract_filename_dates(filename, datetimeRange))
+  }
+
+  /** Expansion of a single date to its calendar month/year range
+    * (reference regex.py:12-21) as pure built-ins — the composable form
+    * used by relational queries; `extract_filename_dates` applies the same
+    * rule internally.
+    */
+  def expand_month(d: Column): Column =
+    struct(date_trunc("month", d).as("start_datetime"),
+      last_day(d).cast("timestamp").as("end_datetime"))
+
+  def expand_year(d: Column): Column =
+    struct(date_trunc("year", d).as("start_datetime"),
+      make_date(year(d), lit(12), lit(31)).cast("timestamp").as("end_datetime"))
+
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
+  /** Register the custom expressions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_filename_dates", es => ExtractFilenameDates(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "derive_item_id", es => DeriveItemId(es.head, es(1)), "built-in")
+  }
+}
