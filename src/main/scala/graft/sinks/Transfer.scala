@@ -1,0 +1,86 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Idempotent conditional copy (reference A10,
+  * lambdas/data-transfer/handler.py:18-63): events flagged `upload` are
+  * copied to `{target}/{collection}/{basename}` unless the destination
+  * already exists, and their `s3_filename` is rewritten to the target URI;
+  * events without `upload` pass through untouched.
+  *
+  * Scale design: the reference's per-record `head_object` existence check
+  * becomes a **left-anti join** against a one-shot listing of the target
+  * (set-difference semantics — one listing instead of N HEAD requests),
+  * and the copies run distributed in `foreachPartition`. Idempotence is
+  * structural: a re-run's anti-join finds nothing to copy.
+  */
+object Transfer {
+
+  /** Derive target key + URI columns. `basename` after the last '/'
+    * (handler.py:36-42). */
+  def withTargetColumns(events: DataFrame, targetRoot: String): DataFrame = {
+    val base = element_at(split(col("s3_filename"), "/"), -1)
+    events
+      .withColumn("target_key", concat(col("collection"), lit("/"), base))
+      .withColumn("target_url",
+        concat(lit(targetRoot.stripSuffix("/") + "/"), col("target_key")))
+  }
+
+  /** The copy plan: events needing a copy = upload ∧ (target key absent),
+    * via anti-join against the target listing. */
+  def copyPlan(events: DataFrame, targetRoot: String): DataFrame = {
+    val spark = events.sparkSession
+    val targetListing = Discovery.targetKeys(spark, targetRoot)
+    withTargetColumns(events, targetRoot)
+      .filter(col("upload"))
+      .join(broadcast(targetListing), Seq("target_key"), "left_anti")
+  }
+
+  private object Discovery {
+    /** Listing of existing keys (relative paths) under the target root. */
+    def targetKeys(spark: SparkSession, targetRoot: String): DataFrame = {
+      import spark.implicits._
+      val root = new Path(targetRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val keys =
+        if (!fs.exists(root)) Seq.empty[String]
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val s = it.next()
+            out += root.toUri.relativize(s.getPath.toUri).getPath
+          }
+          out.toSeq
+        }
+      keys.toDF("target_key")
+    }
+  }
+
+  /** Execute the transfer: run the distributed copies, then return ALL
+    * events with `s3_filename` rewritten for the uploaded ones
+    * (handler.py:61 — rewrite happens whether or not a copy was needed).
+    */
+  def execute(events: DataFrame, targetRoot: String): DataFrame = {
+    val spark = events.sparkSession
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    copyPlan(events, targetRoot)
+      .select(col("s3_filename"), col("target_url"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val src = new Path(r.getString(0))
+          val dst = new Path(r.getString(1))
+          val sfs = src.getFileSystem(conf.value)
+          val dfs = dst.getFileSystem(conf.value)
+          FileUtil.copy(sfs, src, dfs, dst, false, true, conf.value)
+        }
+      }
+    withTargetColumns(events, targetRoot)
+      .withColumn("s3_filename",
+        when(col("upload"), col("target_url")).otherwise(col("s3_filename")))
+      .drop("target_key", "target_url")
+  }
+}

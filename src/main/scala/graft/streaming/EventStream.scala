@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming wiring for the reference's queue-driven physical
+  * layer (SURVEY §2.3): SQS micro-batch windows → processing-time
+  * triggers (B6, queue_stack.py:31-38), at-least-once redelivery →
+  * watermarked dropDuplicates (A10's idempotence over streams), tumbling
+  * windows over event time for time-density rollups, and a dead-letter
+  * side output (B7).
+  */
+object EventStream {
+
+  /** File-based event stream over a directory of parquet event batches —
+    * the engine's stand-in for the reference's SQS queue-table exchange
+    * (B8): producers drop batches into the directory, the stream drains
+    * them per trigger. */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // SQS batch_size=10
+      .parquet(dir)
+  }
+
+  /** Watermarked exactly-once-per-id view of an at-least-once stream
+    * (redelivered messages dropped within the watermark horizon). */
+  def dedup(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol, tsCol))
+
+  /** Tumbling-window per-type aggregation (the time-density rollup of
+    * SURVEY §2.4's streaming row). Pass `watermark = None` when the
+    * upstream already set one (Spark disallows redefining it). */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String = "1 hour",
+      watermark: Option[String] = Some("10 minutes")): DataFrame =
+    watermark.fold(events)(w => events.withWatermark(tsCol, w))
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Split a micro-batch into (good, dead-letter) — the per-record
+    * partial-batch failure handling of B6/B7
+    * (`report_batch_item_failures`, queue_stack.py:37). */
+  def dlqSplit(batch: DataFrame, isBad: org.apache.spark.sql.Column): (DataFrame, DataFrame) =
+    (batch.filter(!isBad), batch.filter(isBad))
+
+  /** Drive a streaming DataFrame into a memory sink until all available
+    * input is consumed; returns the query (caller stops it). Test/smoke
+    * harness for local verification. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

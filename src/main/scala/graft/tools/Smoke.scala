@@ -29,6 +29,44 @@ object Smoke {
         ('s3://b/x_202013_bad.tif', CAST(NULL AS STRING), 'nomatch(x)(y)')
       AS t(f, r, rx)""").show(false)
 
+    // ── pipeline demo: discovery → transfer → stac build → spill → publish ──
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-smoke")
+    val bucket = work.resolve("src-bucket"); val target = work.resolve("dst-bucket")
+    val spill = work.resolve("spill"); val dry = work.resolve("dryrun")
+    Seq("no2/OMI_trno2_20160101.tif", "no2/OMI_trno2_20160201.tif",
+      "no2/readme.txt").foreach { k =>
+      val p = bucket.resolve(k); Files.createDirectories(p.getParent)
+      Files.write(p, ("data:" + k).getBytes)
+    }
+
+    import graft.sources.Discovery
+    import graft.sinks.{PublishSink, SpillSink, Transfer}
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+
+    val assets = Discovery.discover(spark, Discovery.DiscoveryRequest(
+      bucket = s"file:$bucket", prefix = "no2/",
+      filenameRegex = Some("^(?:.*)\\.tif$"), upload = true,
+      datetimeRange = Some("month"))).toDF()
+    println(s"discovered=${assets.count()}")
+
+    val transferred = Transfer.execute(assets, s"file:$target")
+    val items = transferred
+      .withColumn("dts", extract_filename_dates(col("s3_filename"), col("datetime_range")))
+      .withColumn("item_id", derive_item_id(col("s3_filename"), col("id_regex")))
+      .withColumn("item_json", to_json(struct(col("item_id"), col("collection"),
+        col("s3_filename"), col("dts.start_datetime"), col("dts.end_datetime"))))
+    val routed = SpillSink.route(items, "item_json", s"file:$spill", threshold = 160)
+    val resolved = SpillSink.resolve(routed)
+    val dryPath = dry.toString // capture a String, not a (non-serializable) Path
+    val dlq = PublishSink.publish(resolved, "resolved_item",
+      () => new PublishSink.DryRunPoster(dryPath))
+    println(s"publish dlq=${dlq.count()}")
+    resolved.select("item_id", "stac_item", "stac_file_url").show(false)
+    println(s"published=${Files.list(dry).count()} file(s); spilled=${
+      if (Files.exists(spill)) Files.list(spill).count() else 0}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Streaming semantics over the driver's events table: micro-batch file
+  * source (B6), watermarked dedup of at-least-once delivery (A10/B7),
+  * tumbling-window rollups — each checked against its batch equivalent.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private lazy val eventsDir: String = {
+    // stage a µs-normalized copy (+ redelivered duplicates) as the stream input
+    val d = tempDir("events").getAbsolutePath
+    val ev = Tables.events(spark, sf0001)
+    ev.union(ev.limit(50)) // 50 duplicate deliveries
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("watermarked dedup drops redelivered events") {
+    val stream = EventStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 2)
+    val q = EventStream.runToMemory(
+      EventStream.dedup(stream, "event_id", "ts"), "dedup_out")
+    try {
+      val n = spark.table("dedup_out").count()
+      val expected = Tables.events(spark, sf0001).count()
+      assert(n == expected) // 1000, duplicates gone
+    } finally q.stop()
+  }
+
+  test("tumbling window counts match the batch equivalent") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val dedup = EventStream.dedup(stream, "event_id", "ts", watermark = "2 hours")
+    val q = EventStream.runToMemory(
+      EventStream.tumblingCounts(dedup, "ts", "1 hour", watermark = None), "win_out",
+      outputMode = "append")
+    try {
+      val got = spark.table("win_out")
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      // append mode emits only windows the watermark closed; every emitted
+      // window must match its batch value, and most windows must emit
+      val joined = got.alias("g").join(batch.alias("b"),
+        Seq("window_start", "event_type"))
+      assert(joined.filter(col("g.n_events") =!= col("b.n_events")).count() == 0)
+      assert(got.count() > 0 && got.count() == joined.count())
+    } finally q.stop()
+  }
+
+  test("dlq split separates bad records without losing any") {
+    val batch = Tables.events(spark, sf0001)
+    val (good, bad) = EventStream.dlqSplit(batch, col("value") < 10)
+    assert(good.count() + bad.count() == batch.count())
+    assert(bad.filter(col("value") >= 10).count() == 0)
+  }
+}
