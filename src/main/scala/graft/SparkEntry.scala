@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    operators.Relational.defs ++ operators.StacQueries.defs
+    operators.Relational.defs ++ operators.StacQueries.defs ++
+      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-ish: customer⋈orders⋈lineitem revenue per segment/date. */

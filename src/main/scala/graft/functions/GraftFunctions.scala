@@ -22,6 +22,10 @@ object GraftFunctions {
   def derive_item_id(filename: Column, idRegex: Column): Column =
     toCol(DeriveItemId(expression(filename), expression(idRegex)))
 
+  /** 64-bit SimHash of a token array (near-dup signature). */
+  def simhash64(tokens: Column): Column =
+    toCol(SimHash64(expression(tokens)))
+
   /** A14 (reference build-stac/utils/stac.py:83-99): explicit
     * (start,end) wins, else explicit single, else filename extraction.
     * Returns the same 3-field struct as [[extract_filename_dates]].
@@ -60,5 +64,7 @@ object GraftFunctions {
       "extract_filename_dates", es => ExtractFilenameDates(es.head, es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "derive_item_id", es => DeriveItemId(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
   }
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.functions.SimHash64
+
+/** Deduplication family for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → signature → banded bucket join
+  * → exact-Jaccard verify), SimHash signatures, and exact n-gram Jaccard
+  * as the quadratic baseline the LSH path replaces at scale.
+  *
+  * Scale notes: signatures are computed **row-locally** with codegen'd
+  * array expressions (no explode of the corpus); the only shuffles are
+  * the band-bucket join (keys ≈ corpus × bands, but each row is just
+  * (band_key, doc_id)) and the candidate verification join. At 100 TB the
+  * quadratic baseline is infeasible by design — it exists as the
+  * correctness oracle at small SF.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text` (n=3); short docs fall back
+    * to the whole text as one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array(text))
+  }
+
+  /** MinHash signature: k independent hash functions realized as
+    * `xxhash64(shingle, i)` (seeding by the function index avoids the
+    * wrap-around multiply that ANSI mode rejects), min per function.
+    * Row-local (codegen'd transform/array_min — no explode, no shuffle).
+    */
+  def minhashSignature(sh: Column, k: Int = 12): Column =
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Banded LSH keys from a signature: b bands of r rows each, keyed by
+    * xxhash64 of the band slice. */
+  def bandKeys(sig: Column, b: Int = 4, r: Int = 3): Column =
+    array((0 until b).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((0 until r).map(j => element_at(sig, bi * r + j + 1)): _*).as("key"))
+    }: _*)
+
+  /** Candidate near-dup pairs via MinHash-LSH, verified with exact
+    * Jaccard ≥ `tau`. Returns (doc_a, doc_b, jaccard). */
+  def minhashNearDups(docs: DataFrame, tau: Double = 0.5,
+      k: Int = 12, b: Int = 4, r: Int = 3): DataFrame = {
+    val withSig = docs
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("bands", bandKeys(minhashSignature(col("sh"), k), b, r))
+      .select(col("doc_id"), col("sh"), col("bands"))
+
+    val buckets = withSig.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+    val cands = buckets.alias("x").join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Exact dedup by normalized-text hash. The corpus has no exact dups,
+    // so a deterministic duplicated view (every 5th doc re-appears with
+    // doc_id+1000000) exercises the grouping; survivor = min doc_id —
+    // the reference's idempotent re-ingest rule (SURVEY §2.4 windows).
+    ("d01_exact_dedup", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val dup = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val all = docs.unionByName(dup)
+      all
+        .withColumn("doc_md5", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+        .groupBy(col("doc_md5"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("survivor_id"))
+    },
+    Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5,
+             min(doc_id) AS survivor_id, count(*) AS n_copies
+      FROM all_docs GROUP BY 1 ORDER BY survivor_id""")),
+
+    // Exact n-gram Jaccard over a deterministic doc sample — the
+    // quadratic baseline (oracle-gated); the LSH query below is the
+    // scale path over the full corpus.
+    ("d02_ngram_jaccard", (s: SparkSession, d: String) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      sample.alias("a").join(sample.alias("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType).as("inter"),
+          size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+        .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.02)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH sample AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+               THEN list_distinct(list_transform(
+                 range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> concat_ws(' ',
+                   string_split_regex(trim(text), '\s+')[i+1],
+                   string_split_regex(trim(text), '\s+')[i+2],
+                   string_split_regex(trim(text), '\s+')[i+3])))
+               ELSE [text] END AS sh
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+      ORDER BY doc_a, doc_b""")),
+
+    // MinHash-LSH near-dup pairs over the FULL corpus (banded signatures
+    // → bucket join → exact verify). Not SQL-expressible → rows-only
+    // driver check; recall vs the quadratic baseline is asserted in
+    // DedupSpec.
+    ("d03_minhash_lsh", (s: SparkSession, d: String) => {
+      minhashNearDups(Tables.documents(s, d), tau = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, None),
+
+    // SimHash signatures + near-dup pairs at hamming ≤ 6, candidates from
+    // equality on any of 4 16-bit blocks (pigeonhole: ham ≤ 6 < blocks
+    // ⇒ some block equal ⇒ no candidate missed at ham ≤ 3; ≤6 needs 7
+    // blocks strictly, so this is a high-recall heuristic screen).
+    ("d04_simhash_pairs", (s: SparkSession, d: String) => {
+      val sh = graft.functions.GraftFunctions.simhash64(
+        split(lower(trim(col("text"))), "\\s+"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("simhash"))
+      val blocks = docs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("blk"),
+            (shiftrightunsigned(col("simhash"), i * 16) % 65536).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
+      blocks.alias("x").join(blocks.alias("y"),
+          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, None)
+  )
+}

