@@ -26,6 +26,18 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(expression(tokens)))
 
+  /** Per-table sign-LSH bucket keys of a float-vector column. */
+  def sign_lsh(v: Column, tables: Int, planesPerTable: Int, seed: Long = 0L): Column =
+    toCol(SignLsh(expression(v), tables, planesPerTable, seed))
+
+  /** MinHash signature (k slots) over word n-gram shingles of a token array. */
+  def minhash_sig(tokens: Column, n: Int = 3, k: Int = 12): Column =
+    toCol(MinHashSig(expression(tokens), n, k))
+
+  /** Exact cosine similarity of two float-vector columns (double). */
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSim(expression(a), expression(b)))
+
   /** A14 (reference build-stac/utils/stac.py:83-99): explicit
     * (start,end) wins, else explicit single, else filename extraction.
     * Returns the same 3-field struct as [[extract_filename_dates]].

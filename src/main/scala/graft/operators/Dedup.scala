@@ -32,15 +32,11 @@ object Dedup {
     when(size(toks) >= n, array_distinct(grams)).otherwise(array(text))
   }
 
-  /** MinHash signature: k independent hash functions realized as
-    * `xxhash64(shingle, i)` (seeding by the function index avoids the
-    * wrap-around multiply that ANSI mode rejects), min per function.
-    * Row-local (codegen'd transform/array_min — no explode, no shuffle).
-    */
-  def minhashSignature(sh: Column, k: Int = 12): Column =
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+  /** MinHash signature of the word-3-gram shingles of `tokens` — the
+    * native [[graft.functions.MinHashSig]] expression (row-local, no
+    * shuffle; see its scaladoc for why not composed HOFs). */
+  def minhashSignature(tokens: Column, k: Int = 12): Column =
+    GraftFunctions.minhash_sig(tokens, 3, k)
 
   /** Banded LSH keys from a signature: b bands of r rows each, keyed by
     * xxhash64 of the band slice. */
@@ -54,24 +50,33 @@ object Dedup {
     * Jaccard ≥ `tau`. Returns (doc_a, doc_b, jaccard). */
   def minhashNearDups(docs: DataFrame, tau: Double = 0.5,
       k: Int = 12, b: Int = 4, r: Int = 3): DataFrame = {
-    val withSig = docs
-      .withColumn("sh", shingles(col("text")))
-      .withColumn("bands", bandKeys(minhashSignature(col("sh"), k), b, r))
-      .select(col("doc_id"), col("sh"), col("bands"))
-
-    val buckets = withSig.select(col("doc_id"), explode(col("bands")).as("bk"))
+    // banded signatures (row-local native expression); persisted because
+    // both sides of the bucket self-join read it — unpersisted, the whole
+    // stage re-executes once per reference
+    val banded = docs
+      .withColumn("bands",
+        bandKeys(minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cands = buckets.alias("x").join(buckets.alias("y"),
+    val cands = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = withSig.select(col("doc_id"), col("sh"))
+    // exact-Jaccard verification builds shingle arrays only for candidate
+    // docs (left-semi prune first — at 100 TB the candidate set is tiny
+    // next to the corpus)
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -164,6 +169,8 @@ object Dedup {
           struct(lit(i).as("blk"),
             (shiftrightunsigned(col("simhash"), i * 16) % 65536).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
+        // both sides of the self-join read this — avoid recomputing simhash
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       blocks.alias("x").join(blocks.alias("y"),
           col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))

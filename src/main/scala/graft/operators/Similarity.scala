@@ -17,14 +17,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential-sum dot product of two float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Exact cosine similarity — the native [[graft.functions.CosineSim]]
+    * expression (fused single-pass double loop; same ascending-index
+    * summation as the composed `aggregate(zip_with(...))` form and the
+    * DuckDB oracle, so results are bit-identical). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force): queries ×
     * corpus crossJoin with the small query side broadcast, then per-query
@@ -42,45 +40,19 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (splitmix over
-    * (plane, dim)), materialized as literal arrays — broadcast to
-    * executors inside the plan. */
-  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    def mix(x: Long): Long = {
-      var z = x * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until nPlanes).map(p => (0 until dim).map { j =>
-      // map to (-1, 1)
-      mix(p.toLong * 131071L + j).toDouble / Long.MaxValue.toDouble
-    })
-  }
-
-  /** Sign-pattern LSH bucket id of a vector under `planes`. */
-  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Per-vector LSH keys for `tables` hash tables of `planesPerTable`
-    * sign bits each (OR-amplification: a pair is a candidate if it
-    * collides in ANY table — without it, a single m-bit bucket has
+  /** (vec_id, table, bucket) keys for `tables` LSH hash tables of
+    * `planesPerTable` sign bits each (OR-amplification: a pair is a
+    * candidate if it collides in ANY table — a single m-bit bucket has
     * ~(1-θ/π)^m collision probability, near zero for the ~60-70°
-    * neighbors in this corpus).
+    * neighbors in this corpus). Buckets come from the native [[SignLsh]]
+    * expression — a tight primitive loop, not per-plane HOFs.
     */
-  def lshTableKeys(v: Column, tables: Int, planesPerTable: Int,
-      dim: Int): Column = {
-    val planes = hyperplanes(tables * planesPerTable, dim)
-    array((0 until tables).map { t =>
-      val tablePlanes = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
-      struct(lit(t).as("table"), lshBucket(v, tablePlanes).as("bucket"))
-    }: _*)
-  }
+  def lshKeyed(df: DataFrame, tables: Int, planesPerTable: Int): DataFrame =
+    df.select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions.sign_lsh(
+          col("embedding"), tables, planesPerTable)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
 
   /** Approximate top-k: candidates collide with the query in any of the
     * LSH tables, are scored exactly, then per-query top-k. The bucket
@@ -88,18 +60,21 @@ object Similarity {
     * keys, not corpus², which is what survives 100 TB.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def keyed(df: DataFrame) = df
-      .withColumn("tk", explode(lshTableKeys(col("embedding"), tables, planesPerTable, dim)))
-      .select(col("vec_id"), col("embedding"), col("tk.table"), col("tk.bucket"))
-    val qb = keyed(queries)
-    val cb = keyed(corpus)
-    val scored = cb.alias("c").join(broadcast(qb.alias("q")), Seq("table", "bucket"))
+    // candidate ids first (dedup over small (qid, nid) keys — never
+    // shuffle the embedding arrays as dedup keys), then one scoring join
+    val cands = lshKeyed(corpus, tables, planesPerTable).alias("c")
+      .join(broadcast(lshKeyed(queries, tables, planesPerTable).alias("q")),
+        Seq("table", "bucket"))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("q.embedding").as("qe"), col("c.embedding").as("ce"))
-      .distinct() // a pair may collide in several tables
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -143,17 +118,20 @@ object Similarity {
     }, None),
 
     // Embedding-cosine near-dup pairs above a threshold, candidates from
-    // any-table LSH collision (rows-only).
+    // any-table LSH collision (rows-only). Candidate ids dedup first;
+    // embeddings join back once for scoring.
     ("s03_embedding_neardup", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-        .withColumn("tk", explode(lshTableKeys(col("embedding"), 8, 4, 64)))
-        .select(col("vec_id"), col("embedding"), col("tk.table"), col("tk.bucket"))
-      emb.alias("a").join(emb.alias("b"),
+      val keys = lshKeyed(emb, 8, 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = keys.alias("a").join(keys.alias("b"),
           col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
+      cands
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
         .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy(col("vec_a"), col("vec_b"))
