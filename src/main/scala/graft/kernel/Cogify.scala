@@ -1,0 +1,199 @@
+package graft.kernel
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import Raster._
+
+/** The cogify kernel (reference A8, lambdas/cogify/handler.py:74-185):
+  * NetCDF/HDF5 variable → per-collection fixups → extent/CRS/affine →
+  * float32 cast → 256×256 deflate-tiled cloud-optimized output, run as a
+  * partitioned `mapPartitions` stage with broadcast per-collection config
+  * and targeted retry (reference B5's RasterioIOError×5).
+  *
+  * Real here: config registry, array fixups, affine/extent math, tiling,
+  * deflate compression, the partitioned execution + retry. STUBBED: the
+  * NetCDF decode ([[GridReader]]) — this container has no HDF5 codec, so
+  * the default reader synthesizes a deterministic grid from the task; a
+  * production reader drops in behind the same trait. The tiled output is
+  * a simple length-prefixed container, not spec-compliant TIFF tags.
+  */
+object Cogify {
+
+  /** Per-collection physical config (reference example.ini:1-25 via
+    * FIXTURES.md §A7) — a typed registry, replacing INI + eval. */
+  final case class CollectionConfig(
+      variableName: String,
+      group: Option[String] = None,
+      xVariable: Option[String] = None,
+      yVariable: Option[String] = None,
+      srcCrs: Option[String] = None, // proj4-style tag, carried as metadata
+      useTopLeftRecipe: Boolean = false, // ≈ affine_transformation present
+      transposeFix: Boolean = false, // GPM_3IMERGM
+      flipudFix: Boolean = false) // OMDOAO3e
+
+  final case class CogifyTask(collection: String, href: String,
+      granule_id: Option[String], upload: Boolean)
+
+  final case class CogifyResult(collection: String, href: String,
+      granule_id: Option[String], filename: String,
+      width: Int, height: Int, n_tiles: Int, payload_bytes: Long,
+      affine: Seq[Double], error: Option[String])
+
+  /** Pluggable decode stage. */
+  trait GridReader extends Serializable {
+    def read(task: CogifyTask, config: CollectionConfig):
+      (Grid, Option[Array[Double]], Option[Array[Double]])
+  }
+
+  /** STUB reader: deterministic synthetic grid derived from the href
+    * hash (a real NetCDF reader implements the same trait). */
+  final class FakeGridReader(width: Int = 360, height: Int = 180) extends GridReader {
+    override def read(task: CogifyTask, config: CollectionConfig) = {
+      val seed = graft.functions.SimHash.fnv1a64(task.href)
+      val data = new Array[Float](width * height)
+      var i = 0
+      while (i < data.length) {
+        // splitmix-ish deterministic values in [0, 100)
+        var z = seed + i * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        data(i) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat * 100f
+        i += 1
+      }
+      val xs = Array.tabulate(width)(c => -180.0 + 360.0 * (c + 0.5) / width)
+      val ys = Array.tabulate(height)(r => -90.0 + 180.0 * (r + 0.5) / height)
+      (Grid(width, height, data, Some(-9999f)), Some(xs), Some(ys))
+    }
+  }
+
+  val TileSize = 256 // handler.py:28-29
+
+  final case class Tile(tileCol: Int, tileRow: Int, deflated: Array[Byte])
+
+  /** 256×256 deflate tiling of a grid (edge tiles padded with nodata —
+    * the TIFF tile convention). */
+  def tile(g: Grid): Seq[Tile] = {
+    val pad = g.nodata.getOrElse(0f)
+    val tilesX = (g.width + TileSize - 1) / TileSize
+    val tilesY = (g.height + TileSize - 1) / TileSize
+    for {
+      ty <- 0 until tilesY
+      tx <- 0 until tilesX
+    } yield {
+      val buf = java.nio.ByteBuffer.allocate(TileSize * TileSize * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var r = 0
+      while (r < TileSize) {
+        var c = 0
+        while (c < TileSize) {
+          val gr = ty * TileSize + r
+          val gc = tx * TileSize + c
+          buf.putFloat(if (gr < g.height && gc < g.width) g(gr, gc) else pad)
+          c += 1
+        }
+        r += 1
+      }
+      Tile(tx, ty, deflate(buf.array()))
+    }
+  }
+
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(bytes); d.finish()
+    val out = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    out.toByteArray
+  }
+
+  def inflate(bytes: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(bytes)
+    val out = new Array[Byte](expectedLen)
+    var off = 0
+    while (!inf.finished() && off < expectedLen)
+      off += inf.inflate(out, off, expectedLen - off)
+    inf.end()
+    out
+  }
+
+  /** One task through the kernel: decode → fixups → extent → affine →
+    * tile+deflate → write container. */
+  def cogifyOne(task: CogifyTask, config: CollectionConfig, reader: GridReader,
+      outDir: String): CogifyResult = {
+    val (raw, xs, ys) = reader.read(task, config)
+    var grid = raw
+    if (config.transposeFix) grid = transpose(grid) // handler.py:90-91
+    if (config.flipudFix) grid = flipud(grid) // handler.py:92-93
+    val extent = extentFromCoords(xs, ys) // handler.py:96-103
+    val affine =
+      if (config.useTopLeftRecipe) topLeftRecipe(extent, grid.width, grid.height)
+      else defaultTransformTo3857(extent, grid.width, grid.height) // handler.py:113-131
+
+    val tiles = tile(grid)
+    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ".cog"
+    val outPath = s"${outDir.stripSuffix("/")}/${task.collection}/$name"
+    val payload = writeContainer(outPath, grid, affine, tiles)
+    CogifyResult(task.collection, task.href, task.granule_id, outPath,
+      grid.width, grid.height, tiles.size, payload,
+      Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f), None)
+  }
+
+  /** Length-prefixed tiled container (documented stand-in for TIFF tag
+    * writing): header (dims, affine, nodata, tile count) then
+    * (tx, ty, len, deflated bytes) per tile. */
+  private def writeContainer(path: String, g: Grid, affine: Affine,
+      tiles: Seq[Tile]): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    val dos = new java.io.DataOutputStream(out)
+    try {
+      dos.writeInt(0xC06F11E) // magic
+      dos.writeInt(g.width); dos.writeInt(g.height)
+      Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f)
+        .foreach(dos.writeDouble)
+      dos.writeFloat(g.nodata.getOrElse(Float.NaN))
+      dos.writeInt(tiles.size)
+      tiles.foreach { t =>
+        dos.writeInt(t.tileCol); dos.writeInt(t.tileRow)
+        dos.writeInt(t.deflated.length); dos.write(t.deflated)
+      }
+      dos.size().toLong
+    } finally dos.close()
+  }
+
+  /** The distributed stage: tasks → results, per-partition reader, with
+    * targeted bounded retry (B5: 5 attempts on retryable failures —
+    * step_function_stack.py:167-171). Errors after retries become
+    * DLQ-routable result rows, not task failures. */
+  def run(tasks: Dataset[CogifyTask], configs: Map[String, CollectionConfig],
+      outDir: String, maxAttempts: Int = 5,
+      mkReader: () => GridReader = () => new FakeGridReader()): Dataset[CogifyResult] = {
+    val spark = tasks.sparkSession
+    import spark.implicits._
+    val bcConfigs = spark.sparkContext.broadcast(configs)
+    tasks.mapPartitions { it =>
+      val reader = mkReader()
+      it.map { task =>
+        val config = bcConfigs.value.getOrElse(task.collection, CollectionConfig("data"))
+        var attempt = 0
+        var result: CogifyResult = null
+        while (result == null) {
+          attempt += 1
+          try result = cogifyOne(task, config, reader, outDir)
+          catch {
+            case e: java.io.IOException if attempt < maxAttempts => // retryable
+            case e: Throwable =>
+              result = CogifyResult(task.collection, task.href, task.granule_id,
+                "", 0, 0, 0, 0L, Seq.empty, Some(e.toString))
+          }
+        }
+        result
+      }
+    }
+  }
+}

@@ -1,0 +1,216 @@
+package graft.sources.catalog
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Remote-catalog granule source (reference A4,
+  * lambdas/cmr-query/handler.py:8-27) as a DataSourceV2 table with
+  * **filter pushdown**: predicates on `collection`, `version`, the
+  * temporal interval and the bounding box are translated into catalog
+  * query parameters (the way python-cmr pushes `short_name`, `version`,
+  * `temporal`, `bounding_box` into the CMR REST API) and applied by the
+  * catalog client before rows enter Spark; everything else stays a
+  * residual Spark filter.
+  *
+  * The client behind the surface is pluggable; offline it reads a
+  * JSON-lines granule file (`option("path", ...)`) — the pushdown
+  * contract and row production are identical to what an HTTP-paged
+  * client would do, including split-by-range parallel "pages".
+  *
+  * Usage: `spark.read.format("graft.sources.catalog.GranuleCatalog")
+  * .option("path", file).load().filter(...)`.
+  */
+class GranuleCatalog extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GranuleCatalog.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GranuleTable(properties.get("path"),
+      Option(properties.get("pagesize")).map(_.toInt).getOrElse(100))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GranuleCatalog {
+  val schema: StructType = StructType(Seq(
+    StructField("collection", StringType),
+    StructField("version", StringType),
+    StructField("granule_id", StringType),
+    StructField("time_start", TimestampType),
+    StructField("time_end", TimestampType),
+    StructField("lon_min", DoubleType), StructField("lat_min", DoubleType),
+    StructField("lon_max", DoubleType), StructField("lat_max", DoubleType),
+    StructField("links", ArrayType(StructType(Seq(
+      StructField("rel", StringType), StructField("href", StringType)))))))
+
+  /** The catalog "API" query parameters a scan pushes down. The bbox
+    * intersection predicate `lon_min <= E ∧ lon_max >= W ∧ lat_min <= N ∧
+    * lat_max >= S` arrives as four comparisons and becomes the API's
+    * `bounding_box=(W,S,E,N)` parameter. */
+  final case class CatalogQuery(
+      collection: Option[String] = None,
+      version: Option[String] = None,
+      startAfterMicros: Option[Long] = None,
+      endBeforeMicros: Option[Long] = None,
+      lonMinLe: Option[Double] = None, lonMaxGe: Option[Double] = None,
+      latMinLe: Option[Double] = None, latMaxGe: Option[Double] = None)
+
+  /** Last pushed query, for tests/diagnostics (driver-side planning). */
+  @volatile var lastPushedQuery: CatalogQuery = CatalogQuery()
+}
+
+private[catalog] class GranuleTable(path: String, pageSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"granule_catalog($path)"
+  override def schema(): StructType = GranuleCatalog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GranuleScanBuilder(path, pageSize)
+}
+
+private[catalog] class GranuleScanBuilder(path: String, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  import GranuleCatalog.CatalogQuery
+  private var query = CatalogQuery()
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Translate what the catalog API can evaluate (equality on
+    * collection/version, bounds on time, bbox ranges); return the rest
+    * as residuals for Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ EqualTo("collection", v: String) =>
+        query = query.copy(collection = Some(v)); accepted += f
+      case f @ EqualTo("version", v: String) =>
+        query = query.copy(version = Some(v)); accepted += f
+      case f @ GreaterThanOrEqual("time_start", v) if micros(v).isDefined =>
+        query = query.copy(startAfterMicros = Some(micros(v).get)); accepted += f
+      case f @ GreaterThan("time_start", v) if micros(v).isDefined =>
+        query = query.copy(startAfterMicros = Some(micros(v).get + 1)); accepted += f
+      case f @ LessThanOrEqual("time_end", v) if micros(v).isDefined =>
+        query = query.copy(endBeforeMicros = Some(micros(v).get)); accepted += f
+      case f @ LessThan("time_end", v) if micros(v).isDefined =>
+        query = query.copy(endBeforeMicros = Some(micros(v).get - 1)); accepted += f
+      case f @ LessThanOrEqual("lon_min", v: java.lang.Double) =>
+        query = query.copy(lonMinLe = Some(v)); accepted += f
+      case f @ GreaterThanOrEqual("lon_max", v: java.lang.Double) =>
+        query = query.copy(lonMaxGe = Some(v)); accepted += f
+      case f @ LessThanOrEqual("lat_min", v: java.lang.Double) =>
+        query = query.copy(latMinLe = Some(v)); accepted += f
+      case f @ GreaterThanOrEqual("lat_max", v: java.lang.Double) =>
+        query = query.copy(latMaxGe = Some(v)); accepted += f
+      case f => residual += f
+    }
+    pushed = accepted.toArray
+    GranuleCatalog.lastPushedQuery = query
+    residual.toArray
+  }
+
+  private def micros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L + t.getNanos / 1000 % 1000)
+    case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case l: java.time.LocalDateTime => Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L)
+    case _ => None
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GranuleScan(path, pageSize, query)
+}
+
+private[catalog] class GranuleScan(path: String, pageSize: Int,
+    query: GranuleCatalog.CatalogQuery) extends Scan with Batch {
+  override def readSchema(): StructType = GranuleCatalog.schema
+  override def description(): String = s"GranuleCatalogScan(pushed=$query)"
+  override def toBatch: Batch = this
+
+  /** One partition per catalog "page" — the paged-API shape; the driver
+    * asks the client only for the matching granule count. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = CatalogClient.count(path, query)
+    val pages = math.max(1, math.ceil(n.toDouble / pageSize).toInt)
+    (0 until pages).map(p => GranulePartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GranuleReaderFactory(path, pageSize, query)
+}
+
+private[catalog] case class GranulePartition(page: Int) extends InputPartition
+
+private[catalog] class GranuleReaderFactory(path: String, pageSize: Int,
+    query: GranuleCatalog.CatalogQuery) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[GranulePartition].page
+    new PartitionReader[InternalRow] {
+      private val it = CatalogClient.fetch(path, query, page, pageSize).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The pluggable catalog client: offline JSON-lines implementation with
+  * server-side-style parameter filtering and paging. */
+object CatalogClient {
+  private val mapper = new ObjectMapper()
+
+  private def matches(g: JsonNode, q: GranuleCatalog.CatalogQuery): Boolean = {
+    def ts(field: String): Long =
+      java.time.Instant.parse(g.get(field).asText()).toEpochMilli * 1000L
+    q.collection.forall(_ == g.get("collection").asText()) &&
+      q.version.forall(_ == g.get("version").asText()) &&
+      q.startAfterMicros.forall(ts("time_start") >= _) &&
+      q.endBeforeMicros.forall(ts("time_end") <= _) &&
+      q.lonMinLe.forall(g.get("lon_min").asDouble() <= _) &&
+      q.lonMaxGe.forall(g.get("lon_max").asDouble() >= _) &&
+      q.latMinLe.forall(g.get("lat_min").asDouble() <= _) &&
+      q.latMaxGe.forall(g.get("lat_max").asDouble() >= _)
+  }
+
+  private def readAll(path: String, q: GranuleCatalog.CatalogQuery): Seq[JsonNode] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().filter(_.nonEmpty).map(mapper.readTree).filter(matches(_, q)).toList
+    finally src.close()
+  }
+
+  def count(path: String, q: GranuleCatalog.CatalogQuery): Int = readAll(path, q).size
+
+  def fetch(path: String, q: GranuleCatalog.CatalogQuery, page: Int,
+      pageSize: Int): Seq[InternalRow] = {
+    readAll(path, q).slice(page * pageSize, (page + 1) * pageSize).map { g =>
+      def s(f: String) = UTF8String.fromString(g.get(f).asText())
+      def ts(f: String) = java.lang.Long.valueOf(
+        java.time.Instant.parse(g.get(f).asText()).toEpochMilli * 1000L)
+      val links = g.get("links").elements().asScala.map { l =>
+        InternalRow(UTF8String.fromString(l.get("rel").asText()),
+          UTF8String.fromString(l.get("href").asText()))
+      }.toArray
+      InternalRow(s("collection"), s("version"), s("granule_id"),
+        ts("time_start"), ts("time_end"),
+        g.get("lon_min").asDouble(), g.get("lat_min").asDouble(),
+        g.get("lon_max").asDouble(), g.get("lat_max").asDouble(),
+        new GenericArrayData(links.map(_.asInstanceOf[Any])))
+    }
+  }
+}

@@ -67,6 +67,33 @@ object Smoke {
     println(s"published=${Files.list(dry).count()} file(s); spilled=${
       if (Files.exists(spill)) Files.list(spill).count() else 0}")
 
+    // ── catalog discovery → cogify kernel demo ──
+    val catalog = work.resolve("granules.jsonl")
+    java.nio.file.Files.write(catalog, Seq(
+      """{"collection":"OMDOAO3e","version":"003","granule_id":"g1","time_start":"2016-01-01T00:00:00Z","time_end":"2016-01-31T23:59:59Z","lon_min":-180,"lat_min":-90,"lon_max":180,"lat_max":90,"links":[{"rel":"http://esipfed.org/ns/fedsearch/1.1/data#","href":"https://host/OMI-Aura_L3_2016m0101.he5.nc"}]}""",
+      """{"collection":"OMDOAO3e","version":"003","granule_id":"g2","time_start":"2017-06-01T00:00:00Z","time_end":"2017-06-30T23:59:59Z","lon_min":-180,"lat_min":-90,"lon_max":180,"lat_max":90,"links":[{"rel":"http://esipfed.org/ns/fedsearch/1.1/data#","href":"https://host/OMI-Aura_L3_2017m0601.he5.nc"}]}"""
+    ).mkString("\n").getBytes)
+
+    import graft.sources.CmrDiscovery
+    import graft.kernel.Cogify
+    import spark.implicits._
+    val cmrEvents = CmrDiscovery.discover(spark, CmrDiscovery.CmrRequest(
+      catalog.toString, "OMDOAO3e", "003",
+      temporal = Some(("2016-01-01T00:00:00Z", "2016-12-31T23:59:59Z")),
+      include = Some("^.+nc$")))
+    println(s"catalog discovered=${cmrEvents.count()} (pushed=${
+      graft.sources.catalog.GranuleCatalog.lastPushedQuery})")
+
+    val cogTasks = cmrEvents.select(col("collection"), col("s3_filename").as("href"),
+        col("granule_id"), col("upload"))
+      .as[Cogify.CogifyTask]
+    val cogOut = Cogify.run(cogTasks,
+      Map("OMDOAO3e" -> Cogify.CollectionConfig("ColumnAmountO3",
+        useTopLeftRecipe = true, flipudFix = true)),
+      s"file:${work.resolve("cogs")}")
+    cogOut.select("collection", "filename", "width", "height", "n_tiles", "payload_bytes")
+      .show(false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kernel.{BandStats, Cogify, Raster}
+import graft.kernel.Cogify.{CogifyTask, CollectionConfig}
+import graft.kernel.Raster._
+
+/** Raster kernel semantics: array fixups, affine recipes, tiling
+  * round-trip, the distributed cogify stage with retry/DLQ, and the
+  * band-stats aggregator vs exact computations.
+  */
+class KernelSpec extends SparkSuite {
+
+  private val g = Grid(3, 2, Array(1f, 2f, 3f, 4f, 5f, 6f), Some(-9f))
+
+  test("transpose and flipud match numpy semantics") {
+    val t = Raster.transpose(g) // (2x3) -> (3x2): rows become cols
+    assert(t.width == 2 && t.height == 3)
+    assert(t.data.toSeq == Seq(1f, 4f, 2f, 5f, 3f, 6f))
+    assert(Raster.transpose(t).data.toSeq == g.data.toSeq) // involution
+
+    val f = Raster.flipud(g)
+    assert(f.data.toSeq == Seq(4f, 5f, 6f, 1f, 2f, 3f))
+    assert(Raster.flipud(f).data.toSeq == g.data.toSeq)
+  }
+
+  test("top-left affine recipe matches the reference geotransform") {
+    // (xmin, xres, 0, ymax, 0, -yres) via Affine.from_gdal: pixel (0,0)
+    // maps to (xmin, ymax), pixel (w,h) to (xmax, ymin)
+    val a = Raster.topLeftRecipe(Extent(-180, -90, 180, 90), 360, 180)
+    assert(a(0, 0) == (-180.0, 90.0))
+    assert(a(360, 180) == (180.0, -90.0))
+    assert(a(1, 1) == (-179.0, 89.0))
+  }
+
+  test("mercator forward hits known anchor values") {
+    val (x0, y0) = Mercator.forward(0, 0)
+    assert(math.abs(x0) < 1e-9 && math.abs(y0) < 1e-9)
+    val (x1, _) = Mercator.forward(180, 0)
+    assert(math.abs(x1 - 20037508.342789244) < 1e-6)
+    val (_, y2) = Mercator.forward(0, 45)
+    assert(math.abs(y2 - 5621521.486192066) < 1e-6)
+  }
+
+  test("deflate tiling round-trips and pads edge tiles with nodata") {
+    val wide = Grid(300, 270, Array.tabulate(300 * 270)(_.toFloat), Some(-1f))
+    val tiles = Cogify.tile(wide)
+    assert(tiles.size == 4) // 2x2 tiles of 256
+    val t00 = tiles.find(t => t.tileCol == 0 && t.tileRow == 0).get
+    val bytes = Cogify.inflate(t00.deflated, 256 * 256 * 4)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getFloat(0) == 0f)
+    assert(bb.getFloat((1 * 256 + 1) * 4) == 301f) // row 1, col 1
+    val t11 = tiles.find(t => t.tileCol == 1 && t.tileRow == 1).get
+    val b11 = java.nio.ByteBuffer.wrap(Cogify.inflate(t11.deflated, 256 * 256 * 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // beyond grid edge -> nodata pad
+    assert(b11.getFloat((255 * 256 + 255) * 4) == -1f)
+  }
+
+  test("distributed cogify stage produces containers; bad tasks go to DLQ rows") {
+    import spark.implicits._
+    val out = tempDir("cog").getAbsolutePath
+    val tasks = Seq(
+      CogifyTask("GPM_3IMERGM", "s3://b/a.nc", Some("g1"), upload = false),
+      CogifyTask("OMDOAO3e", "s3://b/b.nc", Some("g2"), upload = false)).toDS()
+    val configs = Map(
+      "GPM_3IMERGM" -> CollectionConfig("precipitation", group = Some("Grid"),
+        transposeFix = true),
+      "OMDOAO3e" -> CollectionConfig("ColumnAmountO3", useTopLeftRecipe = true,
+        flipudFix = true))
+    val results = Cogify.run(tasks, configs, s"file:$out").collect()
+    assert(results.length == 2 && results.forall(_.error.isEmpty))
+    val r = results.find(_.collection == "OMDOAO3e").get
+    assert(r.n_tiles == 2 && r.width == 360 && r.height == 180) // 360/256 -> 2x1
+    assert(new java.io.File(s"$out/OMDOAO3e/b.nc.cog").length() > 0)
+    // top-left recipe: a = xres where the extent spans coordinate-CENTER
+    // min..max (the reference derives extent from coord min/max,
+    // handler.py:96-103) -> (179.5 - (-179.5)) / 360
+    assert(math.abs(r.affine.head - 359.0 / 360) < 1e-9)
+
+    // a reader that always throws a non-retryable error -> DLQ row
+    class Bad extends Cogify.GridReader {
+      def read(t: CogifyTask, c: CollectionConfig) =
+        throw new IllegalStateException("corrupt granule")
+    }
+    val dlq = Cogify.run(tasks, configs, s"file:$out", mkReader = () => new Bad)
+      .collect()
+    assert(dlq.forall(_.error.exists(_.contains("corrupt granule"))))
+  }
+
+  test("band stats aggregator matches exact stats under repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(10000)(rnd.nextFloat() * 100f)
+    // rows of 100-element "tiles", some containing nodata
+    val rows = values.grouped(100).map(_.toArray).toSeq
+    val withNodata = rows.map(r => r.updated(0, -9999f))
+    val ds = withNodata.toDS().repartition(7)
+
+    val agg = BandStats.Agg(0, 100, bins = 20, nodata = Some(-9999f))
+    val stats = ds.select(agg.toColumn).head()
+
+    val clean = withNodata.flatten.filter(_ != -9999f).map(_.toDouble)
+    assert(stats.count == clean.size)
+    assert(math.abs(stats.mean - clean.sum / clean.size) < 1e-9)
+    assert(stats.min == clean.min && stats.max == clean.max)
+    val exactSd = math.sqrt(
+      clean.map(v => (v - clean.sum / clean.size) * (v - clean.sum / clean.size)).sum
+        / (clean.size - 1))
+    assert(math.abs(stats.stddev - exactSd) < 1e-6)
+    // percentiles within one bin width of exact
+    val sorted = clean.sorted
+    assert(math.abs(stats.p50 - sorted(sorted.size / 2)) < 5.0 + 1e-9)
+    assert(stats.histogram.sum == clean.size)
+
+    // partition-count independence (merge correctness)
+    val stats2 = withNodata.toDS().repartition(31).select(agg.toColumn).head()
+    assert(stats2.count == stats.count)
+    assert(math.abs(stats2.mean - stats.mean) < 1e-9)
+    assert(math.abs(stats2.stddev - stats.stddev) < 1e-9)
+  }
+}
