@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    operators.Relational.defs ++ operators.StacQueries.defs ++
+    operators.Relational.defs ++ operators.Relational2.defs ++
+      operators.StacQueries.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs
 

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Second tranche of the relational surface: exact histograms, exact
+  * percentiles, lead/lag analytics, gap-based sessionization, array
+  * aggregation, SQL-text entry with subqueries, and conditional
+  * aggregation (SURVEY §2.4 windows/aggregations/UDF rows).
+  */
+object Relational2 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Fixed-width exact histogram (the deterministic form of A12's
+    // per-band histogram; BandStats.Agg is its streaming/mergeable twin).
+    ("q27_histogram", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_quantity") / 5).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // Exact interpolated median per group (A12 percentile statistics).
+    ("q28_median", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_extendedprice, 0.25) AS p25_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // lead/lag analytics: price delta between a customer's consecutive
+    // orders (SURVEY §2.4 windows row).
+    ("q29_lead_lag", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w))
+        .withColumn("delta",
+          (dec(col("o_totalprice")) - col("prev_price")).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("prev_price").cast(DoubleType).as("prev_price"), col("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))
+           - lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS delta
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // Gap-based sessionization over the events stream (30-minute
+    // inactivity closes a session) — the batch twin of the streaming
+    // session semantics; pure window algebra, no UDF.
+    ("q30_sessionize", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val withGap = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          lag(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      m AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      sess AS (
+        SELECT user_id,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m)
+      SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id ORDER BY user_id""")),
+
+    // Array aggregation: ordered collect per key + element access
+    // (SURVEY §2.4 array/map row; the links[] shape of A5 inverted).
+    ("q31_array_agg", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenos"))
+        .select(col("l_orderkey"), col("linenos"),
+          size(col("linenos")).as("n_lines"),
+          element_at(col("linenos"), 1).as("first_line"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey,
+      list_sort(list(l_linenumber)) AS linenos,
+      CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
+      list_sort(list(l_linenumber))[1] AS first_line
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // SQL-text entry with correlated EXISTS + IN subqueries (the declared
+    // surface includes spark.sql; Catalyst rewrites these to semi-joins).
+    ("q32_sql_subquery", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer_v
+        WHERE EXISTS (SELECT 1 FROM orders_v
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation_v WHERE n_regionkey < 3)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Conditional aggregation (count_if / filtered sums) — the Choice-
+    // router metrics shape (B2) as single-pass aggregates.
+    ("q33_conditional_agg", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .agg(
+          count_if(col("o_orderstatus") === "F").as("n_f"),
+          count_if(col("o_orderstatus") === "O").as("n_o"),
+          sum(when(col("o_orderpriority").startsWith("1"),
+            dec(col("o_totalprice"))).otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("urgent_total"))
+    },
+    Some("""SELECT count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      CAST(sum(CASE WHEN o_orderpriority LIKE '1%'
+               THEN CAST(o_totalprice AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total
+      FROM orders"""))
+  )
+}

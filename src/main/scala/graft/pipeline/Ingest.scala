@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.GraftFunctions._
+import graft.sinks.{PublishSink, SpillSink, Transfer}
+import graft.sources.Discovery
+
+/** The reference's three state machines composed as ONE logical plan
+  * (SURVEY §3: discover → [transfer] → build-stac → submit, with the
+  * cogify branch split off by the B2 router). What took 7 Lambdas, 3 Step
+  * Functions and 2 SQS queues is a single DataFrame pipeline — the
+  * process/queue hops become plan stages, and Catalyst sees the whole
+  * thing.
+  */
+object Ingest {
+
+  final case class IngestConfig(
+      targetRoot: String, // transfer destination (A10)
+      spillDir: String, // oversized-item side storage (A17)
+      dryRunDir: String, // publish sink dry-run capture (A19)
+      spillThreshold: Int = SpillSink.DefaultThreshold)
+
+  /** Discovered assets → published items. Returns (published items,
+    * publish dead-letters). */
+  def run(assets: DataFrame, cfg: IngestConfig,
+      makePoster: () => PublishSink.ItemPoster): (DataFrame, DataFrame) = {
+    val transferred = Transfer.execute(assets, cfg.targetRoot)
+
+    val items = buildItems(transferred)
+    val routed = SpillSink.route(items, "item_json", cfg.spillDir, cfg.spillThreshold)
+    val resolved = SpillSink.resolve(routed)
+    val dlq = PublishSink.publish(resolved, "resolved_item", makePoster)
+    (resolved, dlq)
+  }
+
+  /** The build-stac enrichment (A11-A15): datetime precedence + filename
+    * extraction, item-id derivation, item JSON assembly. */
+  def buildItems(events: DataFrame): DataFrame = {
+    val withDates = events
+      .withColumn("dts", extract_filename_dates(
+        col("s3_filename"), col("datetime_range")))
+      .withColumn("item_id", derive_item_id(col("s3_filename"), col("id_regex")))
+    withDates
+      .withColumn("item_json", to_json(struct(
+        col("item_id"), col("collection"), col("s3_filename"),
+        col("granule_id"),
+        date_format(col("dts.start_datetime"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("start_datetime"),
+        date_format(col("dts.end_datetime"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("end_datetime"),
+        date_format(col("dts.single_datetime"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("datetime"))))
+      // A13 contract: no extractable datetime and no explicit one → the
+      // record is dead-letterable, not publishable
+      .withColumn("valid", col("dts").isNotNull)
+  }
+
+  /** Continuous-ingest mode (SURVEY §0 consequence 2): a stream of
+    * discovered-asset batches dropped into `assetDir` drains through the
+    * SAME batch pipeline via foreachBatch — micro-batch triggers stand in
+    * for the reference's SQS batch windows (B6). */
+  def runStream(spark: SparkSession, assetDir: String, cfg: IngestConfig,
+      makePoster: () => PublishSink.ItemPoster,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val schema = spark.read.parquet(assetDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(assetDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        run(batch, cfg, makePoster)
+        () // side-effecting sink stage
+      }
+      .start()
+  }
+}

@@ -35,8 +35,10 @@ object PublishSink {
     override def close(): Unit = sink.close()
   }
 
-  /** Publish `itemCol`; returns the dead-letter DataFrame
-    * (item, error) of records whose post failed.
+  /** Publish `itemCol` — EAGER, like any sink: the posts happen now,
+    * exactly once, and the returned dead-letter DataFrame (item, error)
+    * is materialized (a lazy version would re-post on every downstream
+    * action, or never post inside foreachBatch).
     *
     * `makePoster` runs on executors — it must capture only serializable
     * state (e.g. endpoint Strings, not Path/connection objects).
@@ -57,6 +59,8 @@ object PublishSink {
         buf.iterator
       }
       .toDF("item", "error")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    failed.count() // force the posts
     failed
   }
 }

@@ -14,7 +14,12 @@ object Smoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
+    // injected by GraftExtensions (no registerAll yet)
+    println("extensions: " + spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0))
     spark.sparkContext.setLogLevel("ERROR")
 
     val e = graft.SparkEntry.entry(spark)
@@ -93,6 +98,19 @@ object Smoke {
       s"file:${work.resolve("cogs")}")
     cogOut.select("collection", "filename", "width", "height", "n_tiles", "payload_bytes")
       .show(false)
+
+    // ── streaming ingest: same pipeline behind foreachBatch ──
+    import graft.pipeline.Ingest
+    val assetDir = work.resolve("assets").toString
+    assets.write.mode("overwrite").parquet(assetDir)
+    val streamDry = work.resolve("stream-dry").toString
+    val q = Ingest.runStream(spark, assetDir,
+      Ingest.IngestConfig(s"file:${work.resolve("stream-target")}",
+        s"file:${work.resolve("stream-spill")}", streamDry),
+      () => new PublishSink.DryRunPoster(streamDry), maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    println(s"stream published=${java.nio.file.Files.list(
+      java.nio.file.Paths.get(streamDry)).count()} batch file(s)")
 
     spark.stop()
   }
