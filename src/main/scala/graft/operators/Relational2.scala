@@ -141,6 +141,33 @@ object Relational2 {
         AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Ranking-function family over one deterministic window (SURVEY
+    // §2.4 windows row): rank/dense_rank/ntile/percent_rank + boundary
+    // values.
+    ("q34_rank_family", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          first_value(col("o_orderkey")).over(w).as("top_order"))
+        .filter(col("rnk") <= 25)
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+        CAST(rank() OVER w AS INTEGER) AS rnk,
+        CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        percent_rank() OVER w AS prank,
+        first_value(o_orderkey) OVER w AS top_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      QUALIFY rnk <= 25
+      ORDER BY o_orderstatus, rnk""")),
+
     // Conditional aggregation (count_if / filtered sums) — the Choice-
     // router metrics shape (B2) as single-pass aggregates.
     ("q33_conditional_agg", (s: SparkSession, d: String) => {

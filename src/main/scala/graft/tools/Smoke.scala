@@ -99,6 +99,22 @@ object Smoke {
     cogOut.select("collection", "filename", "width", "height", "n_tiles", "payload_bytes")
       .show(false)
 
+    // ── collections catalog enrichment (A16 generalization) ──
+    val collDir = work.resolve("collections")
+    java.nio.file.Files.createDirectories(collDir)
+    java.nio.file.Files.write(collDir.resolve("no2.json"),
+      """{"id":"no2","type":"Collection","title":"NO2","description":"d",
+         "license":"MIT","extent":{"spatial":{"bbox":[[-180,-90,180,90]]},
+         "temporal":{"interval":[["2016-01-01T00:00:00Z",null]]}},
+         "dashboard:is_periodic":true,"dashboard:time_density":"month",
+         "item_assets":{}}""".getBytes)
+    val enriched = graft.model.StacCollection.enrich(
+      items.select(col("collection"), col("item_id"),
+        col("dts.start_datetime").as("ts")),
+      graft.model.StacCollection.load(spark, collDir.toString), "ts")
+    enriched.select("collection", "item_id", "title", "time_density", "in_interval")
+      .show(false)
+
     // ── streaming ingest: same pipeline behind foreachBatch ──
     import graft.pipeline.Ingest
     val assetDir = work.resolve("assets").toString
