@@ -168,6 +168,61 @@ object Relational2 {
       QUALIFY rnk <= 25
       ORDER BY o_orderstatus, rnk""")),
 
+    // Pivot (wide conditional aggregation) — status columns per priority.
+    ("q35_pivot", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+        count(*) FILTER (o_orderstatus = 'F') AS "F",
+        count(*) FILTER (o_orderstatus = 'O') AS "O",
+        count(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Non-equi (range) join against a small derived band dim — planned
+    // as a broadcast nested-loop join; the theta-join row of SURVEY
+    // §2.4's join inventory.
+    ("q36_range_join", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val bands = Seq(
+        ("band0", 0.0, 100000.0), ("band1", 100000.0, 200000.0),
+        ("band2", 200000.0, 1e9))
+        .toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH bands(band, lo, hi) AS (
+        VALUES ('band0', 0.0, 100000.0), ('band1', 100000.0, 200000.0),
+               ('band2', 200000.0, 1e9))
+      SELECT band, count(*) AS n_orders
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band ORDER BY band""")),
+
+    // Correlated scalar subquery (Catalyst decorrelates to a join):
+    // orders above their customer's average.
+    ("q37_correlated", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_corr")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above_avg
+        FROM orders_corr o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_corr i
+                              WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_above_avg
+      FROM orders o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // Conditional aggregation (count_if / filtered sums) — the Choice-
     // router metrics shape (B2) as single-pass aggregates.
     ("q33_conditional_agg", (s: SparkSession, d: String) => {

@@ -44,6 +44,18 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Gap-based session aggregation over the stream — Spark's native
+    * `session_window` (same semantics as the batch q30 sessionization:
+    * a session closes after `gap` of inactivity). */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String = "30 minutes",
+      watermark: Option[String] = Some("2 hours")): DataFrame =
+    watermark.fold(events)(w => events.withWatermark(tsCol, w))
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Split a micro-batch into (good, dead-letter) — the per-record
     * partial-batch failure handling of B6/B7
     * (`report_batch_item_failures`, queue_stack.py:37). */

@@ -51,6 +51,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window totals agree with batch gap sessionization") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val dedup = EventStream.dedup(stream, "event_id", "ts", watermark = "4 hours")
+    val q = EventStream.runToMemory(
+      EventStream.sessionCounts(dedup, "ts", gap = "30 minutes", watermark = None)
+        .drop("session_start", "session_end"),
+      "sess_out")
+    try {
+      // total events across emitted sessions per user == batch count
+      // (append mode emits only watermark-closed sessions; compare on the
+      // users whose sessions all closed)
+      val streamed = spark.table("sess_out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = Tables.events(spark, sf0001)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      val joined = streamed.alias("s").join(batch.alias("b"), "user_id")
+        .filter(col("s.n_events") === col("b.n_events")) // fully-closed users
+      assert(joined.count() > 0)
+      assert(joined.filter(col("s.n_sessions") =!= col("b.n_sessions")).count() == 0)
+    } finally q.stop()
+  }
+
   test("dlq split separates bad records without losing any") {
     val batch = Tables.events(spark, sf0001)
     val (good, bad) = EventStream.dlqSplit(batch, col("value") < 10)
