@@ -18,13 +18,26 @@ import org.apache.spark.sql.types._
   * multiset equals min over its set).
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashEval.signature(input.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashEval.signature($c, $n, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static eval helper (called from generated code). */
+object MinHashEval {
+  def signature(arr: ArrayData, n: Int, k: Int): GenericArrayData = {
     val m = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
 
@@ -64,8 +77,6 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Exact sequential-sum cosine similarity of two float arrays, in double
@@ -75,14 +86,31 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   * dominate candidate scoring at scale.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineEval.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // real codegen (via the static helper) keeps candidate-scoring
+  // projections inside whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineEval.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static helper the generated code calls (Scala object → static
+  * forwarders visible to Janino). */
+object CosineEval {
+  def cosine(x: ArrayData, y: ArrayData): Double = {
     val m = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var j = 0
@@ -94,7 +122,4 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }

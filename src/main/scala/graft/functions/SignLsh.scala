@@ -18,24 +18,37 @@ import org.apache.spark.sql.types._
   * tables × planes × dim.
   */
 case class SignLsh(child: Expression, tables: Int, planesPerTable: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_lsh"
 
-  @transient private lazy val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  override protected def nullSafeEval(input: Any): Any =
+    SignLshEval.buckets(input.asInstanceOf[ArrayData], tables, planesPerTable, seed)
 
-  private def planesFor(dim: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent(dim, d => SignLsh.planes(tables * planesPerTable, d, seed))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshEval.buckets($c, $tables, $planesPerTable, ${seed}L)")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static eval helper (called from generated code); planes are cached
+  * per (tables, planesPerTable, dim, seed) process-wide. */
+object SignLshEval {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Double]]]()
+
+  def buckets(arr: ArrayData, tables: Int, planesPerTable: Int, seed: Long): GenericArrayData = {
     val dim = arr.numElements()
+    val ps = planeCache.computeIfAbsent((tables, planesPerTable, dim, seed),
+      _ => SignLsh.planes(tables * planesPerTable, dim, seed))
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
-    val ps = planesFor(dim)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -54,8 +67,6 @@ case class SignLsh(child: Expression, tables: Int, planesPerTable: Int, seed: Lo
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object SignLsh {

@@ -49,23 +49,32 @@ object SimHash {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Static entry for generated code: simhash of a token ArrayData. */
+  def ofTokenArray(arr: ArrayData): Long = {
+    val it = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => arr.getUTF8String(i).toString)
+    simhash64(it)
+  }
 }
 
 /** `simhash64(array<string>) -> long` Catalyst expression. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val it = (0 until arr.numElements()).iterator
-      .filterNot(arr.isNullAt)
-      .map(i => arr.getUTF8String(i).toString)
-    SimHash.simhash64(it)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash.ofTokenArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.ofTokenArray($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -15,6 +15,9 @@ object Smoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // fail loudly if any custom expression's generated code doesn't
+      // compile (default is a silent interpreted fallback)
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     // injected by GraftExtensions (no registerAll yet)
     println("extensions: " + spark.sql(

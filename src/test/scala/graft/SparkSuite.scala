@@ -13,6 +13,9 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // hard-fail on custom-expression codegen errors instead of the
+    // silent interpreted fallback
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
