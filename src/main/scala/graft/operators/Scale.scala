@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the 100 TB posture (SURVEY §7.4 / builder
+  * guidance): co-located bucketed joins (no shuffle at query time) and
+  * salted joins for skewed keys (complementing AQE's runtime skew
+  * handling when skew is known up front).
+  */
+object Scale {
+
+  /** Persist `df` as a bucketed table: co-locates future equi-joins /
+    * aggregations on `keyCol` — the shuffle happens once at write time,
+    * never again at read time. The warehouse analog of the reference's
+    * per-collection prefix partitioning (one listing call per prefix,
+    * s3-discovery/handler.py:29).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted equi-join for a known-skewed big side: the big side's key is
+    * split into `saltFactor` sub-keys; the small side is replicated
+    * `saltFactor`× so every sub-key finds its match. Restores balanced
+    * partitions when one key dominates (e.g. the 26-city nightlights
+    * fan-out, SURVEY §7.4.5).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor))
+        .cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

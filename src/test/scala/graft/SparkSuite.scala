@@ -16,6 +16,9 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     // hard-fail on custom-expression codegen errors instead of the
     // silent interpreted fallback
     .config("spark.sql.codegen.fallback", "false")
+    // static conf: must be set at build time (bucketed-table specs)
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
