@@ -106,6 +106,25 @@ object Multimodal {
       decodeFeatures(mediaTable(graft.Tables.documents(s, d)))
         .toDF()
         .orderBy(col("doc_id"))
+    }, None),
+
+    // Per-label embedding band statistics through the mergeable
+    // BandStats aggregator (A12's raster-stats shape over float arrays;
+    // rows-only — Chan-merged float means are order-sensitive in the
+    // last ulp, partition-independence is spec-gated in KernelSpec).
+    ("m03_band_stats", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val agg = graft.kernel.BandStats.Agg(-1.0, 1.0, bins = 20)
+      graft.Tables.embeddings(s, d)
+        .select(col("label"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.toColumn.name("stats"))
+        .map { case (label, st) =>
+          (label, st.count, st.min, st.max, st.p50) }
+        .toDF("label", "n_values", "min_v", "max_v", "p50")
+        .orderBy(col("label"))
     }, None)
   )
 }

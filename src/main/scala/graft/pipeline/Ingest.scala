@@ -21,13 +21,18 @@ object Ingest {
       targetRoot: String, // transfer destination (A10)
       spillDir: String, // oversized-item side storage (A17)
       dryRunDir: String, // publish sink dry-run capture (A19)
-      spillThreshold: Int = SpillSink.DefaultThreshold)
+      spillThreshold: Int = SpillSink.DefaultThreshold,
+      // B3: the reference's Map max_concurrency=100
+      // (step_function_stack.py:87,95,140,182) — explicit task fan-out
+      // for the side-effecting stages; None = inherit source partitioning
+      parallelism: Option[Int] = None)
 
   /** Discovered assets → published items. Returns (published items,
     * publish dead-letters). */
   def run(assets: DataFrame, cfg: IngestConfig,
       makePoster: () => PublishSink.ItemPoster): (DataFrame, DataFrame) = {
-    val transferred = Transfer.execute(assets, cfg.targetRoot)
+    val fanned = cfg.parallelism.fold(assets)(assets.repartition)
+    val transferred = Transfer.execute(fanned, cfg.targetRoot)
 
     val items = buildItems(transferred)
     val routed = SpillSink.route(items, "item_json", cfg.spillDir, cfg.spillThreshold)
