@@ -171,8 +171,12 @@ object Relational {
     // Running (cumulative) sum per partition — range-window analytics over
     // datetime (SURVEY §2.4 windows row).
     ("q09_window_running", (s: SparkSession, d: String) => {
+      // l_quantity is the last tiebreak: (orderkey, linenumber, shipdate)
+      // is not unique at sf0.1, and rows tying on quantity too yield the
+      // same cumulative sequence in either order
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
@@ -185,7 +189,8 @@ object Relational {
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, l_shipdate, running_qty""")),
 
