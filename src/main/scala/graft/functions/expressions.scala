@@ -32,6 +32,9 @@ case class ExtractFilenameDates(left: Expression, right: Expression)
       s"$prettyName expects (string, string) arguments")
   }
 
+  // CodegenFallback (not doGenCode): this runs at discovery scale (one
+  // row per FILE, not per record), where interpreted eval is immaterial —
+  // unlike the per-pair sketch expressions which carry real codegen.
   override def eval(input: InternalRow): Any = {
     val fn = left.eval(input)
     if (fn == null) return null

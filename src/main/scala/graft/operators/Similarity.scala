@@ -54,19 +54,35 @@ object Similarity {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
+  /** Multi-probe variant for the QUERY side: besides the exact bucket,
+    * probe every one-bit-flipped bucket per table (planesPerTable extra
+    * keys each) — near-miss sign flips are the dominant loss mode, so
+    * this buys recall for tables× fewer hash tables at query-side-only
+    * cost (the corpus side stays single-keyed).
+    */
+  def lshKeyedMultiProbe(df: DataFrame, tables: Int, planesPerTable: Int): DataFrame = {
+    val keyed = lshKeyed(df, tables, planesPerTable)
+    val probes = keyed.select(col("vec_id"), col("table"),
+        explode(array((0 until planesPerTable).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    keyed.unionByName(probes)
+  }
+
   /** Approximate top-k: candidates collide with the query in any of the
     * LSH tables, are scored exactly, then per-query top-k. The bucket
     * join replaces the cross product — the shuffle is corpus × tables
     * keys, not corpus², which is what survives 100 TB.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+      tables: Int = 8, planesPerTable: Int = 4,
+      multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // candidate ids first (dedup over small (qid, nid) keys — never
     // shuffle the embedding arrays as dedup keys), then one scoring join
+    val qKeys = if (multiProbe) lshKeyedMultiProbe(queries, tables, planesPerTable)
+      else lshKeyed(queries, tables, planesPerTable)
     val cands = lshKeyed(corpus, tables, planesPerTable).alias("c")
-      .join(broadcast(lshKeyed(queries, tables, planesPerTable).alias("q")),
-        Seq("table", "bucket"))
+      .join(broadcast(qKeys.alias("q")), Seq("table", "bucket"))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()

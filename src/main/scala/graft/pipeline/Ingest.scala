@@ -70,11 +70,16 @@ object Ingest {
   def runStream(spark: SparkSession, assetDir: String, cfg: IngestConfig,
       makePoster: () => PublishSink.ItemPoster,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10,
+      // at-least-once inputs: drop redeliveries within the micro-batch
+      // on these key columns (the reference's A10 idempotence for
+      // re-delivered SQS messages); None for exactly-once sources
+      dedupKeys: Option[Seq[String]] = None): StreamingQuery = {
     val schema = spark.read.parquet(assetDir).schema
-    spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(assetDir)
+    dedupKeys.fold(stream)(ks => stream.dropDuplicates(ks))
       .writeStream
       .outputMode("append")
       .trigger(trigger)

@@ -25,14 +25,19 @@ object PublishSink {
 
   /** `dry_run` short-circuit (handler.py:121-124): record, don't send. */
   final class DryRunPoster(outDir: String) extends ItemPoster {
-    private lazy val sink = {
-      val d = new java.io.File(outDir)
-      d.mkdirs()
-      new java.io.PrintWriter(new java.io.FileWriter(
-        new java.io.File(d, s"dryrun-${java.util.UUID.randomUUID()}.jsonl"), true))
+    private var opened: java.io.PrintWriter = _
+    private def sink: java.io.PrintWriter = {
+      if (opened == null) {
+        val d = new java.io.File(outDir)
+        d.mkdirs()
+        opened = new java.io.PrintWriter(new java.io.FileWriter(
+          new java.io.File(d, s"dryrun-${java.util.UUID.randomUUID()}.jsonl"), true))
+      }
+      opened
     }
     override def post(item: String): Option[String] = { sink.println(item); None }
-    override def close(): Unit = sink.close()
+    // don't force the sink open: empty partitions must not leave files
+    override def close(): Unit = if (opened != null) opened.close()
   }
 
   /** Publish `itemCol` — EAGER, like any sink: the posts happen now,

@@ -126,7 +126,8 @@ object Smoke {
     val q = Ingest.runStream(spark, assetDir,
       Ingest.IngestConfig(s"file:${work.resolve("stream-target")}",
         s"file:${work.resolve("stream-spill")}", streamDry),
-      () => new PublishSink.DryRunPoster(streamDry), maxFilesPerTrigger = 1)
+      () => new PublishSink.DryRunPoster(streamDry), maxFilesPerTrigger = 1,
+      dedupKeys = Some(Seq("collection", "s3_filename")))
     try q.processAllAvailable() finally q.stop()
     println(s"stream published=${java.nio.file.Files.list(
       java.nio.file.Paths.get(streamDry)).count()} batch file(s)")

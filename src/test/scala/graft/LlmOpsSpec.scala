@@ -46,19 +46,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(SimHash.hamming(a, d) > SimHash.hamming(a, c))
   }
 
-  test("lsh ANN: top-1 recall vs brute force is high, results verified subset") {
+  test("lsh ANN: top-1 recall vs brute force is high, multi-probe beats single") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, 1)
       .select("query_id", "neighbor_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val approx = Similarity.lshTopK(queries, emb, 1)
-      .select("query_id", "neighbor_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
-    // 8 hyperplanes / exact-bucket probe: most top-1s share the bucket
-    assert(hits >= exact.size / 2, s"top-1 recall $hits/${exact.size}")
-    assert(approx.keySet.subsetOf(exact.keySet))
+    def recall(multiProbe: Boolean): Int = {
+      val approx = Similarity.lshTopK(queries, emb, 1, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(approx.keySet.subsetOf(exact.keySet))
+      exact.count { case (q, n) => approx.get(q).contains(n) }
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(single >= exact.size / 2, s"single-probe top-1 recall $single/${exact.size}")
+    assert(multi >= single, s"multi-probe ($multi) should not lose to single ($single)")
+    assert(multi >= exact.size * 7 / 10, s"multi-probe top-1 recall $multi/${exact.size}")
   }
 
   test("media decode kernel is deterministic and batch-shaped") {
