@@ -30,25 +30,55 @@ object Ingest {
   /** Discovered assets → published items. Returns (published items,
     * publish dead-letters). */
   def run(assets: DataFrame, cfg: IngestConfig,
-      makePoster: () => PublishSink.ItemPoster): (DataFrame, DataFrame) = {
+      makePoster: () => PublishSink.ItemPoster,
+      cmrMeta: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val fanned = cfg.parallelism.fold(assets)(assets.repartition)
     val transferred = Transfer.execute(fanned, cfg.targetRoot)
 
-    val items = buildItems(transferred)
+    val items = buildItems(transferred, cmrMeta)
     val routed = SpillSink.route(items, "item_json", cfg.spillDir, cfg.spillThreshold)
     val resolved = SpillSink.resolve(routed)
     val dlq = PublishSink.publish(resolved, "resolved_item", makePoster)
     (resolved, dlq)
   }
 
-  /** The build-stac enrichment (A11-A15): datetime precedence + filename
-    * extraction, item-id derivation, item JSON assembly. */
-  def buildItems(events: DataFrame): DataFrame = {
-    val withDates = events
-      .withColumn("dts", extract_filename_dates(
-        col("s3_filename"), col("datetime_range")))
-      .withColumn("item_id", derive_item_id(col("s3_filename"), col("id_regex")))
+  /** The build-stac enrichment with event-union dispatch (A11,
+    * reference build-stac/handler.py:40-41): events carrying a
+    * `granule_id` are CMR events — their datetime comes from the catalog
+    * metadata's `time_start` via a broadcast lookup join (A16,
+    * stac.py:113-129, replacing the per-record remote fetch); the rest
+    * are regex events — datetime precedence + filename extraction
+    * (A13/A14) and id derivation (A15).
+    *
+    * @param cmrMeta optional granule-metadata dim
+    *   (granule_id, time_start, time_end), e.g. from the
+    *   GranuleCatalog source; without it CMR events fall back to the
+    *   regex path (offline degradation).
+    */
+  def buildItems(events: DataFrame, cmrMeta: Option[DataFrame] = None): DataFrame = {
+    val withDates = cmrMeta match {
+      case Some(meta) =>
+        val isCmr = col("granule_id").isNotNull
+        val regexDts = extract_filename_dates(col("s3_filename"), col("datetime_range"))
+        events
+          .join(broadcast(meta.select(col("granule_id"),
+            col("time_start").as("__meta_start"))), Seq("granule_id"), "left")
+          .withColumn("dts",
+            when(isCmr && col("__meta_start").isNotNull,
+              struct(lit(null).cast("timestamp").as("start_datetime"),
+                lit(null).cast("timestamp").as("end_datetime"),
+                col("__meta_start").as("single_datetime")))
+              .otherwise(regexDts))
+          .drop("__meta_start")
+      case None =>
+        events.withColumn("dts",
+          extract_filename_dates(col("s3_filename"), col("datetime_range")))
+    }
     withDates
+      .withColumn("item_id",
+        // A15 with the CMR rule of stac.py:118: granule id IS the item id
+        coalesce(col("granule_id"),
+          derive_item_id(col("s3_filename"), col("id_regex"))))
       .withColumn("item_json", to_json(struct(
         col("item_id"), col("collection"), col("s3_filename"),
         col("granule_id"),

@@ -84,6 +84,7 @@ object Smoke {
 
     import graft.sources.CmrDiscovery
     import graft.kernel.Cogify
+    import graft.pipeline.Ingest
     import spark.implicits._
     val cmrEvents = CmrDiscovery.discover(spark, CmrDiscovery.CmrRequest(
       catalog.toString, "OMDOAO3e", "003",
@@ -91,6 +92,16 @@ object Smoke {
       include = Some("^.+nc$")))
     println(s"catalog discovered=${cmrEvents.count()} (pushed=${
       graft.sources.catalog.GranuleCatalog.lastPushedQuery})")
+
+    // A16: CMR events built with catalog metadata (time_start wins)
+    val meta = CmrDiscovery.granules(spark, CmrDiscovery.CmrRequest(
+        catalog.toString, "OMDOAO3e", "003"))
+      .select(col("granule_id"), col("time_start"))
+    val cmrItems = Ingest.buildItems(
+      cmrEvents.withColumn("datetime_range", lit(null).cast("string"))
+        .withColumn("id_regex", lit(null).cast("string")),
+      cmrMeta = Some(meta))
+    cmrItems.select("item_id", "item_json").show(false)
 
     val cogTasks = cmrEvents.select(col("collection"), col("s3_filename").as("href"),
         col("granule_id"), col("upload"))
@@ -119,7 +130,6 @@ object Smoke {
       .show(false)
 
     // ── streaming ingest: same pipeline behind foreachBatch ──
-    import graft.pipeline.Ingest
     val assetDir = work.resolve("assets").toString
     assets.write.mode("overwrite").parquet(assetDir)
     val streamDry = work.resolve("stream-dry").toString

@@ -84,6 +84,36 @@ class IngestPipelineSpec extends SparkSuite {
     assert(recorded.forall(_.contains("OMI_")))
   }
 
+  test("event-union dispatch: CMR events take catalog time, regex events take filename dates") {
+    import spark.implicits._
+    // mixed batch, like the reference routing tests (test_handler.py:40-102)
+    val events = Seq(
+      ("no2", "file:/x/file_20160101.tif", null: String, null: String, null: String),
+      ("no2", "file:/x/other_20170202.tif", "G-123", null: String, null: String))
+      .toDF("collection", "s3_filename", "granule_id", "datetime_range", "id_regex")
+    val meta = Seq(("G-123", java.sql.Timestamp.valueOf("2020-05-06 07:08:09")))
+      .toDF("granule_id", "time_start")
+
+    val items = Ingest.buildItems(events, Some(meta)).collect()
+      .map(r => Option(r.getAs[String]("granule_id")) -> r).toMap
+
+    // regex branch: filename extraction, stem id
+    val regexRow = items(None)
+    assert(regexRow.getAs[String]("item_id") == "file_20160101")
+    assert(regexRow.getAs[String]("item_json").contains(""""datetime":"2016-01-01T00:00:00Z""""))
+    // cmr branch: catalog time_start wins over the filename date, id = granule id
+    val cmrRow = items(Some("G-123"))
+    assert(cmrRow.getAs[String]("item_id") == "G-123")
+    assert(cmrRow.getAs[String]("item_json").contains(""""datetime":"2020-05-06T07:08:09Z""""))
+    assert(!cmrRow.getAs[String]("item_json").contains("2017-02-02"))
+
+    // offline degradation: no metadata → cmr event falls back to filename
+    val fallback = Ingest.buildItems(events, None).collect()
+      .find(r => r.getAs[String]("granule_id") == "G-123").get
+    assert(fallback.getAs[String]("item_json").contains("2017-02-02"))
+    assert(fallback.getAs[String]("item_id") == "G-123") // id rule still holds
+  }
+
   test("records without extractable dates are flagged invalid, not fatal") {
     import spark.implicits._
     val assets = Seq(
