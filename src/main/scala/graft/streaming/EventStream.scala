@@ -56,6 +56,34 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Per-key custom state via flatMapGroupsWithState: tracks each user's
+    * running event count and total value across micro-batches and emits
+    * an updated snapshot per batch — the arbitrary-state form of the
+    * reference's bounded-redelivery bookkeeping (B7's receive counts,
+    * queue_stack.py:25-29, generalized to any per-key accumulator).
+    */
+  final case class UserState(n_events: Long, total_value: Double)
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  def statefulUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserState(n, tot)
+          state.update(next)
+          Iterator(UserSnapshot(user, next.n_events, next.total_value))
+      }
+  }
+
   /** Split a micro-batch into (good, dead-letter) — the per-record
     * partial-batch failure handling of B6/B7
     * (`report_batch_item_failures`, queue_stack.py:37). */

@@ -142,6 +142,22 @@ object Smoke {
     println(s"stream published=${java.nio.file.Files.list(
       java.nio.file.Paths.get(streamDry)).count()} batch file(s)")
 
+    // ── custom streaming state: per-user totals across micro-batches ──
+    import graft.streaming.EventStream
+    val evDir = work.resolve("events").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(evDir)
+    val sq = EventStream.runToMemory(
+      EventStream.statefulUserTotals(
+        EventStream.readEvents(spark, evDir, maxFilesPerTrigger = 1)).toDF(),
+      "smoke_state")
+    try {
+      val snap = spark.table("smoke_state")
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"))
+      println(s"stateful users=${snap.count()} totalEvents=${
+        snap.agg(sum(col("n_events"))).head().getLong(0)}")
+    } finally sq.stop()
+
     spark.stop()
   }
 }

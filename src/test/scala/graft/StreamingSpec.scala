@@ -82,6 +82,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user totals across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val freshDir = tempDir("events-state").getAbsolutePath
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(freshDir)
+    val stream = EventStream.readEvents(spark, freshDir, maxFilesPerTrigger = 1)
+    val q = EventStream.runToMemory(
+      EventStream.statefulUserTotals(stream).toDF(), "state_out")
+    try {
+      // the LAST snapshot per user must equal the batch totals
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      val last = spark.table("state_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"))
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val joined = last.alias("s").join(batch.alias("b"), "user_id")
+      assert(joined.count() == batch.count())
+      assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+    } finally q.stop()
+  }
+
   test("dlq split separates bad records without losing any") {
     val batch = Tables.events(spark, sf0001)
     val (good, bad) = EventStream.dlqSplit(batch, col("value") < 10)
