@@ -3,7 +3,7 @@ package graft.kernel
 import java.io.ByteArrayOutputStream
 import java.util.zip.{Deflater, Inflater}
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.Dataset
 
 import Raster._
 

@@ -6,7 +6,6 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.functions.SimHash64
 
 /** Deduplication family for training-data pipelines: exact
   * (hash-groupBy), MinHash+LSH (shingle → signature → banded bucket join
