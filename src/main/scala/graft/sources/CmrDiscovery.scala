@@ -32,8 +32,11 @@ object CmrDiscovery {
       .filter(col("collection") === req.collection)
       .filter(col("version") === req.version)
     req.temporal.foreach { case (start, end) =>
-      df = df.filter(col("time_start") >= to_timestamp(lit(start)) &&
-        col("time_end") <= to_timestamp(lit(end)))
+      // CMR temporal semantics: the granule's range OVERLAPS the query
+      // range (not containment) — a granule straddling the window edge
+      // still matches, like the remote API's temporal parameter
+      df = df.filter(col("time_end") >= to_timestamp(lit(start)) &&
+        col("time_start") <= to_timestamp(lit(end)))
     }
     req.boundingBox.foreach { case (w, s, e, n) =>
       df = df.filter(col("lon_min") <= e && col("lon_max") >= w &&

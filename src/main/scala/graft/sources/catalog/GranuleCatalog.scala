@@ -64,8 +64,10 @@ object GranuleCatalog {
   final case class CatalogQuery(
       collection: Option[String] = None,
       version: Option[String] = None,
-      startAfterMicros: Option[Long] = None,
-      endBeforeMicros: Option[Long] = None,
+      startAfterMicros: Option[Long] = None, // time_start lower bound
+      startBeforeMicros: Option[Long] = None, // time_start upper bound
+      endAfterMicros: Option[Long] = None, // time_end lower bound
+      endBeforeMicros: Option[Long] = None, // time_end upper bound
       lonMinLe: Option[Double] = None, lonMaxGe: Option[Double] = None,
       latMinLe: Option[Double] = None, latMaxGe: Option[Double] = None)
 
@@ -101,14 +103,30 @@ private[catalog] class GranuleScanBuilder(path: String, pageSize: Int)
         query = query.copy(collection = Some(v)); accepted += f
       case f @ EqualTo("version", v: String) =>
         query = query.copy(version = Some(v)); accepted += f
-      case f @ GreaterThanOrEqual("time_start", v) if micros(v).isDefined =>
-        query = query.copy(startAfterMicros = Some(micros(v).get)); accepted += f
-      case f @ GreaterThan("time_start", v) if micros(v).isDefined =>
-        query = query.copy(startAfterMicros = Some(micros(v).get + 1)); accepted += f
-      case f @ LessThanOrEqual("time_end", v) if micros(v).isDefined =>
-        query = query.copy(endBeforeMicros = Some(micros(v).get)); accepted += f
-      case f @ LessThan("time_end", v) if micros(v).isDefined =>
-        query = query.copy(endBeforeMicros = Some(micros(v).get - 1)); accepted += f
+      // both containment (time_start >= s ∧ time_end <= e) and the CMR
+      // API's overlap semantics (time_end >= s ∧ time_start <= e) arrive
+      // as comparisons on either column — push lower bounds of either
+      // column into startAfterMicros-style params
+      case f @ GreaterThanOrEqual(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
+        query = if (c == "time_start")
+          query.copy(startAfterMicros = Some(micros(v).get))
+        else query.copy(endAfterMicros = Some(micros(v).get))
+        accepted += f
+      case f @ GreaterThan(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
+        query = if (c == "time_start")
+          query.copy(startAfterMicros = Some(micros(v).get + 1))
+        else query.copy(endAfterMicros = Some(micros(v).get + 1))
+        accepted += f
+      case f @ LessThanOrEqual(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
+        query = if (c == "time_end")
+          query.copy(endBeforeMicros = Some(micros(v).get))
+        else query.copy(startBeforeMicros = Some(micros(v).get))
+        accepted += f
+      case f @ LessThan(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
+        query = if (c == "time_end")
+          query.copy(endBeforeMicros = Some(micros(v).get - 1))
+        else query.copy(startBeforeMicros = Some(micros(v).get - 1))
+        accepted += f
       case f @ LessThanOrEqual("lon_min", v: java.lang.Double) =>
         query = query.copy(lonMinLe = Some(v)); accepted += f
       case f @ GreaterThanOrEqual("lon_max", v: java.lang.Double) =>
@@ -181,6 +199,8 @@ object CatalogClient {
     q.collection.forall(_ == g.get("collection").asText()) &&
       q.version.forall(_ == g.get("version").asText()) &&
       q.startAfterMicros.forall(ts("time_start") >= _) &&
+      q.startBeforeMicros.forall(ts("time_start") <= _) &&
+      q.endAfterMicros.forall(ts("time_end") >= _) &&
       q.endBeforeMicros.forall(ts("time_end") <= _) &&
       q.lonMinLe.forall(g.get("lon_min").asDouble() <= _) &&
       q.lonMaxGe.forall(g.get("lon_max").asDouble() >= _) &&

@@ -56,10 +56,19 @@ class CatalogSourceSpec extends SparkSuite {
     val q = GranuleCatalog.lastPushedQuery
     assert(q.collection.contains("NO2"))
     assert(q.version.contains("1"))
-    assert(q.startAfterMicros.isDefined && q.endBeforeMicros.isDefined)
+    // overlap semantics: lower bound on time_end, upper bound on time_start
+    assert(q.endAfterMicros.isDefined && q.startBeforeMicros.isDefined)
     // the plan carries no residual Filter for the pushed predicates
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GranuleCatalogScan"))
+  }
+
+  test("temporal is OVERLAP, not containment: straddling granules match") {
+    // g1 spans all of Jan 2016; a query window starting mid-Jan must
+    // still find it (the CMR API's temporal semantics)
+    val df = CmrDiscovery.granules(spark, CmrRequest(catalogPath, "NO2", "1",
+      temporal = Some(("2016-01-15T00:00:00Z", "2016-01-20T00:00:00Z"))))
+    assert(df.select("granule_id").collect().map(_.getString(0)).toSeq == Seq("g1"))
   }
 
   test("bbox intersection predicate becomes catalog bounding-box params") {
