@@ -30,34 +30,23 @@ object Transfer {
   }
 
   /** The copy plan: events needing a copy = upload ∧ (target key absent),
-    * via anti-join against the target listing. */
+    * via anti-join against the target listing.
+    *
+    * The listing reuses the DISTRIBUTED two-level lister
+    * ([[graft.sources.Discovery.listKeys]]) — at 100 TB the target
+    * bucket's keys never materialize on the driver; the anti-join side
+    * stays a DataFrame Catalyst can plan (broadcast when small, shuffled
+    * when not).
+    */
   def copyPlan(events: DataFrame, targetRoot: String): DataFrame = {
     val spark = events.sparkSession
-    val targetListing = Discovery.targetKeys(spark, targetRoot)
+    val targetListing = graft.sources.Discovery
+      .listKeys(spark, graft.sources.Discovery.DiscoveryRequest(bucket = targetRoot))
+      .toDF("target_key", "size")
+      .select("target_key")
     withTargetColumns(events, targetRoot)
       .filter(col("upload"))
-      .join(broadcast(targetListing), Seq("target_key"), "left_anti")
-  }
-
-  private object Discovery {
-    /** Listing of existing keys (relative paths) under the target root. */
-    def targetKeys(spark: SparkSession, targetRoot: String): DataFrame = {
-      import spark.implicits._
-      val root = new Path(targetRoot)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val keys =
-        if (!fs.exists(root)) Seq.empty[String]
-        else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          val it = fs.listFiles(root, true)
-          while (it.hasNext) {
-            val s = it.next()
-            out += root.toUri.relativize(s.getPath.toUri).getPath
-          }
-          out.toSeq
-        }
-      keys.toDF("target_key")
-    }
+      .join(targetListing, Seq("target_key"), "left_anti")
   }
 
   /** Execute the transfer: run the distributed copies, then return ALL

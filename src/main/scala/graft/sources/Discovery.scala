@@ -49,7 +49,8 @@ object Discovery {
     */
   def listKeys(spark: SparkSession, req: DiscoveryRequest): Dataset[(String, Long)] = {
     import spark.implicits._
-    val root = new Path(req.bucket, req.prefix)
+    val root = if (req.prefix.isEmpty) new Path(req.bucket)
+      else new Path(req.bucket, req.prefix)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bucketUri = new Path(req.bucket).toUri
