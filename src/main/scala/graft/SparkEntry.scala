@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.StacQueries.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.Similarity.defs ++ operators.Multimodal.defs
+      operators.Similarity.defs ++ operators.Multimodal.defs ++
+      operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-ish: customer⋈orders⋈lineitem revenue per segment/date. */

@@ -223,6 +223,34 @@ object Relational2 {
                             WHERE i.o_custkey = o.o_custkey)
       GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Funnel analysis over the events stream: per user, the first signup
+    // and the purchases that follow it (event-sequence analytics via
+    // conditional window minimums — no self-join).
+    ("q38_funnel", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("first_signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          count(when(col("event_type") === "purchase" &&
+            col("ts") > col("first_signup"), 1)).as("purchases_after_signup"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+          min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+            OVER (PARTITION BY user_id) AS first_signup
+        FROM events)
+      SELECT user_id,
+        min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        count(CASE WHEN event_type = 'purchase' AND ts > first_signup
+              THEN 1 END) AS purchases_after_signup,
+        count(*) AS n_events
+      FROM e GROUP BY user_id ORDER BY user_id""")),
+
     // Conditional aggregation (count_if / filtered sums) — the Choice-
     // router metrics shape (B2) as single-pass aggregates.
     ("q33_conditional_agg", (s: SparkSession, d: String) => {

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based operators for the 100 TB posture: HyperLogLog++
+  * approximate distinct counts (the dedup-audit form that doesn't shuffle
+  * every key) and Bloom-filter join pruning (filter the big fact side
+  * before the shuffle with a compact membership sketch of the dim keys —
+  * the manual form of Spark's runtime bloom-filter rewrite).
+  */
+object Sketches {
+
+  /** Bloom-prefiltered equi-join: build a Bloom filter over the (small)
+    * build side's keys, prune the probe side with `might_contain` before
+    * the join shuffle, then run the exact join — false positives are
+    * eliminated by the join itself, so results are exact while the
+    * shuffle carries only (matching + ε) rows.
+    */
+  def bloomPrefilteredJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val spark = probe.sparkSession
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bcBloom.value.mightContainLong(k))
+    probe.filter(mightContain(col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // HLL++ approximate distinct (rows-only: the estimate is
+    // implementation-specific; SketchesSpec bounds its error vs exact).
+    ("k01_approx_distinct", (s: SparkSession, d: String) => {
+      graft.Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    }, None),
+
+    // Bloom-pruned join: lineitem pruned by a bloom of high-value order
+    // keys before the exact join (rows-only; exactness vs the plain join
+    // is spec-gated — results are identical by construction).
+    ("k02_bloom_join", (s: SparkSession, d: String) => {
+      val bigOrders = graft.Tables.orders(s, d)
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"))
+      bloomPrefilteredJoin(
+          graft.Tables.lineitem(s, d), "l_orderkey", bigOrders, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    }, None)
+  )
+}

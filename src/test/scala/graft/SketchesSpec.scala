@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Sketch operators: HLL error bounds and bloom-join exactness. */
+class SketchesSpec extends SparkSuite {
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("bloom-prefiltered join is exactly the plain join") {
+    val li = Tables.lineitem(spark, sf0001)
+    val bigOrders = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+
+    val plain = li.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val bloomed = Sketches.bloomPrefilteredJoin(li, "l_orderkey",
+        bigOrders, "o_orderkey")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(bloomed.collect().toSet == plain.collect().toSet)
+
+    // and the prefilter actually prunes: surviving probe rows ≈ matches
+    val bloom = bigOrders.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+    val survived = li.filter(udf((k: Long) => bloom.mightContainLong(k))
+      .apply(col("l_orderkey"))).count()
+    val matches = li.join(bigOrders, col("l_orderkey") === col("o_orderkey")).count()
+    assert(survived < li.count() / 2, s"prefilter should prune: $survived of ${li.count()}")
+    assert(survived >= matches)
+  }
+}
