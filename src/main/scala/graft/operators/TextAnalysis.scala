@@ -118,6 +118,37 @@ object TextAnalysis {
       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5
       FROM documents ORDER BY doc_id""")),
 
+    // per-source top terms after stopword removal — the tf summary shape
+    // of corpus profiling (explode → filter → grouped count → windowed
+    // top-k per group)
+    ("t05_top_terms", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("term").asc)
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+        .filter(col("term") =!= "" && !col("term").isInCollection(Stopwords))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""WITH terms AS (
+        SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      counts AS (
+        SELECT source, term, count(*) AS n FROM terms
+        WHERE term <> '' AND NOT list_contains(
+          ['the','a','an','and','or','of','to','in','is','it'], term)
+        GROUP BY source, term)
+      SELECT source, term, n,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC)
+             AS INTEGER) AS rank
+      FROM counts
+      QUALIFY rank <= 5
+      ORDER BY source, rank""")),
+
     // language-ID (marker heuristic); verified against the same marker
     // logic in SQL so the heuristic itself is oracle-gated
     ("t04_langid", (s: SparkSession, d: String) => {
