@@ -284,6 +284,36 @@ object Relational2 {
         AND o_orderdate < TIMESTAMP '1997-01-01'
       GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
 
+    // Ordered string aggregation (listagg / string_agg parity).
+    ("q40_listagg", (s: SparkSession, d: String) => {
+      Tables.nation(s, d)
+        .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("s_name")))).as("suppliers"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+        string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      FROM nation JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // Date arithmetic: day diffs, month offsets, fractional month spans.
+    ("q41_date_arith", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_98"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("month_index"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER)
+          AS days_to_98,
+        CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS month_index
+      FROM orders ORDER BY o_orderkey""")),
+
     // Conditional aggregation (count_if / filtered sums) — the Choice-
     // router metrics shape (B2) as single-pass aggregates.
     ("q33_conditional_agg", (s: SparkSession, d: String) => {
