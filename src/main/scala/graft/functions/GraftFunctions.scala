@@ -38,6 +38,13 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(expression(a), expression(b)))
 
+  /** Membership probe of an integral key against a broadcast Bloom
+    * filter (codegen'd — see [[BloomMightContain]]). */
+  def bloom_might_contain(key: Column,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    toCol(BloomMightContain(expression(key), bloomBc))
+
   /** A14 (reference build-stac/utils/stac.py:83-99): explicit
     * (start,end) wins, else explicit single, else filename extraction.
     * Returns the same 3-field struct as [[extract_filename_dates]].

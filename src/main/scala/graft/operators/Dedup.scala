@@ -46,17 +46,25 @@ object Dedup {
     }: _*)
 
   /** Candidate near-dup pairs via MinHash-LSH, verified with exact
-    * Jaccard ≥ `tau`. Returns (doc_a, doc_b, jaccard). */
+    * Jaccard ≥ `tau`. Returns (doc_a, doc_b, jaccard).
+    *
+    * `maxBucket` caps the size of any (band, key) bucket before the
+    * self-join (see [[Scale.capBuckets]]) — the skew guard that keeps a
+    * degenerate boilerplate bucket from turning the join quadratic.
+    */
   def minhashNearDups(docs: DataFrame, tau: Double = 0.5,
-      k: Int = 12, b: Int = 4, r: Int = 3): DataFrame = {
+      k: Int = 12, b: Int = 4, r: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
     // banded signatures (row-local native expression); persisted because
     // both sides of the bucket self-join read it — unpersisted, the whole
     // stage re-executes once per reference
-    val banded = docs
-      .withColumn("bands",
-        bandKeys(minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
-      .select(col("doc_id"), explode(col("bands")).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val banded = Scale.capBuckets(
+      docs
+        .withColumn("bands",
+          bandKeys(minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = banded.alias("x").join(banded.alias("y"),
@@ -112,10 +120,14 @@ object Dedup {
 
     // Exact n-gram Jaccard over a deterministic doc sample — the
     // quadratic baseline (oracle-gated); the LSH query below is the
-    // scale path over the full corpus.
+    // scale path over the full corpus. The sample is an ABSOLUTE cap
+    // (doc_id < 100, ≤4950 pairs at any corpus size), not proportional:
+    // a `% k` sample grows with the corpus and its pairs grow
+    // quadratically, turning the registered query set itself into a
+    // scale hazard.
     ("d02_ngram_jaccard", (s: SparkSession, d: String) => {
       val sample = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
+        .filter(col("doc_id") < 100)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
       sample.alias("a").join(sample.alias("b"),
           col("a.doc_id") < col("b.doc_id"))
@@ -137,7 +149,7 @@ object Dedup {
                    string_split_regex(trim(text), '\s+')[i+2],
                    string_split_regex(trim(text), '\s+')[i+3])))
                ELSE [text] END AS sh
-        FROM documents WHERE doc_id % 10 = 0)
+        FROM documents WHERE doc_id < 100)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -163,11 +175,13 @@ object Dedup {
       val sh = graft.functions.GraftFunctions.simhash64(
         split(lower(trim(col("text"))), "\\s+"))
       val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("simhash"))
-      val blocks = docs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("blk"),
-            (shiftrightunsigned(col("simhash"), i * 16) % 65536).as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
+      val blocks = Scale.capBuckets(
+        docs.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("blk"),
+              (shiftrightunsigned(col("simhash"), i * 16) % 65536).as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key")),
+        Seq("blk", "key"), 100) // skew guard — see Scale.capBuckets
         // both sides of the self-join read this — avoid recomputing simhash
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       blocks.alias("x").join(blocks.alias("y"),

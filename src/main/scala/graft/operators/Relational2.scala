@@ -73,9 +73,13 @@ object Relational2 {
         .orderBy(col("ts"), col("event_id"))
       val withGap = Tables.events(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // Gap compared at microsecond precision on BOTH engines
+        // (unix_micros here, epoch_us in the oracle): second-truncated
+        // casts would disagree with DuckDB's fractional epoch() for any
+        // gap inside (1800, 1801) seconds.
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id",
           sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -92,7 +96,7 @@ object Relational2 {
       m AS (
         SELECT user_id, event_id, ts,
           CASE WHEN prev_ts IS NULL
-                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
         FROM g),
       sess AS (
         SELECT user_id,
@@ -105,17 +109,22 @@ object Relational2 {
 
     // Array aggregation: ordered collect per key + element access
     // (SURVEY §2.4 array/map row; the links[] shape of A5 inverted).
+    // The aggregated list is emitted as a deterministically joined string
+    // (not a raw array column): the driver's comparator sorts and hashes
+    // scalar cells and cannot hash array values. An array-typed variant
+    // stays spec-gated in RelationalSpec.
     ("q31_array_agg", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(col("l_linenumber"))).as("linenos"))
-        .select(col("l_orderkey"), col("linenos"),
+        .select(col("l_orderkey"),
+          array_join(col("linenos").cast("array<string>"), ",").as("linenos_csv"),
           size(col("linenos")).as("n_lines"),
           element_at(col("linenos"), 1).as("first_line"))
         .orderBy(col("l_orderkey"))
     },
     Some("""SELECT l_orderkey,
-      list_sort(list(l_linenumber)) AS linenos,
+      array_to_string(list_sort(list(l_linenumber)), ',') AS linenos_csv,
       CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
       list_sort(list(l_linenumber))[1] AS first_line
       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),

@@ -24,6 +24,25 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drops rows belonging to oversized LSH/blocking buckets before a
+    * bucket self-join. A degenerate bucket (empty docs, boilerplate, a
+    * hot hash key) contributes O(n²) candidate pairs and lands on one
+    * reducer — on a skewed 100 TB corpus a single hot (band, key) can
+    * re-quadratify the whole join. Rows above `maxBucket` are dropped:
+    * pairs inside such buckets are overwhelmingly exact/boilerplate
+    * duplicates that the exact-hash dedup pass (d01) already catches,
+    * and near-dup pairs keep `bands - 1` other chances to collide.
+    *
+    * The window count shuffles by the same `keys` the self-join uses, so
+    * the exchange is reusable, not an extra pass.
+    */
+  def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    rows.withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+  }
+
   /** Salted equi-join for a known-skewed big side: the big side's key is
     * split into `saltFactor` sub-keys; the small side is replicated
     * `saltFactor`× so every sub-key finds its match. Restores balanced

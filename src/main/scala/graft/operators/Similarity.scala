@@ -138,7 +138,8 @@ object Similarity {
     // embeddings join back once for scoring.
     ("s03_embedding_neardup", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-      val keys = lshKeyed(emb, 8, 4)
+      val keys = Scale.capBuckets(lshKeyed(emb, 8, 4),
+          Seq("table", "bucket"), 1000) // skew guard — see Scale.capBuckets
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = keys.alias("a").join(keys.alias("b"),
           col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

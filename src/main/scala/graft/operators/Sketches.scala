@@ -16,15 +16,19 @@ object Sketches {
     * the join shuffle, then run the exact join — false positives are
     * eliminated by the join itself, so results are exact while the
     * shuffle carries only (matching + ε) rows.
+    *
+    * The probe is the native codegen'd
+    * [[graft.functions.BloomMightContain]] expression, NOT a Scala UDF:
+    * a UDF would break whole-stage codegen on the big-table scan this
+    * operator exists to accelerate.
     */
   def bloomPrefilteredJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val spark = probe.sparkSession
-    val bcBloom = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bcBloom.value.mightContainLong(k))
-    probe.filter(mightContain(col(probeKey)))
+    val bcBloom = probe.sparkSession.sparkContext.broadcast(bloom)
+    probe.filter(graft.functions.GraftFunctions.bloom_might_contain(
+        col(probeKey), bcBloom))
       .join(build, col(probeKey) === col(buildKey))
   }
 

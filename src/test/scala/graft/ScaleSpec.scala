@@ -52,6 +52,33 @@ class ScaleSpec extends SparkSuite {
     spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
   }
 
+  test("capBuckets drops only the degenerate bucket; planted pairs survive") {
+    import spark.implicits._
+    // 5000 rows share one hot (band,key) bucket — the boilerplate-doc
+    // shape; the healthy buckets hold a handful of rows each
+    val hot = spark.range(5000).select(
+      col("id").as("doc_id"), lit(0).as("band"), lit(42L).as("key"))
+    val healthy = spark.range(5000, 5020).select(
+      col("id").as("doc_id"), lit(1).as("band"), (col("id") % 5).as("key"))
+    val capped = Scale.capBuckets(hot.unionByName(healthy), Seq("band", "key"), 100)
+      .collect()
+    assert(capped.forall(_.getInt(1) == 1), "hot bucket rows must be dropped")
+    assert(capped.length == 20, "every healthy-bucket row must survive")
+  }
+
+  test("minhash-LSH recall survives with the default bucket cap active") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    // with the cap at its default vs effectively disabled, the same
+    // pairs come back on this (unskewed) corpus — the cap costs no recall
+    val capped = Dedup.minhashNearDups(docs, tau = 0.5)
+      .select("doc_a", "doc_b").collect().toSet
+    val uncapped = Dedup.minhashNearDups(docs, tau = 0.5, maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(capped == uncapped, "default cap must not drop planted pairs")
+    assert(capped.nonEmpty)
+  }
+
   test("salted join matches plain join results under skew") {
     import spark.implicits._
     // skewed big side: 90% of rows share key 1

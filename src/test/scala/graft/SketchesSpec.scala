@@ -30,10 +30,32 @@ class SketchesSpec extends SparkSuite {
 
     // and the prefilter actually prunes: surviving probe rows ≈ matches
     val bloom = bigOrders.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
-    val survived = li.filter(udf((k: Long) => bloom.mightContainLong(k))
-      .apply(col("l_orderkey"))).count()
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val survived = li.filter(graft.functions.GraftFunctions
+      .bloom_might_contain(col("l_orderkey"), bcBloom)).count()
     val matches = li.join(bigOrders, col("l_orderkey") === col("o_orderkey")).count()
     assert(survived < li.count() / 2, s"prefilter should prune: $survived of ${li.count()}")
     assert(survived >= matches)
+  }
+
+  test("bloom probe filter stays inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.{FilterExec, WholeStageCodegenExec}
+    val li = Tables.lineitem(spark, sf0001)
+    val bigOrders = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+    // AQE wraps stages in QueryStageExec leaves that hide their subtree
+    // from collect(); disable it for this plan-shape assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Sketches.bloomPrefilteredJoin(li, "l_orderkey",
+        bigOrders, "o_orderkey")
+      val plan = joined.queryExecution.executedPlan
+      val fused = plan.collect { case w: WholeStageCodegenExec => w }.exists {
+        _.collectFirst { case f: FilterExec
+          if f.condition.toString.contains("bloom_might_contain") => f }.nonEmpty
+      }
+      assert(fused,
+        s"bloom probe filter fell out of whole-stage codegen:\n${plan.treeString}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 }
