@@ -20,8 +20,14 @@ object Bench {
       // one untimed pass per query absorbs plan compilation + codegen,
       // so the timed pass measures steady-state execution
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      // queries that persist intermediates (LSH band/bucket stages) must
+      // not accumulate cached partitions across 58 queries × 2 passes —
+      // eviction pressure from earlier queries would bleed into later
+      // timings (it cost round 2 its recorded bench signal)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

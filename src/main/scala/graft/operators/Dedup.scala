@@ -91,6 +91,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs at hamming ≤ `maxHamming`: candidates from
+    * equality on any of `blocks` key windows over the 64-bit signature,
+    * verified by exact hamming distance.
+    *
+    * Scale posture: the key WIDTH derives from the corpus size
+    * ([[Scale.lshBitsFor]], 16..30 bits) — block i's key is the
+    * `keyBits`-wide window of the signature rotated by i·(64/blocks), so
+    * bucket count grows with the data and expected occupancy stays O(1).
+    * At ≤2M docs this reduces to the classic 4×16-bit pigeonhole split
+    * (any pair at hamming ≤ 3 shares an untouched block exactly; ≤ 6 is
+    * a high-recall screen); wider keys overlap adjacent blocks, keeping
+    * 4 tables while shrinking buckets — the round-2 form's fixed 65 536
+    * buckets per block re-quadratified the self-join at scale.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6,
+      blocks: Int = 4, keyBits: Int = 0, maxBucket: Int = 100): DataFrame = {
+    val bits = if (keyBits > 0) keyBits
+      else Scale.lshBitsFor(docs.count(), targetOccupancy = 32, minBits = 16, maxBits = 30)
+    val mask = (1L << bits) - 1
+    val sh = graft.functions.GraftFunctions.simhash64(
+      split(lower(trim(col("text"))), "\\s+"))
+    val sigs = docs.select(col("doc_id"), sh.as("simhash"))
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until blocks).map { i =>
+          val off = i * (64 / blocks)
+          // keyBits-wide window of the signature rotated by `off`
+          // (Java shift semantics: << 64 is a no-op, so off=0 is h & mask)
+          val rot = shiftrightunsigned(col("simhash"), off)
+            .bitwiseOR(shiftleft(col("simhash"), 64 - off))
+          struct(lit(i).as("blk"), rot.bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
+    val capped = Scale.capBuckets(keyed, Seq("blk", "key"), maxBucket)
+      // both sides of the self-join read this — avoid recomputing simhash
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.alias("x").join(capped.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -167,33 +213,10 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }, None),
 
-    // SimHash signatures + near-dup pairs at hamming ≤ 6, candidates from
-    // equality on any of 4 16-bit blocks (pigeonhole: ham ≤ 6 < blocks
-    // ⇒ some block equal ⇒ no candidate missed at ham ≤ 3; ≤6 needs 7
-    // blocks strictly, so this is a high-recall heuristic screen).
-    ("d04_simhash_pairs", (s: SparkSession, d: String) => {
-      val sh = graft.functions.GraftFunctions.simhash64(
-        split(lower(trim(col("text"))), "\\s+"))
-      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("simhash"))
-      val blocks = Scale.capBuckets(
-        docs.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(i =>
-            struct(lit(i).as("blk"),
-              (shiftrightunsigned(col("simhash"), i * 16) % 65536).as("key"))): _*)).as("bk"))
-          .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key")),
-        Seq("blk", "key"), 100) // skew guard — see Scale.capBuckets
-        // both sides of the self-join read this — avoid recomputing simhash
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      blocks.alias("x").join(blocks.alias("y"),
-          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-        .filter(col("hamming") <= 6)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }, None)
+    // SimHash near-dup pairs (size-derived key width — see
+    // simhashNearDups scaladoc for the scale posture).
+    ("d04_simhash_pairs", (s: SparkSession, d: String) =>
+      simhashNearDups(Tables.documents(s, d), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b")), None)
   )
 }

@@ -32,18 +32,19 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would hand `payload` to an image
     * library; this derives deterministic fake dimensions/stats from the
-    * bytes so the pipeline shape is testable offline. One decoder
-    * instance per partition (≈ one codec context per task).
+    * payload's sha-256 digest so the pipeline shape is testable offline
+    * AND every feature is SQL-derivable (the m02 oracle recomputes them
+    * from hex slices of the digest). One decoder instance per partition
+    * (≈ one codec context per task).
     */
   final class FakeDecoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val md = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
       val width = 64 + (((md(0) & 0xff) << 8 | (md(1) & 0xff)) % 1024)
       val height = 64 + (((md(2) & 0xff) << 8 | (md(3) & 0xff)) % 1024)
-      // byte-mean of the payload as the fake "channel mean"
-      var sum = 0L
-      payload.foreach(b => sum += (b & 0xff))
-      val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+      // fake "channel mean" in [0, 256): digest bytes 4-5 scaled — an
+      // arbitrary deterministic stand-in, like width/height
+      val mean = (((md(4) & 0xff) << 8 | (md(5) & 0xff)) % 25600) / 100.0
       (width, height, mean)
     }
   }
@@ -98,15 +99,27 @@ object Multimodal {
         sha256(text) AS sha
       FROM documents ORDER BY doc_id""")),
 
-    // Full decode stage through the partition kernel (stubbed decoder);
-    // byte_len/sha remain SQL-derivable but width/height/mean come from
-    // the kernel → rows-only driver check, feature determinism asserted
-    // in MultimodalSpec.
+    // Full decode stage through the partition kernel (stubbed decoder) —
+    // oracle-gated: every feature derives from the payload's sha-256, so
+    // DuckDB recomputes width/height/mean from hex slices of the digest
+    // and the kernel's batched mapPartitions path is hash-verified
+    // end-to-end (determinism also asserted in LlmOpsSpec).
     ("m02_media_features", (s: SparkSession, d: String) => {
       decodeFeatures(mediaTable(graft.Tables.documents(s, d)))
         .toDF()
         .orderBy(col("doc_id"))
-    }, None),
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+          CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+          sha256(text) AS sha
+        FROM documents)
+      SELECT doc_id, media_type, byte_len, sha,
+        CAST(64 + CAST(concat('0x', substr(sha, 1, 4)) AS INTEGER) % 1024 AS INTEGER) AS width,
+        CAST(64 + CAST(concat('0x', substr(sha, 5, 4)) AS INTEGER) % 1024 AS INTEGER) AS height,
+        (CAST(concat('0x', substr(sha, 9, 4)) AS INTEGER) % 25600) / 100.0 AS channel_mean
+      FROM m ORDER BY doc_id""")),
 
     // Per-label embedding band statistics through the mergeable
     // BandStats aggregator (A12's raster-stats shape over float arrays;

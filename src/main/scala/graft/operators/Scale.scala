@@ -24,6 +24,22 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** LSH bucket-key width sized to the corpus: the smallest `bits` with
+    * expected occupancy `corpusSize / 2^bits <= targetOccupancy`, clamped
+    * to [minBits, maxBits]. A FIXED key width means bucket sizes grow
+    * O(n) and a bucket self-join re-quadratifies at scale (then a bucket
+    * cap silently deletes the signal); deriving the width from the corpus
+    * keeps expected occupancy O(1) at any size — 500 docs get 4-bit keys,
+    * a 10^9-doc corpus gets ~25-bit keys. Recall at wider keys is
+    * recovered by multi-probing bit-flipped buckets on one side.
+    */
+  def lshBitsFor(corpusSize: Long, targetOccupancy: Long = 32,
+      minBits: Int = 4, maxBits: Int = 30): Int = {
+    val ratio = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    val needed = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Drops rows belonging to oversized LSH/blocking buckets before a
     * bucket self-join. A degenerate bucket (empty docs, boilerplate, a
     * hot hash key) contributes O(n²) candidate pairs and lands on one

@@ -68,20 +68,32 @@ object Similarity {
     keyed.unionByName(probes)
   }
 
+  /** Planes per hash table sized to the corpus (see
+    * [[Scale.lshBitsFor]]): expected bucket occupancy stays O(1) at any
+    * corpus size instead of buckets growing O(n) under a fixed plane
+    * count. `corpus.count()` is one metadata-cheap action at plan time —
+    * the same runtime-statistics trade AQE makes. */
+  def planesFor(corpusSize: Long): Int =
+    Scale.lshBitsFor(corpusSize, targetOccupancy = 32, minBits = 4, maxBits = 30)
+
   /** Approximate top-k: candidates collide with the query in any of the
     * LSH tables, are scored exactly, then per-query top-k. The bucket
     * join replaces the cross product — the shuffle is corpus × tables
     * keys, not corpus², which is what survives 100 TB.
+    *
+    * `planesPerTable` defaults to the size-derived policy
+    * ([[planesFor]]); pass an explicit value to pin it.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      tables: Int = 8, planesPerTable: Int = 4,
+      tables: Int = 8, planesPerTable: Int = 0,
       multiProbe: Boolean = true): DataFrame = {
+    val planes = if (planesPerTable > 0) planesPerTable else planesFor(corpus.count())
     import org.apache.spark.sql.expressions.Window
     // candidate ids first (dedup over small (qid, nid) keys — never
     // shuffle the embedding arrays as dedup keys), then one scoring join
-    val qKeys = if (multiProbe) lshKeyedMultiProbe(queries, tables, planesPerTable)
-      else lshKeyed(queries, tables, planesPerTable)
-    val cands = lshKeyed(corpus, tables, planesPerTable).alias("c")
+    val qKeys = if (multiProbe) lshKeyedMultiProbe(queries, tables, planes)
+      else lshKeyed(queries, tables, planes)
+    val cands = lshKeyed(corpus, tables, planes).alias("c")
       .join(broadcast(qKeys.alias("q")), Seq("table", "bucket"))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
@@ -97,6 +109,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ `threshold`: candidates from
+    * any-table LSH bucket collision, scored exactly, ids deduped before
+    * the embedding joins.
+    *
+    * Scale posture (the round-2 defect this replaces): planes per table
+    * derive from the corpus size ([[planesFor]]) so bucket count grows
+    * WITH the data — expected occupancy is O(1) and the bucket self-join
+    * stays O(n·occupancy) instead of O(n²/2^planes). Recall lost to the
+    * wider keys is recovered by multi-probing every one-bit-flipped
+    * bucket on the LEFT side of the self-join only (pairs whose buckets
+    * differ by ≤1 bit still collide; the right side stays single-keyed,
+    * so the key blow-up is planes+1 on one side, not (planes+1)²).
+    * `capBuckets` remains purely a skew guard for degenerate hot keys.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      tables: Int = 8, planesPerTable: Int = 0,
+      maxBucket: Int = 1000): DataFrame = {
+    val planes = if (planesPerTable > 0) planesPerTable else planesFor(emb.count())
+    val keys = Scale.capBuckets(lshKeyed(emb, tables, planes),
+        Seq("table", "bucket"), maxBucket) // skew guard — see Scale.capBuckets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // left side probes its exact bucket plus every 1-bit flip
+    val probes = keys.select(col("vec_id"), col("table"),
+      explode(array((col("bucket") +: (0 until planes).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+    val cands = probes.alias("a").join(keys.alias("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -136,22 +185,8 @@ object Similarity {
     // Embedding-cosine near-dup pairs above a threshold, candidates from
     // any-table LSH collision (rows-only). Candidate ids dedup first;
     // embeddings join back once for scoring.
-    ("s03_embedding_neardup", (s: SparkSession, d: String) => {
-      val emb = Tables.embeddings(s, d)
-      val keys = Scale.capBuckets(lshKeyed(emb, 8, 4),
-          Seq("table", "bucket"), 1000) // skew guard — see Scale.capBuckets
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = keys.alias("a").join(keys.alias("b"),
-          col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      cands
-        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .orderBy(col("vec_a"), col("vec_b"))
-    }, None)
+    ("s03_embedding_neardup", (s: SparkSession, d: String) =>
+      embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b")), None)
   )
 }

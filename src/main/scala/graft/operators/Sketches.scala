@@ -46,8 +46,11 @@ object Sketches {
     }, None),
 
     // Bloom-pruned join: lineitem pruned by a bloom of high-value order
-    // keys before the exact join (rows-only; exactness vs the plain join
-    // is spec-gated — results are identical by construction).
+    // keys before the exact join. Oracle-gated with the PLAIN join SQL:
+    // bloom false positives die in the exact join, so the result is
+    // identical by construction — which is precisely the operator's
+    // contract, and now hash-verified (pruning effectiveness is
+    // spec-gated in SketchesSpec).
     ("k02_bloom_join", (s: SparkSession, d: String) => {
       val bigOrders = graft.Tables.orders(s, d)
         .filter(col("o_totalprice") > 200000)
@@ -57,6 +60,10 @@ object Sketches {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"))
         .orderBy(col("l_returnflag"))
-    }, None)
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 200000
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -94,47 +94,65 @@ private[catalog] class GranuleScanBuilder(path: String, pageSize: Int)
 
   /** Translate what the catalog API can evaluate (equality on
     * collection/version, bounds on time, bbox ranges); return the rest
-    * as residuals for Spark. */
+    * as residuals for Spark.
+    *
+    * Repeated predicates on the same column TIGHTEN the query parameter
+    * rather than overwrite it (two lower bounds push their max, two upper
+    * bounds their min, bbox bounds likewise); conflicting equalities keep
+    * the second predicate in the residual set so Spark still enforces it
+    * — accepting a filter whose effect was silently dropped would return
+    * rows that violate a user predicate.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = scala.collection.mutable.ArrayBuffer.empty[Filter]
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    // lower bounds tighten upward, upper bounds downward
+    def lo(cur: Option[Long], v: Long) = Some(cur.fold(v)(math.max(_, v)))
+    def hi(cur: Option[Long], v: Long) = Some(cur.fold(v)(math.min(_, v)))
+    def dLo(cur: Option[Double], v: Double) = Some(cur.fold(v)(math.max(_, v)))
+    def dHi(cur: Option[Double], v: Double) = Some(cur.fold(v)(math.min(_, v)))
     filters.foreach {
       case f @ EqualTo("collection", v: String) =>
-        query = query.copy(collection = Some(v)); accepted += f
+        if (query.collection.forall(_ == v)) {
+          query = query.copy(collection = Some(v)); accepted += f
+        } else residual += f // conflicting equality: Spark re-applies it
       case f @ EqualTo("version", v: String) =>
-        query = query.copy(version = Some(v)); accepted += f
+        if (query.version.forall(_ == v)) {
+          query = query.copy(version = Some(v)); accepted += f
+        } else residual += f
       // both containment (time_start >= s ∧ time_end <= e) and the CMR
       // API's overlap semantics (time_end >= s ∧ time_start <= e) arrive
       // as comparisons on either column — push lower bounds of either
       // column into startAfterMicros-style params
       case f @ GreaterThanOrEqual(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
         query = if (c == "time_start")
-          query.copy(startAfterMicros = Some(micros(v).get))
-        else query.copy(endAfterMicros = Some(micros(v).get))
+          query.copy(startAfterMicros = lo(query.startAfterMicros, micros(v).get))
+        else query.copy(endAfterMicros = lo(query.endAfterMicros, micros(v).get))
         accepted += f
       case f @ GreaterThan(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
         query = if (c == "time_start")
-          query.copy(startAfterMicros = Some(micros(v).get + 1))
-        else query.copy(endAfterMicros = Some(micros(v).get + 1))
+          query.copy(startAfterMicros = lo(query.startAfterMicros, micros(v).get + 1))
+        else query.copy(endAfterMicros = lo(query.endAfterMicros, micros(v).get + 1))
         accepted += f
       case f @ LessThanOrEqual(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
         query = if (c == "time_end")
-          query.copy(endBeforeMicros = Some(micros(v).get))
-        else query.copy(startBeforeMicros = Some(micros(v).get))
+          query.copy(endBeforeMicros = hi(query.endBeforeMicros, micros(v).get))
+        else query.copy(startBeforeMicros = hi(query.startBeforeMicros, micros(v).get))
         accepted += f
       case f @ LessThan(c @ ("time_start" | "time_end"), v) if micros(v).isDefined =>
         query = if (c == "time_end")
-          query.copy(endBeforeMicros = Some(micros(v).get - 1))
-        else query.copy(startBeforeMicros = Some(micros(v).get - 1))
+          query.copy(endBeforeMicros = hi(query.endBeforeMicros, micros(v).get - 1))
+        else query.copy(startBeforeMicros = hi(query.startBeforeMicros, micros(v).get - 1))
         accepted += f
+      // bbox: `lon_min <= a ∧ lon_min <= b` ⇒ `lon_min <= min(a,b)` etc.
       case f @ LessThanOrEqual("lon_min", v: java.lang.Double) =>
-        query = query.copy(lonMinLe = Some(v)); accepted += f
+        query = query.copy(lonMinLe = dHi(query.lonMinLe, v)); accepted += f
       case f @ GreaterThanOrEqual("lon_max", v: java.lang.Double) =>
-        query = query.copy(lonMaxGe = Some(v)); accepted += f
+        query = query.copy(lonMaxGe = dLo(query.lonMaxGe, v)); accepted += f
       case f @ LessThanOrEqual("lat_min", v: java.lang.Double) =>
-        query = query.copy(latMinLe = Some(v)); accepted += f
+        query = query.copy(latMinLe = dHi(query.latMinLe, v)); accepted += f
       case f @ GreaterThanOrEqual("lat_max", v: java.lang.Double) =>
-        query = query.copy(latMaxGe = Some(v)); accepted += f
+        query = query.copy(latMaxGe = dLo(query.latMaxGe, v)); accepted += f
       case f => residual += f
     }
     pushed = accepted.toArray
@@ -189,9 +207,17 @@ private[catalog] class GranuleReaderFactory(path: String, pageSize: Int,
 }
 
 /** The pluggable catalog client: offline JSON-lines implementation with
-  * server-side-style parameter filtering and paging. */
+  * server-side-style parameter filtering and paging. The paging contract
+  * matches a real paged HTTP API (CMR `offset`/`page_size`): `fetch`
+  * consumes the stream only until the requested page is full — it never
+  * materializes the whole matching set, and a partition reading page k of
+  * size m parses at most the records preceding its page end. */
 object CatalogClient {
   private val mapper = new ObjectMapper()
+
+  /** Diagnostics for tests (per-JVM): granule records parsed by `fetch`
+    * since the last reset — asserts the early-termination contract. */
+  val recordsParsed = new java.util.concurrent.atomic.AtomicLong()
 
   private def matches(g: JsonNode, q: GranuleCatalog.CatalogQuery): Boolean = {
     def ts(field: String): Long =
@@ -208,17 +234,31 @@ object CatalogClient {
       q.latMaxGe.forall(g.get("lat_max").asDouble() >= _)
   }
 
-  private def readAll(path: String, q: GranuleCatalog.CatalogQuery): Seq[JsonNode] = {
+  /** Matching granules for one page, streamed: parsing stops as soon as
+    * the page is full (`slice` + `toList` pull exactly `skip + limit`
+    * matches out of the line iterator). */
+  private def pagedMatches(path: String, q: GranuleCatalog.CatalogQuery,
+      skip: Int, limit: Int): Seq[JsonNode] = {
     val src = scala.io.Source.fromFile(path)
-    try src.getLines().filter(_.nonEmpty).map(mapper.readTree).filter(matches(_, q)).toList
+    try src.getLines().filter(_.nonEmpty)
+      .map { line => recordsParsed.incrementAndGet(); mapper.readTree(line) }
+      .filter(matches(_, q))
+      .slice(skip, skip + limit)
+      .toList
     finally src.close()
   }
 
-  def count(path: String, q: GranuleCatalog.CatalogQuery): Int = readAll(path, q).size
+  /** Matching-granule count — the API's `hits` header equivalent; one
+    * driver-side pass at planning time, never per partition. */
+  def count(path: String, q: GranuleCatalog.CatalogQuery): Int = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().filter(_.nonEmpty).map(mapper.readTree).count(matches(_, q))
+    finally src.close()
+  }
 
   def fetch(path: String, q: GranuleCatalog.CatalogQuery, page: Int,
       pageSize: Int): Seq[InternalRow] = {
-    readAll(path, q).slice(page * pageSize, (page + 1) * pageSize).map { g =>
+    pagedMatches(path, q, page * pageSize, pageSize).map { g =>
       def s(f: String) = UTF8String.fromString(g.get(f).asText())
       def ts(f: String) = java.lang.Long.valueOf(
         java.time.Instant.parse(g.get(f).asText()).toEpochMilli * 1000L)

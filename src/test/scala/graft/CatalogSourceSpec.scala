@@ -96,6 +96,53 @@ class CatalogSourceSpec extends SparkSuite {
       Seq("https://host/g4.stac.json"))
   }
 
+  test("two lower bounds on the same column are BOTH enforced (tightened, not overwritten)") {
+    GranuleCatalog.lastPushedQuery = GranuleCatalog.CatalogQuery()
+    val df = spark.read.format("graft.sources.catalog.GranuleCatalog")
+      .option("path", catalogPath).load()
+      .filter(col("time_start") >= lit("2016-01-05 00:00:00").cast("timestamp") &&
+        col("time_start") >= lit("2016-01-20 00:00:00").cast("timestamp"))
+    // g3 (Jan 15) satisfies the first bound but not the second — a scan
+    // that keeps only one bound would leak it
+    assert(df.select("granule_id").collect().map(_.getString(0)).sorted.toSeq == Seq("g2"))
+    val q = GranuleCatalog.lastPushedQuery
+    val jan20 = java.time.Instant.parse("2016-01-20T00:00:00Z")
+    assert(q.startAfterMicros.contains(jan20.getEpochSecond * 1000000L))
+  }
+
+  test("two upper bounds tighten to the min") {
+    GranuleCatalog.lastPushedQuery = GranuleCatalog.CatalogQuery()
+    val df = spark.read.format("graft.sources.catalog.GranuleCatalog")
+      .option("path", catalogPath).load()
+      .filter(col("time_start") <= lit("2016-01-31 00:00:00").cast("timestamp") &&
+        col("time_start") <= lit("2016-01-12 00:00:00").cast("timestamp"))
+    assert(df.select("granule_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("g1", "g4"))
+    val jan12 = java.time.Instant.parse("2016-01-12T00:00:00Z")
+    assert(GranuleCatalog.lastPushedQuery.startBeforeMicros
+      .contains(jan12.getEpochSecond * 1000000L))
+  }
+
+  test("conflicting collection equalities stay enforced (empty result, not last-wins)") {
+    val df = spark.read.format("graft.sources.catalog.GranuleCatalog")
+      .option("path", catalogPath).load()
+      .filter(col("collection") === "NO2" && col("collection") === "OTHER")
+    assert(df.count() == 0)
+  }
+
+  test("fetch pages server-side: parsing stops once the page is full") {
+    import graft.sources.catalog.CatalogClient
+    CatalogClient.recordsParsed.set(0L)
+    val page0 = CatalogClient.fetch(catalogPath, GranuleCatalog.CatalogQuery(), 0, 2)
+    assert(page0.size == 2)
+    // 4 granules in the file; page 0 of size 2 must parse exactly 2
+    assert(CatalogClient.recordsParsed.get() == 2L)
+    CatalogClient.recordsParsed.set(0L)
+    val page1 = CatalogClient.fetch(catalogPath, GranuleCatalog.CatalogQuery(), 1, 2)
+    assert(page1.size == 2)
+    assert(CatalogClient.recordsParsed.get() == 4L) // skip 2 + take 2
+  }
+
   test("paging yields multiple input partitions") {
     val df = spark.read.format("graft.sources.catalog.GranuleCatalog")
       .option("path", catalogPath).option("pagesize", "2").load()

@@ -79,6 +79,72 @@ class ScaleSpec extends SparkSuite {
     assert(capped.nonEmpty)
   }
 
+  test("lsh key width grows with the corpus; expected occupancy stays O(1)") {
+    val sizes = Seq(1000L, 100000L, 10000000L, 1000000000L)
+    val bits = sizes.map(n => Scale.lshBitsFor(n))
+    assert(bits == bits.sorted, s"key width must be monotone in corpus size: $bits")
+    sizes.zip(bits).foreach { case (n, b) =>
+      if (b < 30) // inside the clamp, the occupancy target must hold
+        assert(n.toDouble / (1L << b) <= 32.0,
+          s"expected occupancy ${n.toDouble / (1L << b)} at n=$n, bits=$b")
+    }
+    // the round-2 defect: 4 fixed planes = 16 buckets at ANY size — a
+    // 10^9 corpus needs ≥25-bit keys to keep buckets O(1)
+    assert(Scale.lshBitsFor(1000000000L) >= 25)
+  }
+
+  test("measured LSH bucket occupancy stays bounded as the corpus grows") {
+    import graft.operators.Similarity
+    def meanOccupancy(dir: String): Double = {
+      val emb = Tables.embeddings(spark, dir)
+      val planes = Similarity.planesFor(emb.count())
+      Similarity.lshKeyed(emb, 8, planes)
+        .groupBy("table", "bucket").agg(count(lit(1)).as("n"))
+        .agg(avg(col("n"))).head().getDouble(0)
+    }
+    val small = meanOccupancy(sf0001) // 500 vectors
+    val large = meanOccupancy("/root/testdata/sf0.1") // 2000 vectors
+    // fixed 4-plane tables would scale occupancy linearly (4× here);
+    // the size-derived policy must keep it flat
+    assert(large <= small * 2.0,
+      s"occupancy grew $small -> $large; policy must keep it O(1)")
+  }
+
+  test("embedding near-dup recall vs brute force at the corpus' top similarities") {
+    import graft.operators.Similarity
+    // the synthetic corpus' most-similar pairs sit at cos ≈ 0.45-0.51 —
+    // the hardest (lowest-similarity) regime for sign-LSH, so this is a
+    // conservative recall gate for the multi-probed bucket join
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val exact = emb.alias("a").crossJoin(emb.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDups(emb, threshold = 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain top-similarity pairs")
+    assert(lsh.subsetOf(exact), "exact verification must kill false positives")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"near-dup recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash near-dup pairs match across key widths (window keys are a screen only)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    // pairs found with the policy width must also be found by the wider
+    // key (hamming verification dedups the screen differences)
+    val narrow = Dedup.simhashNearDups(docs, maxHamming = 3, keyBits = 16)
+      .select("doc_a", "doc_b").collect().toSet
+    val wide = Dedup.simhashNearDups(docs, maxHamming = 3, keyBits = 24)
+      .select("doc_a", "doc_b").collect().toSet
+    // wider keys are strictly more selective screens
+    assert(wide.subsetOf(narrow))
+  }
+
   test("salted join matches plain join results under skew") {
     import spark.implicits._
     // skewed big side: 90% of rows share key 1

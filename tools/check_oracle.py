@@ -23,8 +23,10 @@ def canon(rows, colnames):
     return [colnames[i] for i in order], out
 
 def norm(v):
-    # normalize timestamp-ish types to isoformat, Decimal to str
-    import datetime, decimal
+    # normalize timestamp-ish types to isoformat, Decimal to str,
+    # NaN to a sentinel so NaN == NaN (the driver hashes values as
+    # strings, where "nan" == "nan" — bit-compare would diverge from it)
+    import datetime, decimal, math
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
@@ -32,10 +34,28 @@ def norm(v):
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, float):
-        return v
+        return "NaN" if math.isnan(v) else v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+def float_deltas(srows, drows):
+    """Max absolute/relative delta over float positions of mismatching
+    row pairs — the tolerance report printed on FAIL so a 1-ulp float
+    drift is debuggable instead of a bare row dump."""
+    max_abs = max_rel = 0.0
+    n_float_diffs = 0
+    for a, b in zip(srows, drows):
+        if a == b:
+            continue
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float) and x != y:
+                d = abs(x - y)
+                r = d / max(abs(x), abs(y)) if max(abs(x), abs(y)) > 0 else 0.0
+                max_abs = max(max_abs, d)
+                max_rel = max(max_rel, r)
+                n_float_diffs += 1
+    return n_float_diffs, max_abs, max_rel
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -76,7 +96,10 @@ def main():
                 bad = (i, a, b); break
         if bad:
             i, a, b = bad
-            print(f"FAIL {name}: row {i} differs\n  spark={a}\n  duck ={b}")
+            nf, max_abs, max_rel = float_deltas(srows, drows)
+            tol = (f" [float diffs: {nf}, max_abs={max_abs:.3e}, max_rel={max_rel:.3e}]"
+                   if nf else "")
+            print(f"FAIL {name}: row {i} differs{tol}\n  spark={a}\n  duck ={b}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
