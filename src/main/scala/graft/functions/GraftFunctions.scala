@@ -38,6 +38,12 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(expression(a), expression(b)))
 
+  /** Count of tokens present in a fixed marker set (codegen'd — the
+    * stopword/langid primitive, see [[MarkerCount]]). */
+  def marker_count(tokens: Column, markers: Seq[String],
+      lowercase: Boolean = false): Column =
+    toCol(MarkerCount(expression(tokens), markers, lowercase))
+
   /** Membership probe of an integral key against a broadcast Bloom
     * filter (codegen'd — see [[BloomMightContain]]). */
   def bloom_might_contain(key: Column,

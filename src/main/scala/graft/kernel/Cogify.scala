@@ -14,11 +14,11 @@ import Raster._
   * and targeted retry (reference B5's RasterioIOError×5).
   *
   * Real here: config registry, array fixups, affine/extent math, tiling,
-  * deflate compression, the partitioned execution + retry. STUBBED: the
+  * deflate compression, baseline-GeoTIFF output ([[Tiff]] — externally
+  * parseable tags), the partitioned execution + retry. STUBBED: the
   * NetCDF decode ([[GridReader]]) — this container has no HDF5 codec, so
   * the default reader synthesizes a deterministic grid from the task; a
-  * production reader drops in behind the same trait. The tiled output is
-  * a simple length-prefixed container, not spec-compliant TIFF tags.
+  * production reader drops in behind the same trait.
   */
 object Cogify {
 
@@ -65,6 +65,34 @@ object Cogify {
       val xs = Array.tabulate(width)(c => -180.0 + 360.0 * (c + 0.5) / width)
       val ys = Array.tabulate(height)(r => -90.0 + 180.0 * (r + 0.5) / height)
       (Grid(width, height, data, Some(-9999f)), Some(xs), Some(ys))
+    }
+  }
+
+  /** Production-shaped reader for already-raster sources: localizes the
+    * href through a [[graft.sources.Fetch.Fetcher]] (authenticated HTTP
+    * session per partition, or Hadoop FS — reference A7,
+    * cogify/handler.py:49-71), then decodes baseline-TIFF bytes
+    * ([[Tiff.readGrid]]). Coordinate vectors are rebuilt as pixel-center
+    * positions from the file's affine, so downstream extent derivation
+    * (handler.py:96-103) sees exactly what a NetCDF x/y variable would
+    * carry. A NetCDF reader slots behind the same two seams: fetch →
+    * decode.
+    */
+  final class TiffGridReader(mkFetcher: () => graft.sources.Fetch.Fetcher)
+      extends GridReader {
+    @transient private lazy val fetcher = mkFetcher()
+    override def read(task: CogifyTask, config: CollectionConfig) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fetch").toFile
+      try {
+        val local = fetcher.fetch(task.href, tmp)
+        val (grid, affine) = Tiff.readGrid(
+          java.nio.file.Files.readAllBytes(local.toPath))
+        val xs = Array.tabulate(grid.width)(j => affine.c + affine.a * (j + 0.5))
+        val ys = Array.tabulate(grid.height)(i => affine.f + affine.e * (i + 0.5))
+        (grid, Some(xs), Some(ys))
+      } finally {
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+      }
     }
   }
 
@@ -134,18 +162,31 @@ object Cogify {
       else defaultTransformTo3857(extent, grid.width, grid.height) // handler.py:113-131
 
     val tiles = tile(grid)
-    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ".cog"
+    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ".cog.tif"
     val outPath = s"${outDir.stripSuffix("/")}/${task.collection}/$name"
-    val payload = writeContainer(outPath, grid, affine, tiles)
+    val payload = writeTiff(outPath, grid, affine, tiles)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
       grid.width, grid.height, tiles.size, payload,
       Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f), None)
   }
 
-  /** Length-prefixed tiled container (documented stand-in for TIFF tag
-    * writing): header (dims, affine, nodata, tile count) then
+  /** Write the grid as a baseline GeoTIFF (the reference's GTiff/deflate
+    * profile, handler.py:25-29) — externally parseable tag layout; see
+    * [[Tiff]]. */
+  def writeTiff(path: String, g: Grid, affine: Affine, tiles: Seq[Tile]): Long = {
+    val bytes = Tiff.write(g, affine, tiles)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    bytes.length.toLong
+  }
+
+  /** Length-prefixed tiled container (the pre-TIFF fallback format, kept
+    * for payloads the baseline tag set can't carry, e.g. rotated
+    * affines): header (dims, affine, nodata, tile count) then
     * (tx, ty, len, deflated bytes) per tile. */
-  private def writeContainer(path: String, g: Grid, affine: Affine,
+  def writeContainer(path: String, g: Grid, affine: Affine,
       tiles: Seq[Tile]): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())

@@ -25,11 +25,16 @@ object TextAnalysis {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Quality features: lengths, token stats, stopword/punct ratios —
-    * exact-arithmetic so the oracle hash-matches. */
+    * exact-arithmetic so the oracle hash-matches. The stopword count is
+    * the native [[graft.functions.MarkerCount]] expression: the HOF form
+    * (`filter` + `isInCollection`) evaluates interpreted, outside
+    * whole-stage codegen, on what is a plain map stage over the full
+    * corpus at 100 TB. */
   def qualityColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)
     val nTok = size(toks).cast(DoubleType)
-    val stopHits = size(filter(toks, t => lower(t).isInCollection(Stopwords)))
+    val stopHits = graft.functions.GraftFunctions
+      .marker_count(toks, Stopwords, lowercase = true)
     val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
     Seq(
       length(text).as("n_chars"),
@@ -65,8 +70,10 @@ object TextAnalysis {
 
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
+    // per-language marker scoring via the native MarkerCount expression
+    // (not filter+isInCollection HOFs) — langid stays in codegen
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"),
+      struct(graft.functions.GraftFunctions.marker_count(toks, markers).as("score"),
         lit(lang).as("lang"))
     }
     // struct max = argmax by (score, lang)

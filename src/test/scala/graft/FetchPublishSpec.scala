@@ -1,0 +1,182 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.kernel.{Cogify, Raster, Tiff}
+import graft.kernel.Cogify.{CogifyTask, CollectionConfig, TiffGridReader}
+import graft.kernel.Raster.{Extent, Grid}
+import graft.sinks.PublishSink
+import graft.sources.Fetch
+
+/** The two authenticated-HTTP seams against a local stub server:
+  * download fetch (reference A7, cogify/handler.py:49-71 — Earthdata
+  * basic-auth session per process) driven through the cogify kernel via
+  * [[TiffGridReader]], and the OAuth2 client-credentials publish
+  * transport (reference A19, submit-stac/handler.py:57-93 — one token
+  * per process, bearer POST, non-2xx → DLQ).
+  */
+class FetchPublishSpec extends SparkSuite {
+
+  private def withServer(routes: PartialFunction[(String, HttpExchange), Unit])
+      (body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val key = ex.getRequestURI.getPath
+        if (routes.isDefinedAt((key, ex))) routes((key, ex))
+        else { ex.sendResponseHeaders(404, -1) }
+      } finally ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, bytes: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+  }
+
+  private def basicAuthOk(ex: HttpExchange, user: String, pass: String): Boolean = {
+    val expect = "Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$user:$pass".getBytes(UTF_8))
+    Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expect)
+  }
+
+  // a real TIFF payload for the fetch tests: 300×200, top-left affine
+  private lazy val tiffBytes: Array[Byte] = {
+    val g = Grid(300, 200, Array.tabulate(300 * 200)(i => (i % 251).toFloat), Some(-1f))
+    val affine = Raster.topLeftRecipe(Extent(-30, 10, 30, 50), 300, 200)
+    Tiff.write(g, affine, Cogify.tile(g))
+  }
+
+  test("http fetcher: basic-auth download, 401 without credentials raises") {
+    val hits = new AtomicInteger(0)
+    withServer({ case ("/granules/g1.tif", ex) =>
+      hits.incrementAndGet()
+      if (basicAuthOk(ex, "edl_user", "edl_pass")) respond(ex, 200, tiffBytes)
+      else respond(ex, 401, Array.empty)
+    }) { base =>
+      val tmp = tempDir("fetch")
+      val authed = new Fetch.HttpFetcher(Some(("edl_user", "edl_pass")))
+      val got = authed.fetch(s"$base/granules/g1.tif", tmp)
+      assert(got.getName == "g1.tif")
+      assert(java.nio.file.Files.readAllBytes(got.toPath).sameElements(tiffBytes))
+
+      val anon = new Fetch.HttpFetcher(None)
+      val err = intercept[java.io.IOException] {
+        anon.fetch(s"$base/granules/g1.tif", tmp)
+      }
+      assert(err.getMessage.contains("401"))
+      assert(hits.get() == 2)
+    }
+  }
+
+  test("routing fetcher: http vs hadoop-fs vs already-local") {
+    withServer({ case ("/d.bin", ex) => respond(ex, 200, "remote".getBytes(UTF_8)) }) { base =>
+      val tmp = tempDir("route")
+      val router = new Fetch.RoutingFetcher()
+      // http route
+      val viaHttp = router.fetch(s"$base/d.bin", tmp)
+      assert(new String(java.nio.file.Files.readAllBytes(viaHttp.toPath), UTF_8) == "remote")
+      // hadoop-fs route (file: scheme)
+      val src = new java.io.File(tmp, "src.bin")
+      java.nio.file.Files.write(src.toPath, "fs".getBytes(UTF_8))
+      val dstDir = tempDir("routedst")
+      val viaFs = router.fetch(s"file:${src.getAbsolutePath}", dstDir)
+      assert(viaFs.getParentFile == dstDir.getAbsoluteFile || viaFs.getParentFile == dstDir)
+      assert(new String(java.nio.file.Files.readAllBytes(viaFs.toPath), UTF_8) == "fs")
+      // already-local short-circuit: same path back, no copy
+      assert(router.fetch(src.getAbsolutePath, dstDir).getCanonicalPath == src.getCanonicalPath)
+    }
+  }
+
+  test("cogify kernel drives the authenticated fetch + tiff decode end to end") {
+    import spark.implicits._
+    withServer({ case ("/granules/g2.tif", ex) =>
+      if (basicAuthOk(ex, "u", "p")) respond(ex, 200, tiffBytes)
+      else respond(ex, 401, Array.empty)
+    }) { base =>
+      val out = tempDir("cogfetch").getAbsolutePath
+      val tasks = Seq(CogifyTask("C1", s"$base/granules/g2.tif", Some("g2"), upload = false))
+      val results = Cogify.run(tasks.toDS(),
+        Map("C1" -> CollectionConfig("data", useTopLeftRecipe = true)),
+        s"file:$out",
+        mkReader = () => new TiffGridReader(() => new Fetch.RoutingFetcher(Some(("u", "p")))))
+        .collect()
+      assert(results.length == 1 && results.head.error.isEmpty)
+      assert(results.head.width == 300 && results.head.height == 200)
+      // the output re-encodes the same grid: round-trip and compare
+      val outBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/C1/g2.tif.cog.tif"))
+      val (grid, _) = Tiff.readGrid(outBytes)
+      assert(grid.data.toSeq == Tiff.readGrid(tiffBytes)._1.data.toSeq)
+    }
+  }
+
+  test("cogify: auth failure exhausts retries then lands in DLQ rows") {
+    import spark.implicits._
+    val hits = new AtomicInteger(0)
+    withServer({ case ("/granules/g3.tif", ex) =>
+      hits.incrementAndGet(); respond(ex, 401, Array.empty)
+    }) { base =>
+      val out = tempDir("cogdlq").getAbsolutePath
+      val results = Cogify.run(
+        Seq(CogifyTask("C1", s"$base/granules/g3.tif", None, upload = false)).toDS(),
+        Map.empty, s"file:$out", maxAttempts = 3,
+        mkReader = () => new TiffGridReader(() => new Fetch.HttpFetcher(None)))
+        .collect()
+      assert(results.length == 1)
+      assert(results.head.error.exists(_.contains("401")))
+      assert(hits.get() == 3) // IOException is retryable (B5) up to maxAttempts
+    }
+  }
+
+  test("bearer poster: one token per poster, non-2xx posts land in DLQ") {
+    import spark.implicits._
+    val tokenHits = new AtomicInteger(0)
+    withServer({
+      case ("/oauth/token", ex) =>
+        tokenHits.incrementAndGet()
+        if (basicAuthOk(ex, "client_id", "client_secret") &&
+            new String(ex.getRequestBody.readAllBytes(), UTF_8)
+              .contains("grant_type=client_credentials"))
+          respond(ex, 200, """{"access_token":"tok-abc"}""".getBytes(UTF_8))
+        else respond(ex, 401, Array.empty)
+      case ("/ingest", ex) =>
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        val item = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        if (!auth.contains("Bearer tok-abc")) respond(ex, 403, Array.empty)
+        else if (item.contains("poison")) respond(ex, 500, "boom".getBytes(UTF_8))
+        else respond(ex, 201, Array.empty)
+    }) { base =>
+      val items = Seq("""{"id":"a"}""", """{"id":"poison"}""", """{"id":"c"}""")
+        .toDF("resolved_item").coalesce(1) // one partition → one poster → one token
+      val dlq = PublishSink.publish(items, "resolved_item",
+        () => new PublishSink.BearerHttpPoster(
+          s"$base/oauth/token", s"$base/ingest", "client_id", "client_secret"))
+      val failed = dlq.collect().map(r => (r.getString(0), r.getString(1)))
+      assert(failed.length == 1)
+      assert(failed.head._1.contains("poison"))
+      assert(failed.head._2.startsWith("HTTP 500"))
+      assert(tokenHits.get() == 1) // token fetched once per poster lifetime
+    }
+  }
+
+  test("bearer poster: token failure DLQs every item with the cause") {
+    import spark.implicits._
+    withServer({ case ("/oauth/token", ex) => respond(ex, 401, Array.empty) }) { base =>
+      val items = Seq("""{"id":"a"}""", """{"id":"b"}""").toDF("resolved_item")
+      val dlq = PublishSink.publish(items, "resolved_item",
+        () => new PublishSink.BearerHttpPoster(
+          s"$base/oauth/token", s"$base/ingest", "bad", "creds"))
+      val errs = dlq.collect().map(_.getString(1))
+      assert(errs.length == 2)
+      assert(errs.forall(_.contains("token fetch failed: HTTP 401")))
+    }
+  }
+}

@@ -74,7 +74,7 @@ class KernelSpec extends SparkSuite {
     assert(results.length == 2 && results.forall(_.error.isEmpty))
     val r = results.find(_.collection == "OMDOAO3e").get
     assert(r.n_tiles == 2 && r.width == 360 && r.height == 180) // 360/256 -> 2x1
-    assert(new java.io.File(s"$out/OMDOAO3e/b.nc.cog").length() > 0)
+    assert(new java.io.File(s"$out/OMDOAO3e/b.nc.cog.tif").length() > 0)
     // top-left recipe: a = xres where the extent spans coordinate-CENTER
     // min..max (the reference derives extent from coord min/max,
     // handler.py:96-103) -> (179.5 - (-179.5)) / 360
@@ -88,6 +88,55 @@ class KernelSpec extends SparkSuite {
     val dlq = Cogify.run(tasks, configs, s"file:$out", mkReader = () => new Bad)
       .collect()
     assert(dlq.forall(_.error.exists(_.contains("corrupt granule"))))
+  }
+
+  test("cogify output is a spec-layout baseline TIFF that round-trips") {
+    import graft.kernel.Tiff
+    // non-tile-aligned dims exercise edge padding; non-global extent
+    // exercises the geo tags
+    val wide = Grid(300, 270, Array.tabulate(300 * 270)(i => (i % 997).toFloat), Some(-1f))
+    val affine = Raster.topLeftRecipe(Extent(10, 40, 40, 67), 300, 270)
+    val bytes = Tiff.write(wide, affine, Cogify.tile(wide))
+
+    // 1. tag layout: the fields an external reader needs, correct values
+    val tags = Tiff.parse(bytes)
+    assert(tags(Tiff.TagImageWidth).longs == Seq(300L))
+    assert(tags(Tiff.TagImageLength).longs == Seq(270L))
+    assert(tags(Tiff.TagBitsPerSample).longs == Seq(32L))
+    assert(tags(Tiff.TagCompression).longs == Seq(Tiff.CompressionDeflate.toLong))
+    assert(tags(Tiff.TagSamplesPerPixel).longs == Seq(1L))
+    assert(tags(Tiff.TagTileWidth).longs == Seq(256L))
+    assert(tags(Tiff.TagTileLength).longs == Seq(256L))
+    assert(tags(Tiff.TagSampleFormat).longs == Seq(Tiff.SampleFormatFloat.toLong))
+    assert(tags(Tiff.TagTileOffsets).longs.size == 4) // 2x2 tiles
+    assert(tags(Tiff.TagTileByteCounts).longs.size == 4)
+    // IFD entries ascend by tag id (TIFF spec requirement)
+    // geo tags encode the affine
+    assert(tags(Tiff.TagModelPixelScale).doubles(0) == affine.a)
+    assert(tags(Tiff.TagModelPixelScale).doubles(1) == -affine.e)
+    assert(tags(Tiff.TagModelTiepoint).doubles(3) == affine.c)
+    assert(tags(Tiff.TagModelTiepoint).doubles(4) == affine.f)
+    assert(tags(Tiff.TagGdalNodata).ascii == "-1.0")
+    // tile data sits where the offsets say (deflate stream magic 0x78)
+    tags(Tiff.TagTileOffsets).longs.foreach(off => assert(bytes(off.toInt) == 0x78.toByte))
+
+    // 2. full round-trip through the parser
+    val (back, affBack) = Tiff.readGrid(bytes)
+    assert(back.width == 300 && back.height == 270)
+    assert(back.nodata.contains(-1f))
+    assert(back.data.toSeq == wide.data.toSeq)
+    assert(affBack == affine)
+
+    // 3. the distributed stage's file parses too
+    import spark.implicits._
+    val out = tempDir("tif").getAbsolutePath
+    Cogify.run(Seq(CogifyTask("X", "s3://b/c.nc", None, upload = false)).toDS(),
+      Map.empty, s"file:$out").collect()
+    val fileBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/X/c.nc.cog.tif"))
+    val t2 = Tiff.parse(fileBytes)
+    assert(t2(Tiff.TagImageWidth).longs == Seq(360L))
+    assert(Tiff.readGrid(fileBytes)._1.data.length == 360 * 180)
   }
 
   test("band stats aggregator matches exact stats under repartitioning") {
