@@ -96,6 +96,50 @@ object Cogify {
     }
   }
 
+  /** THE production reader: localize via a [[graft.sources.Fetch.Fetcher]]
+    * (A7), sniff the container magic, decode — NetCDF-3 classic through
+    * [[Netcdf]] (variable + `_FillValue` + x/y coordinate vars per the
+    * collection config, handler.py:84-101), baseline TIFF through
+    * [[Tiff.readGrid]]. NetCDF-4 granules are HDF5 containers (magic
+    * `\x89HDF`) — no codec in this environment, so they fail fast with a
+    * non-retryable error that routes the task to the DLQ instead of
+    * burning retry attempts.
+    */
+  final class FetchGridReader(mkFetcher: () => graft.sources.Fetch.Fetcher)
+      extends GridReader {
+    @transient private lazy val fetcher = mkFetcher()
+    override def read(task: CogifyTask, config: CollectionConfig) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fetch").toFile
+      try {
+        val local = fetcher.fetch(task.href, tmp)
+        decode(java.nio.file.Files.readAllBytes(local.toPath), config)
+      } finally {
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+      }
+    }
+
+    private def decode(bytes: Array[Byte], config: CollectionConfig) =
+      bytes.take(4).map(_ & 0xff) match {
+        case Array(0x43, 0x44, 0x46, _) => // "CDF" — NetCDF-3 classic
+          val nc = Netcdf.parse(bytes)
+          val grid = Netcdf.readGrid(nc, config.variableName)
+          (grid,
+            config.xVariable.map(Netcdf.readCoord(nc, _)),
+            config.yVariable.map(Netcdf.readCoord(nc, _)))
+        case Array(0x49, 0x49, _, _) | Array(0x4d, 0x4d, _, _) => // "II"/"MM"
+          val (grid, affine) = Tiff.readGrid(bytes)
+          val xs = Array.tabulate(grid.width)(j => affine.c + affine.a * (j + 0.5))
+          val ys = Array.tabulate(grid.height)(i => affine.f + affine.e * (i + 0.5))
+          (grid, Some(xs), Some(ys))
+        case Array(0x89, 0x48, 0x44, 0x46) => // "\x89HDF"
+          throw new UnsupportedOperationException(
+            "NetCDF-4/HDF5 container: no HDF5 codec available (classic CDF-1/2 and TIFF are supported)")
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unrecognized container magic ${other.map(b => f"$b%02x").mkString}")
+      }
+  }
+
   val TileSize = 256 // handler.py:28-29
 
   final case class Tile(tileCol: Int, tileRow: Int, deflated: Array[Byte])
