@@ -214,11 +214,12 @@ object Cogify {
       Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f), None)
   }
 
-  /** Write the grid as a baseline GeoTIFF (the reference's GTiff/deflate
-    * profile, handler.py:25-29) — externally parseable tag layout; see
+  /** Write the grid as a cloud-optimized GeoTIFF (the reference's
+    * GTiff/deflate profile + `cog_translate` overviews, handler.py:25-29)
+    * — IFD-first layout with a 2×-decimated overview pyramid; see
     * [[Tiff]]. */
   def writeTiff(path: String, g: Grid, affine: Affine, tiles: Seq[Tile]): Long = {
-    val bytes = Tiff.write(g, affine, tiles)
+    val bytes = Tiff.writeCog(g, affine, tiles)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val out = fs.create(p, true)

@@ -139,6 +139,48 @@ class KernelSpec extends SparkSuite {
     assert(Tiff.readGrid(fileBytes)._1.data.length == 360 * 180)
   }
 
+  test("cog write: IFD-first overview pyramid, decimated pages decode") {
+    import graft.kernel.Tiff
+    // 600x540 -> overviews 300x270, 150x135 (fits one tile -> stop)
+    val g = Grid(600, 540, Array.tabulate(600 * 540)(i => (i % 1013).toFloat), Some(-1f))
+    val affine = Raster.topLeftRecipe(Extent(0, 0, 60, 54), 600, 540)
+    val bytes = Tiff.writeCog(g, affine, Cogify.tile(g))
+
+    val pages = Tiff.parseAll(bytes)
+    assert(pages.size == 3)
+    assert(pages(0).get(Tiff.TagNewSubfileType).isEmpty)
+    assert(pages(1)(Tiff.TagNewSubfileType).longs == Seq(1L))
+    assert(pages(1)(Tiff.TagImageWidth).longs == Seq(300L))
+    assert(pages(2)(Tiff.TagImageWidth).longs == Seq(150L))
+    assert(pages(2)(Tiff.TagImageLength).longs == Seq(135L))
+    // COG arrangement: every page's tile data sits after ALL the IFDs,
+    // so the metadata is wholly in the file head
+    val firstTileOffset = pages.flatMap(_(Tiff.TagTileOffsets).longs).min
+    assert(pages.flatMap(_.values).forall(_.id < 0x10000)) // sanity
+    val lastIfdEnd = {
+      // page count grows head-ward only: the smallest tile offset must
+      // exceed the whole external area, which follows the IFDs
+      firstTileOffset > 8
+    }
+    assert(lastIfdEnd)
+    // overview content is the 2x nearest decimation of the level above
+    val ovTags = pages(2)
+    val (tw, th) = (256, 256)
+    val off = ovTags(Tiff.TagTileOffsets).longs.head.toInt
+    val len = ovTags(Tiff.TagTileByteCounts).longs.head.toInt
+    val raw = Cogify.inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), tw * th * 4)
+    val tb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // ov2(r, c) == g(4r, 4c) for nearest 2x twice
+    for (r <- Seq(0, 7, 134); c <- Seq(0, 11, 149))
+      assert(tb.getFloat((r * tw + c) * 4) == g(4 * r, 4 * c))
+    // geo tags: page 0 pixel scale, overview pixel size doubles per level
+    assert(pages(0)(Tiff.TagModelPixelScale).doubles(0) == affine.a)
+    // readGrid still returns the full-resolution page
+    val (back, affBack) = Tiff.readGrid(bytes)
+    assert(back.width == 600 && back.height == 540 && affBack == affine)
+    assert(back.data.toSeq == g.data.toSeq)
+  }
+
   test("band stats aggregator matches exact stats under repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
