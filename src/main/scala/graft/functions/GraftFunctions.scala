@@ -44,6 +44,13 @@ object GraftFunctions {
       lowercase: Boolean = false): Column =
     toCol(MarkerCount(expression(tokens), markers, lowercase))
 
+  /** Top-`p` nearest-centroid indices for an embedding column (IVF
+    * coarse quantizer, codegen'd — see [[NearestCentroids]]).
+    * `centroidsFlat` must hold L2-normalized centroids, row-major. */
+  def nearest_centroids(v: Column, centroidsFlat: Array[Float], dim: Int,
+      p: Int): Column =
+    toCol(NearestCentroids(expression(v), centroidsFlat, dim, p))
+
   /** Membership probe of an integral key against a broadcast Bloom
     * filter (codegen'd — see [[BloomMightContain]]). */
   def bloom_might_contain(key: Column,

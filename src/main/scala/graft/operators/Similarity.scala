@@ -148,6 +148,107 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path besides LSH: a
+  // coarse k-means quantizer partitions the corpus into nlist inverted
+  // lists; queries probe only the nprobe nearest lists. Candidate volume
+  // is ~corpus·nprobe/nlist instead of corpus², and with nlist ~ √n the
+  // per-query work stays O(√n · nprobe · dim) at any corpus size.
+
+  /** Classic IVF sizing: nlist ≈ √n (balances quantizer cost against
+    * list length), clamped to something sane. */
+  def nlistFor(corpusSize: Long): Int =
+    math.max(4, math.min(65536, math.round(math.sqrt(corpusSize.toDouble)).toInt))
+
+  /** Train the coarse quantizer: a deterministic bounded sample
+    * (every step-th vec_id — no RNG, so plans are reproducible) is
+    * collected to the driver and run through seedless Lloyd's k-means on
+    * the unit sphere (spherical k-means: assign by dot, re-mean,
+    * re-normalize). The sample is FIXED-SIZE no matter the corpus — at
+    * 100 TB this is still a ~4k×dim driver matrix — and the centroids
+    * broadcast with the plan like any small model. Returns the row-major
+    * flat of L2-normalized centroids.
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int, corpusSize: Long,
+      sampleMax: Int = 4096, iters: Int = 8): (Array[Float], Int) = {
+    val step = math.max(1L, corpusSize / sampleMax)
+    val rows = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "empty corpus")
+    val dim = rows.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var j = 0
+      while (j < dim) { s += v(j) * v(j); j += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val out = new Array[Double](dim)
+      j = 0; while (j < dim) { out(j) = v(j) * inv; j += 1 }
+      out
+    }
+    val unit = rows.map(r => normalize(r.map(_.toDouble)))
+    val k = math.min(nlist, unit.length)
+    // evenly-spaced init over the (vec_id-ordered) sample — deterministic
+    var cents = Array.tabulate(k)(i => unit((i.toLong * unit.length / k).toInt))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += v(j) * cents(c)(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))) // empty: keep
+    }
+    (cents.flatten.map(_.toFloat), dim)
+  }
+
+  /** IVF approximate top-k: corpus rows are stored in their `replicas`
+    * nearest inverted lists (replica assignment — the standard recall
+    * lever for neighbors that straddle a Voronoi boundary; storage cost
+    * is a known ×replicas); each query explodes to its nprobe nearest
+    * lists and broadcasts. The list-id equi-join yields candidate id
+    * pairs (deduped on the small ids — the embedding arrays never ride
+    * through the dedup shuffle), which are then scored exactly in one
+    * join back to the corpus and window top-k'd. The assignment column
+    * is the natural partition/cluster key for a stored index. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 0, nprobe: Int = 8, replicas: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.count()
+    val lists = if (nlist > 0) nlist else nlistFor(n)
+    val (flat, dim) = trainCentroids(corpus, lists, n)
+    def nearest(c: Column, p: Int) =
+      graft.functions.GraftFunctions.nearest_centroids(c, flat, dim, p)
+    val assigned = corpus.select(col("vec_id"),
+      explode(nearest(col("embedding"), math.min(replicas, lists))).as("list_id"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      explode(nearest(col("embedding"), math.min(nprobe, lists))).as("list_id"))
+    val cands = assigned.join(broadcast(probes), "list_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -187,6 +288,14 @@ object Similarity {
     // embeddings join back once for scoring.
     ("s03_embedding_neardup", (s: SparkSession, d: String) =>
       embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3)
-        .orderBy(col("vec_a"), col("vec_b")), None)
+        .orderBy(col("vec_a"), col("vec_b")), None),
+
+    // IVF-bucketed ANN for the same 20 queries — the inverted-list scale
+    // path (rows-only; recall vs brute force asserted in LlmOpsSpec).
+    ("s04_ann_ivf", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      ivfTopK(emb.filter(col("vec_id") < 20), emb, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, None)
   )
 }

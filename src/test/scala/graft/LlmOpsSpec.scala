@@ -66,6 +66,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(multi >= exact.size * 7 / 10, s"multi-probe top-1 recall $multi/${exact.size}")
   }
 
+  test("ivf ANN: top-1 recall vs brute force; probing more lists helps") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(nprobe: Int): Int = {
+      val approx = Similarity.ivfTopK(queries, emb, 1, nprobe = nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(approx.keySet.subsetOf(exact.keySet))
+      exact.count { case (q, n) => approx.get(q).contains(n) }
+    }
+    val narrow = recall(2)
+    val wide = recall(8)
+    assert(wide >= narrow, s"nprobe=8 ($wide) should not lose to nprobe=2 ($narrow)")
+    assert(wide >= exact.size * 7 / 10, s"ivf top-1 recall $wide/${exact.size}")
+    // determinism: same call twice, identical assignment + results
+    val r1 = Similarity.ivfTopK(queries, emb, 5).collect().toSeq
+    val r2 = Similarity.ivfTopK(queries, emb, 5).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("media decode kernel is deterministic and batch-shaped") {
     val m1 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
       .collect().sortBy(_.doc_id)
