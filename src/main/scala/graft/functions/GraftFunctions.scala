@@ -44,6 +44,11 @@ object GraftFunctions {
       lowercase: Boolean = false): Column =
     toCol(MarkerCount(expression(tokens), markers, lowercase))
 
+  /** Winnowing rolling-hash fingerprints of a text column (codegen'd —
+    * see [[WinnowFingerprint]]). */
+  def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
+    toCol(WinnowFingerprint(expression(text), k, w))
+
   /** Top-`p` nearest-centroid indices for an embedding column (IVF
     * coarse quantizer, codegen'd — see [[NearestCentroids]]).
     * `centroidsFlat` must hold L2-normalized centroids, row-major. */

@@ -156,6 +156,81 @@ object TextAnalysis {
       QUALIFY rank <= 5
       ORDER BY source, rank""")),
 
+    // repetition profile (Gopher-style quality signals, word-based):
+    // distinct-token ratio and the most-frequent token's share — the
+    // explode → two-level-aggregation shape; partial aggregation keeps
+    // the shuffle at (doc, token) cardinality
+    ("t06_repetition", (s: SparkSession, d: String) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("int").as("n_tokens"),
+          (count(lit(1)).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+            .as("uniq_ratio"),
+          (max(col("n")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+            .as("top_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok)
+      SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_tokens,
+        CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS uniq_ratio,
+        CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_share
+      FROM counts GROUP BY doc_id ORDER BY doc_id""")),
+
+    // longest consecutive same-token run per document (stutter
+    // detection): posexplode → gaps-and-islands over (doc, pos) — the
+    // window chain partitions by doc_id, so a 100 TB corpus spreads by
+    // document with no global ordering anywhere
+    ("t07_token_runs", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val marked = toks.withColumn("brk",
+        when(lag(col("tok"), 1).over(w).isNull ||
+          lag(col("tok"), 1).over(w) =!= col("tok"), 1).otherwise(0))
+      marked.withColumn("grp", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("run_len")).cast("int").as("max_run"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(arr) AS tok, unnest(range(1, len(arr) + 1)) AS pos
+        FROM base),
+      marked AS (
+        SELECT doc_id, tok, pos,
+          CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                 IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+        FROM toks),
+      islands AS (
+        SELECT doc_id, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM marked),
+      runs AS (SELECT doc_id, grp, count(*) AS run_len FROM islands
+               GROUP BY doc_id, grp)
+      SELECT doc_id, CAST(max(run_len) AS INTEGER) AS max_run
+      FROM runs GROUP BY doc_id ORDER BY doc_id""")),
+
+    // winnowing fingerprints (MOSS-style rolling hash + sliding-window
+    // minimum, the literal "rolling hash" fingerprint): row-local native
+    // expression; rows-only (not SQL-expressible) — the selection
+    // guarantee is spec-gated in MarkerCountSpec's sibling suite
+    ("t08_winnow", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.functions.GraftFunctions.winnow_fingerprint(
+            col("text"), 8, 16)).as("n_prints"))
+        .orderBy(col("doc_id"))
+    }, None),
+
     // language-ID (marker heuristic); verified against the same marker
     // logic in SQL so the heuristic itself is oracle-gated
     ("t04_langid", (s: SparkSession, d: String) => {
