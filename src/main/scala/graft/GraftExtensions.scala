@@ -25,5 +25,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSim].getName, "cosine_sim"),
       es => functions.CosineSim(es.head, es(1))))
+
+    // integral-literal arguments (tables/planes/k/w) resolve at parse time
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"expected an integer literal argument, got $other")
+      }
+    e.injectFunction((FunctionIdentifier("sign_lsh"),
+      new ExpressionInfo(classOf[functions.SignLsh].getName, "sign_lsh"),
+      es => functions.SignLsh(es.head, intLit(es(1)), intLit(es(2)),
+        seed = 0L))) // the DataFrame-side default seed
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[functions.MinHashSig].getName, "minhash_sig"),
+      es => functions.MinHashSig(es.head, intLit(es(1)), intLit(es(2)))))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[functions.WinnowFingerprint].getName,
+        "winnow_fingerprint"),
+      es => functions.WinnowFingerprint(es.head, intLit(es(1)), intLit(es(2)))))
   }
 }

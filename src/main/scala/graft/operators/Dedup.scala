@@ -137,6 +137,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Partial-copy (containment) pairs via winnowing-fingerprint overlap:
+    * every document contributes its fingerprint set
+    * ([[GraftFunctions.winnow_fingerprint]] — any shared substring of
+    * length ≥ w+k-1 chars shares a print), pairs sharing ≥ `minShared`
+    * prints are scored by the OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) —
+    * the containment measure: a short document embedded verbatim inside
+    * a long one scores ~1.0 where Jaccard washes out toward 0. This is
+    * the copy-detection operator MinHash (whole-doc similarity) is not.
+    *
+    * Scale: fingerprints are row-local; the only shuffles carry
+    * (print, doc_id) pairs and the grouped pair counts. Boilerplate
+    * prints shared by everything are exactly the LSH hot-bucket problem
+    * — same guard, [[Scale.capBuckets]] on the print key.
+    */
+  def winnowOverlapPairs(docs: DataFrame, minOverlap: Double = 0.8,
+      k: Int = 8, w: Int = 16, minShared: Int = 2,
+      maxBucket: Int = 100): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+        array_distinct(GraftFunctions.winnow_fingerprint(col("text"), k, w)).as("fp"))
+      .filter(size(col("fp")) > 0)
+      // read 3×: exploded self-join (both sides) + the size join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = Scale.capBuckets(
+      fps.select(col("doc_id"), explode(col("fp")).as("print")),
+      Seq("print"), maxBucket)
+    val shared = keyed.alias("x").join(keyed.alias("y"),
+        col("x.print") === col("y.print") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared")) // fp arrays are distinct → count = |A∩B|
+      .filter(col("n_shared") >= minShared)
+    val sizes = fps.select(col("doc_id"), size(col("fp")).as("n"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("overlap",
+        col("n_shared").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_a"), col("doc_b"), col("overlap"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -217,6 +257,13 @@ object Dedup {
     // simhashNearDups scaladoc for the scale posture).
     ("d04_simhash_pairs", (s: SparkSession, d: String) =>
       simhashNearDups(Tables.documents(s, d), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b")), None),
+
+    // Partial-copy pairs by winnowing-fingerprint overlap (containment,
+    // not whole-doc similarity). Rows-only; the selection guarantee and
+    // planted-copy recall are spec-gated (WinnowSpec / LlmOpsSpec).
+    ("d05_winnow_overlap", (s: SparkSession, d: String) =>
+      winnowOverlapPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b")), None)
   )
 }

@@ -23,6 +23,10 @@ object Smoke {
     println("extensions: " + spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0))
+    println("extensions(sketch fns): " + spark.sql(
+      "SELECT size(winnow_fingerprint('the quick brown fox jumps over the lazy dog', 8, 16)), " +
+        "size(sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 8)), " +
+        "size(minhash_sig(array('a', 'b', 'c', 'd'), 3, 12))").head())
     spark.sparkContext.setLogLevel("ERROR")
 
     val e = graft.SparkEntry.entry(spark)

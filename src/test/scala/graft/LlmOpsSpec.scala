@@ -89,6 +89,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(r1 == r2)
   }
 
+  test("winnow overlap flags planted partial copies, not unrelated docs") {
+    import spark.implicits._
+    val phraseA = "the migration of arctic terns spans both polar regions every year "
+    val phraseB = "quantum error correction encodes one logical qubit in many physical "
+    val longA = phraseA * 10
+    val longB = phraseB * 10
+    // a 300-char verbatim slice of longA embedded in unrelated text
+    val partial = "totally unrelated preamble content goes first here and then " +
+      longA.substring(50, 350) + " followed by an unrelated closing remark"
+    val df = Seq((1L, longA), (2L, longB), (3L, partial)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(df, minOverlap = 0.3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 3L)), s"planted copy missed: $pairs")
+    assert(pairs((1L, 3L)) >= 0.5, s"containment score too low: ${pairs((1L, 3L))}")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)), pairs.toString)
+  }
+
   test("media decode kernel is deterministic and batch-shaped") {
     val m1 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
       .collect().sortBy(_.doc_id)
