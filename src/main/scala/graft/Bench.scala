@@ -18,17 +18,23 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // one untimed pass per query absorbs plan compilation + codegen,
-      // so the timed pass measures steady-state execution
+      // so the timed passes measure steady-state execution
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       // queries that persist intermediates (LSH band/bucket stages) must
-      // not accumulate cached partitions across 58 queries × 2 passes —
+      // not accumulate cached partitions across the full query sweep —
       // eviction pressure from earlier queries would bleed into later
       // timings (it cost round 2 its recorded bench signal)
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two timed passes: transient machine contention inflates a
+      // single pass unpredictably (observed 6× on untouched queries);
+      // the min is the steady-state number the plan actually costs
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
