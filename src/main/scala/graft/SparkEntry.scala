@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     operators.Relational.defs ++ operators.Relational2.defs ++
-      operators.StacQueries.defs ++
+      operators.StacQueries.defs ++ operators.AsOf.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs
