@@ -64,6 +64,48 @@ object Sketches {
     Some("""SELECT l_returnflag, count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_totalprice > 200000
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Mergeable approximate quantiles (Greenwald-Khanna via
+    // percentile_approx) — the single-pass sketch that replaces the
+    // full-sort exact percentile (q28) at scale. Rows-only: the estimate
+    // is accuracy-parameter-specific; SketchesSpec bounds rank error vs
+    // the exact quantiles.
+    ("k03_approx_quantiles", (s: SparkSession, d: String) => {
+      graft.Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(1000))
+          .as("approx_q"))
+        .select(col("l_returnflag"),
+          col("approx_q").getItem(0).as("p25"),
+          col("approx_q").getItem(1).as("p50"),
+          col("approx_q").getItem(2).as("p75"),
+          col("approx_q").getItem(3).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }, None),
+
+    // Count-min-sketch heavy hitters: the sketch builds distributed
+    // (mergeable partial aggregation — one pass, no per-key shuffle);
+    // the driver probes candidate keys against the one merged sketch.
+    // Rows-only: estimates are seed-specific; the CMS overcount
+    // guarantee (estimate >= true, bounded overshoot) is spec-gated.
+    ("k04_heavy_hitters", (s: SparkSession, d: String) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val docs = graft.Tables.documents(s, d)
+      val terms = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val sketchBytes = terms
+        .agg(count_min_sketch(col("term"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+        .head().getAs[Array[Byte]]("cms")
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      // candidate set: the small fixed vocabulary of interest (probing a
+      // sketch needs candidates by construction; the exact top-k path is
+      // t05)
+      val candidates = Seq("table", "value", "query", "scan", "spark",
+        "window", "the", "a", "fast", "slow")
+      import s.implicits._
+      candidates.map(t => (t, cms.estimateCount(t))).toDF("term", "approx_count")
+        .orderBy(col("approx_count").desc, col("term"))
+    }, None)
   )
 }

@@ -58,4 +58,41 @@ class SketchesSpec extends SparkSuite {
         s"bloom probe filter fell out of whole-stage codegen:\n${plan.treeString}")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("approx quantiles land within the accuracy bound of exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50e"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    joined.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      // GK guarantee is on RANK (1/accuracy); translate loosely to value
+      // space: within 5% of the exact median for this distribution
+      assert(math.abs(a - e) / e < 0.05, s"p50 approx $a vs exact $e")
+    }
+  }
+
+  test("count-min estimates overcount-only within eps*N of true counts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val docs = graft.Tables.documents(spark, sf0001)
+    val terms = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val n = terms.count()
+    val bytes = terms
+      .agg(count_min_sketch(col("term"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val truth = terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("table", "value", "the", "spark", "window").foreach { t =>
+      val est = cms.estimateCount(t)
+      val exact = truth.getOrElse(t, 0L)
+      assert(est >= exact, s"CMS undercounted $t: $est < $exact")
+      assert(est <= exact + (0.001 * n).toLong + 1,
+        s"CMS overshot eps*N bound for $t: $est vs $exact (N=$n)")
+    }
+  }
 }
