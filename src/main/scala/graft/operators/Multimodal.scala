@@ -47,6 +47,16 @@ object Multimodal {
       val mean = (((md(4) & 0xff) << 8 | (md(5) & 0xff)) % 25600) / 100.0
       (width, height, mean)
     }
+
+    /** STUB resize: halves the decoded dimensions and keeps the first
+      * ⌈len/4⌉ payload bytes as the "thumbnail" (a real implementation
+      * hands the codec a target box). Deterministic AND SQL-derivable,
+      * so the resize stage is oracle-gated like decode. */
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, _) = decode(payload)
+      val thumbLen = (payload.length + 3) / 4
+      (w / 2, h / 2, java.util.Arrays.copyOf(payload, thumbLen))
+    }
   }
 
   private def hex(bytes: Array[Byte]): String =
@@ -120,6 +130,72 @@ object Multimodal {
         CAST(64 + CAST(concat('0x', substr(sha, 5, 4)) AS INTEGER) % 1024 AS INTEGER) AS height,
         (CAST(concat('0x', substr(sha, 9, 4)) AS INTEGER) % 25600) / 100.0 AS channel_mean
       FROM m ORDER BY doc_id""")),
+
+    // Resize stage through the same partition kernel (stub codec —
+    // halved dims + prefix thumbnail): binary in, binary out, new
+    // metadata; every output is sha/length-derivable so the kernel path
+    // is hash-verified.
+    ("m04_media_resize", (s: SparkSession, d: String) => {
+      val spark = s
+      import spark.implicits._
+      mediaTable(graft.Tables.documents(s, d))
+        .select(col("doc_id"), col("media_type"), col("payload"))
+        .as[MediaIn]
+        .mapPartitions { it =>
+          val decoder = new FakeDecoder
+          val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { m =>
+            val (rw, rh, thumb) = decoder.resize(m.payload)
+            (m.doc_id, rw, rh, thumb.length, hex(sha256.digest(thumb)))
+          }
+        }
+        .toDF("doc_id", "r_width", "r_height", "thumb_len", "thumb_sha")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (
+        -- corpus is pure ASCII (asserted by the Spark side matching):
+        -- char slices of text == byte slices of the payload, and
+        -- sha256(VARCHAR) hashes its UTF-8 bytes
+        SELECT doc_id, text, sha256(text) AS sha FROM documents)
+      SELECT doc_id,
+        CAST((64 + CAST(concat('0x', substr(sha, 1, 4)) AS INTEGER) % 1024) // 2 AS INTEGER) AS r_width,
+        CAST((64 + CAST(concat('0x', substr(sha, 5, 4)) AS INTEGER) % 1024) // 2 AS INTEGER) AS r_height,
+        CAST((length(text) + 3) // 4 AS INTEGER) AS thumb_len,
+        sha256(substr(text, 1, CAST((length(text) + 3) // 4 AS INTEGER))) AS thumb_sha
+      FROM m ORDER BY doc_id""")),
+
+    // Frame sampling for video payloads: fixed-size byte "frames", every
+    // stride-th one — generator (sequence+explode) over binary slices,
+    // the decimation shape a video pipeline runs before per-frame decode.
+    ("m05_frame_sample", (s: SparkSession, d: String) => {
+      val frame = 64
+      val stride = 4
+      val vids = mediaTable(graft.Tables.documents(s, d))
+        .filter(col("media_type") === "video" && length(col("payload")) > 0)
+      val slice = col("payload").substr(col("frame_idx") * frame + 1, lit(frame))
+      vids.select(col("doc_id"),
+          explode(sequence(lit(0),
+            ((length(col("payload")) - 1) / frame).cast("int"),
+            lit(stride))).as("frame_idx"),
+          col("payload"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(slice).as("frame_len"),
+          sha2(slice, 256).as("frame_sha"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH vids AS (
+        -- ASCII corpus: char slices == byte slices (see m04 note)
+        SELECT doc_id, text FROM documents
+        WHERE ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] = 'video'
+          AND length(text) > 0),
+      frames AS (
+        SELECT doc_id, text,
+          unnest(range(0, (length(text) - 1) // 64 + 1, 4)) AS frame_idx
+        FROM vids)
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS frame_len,
+        sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
+      FROM frames ORDER BY doc_id, frame_idx""")),
 
     // Per-label embedding band statistics through the mergeable
     // BandStats aggregator (A12's raster-stats shape over float arrays;
