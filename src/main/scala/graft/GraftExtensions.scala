@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // anchored-regex filename filters gain a pushable StartsWith conjunct
+    e.injectOptimizerRule(_ => plans.RegexPrefixPushdown)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 

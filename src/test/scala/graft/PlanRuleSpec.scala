@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.RegexPrefixPushdown
+
+/** RegexPrefixPushdown: prefix extraction, plan rewrite + pushdown to
+  * the parquet scan, result equivalence, idempotency. */
+class PlanRuleSpec extends SparkSuite {
+
+  test("literal prefix extraction from anchored patterns") {
+    import RegexPrefixPushdown.literalPrefix
+    assert(literalPrefix("^OMI_trno2_.*\\.he5$").contains("OMI_trno2_"))
+    assert(literalPrefix("^web").contains("web"))
+    assert(literalPrefix("^a|b").contains("a")) // run stops at the metachar
+    assert(literalPrefix("unanchored").isEmpty)
+    assert(literalPrefix("^.*x").isEmpty) // empty literal run
+    assert(literalPrefix("^(?i)x").isEmpty) // inline flags: bail
+  }
+
+  test("anchored rlike filter gains a pushed StartsWith on the scan") {
+    spark.experimental.extraOptimizations = Seq(RegexPrefixPushdown)
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val q = docs.filter(col("source").rlike("^src1.*")).select(col("doc_id"))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("StringStartsWith(source,src1)"),
+        s"StartsWith not pushed to the scan:\n$physical")
+      // exact same rows as without the rule (regex stays as residual)
+      spark.experimental.extraOptimizations = Nil
+      val expected = docs.filter(col("source").rlike("^src1.*"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      spark.experimental.extraOptimizations = Seq(RegexPrefixPushdown)
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected && got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule is idempotent (fixpoint under repeated application)") {
+    import spark.implicits._
+    val plan = Seq(("webcrawl-1", 1L)).toDF("source", "doc_id")
+      .filter(col("source").rlike("^web.*"))
+      .queryExecution.analyzed
+    val once = RegexPrefixPushdown(plan)
+    val twice = RegexPrefixPushdown(once)
+    assert(once.toString == twice.toString, s"grew on second apply:\n$twice")
+  }
+}
