@@ -83,6 +83,31 @@ object AsOf {
       LEFT JOIN errors e ON e.user_id = c.user_id AND e.t = (
         SELECT max(t) FROM errors e2
         WHERE e2.user_id = c.user_id AND e2.t <= c.t)
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // trailing one-hour sum per user — a RANGE (value-based) window
+    // frame over epoch-micros ordering; ties all enter the frame, so the
+    // result is order-independent, and the summand is DECIMAL so float
+    // addition order can't break the hash (oracle-parity discipline)
+    ("q43_range_frame", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("trailing_1h_sum",
+          sum(col("v")).over(w).cast("decimal(28,2)"))
+        .select(col("event_id"), col("user_id"), col("t"), col("trailing_1h_sum"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS t,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        AS DECIMAL(28,2)) AS trailing_1h_sum
+      FROM events ORDER BY event_id"""))
   )
 }

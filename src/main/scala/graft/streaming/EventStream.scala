@@ -32,6 +32,20 @@ object EventStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(Seq(idCol, tsCol))
 
+  /** Stream-stream interval join: left rows enriched with right rows of
+    * the same key whose event time falls within `within` BEFORE the left
+    * event. Both sides carry watermarks and the join condition bounds
+    * the event-time skew — the two requirements that let Spark expire
+    * buffered join state instead of holding both streams forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, org.apache.spark.sql.functions.expr(
+      s"l.$key = r.$key AND r.$rightTs BETWEEN l.$leftTs - INTERVAL $within AND l.$leftTs"))
+  }
+
   /** Tumbling-window per-type aggregation (the time-density rollup of
     * SURVEY §2.4's streaming row). Pass `watermark = None` when the
     * upstream already set one (Spark disallows redefining it). */

@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val clicks = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val errors = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+    val joined = EventStream.intervalJoin(
+        clicks, errors.withColumnRenamed("err_user", "user_id"),
+        "user_id", "click_ts", "err_ts")
+      .select(col("click_id"), col("err_id"))
+    val q = EventStream.runToMemory(joined, "ssj_out")
+    try {
+      val got = spark.table("ssj_out").select("click_id", "err_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables.events(spark, sf0001)
+      val bc = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val be = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      val batch = bc.join(be, Seq("user_id"))
+        .filter(col("err_ts") <= col("click_ts") &&
+          col("err_ts") >= col("click_ts") - expr("INTERVAL 1 hour"))
+        .select("click_id", "err_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // duplicate deliveries in the staged input may double-emit a pair;
+      // as a SET every emitted pair must be a true batch pair, and the
+      // stream must emit the bulk of them (the watermark holds back only
+      // the tail of event time)
+      assert(got.subsetOf(batch), s"stream emitted ${(got -- batch).size} false pairs")
+      assert(got.size > batch.size / 2, s"stream emitted ${got.size} of ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming session_window totals agree with batch gap sessionization") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val dedup = EventStream.dedup(stream, "event_id", "ts", watermark = "4 hours")
