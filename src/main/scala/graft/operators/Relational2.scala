@@ -339,6 +339,61 @@ object Relational2 {
       CAST(sum(CASE WHEN o_orderpriority LIKE '1%'
                THEN CAST(o_totalprice AS DECIMAL(18,2))
                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total
-      FROM orders"""))
+      FROM orders""")),
+
+    // Unpivot/melt — wide measure columns to (measure, value) rows, the
+    // reshape every feature-extraction pipeline runs before per-measure
+    // aggregation. Spark's native unpivot operator (an Expand node: one
+    // pass, no join/union of N projections).
+    ("q44_unpivot", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DoubleType).as("qty"),
+          col("l_extendedprice").cast(DoubleType).as("price"),
+          col("l_discount").cast(DoubleType).as("disc"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "val")
+        // duplicate (orderkey, linenumber) tuples exist in the synthetic
+        // data — val is the required final tiebreak for a total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_quantity AS DOUBLE) AS qty,
+          CAST(l_extendedprice AS DOUBLE) AS price,
+          CAST(l_discount AS DOUBLE) AS disc
+        FROM lineitem WHERE l_orderkey < 20),
+      u AS (SELECT * FROM base UNPIVOT (val FOR measure IN (qty, price, disc)))
+      SELECT l_orderkey, l_linenumber, measure, val FROM u
+      ORDER BY l_orderkey, l_linenumber, measure, val""")),
+
+    // Explicit GROUPING SETS (beyond q10 rollup / q11 cube): an
+    // arbitrary set list with grouping() markers disambiguating real
+    // NULLs from subtotal rows — one Expand + one aggregation pass.
+    ("q45_grouping_sets", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          CAST(grouping(l_linestatus) AS INT) AS g_status,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          count(*) AS n_rows
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+          l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        count(*) AS n_rows
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        l_linestatus NULLS FIRST"""))
   )
 }
