@@ -81,6 +81,48 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** (doc_id, w1, w2) bigram rows — `slice` + `arrays_zip` (codegen'd
+    * collection ops, no HOF lambda) then one explode. */
+  def bigrams(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+  }
+
+  /** Bigram novelty profile against a reference-corpus model — the
+    * language-model quality-filter shape of training-data pipelines,
+    * count-based so it is fully deterministic (and oracle-gated, unlike
+    * a float log-likelihood whose per-doc sum is partition-order
+    * sensitive): each scored document reports how many of its bigram
+    * transitions were never seen in the reference corpus, and how many
+    * start from an out-of-vocabulary token. Gibberish scores
+    * unseen_ratio → 1, reference-like text → 0.
+    *
+    * Scale: the model is vocabulary-bounded (|V|² worst case — tiny
+    * next to the corpus) and broadcast into the scoring joins; the
+    * corpus-side work is one bigram explode + one per-document
+    * aggregation.
+    */
+  def bigramNovelty(score: DataFrame, train: DataFrame): DataFrame = {
+    val sbg = bigrams(score)
+    val model = bigrams(train).select(col("w1"), col("w2")).distinct()
+      .withColumn("__seen", lit(1))
+    val known = model.select(col("w1")).distinct().withColumn("__known", lit(1))
+    sbg
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(known), Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_if(col("__seen").isNull).as("n_unseen"),
+        count_if(col("__known").isNull).as("n_oov"))
+      .withColumn("unseen_ratio",
+        col("n_unseen").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -230,6 +272,33 @@ object TextAnalysis {
             col("text"), 8, 16)).as("n_prints"))
         .orderBy(col("doc_id"))
     }, None),
+
+    // bigram-novelty quality score (LM-filter shape, count-based):
+    // odd doc_ids scored against the model of even doc_ids
+    ("t09_bigram_quality", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      bigramNovelty(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+          unnest(arr[1:len(arr) - 1]) AS w1,
+          unnest(arr[2:len(arr)]) AS w2
+        FROM toks),
+      model AS (SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+      known AS (SELECT DISTINCT w1 FROM model)
+      SELECT b.doc_id, count(*) AS n_bigrams,
+        count(*) FILTER (m.w1 IS NULL) AS n_unseen,
+        count(*) FILTER (k.w1 IS NULL) AS n_oov,
+        CAST(count(*) FILTER (m.w1 IS NULL) AS DOUBLE) / count(*) AS unseen_ratio
+      FROM bg b
+      LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      LEFT JOIN known k ON b.w1 = k.w1
+      WHERE b.doc_id % 2 = 1
+      GROUP BY b.doc_id ORDER BY b.doc_id""")),
 
     // language-ID (marker heuristic); verified against the same marker
     // logic in SQL so the heuristic itself is oracle-gated

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.SimHash
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Semantics of the LLM-data operators that the rows-only driver check
   * can't gate: MinHash-LSH recall vs the exact quadratic baseline,
@@ -104,6 +104,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.contains((1L, 3L)), s"planted copy missed: $pairs")
     assert(pairs((1L, 3L)) >= 0.5, s"containment score too low: ${pairs((1L, 3L))}")
     assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)), pairs.toString)
+  }
+
+  test("bigram novelty separates gibberish from reference-like text") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val typical = docs.orderBy("doc_id").limit(1).collect().head.getAs[String]("text")
+    val planted = Seq(
+      (9000001L, typical), // in-vocabulary, reference-like
+      (9000002L, "zxqv wjxk pqzt mnvb qqrs ttyu zzxc vvbn wwop rrtu")
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramNovelty(planted, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (_, typOov, typRatio) = scored(9000001L)
+    val (gibUnseen, gibOov, gibRatio) = scored(9000002L)
+    assert(typOov == 0 && typRatio < 0.5,
+      s"reference-like text flagged novel: $scored")
+    assert(gibRatio == 1.0 && gibOov == gibUnseen,
+      s"gibberish not fully novel: $scored")
   }
 
   test("media decode kernel is deterministic and batch-shaped") {
