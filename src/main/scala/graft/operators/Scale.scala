@@ -59,6 +59,24 @@ object Scale {
       .drop("__bucket_n")
   }
 
+  /** Size-targeted parquet write (small-files compaction): pick the
+    * partition count from Catalyst's own size estimate
+    * (`optimizedPlan.stats.sizeInBytes` — the planner's number, not a
+    * sample pass) so output files land near `targetBytes` each. A 100 TB
+    * pipeline that writes a shuffle's default partitioning produces
+    * thousands of KB-sized files per job (the classic downstream-scan
+    * killer); one `repartition(n)` round-robin exchange bounds both file
+    * count and size. Returns the partition count chosen.
+    */
+  def compactWrite(df: DataFrame, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes // BigInt
+    val n = ((estimate + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(100000)).toInt
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
+
   /** Salted equi-join for a known-skewed big side: the big side's key is
     * split into `saltFactor` sub-keys; the small side is replicated
     * `saltFactor`× so every sub-key finds its match. Restores balanced

@@ -160,4 +160,21 @@ class ScaleSpec extends SparkSuite {
     assert(salted.count() == plain.count())
     assert(salted.collect().toSet == plain.collect().toSet)
   }
+
+  test("compactWrite bounds output file count by the size target") {
+    val li = Tables.lineitem(spark, sf0001).repartition(16) // small-files input
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // generous target: everything compacts into ONE file
+    val one = tempDir("compact1").getAbsolutePath
+    val n1 = graft.operators.Scale.compactWrite(li, one, targetBytes = 1L << 30)
+    assert(n1 == 1 && parquetFiles(one) == 1)
+    // tight target: more, smaller files; count tracks the estimate
+    val many = tempDir("compactN").getAbsolutePath
+    val n2 = graft.operators.Scale.compactWrite(li, many, targetBytes = 32L << 10)
+    assert(n2 > 1 && parquetFiles(many) == n2)
+    // same rows either way
+    assert(spark.read.parquet(one).count() == li.count())
+    assert(spark.read.parquet(many).count() == li.count())
+  }
 }
