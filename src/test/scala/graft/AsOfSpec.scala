@@ -27,6 +27,31 @@ class AsOfSpec extends SparkSuite {
     assert(got("l7") == (None, None)) // right exists only after
   }
 
+  test("randomized: matches the brute-force definition on 50 seeded cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 50) {
+      val nL = 1 + rnd.nextInt(12)
+      val nR = rnd.nextInt(10)
+      val left = (1 to nL).map(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val right = (1 to nR).map(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(20).toLong, 100L + i))
+        // contract: unique (key, time) on the right
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = AsOf.asofJoin(
+          left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"), "k", "t", "t")
+        .select(col("lid"), col("asof_rid"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val expect = left.map { case (k, t, lid) =>
+        val prior = right.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (prior.isEmpty) None
+                else Some(prior.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == expect, s"left=$left right=$right")
+    }
+  }
+
   test("plan shape: one exchange, window, no join operator") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")

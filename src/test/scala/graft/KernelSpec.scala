@@ -181,6 +181,24 @@ class KernelSpec extends SparkSuite {
     assert(back.data.toSeq == g.data.toSeq)
   }
 
+  test("randomized: COG write/read round-trips 25 seeded grids exactly") {
+    import graft.kernel.Tiff
+    val rnd = new scala.util.Random(0xC06L)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(600)
+      val h = 1 + rnd.nextInt(560)
+      val nodata = if (rnd.nextBoolean()) Some(rnd.nextInt(100).toFloat) else None
+      val g = Grid(w, h, Array.fill(w * h)(rnd.nextFloat() * 200 - 100), nodata)
+      val affine = Raster.topLeftRecipe(
+        Extent(-50 + rnd.nextInt(40), -30 + rnd.nextInt(20),
+          60 + rnd.nextInt(40), 40 + rnd.nextInt(20)), w, h)
+      val (back, affBack) = Tiff.readGrid(Tiff.writeCog(g, affine, Cogify.tile(g)))
+      assert(back.width == w && back.height == h, s"dims $w x $h")
+      assert(back.data.toSeq == g.data.toSeq, s"data mismatch at $w x $h")
+      assert(affBack == affine && back.nodata == nodata)
+    }
+  }
+
   test("band stats aggregator matches exact stats under repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
