@@ -118,6 +118,41 @@ class NetcdfSpec extends SparkSuite {
     assert(grid.nodata.contains(-9999f))
   }
 
+  test("randomized: 30 seeded spec-grammar files parse back exactly") {
+    val rnd = new scala.util.Random(0xCDF1L)
+    val numericTypes =
+      Seq(Netcdf.NcByte, Netcdf.NcShort, Netcdf.NcInt, Netcdf.NcFloat, Netcdf.NcDouble)
+    def intish(t: Int): Boolean = t != Netcdf.NcFloat && t != Netcdf.NcDouble
+    for (_ <- 1 to 30) {
+      val version = 1 + rnd.nextInt(2)
+      val h = 1 + rnd.nextInt(12)
+      val w = 1 + rnd.nextInt(15)
+      val coordType = numericTypes(rnd.nextInt(numericTypes.size))
+      val gridType = numericTypes(rnd.nextInt(numericTypes.size))
+      // byte-exact expectations: integral types carry small ints; float
+      // types carry values representable in float32
+      def vals(n: Int, t: Int): Seq[Double] =
+        (0 until n).map(_ => if (intish(t)) rnd.nextInt(100) - 50
+          else (rnd.nextInt(4000) - 2000) / 8.0)
+      val ys = vals(h, coordType)
+      val grid = vals(h * w, gridType)
+      val bytes = build(version, numRecs = 0,
+        dims = Seq(BDim("y", h), BDim("x", w)),
+        gatts = Seq(BAtt.text("title", "rt")),
+        vars = Seq(
+          BVar("y", Seq(0), Seq.empty, coordType, ys),
+          BVar("g", Seq(0, 1), Seq.empty, gridType, grid)))
+      val nc = Netcdf.parse(bytes)
+      assert(nc.version == version)
+      assert(Netcdf.readCoord(nc, "y").toSeq == ys.map(v =>
+        if (intish(coordType)) v.toInt.toDouble
+        else if (coordType == Netcdf.NcFloat) v.toFloat.toDouble else v))
+      val g = Netcdf.readGrid(nc, "g")
+      assert(g.width == w && g.height == h)
+      assert(g.data.toSeq == grid.map(_.toFloat), s"$version $gridType ${h}x$w")
+    }
+  }
+
   test("HDF5 container fails fast to the DLQ without burning retries") {
     import spark.implicits._
     val h5 = new java.io.File(tempDir("h5"), "granule.h5")
