@@ -27,8 +27,13 @@ import graft.Tables
   */
 object AsOf {
 
+  /** @param maxStale optional staleness bound (same units as the
+    *   numeric time columns): a right row older than `leftTime -
+    *   maxStale` does not match — the "quote too old, treat as missing"
+    *   rule of financial as-of joins. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      maxStale: Option[Long] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     // carry the right row as one struct; its fields come out asof_-prefixed
     val rPayload = struct(payloadCols.map(c => col(c).as(s"asof_$c")): _*)
@@ -45,8 +50,11 @@ object AsOf {
     // at equal __t the right row (side 0) precedes the left row → inclusive
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+    val bounded = maxStale.fold(matched)(ms => matched.withColumn("__match",
+      when(col(s"__match.asof_$rightTime") >= col("__t") - ms, col("__match"))))
+    bounded
       .filter(col("__side") === 1)
       .select(col("__l.*") +: payloadCols.map(c =>
         col(s"__match.asof_$c").as(s"asof_$c")): _*)

@@ -27,6 +27,17 @@ class AsOfSpec extends SparkSuite {
     assert(got("l7") == (None, None)) // right exists only after
   }
 
+  test("staleness bound: matches older than maxStale become null") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, 40L, "old")).toDF("k", "t", "v")
+    def run(ms: Option[Long]) = AsOf.asofJoin(left, right, "k", "t", "t", ms)
+      .select(col("asof_v")).head()
+    assert(run(None).getString(0) == "old") // unbounded: matches
+    assert(run(Some(70L)).getString(0) == "old") // within 70 units
+    assert(run(Some(50L)).isNullAt(0)) // 60 units stale > 50 bound
+  }
+
   test("randomized: matches the brute-force definition on 50 seeded cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
