@@ -208,7 +208,10 @@ object Cogify {
     val tiles = tile(grid)
     val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ".cog.tif"
     val outPath = s"${outDir.stripSuffix("/")}/${task.collection}/$name"
-    val payload = writeTiff(outPath, grid, affine, tiles)
+    // the top-left recipe keeps the source's geographic degrees; the
+    // default recipe reprojects the extent to web-mercator meters
+    val epsg = if (config.useTopLeftRecipe) 4326 else 3857
+    val payload = writeTiff(outPath, grid, affine, tiles, epsg)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
       grid.width, grid.height, tiles.size, payload,
       Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f), None)
@@ -218,8 +221,9 @@ object Cogify {
     * GTiff/deflate profile + `cog_translate` overviews, handler.py:25-29)
     * — IFD-first layout with a 2×-decimated overview pyramid; see
     * [[Tiff]]. */
-  def writeTiff(path: String, g: Grid, affine: Affine, tiles: Seq[Tile]): Long = {
-    val bytes = Tiff.writeCog(g, affine, tiles)
+  def writeTiff(path: String, g: Grid, affine: Affine, tiles: Seq[Tile],
+      epsg: Int = 4326): Long = {
+    val bytes = Tiff.writeCog(g, affine, tiles, Some(epsg))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val out = fs.create(p, true)

@@ -43,6 +43,7 @@ object Tiff {
   val TagSampleFormat = 339
   val TagModelPixelScale = 33550
   val TagModelTiepoint = 33922
+  val TagGeoKeyDirectory = 34735
   val TagGdalNodata = 42113
 
   val CompressionDeflate = 8 // Adobe deflate
@@ -96,20 +97,40 @@ object Tiff {
     out.toSeq
   }
 
+  /** GeoKeyDirectory content for an EPSG code (GeoTIFF spec §2.4): the
+    * 4-short header then (KeyID, TIFFTagLocation=0 → inline, Count=1,
+    * Value) rows — geographic model for 4326, projected otherwise. */
+  private[kernel] def geoKeys(epsg: Int): Seq[Long] = {
+    val keys =
+      if (epsg == 4326)
+        Seq((1024, 2), (1025, 1), (2048, epsg)) // geographic, PixelIsArea
+      else
+        Seq((1024, 1), (1025, 1), (3072, epsg)) // projected, PixelIsArea
+    (Seq(1L, 1L, 0L, keys.size.toLong)
+      ++ keys.flatMap { case (id, v) => Seq(id.toLong, 0L, 1L, v.toLong) })
+  }
+
   /** Cloud-optimized write: the full-resolution page plus its overview
-    * pyramid, every IFD up front. */
-  def writeCog(g: Grid, affine: Affine, tiles: Seq[Cogify.Tile]): Array[Byte] =
+    * pyramid, every IFD up front; `epsg` lands in the GeoKeyDirectory so
+    * external readers see the CRS, not just the affine. */
+  def writeCog(g: Grid, affine: Affine, tiles: Seq[Cogify.Tile],
+      epsg: Option[Int] = Some(4326)): Array[Byte] =
     writePages((g, affine, tiles) +:
-      overviewLevels(g, affine).map { case (og, oa) => (og, oa, Cogify.tile(og)) })
+      overviewLevels(g, affine).map { case (og, oa) => (og, oa, Cogify.tile(og)) },
+      epsg)
 
   /** Multi-page writer. Layout: header(8) | IFD0..IFDn | external value
     * areas | tile data - the COG arrangement (metadata wholly in the file
     * head). Page 0 carries the geo/nodata tags; later pages are marked
     * `NewSubfileType=1` (reduced-resolution). */
-  private def writePages(pages: Seq[(Grid, Affine, Seq[Cogify.Tile])]): Array[Byte] = {
+  private def writePages(pages: Seq[(Grid, Affine, Seq[Cogify.Tile])],
+      epsg: Option[Int] = None): Array[Byte] = {
 
     def longsBytes(vs: Seq[Long]): Array[Byte] = {
       val b = le(4 * vs.size); vs.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    def shortsBytes(vs: Seq[Long]): Array[Byte] = {
+      val b = le(2 * vs.size); vs.foreach(v => b.putShort(v.toShort)); b.array()
     }
     def doublesBytes(vs: Seq[Double]): Array[Byte] = {
       val b = le(8 * vs.size); vs.foreach(b.putDouble); b.array()
@@ -135,7 +156,12 @@ object Tiff {
             Entry(TagModelPixelScale, DOUBLE, 3,
               external = Some(doublesBytes(Seq(affine.a, -affine.e, 0.0)))),
             Entry(TagModelTiepoint, DOUBLE, 6,
-              external = Some(doublesBytes(Seq(0, 0, 0, affine.c, affine.f, 0)))),
+              external = Some(doublesBytes(Seq(0, 0, 0, affine.c, affine.f, 0))))) ++
+            epsg.map { code =>
+              val ks = geoKeys(code)
+              Entry(TagGeoKeyDirectory, SHORT, ks.size,
+                external = Some(shortsBytes(ks)))
+            }.toVector ++ Vector(
             Entry(TagGdalNodata, ASCII, nodataAscii.length, external = Some(nodataAscii)))
         sub ++ Vector(
           Entry(TagImageWidth, LONG, 1, inline = Some(g.width.toLong)),

@@ -175,6 +175,11 @@ class KernelSpec extends SparkSuite {
       assert(tb.getFloat((r * tw + c) * 4) == g(4 * r, 4 * c))
     // geo tags: page 0 pixel scale, overview pixel size doubles per level
     assert(pages(0)(Tiff.TagModelPixelScale).doubles(0) == affine.a)
+    // CRS geokeys: geographic model + EPSG 4326 (GeoKeyDirectory layout)
+    val gk = pages(0)(Tiff.TagGeoKeyDirectory).longs
+    assert(gk.take(4) == Seq(1L, 1L, 0L, 3L), gk)
+    assert(gk.containsSlice(Seq(2048L, 0L, 1L, 4326L)), gk)
+    assert(pages(1).get(Tiff.TagGeoKeyDirectory).isEmpty) // page 0 only
     // readGrid still returns the full-resolution page
     val (back, affBack) = Tiff.readGrid(bytes)
     assert(back.width == 600 && back.height == 540 && affBack == affine)
