@@ -167,6 +167,49 @@ class FetchPublishSpec extends SparkSuite {
     }
   }
 
+  test("streaming ingest publishes through the OAuth2 poster end to end") {
+    import java.nio.file.{Files, Paths}
+    import graft.pipeline.Ingest
+    import graft.sources.Discovery
+    val posted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer({
+      case ("/oauth/token", ex) =>
+        respond(ex, 200, """{"access_token":"tok-str"}""".getBytes(UTF_8))
+      case ("/ingest", ex) =>
+        if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .contains("Bearer tok-str")) {
+          posted.add(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          respond(ex, 201, Array.empty)
+        } else respond(ex, 403, Array.empty)
+    }) { base =>
+      val bucket = tempDir("sbucket")
+      Seq("no2/OMI_20160101.tif", "no2/OMI_20160201.tif").foreach { k =>
+        val p = Paths.get(bucket.getAbsolutePath, k)
+        Files.createDirectories(p.getParent)
+        Files.write(p, ("payload:" + k).getBytes(UTF_8))
+      }
+      val w = tempDir("singest")
+      val c = Ingest.IngestConfig(
+        targetRoot = s"file:${w.getAbsolutePath}/target",
+        spillDir = s"file:${w.getAbsolutePath}/spill",
+        dryRunDir = s"${w.getAbsolutePath}/dry")
+      val assetDir = tempDir("sassets").getAbsolutePath
+      Discovery.discover(spark, Discovery.DiscoveryRequest(
+          bucket = s"file:${bucket.getAbsolutePath}", prefix = "no2/",
+          filenameRegex = Some("^(?:.*)\\.tif$"), upload = false,
+          datetimeRange = Some("month"))).toDF()
+        .write.mode("overwrite").parquet(assetDir)
+      val q = Ingest.runStream(spark, assetDir, c,
+        () => new PublishSink.BearerHttpPoster(
+          s"$base/oauth/token", s"$base/ingest", "cid", "csec"),
+        maxFilesPerTrigger = 1)
+      try q.processAllAvailable() finally q.stop()
+      val items = posted.toArray(Array.empty[String])
+      assert(items.length == 2, items.toSeq)
+      assert(items.forall(_.contains("OMI_")))
+    }
+  }
+
   test("bearer poster: token failure DLQs every item with the cause") {
     import spark.implicits._
     withServer({ case ("/oauth/token", ex) => respond(ex, 401, Array.empty) }) { base =>
