@@ -157,22 +157,34 @@ object Dedup {
     val fps = docs.select(col("doc_id"),
         array_distinct(GraftFunctions.winnow_fingerprint(col("text"), k, w)).as("fp"))
       .filter(size(col("fp")) > 0)
-      // read 3×: exploded self-join (both sides) + the size join
+      // read by the keyed explode AND the per-doc weight totals
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = Scale.capBuckets(
-      fps.select(col("doc_id"), explode(col("fp")).as("print")),
-      Seq("print"), maxBucket)
+    val exploded = fps.select(col("doc_id"), explode(col("fp")).as("print"))
+    // IDF weighting: a print shared by half the corpus says nothing
+    // about copying (boilerplate); one shared by two documents says a
+    // lot. weight = ln((N+1)/(df+1)) — the same smoothing as text IDF —
+    // so scores measure shared RARE content, complementing capBuckets
+    // (which only guards the join's pair count, not the score).
+    val nDocs = fps.count()
+    val weights = exploded.groupBy(col("print"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("wt", log((lit(nDocs + 1).cast(DoubleType)) /
+        (col("df") + 1).cast(DoubleType)))
+    val keyed = Scale.capBuckets(exploded, Seq("print"), maxBucket)
+      .join(weights.select(col("print"), col("wt")), "print")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = exploded.join(weights.select(col("print"), col("wt")), "print")
+      .groupBy(col("doc_id")).agg(sum(col("wt")).as("tot_wt"))
     val shared = keyed.alias("x").join(keyed.alias("y"),
         col("x.print") === col("y.print") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared")) // fp arrays are distinct → count = |A∩B|
+      // fp arrays are distinct → count = |A∩B|, sum = shared weight
+      .agg(count(lit(1)).as("n_shared"), sum(col("x.wt")).as("shared_wt"))
       .filter(col("n_shared") >= minShared)
-    val sizes = fps.select(col("doc_id"), size(col("fp")).as("n"))
     shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("overlap",
-        col("n_shared").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
+      .join(totals.select(col("doc_id").as("doc_a"), col("tot_wt").as("wa")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("tot_wt").as("wb")), "doc_b")
+      .withColumn("overlap", col("shared_wt") / least(col("wa"), col("wb")))
       .filter(col("overlap") >= minOverlap)
       .select(col("doc_a"), col("doc_b"), col("overlap"))
   }

@@ -98,12 +98,27 @@ class LlmOpsSpec extends SparkSuite {
     // a 300-char verbatim slice of longA embedded in unrelated text
     val partial = "totally unrelated preamble content goes first here and then " +
       longA.substring(50, 350) + " followed by an unrelated closing remark"
-    val df = Seq((1L, longA), (2L, longB), (3L, partial)).toDF("doc_id", "text")
+    // docs 10..13 share ONLY a boilerplate footer (in every one of them)
+    // plus genuinely distinct content — IDF weighting must keep them
+    // from pairing on the footer alone
+    val footer = " this standard footer text appears on every single page here " * 2
+    val bodies = Seq(
+      "astronomy telescopes resolve distant nebulae while quasars outshine entire galaxies near the cosmic horizon",
+      "gardening rewards patience with ripening tomatoes crisp lettuce and the quiet satisfaction of turned compost",
+      "violin bowing technique demands relaxed shoulders flexible wrists and countless hours of scale practice daily",
+      "sourdough fermentation depends on wild yeast hydration ratios and long cold proofs in the refrigerator")
+    val boilers = bodies.zipWithIndex.map { case (b, i) => (10L + i) -> (b + footer) }
+    val df = (Seq((1L, longA), (2L, longB), (3L, partial)) ++ boilers)
+      .toDF("doc_id", "text")
     val pairs = Dedup.winnowOverlapPairs(df, minOverlap = 0.3, maxBucket = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs.contains((1L, 3L)), s"planted copy missed: $pairs")
     assert(pairs((1L, 3L)) >= 0.5, s"containment score too low: ${pairs((1L, 3L))}")
     assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)), pairs.toString)
+    // boilerplate-only pairs stay below the threshold (shared prints are
+    // low-IDF; the unique content dominates each doc's weight)
+    val boilerPairs = pairs.keys.filter(p => p._1 >= 10L && p._2 >= 10L)
+    assert(boilerPairs.isEmpty, s"boilerplate paired: $pairs")
   }
 
   test("bigram novelty separates gibberish from reference-like text") {
