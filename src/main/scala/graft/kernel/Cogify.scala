@@ -206,12 +206,20 @@ object Cogify {
       else defaultTransformTo3857(extent, grid.width, grid.height) // handler.py:113-131
 
     val tiles = tile(grid)
-    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ".cog.tif"
+    // the baseline GeoTIFF tag set cannot carry a rotated affine
+    // (ModelPixelScale+Tiepoint assume axis-aligned axes) — route those
+    // to the length-prefixed container instead of burning retries on
+    // writeTiff's axis-aligned require
+    val rotated = affine.b != 0.0 || affine.d != 0.0
+    val ext = if (rotated) ".cog.bin" else ".cog.tif"
+    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ext
     val outPath = s"${outDir.stripSuffix("/")}/${task.collection}/$name"
     // the top-left recipe keeps the source's geographic degrees; the
     // default recipe reprojects the extent to web-mercator meters
     val epsg = if (config.useTopLeftRecipe) 4326 else 3857
-    val payload = writeTiff(outPath, grid, affine, tiles, epsg)
+    val payload =
+      if (rotated) writeContainer(outPath, grid, affine, tiles)
+      else writeTiff(outPath, grid, affine, tiles, epsg)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
       grid.width, grid.height, tiles.size, payload,
       Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f), None)

@@ -95,8 +95,10 @@ object AsOf {
 
     // trailing one-hour sum per user — a RANGE (value-based) window
     // frame over epoch-micros ordering; ties all enter the frame, so the
-    // result is order-independent, and the summand is DECIMAL so float
-    // addition order can't break the hash (oracle-parity discipline)
+    // result is order-independent. The sum is exact in DECIMAL (so float
+    // addition order can't change the value) and only the FINAL result is
+    // cast to DOUBLE — a raw decimal output string-hashes differently
+    // between engines (oracle-parity discipline, q04/q33 convention)
     ("q43_range_frame", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val hourUs = 3600L * 1000000L
@@ -107,7 +109,7 @@ object AsOf {
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
           col("value").cast("decimal(18,2)").as("v"))
         .withColumn("trailing_1h_sum",
-          sum(col("v")).over(w).cast("decimal(28,2)"))
+          sum(col("v")).over(w).cast("double"))
         .select(col("event_id"), col("user_id"), col("t"), col("trailing_1h_sum"))
         .orderBy(col("event_id"))
     },
@@ -115,7 +117,7 @@ object AsOf {
         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
           PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        AS DECIMAL(28,2)) AS trailing_1h_sum
+        AS DOUBLE) AS trailing_1h_sum
       FROM events ORDER BY event_id"""))
   )
 }

@@ -173,8 +173,13 @@ object Dedup {
     val keyed = Scale.capBuckets(exploded, Seq("print"), maxBucket)
       .join(weights.select(col("print"), col("wt")), "print")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = exploded.join(weights.select(col("print"), col("wt")), "print")
-      .groupBy(col("doc_id")).agg(sum(col("wt")).as("tot_wt"))
+    // totals come from the SAME capped projection the pair join uses —
+    // a print dropped by capBuckets is excluded from numerator AND
+    // denominator, so a doc whose prints land in hot buckets is scored
+    // over its surviving prints instead of being silently unreachable
+    // (capped numerator over uncapped denominator could never hit
+    // minOverlap even for a true verbatim containment)
+    val totals = keyed.groupBy(col("doc_id")).agg(sum(col("wt")).as("tot_wt"))
     val shared = keyed.alias("x").join(keyed.alias("y"),
         col("x.print") === col("y.print") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

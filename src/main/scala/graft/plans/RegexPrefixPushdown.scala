@@ -25,13 +25,43 @@ object RegexPrefixPushdown extends Rule[LogicalPlan] {
 
   /** Leading literal run of an `^`-anchored Java regex: characters after
     * `^` up to the first metacharacter. None when the pattern is not
-    * anchored (or the run is empty — nothing to push). */
+    * anchored, the run is empty, or the inference would be UNSOUND:
+    *
+    *  - a top-level unescaped `|` anywhere in the pattern alternates
+    *    against the `^` anchor itself (`RLike` has contains semantics, so
+    *    `^a|b` matches any string containing `b` — no prefix holds);
+    *  - a `*`, `?`, or `{` quantifier immediately after the run makes the
+    *    run's LAST character optional (`^logs?` matches "log…"), so that
+    *    character is dropped from the pushed prefix (`+` keeps it — at
+    *    least one occurrence is still required). */
   private[graft] def literalPrefix(pattern: String): Option[String] = {
     if (!pattern.startsWith("^")) None
     else {
-      val meta = "\\.[](){}*+?|^$"
-      val run = pattern.drop(1).takeWhile(c => !meta.contains(c))
-      if (run.isEmpty) None else Some(run)
+      val body = pattern.drop(1)
+      // scan the WHOLE body for a top-level (depth-0, outside a character
+      // class, unescaped) alternation — if present, bail
+      var i = 0; var depth = 0; var inClass = false; var topAlt = false
+      while (i < body.length && !topAlt) {
+        body.charAt(i) match {
+          case '\\' => i += 1 // skip the escaped char
+          case '[' if !inClass => inClass = true
+          case ']' if inClass => inClass = false
+          case '(' if !inClass => depth += 1
+          case ')' if !inClass && depth > 0 => depth -= 1
+          case '|' if !inClass && depth == 0 => topAlt = true
+          case _ =>
+        }
+        i += 1
+      }
+      if (topAlt) None
+      else {
+        val meta = "\\.[](){}*+?|^$"
+        val run0 = body.takeWhile(c => !meta.contains(c))
+        val next = if (run0.length < body.length) Some(body.charAt(run0.length)) else None
+        val run = if (next.exists(c => c == '*' || c == '?' || c == '{'))
+          run0.dropRight(1) else run0
+        if (run.isEmpty) None else Some(run)
+      }
     }
   }
 

@@ -12,7 +12,17 @@ class PlanRuleSpec extends SparkSuite {
     import RegexPrefixPushdown.literalPrefix
     assert(literalPrefix("^OMI_trno2_.*\\.he5$").contains("OMI_trno2_"))
     assert(literalPrefix("^web").contains("web"))
-    assert(literalPrefix("^a|b").contains("a")) // run stops at the metachar
+    // top-level alternation: RLike's contains semantics make '^a|b' match
+    // strings with no 'a' prefix at all — must NOT push anything
+    assert(literalPrefix("^a|b").isEmpty)
+    assert(literalPrefix("^ab(c|d)e").contains("ab")) // grouped alt is fine
+    assert(literalPrefix("^a\\|b").contains("a")) // escaped '|' is literal
+    // a quantifier makes the run's last char optional — drop it
+    assert(literalPrefix("^logs?").contains("log"))
+    assert(literalPrefix("^webs*").contains("web"))
+    assert(literalPrefix("^ab{0,3}").contains("a"))
+    assert(literalPrefix("^logs+").contains("logs")) // '+' keeps it required
+    assert(literalPrefix("^s?").isEmpty) // quantified single char: nothing left
     assert(literalPrefix("unanchored").isEmpty)
     assert(literalPrefix("^.*x").isEmpty) // empty literal run
     assert(literalPrefix("^(?i)x").isEmpty) // inline flags: bail
