@@ -15,10 +15,10 @@ import Raster._
   *
   * Real here: config registry, array fixups, affine/extent math, tiling,
   * deflate compression, baseline-GeoTIFF output ([[Tiff]] — externally
-  * parseable tags), the partitioned execution + retry. STUBBED: the
-  * NetCDF decode ([[GridReader]]) — this container has no HDF5 codec, so
-  * the default reader synthesizes a deterministic grid from the task; a
-  * production reader drops in behind the same trait.
+  * parseable tags), NetCDF-3 classic ([[Netcdf]]) and NetCDF-4/HDF5
+  * ([[Hdf5]]) decode behind [[FetchGridReader]]'s magic sniff, and the
+  * partitioned execution + retry. [[FakeGridReader]] remains the
+  * synthetic-grid default for specs that don't care about bytes.
   */
 object Cogify {
 
@@ -99,11 +99,11 @@ object Cogify {
   /** THE production reader: localize via a [[graft.sources.Fetch.Fetcher]]
     * (A7), sniff the container magic, decode — NetCDF-3 classic through
     * [[Netcdf]] (variable + `_FillValue` + x/y coordinate vars per the
-    * collection config, handler.py:84-101), baseline TIFF through
-    * [[Tiff.readGrid]]. NetCDF-4 granules are HDF5 containers (magic
-    * `\x89HDF`) — no codec in this environment, so they fail fast with a
-    * non-retryable error that routes the task to the DLQ instead of
-    * burning retry attempts.
+    * collection config, handler.py:84-101), NetCDF-4/HDF5 (magic
+    * `\x89HDF`) through [[Hdf5]] with the configured group path, and
+    * baseline TIFF through [[Tiff.readGrid]]. Unrecognized containers
+    * fail fast with a non-retryable error that routes the task to the
+    * DLQ instead of burning retry attempts.
     */
   final class FetchGridReader(mkFetcher: () => graft.sources.Fetch.Fetcher)
       extends GridReader {
@@ -131,9 +131,16 @@ object Cogify {
           val xs = Array.tabulate(grid.width)(j => affine.c + affine.a * (j + 0.5))
           val ys = Array.tabulate(grid.height)(i => affine.f + affine.e * (i + 0.5))
           (grid, Some(xs), Some(ys))
-        case Array(0x89, 0x48, 0x44, 0x46) => // "\x89HDF"
-          throw new UnsupportedOperationException(
-            "NetCDF-4/HDF5 container: no HDF5 codec available (classic CDF-1/2 and TIFF are supported)")
+        case Array(0x89, 0x48, 0x44, 0x46) => // "\x89HDF" — NetCDF-4/HDF5
+          val h5 = Hdf5.parse(bytes)
+          // NetCDF-4 variables are HDF5 datasets, grouped per the config
+          // (handler.py:84 `group=...`); coordinate vars live alongside
+          val at = (name: String) =>
+            (config.group.toSeq :+ name).mkString("/")
+          val grid = Hdf5.readGrid(h5, at(config.variableName))
+          (grid,
+            config.xVariable.map(n => Hdf5.readCoord(h5, at(n))),
+            config.yVariable.map(n => Hdf5.readCoord(h5, at(n))))
         case other =>
           throw new UnsupportedOperationException(
             s"unrecognized container magic ${other.map(b => f"$b%02x").mkString}")

@@ -15,9 +15,8 @@ import Raster.Grid
   * per-record slabs).
   *
   * Scope: the classic binary container only. NetCDF-4 granules are HDF5
-  * files — a different container this offline environment has no codec
-  * for — and are rejected with a clear error by [[Cogify.FetchGridReader]]'s
-  * magic sniff. Classic files have no groups, so a configured `group` is
+  * files — [[Cogify.FetchGridReader]]'s magic sniff routes those to
+  * [[Hdf5]]. Classic files have no groups, so a configured `group` is
   * ignored here (groups exist only in the HDF5 container).
   */
 object Netcdf {

@@ -153,8 +153,10 @@ class NetcdfSpec extends SparkSuite {
     }
   }
 
-  test("HDF5 container fails fast to the DLQ without burning retries") {
+  test("corrupt HDF5 container fails fast to the DLQ without burning retries") {
     import spark.implicits._
+    // real HDF5 now decodes (Hdf5Spec); a truncated/garbage signature is
+    // a structural failure — non-retryable, straight to the DLQ
     val h5 = new java.io.File(tempDir("h5"), "granule.h5")
     java.nio.file.Files.write(h5.toPath,
       Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte) ++ new Array[Byte](16))
