@@ -40,7 +40,8 @@ object Cogify {
   final case class CogifyResult(collection: String, href: String,
       granule_id: Option[String], filename: String,
       width: Int, height: Int, n_tiles: Int, payload_bytes: Long,
-      affine: Seq[Double], error: Option[String])
+      affine: Seq[Double], epsg: Int, stats: Option[BandStats.Stats],
+      error: Option[String])
 
   /** Pluggable decode stage. */
   trait GridReader extends Serializable {
@@ -229,7 +230,32 @@ object Cogify {
       else writeTiff(outPath, grid, affine, tiles, epsg)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
       grid.width, grid.height, tiles.size, payload,
-      Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f), None)
+      Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f),
+      epsg, Some(gridStats(grid)), None)
+  }
+
+  /** Per-band raster statistics of the decoded grid (reference A12:
+    * `rio_stac … with_raster=True` computes them from the COG it just
+    * wrote, stac.py:33-48; here the grid is already in memory). Two
+    * passes: min/max fix the histogram range, then the mergeable
+    * [[BandStats.Agg]] buffer path produces the same Stats shape the
+    * relational m03 query uses. */
+  def gridStats(g: Grid): BandStats.Stats = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < g.data.length) {
+      val v = g.data(i)
+      if (!g.nodata.exists(_ == v) && !v.isNaN) {
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    val agg =
+      if (mn <= mx) BandStats.Agg(mn, mx, nodata = g.nodata)
+      else BandStats.Agg(0.0, 1.0, nodata = g.nodata) // all-nodata grid
+    agg.finish(agg.reduce(agg.zero, g.data))
   }
 
   /** Write the grid as a cloud-optimized GeoTIFF (the reference's
@@ -294,7 +320,7 @@ object Cogify {
             case e: java.io.IOException if attempt < maxAttempts => // retryable
             case e: Throwable =>
               result = CogifyResult(task.collection, task.href, task.granule_id,
-                "", 0, 0, 0, 0L, Seq.empty, Some(e.toString))
+                "", 0, 0, 0, 0L, Seq.empty, 0, None, Some(e.toString))
           }
         }
         result

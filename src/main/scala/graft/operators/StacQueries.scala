@@ -60,6 +60,98 @@ object StacQueries {
       CASE WHEN o_orderkey % 2 = 0
            THEN 'data-bucket-coll/file_' || strftime(o_orderdate, '%Y%m%d')
            ELSE 'file_' || strftime(o_orderdate, '%Y%m%d') END AS item_id
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // A12 full item fields: bbox from the affine through the REAL
+    // buildItems path (rio_stac with_proj semantics, stac.py:32-48) —
+    // the oracle re-derives the axis-aligned bbox arithmetic in SQL.
+    ("q46_stac_item_fields", (s: SparkSession, d: String) => {
+      import graft.pipeline.Ingest
+      val orders = Tables.orders(s, d)
+      val events = orders.select(
+        col("o_orderkey"),
+        lit("coll").as("collection"),
+        // '_k<key>' keeps hrefs unique (the raster-meta join is 1:1)
+        // without adding a digit run the date strategies could match
+        concat(lit("s3://b/coll/file_"),
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          lit("_k"), col("o_orderkey").cast("string"), lit(".tif"))
+          .as("s3_filename"),
+        lit(null).cast("string").as("granule_id"),
+        lit(null).cast("string").as("datetime_range"),
+        lit(null).cast("string").as("id_regex"))
+      val statsType = "struct<count:bigint,min:double,max:double,mean:double," +
+        "stddev:double,p25:double,p50:double,p75:double,p98:double," +
+        "histogram:array<bigint>>"
+      val meta = events.select(col("s3_filename"),
+        (lit(100) + col("o_orderkey") % 7).cast("int").as("width"),
+        (lit(50) + col("o_orderkey") % 5).cast("int").as("height"),
+        array(lit(0.25), lit(0.0),
+          (col("o_orderkey") % 10 - lit(180)).cast("double"), lit(0.0),
+          lit(-0.5), (lit(90) - col("o_orderkey") % 4).cast("double"))
+          .as("affine"),
+        lit(4326).as("epsg"),
+        lit(null).cast(statsType).as("stats"))
+      Ingest.buildItems(events, None, Some(meta))
+        .select(col("o_orderkey"), col("item_id"),
+          element_at(col("bbox"), 1).as("west"),
+          element_at(col("bbox"), 2).as("south"),
+          element_at(col("bbox"), 3).as("east"),
+          element_at(col("bbox"), 4).as("north"),
+          col("dts.single_datetime").as("datetime"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH m AS (
+        SELECT o_orderkey,
+          100 + o_orderkey % 7 AS w, 50 + o_orderkey % 5 AS h,
+          CAST(o_orderkey % 10 - 180 AS DOUBLE) AS cx,
+          CAST(90 - o_orderkey % 4 AS DOUBLE) AS fy
+        FROM orders)
+      SELECT o_orderkey,
+        'file_' || strftime(o_orderdate, '%Y%m%d') || '_k' || o_orderkey AS item_id,
+        least(cx, cx + 0.25 * w) AS west,
+        least(fy, fy + (-0.5) * h) AS south,
+        greatest(cx, cx + 0.25 * w) AS east,
+        greatest(fy, fy + (-0.5) * h) AS north,
+        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS datetime
+      FROM orders JOIN m USING (o_orderkey)
+      ORDER BY o_orderkey""")),
+
+    // Catalog validation: items against their collection's (possibly
+    // open-ended) temporal interval via StacCollection.enrich — the
+    // broadcast catalog join plus the null-end rule of
+    // HLSL30.002.json:16-23.
+    ("q47_interval_validation", (s: SparkSession, d: String) => {
+      import graft.model.StacCollection
+      val collections = Tables.region(s, d).select(
+        concat(lit("C"), col("r_regionkey").cast("string")).as("id"),
+        col("r_name").as("title"),
+        lit("CC0-1.0").as("license"),
+        lit("month").as("dashboard:time_density"),
+        to_timestamp(concat(lit("199"), col("r_regionkey").cast("string"),
+          lit("-01-01"))).as("interval_start"),
+        when(col("r_regionkey") % 2 === 0,
+          to_timestamp(lit("1997-06-30"))).as("interval_end"))
+      val items = Tables.orders(s, d).select(col("o_orderkey"),
+        concat(lit("C"), (col("o_orderkey") % 5).cast("string"))
+          .as("collection"),
+        col("o_orderdate").cast("timestamp").as("item_dt"))
+      StacCollection.enrich(items, collections, "item_dt")
+        .select(col("o_orderkey"), col("collection"), col("title"),
+          col("time_density"), col("in_interval"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH c AS (
+        SELECT 'C' || r_regionkey AS collection, r_name AS title,
+          CAST('199' || r_regionkey || '-01-01' AS TIMESTAMP) AS interval_start,
+          CASE WHEN r_regionkey % 2 = 0 THEN TIMESTAMP '1997-06-30' END AS interval_end
+        FROM region)
+      SELECT o.o_orderkey, 'C' || (o.o_orderkey % 5) AS collection, c.title,
+        'month' AS time_density,
+        ((c.interval_start IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) >= c.interval_start)
+          AND (c.interval_end IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) <= c.interval_end))
+          AS in_interval
+      FROM orders o LEFT JOIN c ON c.collection = 'C' || (o.o_orderkey % 5)
+      ORDER BY o_orderkey"""))
   )
 }

@@ -50,12 +50,24 @@ object Ingest {
     * are regex events — datetime precedence + filename extraction
     * (A13/A14) and id derivation (A15).
     *
+    * When `rasterMeta` is supplied (one row per asset href: width,
+    * height, affine, epsg, band stats — [[rasterMeta]] derives it from
+    * cogify results), items additionally carry the full
+    * `rio_stac`-shaped field set (stac.py:32-48 `with_proj=True,
+    * with_raster=True`): `bbox` + GeoJSON `geometry` footprint in
+    * EPSG:4326, `proj:epsg`/`proj:shape`/`proj:transform` properties,
+    * and a `cog_default` asset with per-band `raster:bands` statistics.
+    *
     * @param cmrMeta optional granule-metadata dim
     *   (granule_id, time_start, time_end), e.g. from the
     *   GranuleCatalog source; without it CMR events fall back to the
     *   regex path (offline degradation).
+    * @param rasterMeta optional per-asset raster dim keyed by
+    *   `s3_filename`: width, height, affine (array), epsg, stats
+    *   struct; assets without a row get the id/datetime-only item.
     */
-  def buildItems(events: DataFrame, cmrMeta: Option[DataFrame] = None): DataFrame = {
+  def buildItems(events: DataFrame, cmrMeta: Option[DataFrame] = None,
+      rasterMeta: Option[DataFrame] = None): DataFrame = {
     val withDates = cmrMeta match {
       case Some(meta) =>
         val isCmr = col("granule_id").isNotNull
@@ -74,7 +86,57 @@ object Ingest {
         events.withColumn("dts",
           extract_filename_dates(col("s3_filename"), col("datetime_range")))
     }
-    withDates
+    val withRaster = rasterMeta match {
+      case Some(meta) =>
+        // 1:1 enrichment join on the asset href; bbox/footprint derive
+        // from the affine (axis-aligned: b = d = 0) and reproject to
+        // EPSG:4326 when the grid is web-mercator (the two CRSs the
+        // cogify recipes emit)
+        val a = element_at(col("__affine"), 1)
+        val c = element_at(col("__affine"), 3)
+        val e = element_at(col("__affine"), 5)
+        val f = element_at(col("__affine"), 6)
+        val x0 = c
+        val x1 = c + a * col("__w")
+        val y0 = f
+        val y1 = f + e * col("__h")
+        val R = 6378137.0
+        def toLon(x: org.apache.spark.sql.Column) =
+          when(col("__epsg") === 3857, degrees(x / R)).otherwise(x)
+        def toLat(y: org.apache.spark.sql.Column) =
+          when(col("__epsg") === 3857,
+            degrees(lit(2.0) * atan(exp(y / R)) - lit(math.Pi / 2))).otherwise(y)
+        (events2: DataFrame) => events2
+          .join(meta.select(col("s3_filename"),
+            col("width").as("__w"), col("height").as("__h"),
+            col("affine").as("__affine"), col("epsg").as("__epsg"),
+            col("stats").as("__stats")), Seq("s3_filename"), "left")
+          .withColumn("bbox", when(col("__affine").isNotNull, array(
+            least(toLon(x0), toLon(x1)), least(toLat(y0), toLat(y1)),
+            greatest(toLon(x0), toLon(x1)), greatest(toLat(y0), toLat(y1)))))
+          .withColumn("geometry", when(col("bbox").isNotNull, struct(
+            lit("Polygon").as("type"),
+            array(array(
+              array(element_at(col("bbox"), 1), element_at(col("bbox"), 2)),
+              array(element_at(col("bbox"), 3), element_at(col("bbox"), 2)),
+              array(element_at(col("bbox"), 3), element_at(col("bbox"), 4)),
+              array(element_at(col("bbox"), 1), element_at(col("bbox"), 4)),
+              array(element_at(col("bbox"), 1), element_at(col("bbox"), 2))))
+              .as("coordinates"))))
+      case None =>
+        (events2: DataFrame) => events2
+          .withColumn("bbox", lit(null).cast("array<double>"))
+          .withColumn("geometry", lit(null)
+            .cast("struct<type:string,coordinates:array<array<array<double>>>>"))
+          .withColumn("__w", lit(null).cast("int"))
+          .withColumn("__h", lit(null).cast("int"))
+          .withColumn("__affine", lit(null).cast("array<double>"))
+          .withColumn("__epsg", lit(null).cast("int"))
+          .withColumn("__stats", lit(null).cast(
+            "struct<count:bigint,min:double,max:double,mean:double,stddev:double," +
+              "p25:double,p50:double,p75:double,p98:double,histogram:array<bigint>>"))
+    }
+    withRaster(withDates)
       .withColumn("item_id",
         // A15 with the CMR rule of stac.py:118: granule id IS the item id
         coalesce(col("granule_id"),
@@ -87,11 +149,38 @@ object Ingest {
         date_format(col("dts.end_datetime"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
           .as("end_datetime"),
         date_format(col("dts.single_datetime"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-          .as("datetime"))))
+          .as("datetime"),
+        // rio_stac's with_proj/with_raster field set (stac.py:32-48);
+        // to_json drops null branches, so meta-less assets keep the
+        // compact item shape
+        col("bbox"), col("geometry"),
+        when(col("__epsg").isNotNull, struct(
+          col("__epsg").as("proj:epsg"),
+          array(col("__h"), col("__w")).as("proj:shape"),
+          col("__affine").as("proj:transform"))).as("properties"),
+        when(col("__stats").isNotNull, struct(struct(
+          col("s3_filename").as("href"),
+          lit("image/tiff; application=geotiff; profile=cloud-optimized")
+            .as("type"),
+          array(lit("data"), lit("layer")).as("roles"),
+          array(struct(
+            col("__stats.min").as("minimum"), col("__stats.max").as("maximum"),
+            col("__stats.mean").as("mean"), col("__stats.stddev").as("stddev"),
+            (col("__stats.count") * lit(100.0) / (col("__w") * col("__h")))
+              .as("valid_percent"))).as("raster:bands"))
+          .as("cog_default"))).as("assets"))))
       // A13 contract: no extractable datetime and no explicit one → the
       // record is dead-letterable, not publishable
       .withColumn("valid", col("dts").isNotNull)
+      .drop("__w", "__h", "__affine", "__epsg", "__stats")
   }
+
+  /** Cogify results → the per-asset raster dim [[buildItems]] joins on:
+    * the output COG path is the asset href the item will reference. */
+  def rasterMeta(cogifyResults: DataFrame): DataFrame =
+    cogifyResults.filter(col("error").isNull)
+      .select(col("filename").as("s3_filename"), col("width"), col("height"),
+        col("affine"), col("epsg"), col("stats"))
 
   /** Continuous-ingest mode (SURVEY §0 consequence 2): a stream of
     * discovered-asset batches dropped into `assetDir` drains through the

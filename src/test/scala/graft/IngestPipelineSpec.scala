@@ -114,6 +114,53 @@ class IngestPipelineSpec extends SparkSuite {
     assert(fallback.getAs[String]("item_id") == "G-123") // id rule still holds
   }
 
+  test("items carry bbox, footprint, proj and raster stats from cogify results") {
+    import spark.implicits._
+    import graft.kernel.Cogify
+    import graft.kernel.Cogify.{CogifyTask, CollectionConfig}
+    // cogify a synthetic granule (FakeGridReader: 360x180 global grid,
+    // top-left recipe → EPSG:4326), then feed its result row back as the
+    // raster dim — the full A12 wiring the reference gets from rio_stac
+    val out = tempDir("cogmeta").getAbsolutePath
+    val results = Cogify.run(
+      Seq(CogifyTask("no2", "file:/x/OMI_trno2_20160101.tif", None,
+        upload = false)).toDS(),
+      Map("no2" -> CollectionConfig("data", useTopLeftRecipe = true)),
+      s"file:$out").collect()
+    assert(results.head.error.isEmpty && results.head.epsg == 4326)
+    val stats = results.head.stats.get
+    assert(stats.count == 360L * 180L) // FakeGridReader emits no nodata
+    assert(stats.min >= 0 && stats.max <= 100 && stats.stddev > 0)
+
+    val meta = Ingest.rasterMeta(spark.createDataset(results.toSeq).toDF())
+    val events = Seq(("no2", results.head.filename, null: String,
+        null: String, null: String))
+      .toDF("collection", "s3_filename", "granule_id", "datetime_range", "id_regex")
+    val row = Ingest.buildItems(events, rasterMeta = Some(meta)).head()
+
+    // bbox derives from the affine the kernel computed (extent from
+    // coord-center min/max, handler.py:96-103 semantics)
+    val Seq(a, _, c, _, e, f) = results.head.affine
+    assert(row.getAs[scala.collection.Seq[Double]]("bbox").toSeq ==
+      Seq(c, f + e * 180, c + a * 360, f))
+    val json = row.getAs[String]("item_json")
+    assert(json.contains(""""proj:epsg":4326"""))
+    assert(json.contains(""""proj:shape":[180,360]"""))
+    assert(json.contains(s""""proj:transform":[$a,0.0,$c,0.0,$e,$f]"""))
+    // closed GeoJSON ring, first == last corner
+    assert(json.contains(""""type":"Polygon""""))
+    assert(json.contains(s"[[[$c,${f + e * 180}],[${c + a * 360},${f + e * 180}]"))
+    assert(json.contains(""""raster:bands""""))
+    assert(json.contains(""""valid_percent":100.0"""))
+    assert(json.contains("image/tiff; application=geotiff; profile=cloud-optimized"))
+
+    // assets without a raster row keep the compact item (null branches
+    // dropped from the JSON), and the datetime path is untouched
+    val bare = Ingest.buildItems(events).head()
+    assert(bare.getAs[Any]("bbox") == null)
+    assert(!bare.getAs[String]("item_json").contains("proj:epsg"))
+  }
+
   test("records without extractable dates are flagged invalid, not fatal") {
     import spark.implicits._
     val assets = Seq(
