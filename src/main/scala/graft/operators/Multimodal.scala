@@ -214,6 +214,49 @@ object Multimodal {
           (label, st.count, st.min, st.max, st.p50) }
         .toDF("label", "n_values", "min_v", "max_v", "p50")
         .orderBy(col("label"))
-    }, None)
+    }, None),
+
+    // m03's oracle-stable twin: every output survives the hash compare
+    // because the arithmetic is exact — count/min/max are order-free,
+    // the "sum" is an integer sum of floor(v·2^24) fixed-point values
+    // (float32 inputs fit losslessly in double; floor+BIGINT-sum are
+    // bit-identical across engines where a float sum is not), and the
+    // median is the LOWER-median ELEMENT picked by rank (quantile
+    // interpolation differs between engines in the last ulp).
+    ("m06_band_stats_exact", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = graft.Tables.embeddings(s, d)
+        .select(col("label"), explode(col("embedding")).as("v"))
+        .withColumn("v", col("v").cast("double"))
+      val ranked = vals
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("v"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("label"))))
+      val med = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
+        .groupBy(col("label")).agg(min(col("v")).as("median_lo"))
+      vals.groupBy(col("label")).agg(
+          count(lit(1)).as("n_values"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          sum(floor(col("v") * 16777216).cast("long")).as("sum_q24"))
+        .join(med, "label")
+        .orderBy(col("label"))
+    },
+    Some("""WITH vals AS (
+        SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings),
+      ranked AS (
+        SELECT label, v,
+          row_number() OVER (PARTITION BY label ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY label) AS cnt FROM vals),
+      med AS (
+        SELECT label, min(v) AS median_lo FROM ranked
+        WHERE rn = (cnt + 1) // 2 GROUP BY label)
+      SELECT v.label, count(*) AS n_values, min(v.v) AS min_v,
+        max(v.v) AS max_v,
+        CAST(sum(CAST(floor(v.v * 16777216) AS BIGINT)) AS BIGINT) AS sum_q24,
+        m.median_lo
+      FROM vals v JOIN med m USING (label)
+      GROUP BY v.label, m.median_lo
+      ORDER BY v.label"""))
   )
 }

@@ -211,6 +211,84 @@ object Similarity {
     (cents.flatten.map(_.toFloat), dim)
   }
 
+  /** Distributed trainer: same deterministic evenly-spaced init as
+    * [[trainCentroids]] (iters=0 there returns just the init), then
+    * Lloyd's iterations over the FULL corpus — assignment and partial
+    * (sum, count) accumulation run per partition, and only k×dim
+    * partials reach the driver per iteration (the MLlib k-means shape).
+    * Use when cluster balance matters more than the training pass cost:
+    * the bounded-sample trainer can misplace centroids the sample never
+    * saw; this one sees every vector. Still deterministic — no RNG, and
+    * the per-partition partial sums merge by index, not arrival order…
+    * up to float-sum associativity in the partials, which moves
+    * centroids by ulps, not lists.
+    */
+  def trainCentroidsDistributed(corpus: DataFrame, nlist: Int,
+      corpusSize: Long, iters: Int = 8,
+      sampleMax: Int = 4096): (Array[Float], Int) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (initFlat, dim) = trainCentroids(corpus, nlist, corpusSize,
+      sampleMax, iters = 0)
+    val k = initFlat.length / dim
+    var cents: Array[Double] = initFlat.map(_.toDouble)
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val partials = vecs.mapPartitions { it =>
+          val c = bc.value
+          val sums = new Array[Double](k * dim)
+          val counts = new Array[Long](k)
+          it.foreach { raw =>
+            // unit-normalize, assign by max dot, accumulate
+            var s = 0.0; var j = 0
+            while (j < dim) { s += raw(j).toDouble * raw(j); j += 1 }
+            val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+            var best = 0; var bestDot = Double.NegativeInfinity
+            var ci = 0
+            while (ci < k) {
+              var dot = 0.0; j = 0
+              while (j < dim) { dot += raw(j) * inv * c(ci * dim + j); j += 1 }
+              if (dot > bestDot) { bestDot = dot; best = ci }
+              ci += 1
+            }
+            j = 0
+            while (j < dim) { sums(best * dim + j) += raw(j) * inv; j += 1 }
+            counts(best) += 1
+          }
+          Iterator.single((sums, counts))
+        }.collect()
+        val sums = new Array[Double](k * dim)
+        val counts = new Array[Long](k)
+        partials.foreach { case (ps, pc) =>
+          var i = 0
+          while (i < sums.length) { sums(i) += ps(i); i += 1 }
+          i = 0
+          while (i < k) { counts(i) += pc(i); i += 1 }
+        }
+        val next = new Array[Double](k * dim)
+        var ci = 0
+        while (ci < k) {
+          if (counts(ci) == 0) // empty list: keep the old centroid
+            System.arraycopy(cents, ci * dim, next, ci * dim, dim)
+          else {
+            var s = 0.0; var j = 0
+            while (j < dim) { val v = sums(ci * dim + j); s += v * v; j += 1 }
+            val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+            j = 0
+            while (j < dim) { next(ci * dim + j) = sums(ci * dim + j) * inv; j += 1 }
+          }
+          ci += 1
+        }
+        cents = next
+        bc.unpersist()
+      }
+      (cents.map(_.toFloat), dim)
+    } finally vecs.unpersist()
+  }
+
   /** IVF approximate top-k: corpus rows are stored in their `replicas`
     * nearest inverted lists (replica assignment — the standard recall
     * lever for neighbors that straddle a Voronoi boundary; storage cost
@@ -221,11 +299,14 @@ object Similarity {
     * join back to the corpus and window top-k'd. The assignment column
     * is the natural partition/cluster key for a stored index. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 0, nprobe: Int = 8, replicas: Int = 2): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 8, replicas: Int = 2,
+      distributedTrain: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = corpus.count()
     val lists = if (nlist > 0) nlist else nlistFor(n)
-    val (flat, dim) = trainCentroids(corpus, lists, n)
+    val (flat, dim) =
+      if (distributedTrain) trainCentroidsDistributed(corpus, lists, n)
+      else trainCentroids(corpus, lists, n)
     def nearest(c: Column, p: Int) =
       graft.functions.GraftFunctions.nearest_centroids(c, flat, dim, p)
     val assigned = corpus.select(col("vec_id"),

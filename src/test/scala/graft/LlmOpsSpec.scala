@@ -87,6 +87,22 @@ class LlmOpsSpec extends SparkSuite {
     val r1 = Similarity.ivfTopK(queries, emb, 5).collect().toSeq
     val r2 = Similarity.ivfTopK(queries, emb, 5).collect().toSeq
     assert(r1 == r2)
+
+    // the distributed (full-corpus Lloyd's) trainer is at least as good
+    // as the bounded-sample trainer at the same probe width, and equally
+    // deterministic
+    val distApprox = Similarity.ivfTopK(queries, emb, 1, nprobe = 8,
+        distributedTrain = true)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distRecall = exact.count { case (q, n) => distApprox.get(q).contains(n) }
+    assert(distRecall >= exact.size * 7 / 10,
+      s"distributed-trained ivf recall $distRecall/${exact.size}")
+    val d2 = Similarity.ivfTopK(queries, emb, 1, nprobe = 8,
+      distributedTrain = true).collect().toSeq
+    val d3 = Similarity.ivfTopK(queries, emb, 1, nprobe = 8,
+      distributedTrain = true).collect().toSeq
+    assert(d2 == d3)
   }
 
   test("winnow overlap flags planted partial copies, not unrelated docs") {
