@@ -225,21 +225,24 @@ object Multimodal {
     // interpolation differs between engines in the last ulp).
     ("m06_band_stats_exact", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
+      // ONE exchange: the rank window hash-partitions by label, and the
+      // following groupBy(label) reuses that partitioning (no second
+      // shuffle) — the median element is just a conditional min over the
+      // already-ranked rows
       val vals = graft.Tables.embeddings(s, d)
         .select(col("label"), explode(col("embedding")).as("v"))
         .withColumn("v", col("v").cast("double"))
-      val ranked = vals
+      vals
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("label")).orderBy(col("v"))))
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("label"))))
-      val med = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
-        .groupBy(col("label")).agg(min(col("v")).as("median_lo"))
-      vals.groupBy(col("label")).agg(
+        .groupBy(col("label")).agg(
           count(lit(1)).as("n_values"),
           min(col("v")).as("min_v"),
           max(col("v")).as("max_v"),
-          sum(floor(col("v") * 16777216).cast("long")).as("sum_q24"))
-        .join(med, "label")
+          sum(floor(col("v") * 16777216).cast("long")).as("sum_q24"),
+          min(when(col("rn") === expr("(cnt + 1) div 2"), col("v")))
+            .as("median_lo"))
         .orderBy(col("label"))
     },
     Some("""WITH vals AS (
@@ -247,16 +250,10 @@ object Multimodal {
       ranked AS (
         SELECT label, v,
           row_number() OVER (PARTITION BY label ORDER BY v) AS rn,
-          count(*) OVER (PARTITION BY label) AS cnt FROM vals),
-      med AS (
-        SELECT label, min(v) AS median_lo FROM ranked
-        WHERE rn = (cnt + 1) // 2 GROUP BY label)
-      SELECT v.label, count(*) AS n_values, min(v.v) AS min_v,
-        max(v.v) AS max_v,
-        CAST(sum(CAST(floor(v.v * 16777216) AS BIGINT)) AS BIGINT) AS sum_q24,
-        m.median_lo
-      FROM vals v JOIN med m USING (label)
-      GROUP BY v.label, m.median_lo
-      ORDER BY v.label"""))
+          count(*) OVER (PARTITION BY label) AS cnt FROM vals)
+      SELECT label, count(*) AS n_values, min(v) AS min_v, max(v) AS max_v,
+        CAST(sum(CAST(floor(v * 16777216) AS BIGINT)) AS BIGINT) AS sum_q24,
+        min(CASE WHEN rn = (cnt + 1) // 2 THEN v END) AS median_lo
+      FROM ranked GROUP BY label ORDER BY label"""))
   )
 }
