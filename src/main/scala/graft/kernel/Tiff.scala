@@ -7,19 +7,23 @@ import Raster.{Affine, Grid}
 /** Minimal TIFF/COG (GeoTIFF-flavored) writer + parser for the cogify
   * output (reference COG profile, cogify/handler.py:25-29 +
   * `cog_translate`: GTiff, 256×256 tiles, deflate, overview pyramid).
-  * Classic little-endian TIFF laid out cloud-optimized: ALL IFDs (the
+  * Little-endian TIFF laid out cloud-optimized: ALL IFDs (the
   * full-resolution page plus 2×-decimated reduced-resolution overviews,
   * `NewSubfileType=1`) first, then the external value areas, then tile
   * data — so a range-read of the file head yields every page's metadata.
-  * Tiled single-band float32, Adobe-deflate compressed, GeoTIFF
+  * Tiled float32, Adobe-deflate compressed, GeoTIFF
   * ModelPixelScale/ModelTiepoint carrying the affine, GDAL_NODATA ASCII
   * tag — the tag set external readers (GDAL/rasterio/tifffile) need to
   * open the file. The parser is the same contract read back: it drives
   * both the KernelSpec round-trip gate and [[Cogify.FetchGridReader]].
   *
-  * Deliberately NOT implemented: BigTIFF, multi-band — the reference
-  * profile is single-band; outputs past 4 GiB would need BigTIFF's
-  * 8-byte offsets.
+  * Beyond the single-band classic profile (the reference's common case,
+  * cogify/handler.py:152): multi-band pages write as separate planes
+  * (`PlanarConfiguration=2`, band-major tile order — the layout that
+  * keeps each band range-readable on its own), and the BigTIFF
+  * variant (version 43, 8-byte offsets/counts) carries payloads past
+  * classic TIFF's 4 GiB ceiling; [[writeCogBands]] selects it
+  * automatically when the payload demands it.
   */
 object Tiff {
 
@@ -28,7 +32,9 @@ object Tiff {
   private val LONG = 4
   private val ASCII = 2
   private val DOUBLE = 12
+  private val LONG8 = 16 // BigTIFF 8-byte unsigned
 
+  val TagPlanarConfig = 284 // 2 = separate planes (band-major tiles)
   val TagNewSubfileType = 254 // 1 = reduced-resolution overview page
   val TagImageWidth = 256
   val TagImageLength = 257
@@ -57,6 +63,7 @@ object Tiff {
     case LONG => 4
     case ASCII => 1
     case DOUBLE => 8
+    case LONG8 => 8
     case _ => throw new IllegalArgumentException(s"type $t")
   }
 
@@ -67,30 +74,35 @@ object Tiff {
     * must be the row-major 256x256 deflate tiles of `g` ([[Cogify.tile]]'s
     * output order). */
   def write(g: Grid, affine: Affine, tiles: Seq[Cogify.Tile]): Array[Byte] =
-    writePages(Seq((g, affine, tiles)))
+    writePages(Seq((Seq((g, tiles)), affine)))
 
-  /** The 2x-decimated overview chain (nearest resampling - the reference
-    * `cog_translate` default) down to the level that fits one tile; each
-    * level's pixel size doubles. */
+  /** 2x nearest-neighbor decimation (the reference `cog_translate`
+    * default resampling). */
+  private def decimate(cur: Grid): Grid = {
+    val w = math.max(1, (cur.width + 1) / 2)
+    val h = math.max(1, (cur.height + 1) / 2)
+    val data = new Array[Float](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        data(r * w + c) = cur(math.min(2 * r, cur.height - 1),
+          math.min(2 * c, cur.width - 1))
+        c += 1
+      }
+      r += 1
+    }
+    Grid(w, h, data, cur.nodata)
+  }
+
+  /** The 2x-decimated overview chain down to the level that fits one
+    * tile; each level's pixel size doubles. */
   def overviewLevels(g: Grid, affine: Affine): Seq[(Grid, Affine)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Grid, Affine)]
     var cur = g
     var aff = affine
     while (math.max(cur.width, cur.height) > Cogify.TileSize) {
-      val w = math.max(1, (cur.width + 1) / 2)
-      val h = math.max(1, (cur.height + 1) / 2)
-      val data = new Array[Float](w * h)
-      var r = 0
-      while (r < h) {
-        var c = 0
-        while (c < w) {
-          data(r * w + c) = cur(math.min(2 * r, cur.height - 1),
-            math.min(2 * c, cur.width - 1))
-          c += 1
-        }
-        r += 1
-      }
-      cur = Grid(w, h, data, g.nodata)
+      cur = decimate(cur)
       aff = Affine(aff.a * 2, aff.b, aff.c, aff.d, aff.e * 2, aff.f)
       out += ((cur, aff))
     }
@@ -115,20 +127,49 @@ object Tiff {
     * external readers see the CRS, not just the affine. */
   def writeCog(g: Grid, affine: Affine, tiles: Seq[Cogify.Tile],
       epsg: Option[Int] = Some(4326)): Array[Byte] =
-    writePages((g, affine, tiles) +:
-      overviewLevels(g, affine).map { case (og, oa) => (og, oa, Cogify.tile(og)) },
+    writePages((Seq((g, tiles)), affine) +:
+      overviewLevels(g, affine).map { case (og, oa) => (Seq((og, Cogify.tile(og))), oa) },
       epsg)
 
-  /** Multi-page writer. Layout: header(8) | IFD0..IFDn | external value
+  /** Multi-band cloud-optimized write: every band is a separate plane
+    * (`PlanarConfiguration=2`) with its own band-major tile run,
+    * decimated in lockstep for the overview pyramid. Switches to BigTIFF
+    * when the payload approaches classic TIFF's 4 GiB offset ceiling —
+    * or when forced, so the format is testable without a 4 GiB fixture. */
+  def writeCogBands(bands: Seq[Grid], affine: Affine,
+      epsg: Option[Int] = Some(4326),
+      forceBigTiff: Boolean = false): Array[Byte] = {
+    require(bands.nonEmpty, "at least one band")
+    require(bands.forall(b => b.width == bands.head.width &&
+      b.height == bands.head.height), "bands must share dimensions")
+    val pages = scala.collection.mutable.ArrayBuffer(
+      (bands.map(b => (b, Cogify.tile(b))), affine))
+    var cur = bands
+    var aff = affine
+    while (math.max(cur.head.width, cur.head.height) > Cogify.TileSize) {
+      cur = cur.map(decimate)
+      aff = Affine(aff.a * 2, aff.b, aff.c, aff.d, aff.e * 2, aff.f)
+      pages += ((cur.map(b => (b, Cogify.tile(b))), aff))
+    }
+    val payload = pages.iterator
+      .flatMap(_._1).flatMap(_._2).map(_.deflated.length.toLong).sum
+    writePages(pages.toSeq, epsg, bigTiff = forceBigTiff || payload > (1L << 31))
+  }
+
+  /** Multi-page writer. Layout: header | IFD0..IFDn | external value
     * areas | tile data - the COG arrangement (metadata wholly in the file
     * head). Page 0 carries the geo/nodata tags; later pages are marked
-    * `NewSubfileType=1` (reduced-resolution). */
-  private def writePages(pages: Seq[(Grid, Affine, Seq[Cogify.Tile])],
-      epsg: Option[Int] = None): Array[Byte] = {
+    * `NewSubfileType=1` (reduced-resolution). Each page is (bands,
+    * affine); multi-band pages write band-major tile runs with
+    * `PlanarConfiguration=2`. `bigTiff` selects the version-43 container
+    * (8-byte counts and offsets throughout). */
+  private def writePages(pages: Seq[(Seq[(Grid, Seq[Cogify.Tile])], Affine)],
+      epsg: Option[Int] = None, bigTiff: Boolean = false): Array[Byte] = {
 
-    def longsBytes(vs: Seq[Long]): Array[Byte] = {
-      val b = le(4 * vs.size); vs.foreach(v => b.putInt(v.toInt)); b.array()
-    }
+    val offType = if (bigTiff) LONG8 else LONG
+    def offsBytes(vs: Seq[Long]): Array[Byte] =
+      if (bigTiff) { val b = le(8 * vs.size); vs.foreach(b.putLong); b.array() }
+      else { val b = le(4 * vs.size); vs.foreach(v => b.putInt(v.toInt)); b.array() }
     def shortsBytes(vs: Seq[Long]): Array[Byte] = {
       val b = le(2 * vs.size); vs.foreach(v => b.putShort(v.toShort)); b.array()
     }
@@ -139,11 +180,14 @@ object Tiff {
     // entries per page, ascending by tag id (TIFF spec requirement);
     // TileOffsets patched once the data region is placed
     val pageEntries: Seq[Vector[Entry]] = pages.zipWithIndex.map {
-      case ((g, affine, tiles), page) =>
+      case ((bands, affine), page) =>
         require(affine.b == 0 && affine.d == 0,
           "baseline GeoTIFF tags encode axis-aligned affines only")
-        val n = tiles.size
-        val tileSizes = tiles.map(_.deflated.length.toLong)
+        val g = bands.head._1
+        val nb = bands.size
+        // band-major: all of band 0's tiles, then band 1's … (planar)
+        val tileSizes = bands.flatMap(_._2).map(_.deflated.length.toLong)
+        val n = tileSizes.size
         // NUL-terminated, the TIFF ASCII-field convention
         val nodataAscii =
           (g.nodata.map(_.toString).getOrElse("nan") + "\u0000").getBytes("US-ASCII")
@@ -163,30 +207,41 @@ object Tiff {
                 external = Some(shortsBytes(ks)))
             }.toVector ++ Vector(
             Entry(TagGdalNodata, ASCII, nodataAscii.length, external = Some(nodataAscii)))
+        val planar: Vector[Entry] =
+          if (nb == 1) Vector.empty
+          else Vector(Entry(TagPlanarConfig, SHORT, 1, inline = Some(2L)))
         sub ++ Vector(
           Entry(TagImageWidth, LONG, 1, inline = Some(g.width.toLong)),
           Entry(TagImageLength, LONG, 1, inline = Some(g.height.toLong)),
-          Entry(TagBitsPerSample, SHORT, 1, inline = Some(32L)),
+          Entry(TagBitsPerSample, SHORT, nb,
+            external = Some(shortsBytes(Seq.fill(nb)(32L)))),
           Entry(TagCompression, SHORT, 1, inline = Some(CompressionDeflate.toLong)),
           Entry(TagPhotometric, SHORT, 1, inline = Some(1L)), // BlackIsZero
-          Entry(TagSamplesPerPixel, SHORT, 1, inline = Some(1L)),
+          Entry(TagSamplesPerPixel, SHORT, 1, inline = Some(nb.toLong))) ++
+          planar ++ Vector(
           Entry(TagTileWidth, LONG, 1, inline = Some(Cogify.TileSize.toLong)),
           Entry(TagTileLength, LONG, 1, inline = Some(Cogify.TileSize.toLong)),
-          Entry(TagTileOffsets, LONG, n, external = Some(new Array[Byte](4 * n))),
-          Entry(TagTileByteCounts, LONG, n,
+          Entry(TagTileOffsets, offType, n,
+            external = Some(new Array[Byte](typeSize(offType) * n))),
+          Entry(TagTileByteCounts, offType, n,
             inline = if (n == 1) Some(tileSizes.head) else None,
-            external = if (n == 1) None else Some(longsBytes(tileSizes))),
-          Entry(TagSampleFormat, SHORT, 1, inline = Some(SampleFormatFloat.toLong))) ++ geo
+            external = if (n == 1) None else Some(offsBytes(tileSizes))),
+          Entry(TagSampleFormat, SHORT, nb,
+            external = Some(shortsBytes(Seq.fill(nb)(SampleFormatFloat.toLong))))) ++ geo
     }
 
-    def needsExternal(e: Entry): Boolean = typeSize(e.ttype) * e.count > 4
+    // inline value slot: 4 bytes classic, 8 BigTIFF
+    val cap = if (bigTiff) 8 else 4
+    def needsExternal(e: Entry): Boolean = typeSize(e.ttype) * e.count > cap
 
     // region sizes: IFDs, then external areas, then tile data
-    val ifdSizes = pageEntries.map(es => 2 + es.size * 12 + 4)
-    val ifdStarts = ifdSizes.scanLeft(8)(_ + _).init
+    val (headerSize, entrySize, ifdOverhead) =
+      if (bigTiff) (16, 20, 8 + 8) else (8, 12, 2 + 4)
+    val ifdSizes = pageEntries.map(es => ifdOverhead + es.size * entrySize)
+    val ifdStarts = ifdSizes.scanLeft(headerSize)(_ + _).init
     val extSizes = pageEntries.map(_.filter(needsExternal).map(_.external.get.length).sum)
     val extStarts = extSizes.scanLeft(ifdStarts.last + ifdSizes.last)(_ + _).init
-    val tileSizesAll = pages.map(_._3.map(_.deflated.length.toLong))
+    val tileSizesAll = pages.map(_._1.flatMap(_._2).map(_.deflated.length.toLong))
     var tileCursor = (extStarts.last + extSizes.last).toLong
     val tileStarts = tileSizesAll.map { sizes =>
       val offs = sizes.scanLeft(tileCursor)(_ + _)
@@ -200,32 +255,45 @@ object Tiff {
         case e if e.tag == TagTileOffsets && offs.size == 1 =>
           e.copy(inline = Some(offs.head), external = None)
         case e if e.tag == TagTileOffsets =>
-          e.copy(external = Some(longsBytes(offs)))
+          e.copy(external = Some(offsBytes(offs)))
         case e => e
       }
     }
 
     val buf = le(tileCursor.toInt)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    if (bigTiff) // version 43: offset-size descriptor, 8-byte IFD offset
+      buf.put('I'.toByte).put('I'.toByte).putShort(43)
+        .putShort(8).putShort(0).putLong(headerSize.toLong)
+    else buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(headerSize)
     patched.zipWithIndex.foreach { case (entries, page) =>
       var extCursor = extStarts(page)
-      buf.putShort(entries.size.toShort)
+      if (bigTiff) buf.putLong(entries.size.toLong)
+      else buf.putShort(entries.size.toShort)
       entries.foreach { e =>
-        buf.putShort(e.tag.toShort).putShort(e.ttype.toShort).putInt(e.count)
-        if (needsExternal(e)) { buf.putInt(extCursor); extCursor += e.external.get.length }
-        else e.ttype match {
-          // inline values pack into the low bytes of the 4-byte slot
-          case SHORT => buf.putShort(e.inline.getOrElse(0L).toShort).putShort(0)
-          case LONG => buf.putInt(e.inline.getOrElse(0L).toInt)
-          case ASCII =>
-            val a = e.external.getOrElse(Array.empty[Byte])
-            buf.put(java.util.Arrays.copyOf(a, 4))
+        buf.putShort(e.tag.toShort).putShort(e.ttype.toShort)
+        if (bigTiff) buf.putLong(e.count.toLong) else buf.putInt(e.count)
+        if (needsExternal(e)) {
+          if (bigTiff) buf.putLong(extCursor.toLong) else buf.putInt(extCursor)
+          extCursor += e.external.get.length
+        } else e.external match {
+          // small multi-value (or ASCII): bytes pack into the value slot
+          case Some(a) => buf.put(java.util.Arrays.copyOf(a, cap))
+          case None => e.ttype match {
+            case SHORT =>
+              buf.putShort(e.inline.getOrElse(0L).toShort)
+              buf.put(new Array[Byte](cap - 2))
+            case LONG =>
+              buf.putInt(e.inline.getOrElse(0L).toInt)
+              buf.put(new Array[Byte](cap - 4))
+            case LONG8 => buf.putLong(e.inline.getOrElse(0L))
+          }
         }
       }
-      buf.putInt(if (page + 1 < patched.size) ifdStarts(page + 1) else 0)
+      val next = if (page + 1 < patched.size) ifdStarts(page + 1) else 0
+      if (bigTiff) buf.putLong(next.toLong) else buf.putInt(next)
     }
     patched.foreach(_.foreach(e => if (needsExternal(e)) buf.put(e.external.get)))
-    pages.foreach(_._3.foreach(t => buf.put(t.deflated)))
+    pages.foreach(_._1.foreach(_._2.foreach(t => buf.put(t.deflated))))
     buf.array()
   }
 
