@@ -16,7 +16,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.StacQueries.defs ++ operators.AsOf.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.Clusters.defs ++
+      operators.Clusters.defs ++ operators.Curate.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs
 

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: PII detection/redaction, URL/domain profiling
+  * (the input to domain-level boilerplate and blocklist filters),
+  * deterministic stratified sampling (reproducible training mixtures),
+  * and within-document repetition removal (Gopher/RefinedWeb-style).
+  *
+  * All four are row-local except the domain rollup's single aggregation —
+  * each scales linearly and shuffles at most once. PII/URL patterns stay
+  * inside the regex dialect subset shared by Java regex and RE2 (`\b`,
+  * `\d`, bounded classes) so the DuckDB oracle runs the same patterns.
+  *
+  * The synthetic corpus carries no organic PII/URLs; the queries plant
+  * them deterministically from doc_id (mirrored exactly in the oracle
+  * SQL), so the extraction logic is exercised against known ground truth
+  * — the same fixture discipline d01 uses for duplicates.
+  */
+object Curate {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val UrlRe = "https?://[^\\s]+"
+  val DomainRe = "https?://([^/\\s]+)"
+
+  /** Redact emails, then phones, then IPs (order matters and is part of
+    * the contract — an email's digits must not be half-eaten by the IP
+    * pass). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    // group 0 = the full match (Spark defaults to group 1, DuckDB to 0)
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+
+  /** Deterministic content-hash sampling: keep a row iff the first two
+    * hex chars of md5(source:doc_id) fall under the source's threshold.
+    * Reproducible across runs/engines (no RNG), stable under corpus
+    * growth (a doc's fate never depends on other rows), and exact
+    * per-source rates in expectation — the way training mixtures are
+    * actually drawn at 100 TB. */
+  def sampleBucket(source: Column, id: Column): Column =
+    substring(md5(concat_ws(":", source, id.cast("string"))), 1, 2)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // PII detect + redact. Every 7th doc gets a planted email/phone/IP
+    // (deterministic from doc_id); output counts + the redacted text's
+    // md5 so the gate hashes the full redaction result.
+    ("t10_pii_scrub", (s: SparkSession, d: String) => {
+      val planted = Tables.documents(s, d).withColumn("ptext",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com tel "),
+            lit("555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ip 10."), (col("doc_id") % 250).cast("string"), lit(".0.42")))
+          .otherwise(col("text")))
+      planted.select(
+        Seq(col("doc_id")) ++ piiCounts(col("ptext")) ++ Seq(
+          md5(redactPii(col("ptext"))).as("redacted_md5"),
+          length(redactPii(col("ptext"))).cast("long").as("redacted_len")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN
+            text || ' contact user' || doc_id || '@example.com tel 555-' ||
+            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' ip 10.' || (doc_id % 250) || '.0.42'
+          ELSE text END AS ptext
+        FROM documents),
+      red AS (
+        SELECT doc_id, ptext,
+          regexp_replace(regexp_replace(regexp_replace(ptext,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+        FROM planted)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(ptext,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(ptext,
+          '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(ptext,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        md5(r) AS redacted_md5, CAST(length(r) AS BIGINT) AS redacted_len
+      FROM red ORDER BY doc_id""")),
+
+    // URL extraction + per-domain rollup — the profile a domain
+    // blocklist / boilerplate filter consumes. Every 3rd doc gets one
+    // planted URL, every 12th a second on a different domain.
+    ("t11_url_domains", (s: SparkSession, d: String) => {
+      val planted = Tables.documents(s, d).withColumn("ptext",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://www.site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string"), lit("?ref=x")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 12 === 0,
+            concat(lit(" http://cdn"), (col("doc_id") % 3).cast("string"),
+              lit(".example.net/a.js")))
+            .otherwise(lit(""))))
+      planted
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("ptext"), lit(UrlRe), lit(0))).as("url"))
+        .withColumn("domain", regexp_extract(col("url"), DomainRe, 1))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' see https://www.site' ||
+            (doc_id % 7) || '.example.com/p/' || doc_id || '?ref=x'
+          ELSE '' END ||
+          CASE WHEN doc_id % 12 = 0 THEN ' http://cdn' || (doc_id % 3) ||
+            '.example.net/a.js'
+          ELSE '' END AS ptext
+        FROM documents),
+      urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(ptext, 'https?://[^\s]+')) AS url
+        FROM planted)
+      SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+        count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      FROM urls GROUP BY 1 ORDER BY domain""")),
+
+    // Deterministic stratified sample: per-source md5-bucket thresholds
+    // (src0 25%, src1 50%, src2 75%, rest 12.5%). Emits the kept rows
+    // themselves so the gate hashes the exact membership.
+    ("d07_stratified_sample", (s: SparkSession, d: String) => {
+      val thr = when(col("source") === "src0", "40")
+        .when(col("source") === "src1", "80")
+        .when(col("source") === "src2", "c0")
+        .otherwise("20")
+      Tables.documents(s, d)
+        .withColumn("bucket", sampleBucket(col("source"), col("doc_id")))
+        .filter(col("bucket") < thr)
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+      WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        CASE source WHEN 'src0' THEN '40' WHEN 'src1' THEN '80'
+                    WHEN 'src2' THEN 'c0' ELSE '20' END
+      ORDER BY doc_id""")),
+
+    // Within-document repetition removal: split into paragraphs, drop
+    // repeats keeping first occurrence, reassemble in order. The planted
+    // view gives every doc 4 paragraphs with the first repeated (the
+    // crawl-dedup shape: header/body/header/footer).
+    ("t12_para_dedup", (s: SparkSession, d: String) => {
+      val planted = Tables.documents(s, d).withColumn("ptext",
+        concat_ws(" ~ ",
+          substring(col("text"), 1, 50), substring(col("text"), 51, 40),
+          substring(col("text"), 1, 50), substring(col("text"), 91, 30)))
+      val paras = planted
+        .select(col("doc_id"), posexplode(split(col("ptext"), " ~ ")))
+        .toDF("doc_id", "pos", "para")
+      paras
+        .groupBy(col("doc_id"), col("para"))
+        .agg(min(col("pos")).as("pos"))
+        .groupBy(col("doc_id"))
+        .agg(
+          concat_ws(" ~ ", transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para"))).as("cleaned"),
+          count(lit(1)).as("n_unique"))
+        .withColumn("cleaned_md5", md5(col("cleaned")))
+        .select(col("doc_id"), col("n_unique"), col("cleaned_md5"),
+          length(col("cleaned")).cast("long").as("cleaned_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          substr(text, 1, 50) || ' ~ ' || substr(text, 51, 40) || ' ~ ' ||
+          substr(text, 1, 50) || ' ~ ' || substr(text, 91, 30) AS ptext
+        FROM documents),
+      p AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, len(string_split(ptext, ' ~ ')) + 1),
+          i -> {'pos': i, 'para': string_split(ptext, ' ~ ')[i]})) AS u
+        FROM planted),
+      f AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM p),
+      m AS (SELECT doc_id, para, min(pos) AS pos FROM f GROUP BY 1, 2)
+      SELECT doc_id, count(*) AS n_unique,
+        md5(string_agg(para, ' ~ ' ORDER BY pos)) AS cleaned_md5,
+        CAST(length(string_agg(para, ' ~ ' ORDER BY pos)) AS BIGINT) AS cleaned_len
+      FROM m GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

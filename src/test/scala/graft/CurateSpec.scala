@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curate
+
+/** Ground-truth semantics of the corpus-curation operators: planted PII
+  * is found and fully redacted, URL domains resolve to the planted set,
+  * the stratified sample hits its per-source rates and is deterministic,
+  * paragraph dedup drops exactly the planted repeat.
+  */
+class CurateSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pii: planted email/phone/ip found; redaction leaves no residual match") {
+    val out = SparkEntry.queries("t10_pii_scrub")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, e, p, ip) =>
+      if (id % 7 == 0) assert((e, p, ip) == ((1L, 1L, 1L)), s"doc $id")
+      else assert((e, p, ip) == ((0L, 0L, 0L)), s"doc $id")
+    }
+    // redacting the redacted text is a no-op with zero remaining matches
+    val doc = Seq((0L, "reach a@b.co or 555-123-4567 from 10.1.2.3")).toDF("doc_id", "text")
+    val red = doc.select(Curate.redactPii(col("text")).as("r"))
+      .select(Seq(col("r")) ++ Curate.piiCounts(col("r")): _*)
+      .head()
+    assert(red.getString(0) == "reach [EMAIL] or [PHONE] from [IP]")
+    assert((red.getLong(1), red.getLong(2), red.getLong(3)) == ((0L, 0L, 0L)))
+  }
+
+  test("url domains: exactly the planted domains, counts match plant rule") {
+    val rows = SparkEntry.queries("t11_url_domains")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.documents(spark, sf0001).count()
+    val expectedSites = (0L until n).filter(_ % 3 == 0)
+      .groupBy(id => s"www.site${id % 7}.example.com").view.mapValues(_.size.toLong)
+    expectedSites.foreach { case (dom, cnt) =>
+      assert(rows(dom) == ((cnt, cnt)), s"$dom")
+    }
+    val expectedCdn = (0L until n).filter(_ % 12 == 0)
+      .groupBy(id => s"cdn${id % 3}.example.net").view.mapValues(_.size.toLong)
+    expectedCdn.foreach { case (dom, cnt) => assert(rows(dom) == ((cnt, cnt))) }
+    assert(rows.size == expectedSites.size + expectedCdn.size)
+  }
+
+  test("stratified sample: deterministic, per-source rates near targets") {
+    val q = SparkEntry.queries("d07_stratified_sample")
+    val a = q(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same input must sample identically")
+    val bySource = q(spark, sf0001).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf0001).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("src0" -> 0.25, "src1" -> 0.50, "src2" -> 0.75)
+    target.foreach { case (src, rate) =>
+      val got = bySource.getOrElse(src, 0L).toDouble / totals(src)
+      // md5 buckets are uniform; small per-source n gives wide tolerance
+      assert(math.abs(got - rate) < 0.2, s"$src rate $got vs $rate")
+    }
+  }
+
+  test("paragraph dedup drops the planted repeat and keeps order") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) >= 120)
+    val out = SparkEntry.queries("t12_para_dedup")(spark, sf0001)
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .collect()
+    assert(out.nonEmpty)
+    // 4 planted paragraphs, first repeated → 3 unique for long-enough docs
+    out.foreach { r => assert(r.getLong(1) == 3L, s"doc ${r.getLong(0)}") }
+  }
+}
