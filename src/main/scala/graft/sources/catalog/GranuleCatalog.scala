@@ -177,26 +177,38 @@ private[catalog] class GranuleScan(path: String, pageSize: Int,
   override def description(): String = s"GranuleCatalogScan(pushed=$query)"
   override def toBatch: Batch = this
 
-  /** One partition per catalog "page" — the paged-API shape; the driver
-    * asks the client only for the matching granule count. */
+  /** One partition per catalog "page" — the paged-API shape. The driver
+    * makes ONE plan-time request: page 0 plus the query's total match
+    * count (the paged-API `hits` header — CMR returns it with every page
+    * response). Page 0's rows ride along inside partition 0 so the
+    * cluster never re-requests them; partitions 1..n each fetch exactly
+    * their own page. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = CatalogClient.count(path, query)
-    val pages = math.max(1, math.ceil(n.toDouble / pageSize).toInt)
-    (0 until pages).map(p => GranulePartition(p): InputPartition).toArray
+    val (page0, hits) = CatalogClient.fetchWithHits(path, query, 0, pageSize)
+    val pages = math.max(1, math.ceil(hits.toDouble / pageSize).toInt)
+    (GranulePartition(0, page0.toArray) +:
+      (1 until pages).map(p => GranulePartition(p, null))).map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GranuleReaderFactory(path, pageSize, query)
 }
 
-private[catalog] case class GranulePartition(page: Int) extends InputPartition
+/** `prefetched` is non-null only for page 0 (the plan-time response
+  * body); InternalRow trees here hold UTF8String/GenericArrayData —
+  * all JVM-serializable — so the rows ship inside the task binary. */
+private[catalog] case class GranulePartition(page: Int,
+    prefetched: Array[InternalRow]) extends InputPartition
 
 private[catalog] class GranuleReaderFactory(path: String, pageSize: Int,
     query: GranuleCatalog.CatalogQuery) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val page = partition.asInstanceOf[GranulePartition].page
+    val gp = partition.asInstanceOf[GranulePartition]
+    val page = gp.page
     new PartitionReader[InternalRow] {
-      private val it = CatalogClient.fetch(path, query, page, pageSize).iterator
+      private val it =
+        (if (gp.prefetched != null) gp.prefetched.toSeq
+         else CatalogClient.fetch(path, query, page, pageSize)).iterator
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
