@@ -268,21 +268,45 @@ object CatalogClient {
     finally src.close()
   }
 
+  private def toRow(g: JsonNode): InternalRow = {
+    def s(f: String) = UTF8String.fromString(g.get(f).asText())
+    def ts(f: String) = java.lang.Long.valueOf(
+      java.time.Instant.parse(g.get(f).asText()).toEpochMilli * 1000L)
+    val links = g.get("links").elements().asScala.map { l =>
+      InternalRow(UTF8String.fromString(l.get("rel").asText()),
+        UTF8String.fromString(l.get("href").asText()))
+    }.toArray
+    InternalRow(s("collection"), s("version"), s("granule_id"),
+      ts("time_start"), ts("time_end"),
+      g.get("lon_min").asDouble(), g.get("lat_min").asDouble(),
+      g.get("lon_max").asDouble(), g.get("lat_max").asDouble(),
+      new GenericArrayData(links.map(_.asInstanceOf[Any])))
+  }
+
   def fetch(path: String, q: GranuleCatalog.CatalogQuery, page: Int,
-      pageSize: Int): Seq[InternalRow] = {
-    pagedMatches(path, q, page * pageSize, pageSize).map { g =>
-      def s(f: String) = UTF8String.fromString(g.get(f).asText())
-      def ts(f: String) = java.lang.Long.valueOf(
-        java.time.Instant.parse(g.get(f).asText()).toEpochMilli * 1000L)
-      val links = g.get("links").elements().asScala.map { l =>
-        InternalRow(UTF8String.fromString(l.get("rel").asText()),
-          UTF8String.fromString(l.get("href").asText()))
-      }.toArray
-      InternalRow(s("collection"), s("version"), s("granule_id"),
-        ts("time_start"), ts("time_end"),
-        g.get("lon_min").asDouble(), g.get("lat_min").asDouble(),
-        g.get("lon_max").asDouble(), g.get("lat_max").asDouble(),
-        new GenericArrayData(links.map(_.asInstanceOf[Any])))
-    }
+      pageSize: Int): Seq[InternalRow] =
+    pagedMatches(path, q, page * pageSize, pageSize).map(toRow)
+
+  /** One page's rows PLUS the query's total match count, in a single
+    * pass — the paged-API shape where every page response carries a
+    * `hits` header (CMR does). The planner calls this once for page 0,
+    * so planning costs one request instead of a count pass plus a
+    * page-0 fetch. */
+  def fetchWithHits(path: String, q: GranuleCatalog.CatalogQuery, page: Int,
+      pageSize: Int): (Seq[InternalRow], Int) = {
+    val lo = page * pageSize
+    val hi = lo + pageSize
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var hits = 0
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().filter(_.nonEmpty).foreach { line =>
+      recordsParsed.incrementAndGet()
+      val g = mapper.readTree(line)
+      if (matches(g, q)) {
+        if (hits >= lo && hits < hi) rows += toRow(g)
+        hits += 1
+      }
+    } finally src.close()
+    (rows.toSeq, hits)
   }
 }
