@@ -17,6 +17,7 @@ object SparkEntry {
       operators.StacQueries.defs ++ operators.AsOf.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Clusters.defs ++ operators.Curate.defs ++
+      operators.Training.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs
 

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Training-set preparation operators that sit between curation and the
+  * trainer: benchmark-contamination detection (does any training document
+  * contain an evaluation document's n-grams?) and sequence packing (where
+  * does each document land once the token stream is concatenated and
+  * chunked into fixed-length training sequences?).
+  *
+  * Contamination is the n-gram membership test every serious pretraining
+  * pipeline runs before reporting benchmark numbers (the GPT-3 appendix /
+  * PaLM "data contamination" methodology): tokenize both corpora, take
+  * distinct word 8-grams, and flag eval documents whose grams appear
+  * anywhere in the training split. Scale posture: the eval side is a
+  * benchmark suite — thousands of documents, not billions — so its gram
+  * set broadcasts; the train side streams through one hash semi-join and
+  * never materializes pairs. Here both sides come from the `documents`
+  * table (split by doc_id) so the oracle can mirror the computation
+  * exactly; the planted canary phrases give known-positive pairs the same
+  * way d01/t10 plant their ground truth.
+  *
+  * Packing models the standard concatenate-then-chunk regime: per source,
+  * documents are laid head-to-tail in doc_id order and the stream is cut
+  * every `seqLen` tokens; a document therefore spans sequences
+  * `floor(start/seqLen) .. floor((end-1)/seqLen)`. One window per source
+  * computes the running offsets — the cumulative sum is the only
+  * inherently sequential step, and it parallelizes by stream (source
+  * here; (source, shard) at 100 TB, where each shard packs
+  * independently — document boundaries between shards cost at most one
+  * partially-filled sequence per shard).
+  */
+object Training {
+
+  /** Word n-gram contamination of `evalDocs` against `trainDocs`: for
+    * each eval document, the count and fraction of its distinct n-grams
+    * that occur anywhere in the training corpus. `broadcastEval` reflects
+    * the benchmark-vs-corpus asymmetry and should stay true at scale. */
+  def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
+      textCol: String = "text", n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalG = evalDocs
+      .select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val trainG = trainDocs
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalSide = if (broadcastEval) broadcast(evalG) else evalG
+    // distinct hit grams: train side is semi-joined (never expanded into
+    // per-occurrence pairs), so a gram repeated across a billion training
+    // docs still contributes one row per eval gram
+    val hits = evalSide.join(trainG, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_grams"))
+          .as("contamination"))
+  }
+
+  /** Per-document placement in the packed token stream: running offsets
+    * per `streamCol` (documents concatenated in doc_id order), then the
+    * first/last fixed-length sequence each document touches. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+      streamCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs.select(col("doc_id"), col(streamCol),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col("doc_id"))
+    counted
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      .select(col("doc_id"), col(streamCol), col("n_tok"),
+        floor(col("cum_start") / lit(seqLen)).as("first_seq"),
+        floor((col("cum_end") - 1) / lit(seqLen)).as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Canary phrase: 8 tokens, the first unique per planted pair, appended
+  // to eval doc 30k and train doc 30k+1 — a known-positive shared 8-gram
+  // with no organic counterpart (mirrored exactly in the oracle SQL).
+  private def withCanaries(df: DataFrame): DataFrame = {
+    val tail = " alpha beta gamma delta epsilon zeta eta"
+    df.withColumn("ptext",
+      when(col("doc_id") % 30 === 0,
+        concat(col("text"), lit(" zq"),
+          (col("doc_id") / 30).cast("long").cast("string"), lit(tail)))
+        .when(col("doc_id") % 30 === 1,
+          concat(col("text"), lit(" zq"),
+            ((col("doc_id") - 1) / 30).cast("long").cast("string"), lit(tail)))
+        .otherwise(col("text")))
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Benchmark contamination: eval split = doc_id % 10 == 0, train =
+    // the rest. Canaries guarantee planted positives (every eval doc
+    // with doc_id % 30 == 0); organic duplicates in the corpus surface
+    // as genuine contamination in both engines alike.
+    ("d08_contamination", (s: SparkSession, d: String) => {
+      val planted = withCanaries(Tables.documents(s, d))
+        .select(col("doc_id"), col("ptext"))
+      contamination(
+        planted.filter(col("doc_id") % 10 === 0),
+        planted.filter(col("doc_id") % 10 =!= 0),
+        textCol = "ptext")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, CASE
+          WHEN doc_id % 30 = 0 THEN text || ' zq' || (doc_id // 30) ||
+            ' alpha beta gamma delta epsilon zeta eta'
+          WHEN doc_id % 30 = 1 THEN text || ' zq' || ((doc_id - 1) // 30) ||
+            ' alpha beta gamma delta epsilon zeta eta'
+          ELSE text END AS ptext
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(string_split_regex(trim(ptext), '\s+')) >= 8
+          THEN list_distinct(list_transform(
+            range(0, len(string_split_regex(trim(ptext), '\s+')) - 7),
+            i -> array_to_string(string_split_regex(trim(ptext), '\s+')[i+1:i+8], ' ')))
+          ELSE [ptext] END) AS gram
+        FROM planted),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+              WHERE doc_id % 10 = 0 GROUP BY 1),
+      hit AS (SELECT doc_id, count(*) AS n_hit FROM grams g
+              WHERE doc_id % 10 = 0 AND gram IN
+                (SELECT gram FROM grams WHERE doc_id % 10 <> 0)
+              GROUP BY 1)
+      SELECT tot.doc_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+        CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams AS contamination
+      FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""")),
+
+    // Concatenate-and-chunk sequence packing at seqLen=256 per source
+    // stream: each doc's first/last training sequence and span.
+    ("t13_seq_pack", (s: SparkSession, d: String) =>
+      packSequences(Tables.documents(s, d), seqLen = 256)
+        .orderBy(col("source"), col("doc_id")),
+    Some("""WITH counted AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT doc_id, source, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_end
+        FROM counted)
+      SELECT doc_id, source, n_tok,
+        (cum_end - n_tok) // 256 AS first_seq,
+        (cum_end - 1) // 256 AS last_seq,
+        (cum_end - 1) // 256 - (cum_end - n_tok) // 256 + 1 AS n_seqs
+      FROM offs ORDER BY source, doc_id"""))
+  )
+}
