@@ -56,6 +56,20 @@ object GraftFunctions {
       p: Int): Column =
     toCol(NearestCentroids(expression(v), centroidsFlat, dim, p))
 
+  /** Product-quantization code array for an embedding column (codegen'd
+    * — see [[PqEncode]]). */
+  def pq_encode(v: Column, codebook: Array[Float], dim: Int, m: Int): Column =
+    toCol(PqEncode(expression(v), codebook, dim, m))
+
+  /** Per-query ADC lookup table (m×ks doubles — see [[PqLut]]). */
+  def pq_lut(v: Column, codebook: Array[Float], dim: Int, m: Int): Column =
+    toCol(PqLut(expression(v), codebook, dim, m))
+
+  /** ADC score of a code array against a query lookup table (≈ cosine —
+    * see [[PqAdc]]). */
+  def pq_adc(codes: Column, lut: Column, ks: Int): Column =
+    toCol(PqAdc(expression(codes), expression(lut), ks))
+
   /** Membership probe of an integral key against a broadcast Bloom
     * filter (codegen'd — see [[BloomMightContain]]). */
   def bloom_might_contain(key: Column,

@@ -330,6 +330,110 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the third scale path: instead of pruning
+  // candidates (LSH buckets, IVF lists), compress the vectors so an
+  // EXHAUSTIVE scan is cheap. Each unit-normalized embedding becomes m
+  // sub-codes (m bytes packed); query-time cosine is m table lookups per
+  // row (ADC) instead of dim multiplies, cutting the scan's memory
+  // traffic ~dim·4/m ×. The compressed scan ranks everything, a small
+  // top-R candidate set is re-scored exactly, and top-k comes from the
+  // exact scores — the classic PQ-with-re-ranking pipeline. At 100 TB
+  // the codes column IS the index: it stores alongside the corpus and
+  // composes with IVF lists (IVFPQ) when even the compressed scan is too
+  // much.
+
+  /** Train per-subspace codebooks: the same deterministic bounded sample
+    * as [[trainCentroids]] (every step-th vec_id, ≤`sampleMax` rows),
+    * unit-normalized, split into `m` subspaces; per subspace, seedless
+    * Lloyd's k-means (evenly-spaced init over the vec_id-ordered sample,
+    * L2 assignment, lowest-index tie-break). Returns the codebook as
+    * [[PqEncode]]/[[PqLut]] expect it: subspace-major
+    * `[j][code][subdim]` flat, plus the vector dim. */
+  def trainPq(corpus: DataFrame, corpusSize: Long, m: Int = 8, ks: Int = 64,
+      sampleMax: Int = 4096, iters: Int = 8): (Array[Float], Int) = {
+    val step = math.max(1L, corpusSize / sampleMax)
+    val rows = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val unit = rows.map { r =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += r(j).toDouble * r(j); j += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      Array.tabulate(dim)(i => r(i) * inv)
+    }
+    val k = math.min(ks, unit.length)
+    val codebook = new Array[Float](m * k * sub)
+    for (j <- 0 until m) {
+      val pts = unit.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents = Array.tabulate(k)(c => pts((c.toLong * pts.length / k).toInt).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d2 = 0.0; var i = 0
+            while (i < sub) { val df = p(i) - cents(c)(i); d2 += df * df; i += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c) // empty cell: keep
+          else Array.tabulate(sub)(i => sums(c)(i) / counts(c)))
+      }
+      for (c <- 0 until k; i <- 0 until sub)
+        codebook(j * k * sub + c * sub + i) = cents(c)(i).toFloat
+    }
+    (codebook, dim)
+  }
+
+  /** PQ approximate top-k: encode the corpus once (the stored index),
+    * broadcast the queries with their precomputed ADC tables, rank every
+    * row by the compressed score, keep the top `rerank·k` per query, and
+    * re-score only those exactly. Output shape matches [[bruteForceTopK]].
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 64, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fns = graft.functions.GraftFunctions
+    val (codebook, dim) = trainPq(corpus, corpus.count(), m, ks)
+    val ksEff = codebook.length / dim
+    val codes = corpus.select(col("vec_id"),
+      fns.pq_encode(col("embedding"), codebook, dim, m).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      fns.pq_lut(col("embedding"), codebook, dim, m).as("lut"))
+    val approx = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        fns.pq_adc(col("codes"), col("lut"), ksEff).as("adc"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -376,6 +480,15 @@ object Similarity {
     ("s04_ann_ivf", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       ivfTopK(emb.filter(col("vec_id") < 20), emb, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, None),
+
+    // PQ compressed-scan ANN for the same 20 queries — the memory-
+    // bandwidth scale path (rows-only; recall vs brute force asserted in
+    // LlmOpsSpec).
+    ("s05_ann_pq", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      pqTopK(emb.filter(col("vec_id") < 20), emb, 10)
         .orderBy(col("query_id"), col("rank"))
     }, None)
   )

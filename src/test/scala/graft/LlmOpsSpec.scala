@@ -105,6 +105,37 @@ class LlmOpsSpec extends SparkSuite {
     assert(d2 == d3)
   }
 
+  test("pq ANN: top-1 recall vs brute force; wider re-rank helps; deterministic") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(rerank: Int): Int = {
+      val approx = Similarity.pqTopK(queries, emb, 1, rerank = rerank)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(approx.keySet.subsetOf(exact.keySet))
+      exact.count { case (q, n) => approx.get(q).contains(n) }
+    }
+    val narrow = recall(2)
+    val wide = recall(8)
+    assert(wide >= narrow, s"rerank=8 ($wide) should not lose to rerank=2 ($narrow)")
+    assert(wide >= exact.size * 7 / 10, s"pq top-1 recall $wide/${exact.size}")
+    // re-ranked scores are EXACT cosines: every returned (q, n, cos)
+    // agrees bit-for-bit with the brute-force score for that pair
+    val bf = Similarity.bruteForceTopK(queries, emb, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.pqTopK(queries, emb, 10).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bf.get(key).foreach(c => assert(c == r.getDouble(3), s"score drift at $key"))
+    }
+    // determinism: same call twice, identical codebook + results
+    val r1 = Similarity.pqTopK(queries, emb, 5).collect().toSeq
+    val r2 = Similarity.pqTopK(queries, emb, 5).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("winnow overlap flags planted partial copies, not unrelated docs") {
     import spark.implicits._
     val phraseA = "the migration of arctic terns spans both polar regions every year "
