@@ -304,15 +304,23 @@ object Tiff {
   /** Parse the first IFD (the full-resolution page) into a tag map. */
   def parse(bytes: Array[Byte]): Map[Int, Tag] = parseAll(bytes).head
 
-  /** Parse every IFD in the chain (full-res page + overview pages). */
+  /** Parse every IFD in the chain (full-res page + overview pages).
+    * Handles both classic (magic 42, 4-byte offsets) and BigTIFF
+    * (magic 43, 8-byte counts/offsets) containers. */
   def parseAll(bytes: Array[Byte]): Seq[Map[Int, Tag]] = {
     val header = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(header.get() == 'I' && header.get() == 'I', "not a little-endian TIFF")
-    require(header.getShort() == 42, "bad TIFF magic")
+    val magic = header.getShort()
+    val big = magic == 43
+    require(big || magic == 42, s"bad TIFF magic $magic")
+    if (big) {
+      require(header.getShort() == 8, "BigTIFF offset size must be 8")
+      require(header.getShort() == 0, "BigTIFF header pad must be 0")
+    }
     val pages = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Tag]]
-    var next = header.getInt()
+    var next: Long = if (big) header.getLong() else header.getInt().toLong & 0xffffffffL
     while (next != 0) {
-      val (tags, after) = parseIfd(bytes, next)
+      val (tags, after) = parseIfd(bytes, next, big)
       pages += tags
       next = after
     }
@@ -320,66 +328,95 @@ object Tiff {
   }
 
   /** One IFD at `ifd`; returns its tags and the next-IFD offset. */
-  private def parseIfd(bytes: Array[Byte], ifd: Int): (Map[Int, Tag], Int) = {
+  private def parseIfd(bytes: Array[Byte], ifd: Long,
+      big: Boolean): (Map[Int, Tag], Long) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    buf.position(ifd)
-    val nEntries = buf.getShort().toInt
+    buf.position(ifd.toInt)
+    val cap = if (big) 8 else 4
+    val nEntries = if (big) buf.getLong().toInt else buf.getShort().toInt
     (0 until nEntries).map { _ =>
       val tag = buf.getShort() & 0xffff
       val ttype = buf.getShort().toInt
-      val count = buf.getInt()
+      val count = if (big) buf.getLong().toInt else buf.getInt()
       val valueSlot = buf.position()
       val byteLen = typeSize(ttype) * count
-      val at = if (byteLen > 4) buf.getInt(valueSlot) else valueSlot
+      val at =
+        if (byteLen <= cap) valueSlot
+        else if (big) buf.getLong(valueSlot).toInt
+        else buf.getInt(valueSlot)
       val v = ByteBuffer.wrap(bytes, at, byteLen).order(ByteOrder.LITTLE_ENDIAN)
       val (longs, doubles, ascii) = ttype match {
         case SHORT => (Seq.fill(count)((v.getShort() & 0xffff).toLong), Seq.empty[Double], "")
         case LONG => (Seq.fill(count)(v.getInt().toLong & 0xffffffffL), Seq.empty[Double], "")
+        case LONG8 => (Seq.fill(count)(v.getLong()), Seq.empty[Double], "")
         case DOUBLE => (Seq.empty[Long], Seq.fill(count)(v.getDouble()), "")
         case ASCII =>
           val a = new Array[Byte](count); v.get(a)
           (Seq.empty[Long], Seq.empty[Double], new String(a, "US-ASCII").stripSuffix("\u0000"))
         case other => throw new IllegalArgumentException(s"unsupported TIFF type $other")
       }
-      buf.position(valueSlot + 4)
+      buf.position(valueSlot + cap)
       tag -> Tag(tag, ttype, count, longs, doubles, ascii)
-    }.toMap -> buf.getInt() // trailing word: next-IFD offset (0 = last)
+    }.toMap -> (if (big) buf.getLong() // trailing word: next-IFD offset (0 = last)
+                else buf.getInt().toLong & 0xffffffffL)
   }
 
   /** Full decode: inflate + stitch the tiles back into a grid and rebuild
-    * the affine from the GeoTIFF tags — the inverse of [[write]]. */
+    * the affine from the GeoTIFF tags — the inverse of [[write]]. For a
+    * multi-band file this returns band 0; use [[readBands]] for all. */
   def readGrid(bytes: Array[Byte]): (Grid, Affine) = {
+    val (bands, affine) = readBands(bytes)
+    (bands.head, affine)
+  }
+
+  /** Decode every band of the full-resolution page (classic or BigTIFF):
+    * with `PlanarConfiguration=2` the tile run is band-major — all of
+    * band 0's tiles, then band 1's, … — so band b owns the run slice
+    * `[b·tilesPerBand, (b+1)·tilesPerBand)`. */
+  def readBands(bytes: Array[Byte]): (Seq[Grid], Affine) = {
     val tags = parse(bytes)
     def one(id: Int): Long = tags(id).longs.head
     require(one(TagCompression) == CompressionDeflate, "expected deflate tiles")
     require(one(TagSampleFormat) == SampleFormatFloat && one(TagBitsPerSample) == 32,
       "expected float32 samples")
+    val nb = tags.get(TagSamplesPerPixel).map(_.longs.head.toInt).getOrElse(1)
+    require(nb == 1 || tags.get(TagPlanarConfig).exists(_.longs.head == 2L),
+      "multi-band reads expect separate planes (PlanarConfiguration=2)")
     val (w, h) = (one(TagImageWidth).toInt, one(TagImageLength).toInt)
     val (tw, th) = (one(TagTileWidth).toInt, one(TagTileLength).toInt)
     val offsets = tags(TagTileOffsets).longs
     val counts = tags(TagTileByteCounts).longs
     val tilesX = (w + tw - 1) / tw
+    val tilesPerBand = tilesX * ((h + th - 1) / th)
+    require(offsets.size == nb * tilesPerBand,
+      s"expected ${nb * tilesPerBand} tiles, found ${offsets.size}")
     val nodata = tags.get(TagGdalNodata).map(_.ascii).filter(_ != "nan").map(_.toFloat)
-    val data = new Array[Float](w * h)
-    offsets.zip(counts).zipWithIndex.foreach { case ((off, len), i) =>
-      val raw = Cogify.inflate(
-        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), tw * th * 4)
-      val tb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-      val (tx, ty) = (i % tilesX, i / tilesX)
-      var r = 0
-      while (r < th) {
-        var c = 0
-        while (c < tw) {
-          val (gr, gc) = (ty * th + r, tx * tw + c)
-          val f = tb.getFloat((r * tw + c) * 4)
-          if (gr < h && gc < w) data(gr * w + gc) = f
-          c += 1
-        }
-        r += 1
-      }
-    }
     val scale = tags(TagModelPixelScale).doubles
     val tie = tags(TagModelTiepoint).doubles
-    (Grid(w, h, data, nodata), Affine(scale(0), 0, tie(3), 0, -scale(1), tie(4)))
+    val affine = Affine(scale(0), 0, tie(3), 0, -scale(1), tie(4))
+    val bands = (0 until nb).map { b =>
+      val data = new Array[Float](w * h)
+      (0 until tilesPerBand).foreach { i =>
+        val run = b * tilesPerBand + i
+        val (off, len) = (offsets(run), counts(run))
+        val raw = Cogify.inflate(
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), tw * th * 4)
+        val tb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val (tx, ty) = (i % tilesX, i / tilesX)
+        var r = 0
+        while (r < th) {
+          var c = 0
+          while (c < tw) {
+            val (gr, gc) = (ty * th + r, tx * tw + c)
+            val f = tb.getFloat((r * tw + c) * 4)
+            if (gr < h && gc < w) data(gr * w + gc) = f
+            c += 1
+          }
+          r += 1
+        }
+      }
+      Grid(w, h, data, nodata)
+    }
+    (bands, affine)
   }
 }

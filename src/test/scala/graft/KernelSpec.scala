@@ -186,6 +186,63 @@ class KernelSpec extends SparkSuite {
     assert(back.data.toSeq == g.data.toSeq)
   }
 
+  test("multi-band cog: planar tile runs, lockstep overviews, exact round-trip") {
+    import graft.kernel.Tiff
+    val w = 520; val h = 300
+    val bands = (0 until 3).map(b =>
+      Grid(w, h, Array.tabulate(w * h)(i => (i % 977 + b * 10000).toFloat), Some(-9f)))
+    val affine = Raster.topLeftRecipe(Extent(0, 0, 52, 30), w, h)
+    val bytes = Tiff.writeCogBands(bands, affine)
+
+    val pages = Tiff.parseAll(bytes)
+    assert(pages.size == 3) // 520x300 -> 260x150 -> 130x75 (≤256 -> stop)
+    pages.foreach { p =>
+      assert(p(Tiff.TagSamplesPerPixel).longs == Seq(3L))
+      assert(p(Tiff.TagPlanarConfig).longs == Seq(2L))
+      assert(p(Tiff.TagBitsPerSample).longs == Seq(32L, 32L, 32L))
+      assert(p(Tiff.TagSampleFormat).longs == Seq(3L, 3L, 3L))
+      // band-major runs: one offset per (band, tile)
+      val tilesPerBand = ((p(Tiff.TagImageWidth).longs.head.toInt + 255) / 256) *
+        ((p(Tiff.TagImageLength).longs.head.toInt + 255) / 256)
+      assert(p(Tiff.TagTileOffsets).longs.size == 3 * tilesPerBand)
+    }
+    val (back, affBack) = Tiff.readBands(bytes)
+    assert(affBack == affine && back.size == 3)
+    back.zip(bands).foreach { case (o, i) =>
+      assert(o.width == w && o.height == h && o.nodata == i.nodata)
+      assert(o.data.toSeq == i.data.toSeq)
+    }
+    // readGrid on a multi-band file returns band 0
+    assert(Tiff.readGrid(bytes)._1.data.toSeq == bands.head.data.toSeq)
+  }
+
+  test("bigtiff: version-43 container round-trips, classic parser rejects it") {
+    import graft.kernel.Tiff
+    val w = 600; val h = 540
+    val bands = (0 until 2).map(b =>
+      Grid(w, h, Array.tabulate(w * h)(i => (i % 1013 + b * 5000).toFloat), None))
+    val affine = Raster.topLeftRecipe(Extent(0, 0, 60, 54), w, h)
+    val bytes = Tiff.writeCogBands(bands, affine, forceBigTiff = true)
+
+    // header: II + magic 43 + offset-size 8 + pad 0
+    assert(bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte)
+    assert((bytes(2) & 0xff) == 43 && bytes(3) == 0)
+    assert((bytes(4) & 0xff) == 8 && bytes(5) == 0 && bytes(6) == 0 && bytes(7) == 0)
+
+    val pages = Tiff.parseAll(bytes)
+    assert(pages.size == 3) // 600x540 -> 300x270 -> 150x135
+    assert(pages(0)(Tiff.TagImageWidth).longs == Seq(600L))
+    assert(pages(1)(Tiff.TagNewSubfileType).longs == Seq(1L))
+    // offsets/counts are LONG8 in the BigTIFF layout
+    assert(pages(0)(Tiff.TagTileOffsets).ttype == 16)
+    val (back, affBack) = Tiff.readBands(bytes)
+    assert(affBack == affine && back.size == 2)
+    back.zip(bands).foreach { case (o, i) => assert(o.data.toSeq == i.data.toSeq) }
+    // same pages, same content as the classic container
+    val classic = Tiff.readBands(Tiff.writeCogBands(bands, affine))
+    assert(classic._1.map(_.data.toSeq) == back.map(_.data.toSeq))
+  }
+
   test("randomized: COG write/read round-trips 25 seeded grids exactly") {
     import graft.kernel.Tiff
     val rnd = new scala.util.Random(0xC06L)
