@@ -91,6 +91,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The b per-band bucket hashes of a MinHash signature — band index
+    * mixed into the band-slice hash, so one long identifies a (band,
+    * bucket) pair. Used identically on the index and probe sides of
+    * [[nearDupAdmission]] (same expression tree ⇒ same hashes). */
+  private def bandHashes(sig: Column, b: Int, r: Int): Seq[Column] =
+    (0 until b).map { bi =>
+      xxhash64(lit(bi),
+        xxhash64((0 until r).map(j => element_at(sig, bi * r + j + 1)): _*))
+    }
+
+  /** Near-dup admission filter — the continuous-crawl shape: flag each
+    * arriving document whose banded MinHash keys collide with the
+    * already-admitted corpus. The corpus bucket index is compressed into
+    * a broadcast Bloom filter over its (band, bucket) hashes, so the
+    * per-document check is b codegen'd probes with NO join, NO shuffle,
+    * and no streaming state — `docs` can be a batch frame or an
+    * append-mode stream (stream-safe: no aggregation or watermark
+    * required). False positives (rate `fpp`) only send a clean document
+    * to the downstream exact-verify path ([[minhashNearDups]] on the
+    * flagged subset); false negatives don't exist, matching Bloom
+    * semantics — the screen has LSH's recall, not less.
+    *
+    * At 100 TB the index is ~n·b longs through a Bloom filter —
+    * gigabytes per billion documents at 1% fpp, executor-broadcastable,
+    * and rebuildable incrementally per admitted batch. */
+  def nearDupAdmission(docs: DataFrame, corpus: DataFrame,
+      k: Int = 12, b: Int = 4, r: Int = 3,
+      expectedBuckets: Long = 0, fpp: Double = 0.01): DataFrame = {
+    val sigOf = (t: Column) => minhashSignature(split(trim(t), "\\s+"), k)
+    val indexKeys = corpus
+      .select(explode(array(bandHashes(sigOf(col("text")), b, r): _*)).as("h"))
+    // expectedBuckets sizes the filter without an extra pass; defaulting
+    // to one count() over the static corpus is fine — it is the indexed
+    // side, not the stream
+    val n = if (expectedBuckets > 0) expectedBuckets
+      else math.max(1L, indexKeys.count())
+    val bloom = indexKeys.stat.bloomFilter("h", n, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    docs.withColumn("sig", sigOf(col("text")))
+      .withColumn("dup_candidate",
+        bandHashes(col("sig"), b, r)
+          .map(h => GraftFunctions.bloom_might_contain(h, bc))
+          .reduce(_ || _))
+      .drop("sig")
+  }
+
   /** SimHash near-dup pairs at hamming ≤ `maxHamming`: candidates from
     * equality on any of `blocks` key windows over the 64-bit signature,
     * verified by exact hamming distance.

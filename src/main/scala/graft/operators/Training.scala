@@ -137,6 +137,34 @@ object Training {
         CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams AS contamination
       FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""")),
 
+    // Tokenizer induction, step one: corpus-wide adjacent character-pair
+    // frequencies within words — the candidate ranking BPE's first merge
+    // consumes. Row-local pair expansion, one aggregation, top-30 under a
+    // total order; at scale this is the per-iteration primitive of a
+    // distributed BPE trainer (re-run over the re-segmented corpus after
+    // each merge).
+    ("t14_bpe_pairs", (s: SparkSession, d: String) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(30)
+    },
+    Some("""WITH words AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+          i -> substr(word, i, 2))) AS pair
+        FROM words WHERE length(word) >= 2)
+      SELECT pair, count(*) AS n FROM pairs
+      GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""")),
+
     // Concatenate-and-chunk sequence packing at seqLen=256 per source
     // stream: each doc's first/last training sequence and span.
     ("t13_seq_pack", (s: SparkSession, d: String) =>

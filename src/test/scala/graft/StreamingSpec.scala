@@ -145,4 +145,41 @@ class StreamingSpec extends SparkSuite {
     assert(good.count() + bad.count() == batch.count())
     assert(bad.filter(col("value") >= 10).count() == 0)
   }
+
+  test("streaming near-dup admission: corpus copies flagged, novel docs pass") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    // arriving batch: 10 verbatim copies of corpus docs + 10 novel docs
+    // whose shingles exist nowhere in the corpus
+    val copies = corpus.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val novel = (0 until 10).map { i =>
+      (20000L + i, (0 until 12).map(j => s"novelword${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val inDir = tempDir("admit").getAbsolutePath
+    copies.unionByName(novel).coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(copies.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = EventStream.runToMemory(
+      Dedup.nearDupAdmission(stream, corpus, fpp = 0.001), "admit_out")
+    try {
+      val flags = spark.table("admit_out")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags.size == 20)
+      (10000L until 10010L).foreach(id => assert(flags(id), s"copy $id not flagged"))
+      (20000L until 20010L).foreach(id => assert(!flags(id), s"novel $id flagged"))
+    } finally q.stop()
+
+    // batch parity: the same frame through the same filter, same flags
+    val batchFlags = Dedup.nearDupAdmission(
+        copies.unionByName(novel), corpus, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val streamed = spark.table("admit_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(batchFlags == streamed)
+  }
 }
