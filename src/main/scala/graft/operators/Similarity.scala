@@ -434,6 +434,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVFPQ — the billion-scale composition (FAISS's default index
+    * family): the IVF coarse quantizer prunes the search to nprobe
+    * inverted lists AND the rows inside each list carry PQ codes instead
+    * of vectors, so the per-list scan is ADC lookups. Candidate volume
+    * is ~n·nprobe·replicas/nlist rows of m-byte codes — both the prune
+    * and the compression applied at once. Exact re-rank of the top
+    * `rerank·k` restores true cosines.
+    *
+    * Both models train on the same deterministic bounded sample; the
+    * assignment+codes frame is the stored index (list_id is its natural
+    * partition key). */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 0, nprobe: Int = 8, replicas: Int = 2,
+      m: Int = 8, ks: Int = 64, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fns = graft.functions.GraftFunctions
+    val n = corpus.count()
+    val lists = if (nlist > 0) nlist else nlistFor(n)
+    val (flat, dim) = trainCentroids(corpus, lists, n)
+    val (codebook, _) = trainPq(corpus, n, m, ks)
+    val ksEff = codebook.length / dim
+    def nearest(c: Column, p: Int) =
+      fns.nearest_centroids(c, flat, dim, p)
+    val index = corpus.select(col("vec_id"),
+      explode(nearest(col("embedding"), math.min(replicas, lists))).as("list_id"),
+      fns.pq_encode(col("embedding"), codebook, dim, m).as("codes"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      explode(nearest(col("embedding"), math.min(nprobe, lists))).as("list_id"),
+      fns.pq_lut(col("embedding"), codebook, dim, m).as("lut"))
+    // replicas score identically (same codes, same lut) → distinct on the
+    // (query, neighbor, adc) triple collapses them
+    val approx = index.join(broadcast(probes), "list_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        fns.pq_adc(col("codes"), col("lut"), ksEff).as("adc"))
+      .distinct()
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -489,6 +543,14 @@ object Similarity {
     ("s05_ann_pq", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       pqTopK(emb.filter(col("vec_id") < 20), emb, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, None),
+
+    // IVFPQ — list pruning × code compression composed (rows-only;
+    // recall vs brute force asserted in LlmOpsSpec).
+    ("s06_ann_ivfpq", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      ivfpqTopK(emb.filter(col("vec_id") < 20), emb, 10)
         .orderBy(col("query_id"), col("rank"))
     }, None)
   )

@@ -152,6 +152,42 @@ object StacQueries {
           AND (c.interval_end IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) <= c.interval_end))
           AS in_interval
       FROM orders o LEFT JOIN c ON c.collection = 'C' || (o.o_orderkey % 5)
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Collection time-density summary — the `dashboard:is_periodic` /
+    // `time_density` contract (reference data/collections/*.json:
+    // no2-monthly.json:44): items bucket at the declared density
+    // (month), and a collection is periodic iff every month between its
+    // first and last buckets has at least one item. Two aggregations,
+    // both shuffling only (collection, month) keys.
+    ("q48_time_density", (s: SparkSession, d: String) => {
+      val byMonth = Tables.orders(s, d)
+        .select(
+          concat(lit("C"), (col("o_orderkey") % 5).cast("string")).as("collection"),
+          date_trunc("month", col("o_orderdate").cast("timestamp")).as("month"))
+        .groupBy(col("collection"), col("month"))
+        .agg(count(lit(1)).as("n"))
+      byMonth.groupBy(col("collection"))
+        .agg(sum(col("n")).as("n_items"),
+          count(lit(1)).as("n_months"),
+          min(col("month")).as("first_month"),
+          max(col("month")).as("last_month"))
+        .withColumn("span_months",
+          (months_between(col("last_month"), col("first_month")) + 1).cast("long"))
+        .withColumn("n_gaps", col("span_months") - col("n_months"))
+        .withColumn("is_periodic", col("n_gaps") === 0)
+        .orderBy(col("collection"))
+    },
+    Some("""WITH m AS (
+        SELECT 'C' || (o_orderkey % 5) AS collection,
+          CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month,
+          count(*) AS n
+        FROM orders GROUP BY 1, 2)
+      SELECT collection, CAST(sum(n) AS BIGINT) AS n_items,
+        count(*) AS n_months, min(month) AS first_month, max(month) AS last_month,
+        CAST(date_diff('month', min(month), max(month)) + 1 AS BIGINT) AS span_months,
+        CAST(date_diff('month', min(month), max(month)) + 1 - count(*) AS BIGINT) AS n_gaps,
+        (date_diff('month', min(month), max(month)) + 1 = count(*)) AS is_periodic
+      FROM m GROUP BY collection ORDER BY collection"""))
   )
 }

@@ -43,8 +43,11 @@ object Training {
   def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
       textCol: String = "text", n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
+    // both the totals aggregation and the hit semi-join read the eval
+    // gram explode — persist or it re-executes per reference
     val evalG = evalDocs
       .select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainG = trainDocs
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
     val evalSide = if (broadcastEval) broadcast(evalG) else evalG

@@ -136,6 +136,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(r1 == r2)
   }
 
+  test("ivfpq ANN: composed prune+compress keeps recall; deterministic") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.ivfpqTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet.subsetOf(exact.keySet))
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }
+    assert(recall >= exact.size * 6 / 10, s"ivfpq top-1 recall $recall/${exact.size}")
+    val r1 = Similarity.ivfpqTopK(queries, emb, 5).collect().toSeq
+    val r2 = Similarity.ivfpqTopK(queries, emb, 5).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("winnow overlap flags planted partial copies, not unrelated docs") {
     import spark.implicits._
     val phraseA = "the migration of arctic terns spans both polar regions every year "
