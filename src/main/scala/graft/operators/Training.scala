@@ -50,11 +50,20 @@ object Training {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainG = trainDocs
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
-    val evalSide = if (broadcastEval) broadcast(evalG) else evalG
-    // distinct hit grams: train side is semi-joined (never expanded into
-    // per-occurrence pairs), so a gram repeated across a billion training
-    // docs still contributes one row per eval gram
-    val hits = evalSide.join(trainG, Seq("gram"), "left_semi")
+    // Hit pairs. broadcastEval=true is the 100 TB shape: the train gram
+    // stream probes the BROADCAST eval set (build side must be the RIGHT
+    // side of an inner join — a left-semi with a small LEFT would
+    // broadcast the wrong side), and only (eval doc, gram) pairs that hit
+    // reach the distinct, so the shuffle is bounded by the eval gram
+    // count no matter how often a gram repeats across the training
+    // corpus. The semi-join form shuffles both sides by gram — correct
+    // but train-sized.
+    val hitPairs =
+      if (broadcastEval)
+        trainG.join(broadcast(evalG), Seq("gram"))
+          .select(col("doc_id"), col("gram")).distinct()
+      else evalG.join(trainG, Seq("gram"), "left_semi")
+    val hits = hitPairs
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     totals.join(hits, Seq("doc_id"), "left")
