@@ -11,6 +11,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // anchored-regex filename filters gain a pushable StartsWith conjunct
     e.injectOptimizerRule(_ => plans.RegexPrefixPushdown)
+    // whole-operator top-k-per-key (bounded heaps + map-side partials)
+    e.injectPlannerStrategy(_ => plans.TopKStrategy)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 

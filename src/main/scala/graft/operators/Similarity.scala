@@ -416,10 +416,13 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         fns.pq_adc(col("codes"), col("lut"), ksEff).as("adc"))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val cands = approx.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= rerank * k)
+    // bounded-heap top-R per query (custom whole-operator plan — see
+    // plans.TopKPerKey): the ADC scan's candidate pool never gets sorted
+    // wholesale, and the map side pre-prunes to R rows per query before
+    // the exchange
+    val cands = graft.plans.TopKPerKey.topKPerKey(approx,
+        Seq("query_id"), Seq(("adc", true), ("neighbor_id", false)),
+        rerank * k)
       .select(col("query_id"), col("neighbor_id"))
     val scored = cands
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
@@ -470,10 +473,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         fns.pq_adc(col("codes"), col("lut"), ksEff).as("adc"))
       .distinct()
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val cands = approx.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= rerank * k)
+    // bounded-heap top-R per query (see plans.TopKPerKey) instead of a
+    // window sort over the probed lists' full candidate pool
+    val cands = graft.plans.TopKPerKey.topKPerKey(approx,
+        Seq("query_id"), Seq(("adc", true), ("neighbor_id", false)),
+        rerank * k)
       .select(col("query_id"), col("neighbor_id"))
     val scored = cands
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
