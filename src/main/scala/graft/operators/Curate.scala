@@ -163,6 +163,46 @@ object Curate {
                     WHEN 'src2' THEN 'c0' ELSE '20' END
       ORDER BY doc_id""")),
 
+    // Composite quality gate — the Gopher/C4-style rule cascade as ONE
+    // keep/drop decision with the first failing rule as the reason. All
+    // metrics are row-local string/array ops shared verbatim with the
+    // oracle dialect; thresholds are the contract. The verdict ordering
+    // (first failure wins) matters: it is what a curation dashboard
+    // aggregates by.
+    ("t16_quality_gate", (s: SparkSession, d: String) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val metrics = Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("distinct_ratio"),
+        (length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("double") / size(toks)).as("mean_tok_len"))
+      metrics
+        .withColumn("verdict",
+          when(col("n_tok") < 20, "too_short")
+            .when(col("n_tok") > 1000, "too_long")
+            .when(col("distinct_ratio") < 0.3, "repetitive")
+            .when(col("mean_tok_len") < 2.5 || col("mean_tok_len") > 12.0,
+              "gibberish")
+            .otherwise("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio,
+          CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len
+        FROM documents)
+      SELECT doc_id, n_tok, distinct_ratio, mean_tok_len,
+        CASE WHEN n_tok < 20 THEN 'too_short'
+             WHEN n_tok > 1000 THEN 'too_long'
+             WHEN distinct_ratio < 0.3 THEN 'repetitive'
+             WHEN mean_tok_len < 2.5 OR mean_tok_len > 12.0 THEN 'gibberish'
+             ELSE 'keep' END AS verdict
+      FROM m ORDER BY doc_id""")),
+
     // Within-document repetition removal: split into paragraphs, drop
     // repeats keeping first occurrence, reassemble in order. The planted
     // view gives every doc 4 paragraphs with the first repeated (the

@@ -177,6 +177,47 @@ object Training {
       SELECT pair, count(*) AS n FROM pairs
       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""")),
 
+    // Source mixture weighting — the sampling-temperature table a
+    // training data loader consumes: per-source token mass, its share,
+    // and a smoothed weight interpolating proportional with uniform
+    // (alpha=0.5), which upweights small sources the way multilingual
+    // pretraining mixtures do. All arithmetic derives from exact integer
+    // totals in the same expression order on both engines, so the gate
+    // hashes bit-equal doubles. One tiny aggregation; the window total
+    // sums integers (order-independent).
+    ("t15_mixture_weights", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSource = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val w = Window.partitionBy()
+      perSource
+        .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) / col("total_tokens"))
+            .as("token_share"),
+          (lit(0.5) * (col("n_tokens").cast(DoubleType) / col("total_tokens"))
+            + lit(0.5) / col("n_sources")).as("mix_weight"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT source, n_docs, n_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+          count(*) OVER () AS n_sources
+        FROM per_source)
+      SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+        0.5 * (CAST(n_tokens AS DOUBLE) / total_tokens) + 0.5 / n_sources
+          AS mix_weight
+      FROM tot ORDER BY source""")),
+
     // Concatenate-and-chunk sequence packing at seqLen=256 per source
     // stream: each doc's first/last training sequence and span.
     ("t13_seq_pack", (s: SparkSession, d: String) =>
