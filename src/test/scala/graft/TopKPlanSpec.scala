@@ -63,6 +63,25 @@ class TopKPlanSpec extends SparkSuite {
     assert(out.count() == 4 * 3)
   }
 
+  test("randomized: parity with window row_number incl. null scores") {
+    val rnd = new scala.util.Random(0x70caL)
+    for (trial <- 1 to 10) {
+      val rows = (0 until 400).map { i =>
+        val score: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null else rnd.nextInt(50).toDouble
+        (i.toLong, s"k${rnd.nextInt(5)}", score)
+      }
+      val df = rows.toDF("id", "key", "score").repartition(7)
+      val k = 1 + rnd.nextInt(8)
+      val expected = windowTopK(df, k)
+        .select("key", "id").collect().map(_.toSeq).toSet
+      val got = TopKPerKey.topKPerKey(df,
+          Seq("key"), Seq(("score", true), ("id", false)), k)
+        .select("key", "id").collect().map(_.toSeq).toSet
+      assert(got == expected, s"trial $trial k=$k")
+    }
+  }
+
   test("emits rows sorted by order within each key") {
     val df = (0 until 300).map(i => (i.toLong, "only", (i * 7 % 83).toDouble))
       .toDF("id", "key", "score")
