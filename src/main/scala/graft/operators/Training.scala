@@ -42,14 +42,21 @@ object Training {
     * the benchmark-vs-corpus asymmetry and should stay true at scale. */
   def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
       textCol: String = "text", n: Int = 8,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true, hashGrams: Boolean = false): DataFrame = {
+    // hashGrams replaces each n-gram string with its xxhash64 before the
+    // join — at benchmark-vs-100TB scale the join key drops from ~50-byte
+    // strings to 8-byte longs (a 2^-64 collision only adds a false
+    // POSITIVE, the safe direction for a contamination screen). Off for
+    // the oracle query, which must match DuckDB on the strings.
+    def keyed(df: DataFrame): DataFrame =
+      if (hashGrams) df.withColumn("gram", xxhash64(col("gram"))) else df
     // both the totals aggregation and the hit semi-join read the eval
     // gram explode — persist or it re-executes per reference
-    val evalG = evalDocs
-      .select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalG = keyed(evalDocs
+        .select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trainG = trainDocs
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val trainG = keyed(trainDocs
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram")))
     // Hit pairs. broadcastEval=true is the 100 TB shape: the train gram
     // stream probes the BROADCAST eval set (build side must be the RIGHT
     // side of an inner join — a left-semi with a small LEFT would

@@ -39,7 +39,7 @@ class TrainingSpec extends SparkSuite {
     assert(out(2L) == ((3L, 0L)))
   }
 
-  test("contamination: broadcast and shuffle formulations agree") {
+  test("contamination: broadcast, shuffle, and hashed formulations agree") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val ev = docs.filter(col("doc_id") % 10 === 0)
     val tr = docs.filter(col("doc_id") % 10 =!= 0)
@@ -48,6 +48,10 @@ class TrainingSpec extends SparkSuite {
     val b = Training.contamination(ev, tr, broadcastEval = false)
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
+    // the long-keyed scale variant produces identical counts
+    val c = Training.contamination(ev, tr, hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == c)
   }
 
   test("seq packing: per-source stream is gap-free and spans are exact") {
