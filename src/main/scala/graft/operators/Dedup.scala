@@ -67,19 +67,24 @@ object Dedup {
       Seq("band", "key"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // the candidate pairs feed the id union (twice) and the final two
+    // verify joins — persisted or the bucket self-join re-executes per
+    // reference (the same trap the banded stage above guards against)
     val cands = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact-Jaccard verification builds shingle arrays only for candidate
     // docs (left-semi prune first — at 100 TB the candidate set is tiny
-    // next to the corpus)
+    // next to the corpus); persisted because both verify joins read it
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     cands
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
