@@ -56,8 +56,8 @@ object GraftFunctions {
       p: Int): Column =
     toCol(NearestCentroids(expression(v), centroidsFlat, dim, p))
 
-  /** Product-quantization code array for an embedding column (codegen'd
-    * — see [[PqEncode]]). */
+  /** Packed product-quantization codes (m bytes, `binary`) for an
+    * embedding column (codegen'd — see [[PqEncode]]). */
   def pq_encode(v: Column, codebook: Array[Float], dim: Int, m: Int): Column =
     toCol(PqEncode(expression(v), codebook, dim, m))
 
@@ -65,8 +65,8 @@ object GraftFunctions {
   def pq_lut(v: Column, codebook: Array[Float], dim: Int, m: Int): Column =
     toCol(PqLut(expression(v), codebook, dim, m))
 
-  /** ADC score of a code array against a query lookup table (≈ cosine —
-    * see [[PqAdc]]). */
+  /** ADC score of a packed code column against a query lookup table
+    * (≈ cosine — see [[PqAdc]]). */
   def pq_adc(codes: Column, lut: Column, ks: Int): Column =
     toCol(PqAdc(expression(codes), expression(lut), ks))
 

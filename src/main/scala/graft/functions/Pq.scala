@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * normalized, split into `m` contiguous subspaces of `dim/m` dims, and
   * each subvector is replaced by the index of its nearest codeword from a
   * per-subspace codebook of `ks` entries. A 64-dim float vector (256 B)
-  * becomes m small ints (m bytes once packed) — the memory-bandwidth
+  * becomes m packed bytes — the memory-bandwidth
   * reduction that makes exhaustive scans viable at corpus scale.
   *
   * Query-time scoring is asymmetric distance computation (ADC): the query
@@ -26,14 +26,22 @@ import org.apache.spark.sql.types._
   * `codebook` rides with the plan as a reference object: m·ks·(dim/m)
   * floats — e.g. 64 KB at m=8, ks=256, dim=64 — broadcast like any
   * small model.
+  *
+  * Codes are PACKED: the output is `binary` — exactly m bytes per row
+  * (hence ks ≤ 256; wider codebooks would trade m up instead). At corpus
+  * scale the codes column IS the stored index, and m raw bytes beat an
+  * `array<int>` layout (8-byte UnsafeArrayData header + null bitmap +
+  * 4 bytes/element) by ~5× in storage and scan bandwidth.
   */
 case class PqEncode(child: Expression, codebook: Array[Float],
     dim: Int, m: Int) extends UnaryExpression {
 
   require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
   require(codebook.length % (dim / m * m) == 0, "codebook shape mismatch")
+  require(codebook.length / dim <= 256,
+    s"ks ${codebook.length / dim} exceeds byte-code range; raise m instead")
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -83,27 +91,27 @@ case class PqLut(child: Expression, codebook: Array[Float],
     copy(child = c)
 }
 
-/** ADC score of a code array against a query's lookup table:
-  * `Σ_j lut[j*ks + codes[j]]` ≈ cosine(query, original vector) for
-  * unit-normalized inputs. The per-corpus-row hot loop — m additions and
-  * lookups, no float multiplies. */
+/** ADC score of a packed code column against a query's lookup table:
+  * `Σ_j lut[j*ks + (codes[j] & 0xFF)]` ≈ cosine(query, original vector)
+  * for unit-normalized inputs. The per-corpus-row hot loop — m additions
+  * and lookups over m raw bytes, no float multiplies. */
 case class PqAdc(left: Expression, right: Expression, ks: Int)
     extends BinaryExpression {
 
-  require(ks > 0, "ks must be positive")
+  require(ks > 0 && ks <= 256, "ks must be in 1..256 for byte codes")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+    case (BinaryType, ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc requires (array<int>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+      s"pq_adc requires (binary, array<double>), got (${l.catalogString}, ${r.catalogString})")
   }
 
   override protected def nullSafeEval(codes: Any, lut: Any): Any =
-    PqEval.adc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ks)
+    PqEval.adc(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ks)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (c, l) => s"graft.functions.PqEval.adc($c, $l, $ks)")
@@ -130,11 +138,11 @@ object PqEval {
     v
   }
 
-  def encode(arr: ArrayData, codebook: Array[Float], dim: Int, m: Int): GenericArrayData = {
+  def encode(arr: ArrayData, codebook: Array[Float], dim: Int, m: Int): Array[Byte] = {
     val sub = dim / m
     val ks = codebook.length / dim // = codebook.length / (m * sub)
     val v = normalized(arr, dim)
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m)
     var j = 0
     while (j < m) {
       val vBase = j * sub
@@ -154,10 +162,10 @@ object PqEval {
         if (d2 < bestD) { bestD = d2; best = c } // ties keep the lower index
         c += 1
       }
-      codes(j) = best
+      codes(j) = best.toByte
       j += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   def lut(arr: ArrayData, codebook: Array[Float], dim: Int, m: Int): GenericArrayData = {
@@ -183,11 +191,11 @@ object PqEval {
     new GenericArrayData(out)
   }
 
-  def adc(codes: ArrayData, lut: ArrayData, ks: Int): Double = {
-    val m = codes.numElements()
+  def adc(codes: Array[Byte], lut: ArrayData, ks: Int): Double = {
+    val m = codes.length
     var s = 0.0
     var j = 0
-    while (j < m) { s += lut.getDouble(j * ks + codes.getInt(j)); j += 1 }
+    while (j < m) { s += lut.getDouble(j * ks + (codes(j) & 0xFF)); j += 1 }
     s
   }
 }

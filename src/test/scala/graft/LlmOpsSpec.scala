@@ -134,6 +134,13 @@ class LlmOpsSpec extends SparkSuite {
     val r1 = Similarity.pqTopK(queries, emb, 5).collect().toSeq
     val r2 = Similarity.pqTopK(queries, emb, 5).collect().toSeq
     assert(r1 == r2)
+    // stored-index shape: codes are PACKED binary, exactly m bytes/row
+    val (cb, dim) = Similarity.trainPq(emb, emb.count(), m = 8, ks = 64)
+    val codes = emb.select(graft.functions.GraftFunctions
+      .pq_encode(col("embedding"), cb, dim, 8).as("codes"))
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    codes.collect().foreach(r => assert(r.getAs[Array[Byte]](0).length == 8))
   }
 
   test("ivfpq ANN: composed prune+compress keeps recall; deterministic") {
