@@ -32,14 +32,21 @@ object Cogify {
       srcCrs: Option[String] = None, // proj4-style tag, carried as metadata
       useTopLeftRecipe: Boolean = false, // ≈ affine_transformation present
       transposeFix: Boolean = false, // GPM_3IMERGM
-      flipudFix: Boolean = false) // OMDOAO3e
+      flipudFix: Boolean = false, // OMDOAO3e
+      // Extension past the reference's one-variable-per-COG profile
+      // (handler.py:78,152): when non-empty, these variables become the
+      // bands of ONE multi-band COG (PlanarConfiguration=2), decoded
+      // from a single fetch of the container. `variableName` stays the
+      // stats/nodata anchor (band 0) and the single-variable default.
+      bandVariables: Seq[String] = Nil)
 
   final case class CogifyTask(collection: String, href: String,
       granule_id: Option[String], upload: Boolean)
 
   final case class CogifyResult(collection: String, href: String,
       granule_id: Option[String], filename: String,
-      width: Int, height: Int, n_tiles: Int, payload_bytes: Long,
+      width: Int, height: Int, n_bands: Int, n_tiles: Int,
+      payload_bytes: Long,
       affine: Seq[Double], epsg: Int, stats: Option[BandStats.Stats],
       error: Option[String])
 
@@ -47,6 +54,16 @@ object Cogify {
   trait GridReader extends Serializable {
     def read(task: CogifyTask, config: CollectionConfig):
       (Grid, Option[Array[Double]], Option[Array[Double]])
+
+    /** Multi-variable decode (config.bandVariables): one band per
+      * variable, shared coordinate vectors. The default wraps the
+      * single-variable path so readers without multi-band support stay
+      * valid. */
+    def readBands(task: CogifyTask, config: CollectionConfig):
+        (Seq[Grid], Option[Array[Double]], Option[Array[Double]]) = {
+      val (g, xs, ys) = read(task, config)
+      (Seq(g), xs, ys)
+    }
   }
 
   /** STUB reader: deterministic synthetic grid derived from the href
@@ -109,15 +126,53 @@ object Cogify {
   final class FetchGridReader(mkFetcher: () => graft.sources.Fetch.Fetcher)
       extends GridReader {
     @transient private lazy val fetcher = mkFetcher()
-    override def read(task: CogifyTask, config: CollectionConfig) = {
+
+    private def localBytes(task: CogifyTask): Array[Byte] = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-fetch").toFile
       try {
         val local = fetcher.fetch(task.href, tmp)
-        decode(java.nio.file.Files.readAllBytes(local.toPath), config)
+        java.nio.file.Files.readAllBytes(local.toPath)
       } finally {
         tmp.listFiles().foreach(_.delete()); tmp.delete()
       }
     }
+
+    override def read(task: CogifyTask, config: CollectionConfig) =
+      decode(localBytes(task), config)
+
+    /** Multi-variable decode: ONE fetch and ONE container parse, then
+      * a grid per configured band variable (TIFF sources carry their
+      * planes positionally, so the names only set the band count
+      * there). */
+    override def readBands(task: CogifyTask, config: CollectionConfig) =
+      if (config.bandVariables.isEmpty) super.readBands(task, config)
+      else {
+        val bytes = localBytes(task)
+        bytes.take(4).map(_ & 0xff) match {
+          case Array(0x43, 0x44, 0x46, _) => // "CDF" — NetCDF-3 classic
+            val nc = Netcdf.parse(bytes)
+            (config.bandVariables.map(Netcdf.readGrid(nc, _)),
+              config.xVariable.map(Netcdf.readCoord(nc, _)),
+              config.yVariable.map(Netcdf.readCoord(nc, _)))
+          case Array(0x49, 0x49, _, _) | Array(0x4d, 0x4d, _, _) =>
+            val (bands, affine) = Tiff.readBands(bytes)
+            val w = bands.head.width
+            val h = bands.head.height
+            val xs = Array.tabulate(w)(j => affine.c + affine.a * (j + 0.5))
+            val ys = Array.tabulate(h)(i => affine.f + affine.e * (i + 0.5))
+            (bands, Some(xs), Some(ys))
+          case Array(0x89, 0x48, 0x44, 0x46) => // "\x89HDF" — NetCDF-4/HDF5
+            val h5 = Hdf5.parse(bytes)
+            val at = (name: String) =>
+              (config.group.toSeq :+ name).mkString("/")
+            (config.bandVariables.map(n => Hdf5.readGrid(h5, at(n))),
+              config.xVariable.map(n => Hdf5.readCoord(h5, at(n))),
+              config.yVariable.map(n => Hdf5.readCoord(h5, at(n))))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"unrecognized container magic ${other.map(b => f"$b%02x").mkString}")
+        }
+      }
 
     private def decode(bytes: Array[Byte], config: CollectionConfig) =
       bytes.take(4).map(_ & 0xff) match {
@@ -201,35 +256,45 @@ object Cogify {
   }
 
   /** One task through the kernel: decode → fixups → extent → affine →
-    * tile+deflate → write container. */
+    * tile+deflate → write container. Multi-variable configs
+    * (`bandVariables`) produce one multi-band COG; the per-collection
+    * fixups apply to every band (they correct the grid orientation of
+    * the shared container). */
   def cogifyOne(task: CogifyTask, config: CollectionConfig, reader: GridReader,
       outDir: String): CogifyResult = {
-    val (raw, xs, ys) = reader.read(task, config)
-    var grid = raw
-    if (config.transposeFix) grid = transpose(grid) // handler.py:90-91
-    if (config.flipudFix) grid = flipud(grid) // handler.py:92-93
+    val (raw, xs, ys) = reader.readBands(task, config)
+    var bands = raw
+    if (config.transposeFix) bands = bands.map(transpose) // handler.py:90-91
+    if (config.flipudFix) bands = bands.map(flipud) // handler.py:92-93
+    val grid = bands.head
     val extent = extentFromCoords(xs, ys) // handler.py:96-103
     val affine =
       if (config.useTopLeftRecipe) topLeftRecipe(extent, grid.width, grid.height)
       else defaultTransformTo3857(extent, grid.width, grid.height) // handler.py:113-131
 
-    val tiles = tile(grid)
     // the baseline GeoTIFF tag set cannot carry a rotated affine
     // (ModelPixelScale+Tiepoint assume axis-aligned axes) — route those
     // to the length-prefixed container instead of burning retries on
-    // writeTiff's axis-aligned require
+    // writeTiff's axis-aligned require; the fallback container is
+    // single-band, so rotated multi-band is declared unsupported
     val rotated = affine.b != 0.0 || affine.d != 0.0
+    if (rotated && bands.size > 1)
+      throw new UnsupportedOperationException(
+        "rotated affines route to the single-band fallback container")
     val ext = if (rotated) ".cog.bin" else ".cog.tif"
     val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ext
     val outPath = s"${outDir.stripSuffix("/")}/${task.collection}/$name"
     // the top-left recipe keeps the source's geographic degrees; the
     // default recipe reprojects the extent to web-mercator meters
     val epsg = if (config.useTopLeftRecipe) 4326 else 3857
+    val tiles = tile(grid)
     val payload =
       if (rotated) writeContainer(outPath, grid, affine, tiles)
-      else writeTiff(outPath, grid, affine, tiles, epsg)
+      else if (bands.size == 1) writeTiff(outPath, grid, affine, tiles, epsg)
+      else writeTiffBands(outPath, bands, affine, epsg)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
-      grid.width, grid.height, tiles.size, payload,
+      grid.width, grid.height, bands.size,
+      bands.size * tiles.size, payload,
       Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f),
       epsg, Some(gridStats(grid)), None)
   }
@@ -263,8 +328,17 @@ object Cogify {
     * — IFD-first layout with a 2×-decimated overview pyramid; see
     * [[Tiff]]. */
   def writeTiff(path: String, g: Grid, affine: Affine, tiles: Seq[Tile],
-      epsg: Int = 4326): Long = {
-    val bytes = Tiff.writeCog(g, affine, tiles, Some(epsg))
+      epsg: Int = 4326): Long =
+    writeBytes(path, Tiff.writeCog(g, affine, tiles, Some(epsg)))
+
+  /** Multi-band variant: one COG, `PlanarConfiguration=2` planes, the
+    * overview pyramid decimated in lockstep (see [[Tiff.writeCogBands]]).
+    */
+  def writeTiffBands(path: String, bands: Seq[Grid], affine: Affine,
+      epsg: Int = 4326): Long =
+    writeBytes(path, Tiff.writeCogBands(bands, affine, Some(epsg)))
+
+  private def writeBytes(path: String, bytes: Array[Byte]): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val out = fs.create(p, true)
@@ -320,7 +394,7 @@ object Cogify {
             case e: java.io.IOException if attempt < maxAttempts => // retryable
             case e: Throwable =>
               result = CogifyResult(task.collection, task.href, task.granule_id,
-                "", 0, 0, 0, 0L, Seq.empty, 0, None, Some(e.toString))
+                "", 0, 0, 0, 0, 0L, Seq.empty, 0, None, Some(e.toString))
           }
         }
         result

@@ -118,6 +118,48 @@ class NetcdfSpec extends SparkSuite {
     assert(grid.nodata.contains(-9999f))
   }
 
+  test("multi-variable config: one fetch, one multi-band COG, exact bands") {
+    import spark.implicits._
+    val precip = Seq.tabulate(24)(i => i.toDouble)
+    val error = Seq.tabulate(24)(i => (100 + i).toDouble)
+    val lons = Seq(100.25, 100.75, 101.25, 101.75, 102.25, 102.75)
+    val lats = Seq(10.25, 10.75, 11.25, 11.75)
+    val bytes = build(version = 1, numRecs = 0,
+      dims = Seq(BDim("lat", 4), BDim("lon", 6)),
+      gatts = Seq.empty,
+      vars = Seq(
+        BVar("lat", Seq(0), Seq.empty, Netcdf.NcDouble, lats),
+        BVar("lon", Seq(1), Seq.empty, Netcdf.NcDouble, lons),
+        BVar("precip", Seq(0, 1),
+          Seq(BAtt("_FillValue", Netcdf.NcFloat, Seq(-9999.0))),
+          Netcdf.NcFloat, precip),
+        BVar("precip_err", Seq(0, 1), Seq.empty, Netcdf.NcFloat, error)))
+    val src = new java.io.File(tempDir("ncmv"), "granule.nc")
+    java.nio.file.Files.write(src.toPath, bytes)
+
+    fetchCount.set(0)
+    val out = tempDir("ncmvcog").getAbsolutePath
+    val results = Cogify.run(
+      Seq(CogifyTask("NCMV", src.getAbsolutePath, Some("g"), upload = false)).toDS(),
+      Map("NCMV" -> CollectionConfig("precip", xVariable = Some("lon"),
+        yVariable = Some("lat"), useTopLeftRecipe = true,
+        bandVariables = Seq("precip", "precip_err"))),
+      s"file:$out",
+      mkReader = () => new FetchGridReader(() => new CountingFetcher))
+      .collect()
+    assert(results.length == 1 && results.head.error.isEmpty, results.toSeq)
+    assert(fetchCount.get() == 1) // both variables decode from ONE fetch
+    assert(results.head.n_bands == 2)
+    assert(results.head.n_tiles == 2) // one 256-padded tile per band
+
+    val (bands, _) = Tiff.readBands(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/NCMV/granule.nc.cog.tif")))
+    assert(bands.size == 2)
+    assert(bands(0).data.toSeq == precip.map(_.toFloat))
+    assert(bands(1).data.toSeq == error.map(_.toFloat))
+    assert(bands(0).nodata.contains(-9999f)) // band 0 anchors nodata
+  }
+
   test("randomized: 30 seeded spec-grammar files parse back exactly") {
     val rnd = new scala.util.Random(0xCDF1L)
     val numericTypes =
