@@ -34,6 +34,11 @@ object GraftFunctions {
   def minhash_sig(tokens: Column, n: Int = 3, k: Int = 12): Column =
     toCol(MinHashSig(expression(tokens), n, k))
 
+  /** Distinct word n-gram shingles of a text column (codegen'd — the
+    * corpus-scan shingle stage, see [[WordGrams]]). */
+  def word_grams(text: Column, n: Int): Column =
+    toCol(WordGrams(expression(text), n))
+
   /** Exact cosine similarity of two float-vector columns (double). */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(expression(a), expression(b)))

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word `n`-gram shingles of a text column — the shingle stage
+  * every corpus-wide dedup/contamination operator explodes (reference
+  * semantics: whitespace tokens, space-joined n-grams, first-occurrence
+  * distinct; fewer than `n` tokens falls back to the whole text as one
+  * shingle).
+  *
+  * Native for the usual reason: the composed form (`split` +
+  * `transform(sequence(...), element_at ...)` + `array_distinct`)
+  * evaluates the lambda OUTSIDE whole-stage codegen with a per-token
+  * `element_at` walk — O(tokens·n) interpreted calls per document on the
+  * hottest scans in the engine (d02/d03-verify/d06/d08). Here it's one
+  * tokenizer pass and one hash-set dedup inside codegen.
+  *
+  * Output order and values are bit-identical to the composed form, so
+  * the DuckDB oracles are unaffected.
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_grams requires string, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramsEval.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordGramsEval.grams($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Static eval helper (called from generated code). */
+object WordGramsEval {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def grams(text: UTF8String, n: Int): GenericArrayData = {
+    // UTF8String.trim strips ASCII spaces only — Spark's trim(), not
+    // Java's String.trim (which also strips tabs/newlines and would
+    // drop the leading empty token the composed form keeps)
+    val toks = ws.split(text.trim.toString, -1)
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](text))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(toks(i + o))
+        o += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -22,14 +22,11 @@ import graft.functions.GraftFunctions
 object Dedup {
 
   /** Distinct word n-gram shingles of `text` (n=3); short docs fall back
-    * to the whole text as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(text), "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array(text))
-  }
+    * to the whole text as one shingle. Native codegen'd expression — the
+    * composed `transform`+`element_at` form evaluated interpreted on
+    * every corpus scan (see [[graft.functions.WordGrams]]). */
+  def shingles(text: Column, n: Int = 3): Column =
+    GraftFunctions.word_grams(text, n)
 
   /** MinHash signature of the word-3-gram shingles of `tokens` — the
     * native [[graft.functions.MinHashSig]] expression (row-local, no
