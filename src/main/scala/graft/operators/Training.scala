@@ -242,6 +242,68 @@ object Training {
         (cum_end - n_tok) // 256 AS first_seq,
         (cum_end - 1) // 256 AS last_seq,
         (cum_end - 1) // 256 - (cum_end - n_tok) // 256 + 1 AS n_seqs
-      FROM offs ORDER BY source, doc_id"""))
+      FROM offs ORDER BY source, doc_id""")),
+
+    // Deterministic seeded corpus shuffle into training shards. Shard
+    // assignment is doc_id mod n (balanced by construction, no data
+    // movement to decide); the RANDOMIZATION lives in the within-shard
+    // order: a seeded md5 of the doc id. At 100 TB this is
+    // repartition(n, shard) + sortWithinPartitions(key) — each shard
+    // writer sorts locally, no global sort, no single-partition window.
+    // Changing the seed literal reshuffles every epoch deterministically.
+    ("t17_shuffle_shards", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val nShards = 8
+      val key = md5(concat(col("doc_id").cast("string"), lit("graft42")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % nShards).as("shard"), key.as("skey"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""WITH keyed AS (
+        SELECT doc_id, source, doc_id % 8 AS shard,
+          md5(CAST(doc_id AS VARCHAR) || 'graft42') AS skey
+        FROM documents)
+      SELECT doc_id, source, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+          AS INTEGER) AS pos
+      FROM keyed ORDER BY shard, pos""")),
+
+    // Greedy per-source token-budget sampling — the epoch planner's cut:
+    // documents are taken in seeded-shuffle order until the source's
+    // token budget is reached (the document crossing the boundary is
+    // kept, the standard closed-on-start rule, so every budget>0 yields
+    // at least one document). One cumulative-sum window per source —
+    // shard-parallel at scale exactly like t13's packing windows.
+    ("t18_token_budget", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val key = md5(concat(col("doc_id").cast("string"), lit("graft42")))
+      val counted = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), key.as("skey"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+      counted
+        .withColumn("cum_end", sum(col("n_tok")).over(w))
+        .filter(col("cum_end") - col("n_tok") < budget)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_end"))
+        .orderBy(col("source"), col("cum_end"), col("doc_id"))
+    },
+    Some("""WITH counted AS (
+        SELECT doc_id, source,
+          md5(CAST(doc_id AS VARCHAR) || 'graft42') AS skey,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT doc_id, source, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY skey, doc_id)
+            AS BIGINT) AS cum_end
+        FROM counted)
+      SELECT doc_id, source, n_tok, cum_end
+      FROM offs WHERE cum_end - n_tok < 2000
+      ORDER BY source, cum_end, doc_id"""))
   )
 }

@@ -81,4 +81,50 @@ class TrainingSpec extends SparkSuite {
     assert(out(0) == ((1L, 0L, 0L, 1L))) // tokens [0,5) -> seq 0
     assert(out(1) == ((2L, 0L, 3L, 4L))) // tokens [5,25) -> seqs 0..3
   }
+
+  test("shuffle shards: balanced permutation, deterministic, non-trivial order") {
+    val rows = SparkEntry.queries("t17_shuffle_shards")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_._1).distinct.length == nDocs) // every doc exactly once
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // mod assignment: counts differ by at most one
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, sizes.toSeq)
+    // pos is 1..count within each shard
+    byShard.values.foreach(s =>
+      assert(s.map(_._3).sorted.toSeq == (1 to s.length).toSeq))
+    // the seeded order is not the doc_id order (the point of a shuffle)
+    val shard0 = byShard(0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    // deterministic: same seed, same permutation
+    val again = SparkEntry.queries("t17_shuffle_shards")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("token budget: greedy cut reaches the budget and no further") {
+    val budget = 2000L
+    val kept = SparkEntry.queries("t18_token_budget")(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val allBySource = Tables.documents(spark, sf0001)
+      .select(col("source")).groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._1).foreach { case (src, ds) =>
+      val ordered = ds.sortBy(_._4)
+      // cum_end is a proper running sum of the kept prefix
+      var cum = 0L
+      ordered.foreach { case (_, id, nTok, cumEnd) =>
+        cum += nTok; assert(cumEnd == cum, s"doc $id cum_end")
+      }
+      // budget reached unless the source ran out of documents
+      if (ds.length < allBySource(src)) assert(cum >= budget, s"$src under budget")
+      // greedy minimality: the last doc starts before the budget line
+      val last = ordered.last
+      assert(last._4 - last._3 < budget, s"$src kept a doc past the cut")
+    }
+  }
 }
