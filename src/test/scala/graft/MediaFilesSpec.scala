@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MediaFiles
+
+/** The binaryFile + CSV members of the declared scan surface: raw media
+  * files become the multimodal binary-column table, the glob prunes at
+  * listing time, and sidecar CSV metadata joins broadcast without
+  * dropping unannotated payloads.
+  */
+class MediaFilesSpec extends SparkSuite {
+
+  private def writeFiles(dir: java.io.File): Map[String, Array[Byte]] = {
+    val payloads = Map(
+      "a.img" -> Array[Byte](1, 2, 3, 4, 5),
+      "b.img" -> Array.tabulate(300)(i => (i % 120).toByte),
+      "c.wav" -> Array[Byte](9, 8, 7),
+      "notes.txt" -> "not media".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    }
+    payloads
+  }
+
+  test("binaryFile scan: whole-file rows, exact bytes, glob prunes listing") {
+    val dir = tempDir("media")
+    val payloads = writeFiles(dir)
+
+    val all = MediaFiles.scan(spark, dir.getAbsolutePath).collect()
+    assert(all.map(_.getAs[String]("media_id")).sorted.toSeq ==
+      payloads.keys.toSeq.sorted)
+    all.foreach { r =>
+      val expected = payloads(r.getAs[String]("media_id"))
+      assert(r.getAs[Array[Byte]]("content").toSeq == expected.toSeq)
+      assert(r.getAs[Long]("byte_len") == expected.length)
+    }
+
+    val imgs = MediaFiles.scan(spark, dir.getAbsolutePath, Some("*.img"))
+    assert(imgs.collect().map(_.getAs[String]("media_id")).sorted.toSeq ==
+      Seq("a.img", "b.img"))
+  }
+
+  test("sidecar CSV joins broadcast and keeps unannotated payloads") {
+    val dir = tempDir("media2")
+    writeFiles(dir)
+    val csv = new java.io.File(tempDir("side"), "sidecar.csv")
+    java.nio.file.Files.write(csv.toPath,
+      ("media_id,media_type,label\n" +
+        "a.img,image,cat\n" +
+        "c.wav,audio,speech\n").getBytes("UTF-8"))
+
+    val joined = MediaFiles.withSidecar(
+      MediaFiles.scan(spark, dir.getAbsolutePath), csv.getAbsolutePath)
+    val byId = joined.collect()
+      .map(r => r.getAs[String]("media_id") ->
+        (Option(r.getAs[String]("media_type")), Option(r.getAs[String]("label"))))
+      .toMap
+    assert(byId("a.img") == ((Some("image"), Some("cat"))))
+    assert(byId("c.wav") == ((Some("audio"), Some("speech"))))
+    assert(byId("b.img") == ((None, None))) // unannotated payload kept
+    assert(byId.size == 4)
+
+    // the metadata side is the broadcast side of the join
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("scan feeds the multimodal kernel: features from file bytes") {
+    val dir = tempDir("media3")
+    writeFiles(dir)
+    val media = MediaFiles.scan(spark, dir.getAbsolutePath, Some("*.img"))
+      .select(abs(xxhash64(col("media_id"))).as("doc_id"),
+        lit("image").as("media_type"), col("content").as("payload"))
+    val feats = graft.operators.Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 2)
+    feats.foreach { f =>
+      assert(f.width >= 64 && f.height >= 64)
+      assert(f.byte_len == 5 || f.byte_len == 300)
+    }
+  }
+}
