@@ -21,7 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenizer pass and one hash-set dedup inside codegen.
   *
   * Output order and values are bit-identical to the composed form, so
-  * the DuckDB oracles are unaffected.
+  * the DuckDB oracles are unaffected. One deliberate divergence: NULL
+  * text yields NULL (standard null-safe expression semantics) where the
+  * composed form yielded `[NULL]` — an exploded null gram row that
+  * would have polluted totals; corpus text columns are non-null, and
+  * NULL-in/NULL-out is the behavior a caller would want anyway.
   */
 case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
 

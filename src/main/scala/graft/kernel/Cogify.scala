@@ -37,8 +37,13 @@ object Cogify {
       // (handler.py:78,152): when non-empty, these variables become the
       // bands of ONE multi-band COG (PlanarConfiguration=2), decoded
       // from a single fetch of the container. `variableName` stays the
-      // stats/nodata anchor (band 0) and the single-variable default.
-      bandVariables: Seq[String] = Nil)
+      // stats/nodata anchor, which is band 0 by construction: a
+      // non-empty list must lead with it (enforced, not just documented).
+      bandVariables: Seq[String] = Nil) {
+    require(bandVariables.isEmpty || bandVariables.head == variableName,
+      s"bandVariables must lead with variableName '$variableName' " +
+        "(the stats/nodata anchor band)")
+  }
 
   final case class CogifyTask(collection: String, href: String,
       granule_id: Option[String], upload: Boolean)
@@ -57,10 +62,16 @@ object Cogify {
 
     /** Multi-variable decode (config.bandVariables): one band per
       * variable, shared coordinate vectors. The default wraps the
-      * single-variable path so readers without multi-band support stay
-      * valid. */
+      * single-variable path for single-variable configs; a reader
+      * without multi-band support must NOT silently drop requested
+      * bands, so a multi-variable config fails fast (non-retryable →
+      * DLQ row) instead. */
     def readBands(task: CogifyTask, config: CollectionConfig):
         (Seq[Grid], Option[Array[Double]], Option[Array[Double]]) = {
+      if (config.bandVariables.size > 1)
+        throw new UnsupportedOperationException(
+          s"reader ${getClass.getSimpleName} decodes one variable per " +
+            s"task; config requested ${config.bandVariables.size} bands")
       val (g, xs, ys) = read(task, config)
       (Seq(g), xs, ys)
     }
@@ -156,6 +167,12 @@ object Cogify {
               config.yVariable.map(Netcdf.readCoord(nc, _)))
           case Array(0x49, 0x49, _, _) | Array(0x4d, 0x4d, _, _) =>
             val (bands, affine) = Tiff.readBands(bytes)
+            // TIFF planes are positional, so the variable names can't
+            // select — but a count mismatch is a config/file conflict,
+            // not something to accept silently
+            require(bands.size == config.bandVariables.size,
+              s"config lists ${config.bandVariables.size} band variables " +
+                s"but the TIFF carries ${bands.size} planes")
             val w = bands.head.width
             val h = bands.head.height
             val xs = Array.tabulate(w)(j => affine.c + affine.a * (j + 0.5))
@@ -287,14 +304,18 @@ object Cogify {
     // the top-left recipe keeps the source's geographic degrees; the
     // default recipe reprojects the extent to web-mercator meters
     val epsg = if (config.useTopLeftRecipe) 4326 else 3857
-    val tiles = tile(grid)
+    // writeCogBands tiles every band itself — tile here only on the
+    // single-band paths, and count multi-band tiles arithmetically
+    // (dims are shared, so per-band tile counts are equal)
+    val tilesPerBand = ((grid.width + TileSize - 1) / TileSize) *
+      ((grid.height + TileSize - 1) / TileSize)
     val payload =
-      if (rotated) writeContainer(outPath, grid, affine, tiles)
-      else if (bands.size == 1) writeTiff(outPath, grid, affine, tiles, epsg)
+      if (rotated) writeContainer(outPath, grid, affine, tile(grid))
+      else if (bands.size == 1) writeTiff(outPath, grid, affine, tile(grid), epsg)
       else writeTiffBands(outPath, bands, affine, epsg)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
       grid.width, grid.height, bands.size,
-      bands.size * tiles.size, payload,
+      bands.size * tilesPerBand, payload,
       Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f),
       epsg, Some(gridStats(grid)), None)
   }

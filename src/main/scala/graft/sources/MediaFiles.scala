@@ -20,14 +20,25 @@ import org.apache.spark.sql.functions._
 object MediaFiles {
 
   /** Scan a directory of media files into (media_id, path, mtime,
-    * byte_len, content). `glob` prunes at listing time. */
+    * byte_len, content). `glob` prunes at listing time.
+    *
+    * `media_id` is the DECODED base file name: binaryFile's `path`
+    * column is URI-form, so a file named `my file.img` surfaces as
+    * `.../my%20file.img` — joining that raw form against sidecar keys
+    * would silently miss. `url_decode` maps `+` to space
+    * (form-encoding), which a literal `+` in a file name must survive,
+    * hence the pre-escape. Sidecar keying assumes base names are unique
+    * across the scanned tree (the flat-bucket layout media dumps use);
+    * duplicate base names fan the sidecar join out — key on `path` in
+    * that layout instead. */
   def scan(spark: SparkSession, dir: String,
       glob: Option[String] = None): DataFrame = {
     val base = spark.read.format("binaryFile")
     val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
+    val rawName = regexp_extract(col("path"), "([^/]+)$", 1)
     withGlob.load(dir)
       .select(
-        regexp_extract(col("path"), "([^/]+)$", 1).as("media_id"),
+        url_decode(regexp_replace(rawName, "\\+", "%2B")).as("media_id"),
         col("path"),
         col("modificationTime").as("mtime"),
         col("length").as("byte_len"),

@@ -16,6 +16,10 @@ class MediaFilesSpec extends SparkSuite {
       "a.img" -> Array[Byte](1, 2, 3, 4, 5),
       "b.img" -> Array.tabulate(300)(i => (i % 120).toByte),
       "c.wav" -> Array[Byte](9, 8, 7),
+      // URI-hostile names: the raw binaryFile path column carries these
+      // percent-encoded; media_id must round back to the real file name
+      "my shot.img" -> Array[Byte](42),
+      "a+b.img" -> Array[Byte](43),
       "notes.txt" -> "not media".getBytes("UTF-8"))
     payloads.foreach { case (name, bytes) =>
       java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
@@ -38,7 +42,7 @@ class MediaFilesSpec extends SparkSuite {
 
     val imgs = MediaFiles.scan(spark, dir.getAbsolutePath, Some("*.img"))
     assert(imgs.collect().map(_.getAs[String]("media_id")).sorted.toSeq ==
-      Seq("a.img", "b.img"))
+      Seq("a+b.img", "a.img", "b.img", "my shot.img"))
   }
 
   test("sidecar CSV joins broadcast and keeps unannotated payloads") {
@@ -48,6 +52,7 @@ class MediaFilesSpec extends SparkSuite {
     java.nio.file.Files.write(csv.toPath,
       ("media_id,media_type,label\n" +
         "a.img,image,cat\n" +
+        "my shot.img,image,dog\n" +
         "c.wav,audio,speech\n").getBytes("UTF-8"))
 
     val joined = MediaFiles.withSidecar(
@@ -59,7 +64,8 @@ class MediaFilesSpec extends SparkSuite {
     assert(byId("a.img") == ((Some("image"), Some("cat"))))
     assert(byId("c.wav") == ((Some("audio"), Some("speech"))))
     assert(byId("b.img") == ((None, None))) // unannotated payload kept
-    assert(byId.size == 4)
+    assert(byId("my shot.img") == ((Some("image"), Some("dog")))) // decoded key joins
+    assert(byId.size == 6)
 
     // the metadata side is the broadcast side of the join
     val plan = joined.queryExecution.executedPlan.toString
@@ -73,10 +79,10 @@ class MediaFilesSpec extends SparkSuite {
       .select(abs(xxhash64(col("media_id"))).as("doc_id"),
         lit("image").as("media_type"), col("content").as("payload"))
     val feats = graft.operators.Multimodal.decodeFeatures(media).collect()
-    assert(feats.length == 2)
+    assert(feats.length == 4)
     feats.foreach { f =>
       assert(f.width >= 64 && f.height >= 64)
-      assert(f.byte_len == 5 || f.byte_len == 300)
+      assert(Set(1, 5, 300).contains(f.byte_len))
     }
   }
 }

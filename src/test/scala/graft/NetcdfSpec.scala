@@ -160,6 +160,23 @@ class NetcdfSpec extends SparkSuite {
     assert(bands(0).nodata.contains(-9999f)) // band 0 anchors nodata
   }
 
+  test("multi-variable guards: anchor-first config; no silent band drops") {
+    import spark.implicits._
+    // a band list that doesn't lead with the stats/nodata anchor is a
+    // config error, caught at construction
+    intercept[IllegalArgumentException] {
+      CollectionConfig("precip", bandVariables = Seq("precip_err", "precip"))
+    }
+    // a reader without multi-band decode must error the task (DLQ row),
+    // never silently return one band for a two-band config
+    val results = Cogify.run(
+      Seq(CogifyTask("MB", "s3://b/x.nc", None, upload = false)).toDS(),
+      Map("MB" -> CollectionConfig("a", bandVariables = Seq("a", "b"))),
+      s"file:${tempDir("mbout").getAbsolutePath}",
+      mkReader = () => new Cogify.FakeGridReader()).collect()
+    assert(results.head.error.exists(_.contains("one variable per")))
+  }
+
   test("randomized: 30 seeded spec-grammar files parse back exactly") {
     val rnd = new scala.util.Random(0xCDF1L)
     val numericTypes =
