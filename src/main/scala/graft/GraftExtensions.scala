@@ -48,5 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.WinnowFingerprint].getName,
         "winnow_fingerprint"),
       es => functions.WinnowFingerprint(es.head, intLit(es(1)), intLit(es(2)))))
+    e.injectFunction((FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[functions.WordGrams].getName, "word_grams"),
+      es => functions.WordGrams(es.head, intLit(es(1)))))
   }
 }
