@@ -80,6 +80,27 @@ object Training {
           .as("contamination"))
   }
 
+  /** Write the corpus as physical training shards in seeded-shuffle
+    * order — the sink form of t17: shard = doc_id mod n, within-shard
+    * order = the seeded md5 key. `repartition(shard)` +
+    * `sortWithinPartitions` + `partitionBy(shard)` is the whole plan:
+    * one hash exchange, a per-task sort, NO global sort and NO
+    * row-number window — the shape that holds at any corpus size. A
+    * training loader then streams shard files in file order and gets
+    * the epoch permutation. */
+  def writeShards(docs: DataFrame, outDir: String, nShards: Int = 8,
+      seed: String = "graft42"): Unit = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(seed)))
+    docs.select(col("doc_id"), col("source"), col("text"),
+        (col("doc_id") % nShards).as("shard"), key.as("skey"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
+      // skey rides into the files so a reader can ASSERT the order
+      // without recomputing it; one string per row, negligible next to
+      // text payloads
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Per-document placement in the packed token stream: running offsets
     * per `streamCol` (documents concatenated in doc_id order), then the
     * first/last fixed-length sequence each document touches. */
