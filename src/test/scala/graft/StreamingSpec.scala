@@ -182,4 +182,56 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(batchFlags == streamed)
   }
+
+  test("stateless curation chain composes in one stream with batch parity") {
+    import spark.implicits._
+    import graft.operators.{Curate, Dedup}
+    val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+
+    // the full stateless curation pass, as ONE chain: PII scrub →
+    // quality verdict (t16's rule on the scrubbed text) → near-dup
+    // admission probe. No aggregation, no watermark, no state — the
+    // same code path must serve a batch frame and an append stream.
+    def curate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val clean = docs.withColumn("clean", Curate.redactPii(col("text")))
+      val toks = split(trim(col("clean")), "\\s+")
+      val gated = clean
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("verdict",
+          when(col("n_tok") < 5, "too_short")
+            .otherwise("keep"))
+      Dedup.nearDupAdmission(gated, corpus, fpp = 0.001)
+        .select(col("doc_id"), col("verdict"), col("dup_candidate"),
+          col("clean"))
+    }
+
+    val arriving = Seq(
+      // a corpus copy carrying fresh PII — must scrub AND flag as dup
+      // (admission probes the original text column, scrub rewrites clean)
+      (30000L, corpus.filter(col("doc_id") === 1).head().getString(1)),
+      (30001L, "contact me at alice@example.com for the files now please"),
+      (30002L, "too short"))
+      .toDF("doc_id", "text")
+    val inDir = tempDir("curate").getAbsolutePath
+    arriving.coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = EventStream.runToMemory(curate(stream), "curate_out")
+    try {
+      val rows = spark.table("curate_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getString(3))))
+        .toMap
+      assert(rows.size == 3)
+      assert(rows(30000L)._2, "corpus copy not flagged as dup")
+      assert(rows(30001L)._1 == "keep" && !rows(30001L)._2)
+      assert(!rows(30001L)._3.contains("alice@example.com"), "PII survived")
+      assert(rows(30002L)._1 == "too_short")
+      // batch parity: identical output through the identical chain
+      val batch = curate(arriving).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getString(3))))
+        .toMap
+      assert(batch == rows)
+    } finally q.stop()
+  }
 }
