@@ -219,7 +219,7 @@ object Dedup {
       .withColumn("wt", log((lit(nDocs + 1).cast(DoubleType)) /
         (col("df") + 1).cast(DoubleType)))
     val keyed = Scale.capBuckets(exploded, Seq("print"), maxBucket)
-      .join(weights.select(col("print"), col("wt")), "print")
+      .join(weights.select(col("print"), col("df"), col("wt")), "print")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // totals come from the SAME capped projection the pair join uses —
     // a print dropped by capBuckets is excluded from numerator AND
@@ -228,7 +228,14 @@ object Dedup {
     // (capped numerator over uncapped denominator could never hit
     // minOverlap even for a true verbatim containment)
     val totals = keyed.groupBy(col("doc_id")).agg(sum(col("wt")).as("tot_wt"))
-    val shared = keyed.alias("x").join(keyed.alias("y"),
+    // a df=1 print exists in exactly one document — it can never match
+    // across documents, so it's dead weight in the self-join (typically
+    // MOST prints: unique content dominates any real corpus). Dropping
+    // it from BOTH join inputs leaves the output bit-identical: shared
+    // prints have df >= 2 by definition, and denominators above still
+    // count the unique prints as non-shared content
+    val joinable = keyed.filter(col("df") >= 2)
+    val shared = joinable.alias("x").join(joinable.alias("y"),
         col("x.print") === col("y.print") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       // fp arrays are distinct → count = |A∩B|, sum = shared weight
