@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVFPQ index — the stored form of [[Similarity.ivfpqTopK]]'s
+  * pipeline. `ivfpqTopK` trains and encodes per call, which is right for
+  * a one-shot query but wrong for a served corpus: at scale the models
+  * train once, the corpus encodes once, and every query afterwards pays
+  * only probe + ADC scan + re-rank.
+  *
+  * On-disk layout under `dir`:
+  *  - `meta.parquet`  — one row: dim, m, ks, nlist, replicas
+  *  - `model.parquet` — the coarse centroids and PQ codebook as flat
+  *    float arrays (driver-side objects at load, like any broadcast
+  *    model; nlist·dim + m·ks·(dim/m) floats — KBs to low MBs)
+  *  - `index.parquet/list_id=N/` — (vec_id, codes binary(m)) rows,
+  *    PARTITIONED BY the IVF list: a probe touching `nprobe` lists reads
+  *    only those directories, so the scan cost tracks nprobe/nlist of
+  *    the corpus — the partition layout IS the inverted file.
+  *
+  * Replica assignments (a vector stored under its `replicas` nearest
+  * lists) multiply the index rows, not the corpus; the query-side
+  * distinct collapses them exactly as in [[Similarity.ivfpqTopK]].
+  */
+object AnnIndex {
+
+  final case class Loaded(dim: Int, m: Int, ks: Int, nlist: Int,
+      replicas: Int, centroids: Array[Float], codebook: Array[Float],
+      index: DataFrame)
+
+  /** Train both models on the corpus, encode it, and persist the whole
+    * index. Deterministic: same corpus + params ⇒ byte-identical models
+    * (the bounded-sample trainers are seedless and order-fixed). */
+  def build(corpus: DataFrame, dir: String, nlist: Int = 0,
+      replicas: Int = 2, m: Int = 8, ks: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fns = graft.functions.GraftFunctions
+    val n = corpus.count()
+    val lists = if (nlist > 0) nlist else Similarity.nlistFor(n)
+    val (centroids, dim) = Similarity.trainCentroids(corpus, lists, n)
+    val (codebook, _) = Similarity.trainPq(corpus, n, m, ks)
+    val ksEff = codebook.length / dim
+
+    Seq((dim, m, ksEff, lists, replicas))
+      .toDF("dim", "m", "ks", "nlist", "replicas")
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    Seq(("centroids", centroids.toSeq), ("codebook", codebook.toSeq))
+      .toDF("kind", "vals")
+      .write.mode("overwrite").parquet(s"$dir/model.parquet")
+
+    corpus.select(col("vec_id"),
+        explode(fns.nearest_centroids(col("embedding"), centroids, dim,
+          math.min(replicas, lists))).as("list_id"),
+        fns.pq_encode(col("embedding"), codebook, dim, m).as("codes"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/index.parquet")
+  }
+
+  /** Load the models driver-side and the index lazily. */
+  def load(spark: SparkSession, dir: String): Loaded = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val model = spark.read.parquet(s"$dir/model.parquet").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    Loaded(meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("ks"), meta.getAs[Int]("nlist"),
+      meta.getAs[Int]("replicas"),
+      model("centroids"), model("codebook"),
+      spark.read.parquet(s"$dir/index.parquet"))
+  }
+
+  /** Query a loaded index: probe → partition-pruned ADC scan → exact
+    * re-rank against `corpus` (the original vectors never live in the
+    * index; re-rank joins them back by id). Output shape and values
+    * match [[Similarity.ivfpqTopK]] run with the same parameters. */
+  def topK(ix: Loaded, queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 8, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fns = graft.functions.GraftFunctions
+    val probes = queries.select(col("vec_id").as("query_id"),
+      explode(fns.nearest_centroids(col("embedding"), ix.centroids, ix.dim,
+        math.min(nprobe, ix.nlist))).as("list_id"),
+      fns.pq_lut(col("embedding"), ix.codebook, ix.dim, ix.m).as("lut"))
+    val approx = ix.index.join(broadcast(probes), "list_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        fns.pq_adc(col("codes"), col("lut"), ix.ks).as("adc"))
+      .distinct()
+    val cands = graft.plans.TopKPerKey.topKPerKey(approx,
+        Seq("query_id"), Seq(("adc", true), ("neighbor_id", false)),
+        rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

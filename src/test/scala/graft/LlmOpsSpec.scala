@@ -143,6 +143,37 @@ class LlmOpsSpec extends SparkSuite {
     codes.collect().foreach(r => assert(r.getAs[Array[Byte]](0).length == 8))
   }
 
+  test("persistent ANN index: build/load/query matches the direct pipeline") {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val dir = tempDir("annix").getAbsolutePath
+
+    AnnIndex.build(emb, s"file:$dir")
+    // the on-disk index is partitioned by IVF list — the directory
+    // layout IS the inverted file
+    val listDirs = new java.io.File(s"$dir/index.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs.nonEmpty)
+    // codes are the packed binary(m) stored form
+    val ix = AnnIndex.load(spark, s"file:$dir")
+    assert(ix.index.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    // identical deterministic training ⇒ the loaded index answers
+    // bit-identically to the train-per-call pipeline
+    val fromIndex = AnnIndex.topK(ix, queries, emb, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val direct = Similarity.ivfpqTopK(queries, emb, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(fromIndex == direct)
+
+    // a second load answers the same (nothing retrains at query time)
+    val again = AnnIndex.topK(AnnIndex.load(spark, s"file:$dir"), queries, emb, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(again == fromIndex)
+  }
+
   test("ivfpq ANN: composed prune+compress keeps recall; deterministic") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)
