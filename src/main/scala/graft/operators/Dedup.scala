@@ -120,17 +120,53 @@ object Dedup {
     * and rebuildable incrementally per admitted batch. */
   def nearDupAdmission(docs: DataFrame, corpus: DataFrame,
       k: Int = 12, b: Int = 4, r: Int = 3,
-      expectedBuckets: Long = 0, fpp: Double = 0.01): DataFrame = {
+      expectedBuckets: Long = 0, fpp: Double = 0.01): DataFrame =
+    nearDupAdmissionWith(docs, admissionIndex(corpus, k, b, r,
+      expectedBuckets, fpp), k, b, r)
+
+  /** The admission filter's index: a Bloom over the corpus's (band,
+    * bucket) hashes. Exposed so a continuous-crawl caller builds it ONCE
+    * and grows it per admitted batch with [[growAdmissionIndex]] instead
+    * of re-scanning the whole corpus every micro-batch. */
+  def admissionIndex(corpus: DataFrame, k: Int = 12, b: Int = 4, r: Int = 3,
+      expectedBuckets: Long = 0,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val sigOf = (t: Column) => minhashSignature(split(trim(t), "\\s+"), k)
     val indexKeys = corpus
       .select(explode(array(bandHashes(sigOf(col("text")), b, r): _*)).as("h"))
     // expectedBuckets sizes the filter without an extra pass; defaulting
     // to one count() over the static corpus is fine — it is the indexed
-    // side, not the stream
+    // side, not the stream. For a growing index, pass the CAPACITY the
+    // crawl plans for: Bloom fpp guarantees hold for the sized capacity,
+    // not the current fill.
     val n = if (expectedBuckets > 0) expectedBuckets
       else math.max(1L, indexKeys.count())
-    val bloom = indexKeys.stat.bloomFilter("h", n, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    indexKeys.stat.bloomFilter("h", n, fpp)
+  }
+
+  /** Fold an admitted batch's bucket hashes into an existing index
+    * (Bloom union = bitwise OR — mergeInPlace), returning it for
+    * rebroadcast. The incremental crawl loop: probe batch i against the
+    * index, admit the clean docs, grow the index with exactly those,
+    * probe batch i+1. */
+  def growAdmissionIndex(index: org.apache.spark.util.sketch.BloomFilter,
+      admitted: DataFrame, k: Int = 12, b: Int = 4, r: Int = 3)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val sigOf = (t: Column) => minhashSignature(split(trim(t), "\\s+"), k)
+    admitted
+      .select(explode(array(bandHashes(sigOf(col("text")), b, r): _*)).as("h"))
+      .collect().foreach(row => index.putLong(row.getLong(0)))
+    index
+  }
+
+  /** Probe `docs` against a prebuilt admission index (see
+    * [[admissionIndex]]); the per-document check stays b codegen'd Bloom
+    * probes — no join, no shuffle, no state. */
+  def nearDupAdmissionWith(docs: DataFrame,
+      index: org.apache.spark.util.sketch.BloomFilter,
+      k: Int = 12, b: Int = 4, r: Int = 3): DataFrame = {
+    val sigOf = (t: Column) => minhashSignature(split(trim(t), "\\s+"), k)
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
     docs.withColumn("sig", sigOf(col("text")))
       .withColumn("dup_candidate",
         bandHashes(col("sig"), b, r)

@@ -183,6 +183,41 @@ class StreamingSpec extends SparkSuite {
     assert(batchFlags == streamed)
   }
 
+  test("incremental admission: the index grows per admitted batch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    // size for the planned crawl capacity up front — Bloom fpp holds for
+    // the sized capacity, and growth must not rebuild the filter
+    val index = Dedup.admissionIndex(corpus, expectedBuckets = 100000)
+
+    val batch1 = (0 until 8).map { i =>
+      (40000L + i, (0 until 12).map(j => s"crawlword${i}yy$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    // batch 1 is novel against the corpus index
+    val flags1 = Dedup.nearDupAdmissionWith(batch1, index)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags1.values.forall(!_), flags1)
+
+    // admit batch 1, grow the index with exactly those docs
+    Dedup.growAdmissionIndex(index, batch1)
+
+    // batch 2 re-crawls batch-1 content (ids shifted) + one novel doc
+    val batch2 = batch1.select((col("doc_id") + 100).as("doc_id"), col("text"))
+      .unionByName(Seq((50000L,
+        (0 until 12).map(j => s"freshword0zz$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val flags2 = Dedup.nearDupAdmissionWith(batch2, index)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (40100L until 40108L).foreach(id => assert(flags2(id), s"re-crawl $id passed"))
+    assert(!flags2(50000L), "novel doc flagged after growth")
+
+    // corpus copies still flag (growth never evicts)
+    val copy = corpus.filter(col("doc_id") === 2)
+      .select((col("doc_id") + 60000).as("doc_id"), col("text"))
+    assert(Dedup.nearDupAdmissionWith(copy, index).head().getBoolean(2))
+  }
+
   test("stateless curation chain composes in one stream with batch parity") {
     import spark.implicits._
     import graft.operators.{Curate, Dedup}
