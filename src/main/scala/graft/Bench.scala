@@ -48,9 +48,30 @@ object Bench {
     // recorded q39 at 18.8 s vs 1.1 s quiet — the co-tenant held the box
     // through the whole min-of-two window). Re-time the outliers once more
     // at the end of the sweep, when the contention window has usually
-    // passed, and keep the smaller number.
+    // passed, and keep the smaller number. An outlier is anything over
+    // the absolute threshold OR over 3× its previous round's recorded
+    // min — round 6 recorded 1.46-1.49 s contention hits on 0.3 s
+    // queries that slipped just under the absolute bar.
+    val prior: Map[String, Double] = {
+      val benchFiles = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      benchFiles.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption
+        .map { f =>
+          val src = scala.io.Source.fromFile(f)
+          val text = try src.mkString finally src.close()
+          val start = text.indexOf("\"queries\":{")
+          val end = if (start < 0) -1 else text.indexOf("}", start)
+          if (start < 0 || end < 0) Map.empty[String, Double]
+          else "\"([A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r
+            .findAllMatchIn(text.substring(start + 11, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    }
     val rechecked = results.map { case ((name, fn), best) =>
-      if (best <= 1.5) name -> best
+      val regressedVsPrior =
+        prior.get(name).exists(p => best > 3 * p && best > 0.3)
+      if (best <= 1.5 && !regressedVsPrior) name -> best
       else {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }

@@ -24,7 +24,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  /** `documents` with the NOT-NULL text assumption enforced LOUDLY at
+    * the ingest boundary: the shingle/fingerprint family (word_grams,
+    * winnow, minhash) returns NULL for NULL text where a composed
+    * explode would have produced [NULL] — a null row entering a dedup
+    * pipeline would silently change exploded row counts against the
+    * oracles. A filter would hide such rows the same silent way; a
+    * per-row assertion turns them into an error instead. The guard is a
+    * codegen'd null-check branch — never taken on clean data. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, dir, "documents").withColumn("text",
+      when(col("text").isNotNull, col("text"))
+        .otherwise(raise_error(concat(
+          lit("documents.text is NULL at doc_id="), col("doc_id")))))
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** `events` with `ts` normalized to a TIMESTAMP (µs) column.

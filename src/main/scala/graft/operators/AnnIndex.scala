@@ -43,7 +43,9 @@ object AnnIndex {
     val (codebook, _) = Similarity.trainPq(corpus, n, m, ks)
     val ksEff = codebook.length / dim
 
-    Seq((dim, m, ksEff, lists, replicas))
+    // persist the EFFECTIVE replication (encode uses min(replicas,
+    // lists)) so the metadata never overstates what the index contains
+    Seq((dim, m, ksEff, lists, math.min(replicas, lists)))
       .toDF("dim", "m", "ks", "nlist", "replicas")
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     Seq(("centroids", centroids.toSeq), ("codebook", codebook.toSeq))

@@ -148,14 +148,27 @@ object Dedup {
     * (Bloom union = bitwise OR — mergeInPlace), returning it for
     * rebroadcast. The incremental crawl loop: probe batch i against the
     * index, admit the clean docs, grow the index with exactly those,
-    * probe batch i+1. */
+    * probe batch i+1.
+    *
+    * The batch's own Bloom is built DISTRIBUTED (`stat.bloomFilter`
+    * aggregates per-partition filters and tree-merges the bitmaps), so
+    * nothing row-shaped ever funnels through the driver — a backfill or
+    * crawl-burst batch costs one bitmap per partition, not b×batch
+    * longs collected. `capacity`/`fpp` MUST equal the values the index
+    * was sized with ([[admissionIndex]]'s `expectedBuckets`/`fpp`):
+    * Spark derives bit width and hash count from (n, fpp), so identical
+    * parameters are what make the two filters merge-compatible — and a
+    * union of the same inserted items yields the same bitset as a
+    * from-scratch rebuild (Bloom insertion is deterministic). */
   def growAdmissionIndex(index: org.apache.spark.util.sketch.BloomFilter,
-      admitted: DataFrame, k: Int = 12, b: Int = 4, r: Int = 3)
+      admitted: DataFrame, capacity: Long, fpp: Double = 0.01,
+      k: Int = 12, b: Int = 4, r: Int = 3)
       : org.apache.spark.util.sketch.BloomFilter = {
     val sigOf = (t: Column) => minhashSignature(split(trim(t), "\\s+"), k)
-    admitted
+    val batchBloom = admitted
       .select(explode(array(bandHashes(sigOf(col("text")), b, r): _*)).as("h"))
-      .collect().foreach(row => index.putLong(row.getLong(0)))
+      .stat.bloomFilter("h", capacity, fpp)
+    index.mergeInPlace(batchBloom)
     index
   }
 

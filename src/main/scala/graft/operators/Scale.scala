@@ -49,14 +49,25 @@ object Scale {
     * duplicates that the exact-hash dedup pass (d01) already catches,
     * and near-dup pairs keep `bands - 1` other chances to collide.
     *
-    * The window count shuffles by the same `keys` the self-join uses, so
-    * the exchange is reusable, not an extra pass.
+    * Shape matters here: a window `count().over(partitionBy(keys))`
+    * would shuffle EVERY row of the hot bucket to one task just to
+    * discard them — the guard itself becoming the skew point. Instead
+    * the bucket sizes come from `groupBy(keys).count()` (partial
+    * aggregation shrinks the hot key to one row per map task before the
+    * exchange), only the OVERSIZED keys are kept (a hot key is rare by
+    * definition, so this set is tiny), and the rows are filtered with a
+    * broadcast anti-join — no row of a hot bucket ever concentrates on
+    * a single task, and the corpus side never shuffles at all.
     */
   def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    rows.withColumn("__bucket_n", count(lit(1)).over(w))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+    val hot = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
+    // null-safe equality: a null key forms a bucket under groupBy, so the
+    // anti-join must match it the same way or a hot null bucket escapes
+    val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
+    rows.join(broadcast(hot), cond, "left_anti")
   }
 
   /** Size-targeted parquet write (small-files compaction): pick the

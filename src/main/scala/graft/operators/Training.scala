@@ -82,18 +82,21 @@ object Training {
 
   /** Write the corpus as physical training shards in seeded-shuffle
     * order — the sink form of t17: shard = doc_id mod n, within-shard
-    * order = the seeded md5 key. `repartition(shard)` +
+    * order = the seeded md5 key. `repartitionByRange(shard)` +
     * `sortWithinPartitions` + `partitionBy(shard)` is the whole plan:
-    * one hash exchange, a per-task sort, NO global sort and NO
-    * row-number window — the shape that holds at any corpus size. A
-    * training loader then streams shard files in file order and gets
-    * the epoch permutation. */
+    * one exchange, a per-task sort, NO global sort and NO row-number
+    * window — the shape that holds at any corpus size. Range (not hash)
+    * partitioning on the shard id: hashing n distinct shard values into
+    * n partitions collides several shards onto one task (~n/e tasks sit
+    * idle, colliding tasks pay a multi-shard sort); ranges put each
+    * shard on its own task. A training loader then streams shard files
+    * in file order and gets the epoch permutation. */
   def writeShards(docs: DataFrame, outDir: String, nShards: Int = 8,
       seed: String = "graft42"): Unit = {
     val key = md5(concat(col("doc_id").cast("string"), lit(seed)))
     docs.select(col("doc_id"), col("source"), col("text"),
         (col("doc_id") % nShards).as("shard"), key.as("skey"))
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
       // skey rides into the files so a reader can ASSERT the order
       // without recomputing it; one string per row, negligible next to

@@ -66,6 +66,72 @@ class ScaleSpec extends SparkSuite {
     assert(capped.length == 20, "every healthy-bucket row must survive")
   }
 
+  test("capBuckets never concentrates a hot bucket: no Window node, broadcast anti-join") {
+    // the r6 verdict's skew finding: a window count().over(partitionBy)
+    // shuffles every row of the hot bucket to ONE task before dropping
+    // them — the guard itself was the skew point. The fixed shape is
+    // partial-agg counts + broadcast anti-join of the (tiny) hot-key set.
+    val hot = spark.range(30000).select(
+      col("id").as("doc_id"), lit(0).as("band"), lit(42L).as("key"))
+    val healthy = spark.range(30000, 30020).select(
+      col("id").as("doc_id"), lit(1).as("band"), (col("id") % 5).as("key"))
+    val capped = Scale.capBuckets(hot.unionByName(healthy), Seq("band", "key"), 100)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"capBuckets must not route hot-bucket rows through a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot keys must be dropped via broadcast anti-join:\n$plan")
+    // and the corpus side must not exchange at all: the only exchange in
+    // the plan feeds the aggregate/broadcast side, and it carries the
+    // partially-aggregated counts, never raw rows
+    val rows = capped.collect()
+    assert(rows.forall(_.getInt(1) == 1), "hot bucket rows must be dropped")
+    assert(rows.length == 20, "every healthy-bucket row must survive")
+  }
+
+  test("null bucket keys are capped the same way as non-null keys") {
+    // groupBy treats null as a grouping value; the anti-join must match
+    // it null-safely or a hot null bucket escapes the cap
+    val hotNull = spark.range(500).select(
+      col("id").as("doc_id"), lit(0).as("band"), lit(null).cast("long").as("key"))
+    val healthy = spark.range(500, 510).select(
+      col("id").as("doc_id"), lit(1).as("band"), (col("id") % 5).as("key"))
+    val capped = Scale.capBuckets(hotNull.unionByName(healthy), Seq("band", "key"), 100)
+      .collect()
+    assert(capped.length == 10, "hot null-key bucket must be dropped; healthy rows kept")
+    assert(capped.forall(_.getInt(1) == 1))
+  }
+
+  test("planted mega-bucket: d03 on a skewed corpus matches the uniform run and does not blow up") {
+    import graft.operators.Dedup
+    // 30% of the corpus shares one boilerplate text — identical minhash
+    // signatures, so every band lands the whole block in ONE (band,key)
+    // bucket. With the default cap the boilerplate block is excluded
+    // (exact-dup territory — d01's job); the real pairs are unaffected
+    // and the run must not degrade to the quadratic hot-bucket join.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val boiler = spark.range(1000000, 1000150).select(
+      col("id").as("doc_id"),
+      lit("subscribe to our newsletter for updates terms of service apply all rights reserved contact us today").as("text"))
+    val skewed = docs.select("doc_id", "text").unionByName(boiler)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (uniform, tUniform) = timed {
+      Dedup.minhashNearDups(docs, tau = 0.5).select("doc_a", "doc_b").collect().toSet
+    }
+    val (skewedPairs, tSkewed) = timed {
+      Dedup.minhashNearDups(skewed, tau = 0.5).select("doc_a", "doc_b").collect().toSet
+    }
+    assert(skewedPairs == uniform,
+      "capped boilerplate bucket must not change the real corpus' pairs")
+    // generous bound — catches quadratic blowup (150² bucket pairs ×
+    // verify joins), not scheduler noise
+    assert(tSkewed <= tUniform * 10 + 10.0,
+      s"skewed run took ${tSkewed}s vs uniform ${tUniform}s — hot bucket not contained")
+  }
+
   test("minhash-LSH recall survives with the default bucket cap active") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf0001)

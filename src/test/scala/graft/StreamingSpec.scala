@@ -199,8 +199,9 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(flags1.values.forall(!_), flags1)
 
-    // admit batch 1, grow the index with exactly those docs
-    Dedup.growAdmissionIndex(index, batch1)
+    // admit batch 1, grow the index with exactly those docs (same
+    // capacity/fpp the index was sized with — merge-compatible)
+    Dedup.growAdmissionIndex(index, batch1, capacity = 100000)
 
     // batch 2 re-crawls batch-1 content (ids shifted) + one novel doc
     val batch2 = batch1.select((col("doc_id") + 100).as("doc_id"), col("text"))
@@ -216,6 +217,39 @@ class StreamingSpec extends SparkSuite {
     val copy = corpus.filter(col("doc_id") === 2)
       .select((col("doc_id") + 60000).as("doc_id"), col("text"))
     assert(Dedup.nearDupAdmissionWith(copy, index).head().getBoolean(2))
+  }
+
+  test("grown-via-merge index flags exactly what a from-scratch rebuild flags") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // growAdmissionIndex is a distributed Bloom union: same (capacity,
+    // fpp) ⇒ same bit layout ⇒ union of the same inserted items must be
+    // BIT-IDENTICAL to an index rebuilt over corpus ∪ batch — so every
+    // probe, not just a sampled few, agrees between the two paths
+    val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val batch = (0 until 16).map { i =>
+      (70000L + i, (0 until 12).map(j => s"mergeword${i}qq$j").mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val grown = Dedup.admissionIndex(corpus, expectedBuckets = 100000)
+    Dedup.growAdmissionIndex(grown, batch, capacity = 100000)
+    val rebuilt = Dedup.admissionIndex(corpus.unionByName(batch),
+      expectedBuckets = 100000)
+
+    def bytesOf(bf: org.apache.spark.util.sketch.BloomFilter): Seq[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray.toSeq
+    }
+    assert(bytesOf(grown) == bytesOf(rebuilt),
+      "merge-grown index must be bit-identical to a from-scratch rebuild")
+
+    // and behaviorally: re-crawls of both corpus and batch content flag
+    val probes = corpus.limit(5).select((col("doc_id") + 80000).as("doc_id"), col("text"))
+      .unionByName(batch.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val flags = Dedup.nearDupAdmissionWith(probes, grown)
+      .collect().map(_.getBoolean(2))
+    assert(flags.forall(identity))
   }
 
   test("stateless curation chain composes in one stream with batch parity") {
