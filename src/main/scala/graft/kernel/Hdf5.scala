@@ -20,8 +20,10 @@ import Raster.Grid
   *  - version-1 object headers with continuation blocks, and version-2
   *    (`OHDR`/`OCHK`) headers with compact link messages;
   *  - groups via symbol-table message → local heap + v1 B-tree → SNOD
-  *    nodes, or via compact link messages (dense fractal-heap link
-  *    storage is rejected with a clear error);
+  *    nodes, via compact link messages, or via DENSE link storage
+  *    (fractal heap + name-index v2 B-tree — what the netCDF-4 library
+  *    switches to once a group holds ~8+ links, i.e. every
+  *    many-variable science granule);
   *  - datasets with contiguous, compact, or chunked (v1 B-tree, node
   *    type 1) layout; deflate (id 1) and shuffle (id 2) filters;
   *  - fixed-point and IEEE-float datatypes, either endianness;
@@ -216,9 +218,13 @@ object Hdf5 {
       linkInfo.foreach { m =>
         // version(1) flags(1) [max corder(8)] fractal heap, name index
         val flags = bytes(m.off + 1) & 0xff
-        val fh = buf.getLong(m.off + 2 + (if ((flags & 1) != 0) 8 else 0))
-        require(fh == Undef || links.nonEmpty,
-          "dense (fractal-heap) group link storage is not supported")
+        val base = m.off + 2 + (if ((flags & 1) != 0) 8 else 0)
+        val fh = buf.getLong(base)
+        val nameIndex = buf.getLong(base + 8)
+        if (fh != Undef) // dense storage: links live in the fractal heap
+          denseLinks(bytes, buf, fh, nameIndex).foreach { case (name, target) =>
+            walk(bytes, target, s"$prefix$name/", out, visited)
+          }
       }
       links.foreach { m =>
         linkTarget(bytes, buf, m).foreach { case (name, target) =>
@@ -284,6 +290,178 @@ object Hdf5 {
     (0 until n).map { i =>
       val e = a + 8 + i * 40 // entry: name off, OH addr, cache, reserved, scratch
       (buf.getLong(e), buf.getLong(e + 8))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // dense (fractal-heap) group link storage — spec §III.F (fractal heap)
+  // and §III.A.2 (version-2 B-trees). The netCDF-4 library switches a
+  // group from compact link messages to dense storage once its link
+  // count grows (~8+ variables), so many-variable science granules
+  // (the reference's GPM/OMI collections, lambdas/cogify/example.ini)
+  // land here. Strategy: enumerate every record of the name-index v2
+  // B-tree (type 5: name hash + heap ID), resolve each managed heap ID
+  // through the fractal heap's doubling table, and hand the bytes to the
+  // SAME link-message parser the compact path uses.
+
+  /** All (link name → object header address) pairs of a dense group. */
+  private def denseLinks(bytes: Array[Byte], buf: ByteBuffer,
+      heapAddr: Long, nameIndexAddr: Long): Seq[(String, Long)] = {
+    require(nameIndexAddr != Undef,
+      "dense link storage without a name-index v2 B-tree")
+    val heap = parseFractalHeap(bytes, buf, heapAddr)
+    v2BtreeRecords(bytes, buf, nameIndexAddr).flatMap { rec =>
+      // type-5 record: hash-of-name (4 bytes) then the heap ID
+      val objOff = resolveHeapId(bytes, buf, heap, rec + 4)
+      linkTarget(bytes, buf, Msg(0x06, objOff, 0))
+    }
+  }
+
+  /** The fractal-heap geometry needed to resolve managed heap IDs. */
+  private final case class FractalHeap(offsetSize: Int, idLenSize: Int,
+      tableWidth: Int, startBlockSize: Long, maxDirectBlockSize: Long,
+      rootBlockAddr: Long, rootRows: Int, checksumDirect: Boolean,
+      blockHeaderSize: Int)
+
+  private def parseFractalHeap(bytes: Array[Byte], buf: ByteBuffer,
+      addr: Long): FractalHeap = {
+    val a = addr.toInt
+    require(bytes(a) == 'F' && bytes(a + 1) == 'R' && bytes(a + 2) == 'H' &&
+      bytes(a + 3) == 'P', "missing FRHP signature")
+    require(bytes(a + 4) == 0, s"fractal heap version ${bytes(a + 4)}")
+    val heapIdLen = buf.getShort(a + 5) & 0xffff
+    val ioFiltersLen = buf.getShort(a + 7) & 0xffff
+    require(ioFiltersLen == 0,
+      "filtered fractal heaps are not used for group links")
+    val flags = bytes(a + 9) & 0xff
+    // fixed-width block: maxManagedObjSize(4) at +10, then 12 length/
+    // address fields (8 bytes each) at +14, then the doubling table
+    val tableWidth = buf.getShort(a + 110) & 0xffff
+    val startBlockSize = buf.getLong(a + 112)
+    val maxDirectBlockSize = buf.getLong(a + 120)
+    val maxHeapSizeBits = buf.getShort(a + 128) & 0xffff
+    val rootBlockAddr = buf.getLong(a + 132)
+    val rootRows = buf.getShort(a + 140) & 0xffff
+    val offsetSize = (maxHeapSizeBits + 7) / 8
+    val idLenSize = heapIdLen - 1 - offsetSize
+    require(idLenSize > 0, s"heap ID length $heapIdLen too small for " +
+      s"$offsetSize-byte offsets")
+    val checksumDirect = (flags & 0x02) != 0
+    // FHDB header: sig(4) version(1) heap addr(8) block offset, [checksum]
+    val blockHeaderSize = 4 + 1 + 8 + offsetSize + (if (checksumDirect) 4 else 0)
+    FractalHeap(offsetSize, idLenSize, tableWidth, startBlockSize,
+      maxDirectBlockSize, rootBlockAddr, rootRows, checksumDirect,
+      blockHeaderSize)
+  }
+
+  /** Resolve a managed heap ID at `idAt` to the absolute file offset of
+    * the object's first byte. Heap offsets cover managed space
+    * INCLUDING direct-block headers, so the object's file position is
+    * blockAddr + (offset - blockHeapOffset). */
+  private def resolveHeapId(bytes: Array[Byte], buf: ByteBuffer,
+      heap: FractalHeap, idAt: Int): Int = {
+    val idFlags = bytes(idAt) & 0xff
+    val idType = (idFlags >> 4) & 0x3
+    require((idFlags >> 6) == 0, s"heap ID version ${idFlags >> 6}")
+    require(idType == 0,
+      s"heap ID type $idType (huge/tiny objects never hold group links)")
+    var off = 0L
+    for (i <- 0 until heap.offsetSize) // little-endian offset
+      off |= (bytes(idAt + 1 + i) & 0xffL) << (8 * i)
+    val (blockAddr, blockHeapOff) = directBlockFor(bytes, buf, heap, off)
+    (blockAddr + (off - blockHeapOff)).toInt
+  }
+
+  /** The doubling table: (file address, heap-space offset) of the direct
+    * block containing heap offset `off`. Root is either a single direct
+    * block (rows == 0) or an indirect block whose rows of direct-block
+    * children double in size from row 2 on; indirect children beyond
+    * the direct rows (giant heaps) are out of scope for link storage. */
+  private def directBlockFor(bytes: Array[Byte], buf: ByteBuffer,
+      heap: FractalHeap, off: Long): (Long, Long) = {
+    if (heap.rootRows == 0) {
+      require(off < heap.startBlockSize * heap.tableWidth,
+        s"heap offset $off beyond the root direct block")
+      return (heap.rootBlockAddr, 0L)
+    }
+    val a = heap.rootBlockAddr.toInt
+    require(bytes(a) == 'F' && bytes(a + 1) == 'H' && bytes(a + 2) == 'I' &&
+      bytes(a + 3) == 'B', "missing FHIB signature on root indirect block")
+    // sig(4) version(1) heap addr(8) block offset(offsetSize), children
+    val childrenAt = a + 4 + 1 + 8 + heap.offsetSize
+    // direct rows: row 0 and 1 are startBlockSize, row r≥2 doubles
+    val maxDirectRows = 2 +
+      (63 - java.lang.Long.numberOfLeadingZeros(heap.maxDirectBlockSize)) -
+      (63 - java.lang.Long.numberOfLeadingZeros(heap.startBlockSize))
+    var heapOff = 0L
+    var idx = 0
+    for (row <- 0 until math.min(heap.rootRows, maxDirectRows)) {
+      val size = if (row < 2) heap.startBlockSize
+        else heap.startBlockSize << (row - 1)
+      for (_ <- 0 until heap.tableWidth) {
+        if (off >= heapOff && off < heapOff + size) {
+          val addr = buf.getLong(childrenAt + idx * 8)
+          require(addr != Undef, s"heap offset $off in an unallocated block")
+          return (addr, heapOff)
+        }
+        heapOff += size
+        idx += 1
+      }
+    }
+    throw new IllegalArgumentException(
+      s"heap offset $off beyond the direct rows of the root indirect block")
+  }
+
+  /** Absolute offsets of every record in a v2 B-tree, depth ≤ 1 (a
+    * 512-byte leaf holds ~45 link records; depth 1 covers thousands of
+    * links — deeper trees don't arise from group link counts). */
+  private def v2BtreeRecords(bytes: Array[Byte], buf: ByteBuffer,
+      addr: Long): Seq[Int] = {
+    val a = addr.toInt
+    require(bytes(a) == 'B' && bytes(a + 1) == 'T' && bytes(a + 2) == 'H' &&
+      bytes(a + 3) == 'D', "missing BTHD signature")
+    require(bytes(a + 4) == 0, s"v2 B-tree version ${bytes(a + 4)}")
+    val recordType = bytes(a + 5) & 0xff
+    require(recordType == 5,
+      s"v2 B-tree record type $recordType (expected 5: link name index)")
+    val nodeSize = buf.getInt(a + 6)
+    val recordSize = buf.getShort(a + 10) & 0xffff
+    val depth = buf.getShort(a + 12) & 0xffff
+    val rootAddr = buf.getLong(a + 16)
+    val rootNRec = buf.getShort(a + 24) & 0xffff
+
+    def leafRecords(nodeAddr: Long, nRec: Int): Seq[Int] = {
+      val n = nodeAddr.toInt
+      require(bytes(n) == 'B' && bytes(n + 1) == 'T' && bytes(n + 2) == 'L' &&
+        bytes(n + 3) == 'F', "missing BTLF signature")
+      (0 until nRec).map(i => n + 6 + i * recordSize)
+    }
+
+    depth match {
+      case 0 => leafRecords(rootAddr, rootNRec)
+      case 1 =>
+        val n = rootAddr.toInt
+        require(bytes(n) == 'B' && bytes(n + 1) == 'T' && bytes(n + 2) == 'I' &&
+          bytes(n + 3) == 'N', "missing BTIN signature")
+        // all nRec records first, then nRec+1 child pointers; a child
+        // pointer = address(8) + #records, the count sized to hold the
+        // max records a leaf can carry (leaf prefix = 10 bytes)
+        val maxLeafRec = (nodeSize - 10) / recordSize
+        val nRecSize = (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1, maxLeafRec).toLong) + 7) / 8
+        val ptrsAt = n + 6 + rootNRec * recordSize
+        val out = mutable.ArrayBuffer.empty[Int]
+        for (i <- 0 to rootNRec) {
+          val pos = ptrsAt + i * (8 + nRecSize)
+          val childAddr = buf.getLong(pos)
+          val childN = readUint(buf, pos + 8, nRecSize).toInt
+          out ++= leafRecords(childAddr, childN)
+        }
+        // in-tree records (the internal node's own) precede the pointers
+        out ++= (0 until rootNRec).map(i => n + 6 + i * recordSize)
+        out.toSeq
+      case d => throw new IllegalArgumentException(
+        s"v2 B-tree depth $d (group link indexes never exceed depth 1)")
     }
   }
 

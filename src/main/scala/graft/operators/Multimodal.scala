@@ -30,14 +30,40 @@ object Multimodal {
   // public: the Dataset encoder's generated code must reach the ctor
   final case class MediaIn(doc_id: Long, media_type: String, payload: Array[Byte])
 
+  /** The media-codec seam: a production decoder (libjpeg/ffmpeg/… JNI
+    * binding) implements these three calls and plugs in BY CLASS NAME —
+    * the Spark-side kernel (schema, batching, partition lifecycle) never
+    * changes. Implementations need a no-arg constructor: the kernel
+    * instantiates ONE decoder per partition inside `mapPartitions` (≈
+    * one codec context per task), so the class name, not the instance,
+    * crosses the closure boundary — no Serializable demand on codec
+    * handles. */
+  trait MediaDecoder {
+    /** payload → (width, height, channel mean). */
+    def decode(payload: Array[Byte]): (Int, Int, Double)
+    /** payload → (resized width, resized height, thumbnail bytes). */
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte])
+  }
+
+  /** Session conf key naming the [[MediaDecoder]] implementation class;
+    * defaults to the offline [[FakeDecoder]]. */
+  val DecoderConfKey = "graft.media.decoder"
+
+  /** The configured decoder class name for this session. */
+  def decoderClass(spark: SparkSession): String =
+    spark.conf.get(DecoderConfKey, classOf[FakeDecoder].getName)
+
+  private def instantiate(className: String): MediaDecoder =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[MediaDecoder]
+
   /** STUB decoder: a real implementation would hand `payload` to an image
     * library; this derives deterministic fake dimensions/stats from the
     * payload's sha-256 digest so the pipeline shape is testable offline
     * AND every feature is SQL-derivable (the m02 oracle recomputes them
-    * from hex slices of the digest). One decoder instance per partition
-    * (≈ one codec context per task).
+    * from hex slices of the digest).
     */
-  final class FakeDecoder extends Serializable {
+  final class FakeDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val md = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
       val width = 64 + (((md(0) & 0xff) << 8 | (md(1) & 0xff)) % 1024)
@@ -66,13 +92,18 @@ object Multimodal {
     * Partition-level so decoder setup amortizes across the batch — the
     * shape a Pandas-UDF/`mapInPandas` stage has in PySpark.
     */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] =
+    decodeFeaturesWith(media, decoderClass(media.sparkSession))
+
+  /** [[decodeFeatures]] with an explicit [[MediaDecoder]] class. */
+  def decodeFeaturesWith(media: DataFrame,
+      decoderCls: String): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media_type"), col("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
-        val decoder = new FakeDecoder // one per partition/batch
+        val decoder = instantiate(decoderCls) // one per partition/batch
         val sha256 = java.security.MessageDigest.getInstance("SHA-256")
         it.map { m =>
           val (w, h, mean) = decoder.decode(m.payload)
@@ -80,6 +111,29 @@ object Multimodal {
             hex(sha256.digest(m.payload)), w, h, mean)
         }
       }
+  }
+
+  /** The batched resize stage through the same partition kernel: binary
+    * in, binary (thumbnail) out plus new dimensions — returned with
+    * content hashes so the stage is oracle-checkable. */
+  def resizeMedia(media: DataFrame): DataFrame =
+    resizeMediaWith(media, decoderClass(media.sparkSession))
+
+  /** [[resizeMedia]] with an explicit [[MediaDecoder]] class. */
+  def resizeMediaWith(media: DataFrame, decoderCls: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        val decoder = instantiate(decoderCls)
+        val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { m =>
+          val (rw, rh, thumb) = decoder.resize(m.payload)
+          (m.doc_id, rw, rh, thumb.length, hex(sha256.digest(thumb)))
+        }
+      }
+      .toDF("doc_id", "r_width", "r_height", "thumb_len", "thumb_sha")
   }
 
   /** Build a media table over the documents corpus: text bytes stand in
@@ -136,20 +190,7 @@ object Multimodal {
     // metadata; every output is sha/length-derivable so the kernel path
     // is hash-verified.
     ("m04_media_resize", (s: SparkSession, d: String) => {
-      val spark = s
-      import spark.implicits._
-      mediaTable(graft.Tables.documents(s, d))
-        .select(col("doc_id"), col("media_type"), col("payload"))
-        .as[MediaIn]
-        .mapPartitions { it =>
-          val decoder = new FakeDecoder
-          val sha256 = java.security.MessageDigest.getInstance("SHA-256")
-          it.map { m =>
-            val (rw, rh, thumb) = decoder.resize(m.payload)
-            (m.doc_id, rw, rh, thumb.length, hex(sha256.digest(thumb)))
-          }
-        }
-        .toDF("doc_id", "r_width", "r_height", "thumb_len", "thumb_sha")
+      resizeMedia(mediaTable(graft.Tables.documents(s, d)))
         .orderBy(col("doc_id"))
     },
     Some("""WITH m AS (

@@ -52,8 +52,16 @@ object Transfer {
   /** Execute the transfer: run the distributed copies, then return ALL
     * events with `s3_filename` rewritten for the uploaded ones
     * (handler.py:61 — rewrite happens whether or not a copy was needed).
+    *
+    * `overlays` is the cross-account seam (reference data-transfer/
+    * handler.py:22-31 assumes an external role for the source side):
+    * URI-prefix → Hadoop settings resolved independently for the source
+    * and destination of each copy, so a provider bucket under role X
+    * and the pipeline's own bucket under default credentials ride one
+    * job ([[graft.sources.SourceConf]]).
     */
-  def execute(events: DataFrame, targetRoot: String): DataFrame = {
+  def execute(events: DataFrame, targetRoot: String,
+      overlays: Map[String, Map[String, String]] = Map.empty): DataFrame = {
     val spark = events.sparkSession
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     copyPlan(events, targetRoot)
@@ -62,9 +70,11 @@ object Transfer {
         it.foreach { r =>
           val src = new Path(r.getString(0))
           val dst = new Path(r.getString(1))
-          val sfs = src.getFileSystem(conf.value)
-          val dfs = dst.getFileSystem(conf.value)
-          FileUtil.copy(sfs, src, dfs, dst, false, true, conf.value)
+          val srcConf = graft.sources.SourceConf.resolve(conf.value, overlays, r.getString(0))
+          val dstConf = graft.sources.SourceConf.resolve(conf.value, overlays, r.getString(1))
+          val sfs = src.getFileSystem(srcConf)
+          val dfs = dst.getFileSystem(dstConf)
+          FileUtil.copy(sfs, src, dfs, dst, false, true, dstConf)
         }
       }
     withTargetColumns(events, targetRoot)

@@ -23,11 +23,18 @@ object Fetch {
     def fetch(uri: String, destDir: File): File
   }
 
-  /** Hadoop-FS localizer — s3a/file/hdfs/... via `FileSystem.open`. */
-  final class HadoopFetcher extends Fetcher {
+  /** Hadoop-FS localizer — s3a/file/hdfs/... via `FileSystem.open`.
+    * `overlays` is the per-source credential seam ([[SourceConf]]):
+    * URI-prefix → Hadoop settings (an assumed-role ARN, a credentials
+    * provider, an endpoint) applied to the configuration the matching
+    * source's filesystem initializes with. */
+  final class HadoopFetcher(
+      overlays: Map[String, Map[String, String]] = Map.empty) extends Fetcher {
     override def fetch(uri: String, destDir: File): File = {
       val p = new org.apache.hadoop.fs.Path(uri)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val conf = SourceConf.resolve(
+        new org.apache.hadoop.conf.Configuration(), overlays, uri)
+      val fs = p.getFileSystem(conf)
       val dst = new File(destDir, p.getName)
       val in = fs.open(p)
       try Files.copy(in, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
@@ -64,17 +71,31 @@ object Fetch {
   }
 
   /** Scheme router: http(s) → authenticated HTTP, everything else →
-    * Hadoop FS; already-local files short-circuit (handler.py:50-51). */
-  final class RoutingFetcher(credentials: Option[(String, String)] = None)
+    * Hadoop FS; already-local files short-circuit (handler.py:50-51).
+    *
+    * Per-source credentials: `httpCredsBySource` routes basic-auth
+    * pairs by URI prefix (longest match; `credentials` is the default
+    * when nothing matches), and `overlays` routes Hadoop settings the
+    * same way — so one fetcher serves a provider's authenticated host
+    * and a public mirror, or two buckets under different IAM roles,
+    * without per-source fetcher instances. */
+  final class RoutingFetcher(credentials: Option[(String, String)] = None,
+      httpCredsBySource: Map[String, (String, String)] = Map.empty,
+      overlays: Map[String, Map[String, String]] = Map.empty)
       extends Fetcher {
-    private val http = new HttpFetcher(credentials)
-    private val hadoop = new HadoopFetcher
+    private val hadoop = new HadoopFetcher(overlays)
+    // one HTTP session per credential identity (the reference keeps one
+    // session per process; per-source routing multiplies that by source)
+    @transient private lazy val httpBySource =
+      scala.collection.mutable.Map.empty[Option[(String, String)], HttpFetcher]
     override def fetch(uri: String, destDir: File): File = {
       val local = new File(uri)
       if (local.isAbsolute && local.isFile) local // already local: no-op
-      else if (uri.startsWith("http://") || uri.startsWith("https://"))
-        http.fetch(uri, destDir)
-      else hadoop.fetch(uri, destDir)
+      else if (uri.startsWith("http://") || uri.startsWith("https://")) {
+        val creds = SourceConf.lookup(httpCredsBySource, uri).orElse(credentials)
+        httpBySource.getOrElseUpdate(creds, new HttpFetcher(creds))
+          .fetch(uri, destDir)
+      } else hadoop.fetch(uri, destDir)
     }
   }
 }

@@ -95,6 +95,73 @@ class FetchPublishSpec extends SparkSuite {
     }
   }
 
+  test("per-source credentials: two hosts resolve different basic-auth pairs") {
+    // the cross-account seam's HTTP face: one router serves a provider
+    // path requiring creds A and a mirror path requiring creds B —
+    // longest-prefix routing, no per-source fetcher instances
+    withServer({
+      case ("/providerA/a.bin", ex) =>
+        if (basicAuthOk(ex, "userA", "passA")) respond(ex, 200, "from-A".getBytes(UTF_8))
+        else respond(ex, 401, Array.empty)
+      case ("/providerB/b.bin", ex) =>
+        if (basicAuthOk(ex, "userB", "passB")) respond(ex, 200, "from-B".getBytes(UTF_8))
+        else respond(ex, 401, Array.empty)
+    }) { base =>
+      val tmp = tempDir("multicred")
+      val router = new Fetch.RoutingFetcher(
+        credentials = Some(("userA", "passA")), // default
+        httpCredsBySource = Map(s"$base/providerB" -> (("userB", "passB"))))
+      val a = router.fetch(s"$base/providerA/a.bin", tmp)
+      assert(new String(java.nio.file.Files.readAllBytes(a.toPath), UTF_8) == "from-A")
+      val b = router.fetch(s"$base/providerB/b.bin", tmp)
+      assert(new String(java.nio.file.Files.readAllBytes(b.toPath), UTF_8) == "from-B")
+      // wrong routing would 401: a router with ONLY the default creds
+      // must fail on provider B
+      val defaultOnly = new Fetch.RoutingFetcher(Some(("userA", "passA")))
+      intercept[java.io.IOException] {
+        defaultOnly.fetch(s"$base/providerB/b.bin", tmp)
+      }
+    }
+  }
+
+  test("per-source hadoop conf: two buckets resolve different role settings") {
+    import graft.sources.SourceConf
+    val base = new org.apache.hadoop.conf.Configuration(false)
+    base.set("fs.s3a.endpoint", "default-endpoint")
+    val overlays = Map(
+      "s3a://provider-bucket" -> Map(
+        "fs.s3a.assumed.role.arn" -> "arn:aws:iam::111111111111:role/provider-read",
+        "fs.s3a.aws.credentials.provider" ->
+          "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"),
+      "s3a://provider-bucket/restricted" -> Map(
+        "fs.s3a.assumed.role.arn" -> "arn:aws:iam::111111111111:role/provider-restricted"))
+
+    val a = SourceConf.resolve(base, overlays, "s3a://provider-bucket/data/x.nc")
+    val restricted = SourceConf.resolve(base, overlays,
+      "s3a://provider-bucket/restricted/y.nc")
+    val own = SourceConf.resolve(base, overlays, "s3a://own-bucket/out/z.tif")
+
+    assert(a.get("fs.s3a.assumed.role.arn")
+      == "arn:aws:iam::111111111111:role/provider-read")
+    // longest prefix wins: the restricted subtree gets its own role
+    assert(restricted.get("fs.s3a.assumed.role.arn")
+      == "arn:aws:iam::111111111111:role/provider-restricted")
+    // no match: the base configuration itself, untouched
+    assert(own eq base)
+    assert(base.get("fs.s3a.assumed.role.arn") == null,
+      "resolve must never mutate the base configuration")
+    // overlays inherit the base's settings
+    assert(a.get("fs.s3a.endpoint") == "default-endpoint")
+
+    // and the s3a-idiomatic per-bucket form expands to the keys S3A
+    // resolves natively at filesystem initialization
+    val keys = SourceConf.bucketKeys(Map(
+      "provider-bucket" -> Map("assumed.role.arn" -> "arn:x", "access.key" -> "AK")))
+    assert(keys == Map(
+      "fs.s3a.bucket.provider-bucket.assumed.role.arn" -> "arn:x",
+      "fs.s3a.bucket.provider-bucket.access.key" -> "AK"))
+  }
+
   test("cogify kernel drives the authenticated fetch + tiff decode end to end") {
     import spark.implicits._
     withServer({ case ("/granules/g2.tif", ex) =>

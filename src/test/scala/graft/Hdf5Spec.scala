@@ -83,6 +83,79 @@ class Hdf5Spec extends SparkSuite {
     assert(g.nodata.contains(-1f))
   }
 
+  test("dense link storage: many-variable group parses (depth-0 index, direct-block heap)") {
+    // 14 links — past the library's compact→dense switch point (~8)
+    val names = (1 to 12).map(i => f"var$i%02d")
+    val kids = Seq(
+      BData("lat", Seq(3), F64LE, Seq(10, 20, 30)),
+      BData("lon", Seq(4), F64LE, Seq(100, 101, 102, 103))) ++
+      names.zipWithIndex.map { case (n, i) =>
+        BData(n, Seq(3, 4), F32LE, (0 until 12).map(j => (i * 100 + j).toDouble))
+      }
+    val f = Hdf5.parse(build(Seq(BGroup("science", kids, dense = true)), v2 = true))
+    assert(f.datasets.keySet ==
+      (names.map(n => s"science/$n").toSet + "science/lat" + "science/lon"))
+    names.zipWithIndex.foreach { case (n, i) =>
+      val g = Hdf5.readGrid(f, s"science/$n")
+      assert(g.width == 4 && g.height == 3)
+      assert(g.data.toSeq == (0 until 12).map(j => (i * 100 + j).toFloat))
+    }
+    assert(Hdf5.readCoord(f, "science/lat").toSeq == Seq(10.0, 20.0, 30.0))
+  }
+
+  test("dense link storage: depth-1 name index and root-indirect heap blocks") {
+    // tiny node/block sizes force the scale structures a small fixture
+    // would otherwise never hit: BTIN over several BTLF leaves (node 64
+    // → 4 records per leaf) and an FHIB root whose direct blocks double
+    // (start 64 → rows of 64,64,128,…)
+    val names = (1 to 30).map(i => f"d$i%02d")
+    val kids = names.zipWithIndex.map { case (n, i) =>
+      BData(n, Seq(2), F32LE, Seq(i.toDouble, i + 0.5))
+    }
+    val f = Hdf5.parse(build(
+      Seq(BGroup("g", kids, dense = true, btreeNodeSize = 64, startBlockSize = 64)),
+      v2 = true))
+    assert(f.datasets.keySet == names.map(n => s"g/$n").toSet)
+    names.zipWithIndex.foreach { case (n, i) =>
+      assert(Hdf5.readCoord(f, s"g/$n").toSeq == Seq(i.toDouble, i + 0.5))
+    }
+  }
+
+  test("dense link storage: cogify decodes a many-variable granule end to end") {
+    import spark.implicits._
+    val lons = Seq(100.25, 100.75, 101.25, 101.75, 102.25, 102.75)
+    val lats = Seq(10.25, 10.75, 11.25, 11.75)
+    val extra = (1 to 9).map(i => BData(f"aux$i%02d", Seq(4, 6), F32LE,
+      (0 until 24).map(j => (i * 1000 + j).toDouble)))
+    val vals = Seq.tabulate(24)(i => i.toDouble)
+    val bytes = build(Seq(
+      BGroup("science",
+        Seq(BData("lat", Seq(4), F64LE, lats),
+          BData("lon", Seq(6), F64LE, lons),
+          BData("precip", Seq(4, 6), F32LE, vals,
+            atts = Seq(BAtt("_FillValue", F32LE, Seq(-9999.0))),
+            chunk = Some(Seq(3, 4)), shuffle = true, deflate = true)) ++ extra,
+        dense = true)), v2 = true)
+    val src = new java.io.File(tempDir("h5dense"), "granule.nc4")
+    java.nio.file.Files.write(src.toPath, bytes)
+
+    val out = tempDir("h5densecog").getAbsolutePath
+    val results = Cogify.run(
+      Seq(CogifyTask("H5D", src.getAbsolutePath, Some("g"), upload = false)).toDS(),
+      Map("H5D" -> CollectionConfig("precip", group = Some("science"),
+        xVariable = Some("lon"), yVariable = Some("lat"),
+        useTopLeftRecipe = true)),
+      s"file:$out",
+      mkReader = () => new FetchGridReader(() => new Fetch.RoutingFetcher()))
+      .collect()
+    assert(results.length == 1 && results.head.error.isEmpty, results.toSeq)
+    assert(results.head.width == 6 && results.head.height == 4)
+    val (grid, _) = Tiff.readGrid(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/H5D/granule.nc4.cog.tif")))
+    assert(grid.data.toSeq == vals.map(_.toFloat))
+    assert(grid.nodata.contains(-9999f))
+  }
+
   test("cogify kernel decodes an HDF5/NetCDF-4 granule end to end") {
     import spark.implicits._
     // 4x6 precip grid with real coordinate variables (non-global extent),
@@ -176,7 +249,13 @@ object Hdf5Spec {
       values: Seq[Double], atts: Seq[BAtt] = Nil, chunk: Option[Seq[Int]] = None,
       shuffle: Boolean = false, deflate: Boolean = false,
       fill: Option[Double] = None, splitHeader: Boolean = false) extends BNode
-  final case class BGroup(name: String, children: Seq[BNode]) extends BNode
+  /** `dense` stores the group's links in a fractal heap + name-index v2
+    * B-tree (the netCDF-4 library's switch once link counts grow);
+    * `btreeNodeSize`/`startBlockSize` shrink the structures so a small
+    * fixture exercises the depth-1 B-tree and root-indirect-heap paths. */
+  final case class BGroup(name: String, children: Seq[BNode],
+      dense: Boolean = false, btreeNodeSize: Int = 512,
+      startBlockSize: Int = 512) extends BNode
 
   // ---------------------------------------------------------------------
   // little-endian byte sink with patching
@@ -448,10 +527,197 @@ object Hdf5Spec {
     case g: BGroup => writeGroup(w, g, v2)
   }
 
+  /** Bob Jenkins' lookup3 `hashlittle` (public domain; the checksum the
+    * HDF5 spec names for v2 B-tree name hashing), initval 0. The reader
+    * enumerates records rather than searching, so the hash only has to
+    * be deterministic — but writing the real one keeps the fixture
+    * byte-faithful to what the library writes. */
+  private def lookup3(data: Array[Byte]): Long = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + data.length
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    def u(j: Int): Int = data(j) & 0xff
+    def word(j: Int, n: Int): Int =
+      (0 until n).map(k => u(j + k) << (8 * k)).foldLeft(0)(_ | _)
+    while (len > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(i, math.min(len, 4))
+      if (len > 4) b += word(i + 4, math.min(len - 4, 4))
+      if (len > 8) c += word(i + 8, len - 8)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c & 0xffffffffL
+  }
+
+  /** Dense link storage: link messages as managed fractal-heap objects,
+    * indexed by a type-5 v2 B-tree. Small `startBlockSize` spills the
+    * heap into a root indirect block (FHIB); small `btreeNodeSize`
+    * forces a depth-1 tree (BTIN root over BTLF leaves). */
+  private def writeDenseGroup(w: W, g: BGroup,
+      kids: Seq[(String, Long)]): Long = {
+    val heapIdLen = 7 // 1 flag + 4 offset (32-bit heap) + 2 length
+    val linkMsgs = kids.map { case (name, addr) =>
+      val nameB = name.getBytes("UTF-8")
+      name -> (Array[Byte](1, 0, nameB.length.toByte) ++ nameB ++ le64(addr))
+    }
+    val dblockHeader = 4 + 1 + 8 + 4 // FHDB sig, version, heap addr, offset
+    val startSize = g.startBlockSize.toLong
+    val tableWidth = 4
+
+    // ---- fractal heap header (root block address patched below)
+    val frhpAddr = w.pos
+    w.ascii("FRHP"); w.u8(0)
+    w.u16(heapIdLen); w.u16(0) // ID length, no I/O filters
+    w.u8(0) // flags: no checksummed direct blocks
+    w.u32(4096) // max managed object size
+    w.u64(0); w.u64(-1L) // next huge ID, huge B-tree
+    w.u64(0); w.u64(-1L) // free space, free-space manager
+    w.u64(0); w.u64(0); w.u64(0) // managed / allocated / iterator offset
+    w.u64(linkMsgs.size.toLong) // managed object count
+    w.u64(0); w.u64(0); w.u64(0); w.u64(0) // huge/tiny sizes and counts
+    w.u16(tableWidth)
+    w.u64(startSize); w.u64(65536L) // start / max direct block size
+    w.u16(32) // max heap size (bits) → 4-byte heap offsets
+    w.u16(1) // starting rows in root indirect block
+    val rootBlockAt = w.pos; w.u64(0) // root block address (patched)
+    val curRowsAt = w.pos; w.u16(0) // rows in root indirect (patched)
+    w.u32(0) // checksum (reader does not verify)
+
+    // ---- pack objects into direct blocks of doubling-table sizes
+    def blockSizeOf(row: Int): Long =
+      if (row < 2) startSize else startSize << (row - 1)
+    // (heap offset, Seq(name, msg, offsetInBlock))
+    val blocks = ArrayBuffer.empty[(Int, Long, ArrayBuffer[(String, Array[Byte], Long)])]
+    var blockIdx = 0
+    var heapOff = 0L
+    var cur: ArrayBuffer[(String, Array[Byte], Long)] = null
+    var curUsed = 0L
+    def openBlock(): Unit = {
+      val row = blockIdx / tableWidth
+      cur = ArrayBuffer.empty
+      blocks += ((blockIdx, heapOff, cur))
+      curUsed = dblockHeader.toLong
+      blockIdx += 1
+    }
+    openBlock()
+    val ids = linkMsgs.map { case (name, msg) =>
+      val row = (blockIdx - 1) / tableWidth
+      if (curUsed + msg.length > blockSizeOf(row)) {
+        heapOff += blockSizeOf(row)
+        openBlock()
+      }
+      val objHeapOff = heapOff + curUsed
+      cur += ((name, msg, curUsed))
+      curUsed += msg.length
+      require(msg.length <= blockSizeOf((blockIdx - 1) / tableWidth) - dblockHeader,
+        s"link message for $name larger than a direct block")
+      name -> (Array[Byte](0) ++ le32(objHeapOff) ++ le16(msg.length))
+    }.toMap
+
+    // write the blocks; record their file addresses
+    val blockAddrs = blocks.map { case (idx, bHeapOff, objs) =>
+      val addr = w.pos.toLong
+      w.ascii("FHDB"); w.u8(0); w.u64(frhpAddr); w.u32(bHeapOff)
+      objs.foreach { case (_, msg, offInBlock) =>
+        w.zeros((addr + offInBlock - w.pos).toInt) // (contiguous: no-op)
+        w.bytes(msg)
+      }
+      val size = blockSizeOf(idx / tableWidth)
+      w.zeros((addr + size - w.pos).toInt)
+      idx -> addr
+    }.toMap
+
+    if (blocks.size == 1) { // root IS the direct block
+      w.patchU64(rootBlockAt, blockAddrs(0))
+    } else { // root indirect block over the doubling table
+      val rows = (blocks.map(_._1).max / tableWidth) + 1
+      val fhibAddr = w.pos
+      w.ascii("FHIB"); w.u8(0); w.u64(frhpAddr); w.u32(0)
+      for (i <- 0 until rows * tableWidth)
+        w.u64(blockAddrs.getOrElse(i, -1L))
+      w.u32(0) // checksum
+      w.patchU64(rootBlockAt, fhibAddr)
+      w.buf(curRowsAt) = rows.toByte; w.buf(curRowsAt + 1) = (rows >> 8).toByte
+    }
+
+    // ---- name-index v2 B-tree (record type 5: hash + heap ID)
+    val recordSize = 4 + heapIdLen
+    val records = linkMsgs.map { case (name, _) =>
+      (lookup3(name.getBytes("UTF-8")), ids(name))
+    }.sortBy(_._1)
+    val maxLeafRec = (g.btreeNodeSize - 10) / recordSize
+    def writeLeaf(recs: Seq[(Long, Array[Byte])]): Long = {
+      val addr = w.pos.toLong
+      w.ascii("BTLF"); w.u8(0); w.u8(5)
+      recs.foreach { case (h, id) => w.u32(h); w.bytes(id) }
+      w.u32(0) // checksum
+      addr
+    }
+    val (rootAddr, rootNRec, depth) =
+      if (records.size <= maxLeafRec) (writeLeaf(records), records.size, 0)
+      else {
+        // depth 1: full leaves separated by single internal records
+        val leaves = ArrayBuffer.empty[(Long, Int)]
+        val internal = ArrayBuffer.empty[(Long, Array[Byte])]
+        var rest = records
+        while (rest.nonEmpty) {
+          // an internal record must be FOLLOWED by another leaf (n
+          // records ⇒ n+1 children): shrink this leaf when a full take
+          // would leave exactly one record dangling as internal
+          val takeN = if (rest.size == maxLeafRec + 1) maxLeafRec - 1
+            else maxLeafRec
+          val leaf = rest.take(takeN)
+          leaves += ((writeLeaf(leaf), leaf.size))
+          rest = rest.drop(takeN)
+          if (rest.nonEmpty) { internal += rest.head; rest = rest.tail }
+        }
+        val nRecSize = (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1, maxLeafRec).toLong) + 7) / 8
+        val addr = w.pos.toLong
+        w.ascii("BTIN"); w.u8(0); w.u8(5)
+        internal.foreach { case (h, id) => w.u32(h); w.bytes(id) }
+        leaves.foreach { case (leafAddr, n) =>
+          w.u64(leafAddr)
+          (0 until nRecSize.toInt).foreach(i => w.u8((n >> (8 * i)) & 0xff))
+        }
+        w.u32(0) // checksum
+        (addr, internal.size, 1)
+      }
+    val bthdAddr = w.pos
+    w.ascii("BTHD"); w.u8(0); w.u8(5)
+    w.u32(g.btreeNodeSize.toLong); w.u16(recordSize); w.u16(depth)
+    w.u8(100); w.u8(40) // split / merge percent
+    w.u64(rootAddr); w.u16(rootNRec)
+    w.u64(records.size.toLong) // total records
+    w.u32(0) // checksum
+
+    // ---- the group: one Link Info message pointing at heap + index
+    objectHeaderV2(w, Seq(
+      0x02 -> (Array[Byte](0, 0) ++ le64(frhpAddr) ++ le64(bthdAddr))))
+  }
+
   private def writeGroup(w: W, g: BGroup, v2: Boolean): Long = {
     val kids = g.children.map(c => c.name -> writeNode(w, c, v2))
       .sortBy(_._1) // SNOD entries are name-ordered
-    if (v2) {
+    if (g.dense) {
+      writeDenseGroup(w, g, kids)
+    } else if (v2) {
       // compact group: one link message per child
       val msgs = kids.map { case (name, addr) =>
         val nameB = name.getBytes("UTF-8")

@@ -254,4 +254,33 @@ class LlmOpsSpec extends SparkSuite {
     val distinctShas = m1.map(_.sha).distinct.length
     assert(distinctShas == m1.length) // distinct payloads → distinct shas
   }
+
+  test("media decoder is pluggable by class name through the session conf") {
+    val media = Multimodal.mediaTable(docs)
+    // default: the offline FakeDecoder
+    val fake = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(fake.exists(f => f.width != 7 || f.height != 9))
+    // a second implementation drops in via config — the kernel
+    // (schema, batching, partition lifecycle) is untouched
+    spark.conf.set(Multimodal.DecoderConfKey, classOf[ConstToyDecoder].getName)
+    try {
+      val toy = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+      assert(toy.length == fake.length)
+      assert(toy.forall(f => f.width == 7 && f.height == 9 && f.channel_mean == 3.5))
+      // metadata outside the decoder's contract is decoder-independent
+      assert(toy.map(f => f.doc_id -> f.sha).toSeq ==
+        fake.map(f => f.doc_id -> f.sha).toSeq)
+      val resized = Multimodal.resizeMedia(media).collect()
+      assert(resized.forall(r => r.getInt(1) == 3 && r.getInt(3) == 2))
+    } finally spark.conf.unset(Multimodal.DecoderConfKey)
+  }
+}
+
+/** Toy second [[graft.operators.Multimodal.MediaDecoder]]: constant
+  * dimensions, two-byte thumbnail — exists to prove the decode kernel
+  * selects implementations by class name (no-arg reflective ctor). */
+class ConstToyDecoder extends graft.operators.Multimodal.MediaDecoder {
+  def decode(payload: Array[Byte]): (Int, Int, Double) = (7, 9, 3.5)
+  def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    (3, 4, Array[Byte](1, 2))
 }
