@@ -495,6 +495,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the corpus with the IVF coarse quantizer
+    * (spherical k-means, k ≈ √n), then within each cluster flag every
+    * vector whose cosine to a LOWER-id cluster-mate reaches `threshold`
+    * — the min-id survivor rule exact dedup (d01) uses, so re-runs are
+    * idempotent. Near-duplicate *meaning* (paraphrases, re-encodes,
+    * crops) collapses where exact and shingle dedup see distinct bytes.
+    *
+    * Scale: the only quadratic work is per-cluster — k ≈ √n keeps
+    * expected cluster size √n, so candidate pairs are ~n·√n/2 WITHIN
+    * partitions of one hash exchange on cluster id (centroids ride the
+    * plan as a broadcast model, assignment is a codegen'd row-local
+    * argmax). `maxCluster` is the usual degenerate-bucket guard
+    * ([[Scale.capBuckets]]): a cluster that swallowed a mode of the
+    * embedding distribution would re-quadratify the join; its rows are
+    * exempted from dedup rather than concentrated on one task.
+    *
+    * Returns (vec_id, cluster, is_dup) for every input vector.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 0,
+      maxCluster: Int = 10000): DataFrame = {
+    val n = emb.count()
+    val k = if (nClusters > 0) nClusters else nlistFor(n)
+    val (cents, dim) = trainCentroids(emb, k, n)
+    val fns = graft.functions.GraftFunctions
+    // read by the cap (counts + probe), both self-join sides, and the
+    // final flag join — one cached materialization of (id, cluster, vec)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        element_at(fns.nearest_centroids(col("embedding"), cents, dim, 1), 1)
+          .as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = Scale.capBuckets(assigned, Seq("cluster"), maxCluster)
+    val dropped = capped.alias("a").join(capped.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -559,6 +601,14 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       ivfpqTopK(emb.filter(col("vec_id") < 20), emb, 10)
         .orderBy(col("query_id"), col("rank"))
-    }, None)
+    }, None),
+
+    // SemDeDup semantic deduplication over the full embedding corpus
+    // (rows-only — centroid training is not SQL-expressible; planted
+    // duplicates, idempotence, and determinism are spec-gated in
+    // LlmOpsSpec).
+    ("s07_semantic_dedup", (s: SparkSession, d: String) =>
+      semanticDedup(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy(col("vec_id")), None)
   )
 }

@@ -242,6 +242,51 @@ class LlmOpsSpec extends SparkSuite {
       s"gibberish not fully novel: $scored")
   }
 
+  test("semantic dedup flags planted copies; flags match per-cluster brute force") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    // exact re-encodes of vectors 0-4 under new ids — the semantic-dup
+    // class exact/shingle dedup can't see (here byte-equal for a crisp
+    // oracle; the operator itself only sees cosine)
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val all = emb.unionByName(copies)
+    val out = Similarity.semanticDedup(all, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+
+    // every planted copy flags, in its original's cluster; the original
+    // (the min id of the pair) survives
+    (0 until 5).foreach { i =>
+      assert(out(9000000L + i)._2, s"planted copy of $i not flagged")
+      assert(out(9000000L + i)._1 == out(i.toLong)._1,
+        s"copy of $i assigned a different cluster")
+      assert(!out(i.toLong)._2, s"survivor $i wrongly flagged")
+    }
+
+    // flag ⟺ a lower-id same-cluster mate at cos ≥ t (brute force over
+    // the collected corpus — validates no false flags anywhere)
+    val vecs = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = out.keys.toSeq.sorted
+    ids.foreach { id =>
+      val expect = ids.exists(o => o < id && out(o)._1 == out(id)._1 &&
+        cos(vecs(o), vecs(id)) >= 0.9)
+      assert(out(id)._2 == expect, s"flag mismatch for $id")
+    }
+
+    // deterministic: same frame in, same flags out
+    val again = Similarity.semanticDedup(all, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(again == out.map { case (id, (c, f)) => (id, c, f) }.toSet)
+  }
+
   test("media decode kernel is deterministic and batch-shaped") {
     val m1 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
       .collect().sortBy(_.doc_id)

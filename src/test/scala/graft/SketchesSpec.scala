@@ -16,6 +16,26 @@ class SketchesSpec extends SparkSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("sketch estimates are deterministic: pinned values over a fixed frame") {
+    // HLL++, quantile, and count-min are approximate but NOT random —
+    // same input ⇒ same estimate. Pinning the estimates over a generated
+    // frame gives the rows-only sketch queries (k01/k03/k04) a
+    // value-level regression gate, the golden-file spirit without a file.
+    import spark.implicits._
+    val df = spark.range(10000).select(
+      col("id"), (col("id") % 997).as("key"),
+      concat(lit("u"), (col("id") * 31 % 4999).cast("string")).as("user"))
+    val hll = df.agg(approx_count_distinct(col("user"), 0.02)).head().getLong(0)
+    assert(hll == 4961L, s"HLL++ estimate drifted: $hll (exact distinct = 4999)")
+    val q = df.stat.approxQuantile("id", Array(0.25, 0.5, 0.75), 0.01)
+    assert(q.toSeq == Seq(2407.0, 4999.0, 7499.0),
+      s"quantile sketch drifted: ${q.toSeq}")
+    val cms = df.stat.countMinSketch(col("key"), eps = 0.001, confidence = 0.99,
+      seed = 42)
+    assert(cms.estimateCount(0L) == 11L && cms.estimateCount(996L) == 10L,
+      s"count-min drifted: ${cms.estimateCount(0L)}, ${cms.estimateCount(996L)}")
+  }
+
   test("bloom-prefiltered join is exactly the plain join") {
     val li = Tables.lineitem(spark, sf0001)
     val bigOrders = Tables.orders(spark, sf0001)
