@@ -38,10 +38,12 @@ object Transfer {
     * stays a DataFrame Catalyst can plan (broadcast when small, shuffled
     * when not).
     */
-  def copyPlan(events: DataFrame, targetRoot: String): DataFrame = {
+  def copyPlan(events: DataFrame, targetRoot: String,
+      overlays: Map[String, Map[String, String]] = Map.empty): DataFrame = {
     val spark = events.sparkSession
     val targetListing = graft.sources.Discovery
-      .listKeys(spark, graft.sources.Discovery.DiscoveryRequest(bucket = targetRoot))
+      .listKeys(spark, graft.sources.Discovery.DiscoveryRequest(bucket = targetRoot),
+        overlays)
       .toDF("target_key", "size")
       .select("target_key")
     withTargetColumns(events, targetRoot)
@@ -64,7 +66,7 @@ object Transfer {
       overlays: Map[String, Map[String, String]] = Map.empty): DataFrame = {
     val spark = events.sparkSession
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    copyPlan(events, targetRoot)
+    copyPlan(events, targetRoot, overlays)
       .select(col("s3_filename"), col("target_url"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { r =>

@@ -46,13 +46,22 @@ object Discovery {
 
   /** List all keys (relative to the bucket root) under `prefix`,
     * distributed: first level on the driver, recursion on executors.
+    *
+    * `overlays` is the cross-account seam (reference s3-discovery/
+    * handler.py:17-24 assumes an external role to list a provider's
+    * bucket): the listing targets ONE bucket, so the matching overlay
+    * resolves once on the driver and the effective configuration ships
+    * to the executor-side recursion ([[SourceConf]]).
     */
-  def listKeys(spark: SparkSession, req: DiscoveryRequest): Dataset[(String, Long)] = {
+  def listKeys(spark: SparkSession, req: DiscoveryRequest,
+      overlays: Map[String, Map[String, String]] = Map.empty)
+      : Dataset[(String, Long)] = {
     import spark.implicits._
     val root = if (req.prefix.isEmpty) new Path(req.bucket)
       else new Path(req.bucket, req.prefix)
     val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+      SourceConf.resolve(spark.sparkContext.hadoopConfiguration,
+        overlays, req.bucket))
     val bucketUri = new Path(req.bucket).toUri
 
     def rel(p: Path): String = bucketUri.relativize(p.toUri).getPath
@@ -85,9 +94,11 @@ object Discovery {
     * semantics, handler.py:30-34) → event projection with defaults
     * (handler.py:52-61).
     */
-  def discover(spark: SparkSession, req: DiscoveryRequest): Dataset[DiscoveredAsset] = {
+  def discover(spark: SparkSession, req: DiscoveryRequest,
+      overlays: Map[String, Map[String, String]] = Map.empty)
+      : Dataset[DiscoveredAsset] = {
     import spark.implicits._
-    val keys = listKeys(spark, req).toDF("key", "size")
+    val keys = listKeys(spark, req, overlays).toDF("key", "size")
     // re.match anchors at the start only → translate to ^(?:...)
     val filtered = req.filenameRegex match {
       case Some(rx) => keys.filter(col("key").rlike("^(?:" + rx + ")"))

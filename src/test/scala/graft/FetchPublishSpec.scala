@@ -162,6 +162,27 @@ class FetchPublishSpec extends SparkSuite {
       "fs.s3a.bucket.provider-bucket.access.key" -> "AK"))
   }
 
+  test("discovery listing resolves the bucket's conf overlay; base conf untouched") {
+    import graft.sources.{Discovery, SourceConf}
+    // a file:-scheme "bucket" so the wiring is observable offline: the
+    // overlay must reach the configuration the listing runs under
+    // without mutating the session's conf
+    val dir = tempDir("disc")
+    java.nio.file.Files.write(new java.io.File(dir, "a.nc").toPath, Array[Byte](1))
+    val bucket = s"file:${dir.getAbsolutePath}"
+    val overlays = Map(bucket -> Map("graft.test.marker" -> "provider-role"))
+    val listed = Discovery.listKeys(spark,
+      Discovery.DiscoveryRequest(bucket = bucket), overlays).collect()
+    assert(listed.map(_._1).toSet == Set("a.nc"))
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.marker") == null,
+      "overlay must not leak into the session configuration")
+    // and the resolver itself hands the marker to this bucket only
+    assert(SourceConf.resolve(spark.sparkContext.hadoopConfiguration,
+      overlays, s"$bucket/a.nc").get("graft.test.marker") == "provider-role")
+    assert(SourceConf.resolve(spark.sparkContext.hadoopConfiguration,
+      overlays, "file:/elsewhere/b.nc").get("graft.test.marker") == null)
+  }
+
   test("cogify kernel drives the authenticated fetch + tiff decode end to end") {
     import spark.implicits._
     withServer({ case ("/granules/g2.tif", ex) =>

@@ -46,6 +46,34 @@ class PlanRuleSpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("registered queries push filters and prune columns at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // representative of the whole registered surface: a selective
+    // filter+aggregate must reach the parquet reader as PushedFilters
+    // and read ONLY the referenced columns — a scan that reads all 16
+    // lineitem columns for a 3-column query is wrong at any scale
+    // AQE wraps stages in QueryStageExec leaves that hide their subtree
+    // from collect(); disable it for this plan-shape assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = SparkEntry.queries("q02_selective_agg")(spark, sf0001)
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a parquet scan")
+      val li = scans.find(_.metadata("Location").contains("lineitem"))
+        .getOrElse(scans.head)
+      val pushed = li.metadata("PushedFilters")
+      assert(pushed != "[]" && pushed.contains("GreaterThan"),
+        s"selective predicate not pushed: $pushed")
+      val readSchema = li.metadata("ReadSchema")
+      val allCols = Tables.lineitem(spark, sf0001).columns.length
+      val readCols = readSchema.count(_ == ':')
+      assert(readCols < allCols / 2,
+        s"column pruning failed: read $readCols of $allCols columns: $readSchema")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("rule is idempotent (fixpoint under repeated application)") {
     import spark.implicits._
     val plan = Seq(("webcrawl-1", 1L)).toDF("source", "doc_id")
