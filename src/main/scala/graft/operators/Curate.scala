@@ -54,9 +54,102 @@ object Curate {
   def sampleBucket(source: Column, id: Column): Column =
     substring(md5(concat_ws(":", source, id.cast("string"))), 1, 2)
 
+  /** Model-based quality scoring — the fastText-style hashed linear
+    * filter every large curation pipeline runs (CCNet/RefinedWeb
+    * lineage), as pure dataflow: tokens hash into `buckets` md5 buckets,
+    * the model is the per-bucket smoothed probability that a bucket's
+    * tokens come from the GOOD reference, P = (g+1)/(g+b+2), trained
+    * with one groupBy over each labeled reference; a document scores
+    * the mean bucket weight of its tokens.
+    *
+    * Training is distributed (two aggregations), the model is ~buckets
+    * rows riding a broadcast join, and scoring is one scan — nothing
+    * model-sized ever shuffles. Exactness is the design: weights are
+    * Q30 FIXED-POINT longs (floor(P·2³⁰)) so per-document totals are
+    * integer sums — order-free, partition-independent, and
+    * engine-reproducible (a float sum would drift in the last ulp under
+    * reordering; the DuckDB oracle hash-matches this bit-for-bit).
+    * Unseen buckets score the prior 0.5 (2²⁹).
+    */
+  def hashedQualityScores(docs: DataFrame, goodRef: DataFrame,
+      badRef: DataFrame, buckets: Int = 1024): DataFrame = {
+    def toks(df: DataFrame, extra: Column*): DataFrame =
+      df.select(extra :+
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"): _*)
+        .filter(col("token") =!= "")
+    def bucketOf(token: Column): Column =
+      pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val good = toks(goodRef).groupBy(bucketOf(col("token")).as("bucket"))
+      .agg(count(lit(1)).as("g"))
+    val bad = toks(badRef).groupBy(bucketOf(col("token")).as("bucket"))
+      .agg(count(lit(1)).as("b"))
+    val weights = good.join(bad, Seq("bucket"), "full")
+      .select(col("bucket"),
+        floor((coalesce(col("g"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("g"), lit(0L)) + coalesce(col("b"), lit(0L)) + 2)
+              .cast("double") * lit(1073741824L))
+          .cast("long").as("wq"))
+    toks(docs, col("doc_id"))
+      .select(col("doc_id"), bucketOf(col("token")).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wq"), lit(536870912L))).as("sum_wq"))
+      .withColumn("quality",
+        col("sum_wq").cast("double") / col("n_tokens") / lit(1073741824L))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Hashed linear quality model: GOOD reference = even docs as-is,
+    // BAD reference = odd docs reversed (deterministic OOV-ish negative
+    // class, mirrored exactly in the oracle); every doc then scores
+    // against the trained bucket weights. Oracle-gated bit-for-bit —
+    // see hashedQualityScores for why the fixed-point design makes a
+    // trained model hash-comparable across engines.
+    ("t19_model_quality", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      hashedQualityScores(
+        docs,
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("text", reverse(col("text"))))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      good AS (
+        SELECT CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket,
+               count(*) AS g
+        FROM tok WHERE doc_id % 2 = 0 AND token <> '' GROUP BY 1),
+      btok AS (
+        SELECT unnest(string_split_regex(trim(lower(reverse(text))), '\s+')) AS token
+        FROM documents WHERE doc_id % 2 = 1),
+      bad AS (
+        SELECT CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket,
+               count(*) AS b
+        FROM btok WHERE token <> '' GROUP BY 1),
+      w AS (
+        SELECT COALESCE(good.bucket, bad.bucket) AS bucket,
+          CAST(floor(CAST(COALESCE(g, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(g, 0) + COALESCE(b, 0) + 2 AS DOUBLE)
+            * 1073741824) AS BIGINT) AS wq
+        FROM good FULL JOIN bad ON good.bucket = bad.bucket),
+      scored AS (
+        SELECT doc_id,
+          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM tok WHERE token <> '')
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(COALESCE(wq, 536870912)) AS BIGINT) AS sum_wq,
+        CAST(CAST(sum(COALESCE(wq, 536870912)) AS BIGINT) AS DOUBLE)
+          / count(*) / 1073741824 AS quality
+      FROM scored LEFT JOIN w ON scored.bucket = w.bucket
+      GROUP BY doc_id ORDER BY doc_id""")),
 
     // PII detect + redact. Every 7th doc gets a planted email/phone/IP
     // (deterministic from doc_id); output counts + the redacted text's

@@ -71,4 +71,23 @@ class CurateSpec extends SparkSuite {
     // 4 planted paragraphs, first repeated → 3 unique for long-enough docs
     out.foreach { r => assert(r.getLong(1) == 3L, s"doc ${r.getLong(0)}") }
   }
+
+  test("hashed quality model separates reference-like text from the negative class") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val good = docs.filter(col("doc_id") % 2 === 0)
+    val bad = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("text", reverse(col("text")))
+    // probes: one document of in-distribution text, one of its reversal
+    // (the negative class's construction) — the model must rank them
+    val sample = docs.filter(col("doc_id") === 0)
+    val probes = sample.select(lit(900001L).as("doc_id"), col("text"))
+      .unionByName(sample.select(lit(900002L).as("doc_id"),
+        reverse(col("text")).as("text")))
+    val byId = graft.operators.Curate.hashedQualityScores(probes, good, bad)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(900001L) > 0.5, s"in-distribution text scored ${byId(900001L)}")
+    assert(byId(900002L) < 0.5, s"negative-class text scored ${byId(900002L)}")
+    assert(byId(900001L) > byId(900002L))
+  }
 }
