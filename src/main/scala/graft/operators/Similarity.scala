@@ -495,6 +495,99 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Plane count for an admission SCREEN — deliberately much wider than
+    * [[planesFor]]'s join sizing: a join wants occupancy ~32 (candidates
+    * are verified anyway), but a screen's false-positive rate is the
+    * fraction of OCCUPIED buckets times the probe count, so buckets must
+    * be sparse — ~log2(n)+12 bits leaves ≤ n/2^12 of bucket space
+    * occupied and the whole probe fan (tables × (planes+1)) still lands
+    * well under 1% accidental flags. Recall at these widths is for
+    * NEAR-EXACT embeddings (re-encodes, crops — hamming ≤ 1 per table
+    * across 8 tables); broader similarity belongs to
+    * [[embeddingNearDups]], not an ingest screen. */
+  def admissionPlanesFor(corpusSize: Long): Int =
+    math.min(30, Scale.lshBitsFor(corpusSize, targetOccupancy = 1,
+      minBits = 16, maxBits = 30) + 12)
+
+  /** Embedding-stream admission index — the vector-side analog of
+    * [[Dedup.admissionIndex]]: a Bloom filter over the corpus's
+    * (table, bucket) sign-LSH keys, hashed with xxhash64. Returns the
+    * filter AND the plane count it was built with (size-derived unless
+    * pinned) — probes must use the SAME geometry. Size `expectedBuckets`
+    * to the crawl's planned capacity for a growable index.
+    *
+    * `fpp` is the PER-DOCUMENT false-flag budget, not the per-probe
+    * Bloom rate: a probe fans out tables × (planes+1) membership tests,
+    * so the filter is built at fpp / fan — per-probe rates compound
+    * (232 probes at 0.001 ≈ 21% of clean documents flagged; sized to
+    * the fan it stays ≈ fpp). Bits/key grow only ln(fan) ≈ 2×. */
+  def embeddingAdmissionIndex(corpus: DataFrame, tables: Int = 8,
+      planesPerTable: Int = 0, expectedBuckets: Long = 0, fpp: Double = 0.01)
+      : (org.apache.spark.util.sketch.BloomFilter, Int) = {
+    val planes = if (planesPerTable > 0) planesPerTable
+      else admissionPlanesFor(corpus.count())
+    val keys = lshKeyed(corpus, tables, planes)
+      .select(xxhash64(col("table"), col("bucket")).as("h"))
+    val n = if (expectedBuckets > 0) expectedBuckets
+      else math.max(1L, keys.count())
+    val perProbe = fpp / (tables.toDouble * (planes + 1))
+    (keys.stat.bloomFilter("h", n, perProbe), planes)
+  }
+
+  /** Fold an admitted batch into an embedding admission index —
+    * distributed Bloom union exactly like [[Dedup.growAdmissionIndex]]:
+    * `capacity`/`fpp`/geometry MUST equal the index's build parameters
+    * for merge-compatibility (the same per-probe derate is applied). */
+  def growEmbeddingAdmissionIndex(
+      index: org.apache.spark.util.sketch.BloomFilter, admitted: DataFrame,
+      capacity: Long, planesPerTable: Int, fpp: Double = 0.01,
+      tables: Int = 8): org.apache.spark.util.sketch.BloomFilter = {
+    val perProbe = fpp / (tables.toDouble * (planesPerTable + 1))
+    val batch = lshKeyed(admitted, tables, planesPerTable)
+      .select(xxhash64(col("table"), col("bucket")).as("h"))
+      .stat.bloomFilter("h", capacity, perProbe)
+    index.mergeInPlace(batch)
+    index
+  }
+
+  /** Flag each arriving embedding whose sign-LSH buckets collide with
+    * the admitted corpus — semantic near-dup admission at ingest, for
+    * embedding streams what [[Dedup.nearDupAdmissionWith]] is for text.
+    * The check is tables×(planes+1) codegen'd Bloom probes (exact bucket
+    * plus every 1-bit flip — the multi-probe recall device of
+    * [[embeddingNearDups]], here on the probe side only): NO join, NO
+    * shuffle, NO state, so the same operator serves batch frames and
+    * append-mode streams. False positives (`fpp` + genuine bucket
+    * neighbors) go to a downstream exact verify; false negatives are
+    * those of LSH itself, the Bloom adds none. */
+  def embeddingAdmissionWith(vecs: DataFrame,
+      index: org.apache.spark.util.sketch.BloomFilter,
+      planesPerTable: Int, tables: Int = 8): DataFrame = {
+    val fns = graft.functions.GraftFunctions
+    val bc = vecs.sparkSession.sparkContext.broadcast(index)
+    val probes = for {
+      t <- 0 until tables
+      flip <- -1 until planesPerTable
+    } yield {
+      val base = element_at(col("__sig"), t + 1)
+      val bucket = if (flip < 0) base else base.bitwiseXOR(lit(1L << flip))
+      fns.bloom_might_contain(xxhash64(lit(t), bucket), bc)
+    }
+    vecs
+      .withColumn("__sig", fns.sign_lsh(col("embedding"), tables, planesPerTable))
+      .withColumn("dup_candidate", probes.reduce(_ || _))
+      .drop("__sig")
+  }
+
+  /** One-shot convenience: build the index from `corpus`, probe `vecs`. */
+  def embeddingAdmission(vecs: DataFrame, corpus: DataFrame,
+      tables: Int = 8, planesPerTable: Int = 0,
+      expectedBuckets: Long = 0, fpp: Double = 0.01): DataFrame = {
+    val (index, planes) = embeddingAdmissionIndex(corpus, tables,
+      planesPerTable, expectedBuckets, fpp)
+    embeddingAdmissionWith(vecs, index, planes, tables)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the corpus with the IVF coarse quantizer
     * (spherical k-means, k ≈ √n), then within each cluster flag every
@@ -609,6 +702,19 @@ object Similarity {
     // LlmOpsSpec).
     ("s07_semantic_dedup", (s: SparkSession, d: String) =>
       semanticDedup(Tables.embeddings(s, d), threshold = 0.45)
-        .orderBy(col("vec_id")), None)
+        .orderBy(col("vec_id")), None),
+
+    // Embedding-stream admission screen: the second half of the corpus
+    // probed against an index of the first half — join/shuffle/state-
+    // free, the shape that rides an append stream unchanged (rows-only;
+    // copy/novel behavior and the no-Exchange plan are spec-gated).
+    ("s08_embedding_admission", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      embeddingAdmission(emb.filter(col("vec_id") >= n / 2),
+          emb.filter(col("vec_id") < n / 2), fpp = 0.001)
+        .select(col("vec_id"), col("dup_candidate"))
+        .orderBy(col("vec_id"))
+    }, None)
   )
 }

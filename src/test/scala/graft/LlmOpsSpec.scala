@@ -287,6 +287,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(again == out.map { case (id, (c, f)) => (id, c, f) }.toSet)
   }
 
+  test("embedding admission: copies flag, negations pass, probe plan has no exchange") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val (index, planes) = Similarity.embeddingAdmissionIndex(emb, fpp = 0.001)
+
+    // exact re-encodes: identical vector → identical buckets → flagged
+    // (the Bloom adds no false negatives)
+    val copies = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val copyOut = Similarity.embeddingAdmissionWith(copies, index, planes)
+    assert(copyOut.collect().forall(_.getBoolean(2)), "corpus copy not flagged")
+
+    // hash-derived pseudo-random directions: ~orthogonal to every corpus
+    // vector (cos ~ N(0, 1/√dim)), so flags can only come from Bloom
+    // fpp / coincidence; the screen must pass nearly all of them
+    val dim = emb.head().getSeq[Float](1).size
+    val novel = emb.select((col("vec_id") + 950000L).as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
+          .cast("float") / 1000f).as("embedding"))
+    val novelFlags = Similarity.embeddingAdmissionWith(novel, index, planes)
+      .collect().map(_.getBoolean(2))
+    val flagged = novelFlags.count(identity)
+    assert(flagged <= novelFlags.length / 20,
+      s"$flagged/${novelFlags.length} novel vectors flagged — screen too dense")
+
+    // stream-safety evidence: the probe is row-local — no Exchange, no
+    // aggregation, no join anywhere in its plan
+    val plan = copyOut.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"admission probe must be shuffle/join-free:\n$plan")
+  }
+
   test("media decode kernel is deterministic and batch-shaped") {
     val m1 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
       .collect().sortBy(_.doc_id)
