@@ -304,8 +304,8 @@ class LlmOpsSpec extends SparkSuite {
     val dim = emb.head().getSeq[Float](1).size
     val novel = emb.select((col("vec_id") + 950000L).as("vec_id"),
       transform(sequence(lit(1), lit(dim)),
-        i => (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
-          .cast("float") / 1000f).as("embedding"))
+        i => ((pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
+          .cast("double") / 1000d).cast("float")).as("embedding"))
     val novelFlags = Similarity.embeddingAdmissionWith(novel, index, planes)
       .collect().map(_.getBoolean(2))
     val flagged = novelFlags.count(identity)

@@ -183,6 +183,40 @@ class StreamingSpec extends SparkSuite {
     assert(batchFlags == streamed)
   }
 
+  test("streaming embedding admission: copies flagged on the stream, batch parity") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val (index, planes) = Similarity.embeddingAdmissionIndex(emb, fpp = 0.001)
+    // arriving vectors: 10 corpus re-encodes + 10 hash-derived novel
+    // directions (~orthogonal to everything admitted)
+    val dim = emb.head().getSeq[Float](1).size
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val novel = spark.range(20000, 20010).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => ((pmod(xxhash64(col("id"), i), lit(2001L)) - 1000L)
+          .cast("double") / 1000d).cast("float")).as("embedding"))
+    val inDir = tempDir("embadmit").getAbsolutePath
+    copies.unionByName(novel).coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream.schema(copies.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = EventStream.runToMemory(
+      Similarity.embeddingAdmissionWith(stream, index, planes), "emb_admit_out")
+    try {
+      val flags = spark.table("emb_admit_out")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags.size == 20)
+      (10000L until 10010L).foreach(id => assert(flags(id), s"copy $id not flagged"))
+      assert((20000L until 20010L).count(flags) <= 1, "novel vectors flagged")
+      // batch parity: same frame, same filter, same flags
+      val batchFlags = Similarity.embeddingAdmissionWith(
+          copies.unionByName(novel), index, planes)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(batchFlags == flags)
+    } finally q.stop()
+  }
+
   test("incremental admission: the index grows per admitted batch") {
     import spark.implicits._
     import graft.operators.Dedup
