@@ -35,9 +35,17 @@ object GraftFunctions {
     toCol(MinHashSig(expression(tokens), n, k))
 
   /** Distinct word n-gram shingles of a text column (codegen'd — the
-    * corpus-scan shingle stage, see [[WordGrams]]). */
-  def word_grams(text: Column, n: Int): Column =
-    toCol(WordGrams(expression(text), n))
+    * corpus-scan shingle stage, see [[WordGrams]]). `distinct = false`
+    * keeps every occurrence (repetition statistics; empty for < n
+    * tokens instead of the dedup-side whole-text fallback). */
+  def word_grams(text: Column, n: Int, distinct: Boolean = true): Column =
+    toCol(WordGrams(expression(text), n, distinct))
+
+  /** Order-preserving removal of a fixed excluded string set from an
+    * array column (codegen'd — the corpus line-dedup cleanup stage, see
+    * [[ArrayExclude]]). */
+  def array_exclude(arr: Column, excluded: Seq[String]): Column =
+    toCol(ArrayExclude(expression(arr), excluded))
 
   /** Exact cosine similarity of two float-vector columns (double). */
   def cosine_sim(a: Column, b: Column): Column =

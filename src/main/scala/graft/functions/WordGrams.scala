@@ -26,8 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * composed form yielded `[NULL]` — an exploded null gram row that
   * would have polluted totals; corpus text columns are non-null, and
   * NULL-in/NULL-out is the behavior a caller would want anyway.
+  *
+  * `distinct = false` keeps every occurrence in order — the form
+  * repetition statistics need (t21 counts gram OCCURRENCES; a distinct
+  * list would erase exactly the signal being measured). The non-distinct
+  * form also drops the whole-text fallback: fewer than `n` tokens means
+  * there ARE no n-grams, so it yields an empty array (the fallback is a
+  * dedup-side convention so short docs still carry one shingle).
   */
-case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordGrams(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(n >= 1, "n must be >= 1")
 
@@ -41,10 +49,11 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    WordGramsEval.grams(input.asInstanceOf[UTF8String], n)
+    WordGramsEval.grams(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordGramsEval.grams($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordGramsEval.grams($c, $n, $distinct)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -55,14 +64,18 @@ object WordGramsEval {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  def grams(text: UTF8String, n: Int): GenericArrayData = {
+  def grams(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     // UTF8String.trim strips ASCII spaces only — Spark's trim(), not
     // Java's String.trim (which also strips tabs/newlines and would
     // drop the leading empty token the composed form keeps)
     val toks = ws.split(text.trim.toString, -1)
     if (toks.length < n)
-      return new GenericArrayData(Array[Any](text))
-    val seen = new java.util.LinkedHashSet[String]()
+      return if (distinct) new GenericArrayData(Array[Any](text))
+        else new GenericArrayData(Array.empty[Any])
+    // LinkedHashSet preserves first-occurrence order; the occurrence
+    // list just appends — both emit grams in text order
+    val seen = if (distinct) new java.util.LinkedHashSet[String]() else null
+    val all = if (distinct) null else new java.util.ArrayList[Any]()
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= toks.length - n) {
@@ -73,9 +86,11 @@ object WordGramsEval {
         sb.append(toks(i + o))
         o += 1
       }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString)
+      else all.add(UTF8String.fromString(sb.toString))
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all.toArray)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

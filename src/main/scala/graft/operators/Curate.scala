@@ -100,6 +100,53 @@ object Curate {
         col("sum_wq").cast("double") / col("n_tokens") / lit(1073741824L))
   }
 
+  /** Corpus-level frequent lines — the CCNet/C4 boilerplate census: a
+    * line (nav menu, cookie banner, copyright footer) that recurs across
+    * `minDocs`+ DISTINCT documents is boilerplate, not content. One
+    * aggregation over the exploded lines (partial aggregation shrinks
+    * repeated lines map-side) and a bounded driver collect: the result
+    * is at most total_lines / minDocs rows and in practice the small
+    * boilerplate vocabulary of the crawl; `cap` turns a degenerate
+    * corpus into a loud error instead of a driver OOM. */
+  def frequentLines(docs: DataFrame, lines: Column, minDocs: Int,
+      cap: Int = 1 << 20): Seq[String] = {
+    val freq = docs
+      .select(col("doc_id"), explode(lines).as("line"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val rows = freq.select(col("line")).limit(cap + 1)
+      .collect().map(_.getString(0))
+    require(rows.length <= cap, s"frequent-line set exceeds cap=$cap")
+    rows.toSeq.sorted
+  }
+
+  /** Per-document cleanup against a fixed boilerplate set: filter the
+    * line array row-locally ([[graft.functions.ArrayExclude]] — O(1)
+    * hash probes inside codegen), reassemble in original order. */
+  def lineDedupColumns(lines: Column, boiler: Seq[String],
+      sep: String = " ~ "): Seq[Column] = {
+    val kept = graft.functions.GraftFunctions.array_exclude(lines, boiler)
+    val cleaned = concat_ws(sep, kept)
+    Seq(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      md5(cleaned).as("cleaned_md5"),
+      length(cleaned).cast("long").as("cleaned_len"))
+  }
+
+  /** Corpus-level line deduplication (CCNet-style): census then cleanup.
+    * The census is the ONLY corpus-wide aggregation; the cleanup is a
+    * row-local map with the boilerplate set riding the plan — documents
+    * are never exploded into a shuffle and never reassembled via
+    * groupBy, which is what lets this run as a single pass at 100 TB
+    * (t12 is the within-document form; this is the cross-document one). */
+  def lineDedup(docs: DataFrame, lines: Column, minDocs: Int,
+      sep: String = " ~ "): DataFrame = {
+    val boiler = frequentLines(docs, lines, minDocs)
+    docs.select(col("doc_id") +: lineDedupColumns(lines, boiler, sep): _*)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -295,6 +342,51 @@ object Curate {
              WHEN mean_tok_len < 2.5 OR mean_tok_len > 12.0 THEN 'gibberish'
              ELSE 'keep' END AS verdict
       FROM m ORDER BY doc_id""")),
+
+    // Corpus-level line dedup (CCNet-style boilerplate removal): each
+    // doc is given 5 lines — two unique content slices plus a planted
+    // per-source newsletter line (shared by every doc of the source) and,
+    // for even docs, a global copyright footer (shared by half the
+    // corpus). Lines recurring in >= 5 distinct docs are boilerplate and
+    // are stripped; docs shorter than the slice plan contribute ''
+    // lines, which are themselves frequent and stripped (deterministic,
+    // mirrored in the oracle).
+    ("t20_line_dedup", (s: SparkSession, d: String) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        array(
+          substring(col("text"), 1, 45),
+          concat(lit("subscribe to "), col("source"), lit(" newsletter")),
+          substring(col("text"), 46, 45),
+          when(col("doc_id") % 2 === 0,
+            lit("copyright example corp all rights reserved"))
+            .otherwise(substring(col("text"), 91, 20)),
+          substring(col("text"), 111, 25)).as("lines"))
+      lineDedup(planted, col("lines"), minDocs = 5).orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, [
+          substr(text, 1, 45),
+          'subscribe to ' || source || ' newsletter',
+          substr(text, 46, 45),
+          CASE WHEN doc_id % 2 = 0 THEN 'copyright example corp all rights reserved'
+               ELSE substr(text, 91, 20) END,
+          substr(text, 111, 25)] AS lines
+        FROM documents),
+      p AS (SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1),
+              i -> {'pos': i, 'line': lines[i]})) AS u FROM planted),
+      f AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM p),
+      freq AS (SELECT line FROM f GROUP BY line
+               HAVING count(DISTINCT doc_id) >= 5),
+      flag AS (SELECT doc_id, pos, line,
+                 line IN (SELECT line FROM freq) AS boiler FROM f)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(line, ' ~ ' ORDER BY pos)
+          FILTER (WHERE NOT boiler), '')) AS cleaned_md5,
+        CAST(length(coalesce(string_agg(line, ' ~ ' ORDER BY pos)
+          FILTER (WHERE NOT boiler), '')) AS BIGINT) AS cleaned_len
+      FROM flag GROUP BY doc_id ORDER BY doc_id""")),
 
     // Within-document repetition removal: split into paragraphs, drop
     // repeats keeping first occurrence, reassemble in order. The planted

@@ -123,6 +123,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The Gopher repetition signals (Rae et al. 2021, arXiv 2112.11446
+    * Table A1): per document, the character fraction covered by the MOST
+    * FREQUENT 2/3/4-gram and by DUPLICATED 5..10-grams, thresholded into
+    * one repetitive/clean verdict at the paper's cutoffs (0.20/0.18/0.16
+    * and 0.15 down to 0.10). Character mass is occurrences × gram length
+    * over the whitespace-normalized doc length; overlapping occurrences
+    * each count (documented divergence from the paper's span union —
+    * deterministic, and mirrored exactly by the oracle). A most-frequent
+    * gram that occurs only ONCE contributes zero: a singleton is not
+    * repetition, and would otherwise flag every short document via its
+    * whole-text 4-gram.
+    *
+    * Gram expansion is the non-distinct native [[graft.functions.WordGrams]]
+    * (occurrence counts ARE the signal; a distinct list would erase it);
+    * all nine n's ride ONE explode into one (doc, n, gram) aggregation.
+    * Everything partitions by document — no corpus-wide state, so a
+    * 100 TB corpus spreads by doc_id with per-doc-sized windows only.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fns = graft.functions.GraftFunctions
+    val ns = 2 to 10
+    val base = docs.select(col("doc_id"), col("text"),
+      length(regexp_replace(trim(col("text")), "\\s+", " "))
+        .cast("long").as("L"))
+    val g = base
+      .select(col("doc_id"), col("L"), explode(array(ns.map(n =>
+        struct(lit(n).as("n"),
+          fns.word_grams(col("text"), n, distinct = false).as("gs"))): _*))
+        .as("ng"))
+      .select(col("doc_id"), col("L"), col("ng.n").as("n"),
+        explode(col("ng.gs")).as("gram"))
+    val c = g.groupBy(col("doc_id"), col("L"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("cnt").desc, col("gram").desc)
+    val perN = c.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        // a gram seen once is not repetition: the top-gram rule only
+        // counts a most-frequent gram that actually recurs (otherwise a
+        // short doc's single whole-text 4-gram would flag it at 1.0)
+        max(when(col("rn") === 1 && col("cnt") > 1,
+          col("cnt") * length(col("gram")).cast("long"))).as("topc"),
+        sum(when(col("cnt") > 1,
+          col("cnt") * length(col("gram")).cast("long")).otherwise(0L))
+          .as("dupc"))
+    val aggs =
+      (2 to 4).map(n =>
+        max(when(col("n") === n, col("topc"))).as(s"top${n}c")) ++
+      (5 to 10).map(n =>
+        max(when(col("n") === n, col("dupc"))).as(s"dup${n}c"))
+    val m = perN.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    def frac(cn: String) =
+      coalesce(col(cn), lit(0L)).cast("double") / col("L").cast("double")
+    val thresholds = Seq(
+      "top2c" -> 0.20, "top3c" -> 0.18, "top4c" -> 0.16,
+      "dup5c" -> 0.15, "dup6c" -> 0.14, "dup7c" -> 0.13,
+      "dup8c" -> 0.12, "dup9c" -> 0.11, "dup10c" -> 0.10)
+    base.select(col("doc_id"), col("L"))
+      .join(m, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("L").as("norm_chars")) ++
+        Seq("top2c", "top3c", "top4c").map(cn =>
+          frac(cn).as(cn.dropRight(1) + "_frac")) ++
+        (5 to 10).map(n => frac(s"dup${n}c").as(s"dup${n}_frac")) ++
+        Seq(thresholds.map { case (cn, t) => frac(cn) > t }
+          .reduce(_ || _).as("repetitive")): _*)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -260,6 +329,62 @@ object TextAnalysis {
                GROUP BY doc_id, grp)
       SELECT doc_id, CAST(max(run_len) AS INTEGER) AS max_run
       FROM runs GROUP BY doc_id ORDER BY doc_id""")),
+
+    // The Gopher repetition-rule set — see [[gopherRepetition]]; ties
+    // break (count DESC, gram DESC) under row_number in both dialects.
+    ("t21_gopher_ngrams", (s: SparkSession, d: String) =>
+      gopherRepetition(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+          CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT) AS L
+        FROM documents),
+      g AS (
+        SELECT doc_id, n, unnest(CASE WHEN len(tk) >= n
+            THEN list_transform(range(0, len(tk) - n + 1),
+              i -> array_to_string(tk[i+1:i+n], ' '))
+            ELSE [] END) AS gram
+        FROM base, unnest([2,3,4,5,6,7,8,9,10]) AS t(n)),
+      c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      ranked AS (SELECT doc_id, n, gram, cnt,
+          row_number() OVER (PARTITION BY doc_id, n
+            ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c),
+      pn AS (SELECT doc_id, n,
+          max(CASE WHEN rn = 1 AND cnt > 1 THEN cnt * length(gram) END) AS topc,
+          CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+            AS BIGINT) AS dupc
+        FROM ranked GROUP BY 1, 2),
+      m AS (SELECT doc_id,
+          max(CASE WHEN n = 2 THEN topc END) AS top2c,
+          max(CASE WHEN n = 3 THEN topc END) AS top3c,
+          max(CASE WHEN n = 4 THEN topc END) AS top4c,
+          max(CASE WHEN n = 5 THEN dupc END) AS dup5c,
+          max(CASE WHEN n = 6 THEN dupc END) AS dup6c,
+          max(CASE WHEN n = 7 THEN dupc END) AS dup7c,
+          max(CASE WHEN n = 8 THEN dupc END) AS dup8c,
+          max(CASE WHEN n = 9 THEN dupc END) AS dup9c,
+          max(CASE WHEN n = 10 THEN dupc END) AS dup10c
+        FROM pn GROUP BY doc_id)
+      SELECT b.doc_id, b.L AS norm_chars,
+        CAST(coalesce(top2c, 0) AS DOUBLE) / b.L AS top2_frac,
+        CAST(coalesce(top3c, 0) AS DOUBLE) / b.L AS top3_frac,
+        CAST(coalesce(top4c, 0) AS DOUBLE) / b.L AS top4_frac,
+        CAST(coalesce(dup5c, 0) AS DOUBLE) / b.L AS dup5_frac,
+        CAST(coalesce(dup6c, 0) AS DOUBLE) / b.L AS dup6_frac,
+        CAST(coalesce(dup7c, 0) AS DOUBLE) / b.L AS dup7_frac,
+        CAST(coalesce(dup8c, 0) AS DOUBLE) / b.L AS dup8_frac,
+        CAST(coalesce(dup9c, 0) AS DOUBLE) / b.L AS dup9_frac,
+        CAST(coalesce(dup10c, 0) AS DOUBLE) / b.L AS dup10_frac,
+        (CAST(coalesce(top2c, 0) AS DOUBLE) / b.L > 0.20 OR
+         CAST(coalesce(top3c, 0) AS DOUBLE) / b.L > 0.18 OR
+         CAST(coalesce(top4c, 0) AS DOUBLE) / b.L > 0.16 OR
+         CAST(coalesce(dup5c, 0) AS DOUBLE) / b.L > 0.15 OR
+         CAST(coalesce(dup6c, 0) AS DOUBLE) / b.L > 0.14 OR
+         CAST(coalesce(dup7c, 0) AS DOUBLE) / b.L > 0.13 OR
+         CAST(coalesce(dup8c, 0) AS DOUBLE) / b.L > 0.12 OR
+         CAST(coalesce(dup9c, 0) AS DOUBLE) / b.L > 0.11 OR
+         CAST(coalesce(dup10c, 0) AS DOUBLE) / b.L > 0.10) AS repetitive
+      FROM base b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id""")),
 
     // winnowing fingerprints (MOSS-style rolling hash + sliding-window
     // minimum, the literal "rolling hash" fingerprint): row-local native

@@ -72,6 +72,60 @@ class CurateSpec extends SparkSuite {
     out.foreach { r => assert(r.getLong(1) == 3L, s"doc ${r.getLong(0)}") }
   }
 
+  test("line dedup strips corpus-frequent boilerplate; cleanup never shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, Seq(
+      s"content $i alpha",
+      "subscribe now",
+      if (i % 2 == 0) "all rights reserved" else s"tail $i")))
+      .toDF("doc_id", "lines")
+    // census: exactly the two planted boilerplate lines (>= 5 docs each)
+    val boiler = graft.operators.Curate
+      .frequentLines(docs, col("lines"), minDocs = 5)
+    assert(boiler == Seq("all rights reserved", "subscribe now"))
+    val out = graft.operators.Curate.lineDedup(docs, col("lines"), minDocs = 5)
+    // the cleanup half is a row-local map: no Exchange anywhere in its plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "line-dedup cleanup must not shuffle")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    (0L until 20L).foreach { i =>
+      val expectedKept =
+        if (i % 2 == 0) Seq(s"content $i alpha")
+        else Seq(s"content $i alpha", s"tail $i")
+      val cleaned = expectedKept.mkString(" ~ ")
+      assert(rows(i) == ((3L, expectedKept.size.toLong, cleaned.length.toLong)),
+        s"doc $i: ${rows(i)}")
+    }
+  }
+
+  test("gopher n-gram rules: exact fractions on hand-built docs, singletons don't flag") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa aa aa aa"), // stutter: top-2-gram 'aa aa' ×3
+      (1L, "b c d e f g h i j k l m"), // all distinct → nothing repeats
+      (2L, "p q r s t u p q r s t u p q r s t u") // 6-token phrase ×3
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.gopherRepetition(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: L=11; 'aa aa' ×3 → 15/11; 'aa aa aa' ×2 → 16/11; the single
+    // whole-text 4-gram is a singleton → top4 = 0; no 5-grams exist
+    assert(rows(0).getDouble(2) == 15.0 / 11)
+    assert(rows(0).getDouble(3) == 16.0 / 11)
+    assert(rows(0).getDouble(4) == 0.0, "singleton 4-gram must not count")
+    assert(rows(0).getBoolean(11))
+    // doc 1: nothing occurs twice at any n → all signals exactly zero
+    (2 to 10).foreach(c => assert(rows(1).getDouble(c) == 0.0, s"col $c"))
+    assert(!rows(1).getBoolean(11))
+    // doc 2: L=35; every 6-gram window recurs ('p q r s t u' ×3, each
+    // phase-shifted window ×2) → dup-6-gram mass (3+5·2)·11 = 143/35
+    assert(rows(2).getDouble(6) == 143.0 / 35)
+    assert(rows(2).getBoolean(11))
+  }
+
   test("hashed quality model separates reference-like text from the negative class") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)

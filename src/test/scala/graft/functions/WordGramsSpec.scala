@@ -44,6 +44,31 @@ class WordGramsSpec extends SparkSuite {
     }
   }
 
+  test("non-distinct word_grams keeps every occurrence; short docs are empty") {
+    val docs = Seq(
+      "a b a b a b a b",
+      "the quick brown fox jumps over the lazy dog",
+      "one two", // shorter than n=3 → NO grams (not the dedup fallback)
+      "",
+      "x  double  spaced  tokens  here").toDF("text")
+    for (n <- Seq(2, 3)) {
+      // composed non-distinct reference: every sliding position, in order
+      val toks = split(trim(col("text")), "\\s+")
+      val grams = transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+      val hof = when(size(toks) >= n, grams)
+        .otherwise(array().cast("array<string>"))
+      val got = docs.select(
+        GraftFunctions.word_grams(col("text"), n, distinct = false).as("native"),
+        hof.as("hof")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("word_grams matches the composed form on randomized corpus text") {
     val rnd = new scala.util.Random(0x96A35L)
     val words = Seq("alpha", "beta", "g", "dd", "eps", "zz", "theta")
