@@ -41,6 +41,11 @@ object GraftFunctions {
   def word_grams(text: Column, n: Int, distinct: Boolean = true): Column =
     toCol(WordGrams(expression(text), n, distinct))
 
+  /** One BPE merge applied to a symbol array (codegen'd — the apply
+    * half of the distributed BPE training loop, see [[MergePair]]). */
+  def merge_pair(syms: Column, left: String, right: String): Column =
+    toCol(MergePair(expression(syms), left, right))
+
   /** Order-preserving removal of a fixed excluded string set from an
     * array column (codegen'd — the corpus line-dedup cleanup stage, see
     * [[ArrayExclude]]). */

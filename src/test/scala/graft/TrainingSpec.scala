@@ -152,4 +152,132 @@ class TrainingSpec extends SparkSuite {
       assert(last._4 - last._3 < budget, s"$src kept a doc past the cut")
     }
   }
+
+  /** Independent local BPE reference: same tokenization, tie-break
+    * (count DESC, left ASC, right ASC), greedy left-to-right apply, and
+    * min-pair-count stop — implemented over plain Scala collections so a
+    * bug in the distributed loop can't hide in shared code. */
+  private def referenceBpe(wordCounts: Map[String, Long], merges: Int,
+      minPairCount: Long = 2): Seq[(Int, String, String, String, Long)] = {
+    var tbl: Seq[(Vector[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) =>
+        w.split("").filter(_.nonEmpty).toVector -> c
+      }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      tbl.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+        if (n < minPairCount) done = true
+        else {
+          out += ((rank, a, b, a + b, n))
+          tbl = tbl.map { case (syms, c) =>
+            val m = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                m += a + b; j += 2
+              } else { m += syms(j); j += 1 }
+            }
+            m.result() -> c
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe training matches an independent local reference bit-for-bit") {
+    import graft.operators.Training
+    val docs = Tables.documents(spark, sf0001)
+    val got = Training.bpeTrain(docs, merges = 12)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val wordCounts = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(wordCounts, merges = 12)
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    assert(got.size == 12, "corpus has ample repeated pairs for 12 merges")
+    // merged symbols compose from earlier merges or single chars only
+    val vocab = scala.collection.mutable.Set[String]()
+    got.foreach { case (_, a, b, ab, n) =>
+      assert(a.length == 1 || vocab.contains(a), s"unknown left $a")
+      assert(b.length == 1 || vocab.contains(b), s"unknown right $b")
+      assert(ab == a + b)
+      assert(n >= 2)
+      vocab += ab
+    }
+    // determinism: a second run yields the identical merge sequence
+    val again = Training.bpeTrain(docs, merges = 12)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(again == got)
+  }
+
+  test("bpe segmentation matches applying the reference merges per word") {
+    import graft.operators.Training
+    val docs = Tables.documents(spark, sf0001)
+    val merges = Training.bpeTrain(docs, merges = 12).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val distinctWords = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val segmented = distinctWords
+      .select(col("word"),
+        Training.bpeSegmentColumn(col("word"), merges).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def refApply(w: String): Seq[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
+        case (syms, (a, b)) =>
+          val m = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              m += a + b; j += 2
+            } else { m += syms(j); j += 1 }
+          }
+          m.result()
+      }
+    assert(segmented.nonEmpty)
+    segmented.foreach { case (w, pieces) =>
+      assert(pieces == refApply(w), s"word '$w'")
+      assert(pieces.mkString == w, s"pieces must reassemble '$w'")
+    }
+    // the trained merges actually compress: pieces < chars somewhere
+    assert(segmented.exists { case (w, p) => w.length > 1 && p.size < w.length },
+      "no word compressed — merges did not apply to this corpus")
+  }
+
+  test("bpe merge application is greedy left-to-right without overlap") {
+    val fns = graft.functions.GraftFunctions
+    val df = Seq(
+      Seq("a", "a", "a"),
+      Seq("a", "a", "a", "a"),
+      Seq("x", "a", "a", "y"),
+      Seq("a", "b", "a", "a"),
+      Seq.empty[String]).toDF("syms")
+    val out = df.select(fns.merge_pair(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("aa", "a"))
+    assert(out(1) == Seq("aa", "aa"))
+    assert(out(2) == Seq("x", "aa", "y"))
+    assert(out(3) == Seq("a", "b", "aa"))
+    assert(out(4) == Seq.empty[String])
+  }
 }
