@@ -41,6 +41,12 @@ object GraftFunctions {
   def word_grams(text: Column, n: Int, distinct: Boolean = true): Column =
     toCol(WordGrams(expression(text), n, distinct))
 
+  /** The C4 line gate over an array of lines (codegen'd — terminal
+    * punctuation, minimum words, banned substrings; see [[C4LineGate]]). */
+  def c4_line_gate(lines: Column, minWords: Int = 3,
+      banned: Seq[String] = Seq("javascript")): Column =
+    toCol(C4LineGate(expression(lines), minWords, banned))
+
   /** One BPE merge applied to a symbol array (codegen'd — the apply
     * half of the distributed BPE training loop, see [[MergePair]]). */
   def merge_pair(syms: Column, left: String, right: String): Column =

@@ -388,6 +388,91 @@ object Curate {
           FILTER (WHERE NOT boiler), '')) AS BIGINT) AS cleaned_len
       FROM flag GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The C4 cleaning heuristics (Raffel et al. 2020, arXiv 1910.10683
+    // §2.2) as one pass: the LINE gate (terminal punctuation, >= 3
+    // words, no "javascript") runs as the native codegen'd C4LineGate;
+    // the PAGE rules (lorem ipsum / "{" / blocklist word / minimum
+    // sentences, first hit wins) are row-local string ops over the raw
+    // page. Plants: every doc gets 5 lines with deterministic rule
+    // violations (no-terminal line at %3!=0, javascript line at %4=0,
+    // too-short line at %5=0, and per-%50 lorem-ipsum / brace /
+    // blocklist pages), mirrored exactly in the oracle.
+    ("t24_c4_rules", (s: SparkSession, d: String) => {
+      val fns = graft.functions.GraftFunctions
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        array(
+          concat(substring(col("text"), 1, 40), lit(".")),
+          concat(substring(col("text"), 41, 35),
+            when(col("doc_id") % 3 === 0, "?").otherwise("")),
+          when(col("doc_id") % 4 === 0, lit("click here javascript required."))
+            .otherwise(concat(substring(col("text"), 76, 30), lit("!"))),
+          when(col("doc_id") % 5 === 0, lit("buy now."))
+            .otherwise(concat(substring(col("text"), 106, 25), lit("."))),
+          when(col("doc_id") % 50 === 0, lit("lorem ipsum dolor sit amet."))
+            .when(col("doc_id") % 50 === 1, lit("stray markup { present here."))
+            .when(col("doc_id") % 50 === 2, lit("what the frak is this."))
+            .otherwise(concat(substring(col("text"), 131, 20), lit(".")))
+        ).as("lines"))
+      val gated = planted.select(col("doc_id"),
+        fns.c4_line_gate(col("lines"), minWords = 3,
+          banned = Seq("javascript")).as("kept"),
+        lower(concat_ws(" ", col("lines"))).as("page_l"))
+      val m = gated.select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned"),
+        size(regexp_extract_all(concat_ws(" ", col("kept")),
+          lit("[.!?]"), lit(0))).cast("long").as("n_sentences"),
+        col("page_l"))
+      m.select(col("doc_id"), col("n_kept"), col("n_sentences"),
+        when(instr(col("page_l"), "lorem ipsum") > 0, "lorem_ipsum")
+          .when(instr(col("page_l"), "{") > 0, "brace")
+          .when(fns.marker_count(split(col("page_l"), "\\s+"),
+            Seq("frak", "gorram", "smeg")) > 0, "blocklist")
+          .when(col("n_sentences") < 3, "too_few_sentences")
+          .otherwise("keep").as("verdict"),
+        md5(col("cleaned")).as("cleaned_md5"),
+        length(col("cleaned")).cast("long").as("cleaned_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, [
+          substr(text, 1, 40) || '.',
+          substr(text, 41, 35) || CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END,
+          CASE WHEN doc_id % 4 = 0 THEN 'click here javascript required.'
+               ELSE substr(text, 76, 30) || '!' END,
+          CASE WHEN doc_id % 5 = 0 THEN 'buy now.'
+               ELSE substr(text, 106, 25) || '.' END,
+          CASE WHEN doc_id % 50 = 0 THEN 'lorem ipsum dolor sit amet.'
+               WHEN doc_id % 50 = 1 THEN 'stray markup { present here.'
+               WHEN doc_id % 50 = 2 THEN 'what the frak is this.'
+               ELSE substr(text, 131, 20) || '.' END] AS lines
+        FROM documents),
+      gated AS (
+        SELECT doc_id,
+          list_filter(lines, l -> regexp_matches(l, '[.!?]$')
+            AND len(string_split_regex(trim(l), '\s+')) >= 3
+            AND strpos(lower(l), 'javascript') = 0) AS kept,
+          lower(array_to_string(lines, ' ')) AS page_l
+        FROM planted),
+      m AS (
+        SELECT doc_id,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          array_to_string(kept, ' ') AS cleaned,
+          CAST(len(regexp_extract_all(array_to_string(kept, ' '), '[.!?]'))
+            AS BIGINT) AS n_sentences,
+          page_l
+        FROM gated)
+      SELECT doc_id, n_kept, n_sentences,
+        CASE WHEN strpos(page_l, 'lorem ipsum') > 0 THEN 'lorem_ipsum'
+             WHEN strpos(page_l, '{') > 0 THEN 'brace'
+             WHEN len(list_filter(string_split_regex(page_l, '\s+'),
+               t -> t IN ('frak', 'gorram', 'smeg'))) > 0 THEN 'blocklist'
+             WHEN n_sentences < 3 THEN 'too_few_sentences'
+             ELSE 'keep' END AS verdict,
+        md5(cleaned) AS cleaned_md5,
+        CAST(length(cleaned) AS BIGINT) AS cleaned_len
+      FROM m ORDER BY doc_id""")),
+
     // Within-document repetition removal: split into paragraphs, drop
     // repeats keeping first occurrence, reassemble in order. The planted
     // view gives every doc 4 paragraphs with the first repeated (the

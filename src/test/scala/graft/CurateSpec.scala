@@ -126,6 +126,23 @@ class CurateSpec extends SparkSuite {
     assert(rows(2).getBoolean(11))
   }
 
+  test("c4 rules: page verdicts follow the plant schedule exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("t24_c4_rules")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.foreach { case (id, verdict) =>
+      if (id % 50 == 0) assert(verdict == "lorem_ipsum", s"doc $id")
+      else if (id % 50 == 1) assert(verdict == "brace", s"doc $id")
+      else if (id % 50 == 2) assert(verdict == "blocklist", s"doc $id")
+      else assert(verdict == "keep" || verdict == "too_few_sentences",
+        s"doc $id got $verdict")
+    }
+    // the line gate actually fires: javascript docs lost their line yet
+    // can still be page-kept; some docs drop below the sentence floor
+    assert(rows.values.count(_ == "keep") > 0)
+    assert(rows.values.count(_ == "too_few_sentences") > 0)
+  }
+
   test("hashed quality model separates reference-like text from the negative class") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
