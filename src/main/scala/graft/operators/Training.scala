@@ -221,6 +221,70 @@ object Training {
       (c, m) => fns.merge_pair(c, m._1, m._2))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, arXiv 2302.03169 —
+    * Data Selection via Importance Resampling): hashed n-gram bag-of-words
+    * models of a TARGET slice and the RAW corpus, per-bucket importance
+    * weights, per-document importance as the aggregate of its features'
+    * weights. Features are the paper's: unigrams plus word bigrams,
+    * hashed into `buckets` md5 buckets.
+    *
+    * Engine-exact arithmetic (the t19 discipline): the per-bucket weight
+    * is the smoothed target/raw probability RATIO quantized to Q20
+    * fixed-point — `floor(((t+1)/(T+m)) / ((r+1)/(R+m)) · 2²⁰)` — built
+    * from integer counts by a fixed sequence of correctly-rounded IEEE
+    * double ops, so DuckDB reproduces every weight bit-for-bit; a
+    * document's total is then an integer SUM (order-free under any
+    * partitioning). The paper aggregates log-weights (a product of
+    * ratios); the quantized-ratio MEAN used here induces a selection
+    * ordering from the same bucket model with no transcendental calls —
+    * `ln` is the one step two engines won't reproduce exactly.
+    *
+    * Scale posture: the feature explode is map-side; the model is one
+    * aggregation collapsing the corpus to `buckets` rows (partial
+    * aggregation shrinks it before the exchange); totals ride a window
+    * over the model table (model-sized, not data-sized); scoring is a
+    * broadcast join + one groupBy(doc_id). The exploded frame feeds both
+    * the model build and the scoring pass — persisted, or the corpus
+    * tokenizes twice. */
+  def dsirScores(docs: DataFrame, isTarget: Column,
+      buckets: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fns = graft.functions.GraftFunctions
+    def bucketOf(feat: Column): Column =
+      pmod(conv(substring(md5(feat), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val uni = docs.select(col("doc_id"), isTarget.as("is_t"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("feat"))
+      .filter(col("feat") =!= "")
+    val bi = docs.select(col("doc_id"), isTarget.as("is_t"),
+      explode(fns.word_grams(lower(col("text")), 2, distinct = false))
+        .as("feat"))
+    val feats = uni.unionAll(bi)
+      .select(col("doc_id"), col("is_t"), bucketOf(col("feat")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("r"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("t"))
+    val all = Window.partitionBy()
+    val w = counts.select(col("bucket"),
+      floor(
+        ((col("t") + 1).cast("double") /
+          (sum(col("t")).over(all) + buckets).cast("double")) /
+        ((col("r") + 1).cast("double") /
+          (sum(col("r")).over(all) + buckets).cast("double")) *
+        lit(1048576L))
+        .cast("long").as("wq"))
+    // raw = the scored corpus, so every scored bucket exists in the
+    // model; the coalesce is belt-and-braces for a caller scoring a
+    // frame that wasn't the model's raw side
+    feats.join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("wq"), lit(0L))).as("sum_wq"))
+      .withColumn("ratio",
+        col("sum_wq").cast("double") / col("n_feats") / lit(1048576L))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // Canary phrase: 8 tokens, the first unique per planted pair, appended
@@ -465,6 +529,63 @@ object Training {
         FROM counted)
       SELECT doc_id, source, n_tok, cum_end
       FROM offs WHERE cum_end - n_tok < 2000
-      ORDER BY source, cum_end, doc_id"""))
+      ORDER BY source, cum_end, doc_id""")),
+
+    // DSIR-style data selection: English docs are the target slice, the
+    // whole corpus is raw; every doc gets its quantized importance and
+    // the top 20% by mean importance (doc_id tiebreak) are selected.
+    // The exact global rank is the sf-scale GATE; at 100 TB the cutoff
+    // comes from approx_percentile on `ratio` and selection is a plain
+    // threshold filter — no global window in the production path.
+    ("t25_dsir_select", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      dsirScores(Tables.documents(s, d), col("lang") === "en")
+        .withColumn("sel_rank", row_number().over(
+          Window.orderBy(col("ratio").desc, col("doc_id"))).cast("long"))
+        .withColumn("selected", col("sel_rank") <=
+          floor(count(lit(1)).over(Window.partitionBy()) * lit(0.2)))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+          string_split_regex(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      uni AS (
+        SELECT doc_id, is_t, unnest(tk) AS feat FROM toks),
+      bi AS (
+        SELECT doc_id, is_t, unnest(list_transform(range(1, len(tk)),
+          i -> tk[i] || ' ' || tk[i + 1])) AS feat
+        FROM toks),
+      feats AS (
+        SELECT doc_id, is_t,
+          CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT) % 2048 AS bucket
+        FROM (SELECT * FROM uni WHERE feat <> ''
+              UNION ALL SELECT * FROM bi) u),
+      cnt AS (
+        SELECT bucket, count(*) AS r,
+          sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t
+        FROM feats GROUP BY bucket),
+      w AS (
+        SELECT bucket,
+          CAST(floor(
+            (CAST(t + 1 AS DOUBLE) / CAST(sum(t) OVER () + 2048 AS DOUBLE)) /
+            (CAST(r + 1 AS DOUBLE) / CAST(sum(r) OVER () + 2048 AS DOUBLE))
+            * 1048576) AS BIGINT) AS wq
+        FROM cnt),
+      sc AS (
+        SELECT doc_id, count(*) AS n_feats,
+          CAST(sum(COALESCE(wq, 0)) AS BIGINT) AS sum_wq
+        FROM feats LEFT JOIN w USING (bucket) GROUP BY doc_id),
+      r AS (
+        SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, sum_wq,
+          CAST(sum_wq AS DOUBLE) / n_feats / 1048576 AS ratio,
+          count(*) OVER () AS n_docs
+        FROM sc)
+      SELECT doc_id, n_feats, sum_wq, ratio,
+        CAST(row_number() OVER (ORDER BY ratio DESC, doc_id) AS BIGINT)
+          AS sel_rank,
+        row_number() OVER (ORDER BY ratio DESC, doc_id)
+          <= floor(n_docs * 0.2) AS selected
+      FROM r ORDER BY doc_id"""))
   )
 }

@@ -264,6 +264,28 @@ class TrainingSpec extends SparkSuite {
       "no word compressed — merges did not apply to this corpus")
   }
 
+  test("dsir selection enriches the target slice and is deterministic") {
+    import org.apache.spark.sql.functions._
+    def run() = SparkEntry.queries("t25_dsir_select")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    val rows = run()
+    val langs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selected = rows.filter(_._3).map(_._1)
+    // exactly the top-20% cut
+    assert(selected.length == (rows.length * 0.2).toInt)
+    // target (en) docs must be OVERrepresented among the selected vs the
+    // corpus base rate — the whole point of importance resampling
+    val baseRate = langs.values.count(_ == "en").toDouble / langs.size
+    val selRate = selected.count(langs(_) == "en").toDouble / selected.length
+    assert(selRate > baseRate,
+      s"selected en-rate $selRate not above base rate $baseRate")
+    // rank is a permutation of 1..n and the run is deterministic
+    assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("bpe merge application is greedy left-to-right without overlap") {
     val fns = graft.functions.GraftFunctions
     val df = Seq(
