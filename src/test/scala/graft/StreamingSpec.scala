@@ -291,29 +291,39 @@ class StreamingSpec extends SparkSuite {
     import graft.operators.{Curate, Dedup}
     val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
 
-    // the full stateless curation pass, as ONE chain: PII scrub →
-    // quality verdict (t16's rule on the scrubbed text) → near-dup
-    // admission probe. No aggregation, no watermark, no state — the
-    // same code path must serve a batch frame and an append stream.
+    // the full stateless curation pass, as ONE chain: C4 line gate →
+    // PII scrub → quality verdict (t16's rule on the scrubbed text) →
+    // near-dup admission probe. No aggregation, no watermark, no state —
+    // the same code path must serve a batch frame and an append stream
+    // (the line gate is a row-local codegen expression, so it rides the
+    // stream for free).
     def curate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val clean = docs.withColumn("clean", Curate.redactPii(col("text")))
+      val kept = graft.functions.GraftFunctions.c4_line_gate(
+        split(col("text"), "\n"))
+      val c4 = docs
+        .withColumn("n_dropped",
+          (size(split(col("text"), "\n")) - size(kept)).cast("long"))
+        .withColumn("clean", Curate.redactPii(concat_ws(" ", kept)))
       val toks = split(trim(col("clean")), "\\s+")
-      val gated = clean
+      val gated = c4
         .withColumn("n_tok", size(toks).cast("long"))
         .withColumn("verdict",
           when(col("n_tok") < 5, "too_short")
             .otherwise("keep"))
       Dedup.nearDupAdmission(gated, corpus, fpp = 0.001)
         .select(col("doc_id"), col("verdict"), col("dup_candidate"),
-          col("clean"))
+          col("clean"), col("n_dropped"))
     }
 
     val arriving = Seq(
       // a corpus copy carrying fresh PII — must scrub AND flag as dup
       // (admission probes the original text column, scrub rewrites clean)
       (30000L, corpus.filter(col("doc_id") === 1).head().getString(1)),
-      (30001L, "contact me at alice@example.com for the files now please"),
-      (30002L, "too short"))
+      (30001L, "contact me at alice@example.com for the files now please."),
+      (30002L, "too short"),
+      // middle line trips the gate's banned term; the doc survives
+      (30003L, "genuine first line stays right here.\n" +
+        "buy javascript now.\nsecond real line is kept too."))
       .toDF("doc_id", "text")
     val inDir = tempDir("curate").getAbsolutePath
     arriving.coalesce(1).write.mode("overwrite").parquet(inDir)
@@ -323,16 +333,22 @@ class StreamingSpec extends SparkSuite {
     val q = EventStream.runToMemory(curate(stream), "curate_out")
     try {
       val rows = spark.table("curate_out").collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getString(3))))
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getBoolean(2), r.getString(3), r.getLong(4))))
         .toMap
-      assert(rows.size == 3)
+      assert(rows.size == 4)
       assert(rows(30000L)._2, "corpus copy not flagged as dup")
       assert(rows(30001L)._1 == "keep" && !rows(30001L)._2)
       assert(!rows(30001L)._3.contains("alice@example.com"), "PII survived")
       assert(rows(30002L)._1 == "too_short")
+      // the gate dropped exactly the javascript line; the doc survives
+      assert(rows(30003L)._1 == "keep" && rows(30003L)._4 == 1L)
+      assert(!rows(30003L)._3.contains("javascript"))
+      assert(rows(30003L)._3.contains("second real line is kept too."))
       // batch parity: identical output through the identical chain
       val batch = curate(arriving).collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getString(3))))
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getBoolean(2), r.getString(3), r.getLong(4))))
         .toMap
       assert(batch == rows)
     } finally q.stop()
