@@ -51,5 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_grams"),
       new ExpressionInfo(classOf[functions.WordGrams].getName, "word_grams"),
       es => functions.WordGrams(es.head, intLit(es(1)))))
+    def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"expected a string literal argument, got $other")
+      }
+    // c4_line_gate(lines, min_words, banned...) — varargs banned terms
+    e.injectFunction((FunctionIdentifier("c4_line_gate"),
+      new ExpressionInfo(classOf[functions.C4LineGate].getName, "c4_line_gate"),
+      es => functions.C4LineGate(es.head, intLit(es(1)),
+        es.drop(2).map(strLit))))
   }
 }
