@@ -136,7 +136,43 @@ object Clusters {
         col("canonical_id"), col("keep"))
   }
 
+  /** Apply a dedup plan: the corpus minus the non-survivors — the step
+    * that actually materializes the deduplicated training corpus.
+    * The drop set is duplicates-only (keep=false rows, i.e. dup-cluster
+    * members minus one survivor each), which for real corpora is a few
+    * percent of rows — `broadcastDrop=true` probes it without shuffling
+    * the corpus side (the A10/Transfer shape). For a pathological corpus
+    * where duplicates ARE the bulk, set it false and pay one hash
+    * shuffle on doc_id instead of an oversized broadcast. */
+  def applyDedup(docs: DataFrame, plan: DataFrame,
+      broadcastDrop: Boolean = true): DataFrame = {
+    val drop = plan.filter(!col("keep")).select(col("doc_id"))
+    docs.join(if (broadcastDrop) broadcast(drop) else drop,
+      Seq("doc_id"), "left_anti")
+  }
+
   type Q = (SparkSession, String) => DataFrame
+
+  /** The d06/d09 oracle fixture: dedup plan over the exact-Jaccard pair
+    * graph of the bounded sample (doc_id < 100 — small enough for the
+    * DuckDB recursive-CTE transitive closure to mirror it exactly). */
+  private def samplePlan(s: SparkSession, d: String): DataFrame = {
+    val sample = Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), Dedup.shingles(col("text")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = sample.alias("a").join(sample.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"),
+        size(array_intersect(col("a.sh"), col("b.sh")))
+          .cast("double").as("inter"),
+        size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.02)
+      .select(col("u"), col("v"))
+    val labeled = labelAll(sample.select(col("doc_id").as("node")), edges)
+    dedupPlan(labeled, sample)
+  }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
@@ -145,23 +181,8 @@ object Clusters {
     // algorithm itself is oracle-gated via DuckDB's recursive-CTE
     // transitive closure; the full-corpus LSH→cluster path reuses the
     // identical operator and is spec-gated in ClusterSpec).
-    ("d06_dup_clusters", (s: SparkSession, d: String) => {
-      val sample = Tables.documents(s, d)
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text"), Dedup.shingles(col("text")).as("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val edges = sample.alias("a").join(sample.alias("b"),
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"),
-          size(array_intersect(col("a.sh"), col("b.sh")))
-            .cast("double").as("inter"),
-          size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
-        .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.02)
-        .select(col("u"), col("v"))
-      val labeled = labelAll(sample.select(col("doc_id").as("node")), edges)
-      dedupPlan(labeled, sample).orderBy(col("doc_id"))
-    },
+    ("d06_dup_clusters", (s: SparkSession, d: String) =>
+      samplePlan(s, d).orderBy(col("doc_id")),
     Some("""WITH RECURSIVE sample AS (
         SELECT doc_id, text,
           CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
@@ -192,6 +213,47 @@ object Clusters {
         FROM comp c JOIN sample s ON c.doc_id = s.doc_id)
       SELECT doc_id, component, cluster_size, canonical_id,
              doc_id = canonical_id AS keep
-      FROM ranked ORDER BY doc_id"""))
+      FROM ranked ORDER BY doc_id""")),
+
+    // The APPLY step over the same plan: the surviving corpus itself —
+    // detect (pairs) → resolve (components) → apply (anti-join) is the
+    // complete dedup loop a pipeline actually ships. The drop set
+    // broadcasts; the corpus side never shuffles for the join.
+    ("d09_dedup_apply", (s: SparkSession, d: String) =>
+      applyDedup(Tables.documents(s, d).filter(col("doc_id") < 100),
+          samplePlan(s, d))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE sample AS (
+        SELECT doc_id, text,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+               THEN list_distinct(list_transform(
+                 range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> concat_ws(' ',
+                   string_split_regex(trim(text), '\s+')[i+1],
+                   string_split_regex(trim(text), '\s+')[i+2],
+                   string_split_regex(trim(text), '\s+')[i+3])))
+               ELSE [text] END AS sh
+        FROM documents WHERE doc_id < 100),
+      pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02),
+      edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+      reach(u, v) AS (
+        SELECT doc_id AS u, doc_id AS v FROM sample
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+      ranked AS (
+        SELECT c.doc_id,
+          first_value(c.doc_id) OVER (PARTITION BY c.component
+            ORDER BY length(s.text) DESC, c.doc_id ASC) AS canonical_id
+        FROM comp c JOIN sample s ON c.doc_id = s.doc_id)
+      SELECT d.doc_id, d.source, d.n_chars, md5(d.text) AS text_md5
+      FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+      WHERE r.doc_id = r.canonical_id ORDER BY d.doc_id"""))
   )
 }

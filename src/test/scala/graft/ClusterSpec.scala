@@ -88,5 +88,15 @@ class ClusterSpec extends SparkSuite {
     pairs.collect().foreach { r =>
       assert(lbl(r.getLong(0)) == lbl(r.getLong(1)))
     }
+    // apply: exactly the survivors remain — one per dup cluster,
+    // singletons untouched
+    val keptIds = Clusters.applyDedup(docs, plan)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val planRows = plan.collect()
+    assert(keptIds.size == planRows.count(_.getBoolean(4)))
+    planRows.foreach { r =>
+      assert(keptIds.contains(r.getLong(0)) == r.getBoolean(4),
+        s"doc ${r.getLong(0)} kept iff flagged keep")
+    }
   }
 }
