@@ -221,6 +221,39 @@ object Training {
       (c, m) => fns.merge_pair(c, m._1, m._2))
   }
 
+  /** Materialize the packed training sequences themselves — the emit
+    * half of [[packSequences]] (which only computes placement): tokens
+    * take a global position in their source stream (running doc offsets
+    * + within-doc position), chunk `seqLen` cuts the stream, and each
+    * sequence reassembles in position order. One corpus-sized explode
+    * and ONE exchange on (stream, seq_id) — re-chunking is inherently a
+    * repartition of the token stream, and this is the minimal one; at
+    * 100 TB the stream key becomes (source, shard) exactly like t13 and
+    * shards pack independently. The per-sequence reassembly sorts
+    * seqLen-bounded arrays row-locally (the interpreted-HOF projection
+    * runs on n/seqLen sequence rows, not on the token stream). */
+  def packEmit(docs: DataFrame, seqLen: Int,
+      streamCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col("text")), "\\s+")
+    val counted = docs.select(col("doc_id"), col(streamCol), toks.as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col("doc_id"))
+    val tokens = counted
+      .withColumn("cum_start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col(streamCol), col("cum_start"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      .withColumn("gpos", col("cum_start") + col("pos"))
+      .withColumn("seq_id", floor(col("gpos") / lit(seqLen)))
+    tokens
+      .groupBy(col(streamCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("gpos"), col("tok")))),
+          x => x.getField("tok")))).as("seq_md5"))
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, arXiv 2302.03169 —
     * Data Selection via Importance Resampling): hashed n-gram bag-of-words
     * models of a TARGET slice and the RAW corpus, per-bucket importance
@@ -586,6 +619,33 @@ object Training {
           AS sel_rank,
         row_number() OVER (ORDER BY ratio DESC, doc_id)
           <= floor(n_docs * 0.2) AS selected
-      FROM r ORDER BY doc_id"""))
+      FROM r ORDER BY doc_id""")),
+
+    // The materialized training sequences (t13 computes where docs land;
+    // this emits what the trainer reads): every 256-token sequence's
+    // exact content hash, token count, and how many documents it spans.
+    ("t26_pack_emit", (s: SparkSession, d: String) =>
+      packEmit(Tables.documents(s, d), seqLen = 256)
+        .orderBy(col("source"), col("seq_id")),
+    Some("""WITH counted AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT doc_id, source, tk,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+            AS cum_start
+        FROM counted),
+      tokens AS (
+        SELECT doc_id, source,
+          cum_start + r.i - 1 AS gpos, tk[r.i] AS tok,
+          (cum_start + r.i - 1) // 256 AS seq_id
+        FROM offs, unnest(range(1, len(tk) + 1)) AS r(i))
+      SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+        CAST(count(*) AS BIGINT) AS n_tok,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5
+      FROM tokens GROUP BY source, seq_id
+      ORDER BY source, seq_id"""))
   )
 }

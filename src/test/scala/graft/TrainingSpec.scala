@@ -82,6 +82,58 @@ class TrainingSpec extends SparkSuite {
     assert(out(1) == ((2L, 0L, 3L, 4L))) // tokens [5,25) -> seqs 0..3
   }
 
+  test("pack emit: sequences carry exactly the chunked token stream") {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "s", "a b c"),        // gpos 0..2
+      (2L, "s", "d e f g h i"),  // gpos 3..8
+      (3L, "s", "j"),            // gpos 9
+      (4L, "t", "p q r s t"))    // its own stream, gpos 0..4
+      .toDF("doc_id", "source", "text")
+    val out = Training.packEmit(docs, seqLen = 4)
+      .orderBy("source", "seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(out == Seq(
+      ("s", 0L, 4L, 2L, md5("a b c d")),  // spans docs 1+2
+      ("s", 1L, 4L, 1L, md5("e f g h")),
+      ("s", 2L, 2L, 2L, md5("i j")),      // tail: docs 2+3
+      ("t", 0L, 4L, 1L, md5("p q r s")),
+      ("t", 1L, 1L, 1L, md5("t"))))
+  }
+
+  test("pack emit agrees with t13's placement on the real corpus") {
+    val seqs = SparkEntry.queries("t26_pack_emit")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(seqs.nonEmpty)
+    seqs.groupBy(_._1).foreach { case (src, ss) =>
+      val ordered = ss.sortBy(_._2)
+      // seq ids are contiguous from 0 and every non-tail sequence is full
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length).toSeq, src)
+      ordered.init.foreach { case (_, id, nTok, _) =>
+        assert(nTok == 256L, s"$src seq $id not full")
+      }
+      assert(ordered.last._3 <= 256L)
+    }
+    // total emitted tokens == total corpus tokens, stream by stream
+    val fromDocs = Tables.documents(spark, sf0001)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromSeqs = seqs.groupBy(_._1).map { case (s, ss) => s -> ss.map(_._3).sum }
+    assert(fromSeqs == fromDocs)
+    // t13 (placement) and t26 (emission) assign identical doc->seq spans:
+    // every doc's first/last sequence from t13 must exist in t26's id range
+    val t13 = SparkEntry.queries("t13_seq_pack")(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    val maxSeq = seqs.groupBy(_._1).map { case (s, ss) => s -> ss.map(_._2).max }
+    t13.foreach { case (src, first, last) =>
+      assert(first >= 0L && last <= maxSeq(src), s"$src span [$first,$last]")
+    }
+  }
+
   test("shuffle shards: balanced permutation, deterministic, non-trivial order") {
     val rows = SparkEntry.queries("t17_shuffle_shards")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
