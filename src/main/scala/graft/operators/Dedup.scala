@@ -303,6 +303,92 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("overlap"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2021, arXiv 2107.06499 §4.1 —
+    * "ExactSubstr"): remove every token covered by a substring of at
+    * least `minLen` tokens that occurs more than once anywhere in the
+    * corpus (including within one document). The n-gram-anchored
+    * distributed form: a position is covered by a duplicated >= minLen
+    * substring IFF some duplicated minLen-gram covers it (every length-
+    * minLen window of a duplicated substring is itself duplicated), so
+    * the union of duplicated-gram spans IS the union of duplicated
+    * substrings — no suffix array needed, just dataflow:
+    *
+    *   1. one corpus-wide positional gram explode (native [[WordGrams]]
+    *      occurrence mode — index = start position),
+    *   2. a gram census (`count >= 2`; partial aggregation shrinks hot
+    *      grams map-side) semi-joined back to keep duplicated positions,
+    *   3. per-document span merge — the classic gaps-and-islands pair of
+    *      running-max/lag windows, partitioned by doc_id so no document
+    *      ever concentrates a task beyond its own length,
+    *   4. a row-local cut: kept text = the gap slices between spans
+    *      (O(n_tok) slice copies; never an exists() probe per token).
+    *
+    * Scale: the exploded frame is read twice (census + probe) and
+    * persisted. With `hashGrams=true` the join key is `xxhash64` of the
+    * gram, so what persists and shuffles is (doc_id, pos, long) ≈
+    * token-stream-sized — not minLen× the corpus; a hash collision can
+    * only over-remove one rare span (the Bloom-style trade every
+    * at-scale dedup makes). String keys (the default) are for the
+    * DuckDB oracle, which must join on the same value in both engines.
+    */
+  def substringDedup(docs: DataFrame, minLen: Int = 50,
+      hashGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
+    val grams = docs.select(col("doc_id"),
+        posexplode(GraftFunctions.word_grams(col("text"), minLen, distinct = false))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), key.as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy(col("k")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("k"))
+    val dupPos = grams.join(dup, Seq("k"), "left_semi")
+    // gaps-and-islands: a new span starts where this gram's coverage
+    // [pos, pos+minLen-1] leaves a genuine uncovered gap after the
+    // running maximum end of everything before it
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = dupPos
+      .withColumn("end", col("pos") + lit(minLen - 1))
+      .withColumn("run_end", max(col("end")).over(cum))
+      .withColumn("prev_end", lag(col("run_end"), 1).over(w))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(cum))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"),
+        count(lit(1)).as("n_pos"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"),
+        sum(col("n_pos")).as("n_dup_pos"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("n_sp", size(col("spans")))
+      // kept tokens = the n_sp+1 gap slices around the spans; per-gap
+      // bounds come from element_at on the (small, sorted) span array,
+      // so the cut is one flatten of slice() copies — linear in n_tok
+      .withColumn("kept_tk", flatten(transform(
+        sequence(lit(0), col("n_sp")),
+        i => {
+          val gs = when(i === 0, lit(0))
+            .otherwise(element_at(col("spans"), i).getField("e") + 1)
+          val ge = when(i === col("n_sp"), size(col("tk")) - 1)
+            .otherwise(element_at(col("spans"), i + 1).getField("s") - 1)
+          slice(col("tk"), gs + 1, greatest(ge - gs + 1, lit(0)))
+        })))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tok"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        concat_ws(" ", col("kept_tk")).as("cleaned"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -390,6 +476,71 @@ object Dedup {
     // planted-copy recall are spec-gated (WinnowSpec / LlmOpsSpec).
     ("d05_winnow_overlap", (s: SparkSession, d: String) =>
       winnowOverlapPairs(Tables.documents(s, d))
-        .orderBy(col("doc_a"), col("doc_b")), None)
+        .orderBy(col("doc_a"), col("doc_b")), None),
+
+    // Exact-substring dedup (Lee et al. 2021 ExactSubstr) over the FULL
+    // corpus: tokens covered by any duplicated 8-token run are cut, the
+    // survivors reassemble in place. Fully relational (explode + census
+    // + windows), so the whole computation — span accounting AND the
+    // cleaned text itself — is oracle-gated against DuckDB.
+    ("d10_substring_dedup", (s: SparkSession, d: String) =>
+      substringDedup(Tables.documents(s, d), minLen = 8)
+        .select(col("doc_id"), col("n_tok"), col("n_dup_pos"),
+          col("n_spans"), col("n_removed"), md5(col("cleaned")).as("kept_md5"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+          array_to_string(tk[r.i+1 : r.i+8], ' ') AS gram
+        FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+      dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      dpos AS (
+        SELECT doc_id, pos, pos + 7 AS e FROM grams
+        WHERE gram IN (SELECT gram FROM dup)),
+      runs AS (
+        SELECT doc_id, pos, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+        FROM dpos),
+      marked AS (
+        SELECT doc_id, pos, e,
+          lag(run_end) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_end
+        FROM runs),
+      flagged AS (
+        SELECT doc_id, pos, e,
+          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM marked),
+      sp AS (
+        SELECT doc_id, span_id, min(pos) AS s, max(e) AS e,
+          count(*) AS n_pos
+        FROM flagged GROUP BY doc_id, span_id),
+      perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(e - s + 1) AS BIGINT) AS n_removed,
+          CAST(sum(n_pos) AS BIGINT) AS n_dup_pos
+        FROM sp GROUP BY doc_id),
+      tokens AS (
+        SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos, tk[r.i] AS tok
+        FROM toks, unnest(range(1, len(tk) + 1)) AS r(i)),
+      kept AS (
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+        FROM tokens t
+        WHERE NOT EXISTS (SELECT 1 FROM sp
+          WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)
+        GROUP BY t.doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tok,
+        coalesce(p.n_dup_pos, 0) AS n_dup_pos,
+        coalesce(p.n_spans, 0) AS n_spans,
+        coalesce(p.n_removed, 0) AS n_removed,
+        md5(coalesce(k.cleaned, '')) AS kept_md5
+      FROM toks t
+      LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+      LEFT JOIN kept k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id"""))
   )
 }

@@ -36,6 +36,48 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("substring dedup cuts exactly the duplicated runs, in place") {
+    import spark.implicits._
+    // doc 1 and 2 share an exact 9-token run (-> one merged span each);
+    // doc 3 repeats its own 8-token run (within-doc duplication counts);
+    // doc 4 shares nothing; doc 5 is shorter than minLen
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val synth = Seq(
+      (1L, s"a1 a2 $run z1 z2"),
+      (2L, s"b1 $run y1 y2 y3"),
+      (3L, s"c1 s1 s2 s3 s4 s5 s6 s7 s8 c2 s1 s2 s3 s4 s5 s6 s7 s8 c3"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (5L, "v1 v2 v3")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(synth, minLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // doc 1: tokens 2..10 are the run -> two duplicated 8-grams starting
+    // at 2 and 3, merged into one span [2,10]
+    assert(out(0) == ((1L, 13, 2L, 1L, 9L, "a1 a2 z1 z2")))
+    assert(out(1) == ((2L, 13, 2L, 1L, 9L, "b1 y1 y2 y3")))
+    // doc 3: both copies of the 8-token run are covered (positions 1..8
+    // and 10..17), the separators survive
+    assert(out(2) == ((3L, 19, 2L, 2L, 16L, "c1 c2 c3")))
+    assert(out(3) == ((4L, 10, 0L, 0L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    assert(out(4) == ((5L, 3, 0L, 0L, 0L, "v1 v2 v3")))
+    // token-mass accounting holds on every row
+    out.foreach { case (id, nTok, _, _, nRem, cleaned) =>
+      val kept = if (cleaned.isEmpty) 0 else cleaned.split(" ").length
+      assert(kept == nTok - nRem, s"doc $id")
+    }
+  }
+
+  test("substring dedup: hashed-gram scale path matches the string path") {
+    val a = Dedup.substringDedup(docs, minLen = 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.substringDedup(docs, minLen = 8, hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // the corpus actually exercises the operator (planted canary runs)
+    assert(a.exists(_.getLong(3) > 0L), "no duplicated runs found at sf0.001")
+  }
+
   test("simhash: identical tokens → identical hash; small edit → small hamming") {
     val a = SimHash.simhash64(Iterator("the", "quick", "brown", "fox", "jumps"))
     val b = SimHash.simhash64(Iterator("the", "quick", "brown", "fox", "jumps"))
