@@ -45,6 +45,70 @@ object Curate {
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
 
+  /** Canonical URL form for URL-level dedup — the cheap pass a crawl
+    * pipeline runs BEFORE fetching or content-hashing anything, since
+    * the same page hides behind scheme/host case, default ports,
+    * `www.`, tracking parameters, fragments, and trailing slashes:
+    * lowercase scheme+host, strip `:80`/`:443` for their own schemes,
+    * strip one leading `www.`, drop the fragment, drop
+    * `utm_*`/`gclid`/`fbclid`/`ref` query params (order of survivors
+    * preserved — param reordering is a semantic change on some sites),
+    * empty path becomes `/`, and a non-root trailing slash drops.
+    * Row-local column ops only — at scale this is a map stage feeding
+    * one groupBy(canonical) exchange, the d01 shape. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val slashed = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val path = when(length(slashed) > 1, regexp_replace(slashed, "/$", ""))
+      .otherwise(slashed)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&", -1), p =>
+      !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=") && p =!= lit(""))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** HTML → text extraction (the step a web-crawl pipeline runs before
+    * any other curation — C4 §2.2 operates on extracted text, RefinedWeb
+    * §3.2 on trafilatura output): drop script/style/comment subtrees,
+    * turn block-level tags into line breaks, strip remaining tags,
+    * decode the five ubiquitous entities (`&amp;` LAST so `&amp;lt;`
+    * does not double-decode), and normalize whitespace to single spaces
+    * and single newlines. Entirely chained `regexp_replace` in the
+    * Java-regex/RE2 shared dialect (lazy quantifiers + inline `(?is)`
+    * flags are in both), so the DuckDB oracle runs the same patterns —
+    * and the whole operator is one codegen'd row-local projection: at
+    * 100 TB it is a map stage with zero shuffles, exactly as cheap as
+    * the scan itself. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    val entities = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&nbsp;", " ")
+    val decoded = regexp_replace(entities, "&amp;", "&")
+    val hCollapsed = regexp_replace(decoded, "[ \\t]+", " ")
+    val vCollapsed = regexp_replace(hCollapsed, "\\s*\\n\\s*", "\n")
+    trim(regexp_replace(vCollapsed, "^\\n|\\n$", ""))
+  }
+
   /** Deterministic content-hash sampling: keep a row iff the first two
     * hex chars of md5(source:doc_id) fall under the source's threshold.
     * Reproducible across runs/engines (no RNG), stable under corpus
@@ -514,6 +578,156 @@ object Curate {
       SELECT doc_id, count(*) AS n_unique,
         md5(string_agg(para, ' ~ ' ORDER BY pos)) AS cleaned_md5,
         CAST(length(string_agg(para, ' ~ ' ORDER BY pos)) AS BIGINT) AS cleaned_len
-      FROM m GROUP BY doc_id ORDER BY doc_id"""))
+      FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // HTML → text extraction. The planted page wraps every doc's text in
+    // a deterministic full-page scaffold — head with style+script (the
+    // script body contains a bare '<' to prove lazy-match containment),
+    // comments, block structure, and all five decoded entities — so the
+    // extraction is exercised against known ground truth end-to-end.
+    ("t27_html_strip", (s: SparkSession, d: String) => {
+      val page = concat(
+        lit("<html><head><title>Doc</title>"),
+        lit("<style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script src=\"a.js\">var x = 1 < 2 && y > 0;</script></head>"),
+        lit("<body><!-- header -->\n<h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"f\">&amp;copy; site &lt;"), col("source"),
+        lit("&gt; &quot;fine&quot; &#39;print&#39;&nbsp;end</div></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), htmlToText(page).as("cleaned"))
+        .select(col("doc_id"),
+          md5(col("cleaned")).as("clean_md5"),
+          length(col("cleaned")).cast("long").as("clean_len"),
+          size(split(col("cleaned"), "\n", -1)).cast("long").as("n_lines"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH page AS (
+        SELECT doc_id,
+          '<html><head><title>Doc</title>' ||
+          '<style type="text/css">p { color: red; }</style>' ||
+          '<script src="a.js">var x = 1 < 2 && y > 0;</script></head>' ||
+          '<body><!-- header -->' || chr(10) || '<h1>Doc ' || doc_id ||
+          '</h1><p>' || text ||
+          '</p><div class="f">&amp;copy; site &lt;' || source ||
+          '&gt; &quot;fine&quot; &#39;print&#39;&nbsp;end</div></body></html>'
+            AS h
+        FROM documents),
+      stripped AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(h,
+              '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?i)</?(?:p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>',
+                chr(10), 'g'),
+              '<[^>]*>', '', 'g') AS t
+        FROM page),
+      decoded AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+              '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+              '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+              '&nbsp;', ' ', 'g'),
+              '&amp;', '&', 'g') AS t
+        FROM stripped),
+      cleaned AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(t,
+            '[ \t]+', ' ', 'g'),
+            '\s*\n\s*', chr(10), 'g'),
+            '^\n|\n$', '', 'g')) AS cleaned
+        FROM decoded)
+      SELECT doc_id, md5(cleaned) AS clean_md5,
+        CAST(length(cleaned) AS BIGINT) AS clean_len,
+        CAST(len(string_split(cleaned, chr(10))) AS BIGINT) AS n_lines
+      FROM cleaned ORDER BY doc_id""")),
+
+    // URL-level dedup by canonical form. Every 3rd doc plants one of
+    // four raw variants of the same logical page (case, default port,
+    // www, tracking params, fragment, trailing slash) — three of the
+    // four collapse to one canonical https URL, the http variant stays
+    // distinct (scheme is meaning, not noise).
+    ("t28_url_canon", (s: SparkSession, d: String) => {
+      val k = (col("doc_id") % 5).cast("string")
+      val m = (col("doc_id") % 20).cast("string")
+      val v = ((col("doc_id") % 12) / lit(3)).cast("int")
+      val raw = when(v === 0, concat(
+          lit("HTTPS://WWW.Site"), k, lit(".Example.com:443/p/"), m,
+          lit("/?utm_source=x&id="), m, lit("#frag")))
+        .when(v === 1, concat(
+          lit("https://site"), k, lit(".example.com/p/"), m, lit("?id="), m))
+        .when(v === 2, concat(
+          lit("http://Site"), k, lit(".example.com:80/p/"), m,
+          lit("/?id="), m, lit("&utm_campaign=c")))
+        .otherwise(concat(
+          lit("https://www.site"), k, lit(".example.com/p/"), m,
+          lit("?id="), m, lit("&gclid=g1")))
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(raw.as("url"))
+        .select(col("url"), canonicalUrl(col("url")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy(col("canonical"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          CASE (doc_id % 12) // 3
+            WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 5) ||
+              '.Example.com:443/p/' || (doc_id % 20) ||
+              '/?utm_source=x&id=' || (doc_id % 20) || '#frag'
+            WHEN 1 THEN 'https://site' || (doc_id % 5) ||
+              '.example.com/p/' || (doc_id % 20) || '?id=' || (doc_id % 20)
+            WHEN 2 THEN 'http://Site' || (doc_id % 5) ||
+              '.example.com:80/p/' || (doc_id % 20) ||
+              '/?id=' || (doc_id % 20) || '&utm_campaign=c'
+            ELSE 'https://www.site' || (doc_id % 5) ||
+              '.example.com/p/' || (doc_id % 20) ||
+              '?id=' || (doc_id % 20) || '&gclid=g1'
+          END AS url
+        FROM documents WHERE doc_id % 3 = 0),
+      parts AS (
+        SELECT url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+          regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM planted),
+      canon AS (
+        SELECT url,
+          scheme || '://' ||
+          regexp_replace(
+            CASE WHEN scheme = 'http'
+                   THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END,
+            '^www\.', '') ||
+          CASE WHEN rawpath = '' THEN '/'
+               WHEN length(rawpath) > 1
+                 THEN regexp_replace(rawpath, '/$', '')
+               ELSE rawpath END ||
+          CASE WHEN array_to_string(list_filter(string_split(q, '&'),
+                 p -> NOT regexp_matches(p,
+                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=')
+                 AND p <> ''), '&') = ''
+               THEN ''
+               ELSE '?' || array_to_string(list_filter(string_split(q, '&'),
+                 p -> NOT regexp_matches(p,
+                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=')
+                 AND p <> ''), '&')
+          END AS canonical
+        FROM parts)
+      SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+      FROM canon GROUP BY canonical ORDER BY canonical"""))
   )
 }

@@ -316,7 +316,10 @@ object Dedup {
     *   1. one corpus-wide positional gram explode (native [[WordGrams]]
     *      occurrence mode — index = start position),
     *   2. a gram census (`count >= 2`; partial aggregation shrinks hot
-    *      grams map-side) semi-joined back to keep duplicated positions,
+    *      grams map-side) semi-joined back to keep duplicated positions
+    *      — a boilerplate gram shared by a large corpus fraction skews
+    *      this join's probe side, which AQE's skew-split handles (the
+    *      build side is one row per gram, so splitting is always safe),
     *   3. per-document span merge — the classic gaps-and-islands pair of
     *      running-max/lag windows, partitioned by doc_id so no document
     *      ever concentrates a task beyond its own length,

@@ -143,6 +143,60 @@ class CurateSpec extends SparkSuite {
     assert(rows.values.count(_ == "too_few_sentences") > 0)
   }
 
+  test("html strip: hand-built pages reduce to exactly their text") {
+    import spark.implicits._
+    val pages = Seq(
+      // block structure -> newlines; inline tags vanish without breaks
+      (1L, "<html><body><h1>Title</h1><p>One <b>bold</b> word.</p>" +
+        "<p>Second&nbsp;para.</p></body></html>"),
+      // script/style/comment subtrees go entirely, even with bare < inside
+      (2L, "<head><style>a{x:1}</style><script>if (1 < 2) { f(); }</script>" +
+        "</head><body>kept<!-- no --> text</body>"),
+      // entity decode order: &amp;lt; must yield literal "&lt;", not "<"
+      (3L, "&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;a&#39; &amp; done"),
+      // uppercase tags, self-closing br, whitespace collapse
+      (4L, "<DIV>line one<BR/>line   two</DIV>\n\n\t <P>three </P>"),
+      (5L, "no markup at all")).toDF("doc_id", "html")
+    val out = pages
+      .select(col("doc_id"), Curate.htmlToText(col("html")).as("t"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Title\nOne bold word.\nSecond para.")
+    assert(out(2L) == "kept text")
+    assert(out(3L) == "&lt; <tag> \"q\" 'a' & done")
+    assert(out(4L) == "line one\nline two\nthree")
+    assert(out(5L) == "no markup at all")
+  }
+
+  test("url canonicalization: variants collapse, meaning-bearing parts survive") {
+    import spark.implicits._
+    val urls = Seq(
+      // four spellings of one page -> one canonical
+      "HTTPS://WWW.Site1.Example.com:443/p/7/?utm_source=x&id=7#frag",
+      "https://site1.example.com/p/7?id=7",
+      "https://www.site1.example.com/p/7?id=7&gclid=g1",
+      "https://site1.example.com:443/p/7/?id=7&fbclid=f&ref=tw",
+      // scheme and non-default port are meaning, not noise
+      "http://site1.example.com/p/7?id=7",
+      "https://site1.example.com:8443/p/7?id=7",
+      // bare host -> root path; root slash survives; param order kept
+      "https://Example.org",
+      "https://example.org/?b=2&a=1",
+      // :80 only strips for http, www only strips once
+      "https://site2.example.com:80/x",
+      "http://www.www.example.com/x").toDF("url")
+    val out = urls.select(col("url"), Curate.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val one = "https://site1.example.com/p/7?id=7"
+    assert(out.count { case (k, v) => k.contains("ite1.") && v == one } == 4)
+    assert(out("http://site1.example.com/p/7?id=7") == "http://site1.example.com/p/7?id=7")
+    assert(out("https://site1.example.com:8443/p/7?id=7") ==
+      "https://site1.example.com:8443/p/7?id=7")
+    assert(out("https://Example.org") == "https://example.org/")
+    assert(out("https://example.org/?b=2&a=1") == "https://example.org/?b=2&a=1")
+    assert(out("https://site2.example.com:80/x") == "https://site2.example.com:80/x")
+    assert(out("http://www.www.example.com/x") == "http://www.example.com/x")
+  }
+
   test("hashed quality model separates reference-like text from the negative class") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
