@@ -141,6 +141,55 @@ object TextAnalysis {
     * Everything partitions by document — no corpus-wide state, so a
     * 100 TB corpus spreads by doc_id with per-doc-sized windows only.
     */
+  /** Gopher quality rules (Rae et al. 2021 Table A1 — the QUALITY half;
+    * the repetition half is [[gopherRepetition]]): word-count bounds,
+    * mean word length, symbol-to-word ratio (`#` and `...`), bullet- and
+    * ellipsis-line fractions, alphabetic-word fraction, and the
+    * two-of-eight stop-word floor. First failing rule (in the paper's
+    * order) names the verdict, `pass` otherwise. Everything is one
+    * row-local projection (split + per-doc-bounded HOF filters + single
+    * integer-ratio divisions), so the filter is a map stage at any
+    * scale and every ratio is bit-stable across engines. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("tk", split(trim(col("text")), "\\s+"))
+      .withColumn("ln", split(col("text"), "\n", -1))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+          / size(col("tk")).cast("double"))
+      .withColumn("symbol_ratio",
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+          .cast("double") / size(col("tk")).cast("double"))
+      .withColumn("frac_bullet",
+        size(filter(col("ln"), l => l.rlike("^[-*]"))).cast("double")
+          / size(col("ln")).cast("double"))
+      .withColumn("frac_ellipsis",
+        size(filter(col("ln"), l => l.rlike("\\.\\.\\.$"))).cast("double")
+          / size(col("ln")).cast("double"))
+      .withColumn("frac_alpha",
+        size(filter(col("tk"), w => w.rlike("[A-Za-z]"))).cast("double")
+          / size(col("tk")).cast("double"))
+      .withColumn("n_stop",
+        stops.map(sw => array_contains(col("tk"), sw).cast("long"))
+          .reduce(_ + _))
+      .withColumn("verdict",
+        when(col("n_words") < 50 || col("n_words") > 100000, "word_count")
+          .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+            "mean_word_len")
+          .when(col("symbol_ratio") > 0.1, "symbol_ratio")
+          .when(col("frac_bullet") > 0.9, "bullet_lines")
+          .when(col("frac_ellipsis") > 0.3, "ellipsis_lines")
+          .when(col("frac_alpha") < 0.8, "alpha_words")
+          .when(col("n_stop") < 2, "stop_words")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("frac_bullet"), col("frac_ellipsis"),
+        col("frac_alpha"), col("n_stop"), col("verdict"))
+  }
+
   def gopherRepetition(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fns = graft.functions.GraftFunctions
@@ -445,6 +494,87 @@ object TextAnalysis {
       SELECT doc_id, label,
         CASE WHEN list_max(scores).score > 0 THEN list_max(scores).lang
              ELSE 'und' END AS pred_lang
-      FROM scored ORDER BY doc_id"""))
+      FROM scored ORDER BY doc_id""")),
+
+    // Gopher Table-A1 quality rules over a planted view: most docs get
+    // a stop-word tail (so the two-of-eight floor differentiates), and
+    // dedicated schedules trip each remaining rule — 10 bullet lines
+    // (%11), a hash-packed token (%17), thirty numeric tokens (%19),
+    // and ellipsis-terminated lines (%13). First-hit-wins verdicts,
+    // ratios all single integer divisions (engine-bit-stable).
+    ("t29_gopher_quality", (s: SparkSession, d: String) => {
+      val nums = (1 to 30).map(_ * 11).mkString(" ")
+      val planted = Tables.documents(s, d).withColumn("text", concat(
+        when(col("doc_id") % 11 === 0,
+          lit(Array.fill(10)("- buy").mkString("", "\n", "\n")))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 =!= 0, lit(" of that be with"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" x####################"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" " + nums)).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nwait for it...\nand more...\nstill more..."))
+          .otherwise(lit(""))))
+      gopherQuality(planted).orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0
+               THEN repeat('- buy' || chr(10), 10) ELSE '' END ||
+          text ||
+          CASE WHEN doc_id % 4 <> 0 THEN ' of that be with' ELSE '' END ||
+          CASE WHEN doc_id % 17 = 0
+               THEN ' x####################' ELSE '' END ||
+          CASE WHEN doc_id % 19 = 0 THEN ' 11 22 33 44 55 66 77 88 99 110 121 132 143 154 165 176 187 198 209 220 231 242 253 264 275 286 297 308 319 330'
+               ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0
+               THEN chr(10) || 'wait for it...' || chr(10) ||
+                    'and more...' || chr(10) || 'still more...'
+               ELSE '' END AS ptext
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          string_split_regex(trim(ptext), '\s+') AS tk,
+          string_split(ptext, chr(10)) AS ln,
+          ptext
+        FROM planted),
+      g AS (
+        SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(ptext, '\s+', '', 'g')) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+          CAST(length(ptext) - length(regexp_replace(ptext, '#', '', 'g'))
+               + len(regexp_extract_all(ptext, '\.\.\.')) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+          CAST(len(list_filter(ln, l -> regexp_matches(l, '^[-*]')))
+               AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS frac_bullet,
+          CAST(len(list_filter(ln, l -> regexp_matches(l, '\.\.\.$')))
+               AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS frac_ellipsis,
+          CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+               AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS frac_alpha,
+          CAST(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END
+             AS BIGINT) AS n_stop
+        FROM f)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet,
+        frac_ellipsis, frac_alpha, n_stop,
+        CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+             WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+               THEN 'mean_word_len'
+             WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+             WHEN frac_bullet > 0.9 THEN 'bullet_lines'
+             WHEN frac_ellipsis > 0.3 THEN 'ellipsis_lines'
+             WHEN frac_alpha < 0.8 THEN 'alpha_words'
+             WHEN n_stop < 2 THEN 'stop_words'
+             ELSE 'pass' END AS verdict
+      FROM g ORDER BY doc_id"""))
   )
 }

@@ -126,6 +126,38 @@ class CurateSpec extends SparkSuite {
     assert(rows(2).getBoolean(11))
   }
 
+  test("gopher quality rules: each rule trips on its own witness doc") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val base = (1 to 58).map(i => s"word$i").mkString(" ") + " the of"
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                        // pass
+      (2L, "just ten small words here the of end now ok"), // word_count
+      (3L, (1 to 60).map(_ => "ab").mkString(" ") + " the of"), // mean len < 3
+      (4L, base + " x##########"),                       // symbol ratio
+      (5L, (1 to 10).map(_ => "- x").mkString("\n") + "\n" + base), // bullets
+      (6L, base + "\nand more...\nstill more..."),       // ellipsis lines
+      (7L, base + " " + (1 to 30).map(_ * 7).mkString(" ")), // alpha frac
+      (8L, noStop))                                      // stop words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(8)).toMap
+    assert(out(1L) == "pass")
+    assert(out(2L) == "word_count")
+    assert(out(3L) == "mean_word_len")
+    assert(out(4L) == "symbol_ratio")
+    assert(out(5L) == "bullet_lines")
+    assert(out(6L) == "ellipsis_lines")
+    assert(out(7L) == "alpha_words")
+    assert(out(8L) == "stop_words")
+    // and the exact ratios on the symbol witness: 10 hashes / 61 words
+    val row4 = TextAnalysis.gopherQuality(docs)
+      .filter(col("doc_id") === 4).head()
+    assert(row4.getLong(1) == 61L)
+    assert(row4.getDouble(3) == 10.0 / 61.0)
+  }
+
   test("c4 rules: page verdicts follow the plant schedule exactly") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("t24_c4_rules")(spark, sf0001)

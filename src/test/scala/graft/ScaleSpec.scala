@@ -132,6 +132,46 @@ class ScaleSpec extends SparkSuite {
       s"skewed run took ${tSkewed}s vs uniform ${tUniform}s — hot bucket not contained")
   }
 
+  test("planted boilerplate gram: d10 cuts it everywhere and the census absorbs the hot key") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // one 8-token boilerplate run appended to 30% of docs — the hottest
+    // gram key the census and semi-join will ever see. Correctness: the
+    // run must be cut from every carrier and ONLY the run (carrier text
+    // is otherwise unique); non-carriers must come through untouched.
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val boiler = "terms of service apply all rights reserved today"
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 10 < 3, concat(col("text"), lit(" " + boiler)))
+        .otherwise(col("text")))
+    val out = Dedup.substringDedup(planted, minLen = 8, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(5))).toSeq
+    val carriers = out.filter(_._1 % 10 < 3)
+    assert(carriers.nonEmpty)
+    carriers.foreach { case (id, nSpans, cleaned) =>
+      assert(!cleaned.contains(boiler), s"doc $id kept the boilerplate run")
+      assert(nSpans >= 1L, s"doc $id")
+    }
+    // a doc's own text survives the cut unless it organically shares a
+    // duplicated run with the base corpus — compare against the UNPLANTED
+    // run so organic duplicates cancel out
+    val baseline = Dedup.substringDedup(docs, minLen = 8, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    out.filter(_._1 % 10 >= 3).foreach { case (id, _, cleaned) =>
+      assert(cleaned == baseline(id), s"non-carrier doc $id changed")
+    }
+    // a carrier's cleaned text is its baseline cleaned text, minus at
+    // most 7 extra trailing tokens: two carriers sharing their last k
+    // (< 8) words genuinely share a duplicated (k+8)-token run across
+    // the append seam, so the cut legitimately extends into the suffix
+    carriers.foreach { case (id, _, cleaned) =>
+      val b = baseline(id)
+      val ok = b == cleaned || (b.startsWith(cleaned) &&
+        b.substring(cleaned.length).trim.split("\\s+").length <= 7)
+      assert(ok, s"carrier doc $id over- or under-cut")
+    }
+  }
+
   test("minhash-LSH recall survives with the default bucket cap active") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf0001)

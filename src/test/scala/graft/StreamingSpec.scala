@@ -291,13 +291,15 @@ class StreamingSpec extends SparkSuite {
     import graft.operators.{Curate, Dedup}
     val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
 
-    // the full stateless curation pass, as ONE chain: C4 line gate →
-    // PII scrub → quality verdict (t16's rule on the scrubbed text) →
-    // near-dup admission probe. No aggregation, no watermark, no state —
-    // the same code path must serve a batch frame and an append stream
-    // (the line gate is a row-local codegen expression, so it rides the
+    // the full stateless curation pass, as ONE chain: HTML → text
+    // extraction → C4 line gate → PII scrub → quality verdict (t16's
+    // rule on the scrubbed text) → near-dup admission probe. No
+    // aggregation, no watermark, no state — the same code path must
+    // serve a batch frame and an append stream (extraction and the
+    // line gate are row-local codegen projections, so they ride the
     // stream for free).
-    def curate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def curate(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val docs = raw.withColumn("text", Curate.htmlToText(col("html")))
       val kept = graft.functions.GraftFunctions.c4_line_gate(
         split(col("text"), "\n"))
       val c4 = docs
@@ -316,15 +318,21 @@ class StreamingSpec extends SparkSuite {
     }
 
     val arriving = Seq(
-      // a corpus copy carrying fresh PII — must scrub AND flag as dup
-      // (admission probes the original text column, scrub rewrites clean)
-      (30000L, corpus.filter(col("doc_id") === 1).head().getString(1)),
-      (30001L, "contact me at alice@example.com for the files now please."),
-      (30002L, "too short"),
-      // middle line trips the gate's banned term; the doc survives
-      (30003L, "genuine first line stays right here.\n" +
-        "buy javascript now.\nsecond real line is kept too."))
-      .toDF("doc_id", "text")
+      // a corpus copy wrapped in page chrome and carrying fresh PII —
+      // must extract, scrub, AND flag as dup (shingles split on \s+, so
+      // extraction-side whitespace normalization can't hide the copy)
+      (30000L, "<html><body><p>" +
+        corpus.filter(col("doc_id") === 1).head().getString(1) +
+        "</p></body></html>"),
+      (30001L, "<div>contact me at <b>alice@example.com</b> " +
+        "for the files now please.</div>"),
+      (30002L, "<p>too&nbsp;short</p>"),
+      // middle block trips the gate's banned term; the script subtree
+      // must vanish before the gate ever sees it; the doc survives
+      (30003L, "<p>genuine first line stays right here.</p>" +
+        "<script>var banned = 'javascript';</script>" +
+        "<p>buy javascript now.</p><p>second real line is kept too.</p>"))
+      .toDF("doc_id", "html")
     val inDir = tempDir("curate").getAbsolutePath
     arriving.coalesce(1).write.mode("overwrite").parquet(inDir)
 
