@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** End-to-end corpus curation — the library's operator families
+  * composed in the order a web-scale training-data pipeline actually
+  * runs them (C4 / CCNet / RefinedWeb lineage):
+  *
+  *   extract (HTML → text) → line gate + PII scrub + doc floor →
+  *   exact dedup → near-dup dedup (LSH pairs → connected components →
+  *   apply) → exact-substring dedup → decontamination vs an eval
+  *   reference → (caller) `Training.writeShards`.
+  *
+  * Near-dup BEFORE substring dedup (the RefinedWeb §3.4 order, not
+  * arbitrary): document-level duplicate signal must be measured before
+  * the substring pass cuts the very runs that carry it — reversed, two
+  * near-identical documents first lose their shared runs and then look
+  * unrelated to MinHash.
+  *
+  * Every stage is one of the independently oracle/spec-gated operators;
+  * this object adds only the plumbing and a per-stage row report. Each
+  * stage persists before its count — the count doubles as the eager
+  * audit a production run wants anyway, and downstream stages then read
+  * the cache instead of recomputing the chain (the multi-reference rule
+  * every heavy operator here already follows internally).
+  *
+  * Scale posture: stages are the operators' own shapes (map stages,
+  * census + semi-join, banded LSH, alternating-star components,
+  * broadcast anti-joins). The decontamination step uses the d08
+  * broadcast shape — eval grams broadcast, the corpus side never
+  * shuffles — with `hashGrams` long keys by default.
+  */
+object CorpusPipeline {
+
+  case class Opts(
+      minLineWords: Int = 3,
+      minDocWords: Int = 5,
+      substrMinLen: Int = 8,
+      nearDupTau: Double = 0.5,
+      contaminationN: Int = 8,
+      hashGrams: Boolean = true)
+
+  /** Returns (curated corpus, per-stage report (stage, rows) in run
+    * order). `raw` needs (doc_id, text|html, ...); extra columns ride
+    * through. */
+  def curate(raw: DataFrame, evalRef: Option[DataFrame] = None,
+      opts: Opts = Opts()): (DataFrame, DataFrame) = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def mark(name: String, df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached += p
+      stages += name -> p.count()
+      p
+    }
+
+    // 0. extraction: an `html` column is the raw-crawl form; a corpus
+    // that is already text passes through
+    val extracted = mark("extract",
+      if (raw.columns.contains("html"))
+        raw.withColumn("text", Curate.htmlToText(col("html"))).drop("html")
+      else raw)
+
+    // 1. line-level gate (C4 rules), PII scrub, document word floor —
+    // all row-local, one projection + one filter
+    val keptLines = GraftFunctions.c4_line_gate(
+      split(col("text"), "\n"), opts.minLineWords)
+    val gated = mark("gate_scrub", extracted
+      .withColumn("text", Curate.redactPii(concat_ws("\n", keptLines)))
+      .filter(size(split(trim(col("text")), "\\s+")) >= opts.minDocWords))
+
+    // 2. exact dedup on the normalized content hash; min doc_id wins
+    // (the d01 idempotent re-ingest rule)
+    val hashed = gated.withColumn("doc_md5",
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+    val survivors = hashed.groupBy(col("doc_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exact = mark("exact_dedup",
+      hashed.join(survivors, Seq("doc_md5", "doc_id"), "left_semi")
+        .drop("doc_md5"))
+
+    // 3. near-dup dedup: banded MinHash-LSH pairs → connected
+    // components (large-star/small-star) → apply (broadcast anti-join)
+    val pairs = Dedup.minhashNearDups(exact, tau = opts.nearDupTau)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labeled = Clusters.labelAll(
+      exact.select(col("doc_id").as("node")), pairs)
+    val plan = Clusters.dedupPlan(labeled, exact)
+    val neardup = mark("near_dedup", Clusters.applyDedup(exact, plan))
+
+    // 4. exact-substring dedup (d10): duplicated >= minLen runs are cut
+    // in place; documents reduced below the word floor drop out
+    val cut = Dedup.substringDedup(neardup, opts.substrMinLen,
+        hashGrams = opts.hashGrams)
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val substr = mark("substring_dedup", neardup.drop("text")
+      .join(cut, Seq("doc_id"))
+      .filter(size(split(trim(col("text")), "\\s+")) >= opts.minDocWords))
+
+    // 5. decontamination: drop any surviving doc sharing an n-gram with
+    // the eval reference — eval grams broadcast (the d08 100 TB shape),
+    // the corpus side never shuffles for the probe
+    val fin = evalRef match {
+      case Some(ev) =>
+        def keyed(df: DataFrame): DataFrame =
+          if (opts.hashGrams) df.withColumn("gram", xxhash64(col("gram")))
+          else df
+        val evalGrams = keyed(ev.select(
+          explode(Dedup.shingles(col("text"), opts.contaminationN))
+            .as("gram"))).distinct()
+        val bad = keyed(substr.select(col("doc_id"),
+            explode(Dedup.shingles(col("text"), opts.contaminationN))
+              .as("gram")))
+          .join(broadcast(evalGrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        mark("decontaminate",
+          substr.join(broadcast(bad), Seq("doc_id"), "left_anti"))
+      case None => substr
+    }
+    // every stage is persisted + counted, so the final frame's cache is
+    // materialized — upstream stage caches are dead weight past this point
+    cached.filter(_ ne fin).foreach(_.unpersist(blocking = false))
+    (fin, stages.toSeq.toDF("stage", "rows"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    // The full curation chain over the documents table, a ~1% slice held
+    // out as the eval reference. Not SQL-expressible (the near-dup stage
+    // is banded MinHash-LSH + connected components); CorpusPipelineSpec
+    // gates every stage on a witness corpus, and each stage is itself an
+    // independently oracle-gated operator (t27/t24/t10/d01/d03/d06/d09/
+    // d10/d08). Output is the surviving corpus keyed by content hash —
+    // fully deterministic (md5 buckets, seeded LSH, min-id survivors).
+    ("c01_corpus_curate", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val (out, _) = curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        evalRef = Some(docs.filter(col("doc_id") % 97 === 0)))
+      out.select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    }, None))
+}

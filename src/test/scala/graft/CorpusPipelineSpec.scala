@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusPipeline
+
+/** The end-to-end curation composition: one synthetic corpus carrying a
+  * witness for every stage — HTML chrome + PII, an exact duplicate, a
+  * shared boilerplate run, a near-duplicate pair, an eval-contaminated
+  * doc, and a too-short doc — must come out with exactly the right
+  * survivors, the right edits, and a monotone stage report.
+  */
+class CorpusPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val run8 = "alpha beta gamma delta epsilon zeta eta theta"
+
+  // 40 unique tokens; the near-dup twin changes one token (J ≈ 0.85 on
+  // 3-gram shingles). The pair DOES share >= 8-token runs — which is
+  // exactly why near-dup dedup runs before substring dedup: the twin
+  // drops whole, and the survivor's runs become unique before the
+  // substring census ever counts them
+  private val base = (0 until 39).map(i => s"b$i").mkString(" ") + " b39."
+  private val twin = (0 until 39).map(i =>
+    if (i == 20) "x20" else s"b$i").mkString(" ") + " b39."
+
+  private def corpus = Seq(
+    (1L, "<p>please reach me at someone@example.com " +
+      "for all further document questions today.</p>"),
+    (2L, "this exact document text appears twice in the corpus verbatim."),
+    (3L, "this exact document text appears twice in the corpus verbatim."),
+    (4L, s"intro four before $run8 tail forty one two three."),
+    (5L, s"other five leading $run8 ending sixty seven eight nine."),
+    (6L, base),
+    (7L, twin),
+    (8L, "unique carrier words around g1 g2 g3 g4 g5 g6 g7 g8 closing words here."),
+    (9L, "tiny doc.")).toDF("doc_id", "html")
+
+  private def evalRef = Seq(
+    (100L, "benchmark prompt g1 g2 g3 g4 g5 g6 g7 g8 answer choice")
+  ).toDF("doc_id", "text")
+
+  test("curate: every stage drops or edits exactly its witness") {
+    val (out, report) = CorpusPipeline.curate(corpus, Some(evalRef))
+    val rows = out.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // 3 = exact dup (min id 2 survives), 7 = near dup (min id 6
+    // survives), 8 = contaminated, 9 = under the word floor
+    assert(rows.keySet == Set(1L, 2L, 4L, 5L, 6L))
+    // HTML chrome gone, PII scrubbed
+    assert(!rows(1L).contains("<p>") && rows(1L).contains("[EMAIL]")
+      && !rows(1L).contains("@"), rows(1L))
+    // the shared 8-token run is cut from BOTH carriers, tails survive
+    assert(!rows(4L).contains("alpha") && rows(4L).contains("intro"), rows(4L))
+    assert(!rows(5L).contains("theta") && rows(5L).contains("ending"), rows(5L))
+    // the near-dup survivor keeps its full text (no substring cut fired)
+    assert(rows(6L) == base, rows(6L))
+
+    // the stage report is in run order and monotone non-increasing
+    val st = report.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(st.map(_._1) == Seq("extract", "gate_scrub", "exact_dedup",
+      "near_dedup", "substring_dedup", "decontaminate"))
+    assert(st.map(_._2).sliding(2).forall(w => w(0) >= w(1)), st)
+    assert(st.head._2 == 9L && st.last._2 == 5L, st)
+  }
+
+  test("curate without an eval reference skips only decontamination") {
+    val (out, report) = CorpusPipeline.curate(corpus, None)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L, 6L, 8L))
+    assert(!report.collect().map(_.getString(0)).contains("decontaminate"))
+  }
+}
