@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Clusters.defs ++ operators.Curate.defs ++
       operators.Training.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.Sketches.defs ++ operators.CorpusPipeline.defs
+      operators.Sketches.defs ++ operators.CorpusPipeline.defs ++
+      operators.DedupIndex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-ish: customer⋈orders⋈lineitem revenue per segment/date. */

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clusters, Dedup, DedupIndex}
+
+/** The persistent incremental-dedup index: witnesses for every verdict
+  * status, transitive infection through batch-only edges, and the parity
+  * theorem — the incremental result equals a from-scratch run over
+  * corpus ∪ batch (with corpus docs taking precedence) restricted to the
+  * batch. */
+class DedupIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  // spec LSH shape: more, narrower bands than the default so that J≈0.7
+  // planted pairs collide with near-certainty (q = 1-(1-J^r)^b ≈ 0.995)
+  private val K = 16; private val B = 8; private val R = 2
+  private val TAU = 0.5
+
+  private def doc(seed: String, changes: Map[Int, String] = Map.empty): String =
+    (0 until 40).map(i => changes.getOrElse(i, s"$seed$i")).mkString(" ")
+
+  // corpus: 6 docs incl. an internal near-dup pair (91~92) that must not
+  // leak into batch verdicts
+  private val c1 = doc("c")                                   // near-cross anchor
+  private val c2 = doc("d")                                   // chain anchor
+  private def corpus = Seq(
+    1L -> c1,
+    2L -> c2,
+    3L -> "the corpus exact twin sentence appears verbatim in the next snapshot too.",
+    4L -> doc("e"),
+    91L -> doc("f"),
+    92L -> doc("f", Map(7 -> "fx7", 21 -> "fx21"))
+  ).toDF("doc_id", "text")
+
+  // batch: every status's witness
+  private val b12 = doc("c", Map(5 -> "y5", 17 -> "y17", 30 -> "y30")) // ~c1 J≈0.62
+  private val b13 = doc("d", Map(2 -> "z2", 11 -> "z11", 33 -> "z33")) // ~c2 J≈0.62
+  private val b14 = doc("d", Map(2 -> "z2", 11 -> "z11", 33 -> "z33",
+    6 -> "w6", 19 -> "w19", 27 -> "w27"))  // ~b13 J≈0.62, vs c2 6 edits J≈0.39<τ
+  private val b16 = doc("g")
+  private val b17 = doc("g", Map(9 -> "h9", 24 -> "h24"))              // ~b16 J≈0.72
+  private def batch = Seq(
+    10L -> "the corpus exact twin sentence appears verbatim in the next snapshot too.",
+    11L -> "a batch only sentence that repeats inside this very snapshot once more.",
+    15L -> "a batch only sentence that repeats inside this very snapshot once more.",
+    12L -> b12,
+    13L -> b13,
+    14L -> b14,
+    16L -> b16,
+    17L -> b17,
+    18L -> doc("q")
+  ).toDF("doc_id", "text")
+
+  private def verdicts(): Map[Long, (String, Option[Long])] = {
+    val dir = tempDir("graft-dedupix").toString
+    DedupIndex.build(corpus, dir, K, B, R)
+    DedupIndex.dedupAgainst(batch, corpus, DedupIndex.load(spark, dir), TAU)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+  }
+
+  test("every verdict status lands on its witness") {
+    val v = verdicts()
+    assert(v.keySet == (10L to 18L).toSet, v)
+    assert(v(10L) == ("exact_corpus", Some(3L)), v(10L))
+    assert(v(11L) == ("kept", None), v(11L))           // batch exact canonical
+    assert(v(15L) == ("exact_batch", Some(11L)), v(15L))
+    assert(v(12L) == ("near_corpus", Some(1L)), v(12L))
+    assert(v(13L) == ("near_corpus", Some(2L)), v(13L))
+    // transitive: 14 never verifies against c2 directly (J<τ) but rides
+    // the 14~13~c2 chain — infected component, attributed via 13's link
+    assert(v(14L) == ("near_corpus", Some(2L)), v(14L))
+    // pure-batch near pair resolves by the dedupPlan canonical
+    // (equal-length texts → min id keeps)
+    assert(v(16L) == ("kept", None), v(16L))
+    assert(v(17L) == ("near_batch", Some(16L)), v(17L))
+    assert(v(18L) == ("kept", None), v(18L))
+  }
+
+  /** From-scratch comparator: dedup corpus ∪ batch with corpus docs
+    * taking precedence (published corpus never loses), restricted to
+    * batch ids. Returns the surviving batch ids. */
+  private def fromScratchSurvivors(): Set[Long] = {
+    val u = corpus.select(col("doc_id"), col("text"), lit(true).as("is_corpus"))
+      .unionByName(batch.select(col("doc_id"), col("text"), lit(false).as("is_corpus")))
+    val hashed = u.withColumn("doc_md5", DedupIndex.normMd5(col("text")))
+    val best = hashed.groupBy(col("doc_md5"))
+      .agg(min(struct(when(col("is_corpus"), 0).otherwise(1).as("p"),
+        col("doc_id").as("id"))).as("b"))
+    val surv = hashed.join(best, "doc_md5")
+      .filter(col("doc_id") === col("b.id"))
+      .select(col("doc_id"), col("text"), col("is_corpus"))
+      .persist()
+    val pairs = Dedup.minhashNearDups(surv, TAU, K, B, R)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labeled = Clusters.labelAll(surv.select(col("doc_id").as("node")), pairs)
+    val plan = Clusters.dedupPlan(labeled, surv)
+    val corpusComps = labeled
+      .join(surv.filter(col("is_corpus")), col("node") === col("doc_id"))
+      .select(col("component")).distinct()
+    // batch doc survives iff its exact rep survived, its component holds
+    // no corpus doc, and it is the canonical of its pure-batch component
+    plan.join(corpusComps, Seq("component"), "left_anti")
+      .filter(col("keep"))
+      .join(surv.filter(!col("is_corpus")), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("incremental verdicts match the from-scratch corpus∪batch run") {
+    val kept = verdicts().collect { case (id, ("kept", _)) => id }.toSet
+    assert(kept == fromScratchSurvivors(), kept)
+  }
+
+  test("the stored index round-trips: rebuild-free second batch run") {
+    val dir = tempDir("graft-dedupix2").toString
+    DedupIndex.build(corpus, dir, K, B, R)
+    val ix = DedupIndex.load(spark, dir)
+    assert((ix.k, ix.b, ix.r) == ((K, B, R)))
+    val once = DedupIndex.dedupAgainst(batch, corpus, ix, TAU)
+      .orderBy("doc_id").collect().toSeq
+    val again = DedupIndex.dedupAgainst(batch, corpus,
+      DedupIndex.load(spark, dir), TAU).orderBy("doc_id").collect().toSeq
+    assert(once == again)
+  }
+}
