@@ -241,6 +241,37 @@ object TextAnalysis {
           .reduce(_ || _).as("repetitive")): _*)
   }
 
+  /** Per-document n-gram novelty: of the doc's distinct word-`n`-grams
+    * (the [[graft.functions.WordGrams]] shingles every dedup operator
+    * uses, whole-text fallback included), the count and fraction that
+    * occur in no OTHER document. Novelty 1.0 = fully original; low
+    * novelty flags boilerplate/copy mass before any dedup decision is
+    * taken.
+    *
+    * Shape: one shingle explode (per-doc distinct, so gram df = plain
+    * count), a census aggregation (partial map-side combine shrinks hot
+    * grams), and one gram-keyed join back — the d05/d10 census
+    * discipline. `hashGrams` sends xxhash64 longs through the
+    * census/join instead of gram strings: same output (spec-pinned), a
+    * fraction of the shuffle bytes — the 100 TB default. */
+  def novelty(docs: DataFrame, n: Int = 8,
+      hashGrams: Boolean = true): DataFrame = {
+    val fns = graft.functions.GraftFunctions
+    val g0 = docs.select(col("doc_id"),
+      explode(fns.word_grams(col("text"), n)).as("gram"))
+    val grams =
+      (if (hashGrams) g0.withColumn("gram", xxhash64(col("gram"))) else g0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(census, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -575,6 +606,31 @@ object TextAnalysis {
              WHEN frac_alpha < 0.8 THEN 'alpha_words'
              WHEN n_stop < 2 THEN 'stop_words'
              ELSE 'pass' END AS verdict
-      FROM g ORDER BY doc_id"""))
+      FROM g ORDER BY doc_id""")),
+
+    // Per-document novelty against the whole corpus: the share of a
+    // doc's distinct word-8-grams that occur in NO other document — the
+    // aggregate signal dedup dashboards track (1 - novelty is the
+    // "how much of this doc is boilerplate/copied" mass d05/d10 act
+    // on). String grams here for the oracle; production runs
+    // hashGrams=true (xxhash64 longs through the census shuffle),
+    // spec-pinned identical.
+    ("t31_novelty", (s: SparkSession, d: String) =>
+      novelty(Tables.documents(s, d), hashGrams = false),
+    Some("""WITH grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 8
+          THEN list_distinct(list_transform(
+            range(0, len(string_split_regex(trim(text), '\s+')) - 7),
+            i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+8], ' ')))
+          ELSE [text] END) AS gram
+        FROM documents),
+      df AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+      SELECT g.doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          AS novelty
+      FROM grams g JOIN df USING (gram)
+      GROUP BY g.doc_id ORDER BY g.doc_id"""))
   )
 }

@@ -318,6 +318,50 @@ object Training {
         col("sum_wq").cast("double") / col("n_feats") / lit(1048576L))
   }
 
+  /** Apply the t15 source-mixture weights as a one-pass deterministic
+    * sampler — the step between "here is the mixture table" and "here is
+    * the training corpus" (the Doremi / multilingual-temperature
+    * workflow's application half).
+    *
+    * Per source: acceptance ratio mix_weight/token_share, normalized by
+    * the max ratio so the most up-weighted source keeps every document
+    * (a single pass can only downsample; true up-sampling is the
+    * loader's repeat factor, which this rate table also feeds). The
+    * accept test is a deterministic md5 bucket against floor(rate·16^6)
+    * — re-runs and engine swaps keep the IDENTICAL document set, which
+    * is what makes a training mixture auditable.
+    *
+    * Scale: one corpus scan for per-doc token counts, a per-source
+    * aggregation (tiny), rates broadcast back over the cached per-doc
+    * frame — the corpus never shuffles. */
+  def applyMixture(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rates = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .withColumn("token_share",
+        col("n_tokens").cast(DoubleType) / col("total_tokens"))
+      .withColumn("ratio",
+        (lit(alpha) * col("token_share")
+          + lit(1 - alpha) / col("n_sources")) / col("token_share"))
+      .withColumn("rate", col("ratio") / max(col("ratio")).over(w))
+      .select(col("source"), col("rate"),
+        floor(col("rate") * lit(16777216.0)).as("threshold"))
+    perDoc.join(broadcast(rates), "source")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          1, 6), 16, 10).cast("long"))
+      .filter(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("bucket"),
+        col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // Canary phrase: 8 tokens, the first unique per planted pair, appended
@@ -646,6 +690,47 @@ object Training {
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5
       FROM tokens GROUP BY source, seq_id
-      ORDER BY source, seq_id"""))
+      ORDER BY source, seq_id""")),
+
+    // The application step of t15: turn the mixture weights into a
+    // single-pass deterministic document sampler. Per-source acceptance
+    // rate = (mix_weight / token_share) normalized so the most
+    // UP-weighted source keeps everything (rate 1 — one pass can only
+    // downsample); accept iff the doc's md5 bucket clears the source's
+    // threshold. Every double derives from exact integer totals in the
+    // same expression order on both engines, thresholds quantize to
+    // integers (floor · 16^6), and membership is a string-hash compare —
+    // so the exact kept-set hash-matches. Plan shape: one tiny
+    // aggregation broadcast back over one corpus scan; no corpus
+    // shuffle.
+    ("t30_mixture_apply", (s: SparkSession, d: String) =>
+      applyMixture(Tables.documents(s, d)),
+    Some("""WITH per_doc AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      per_source AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM per_doc GROUP BY source),
+      tot AS (
+        SELECT source, n_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+          count(*) OVER () AS n_sources
+        FROM per_source),
+      rates AS (
+        SELECT source,
+          (0.5 * (CAST(n_tokens AS DOUBLE) / total_tokens) + 0.5 / n_sources)
+            / (CAST(n_tokens AS DOUBLE) / total_tokens) AS ratio
+        FROM tot),
+      normed AS (
+        SELECT source, ratio / max(ratio) OVER () AS rate FROM rates),
+      keyed AS (
+        SELECT d.doc_id, d.source, d.n_tok, n.rate,
+          CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+            AS BIGINT) AS bucket,
+          CAST(floor(n.rate * 16777216.0) AS BIGINT) AS threshold
+        FROM per_doc d JOIN normed n USING (source))
+      SELECT doc_id, source, n_tok, bucket, rate FROM keyed
+      WHERE bucket < threshold ORDER BY doc_id"""))
   )
 }

@@ -393,6 +393,30 @@ class LlmOpsSpec extends SparkSuite {
       assert(resized.forall(r => r.getInt(1) == 3 && r.getInt(3) == 2))
     } finally spark.conf.unset(Multimodal.DecoderConfKey)
   }
+
+  test("novelty: hand-computed witnesses; hashed census path is identical") {
+    import spark.implicits._
+    // doc 1 and 2 share their first 8 tokens (one shared 8-gram); doc 3
+    // is fully original; doc 4 is under 8 tokens (whole-text fallback)
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val toy = Seq(
+      (1L, s"$shared a9 a10"),    // grams: shared+2 tails → 1 of 3 shared
+      (2L, s"$shared b9"),        // grams: shared+1 tail  → 1 of 2 shared
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(toy, hashGrams = false).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 2L)), out(1L))
+    assert(out(2L) == ((2L, 1L)), out(2L))
+    assert(out(3L) == ((2L, 2L)), out(3L))
+    assert(out(4L) == ((1L, 1L)), out(4L))      // fallback gram is unique
+    // the xxhash64 census (the 100 TB shuffle shape) is bit-identical
+    val str = TextAnalysis.novelty(docs, hashGrams = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val hsh = TextAnalysis.novelty(docs, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(str == hsh)
+  }
 }
 
 /** Toy second [[graft.operators.Multimodal.MediaDecoder]]: constant

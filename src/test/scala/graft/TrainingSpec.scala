@@ -338,6 +338,29 @@ class TrainingSpec extends SparkSuite {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("mixture apply: max-upweighted source keeps all, others downsample") {
+    // small source = most upweighted under alpha=0.5 → rate 1.0
+    val docs = (0 until 400).map { i =>
+      val src = if (i < 40) "tiny" else if (i < 200) "mid" else "big"
+      (i.toLong, src, (0 until 20).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val kept = Training.applyMixture(docs)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("tiny") == 40L, bySrc)          // rate exactly 1
+    assert(bySrc("mid") < 160L && bySrc("big") < 200L, bySrc)
+    // the exact acceptance rates respect the weight order (empirical
+    // counts are md5-bucket noisy at this size; the rates are the law)
+    val rates = kept.select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("tiny") == 1.0, rates)
+    assert(rates("big") < rates("mid") && rates("mid") < 1.0, rates)
+    // determinism: bit-identical membership on a re-run
+    val again = Training.applyMixture(docs)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("bpe merge application is greedy left-to-right without overlap") {
     val fns = graft.functions.GraftFunctions
     val df = Seq(
