@@ -74,6 +74,32 @@ object DedupIndex {
       .parquet(s"$dir/buckets.parquet")
   }
 
+  /** Append a deduped batch's SURVIVORS to the stored index — the crawl
+    * loop's maintenance step (probe batch i, admit, grow, probe batch
+    * i+1). Parquet append of id/hash rows; the corpus is never re-read,
+    * and a grown index answers exactly like one rebuilt from
+    * corpus ∪ survivors (same rows, set semantics — spec-pinned).
+    *
+    * Feed it only docs that SURVIVED `dedupAgainst` (status `kept`):
+    * appending dropped duplicates would make the index attribute future
+    * dups to docs that aren't in the corpus.
+    *
+    * MATERIALIZE `survivors` first (persist + count, or a write) if its
+    * plan derives from `dedupAgainst` over this same `dir`: that plan
+    * reads the index files this call appends to, and a lazy re-read
+    * after the append would see the batch indexed against itself. */
+  def grow(survivors: DataFrame, dir: String): Unit = {
+    val spark = survivors.sparkSession
+    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    val (k, b, r) =
+      (m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"))
+    survivors.select(col("doc_id"), normMd5(col("text")).as("doc_md5"))
+      .write.mode("append").parquet(s"$dir/exact.parquet")
+    keyedBands(survivors, k, b, r)
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$dir/buckets.parquet")
+  }
+
   def load(spark: SparkSession, dir: String): Loaded = {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     Loaded(m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"),

@@ -114,6 +114,44 @@ class DedupIndexSpec extends SparkSuite {
     assert(kept == fromScratchSurvivors(), kept)
   }
 
+  test("grow: appended survivors answer like a rebuilt index") {
+    val grownDir = tempDir("graft-dedupix-g").toString
+    DedupIndex.build(corpus, grownDir, K, B, R)
+    val v = DedupIndex.dedupAgainst(batch, corpus,
+      DedupIndex.load(spark, grownDir), TAU)
+    val keptIds = v.filter(col("status") === "kept").select(col("doc_id"))
+    // materialize BEFORE grow: the survivors plan reads the index dir
+    // that grow is about to append to
+    val survivors = batch.join(keptIds, Seq("doc_id"), "left_semi")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      .toDF("doc_id", "text")
+    DedupIndex.grow(survivors, grownDir)
+
+    val rebuiltDir = tempDir("graft-dedupix-r").toString
+    DedupIndex.build(corpus.unionByName(survivors), rebuiltDir, K, B, R)
+
+    // identical stored rows (set semantics) ...
+    def rows(d: String, f: String) = spark.read.parquet(s"$d/$f")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(grownDir, "exact.parquet") == rows(rebuiltDir, "exact.parquet"))
+    assert(rows(grownDir, "buckets.parquet") == rows(rebuiltDir, "buckets.parquet"))
+
+    // ... and identical verdicts for the next snapshot: batch2 carries a
+    // near-dup of a batch-1 SURVIVOR (16 lives in the index now)
+    val batch2 = Seq(
+      20L -> doc("g", Map(3 -> "k3", 35 -> "k35")),  // ~b16 J≈0.72
+      21L -> doc("m")
+    ).toDF("doc_id", "text")
+    val corpus2 = corpus.unionByName(survivors)
+    val a = DedupIndex.dedupAgainst(batch2, corpus2,
+      DedupIndex.load(spark, grownDir), TAU).orderBy("doc_id").collect().toSeq
+    val b = DedupIndex.dedupAgainst(batch2, corpus2,
+      DedupIndex.load(spark, rebuiltDir), TAU).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(20L -> "near_corpus", 21L -> "kept"), a)
+  }
+
   test("the stored index round-trips: rebuild-free second batch run") {
     val dir = tempDir("graft-dedupix2").toString
     DedupIndex.build(corpus, dir, K, B, R)
