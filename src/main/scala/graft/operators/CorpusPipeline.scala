@@ -43,7 +43,13 @@ object CorpusPipeline {
       substrMinLen: Int = 8,
       nearDupTau: Double = 0.5,
       contaminationN: Int = 8,
-      hashGrams: Boolean = true)
+      hashGrams: Boolean = true,
+      /** The C4 line gate targets raw web-crawl text (terminal
+        * punctuation, boilerplate substrings). A corpus that is already
+        * clean prose — or synthetic text with no sentence structure —
+        * would be wiped by it; such runs turn it off and keep the PII
+        * scrub + document word floor. */
+      lineGate: Boolean = true)
 
   /** Returns (curated corpus, per-stage report (stage, rows) in run
     * order). `raw` needs (doc_id, text|html, ...); extra columns ride
@@ -72,8 +78,11 @@ object CorpusPipeline {
     // all row-local, one projection + one filter
     val keptLines = GraftFunctions.c4_line_gate(
       split(col("text"), "\n"), opts.minLineWords)
+    val gatedText =
+      if (opts.lineGate) Curate.redactPii(concat_ws("\n", keptLines))
+      else Curate.redactPii(col("text"))
     val gated = mark("gate_scrub", extracted
-      .withColumn("text", Curate.redactPii(concat_ws("\n", keptLines)))
+      .withColumn("text", gatedText)
       .filter(size(split(trim(col("text")), "\\s+")) >= opts.minDocWords))
 
     // 2. exact dedup on the normalized content hash; min doc_id wins
@@ -127,7 +136,10 @@ object CorpusPipeline {
     // every stage is persisted + counted, so the final frame's cache is
     // materialized — upstream stage caches are dead weight past this point
     cached.filter(_ ne fin).foreach(_.unpersist(blocking = false))
-    (fin, stages.toSeq.toDF("stage", "rows"))
+    val report = stages.toSeq.zipWithIndex
+      .map { case ((name, n), i) => (i, name, n) }
+      .toDF("stage_idx", "stage", "rows")
+    (fin, report)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -138,16 +150,26 @@ object CorpusPipeline {
     // is banded MinHash-LSH + connected components); CorpusPipelineSpec
     // gates every stage on a witness corpus, and each stage is itself an
     // independently oracle-gated operator (t27/t24/t10/d01/d03/d06/d09/
-    // d10/d08). Output is the surviving corpus keyed by content hash —
-    // fully deterministic (md5 buckets, seeded LSH, min-id survivors).
+    // d10/d08). The registered frame is the per-stage row report in run
+    // order — one monotone row per stage, so a regression that wipes the
+    // corpus at any stage is visible in the driver's rows-only gate —
+    // and the query itself refuses to return a vacuous result: the chain
+    // must leave survivors. The synthetic documents table is plain text
+    // with no sentence structure, so the web-crawl C4 line gate is off
+    // (the knob a pre-cleaned corpus uses in production); every other
+    // stage runs for real. Fully deterministic (md5 buckets, seeded LSH,
+    // min-id survivors ⇒ stable stage counts).
     ("c01_corpus_curate", (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"))
-      val (out, _) = curate(
+      val (_, report) = curate(
         docs.filter(col("doc_id") % 97 =!= 0),
-        evalRef = Some(docs.filter(col("doc_id") % 97 === 0)))
-      out.select(col("doc_id"), md5(col("text")).as("text_md5"),
-          col("source"))
-        .orderBy(col("doc_id"))
+        evalRef = Some(docs.filter(col("doc_id") % 97 === 0)),
+        opts = Opts(lineGate = false))
+      val st = report.orderBy(col("stage_idx")).collect()
+      require(st.nonEmpty && st.last.getLong(2) > 0L,
+        "c01: curation chain left no survivors — " +
+          st.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", "))
+      report.orderBy(col("stage_idx"))
     }, None))
 }

@@ -58,7 +58,8 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(rows(6L) == base, rows(6L))
 
     // the stage report is in run order and monotone non-increasing
-    val st = report.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val st = report.orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(st.map(_._1) == Seq("extract", "gate_scrub", "exact_dedup",
       "near_dedup", "substring_dedup", "decontaminate"))
     assert(st.map(_._2).sliding(2).forall(w => w(0) >= w(1)), st)
@@ -69,6 +70,35 @@ class CorpusPipelineSpec extends SparkSuite {
     val (out, report) = CorpusPipeline.curate(corpus, None)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 4L, 5L, 6L, 8L))
-    assert(!report.collect().map(_.getString(0)).contains("decontaminate"))
+    assert(!report.collect().map(_.getString(1)).contains("decontaminate"))
+  }
+
+  // The driver's synthetic documents table is word soup with no terminal
+  // punctuation: with the web-crawl C4 line gate ON, the gate wipes the
+  // corpus (that invariant is pinned here); with lineGate = false — the
+  // registered c01 configuration — the chain must leave survivors, so
+  // the per-stage report actually gates something on the driver.
+  test("driver-shaped corpus: lineGate off leaves survivors, on wipes it") {
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "window", "spark", "order",
+      "data", "column", "join", "small", "line", "customer", "query", "big",
+      "the", "a", "sort", "group", "stream", "filter", "vector")
+    val docs = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L + 11L)
+      (i, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val (out, report) = CorpusPipeline.curate(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      evalRef = Some(docs.filter(col("doc_id") % 7 === 0)),
+      opts = CorpusPipeline.Opts(lineGate = false))
+    val st = report.orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out.count() > 0, st)
+    assert(st.map(_._2).sliding(2).forall(w => w(0) >= w(1)), st)
+
+    val (wiped, _) = CorpusPipeline.curate(docs, None)
+    assert(wiped.count() == 0L)
   }
 }
