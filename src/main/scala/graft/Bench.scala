@@ -16,6 +16,20 @@ object Bench {
     // absorb ~4 s of session initialization
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Contention probe: a fixed CPU-bound aggregation timed at sweep start
+    // and again at sweep end. The probe plan never changes between rounds,
+    // so probe drift measures the BOX, not the engine — when a co-tenant
+    // holds the machine through the sweep the per-query mins inflate
+    // uniformly (round 7 recorded a 2× across-the-board hit that took a
+    // judge session to adjudicate). probe_end/probe_start > 1.5 flags the
+    // sweep as contended so readers stop re-litigating environment noise.
+    def probePass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id * 3 + 1)", "avg(id % 97)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probePass() // untimed warm pass
+    val probeStart = Seq(probePass(), probePass()).min
     val results = SparkEntry.queries.map { case (name, fn) =>
       // one untimed pass per query absorbs plan compilation + codegen,
       // so the timed passes measure steady-state execution
@@ -84,10 +98,15 @@ object Bench {
     // stdout, and 75 queries at full double precision overflowed it in
     // round 4 (BENCH_r04 parsed:null). Millisecond precision is enough.
     def fmt(v: Double): String = f"$v%.3f"
+    val probeEnd = Seq(probePass(), probePass()).min
+    val contended = probeEnd > 1.5 * probeStart || probeStart > 1.5 * probeEnd
     val qs = rechecked.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (rechecked.nonEmpty) rechecked.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // probe fields go AFTER "queries": the driver records a bounded TAIL of
+    // stdout (round 8's capture lost the line's head), so anything that must
+    // survive truncation belongs at the end of the line
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probe_start":${fmt(probeStart)},"probe_end":${fmt(probeEnd)},"contended":$contended}""")
     spark.stop()
   }
 }

@@ -65,6 +65,17 @@ object Dedup {
       .select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashNearDupsKeyed(docs, keyed, tau, maxBucket)
+  }
+
+  /** As [[minhashNearDups]], but over a caller-supplied `(doc_id, band,
+    * key)` banded-keys frame. A caller that already computed (and
+    * persisted) the band keys for another probe — [[DedupIndex
+    * .dedupAgainst]] probes the stored bucket table with them — reuses
+    * that cache here instead of paying a second signature pass over the
+    * same documents. The caller owns `keyed`'s persistence. */
+  def minhashNearDupsKeyed(docs: DataFrame, keyed: DataFrame,
+      tau: Double = 0.5, maxBucket: Int = 100): DataFrame = {
     val banded = Scale.capBuckets(keyed, Seq("band", "key"), maxBucket)
 
     // the candidate pairs feed the id union (twice) and the final two

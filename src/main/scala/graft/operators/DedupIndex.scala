@@ -121,54 +121,66 @@ object DedupIndex {
     * `corpusText` is the corpus's (doc_id, text) — read lazily and only
     * for candidate ids (the index never stores text). Near-dup semantics
     * are exactly [[Dedup.minhashNearDups]]'s: banded-LSH candidates
-    * verified at word-3-gram Jaccard ≥ `tau`. */
+    * verified at word-3-gram Jaccard ≥ `tau`.
+    *
+    * `broadcastKeys` (default true) broadcasts every batch-derived probe
+    * frame — md5 set, band keys — so the INDEX side (corpus-sized exact
+    * and bucket tables) streams map-side and never shuffles: the right
+    * plan when a snapshot ≪ corpus. A backfill-sized batch (10⁹ docs × b
+    * band keys) would OOM those broadcasts; set false and the probes
+    * become ordinary shuffle joins on `doc_md5` / `(band, key)` instead —
+    * the twin of [[Clusters.applyDedup]]'s `broadcastDrop` hatch. */
   def dedupAgainst(batch: DataFrame, corpusText: DataFrame, ix: Loaded,
-      tau: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+      tau: Double = 0.5, maxBucket: Int = 100,
+      broadcastKeys: Boolean = true): DataFrame = {
+    def probe(df: DataFrame): DataFrame =
+      if (broadcastKeys) broadcast(df) else df
+
     val hashed = batch
       .select(col("doc_id"), col("text"), normMd5(col("text")).as("doc_md5"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 1. exact vs corpus — min corpus id as the attribution target
-    val exactCross = hashed
-      .join(ix.exact.select(col("doc_md5"), col("doc_id").as("c_id")), "doc_md5")
-      .groupBy(col("doc_id")).agg(min(col("c_id")).as("dup_of"))
-      .withColumn("status", lit("exact_corpus"))
+    // 1. ONE folded exact pass (was two chained joins + an anti-join):
+    // the corpus contributes min matching id per batch md5 (index side
+    // streams past the broadcast batch-md5 set), the batch contributes
+    // its own min id per md5, and one projection decides all three exact
+    // outcomes — corpus match wins, else earlier batch doc wins, else
+    // the doc survives to the near-dup stages (status NULL)
+    val cMin = probe(hashed.select(col("doc_md5")).distinct())
+      .join(ix.exact, "doc_md5")
+      .groupBy(col("doc_md5")).agg(min(col("doc_id")).as("c_min"))
+    val bMin = hashed.groupBy(col("doc_md5"))
+      .agg(min(col("doc_id")).as("b_min"))
+    val exact = hashed
+      .join(probe(bMin), "doc_md5")
+      .join(probe(cMin), Seq("doc_md5"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        when(col("c_min").isNotNull, lit("exact_corpus"))
+          .when(col("doc_id") =!= col("b_min"), lit("exact_batch"))
+          .as("status"),
+        when(col("c_min").isNotNull, col("c_min"))
+          .when(col("doc_id") =!= col("b_min"), col("b_min")).as("dup_of"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // 2. exact within the batch (min id wins, the d01 rule), among docs
-    // not already exact-matched to the corpus
-    val notCross = hashed
-      .join(exactCross.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val canon = notCross.groupBy(col("doc_md5"))
-      .agg(min(col("doc_id")).as("canon_id"))
-    val exactBatch = notCross.join(canon, "doc_md5")
-      .filter(col("doc_id") =!= col("canon_id"))
-      .select(col("doc_id"), col("canon_id").as("dup_of"))
-      .withColumn("status", lit("exact_batch"))
-    val exSurv = notCross.join(canon, "doc_md5")
-      .filter(col("doc_id") === col("canon_id"))
+    val exSurv = exact.filter(col("status").isNull)
       .select(col("doc_id"), col("text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 3. cross near-dup candidates: batch band keys probed against the
+    // 2. cross near-dup candidates: batch band keys probed against the
     // stored buckets; only then do shingle arrays exist, and only for
-    // candidate ids on both sides
-    // batch keys BROADCAST: the stored bucket table (corpus-sized) must
-    // never shuffle on a probe — it streams map-side past the batch's
-    // key set, which is b longs per batch doc
+    // candidate ids on both sides. The keyed frame persists because the
+    // within-batch self-join (stage 3) reuses it — one signature pass
+    // over the batch, two consumers.
     val keyed = keyedBands(exSurv, ix.k, ix.b, ix.r)
-    val crossCand = broadcast(keyed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val crossCand = probe(keyed)
       .join(ix.buckets.select(col("band"), col("key"), col("doc_id").as("c_id")),
         Seq("band", "key"))
       .select(col("doc_id"), col("c_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bSh = exSurv
-      .join(crossCand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(crossCand.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh_b"))
     val cSh = corpusText
-      .join(crossCand.select(col("c_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
+      .join(crossCand.select(col("c_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("c_id"), Dedup.shingles(col("text")).as("sh_c"))
     val crossLinks = crossCand
       .join(bSh, "doc_id").join(cSh, "c_id")
@@ -178,11 +190,12 @@ object DedupIndex {
       .groupBy(col("doc_id")).agg(min(col("c_id")).as("direct_of"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 4. within-batch near-dup pairs + components. A component is
+    // 3. within-batch near-dup pairs + components. A component is
     // "infected" when any member links to the corpus; infected
     // components drop whole (transitive closure over batch edges — the
-    // from-scratch run would merge them into the corpus doc's component)
-    val pairs = Dedup.minhashNearDups(exSurv, tau, ix.k, ix.b, ix.r, maxBucket)
+    // from-scratch run would merge them into the corpus doc's component).
+    // The pairs come from the SAME cached keyed frame the probe used.
+    val pairs = Dedup.minhashNearDupsKeyed(exSurv, keyed, tau, maxBucket)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val labeled = Clusters.labelAll(
       exSurv.select(col("doc_id").as("node")), pairs)
@@ -201,8 +214,8 @@ object DedupIndex {
         when(col("comp_of").isNotNull, coalesce(col("direct_of"), col("comp_of")))
           .when(!col("keep"), col("canonical_id")).as("dup_of"))
 
-    exactCross.select(col("doc_id"), col("status"), col("dup_of"))
-      .unionByName(exactBatch.select(col("doc_id"), col("status"), col("dup_of")))
+    exact.filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("dup_of"))
       .unionByName(nearVerdicts)
   }
 

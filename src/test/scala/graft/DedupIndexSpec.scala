@@ -152,6 +152,18 @@ class DedupIndexSpec extends SparkSuite {
       Map(20L -> "near_corpus", 21L -> "kept"), a)
   }
 
+  test("broadcastKeys=false (backfill shuffle-join hatch) matches the broadcast path") {
+    val dir = tempDir("graft-dedupix-h").toString
+    DedupIndex.build(corpus, dir, K, B, R)
+    val ix = DedupIndex.load(spark, dir)
+    val bc = DedupIndex.dedupAgainst(batch, corpus, ix, TAU)
+      .orderBy("doc_id").collect().toSeq
+    val sh = DedupIndex.dedupAgainst(batch, corpus, ix, TAU,
+        broadcastKeys = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(bc == sh)
+  }
+
   test("the stored index round-trips: rebuild-free second batch run") {
     val dir = tempDir("graft-dedupix2").toString
     DedupIndex.build(corpus, dir, K, B, R)
