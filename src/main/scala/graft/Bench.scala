@@ -30,33 +30,50 @@ object Bench {
     }
     probePass() // untimed warm pass
     val probeStart = Seq(probePass(), probePass()).min
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // A query that throws must NOT be recorded as a fast timing: round 9's
+    // three analysis failures fail-fasted at ~0.05 s and looked like wins.
+    // The warm pass decides — if it throws, the query is marked failed and
+    // skipped; the error message lands in the "failed" JSON field.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val queryList = SparkEntry.queries.toSeq
+    val midIdx = queryList.size / 2
+    var probeMid = Double.NaN
+    val results = queryList.zipWithIndex.flatMap { case ((name, fn), idx) =>
+      // mid-sweep probe: the endpoint probes miss a co-tenant active only
+      // mid-sweep (rounds 4/6 shape) — one extra cheap pass halves the gap
+      if (idx == midIdx) probeMid = probePass()
       // one untimed pass per query absorbs plan compilation + codegen,
       // so the timed passes measure steady-state execution
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      val warmOk =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          false
+        }
+      if (!warmOk) { spark.catalog.clearCache(); None } else Some {
       // queries that persist intermediates (LSH band/bucket stages) must
       // not accumulate cached partitions across the full query sweep —
       // eviction pressure from earlier queries would bleed into later
       // timings (it cost round 2 its recorded bench signal)
-      spark.catalog.clearCache()
-      // cache teardown happens OUTSIDE the timed window — the stopwatch
-      // stops the moment count() returns
-      def timedPass(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        val secs = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        secs
+        // cache teardown happens OUTSIDE the timed window — the stopwatch
+        // stops the moment count() returns
+        def timedPass(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          val secs = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          secs
+        }
+        // min of two timed passes: transient machine contention inflates a
+        // single pass unpredictably (observed 6× on untouched queries);
+        // the min is the steady-state number the plan actually costs. If
+        // the two passes disagree >3×, a co-tenant stole the box mid-pass —
+        // take a third so the recorded min reflects the engine, not the
+        // sandbox's neighbors
+        var passes = Seq(timedPass(), timedPass())
+        if (passes.max > 3 * passes.min) passes = passes :+ timedPass()
+        (name, fn) -> passes.min
       }
-      // min of two timed passes: transient machine contention inflates a
-      // single pass unpredictably (observed 6× on untouched queries);
-      // the min is the steady-state number the plan actually costs. If
-      // the two passes disagree >3×, a co-tenant stole the box mid-pass —
-      // take a third so the recorded min reflects the engine, not the
-      // sandbox's neighbors
-      var passes = Seq(timedPass(), timedPass())
-      if (passes.max > 3 * passes.min) passes = passes :+ timedPass()
-      (name, fn) -> passes.min
     }
     // Sustained contention can inflate BOTH passes of a query (round 4
     // recorded q39 at 18.8 s vs 1.1 s quiet — the co-tenant held the box
@@ -99,14 +116,30 @@ object Bench {
     // round 4 (BENCH_r04 parsed:null). Millisecond precision is enough.
     def fmt(v: Double): String = f"$v%.3f"
     val probeEnd = Seq(probePass(), probePass()).min
-    val contended = probeEnd > 1.5 * probeStart || probeStart > 1.5 * probeEnd
+    // `contended` is ONE-SIDED: true ⇒ the box was contended during the
+    // sweep; false does NOT prove it was quiet (a co-tenant active only
+    // between probes is invisible — the mid-sweep probe narrows but does
+    // not close that window). It fires on drift in EITHER direction:
+    // slow-start/fast-end means the early queries ran hot, fast-start/
+    // slow-end means the late ones did; both invalidate cross-round diffs.
+    val probes = Seq(probeStart, probeEnd) ++
+      (if (probeMid.isNaN) Nil else Seq(probeMid))
+    val contended = probes.max > 1.5 * probes.min
     val qs = rechecked.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (rechecked.nonEmpty) rechecked.values.sum else 0.0
-    // probe fields go AFTER "queries": the driver records a bounded TAIL of
-    // stdout (round 8's capture lost the line's head), so anything that must
-    // survive truncation belongs at the end of the line
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probe_start":${fmt(probeStart)},"probe_end":${fmt(probeEnd)},"contended":$contended}""")
+    val total = rechecked.map(_._2).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val failedJson = failed
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // probe/failed fields go AFTER "queries": the driver records a bounded
+    // TAIL of stdout (round 8's capture lost the line's head), so anything
+    // that must survive truncation belongs at the end of the line
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probe_start":${fmt(probeStart)},"probe_mid":${if (probeMid.isNaN) "null" else fmt(probeMid)},"probe_end":${fmt(probeEnd)},"contended":$contended,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -51,13 +51,25 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+    val normalized = raw.schema("ts").dataType match {
+      case LongType =>
         // integer `div`, not `/`: double division loses precision on
         // ~1.7e18 epoch-nanos (53-bit mantissa)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // tz-naive µs parquet: under the UTC session the cast is
+        // value-identical, and DuckDB reads the same naive µs values, so
+        // oracle parity is unaffected. TIMESTAMP (not NTZ) is required by
+        // unix_micros and withWatermark downstream.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw // already a timestamp type
     }
+    // Fail loudly on the next silent testdata drift instead of letting
+    // event-time operators break one by one at analysis.
+    require(normalized.schema("ts").dataType == TimestampType,
+      s"events.ts must normalize to TIMESTAMP, got ${normalized.schema("ts").dataType}")
+    normalized
   }
 }

@@ -18,11 +18,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be IMPOSSIBLE to miss: round 9's three
+    // analysis failures produced no dump, so the driver emitted no
+    // correctness row at all and the breakage was invisible in every
+    // artifact. Collect failures into a manifest written next to the dumps.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg.take(500)
       }
       // drop intermediates persisted inside queries (LSH stages) so one
       // query's cache can't pressure the next
@@ -43,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always write the manifest (empty {} on a clean run) so its absence
+    // vs emptiness is never ambiguous. Exit code stays 0 — a nonzero exit
+    // could make the driver discard the healthy queries' dumps too.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }
