@@ -1,0 +1,253 @@
+package graft.kernel
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM PNG codec (decode + 8-bit encode), built from the public PNG
+  * specification (RFC 2083 / W3C PNG second edition) the same way
+  * [[Hdf5]]/[[Tiff]] are built from their public specs — no image
+  * library, just `java.util.zip` for the zlib stream.
+  *
+  * Decode supports the full non-interlaced static surface: bit depths
+  * 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+α),
+  * 6 (RGBA), all five per-row filters, multi-IDAT streams, chunk CRC
+  * verification. Adam7 interlacing is rejected loudly (progressive
+  * rendering is a display concern; pipeline media should be
+  * non-interlaced, and a silent misdecode would be worse than an error).
+  *
+  * Reference behavior anchor: the reference pipeline's per-asset raster
+  * statistics over decoded pixels (cloud-optimized-data-pipelines
+  * lambdas/build-stac/utils/stac.py:33-48); here the decoded samples
+  * feed [[graft.operators.Multimodal]]'s feature kernel instead.
+  */
+object Png {
+
+  /** Decoded raster: `samples` is row-major, channel-interleaved, one
+    * Int per sample (0..255 for depths ≤ 8 after palette expansion,
+    * 0..65535 for depth 16). Palette images expand to RGB. */
+  final case class Image(width: Int, height: Int, channels: Int,
+      bitDepth: Int, samples: Array[Int])
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i))
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  def decode(bytes: Array[Byte]): Image = {
+    require(isPng(bytes), "not a PNG: bad signature")
+    var off = 8
+    var width, height, bitDepth, colorType, interlace = -1
+    var palette: Array[Int] = null // packed 0xRRGGBB
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && off + 8 <= bytes.length) {
+      val len = be32(bytes, off)
+      val ctype = new String(bytes, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 12 + len <= bytes.length,
+        s"truncated chunk $ctype at $off")
+      val crc = new CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, off + 8 + len),
+        s"CRC mismatch in chunk $ctype")
+      val d = off + 8
+      ctype match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          width = be32(bytes, d); height = be32(bytes, d + 4)
+          bitDepth = bytes(d + 8) & 0xff; colorType = bytes(d + 9) & 0xff
+          require((bytes(d + 10) & 0xff) == 0, "unknown compression method")
+          require((bytes(d + 11) & 0xff) == 0, "unknown filter method")
+          interlace = bytes(d + 12) & 0xff
+          require(interlace == 0,
+            "Adam7-interlaced PNG not supported (re-encode non-interlaced)")
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+        case "PLTE" =>
+          require(len % 3 == 0, s"PLTE length $len")
+          palette = Array.tabulate(len / 3) { i =>
+            ((bytes(d + 3 * i) & 0xff) << 16) |
+              ((bytes(d + 3 * i + 1) & 0xff) << 8) |
+              (bytes(d + 3 * i + 2) & 0xff)
+          }
+        case "IDAT" => idat.write(bytes, d, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk — metadata, not pixels
+      }
+      off += 12 + len
+    }
+    require(width > 0, "missing IHDR")
+    require(sawEnd, "missing IEND")
+    val rawChannels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"bad color type $t")
+    }
+    val okDepth = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case _ => Set(8, 16)
+    }
+    require(okDepth(bitDepth), s"bit depth $bitDepth invalid for color type $colorType")
+    if (colorType == 3) require(palette != null, "palette image missing PLTE")
+
+    // inflate the concatenated IDAT zlib stream
+    val bitsPerPixel = rawChannels * bitDepth
+    val bytesPerRow = (width * bitsPerPixel + 7) / 8
+    val expected = (bytesPerRow + 1) * height
+    val raw = new Array[Byte](expected)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    var stalled = false
+    while (got < expected && !inf.finished() && !stalled) {
+      val n = inf.inflate(raw, got, expected - got)
+      // n == 0 with the stream unfinished means the input ran dry —
+      // stop instead of spinning; the final length require reports it
+      stalled = n == 0 && !inf.finished()
+      got += n
+    }
+    inf.end()
+    require(got == expected, s"IDAT inflated to $got bytes, expected $expected")
+
+    // undo per-row filters (spec §6: None/Sub/Up/Average/Paeth). `bpp` is
+    // the per-pixel byte distance for the `a`/`c` neighbors — at least 1
+    // even for sub-byte depths.
+    val bpp = math.max(1, bitsPerPixel / 8)
+    val img = new Array[Byte](bytesPerRow * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (bytesPerRow + 1)) & 0xff
+      val src = y * (bytesPerRow + 1) + 1
+      val dst = y * bytesPerRow
+      val prev = dst - bytesPerRow
+      var x = 0
+      while (x < bytesPerRow) {
+        val rx = raw(src + x) & 0xff
+        val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0
+        val b = if (y > 0) img(prev + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) img(prev + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rx
+          case 1 => rx + a
+          case 2 => rx + b
+          case 3 => rx + (a + b) / 2
+          case 4 => // Paeth predictor, exactly as specified
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => throw new IllegalArgumentException(s"bad filter $other on row $y")
+        }
+        img(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    // unpack bytes to samples; expand palette to RGB
+    val outChannels = if (colorType == 3) 3 else rawChannels
+    val samples = new Array[Int](width * height * outChannels)
+    var si = 0
+    y = 0
+    while (y < height) {
+      val row = y * bytesPerRow
+      var x = 0
+      while (x < width) {
+        if (colorType == 3) {
+          val idx = bitDepth match {
+            case 8 => img(row + x) & 0xff
+            case d => // 1/2/4-bit indices packed big-endian within the byte
+              val bitOff = x * d
+              (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) & ((1 << d) - 1)
+          }
+          require(idx < palette.length, s"palette index $idx out of range")
+          val rgb = palette(idx)
+          samples(si) = (rgb >> 16) & 0xff
+          samples(si + 1) = (rgb >> 8) & 0xff
+          samples(si + 2) = rgb & 0xff
+          si += 3
+        } else {
+          var ch = 0
+          while (ch < rawChannels) {
+            samples(si) = bitDepth match {
+              case 16 =>
+                val o = row + (x * rawChannels + ch) * 2
+                ((img(o) & 0xff) << 8) | (img(o + 1) & 0xff)
+              case 8 => img(row + x * rawChannels + ch) & 0xff
+              case d => // gray 1/2/4-bit
+                val bitOff = x * d
+                (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) & ((1 << d) - 1)
+            }
+            si += 1
+            ch += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, outChannels, if (colorType == 3) 8 else bitDepth, samples)
+  }
+
+  /** Encode an 8-bit image (1=gray, 2=gray+α, 3=RGB, 4=RGBA channels),
+    * filter None on every row. Compressed bytes are deterministic for a
+    * given JVM; consumers must compare DECODED pixels, never the stream. */
+  def encode(img: Image): Array[Byte] = {
+    require(img.bitDepth == 8, s"encoder is 8-bit only, got ${img.bitDepth}")
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case n => throw new IllegalArgumentException(s"bad channel count $n")
+    }
+    require(img.samples.length == img.width * img.height * img.channels,
+      "sample count does not match dimensions")
+    val bytesPerRow = img.width * img.channels
+    val filtered = new Array[Byte]((bytesPerRow + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      val dst = y * (bytesPerRow + 1)
+      filtered(dst) = 0 // filter None
+      var x = 0
+      while (x < bytesPerRow) {
+        filtered(dst + 1 + x) = (img.samples(y * bytesPerRow + x) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    def_.setInput(filtered)
+    def_.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) zout.write(buf, 0, def_.deflate(buf))
+    def_.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(data)
+      val crc = new CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue.toInt
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (img.width >>> 24).toByte; ihdr(1) = (img.width >>> 16).toByte
+    ihdr(2) = (img.width >>> 8).toByte; ihdr(3) = img.width.toByte
+    ihdr(4) = (img.height >>> 24).toByte; ihdr(5) = (img.height >>> 16).toByte
+    ihdr(6) = (img.height >>> 8).toByte; ihdr(7) = img.height.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    // compression 0, filter 0, interlace 0 already zero-initialized
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}

@@ -46,22 +46,87 @@ object Multimodal {
   }
 
   /** Session conf key naming the [[MediaDecoder]] implementation class;
-    * defaults to the offline [[FakeDecoder]]. */
+    * defaults to the real pure-JVM [[PngDecoder]]. */
   val DecoderConfKey = "graft.media.decoder"
 
   /** The configured decoder class name for this session. */
   def decoderClass(spark: SparkSession): String =
-    spark.conf.get(DecoderConfKey, classOf[FakeDecoder].getName)
+    spark.conf.get(DecoderConfKey, classOf[PngDecoder].getName)
 
   private def instantiate(className: String): MediaDecoder =
     Class.forName(className).getDeclaredConstructor()
       .newInstance().asInstanceOf[MediaDecoder]
 
-  /** STUB decoder: a real implementation would hand `payload` to an image
-    * library; this derives deterministic fake dimensions/stats from the
-    * payload's sha-256 digest so the pipeline shape is testable offline
-    * AND every feature is SQL-derivable (the m02 oracle recomputes them
-    * from hex slices of the digest).
+  /** Real decoder: pure-JVM PNG via [[graft.kernel.Png]] (public spec,
+    * java.util.zip inflate — no image library). Non-PNG payloads are
+    * rejected loudly; a silent fake feature would be worse than an error.
+    *
+    * `channel_mean` is the mean over COLOR samples (alpha excluded;
+    * palette expanded to RGB; 16-bit kept in 0..65535 sample units).
+    * `resize` is a half-scale box filter (2×2 block average, floor) re-
+    * encoded as 8-bit PNG — 16-bit sources scale down by `>> 8` first.
+    */
+  final class PngDecoder extends MediaDecoder {
+    import graft.kernel.Png
+
+    private def colorChannels(channels: Int): Int =
+      if (channels == 2 || channels == 4) channels - 1 else channels
+
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val img = Png.decode(payload)
+      val cc = colorChannels(img.channels)
+      var sum = 0L
+      var i = 0
+      while (i < img.samples.length) {
+        if (i % img.channels < cc) sum += img.samples(i)
+        i += 1
+      }
+      (img.width, img.height,
+        sum.toDouble / (img.width.toLong * img.height * cc))
+    }
+
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = Png.decode(payload)
+      val rw = math.max(1, (img.width + 1) / 2)
+      val rh = math.max(1, (img.height + 1) / 2)
+      val ch = img.channels
+      val out = new Array[Int](rw * rh * ch)
+      val shift = if (img.bitDepth == 16) 8 else 0
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val x0 = x * 2; val y0 = y * 2
+          val xN = math.min(2, img.width - x0)
+          val yN = math.min(2, img.height - y0)
+          var c = 0
+          while (c < ch) {
+            var sum = 0
+            var dy = 0
+            while (dy < yN) {
+              var dx = 0
+              while (dx < xN) {
+                sum += (img.samples(((y0 + dy) * img.width + x0 + dx) * ch + c) >> shift)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * rw + x) * ch + c) = sum / (xN * yN)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (rw, rh, Png.encode(Png.Image(rw, rh, ch, 8, out)))
+    }
+  }
+
+  /** STUB decoder (test/offline baseline — the driver corpus carries text
+    * stand-in payloads, not decodable media): derives deterministic fake
+    * dimensions/stats from the payload's sha-256 digest so the pipeline
+    * shape is testable offline AND every feature is SQL-derivable (the
+    * m02 oracle recomputes them from hex slices of the digest).
     */
   final class FakeDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
@@ -169,7 +234,12 @@ object Multimodal {
     // and the kernel's batched mapPartitions path is hash-verified
     // end-to-end (determinism also asserted in LlmOpsSpec).
     ("m02_media_features", (s: SparkSession, d: String) => {
-      decodeFeatures(mediaTable(graft.Tables.documents(s, d)))
+      // FakeDecoder pinned explicitly: the driver corpus payloads are
+      // text stand-ins (not decodable media), and Fake's sha-derived
+      // features are what DuckDB can recompute. Real media goes through
+      // the default PngDecoder (m07 gates that path on real bytes).
+      decodeFeaturesWith(mediaTable(graft.Tables.documents(s, d)),
+          classOf[FakeDecoder].getName)
         .toDF()
         .orderBy(col("doc_id"))
     },
@@ -190,7 +260,9 @@ object Multimodal {
     // metadata; every output is sha/length-derivable so the kernel path
     // is hash-verified.
     ("m04_media_resize", (s: SparkSession, d: String) => {
-      resizeMedia(mediaTable(graft.Tables.documents(s, d)))
+      // FakeDecoder pinned for the same reason as m02
+      resizeMediaWith(mediaTable(graft.Tables.documents(s, d)),
+          classOf[FakeDecoder].getName)
         .orderBy(col("doc_id"))
     },
     Some("""WITH m AS (
@@ -237,6 +309,56 @@ object Multimodal {
         CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS frame_len,
         sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
       FROM frames ORDER BY doc_id, frame_idx""")),
+
+    // REAL-decoder gate: synthesize an actual PNG per document (gray
+    // 8-bit, analytic gradient pixels), push the bytes through the
+    // batched decode kernel with the production PngDecoder, and
+    // hash-compare dimensions + channel mean against DuckDB computing
+    // the same gradient mean arithmetically. This pins the full real
+    // path — encode → zlib → per-row filters → decode → feature math —
+    // to an engine that never saw the PNG, so a codec regression cannot
+    // hide behind the stub. Mean parity is exact: integer pixel sum ÷
+    // integer count, one correctly-rounded double division in both.
+    ("m07_png_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 13).toInt
+            val h = (8 + id % 7).toInt
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = ((x + 3L * y + id) % 256).toInt
+                x += 1
+              }
+              y += 1
+            }
+            (id, "image",
+              graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      decodeFeaturesWith(png, classOf[PngDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"), col("channel_mean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(8 + doc_id % 13 AS INTEGER) AS width,
+          CAST(8 + doc_id % 7 AS INTEGER) AS height
+        FROM documents),
+      xs AS ( -- unnest in the SELECT list: DuckDB's range() table
+              -- function takes no lateral column refs
+        SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM dims),
+      px AS (
+        SELECT doc_id, width, height, (x + 3 * unnest(range(0, height)) + doc_id) % 256 AS v
+        FROM xs)
+      SELECT doc_id, width, height,
+        CAST(sum(v) AS DOUBLE) / (width * height) AS channel_mean
+      FROM px GROUP BY doc_id, width, height ORDER BY doc_id""")),
 
     // Per-label embedding band statistics through the mergeable
     // BandStats aggregator (A12's raster-stats shape over float arrays;

@@ -362,9 +362,11 @@ class LlmOpsSpec extends SparkSuite {
   }
 
   test("media decode kernel is deterministic and batch-shaped") {
-    val m1 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
+    val fake = classOf[Multimodal.FakeDecoder].getName
+    val m1 = Multimodal.decodeFeaturesWith(Multimodal.mediaTable(docs), fake)
       .collect().sortBy(_.doc_id)
-    val m2 = Multimodal.decodeFeatures(Multimodal.mediaTable(docs).repartition(7))
+    val m2 = Multimodal.decodeFeaturesWith(
+        Multimodal.mediaTable(docs).repartition(7), fake)
       .collect().sortBy(_.doc_id)
     assert(m1.length == docs.count())
     assert(m1.toSeq == m2.toSeq) // partitioning must not change features
@@ -376,8 +378,12 @@ class LlmOpsSpec extends SparkSuite {
 
   test("media decoder is pluggable by class name through the session conf") {
     val media = Multimodal.mediaTable(docs)
-    // default: the offline FakeDecoder
-    val fake = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    // the offline FakeDecoder selected via config (the session default is
+    // the real PngDecoder, which rejects these text stand-in payloads)
+    spark.conf.set(Multimodal.DecoderConfKey,
+      classOf[Multimodal.FakeDecoder].getName)
+    val fake = try Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+      finally spark.conf.unset(Multimodal.DecoderConfKey)
     assert(fake.exists(f => f.width != 7 || f.height != 9))
     // a second implementation drops in via config — the kernel
     // (schema, batching, partition lifecycle) is untouched

@@ -72,17 +72,32 @@ class MediaFilesSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("scan feeds the multimodal kernel: features from file bytes") {
+  test("scan feeds the multimodal kernel: real PNG features from file bytes") {
+    import graft.kernel.Png
     val dir = tempDir("media3")
-    writeFiles(dir)
+    // real PNG payloads on disk — the session-default decoder is the real
+    // codec, so the scan→kernel path decodes actual pixels
+    val pngs = Map(
+      // 3×2 gray, mean = (0+50+100+150+200+250)/6 = 125.0
+      "p1.img" -> Png.encode(Png.Image(3, 2, 1, 8,
+        Array(0, 50, 100, 150, 200, 250))),
+      // 2×2 RGB, samples 0,20,…,220 → mean = 1320/12 = 110.0
+      "p2.img" -> Png.encode(Png.Image(2, 2, 3, 8,
+        Array.tabulate(12)(i => i * 20))))
+    pngs.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "notes.txt").toPath,
+      "not media".getBytes("UTF-8")) // pruned by the glob before decode
     val media = MediaFiles.scan(spark, dir.getAbsolutePath, Some("*.img"))
       .select(abs(xxhash64(col("media_id"))).as("doc_id"),
-        lit("image").as("media_type"), col("content").as("payload"))
-    val feats = graft.operators.Multimodal.decodeFeatures(media).collect()
-    assert(feats.length == 4)
-    feats.foreach { f =>
-      assert(f.width >= 64 && f.height >= 64)
-      assert(Set(1, 5, 300).contains(f.byte_len))
-    }
+        lit("image").as("media_type"), col("content").as("payload"),
+        col("media_id"))
+    val feats = graft.operators.Multimodal.decodeFeatures(media.drop("media_id"))
+      .collect()
+    assert(feats.length == 2)
+    val byDims = feats.map(f => (f.width, f.height) -> f.channel_mean).toMap
+    assert(byDims((3, 2)) == 125.0)
+    assert(byDims((2, 2)) == 110.0)
   }
 }
