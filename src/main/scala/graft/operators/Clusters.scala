@@ -42,7 +42,10 @@ object Clusters {
     * executors — iterative temp state, recomputable from the source
     * edges by rerunning, which is the standard trade for CC iteration.)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      driverMax: Long = 100000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // canonical direction u > v; self-loops and duplicates dropped
     var e = edges
       .select(greatest(col("u"), col("v")).cast("long").as("u"),
@@ -51,6 +54,32 @@ object Clusters {
       .distinct()
       .localCheckpoint(true)
     var signature = edgeSignature(e)
+    // Small-graph hatch: at or under `driverMax` edges (id pairs — ≤ a
+    // few MB collected), a driver-side union-find answers in ONE job
+    // where the distributed fixpoint pays checkpoint + signature jobs
+    // per round — pure fixed cost when the pair graph is batch-sized
+    // (d11's per-snapshot probe, d06 at test scale). Labels are
+    // identical by construction: union-by-min keeps the root the
+    // smallest reachable id, exactly the fixpoint's component label.
+    // The same threshold trade AQE makes for broadcast joins; pass
+    // driverMax = 0 to force the distributed path.
+    if (signature._1 <= driverMax) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      return es.iterator.flatMap(t => Iterator(t._1, t._2)).toSeq.distinct
+        .map(n => (n, find(n))).toDF("node", "component")
+    }
     var iter = 0
     var converged = signature._1 == 0L
     while (!converged && iter < maxIter) {
@@ -71,8 +100,9 @@ object Clusters {
 
   /** Label every node in `nodes` (single column `node`): nodes in no edge
     * become their own singleton component. */
-  def labelAll(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val labels = connectedComponents(edges, maxIter)
+  def labelAll(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      driverMax: Long = 100000L): DataFrame = {
+    val labels = connectedComponents(edges, maxIter, driverMax)
     nodes.select(col("node").cast("long").as("node"))
       .join(labels, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))

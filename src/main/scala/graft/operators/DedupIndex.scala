@@ -123,6 +123,12 @@ object DedupIndex {
     * are exactly [[Dedup.minhashNearDups]]'s: banded-LSH candidates
     * verified at word-3-gram Jaccard ≥ `tau`.
     *
+    * The returned frame is EAGER (computed and persisted before the call
+    * returns): materializing the verdicts lets the call release its five
+    * intermediate caches immediately, so the crawl loop (probe, grow,
+    * probe…) cannot accumulate cached partitions across snapshots.
+    * Callers may `unpersist()` the result when done with it.
+    *
     * `broadcastKeys` (default true) broadcasts every batch-derived probe
     * frame — md5 set, band keys — so the INDEX side (corpus-sized exact
     * and bucket tables) streams map-side and never shuffles: the right
@@ -143,16 +149,18 @@ object DedupIndex {
     // 1. ONE folded exact pass (was two chained joins + an anti-join):
     // the corpus contributes min matching id per batch md5 (index side
     // streams past the broadcast batch-md5 set), the batch contributes
-    // its own min id per md5, and one projection decides all three exact
-    // outcomes — corpus match wins, else earlier batch doc wins, else
-    // the doc survives to the near-dup stages (status NULL)
+    // its own min id per md5 — a WINDOW over the hashed frame rather
+    // than a separate aggregate + join-back (one exchange on doc_md5
+    // instead of two stages) — and one projection decides all three
+    // exact outcomes: corpus match wins, else earlier batch doc wins,
+    // else the doc survives to the near-dup stages (status NULL)
+    import org.apache.spark.sql.expressions.Window
     val cMin = probe(hashed.select(col("doc_md5")).distinct())
       .join(ix.exact, "doc_md5")
       .groupBy(col("doc_md5")).agg(min(col("doc_id")).as("c_min"))
-    val bMin = hashed.groupBy(col("doc_md5"))
-      .agg(min(col("doc_id")).as("b_min"))
     val exact = hashed
-      .join(probe(bMin), "doc_md5")
+      .withColumn("b_min",
+        min(col("doc_id")).over(Window.partitionBy(col("doc_md5"))))
       .join(probe(cMin), Seq("doc_md5"), "left_outer")
       .select(col("doc_id"), col("text"),
         when(col("c_min").isNotNull, lit("exact_corpus"))
@@ -200,13 +208,18 @@ object DedupIndex {
     val labeled = Clusters.labelAll(
       exSurv.select(col("doc_id").as("node")), pairs)
     val plan = Clusters.dedupPlan(labeled, exSurv)
-    val infected = labeled
-      .join(crossLinks, col("node") === col("doc_id"))
-      .groupBy(col("component")).agg(min(col("direct_of")).as("comp_of"))
-
-    val nearVerdicts = plan
-      .join(infected, Seq("component"), "left_outer")
+    // component infection folded into the plan's own partitioning: join
+    // each member's direct corpus link once, then min it per component
+    // as a WINDOW — dedupPlan's output is already hash-partitioned by
+    // component, so this adds no exchange (the former shape was a
+    // separate groupBy(component) aggregate joined back, re-deriving
+    // the same per-component pass twice)
+    val enriched = plan
       .join(crossLinks, Seq("doc_id"), "left_outer")
+      .withColumn("comp_of",
+        min(col("direct_of")).over(Window.partitionBy(col("component"))))
+
+    val nearVerdicts = enriched
       .select(col("doc_id"),
         when(col("comp_of").isNotNull, lit("near_corpus"))
           .when(!col("keep"), lit("near_batch"))
@@ -214,9 +227,20 @@ object DedupIndex {
         when(col("comp_of").isNotNull, coalesce(col("direct_of"), col("comp_of")))
           .when(!col("keep"), col("canonical_id")).as("dup_of"))
 
-    exact.filter(col("status").isNotNull)
+    // Materialize the verdicts, then drop every intermediate cache: in
+    // the documented crawl loop (probe batch i, grow, probe batch i+1)
+    // a long-lived session would otherwise accumulate persisted
+    // partitions across calls until an external clearCache. The returned
+    // frame is persisted (verdict-sized — one id/status row per batch
+    // doc) and already computed; callers may unpersist it when done.
+    val verdicts = exact.filter(col("status").isNotNull)
       .select(col("doc_id"), col("status"), col("dup_of"))
       .unionByName(nearVerdicts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verdicts.count() // eager: the cleanup below must not starve the plan
+    Seq(hashed, exact, keyed, crossCand, crossLinks)
+      .foreach(_.unpersist(false))
+    verdicts
   }
 
   type Q = (SparkSession, String) => DataFrame

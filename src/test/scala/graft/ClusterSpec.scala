@@ -26,14 +26,18 @@ class ClusterSpec extends SparkSuite {
     (0L until n).map(x => x -> find(x)).toMap
   }
 
-  private def sparkComponents(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** `driverMax = 0` forces the distributed large-star/small-star
+    * fixpoint; the default takes the small-graph driver union-find
+    * hatch — both paths must agree with the reference on every shape. */
+  private def sparkComponents(n: Long, edges: Seq[(Long, Long)],
+      driverMax: Long = 100000L): Map[Long, Long] = {
     val e = edges.toDF("u", "v")
     val nodes = spark.range(n).select(col("id").as("node"))
-    Clusters.labelAll(nodes, e)
+    Clusters.labelAll(nodes, e, driverMax = driverMax)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("chain, cliques, star, and singletons match reference union-find") {
+  test("chain, cliques, star, and singletons match reference union-find (both paths)") {
     // one 60-node chain (worst case for naive propagation), two 10-node
     // cliques bridged by one edge, an 8-leaf star, isolated nodes
     val chain = (100L until 159L).map(i => (i, i + 1))
@@ -42,9 +46,11 @@ class ClusterSpec extends SparkSuite {
     val bridge = Seq((209L, 300L))
     val star = (1L to 8L).map(i => (400L, 400L + i))
     val edges = chain ++ cliqueA ++ cliqueB ++ bridge ++ star
-    val got = sparkComponents(500L, edges)
     val want = unionFind(500L, edges)
+    val got = sparkComponents(500L, edges) // driver union-find hatch
     assert(got === want)
+    val gotDist = sparkComponents(500L, edges, driverMax = 0L) // fixpoint
+    assert(gotDist === want)
     // sanity on the shapes themselves
     assert(got(159L) == 100L, "chain collapses to its minimum")
     assert(got(309L) == 200L, "bridged cliques form one component")
@@ -52,16 +58,20 @@ class ClusterSpec extends SparkSuite {
     assert(got(42L) == 42L, "isolated nodes are singleton components")
   }
 
-  test("deterministic pseudo-random graph matches reference union-find") {
+  test("deterministic pseudo-random graph matches reference union-find (both paths)") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter { case (a, b) => a != b }
-    assert(sparkComponents(250L, edges) === unionFind(250L, edges))
+    val want = unionFind(250L, edges)
+    assert(sparkComponents(250L, edges) === want)
+    assert(sparkComponents(250L, edges, driverMax = 0L) === want)
   }
 
   test("empty edge set labels every node as its own component") {
     val got = sparkComponents(10L, Seq.empty)
     assert(got === (0L until 10L).map(x => x -> x).toMap)
+    assert(sparkComponents(10L, Seq.empty, driverMax = 0L) ===
+      (0L until 10L).map(x => x -> x).toMap)
   }
 
   test("full pipeline: minhash pairs -> clusters groups the planted near-dups") {
