@@ -84,18 +84,26 @@ object DedupIndex {
     * appending dropped duplicates would make the index attribute future
     * dups to docs that aren't in the corpus.
     *
-    * MATERIALIZE `survivors` first (persist + count, or a write) if its
-    * plan derives from `dedupAgainst` over this same `dir`: that plan
-    * reads the index files this call appends to, and a lazy re-read
-    * after the append would see the batch indexed against itself. */
+    * `survivors` is frozen with an eager `localCheckpoint` before any
+    * write. Persist-and-count by the caller is NOT enough when the plan
+    * derives from `dedupAgainst` over this same `dir`: the first append
+    * fires Spark's path refresh, which cascades cache invalidation
+    * through every cached plan reading the index files — the bucket
+    * append would then RECOMPUTE survivors against the half-grown index,
+    * every doc would self-match as exact_corpus, and the band keys would
+    * append empty (silent index corruption: exact rows present, bucket
+    * rows missing). A checkpoint is a lineage-free leaf, so the path
+    * refresh cannot reach it and both appends see the same frozen rows. */
   def grow(survivors: DataFrame, dir: String): Unit = {
     val spark = survivors.sparkSession
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     val (k, b, r) =
       (m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"))
-    survivors.select(col("doc_id"), normMd5(col("text")).as("doc_md5"))
+    val frozen = survivors.select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    frozen.select(col("doc_id"), normMd5(col("text")).as("doc_md5"))
       .write.mode("append").parquet(s"$dir/exact.parquet")
-    keyedBands(survivors, k, b, r)
+    keyedBands(frozen, k, b, r)
       .write.mode("append").partitionBy("band")
       .parquet(s"$dir/buckets.parquet")
   }
@@ -227,17 +235,20 @@ object DedupIndex {
         when(col("comp_of").isNotNull, coalesce(col("direct_of"), col("comp_of")))
           .when(!col("keep"), col("canonical_id")).as("dup_of"))
 
-    // Materialize the verdicts, then drop every intermediate cache: in
-    // the documented crawl loop (probe batch i, grow, probe batch i+1)
-    // a long-lived session would otherwise accumulate persisted
-    // partitions across calls until an external clearCache. The returned
-    // frame is persisted (verdict-sized — one id/status row per batch
-    // doc) and already computed; callers may unpersist it when done.
+    // Materialize the verdicts as an eager LINEAGE-FREE checkpoint, then
+    // drop every intermediate cache: in the documented crawl loop (probe
+    // batch i, grow, probe batch i+1) a long-lived session would
+    // otherwise accumulate persisted partitions across calls until an
+    // external clearCache. A plain persist would not survive the loop
+    // either — `grow`'s appends refresh the index paths and that
+    // invalidation cascades through any cached plan reading them, which
+    // would silently recompute these verdicts against the grown index.
+    // The checkpoint is a leaf (verdict-sized — one id/status row per
+    // batch doc); callers may unpersist it when done.
     val verdicts = exact.filter(col("status").isNotNull)
       .select(col("doc_id"), col("status"), col("dup_of"))
       .unionByName(nearVerdicts)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verdicts.count() // eager: the cleanup below must not starve the plan
+      .localCheckpoint(true) // eager: the cleanup below must not starve the plan
     Seq(hashed, exact, keyed, crossCand, crossLinks)
       .foreach(_.unpersist(false))
     verdicts

@@ -286,6 +286,118 @@ class StreamingSpec extends SparkSuite {
     assert(flags.forall(identity))
   }
 
+  test("streaming incremental dedup: per-batch index probe + grow catches cross-batch dups") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val corpus = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    def freshIndex(): String = {
+      val d = tempDir("ixs").getAbsolutePath
+      DedupIndex.build(corpus, d)
+      d
+    }
+
+    def novel(tag: String, n: Int): String =
+      (0 until n).map(j => s"stream${tag}word$j").mkString(" ")
+    // batch 1: a corpus copy, two novel docs
+    val b1 = Seq(
+      (90000L, corpus.filter(col("doc_id") === 3).head().getString(1)),
+      (90001L, novel("alpha", 20)),
+      (90002L, novel("beta", 20)))
+    // batch 2: an EXACT copy and a NEAR-dup (last word edited) of batch-1
+    // novels — both only catchable if the index grew between batches —
+    // plus one genuinely new doc
+    val b2 = Seq(
+      (91000L, novel("alpha", 20)),
+      (91001L, novel("beta", 19) + " editedtail"),
+      (91002L, novel("gamma", 20)))
+
+    // the crawl loop: probe against the stored index, admit survivors,
+    // grow the index AND the text side (near-dup verification reads
+    // candidate text, so admitted docs' text must ride along with their
+    // index rows — index rows alone only catch exact copies)
+    def runLoop(ixDir: String,
+        batches: Seq[Seq[(Long, String)]]): Map[Long, (String, Any)] = {
+      var extraText = Seq.empty[(Long, String)]
+      var out = Map.empty[Long, (String, Any)]
+      batches.foreach { rows =>
+        val batch = rows.toDF("doc_id", "text")
+        val corpusText = corpus.unionByName(extraText.toDF("doc_id", "text"))
+        val v = DedupIndex.dedupAgainst(batch, corpusText,
+          DedupIndex.load(spark, ixDir))
+        out ++= v.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+        val survivors = batch.join(
+          v.filter(col("status") === "kept").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+          .persist()
+        survivors.count() // materialize BEFORE the append (grow scaladoc)
+        DedupIndex.grow(survivors, ixDir)
+        extraText ++= survivors.collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        survivors.unpersist()
+        v.unpersist()
+      }
+      out
+    }
+
+    // stream form: the same loop as a foreachBatch sink over a file
+    // stream delivering one batch file per trigger, in arrival order
+    val inDir = tempDir("ixstream-in")
+    def stage(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val tmp = tempDir(s"ixstage-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // file source orders by mtime: b1 first
+    }
+    stage(b1, "b1.parquet", 1000000L)
+    stage(b2, "b2.parquet", 2000000L)
+
+    val streamIx = freshIndex()
+    var streamExtra = Seq.empty[(Long, String)]
+    val streamOut = scala.collection.mutable.Map.empty[Long, (String, Any)]
+    val stream = spark.readStream
+      .schema(b1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath)
+    val q = stream.writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+      val corpusText = corpus.unionByName(streamExtra.toDF("doc_id", "text"))
+      val v = DedupIndex.dedupAgainst(df, corpusText,
+        DedupIndex.load(spark, streamIx))
+      streamOut ++= v.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+      val survivors = df.join(
+        v.filter(col("status") === "kept").select(col("doc_id")),
+        Seq("doc_id"), "left_semi").persist()
+      survivors.count()
+      DedupIndex.grow(survivors, streamIx)
+      streamExtra ++= survivors.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      survivors.unpersist()
+      v.unpersist()
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // cross-batch catches: the exact re-crawl and the near-dup edit of
+    // batch-1 novels are flagged AGAINST THE GROWN INDEX, attributed to
+    // the admitted batch-1 doc ids
+    assert(streamOut(90000L)._1 == "exact_corpus", streamOut(90000L))
+    assert(streamOut(90001L)._1 == "kept" && streamOut(90002L)._1 == "kept")
+    assert(streamOut(91000L) == (("exact_corpus", 90001L)), streamOut(91000L))
+    assert(streamOut(91001L)._1 == "near_corpus" &&
+      streamOut(91001L)._2 == 90002L, streamOut(91001L))
+    assert(streamOut(91002L)._1 == "kept", streamOut(91002L))
+
+    // batch/stream field parity: the same two batches through the same
+    // loop in batch mode on a fresh index give identical verdicts
+    val batchOut = runLoop(freshIndex(), Seq(b1, b2))
+    assert(batchOut == streamOut.toMap)
+  }
+
   test("stateless curation chain composes in one stream with batch parity") {
     import spark.implicits._
     import graft.operators.{Curate, Dedup}
