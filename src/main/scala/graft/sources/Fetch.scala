@@ -70,6 +70,104 @@ object Fetch {
     }
   }
 
+  /** Paced async-API localizer — the ERA5/CDS retrieve shape (reference
+    * lambdas/cogify/ERA5/fetch.py:1-19: `cdsapi.Client().retrieve`
+    * submits a request description, the SERVICE prepares the file on its
+    * own time, the client polls the request's status and only then
+    * downloads). `fetch` drives the whole submit → poll → download
+    * sequence synchronously, so the kernel's retry/DLQ machinery (B5)
+    * wraps it exactly like a direct GET:
+    *
+    *  1. POST `uri` with `requestBody` → JSON `{"request_id": …,
+    *     "state": …}` (a `status_url` field overrides the default
+    *     status location `uri/<request_id>`).
+    *  2. GET the status URL until `state` is `completed` — pacing starts
+    *     at `pollMs` and backs off 1.5× per poll up to `maxPollMs` (the
+    *     cdsapi client's sleep-loop shape); `failed` raises with the
+    *     response's `error` field, and `maxWaitMs` of total waiting
+    *     raises a timeout — both IOException, i.e. retryable.
+    *  3. GET the completed response's `location` (absolute, or resolved
+    *     against the submit URI) and write it under `destDir`.
+    *
+    * `sleeper` is injectable so specs drive the poll loop without real
+    * sleeps; production uses `Thread.sleep`. */
+  final class PacedFetcher(credentials: Option[(String, String)] = None,
+      requestBody: String = "{}",
+      pollMs: Long = 1000L, maxPollMs: Long = 30000L,
+      maxWaitMs: Long = 30 * 60 * 1000L,
+      sleeper: Long => Unit = Thread.sleep) extends Fetcher {
+    @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    private def authed(uri: String): HttpRequest.Builder = {
+      val b = HttpRequest.newBuilder(URI.create(uri))
+      credentials.foreach { case (user, pass) =>
+        b.header("Authorization", "Basic " + Base64.getEncoder
+          .encodeToString(s"$user:$pass".getBytes("UTF-8")))
+      }
+      b
+    }
+
+    private def sendJson(req: HttpRequest): com.fasterxml.jackson.databind.JsonNode = {
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"${req.method()} ${req.uri()} -> HTTP ${resp.statusCode()}")
+      mapper.readTree(resp.body())
+    }
+
+    override def fetch(uri: String, destDir: File): File = {
+      val submitted = sendJson(authed(uri)
+        .POST(HttpRequest.BodyPublishers.ofString(requestBody))
+        .header("Content-Type", "application/json").build())
+      val requestId = Option(submitted.get("request_id"))
+        .map(_.asText())
+        .getOrElse(throw new java.io.IOException(
+          s"POST $uri returned no request_id: $submitted"))
+      val statusUrl = Option(submitted.get("status_url")).map(_.asText())
+        .map(URI.create(uri).resolve(_).toString)
+        .getOrElse(s"$uri/$requestId")
+
+      var node = submitted
+      var waited = 0L
+      var interval = pollMs
+      while (node.path("state").asText() != "completed") {
+        node.path("state").asText() match {
+          case "failed" =>
+            throw new java.io.IOException(s"paced request $requestId failed: " +
+              node.path("error").asText("(no error detail)"))
+          case "queued" | "running" | "" => // service still preparing
+          case other =>
+            throw new java.io.IOException(
+              s"paced request $requestId: unknown state '$other'")
+        }
+        if (waited >= maxWaitMs)
+          throw new java.io.IOException(
+            s"paced request $requestId not ready after ${waited}ms")
+        sleeper(interval)
+        waited += interval
+        interval = math.min(maxPollMs, interval * 3 / 2)
+        node = sendJson(authed(statusUrl).GET().build())
+      }
+
+      val location = Option(node.get("location")).map(_.asText())
+        .getOrElse(throw new java.io.IOException(
+          s"paced request $requestId completed without a location"))
+      val resolved = URI.create(uri).resolve(location).toString
+      val resp = client.send(authed(resolved).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"GET $resolved -> HTTP ${resp.statusCode()}")
+      val name = resolved.substring(resolved.lastIndexOf('/') + 1)
+      val dst = new File(destDir, if (name.isEmpty) "download" else name)
+      Files.write(dst.toPath, resp.body())
+      dst
+    }
+  }
+
   /** Scheme router: http(s) → authenticated HTTP, everything else →
     * Hadoop FS; already-local files short-circuit (handler.py:50-51).
     *
@@ -79,22 +177,37 @@ object Fetch {
     * same way — so one fetcher serves a provider's authenticated host
     * and a public mirror, or two buckets under different IAM roles,
     * without per-source fetcher instances. */
+  /** `pacedBodies` routes a URI prefix to the paced async-API protocol
+    * ([[PacedFetcher]]) with the given request body — the ERA5/CDS
+    * sources whose "download URL" is really a retrieve endpoint. Plain
+    * prefixes keep the direct-GET path. */
   final class RoutingFetcher(credentials: Option[(String, String)] = None,
       httpCredsBySource: Map[String, (String, String)] = Map.empty,
-      overlays: Map[String, Map[String, String]] = Map.empty)
+      overlays: Map[String, Map[String, String]] = Map.empty,
+      pacedBodies: Map[String, String] = Map.empty,
+      pacedPollMs: Long = 1000L)
       extends Fetcher {
     private val hadoop = new HadoopFetcher(overlays)
     // one HTTP session per credential identity (the reference keeps one
     // session per process; per-source routing multiplies that by source)
     @transient private lazy val httpBySource =
       scala.collection.mutable.Map.empty[Option[(String, String)], HttpFetcher]
+    @transient private lazy val pacedBySource =
+      scala.collection.mutable.Map.empty[(Option[(String, String)], String), PacedFetcher]
     override def fetch(uri: String, destDir: File): File = {
       val local = new File(uri)
       if (local.isAbsolute && local.isFile) local // already local: no-op
       else if (uri.startsWith("http://") || uri.startsWith("https://")) {
         val creds = SourceConf.lookup(httpCredsBySource, uri).orElse(credentials)
-        httpBySource.getOrElseUpdate(creds, new HttpFetcher(creds))
-          .fetch(uri, destDir)
+        SourceConf.lookup(pacedBodies, uri) match {
+          case Some(body) =>
+            pacedBySource.getOrElseUpdate((creds, body),
+                new PacedFetcher(creds, body, pollMs = pacedPollMs))
+              .fetch(uri, destDir)
+          case None =>
+            httpBySource.getOrElseUpdate(creds, new HttpFetcher(creds))
+              .fetch(uri, destDir)
+        }
       } else hadoop.fetch(uri, destDir)
     }
   }

@@ -95,6 +95,93 @@ class FetchPublishSpec extends SparkSuite {
     }
   }
 
+  test("paced fetch: submit -> service prepares -> poll -> download (ERA5/CDS shape)") {
+    val polls = new AtomicInteger(0)
+    val posted = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val payload = "netcdf-bytes-after-preparation".getBytes(UTF_8)
+    withServer({
+      case ("/era5/retrieve", ex) if ex.getRequestMethod == "POST" =>
+        posted.set(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        respond(ex, 200,
+          """{"request_id":"r42","state":"queued"}""".getBytes(UTF_8))
+      case ("/era5/retrieve/r42", ex) =>
+        // the service needs three polls' worth of preparation time
+        val n = polls.incrementAndGet()
+        val body = if (n < 3) """{"state":"running"}"""
+          else """{"state":"completed","location":"/era5/results/r42.nc"}"""
+        respond(ex, 200, body.getBytes(UTF_8))
+      case ("/era5/results/r42.nc", ex) =>
+        if (basicAuthOk(ex, "cds_user", "cds_key")) respond(ex, 200, payload)
+        else respond(ex, 401, Array.empty)
+    }) { base =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val fetcher = new Fetch.PacedFetcher(Some(("cds_user", "cds_key")),
+        requestBody = """{"variable":"cloud_base_height","year":"2021"}""",
+        pollMs = 10, maxPollMs = 40, sleeper = sleeps += _)
+      val got = fetcher.fetch(s"$base/era5/retrieve", tempDir("paced"))
+      assert(got.getName == "r42.nc")
+      assert(java.nio.file.Files.readAllBytes(got.toPath).sameElements(payload))
+      assert(posted.get().contains("cloud_base_height"), "request body not submitted")
+      assert(polls.get() == 3, s"expected 3 status polls, got ${polls.get()}")
+      // pacing: the poll loop sleeps BEFORE every status request, backing
+      // off 1.5x per poll from pollMs (10, 15, 22) up to maxPollMs
+      assert(sleeps.toSeq == Seq(10L, 15L, 22L), sleeps)
+    }
+  }
+
+  test("paced fetch: failed state and preparation timeout raise retryable IOException") {
+    withServer({
+      case ("/bad/retrieve", ex) if ex.getRequestMethod == "POST" =>
+        respond(ex, 200, """{"request_id":"rf","state":"queued"}""".getBytes(UTF_8))
+      case ("/bad/retrieve/rf", ex) =>
+        respond(ex, 200,
+          """{"state":"failed","error":"quota exceeded"}""".getBytes(UTF_8))
+      case ("/slow/retrieve", ex) if ex.getRequestMethod == "POST" =>
+        respond(ex, 200, """{"request_id":"rs","state":"queued"}""".getBytes(UTF_8))
+      case ("/slow/retrieve/rs", ex) =>
+        respond(ex, 200, """{"state":"running"}""".getBytes(UTF_8))
+    }) { base =>
+      val failed = intercept[java.io.IOException] {
+        new Fetch.PacedFetcher(None, pollMs = 1, sleeper = _ => ())
+          .fetch(s"$base/bad/retrieve", tempDir("pacedbad"))
+      }
+      assert(failed.getMessage.contains("quota exceeded"))
+      val timedOut = intercept[java.io.IOException] {
+        new Fetch.PacedFetcher(None, pollMs = 1, maxPollMs = 1, maxWaitMs = 5,
+            sleeper = _ => ())
+          .fetch(s"$base/slow/retrieve", tempDir("pacedslow"))
+      }
+      assert(timedOut.getMessage.contains("not ready"))
+    }
+  }
+
+  test("routing fetcher sends paced prefixes through the async protocol") {
+    val payload = "prepared".getBytes(UTF_8)
+    withServer({
+      case ("/cds/retrieve", ex) if ex.getRequestMethod == "POST" =>
+        respond(ex, 200,
+          """{"request_id":"p1","state":"completed","location":"/cds/out/p1.nc"}"""
+            .getBytes(UTF_8))
+      case ("/cds/out/p1.nc", ex) => respond(ex, 200, payload)
+      case ("/plain/direct.bin", ex) =>
+        // the direct route must stay a plain GET — a POST here would 405
+        if (ex.getRequestMethod == "GET") respond(ex, 200, "direct".getBytes(UTF_8))
+        else respond(ex, 405, Array.empty)
+    }) { base =>
+      val router = new Fetch.RoutingFetcher(
+        pacedBodies = Map(s"$base/cds" -> """{"format":"netcdf"}"""),
+        pacedPollMs = 1)
+      val tmp = tempDir("pacedroute")
+      // paced prefix: POST submit, already-completed response, download
+      val paced = router.fetch(s"$base/cds/retrieve", tmp)
+      assert(paced.getName == "p1.nc")
+      assert(java.nio.file.Files.readAllBytes(paced.toPath).sameElements(payload))
+      // non-paced prefix: the ordinary direct GET path
+      val direct = router.fetch(s"$base/plain/direct.bin", tmp)
+      assert(new String(java.nio.file.Files.readAllBytes(direct.toPath), UTF_8) == "direct")
+    }
+  }
+
   test("per-source credentials: two hosts resolve different basic-auth pairs") {
     // the cross-account seam's HTTP face: one router serves a provider
     // path requiring creds A and a mirror path requiring creds B —
