@@ -251,10 +251,32 @@ class TrainingSpec extends SparkSuite {
     out.toSeq
   }
 
-  test("bpe training matches an independent local reference bit-for-bit") {
+  /** A corpus engineered for tie-break stress: pair families with EQUAL
+    * corpus-wide counts, so the (count DESC, left ASC, right ASC) rule —
+    * not the counts — decides merge order, and later merges must win on
+    * counts created by earlier ones. A tie-break regression invisible at
+    * one (vocab, corpus) point surfaces here as a different sequence. */
+  private def tieCorpus = {
+    val rows = Seq(
+      // "zy" and "zx" appear exactly 7 times each: count tie, right
+      // tie-break (x < y) must order (z,x) before (z,y)
+      (0L, Seq.fill(7)("zy").mkString(" ")),
+      (1L, Seq.fill(7)("zx").mkString(" ")),
+      // "ba" vs "ca" at 6 each: left tie-break (b < c)
+      (2L, Seq.fill(6)("ba").mkString(" ")),
+      (3L, Seq.fill(6)("ca").mkString(" ")),
+      // a chain word whose later merges depend on earlier ones
+      (4L, Seq.fill(5)("dede").mkString(" ")),
+      (5L, Seq.fill(4)("fgfgfg").mkString(" ")))
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def checkBpeTrainParity(
+      docs: org.apache.spark.sql.DataFrame, m: Int): Unit = {
     import graft.operators.Training
-    val docs = Tables.documents(spark, sf0001)
-    val got = Training.bpeTrain(docs, merges = 12)
+    val got = Training.bpeTrain(docs, merges = m)
       .orderBy(col("rank")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
@@ -262,9 +284,8 @@ class TrainingSpec extends SparkSuite {
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "").groupBy(col("w")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val expected = referenceBpe(wordCounts, merges = 12)
-    assert(got == expected, s"\ngot      $got\nexpected $expected")
-    assert(got.size == 12, "corpus has ample repeated pairs for 12 merges")
+    val expected = referenceBpe(wordCounts, merges = m)
+    assert(got == expected, s"merges=$m:\ngot      $got\nexpected $expected")
     // merged symbols compose from earlier merges or single chars only
     val vocab = scala.collection.mutable.Set[String]()
     got.foreach { case (_, a, b, ab, n) =>
@@ -275,17 +296,35 @@ class TrainingSpec extends SparkSuite {
       vocab += ab
     }
     // determinism: a second run yields the identical merge sequence
-    val again = Training.bpeTrain(docs, merges = 12)
+    val again = Training.bpeTrain(docs, merges = m)
       .orderBy(col("rank")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
     assert(again == got)
   }
 
-  test("bpe segmentation matches applying the reference merges per word") {
-    import graft.operators.Training
+  test("bpe training matches the reference at two vocab sizes and two corpora") {
+    // the matrix: a tie-break regression that happens to agree at one
+    // (vocab, corpus) point cannot agree at all four
     val docs = Tables.documents(spark, sf0001)
-    val merges = Training.bpeTrain(docs, merges = 12).orderBy(col("rank"))
+    checkBpeTrainParity(docs, 12)
+    checkBpeTrainParity(docs, 64) // deep vocab: merges built on merges
+    checkBpeTrainParity(tieCorpus, 16)
+    assert(Training.bpeTrain(docs, merges = 12).count() == 12,
+      "corpus has ample repeated pairs for 12 merges")
+    // the planted ties resolve by the documented rule, not by luck
+    val tied = Training.bpeTrain(tieCorpus, merges = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val zxIdx = tied.indexOf(("z", "x")); val zyIdx = tied.indexOf(("z", "y"))
+    assert(zxIdx >= 0 && zyIdx >= 0 && zxIdx < zyIdx,
+      s"right-symbol tie-break violated: $tied")
+  }
+
+  private def checkBpeSegmentParity(
+      docs: org.apache.spark.sql.DataFrame, m: Int): Unit = {
+    import graft.operators.Training
+    val merges = Training.bpeTrain(docs, merges = m).orderBy(col("rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val distinctWords = docs
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
@@ -297,23 +336,30 @@ class TrainingSpec extends SparkSuite {
     def refApply(w: String): Seq[String] =
       merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
         case (syms, (a, b)) =>
-          val m = Vector.newBuilder[String]
+          val mb = Vector.newBuilder[String]
           var j = 0
           while (j < syms.length) {
             if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-              m += a + b; j += 2
-            } else { m += syms(j); j += 1 }
+              mb += a + b; j += 2
+            } else { mb += syms(j); j += 1 }
           }
-          m.result()
+          mb.result()
       }
     assert(segmented.nonEmpty)
     segmented.foreach { case (w, pieces) =>
-      assert(pieces == refApply(w), s"word '$w'")
+      assert(pieces == refApply(w), s"merges=$m word '$w'")
       assert(pieces.mkString == w, s"pieces must reassemble '$w'")
     }
     // the trained merges actually compress: pieces < chars somewhere
     assert(segmented.exists { case (w, p) => w.length > 1 && p.size < w.length },
-      "no word compressed — merges did not apply to this corpus")
+      s"merges=$m: no word compressed — merges did not apply")
+  }
+
+  test("bpe segmentation matches the reference at two vocab sizes and two corpora") {
+    val docs = Tables.documents(spark, sf0001)
+    checkBpeSegmentParity(docs, 12)
+    checkBpeSegmentParity(docs, 64)
+    checkBpeSegmentParity(tieCorpus, 16)
   }
 
   test("dsir selection enriches the target slice and is deterministic") {
