@@ -218,13 +218,25 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 6,
       blocks: Int = 4, keyBits: Int = 0, maxBucket: Int = 100): DataFrame = {
-    val bits = if (keyBits > 0) keyBits
-      else Scale.lshBitsFor(docs.count(), targetOccupancy = 32, minBits = 16, maxBits = 30)
-    val mask = (1L << bits) - 1
     val sh = graft.functions.GraftFunctions.simhash64(
       split(lower(trim(col("text"))), "\\s+"))
-    val sigs = docs.select(col("doc_id"), sh.as("simhash"))
-    val keyed = sigs.select(col("doc_id"), col("simhash"),
+    hammingNearDups(docs.select(col("doc_id"), sh.as("simhash")), "simhash",
+      maxHamming, blocks, keyBits, maxBucket)
+  }
+
+  /** Banded hamming-≤k pairs over ANY (doc_id, 64-bit signature) frame —
+    * the simhash join machinery factored out so other per-document
+    * signatures (the image perceptual hash in [[Multimodal]]) share the
+    * same screen-then-verify discipline: rotated key windows as the
+    * candidate screen, [[Scale.capBuckets]] as the skew guard, exact
+    * `bit_count(xor)` as the verdict. */
+  def hammingNearDups(sigs: DataFrame, hashCol: String, maxHamming: Int,
+      blocks: Int = 4, keyBits: Int = 0, maxBucket: Int = 100): DataFrame = {
+    val bits = if (keyBits > 0) keyBits
+      else Scale.lshBitsFor(sigs.count(), targetOccupancy = 32, minBits = 16, maxBits = 30)
+    val mask = (1L << bits) - 1
+    val keyed = sigs.select(col("doc_id"), col(hashCol).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
         explode(array((0 until blocks).map { i =>
           val off = i * (64 / blocks)
           // keyBits-wide window of the signature rotated by `off`

@@ -43,6 +43,12 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Double)
     /** payload → (resized width, resized height, thumbnail bytes). */
     def resize(payload: Array[Byte]): (Int, Int, Array[Byte])
+    /** payload → (width, height, grid×grid luminance block sums, row-major)
+      * — the perceptual-hash input. Sums are EXACT integers (per-pixel
+      * luminance = sum of color channels, alpha excluded; block
+      * boundaries at `x*grid/w`), so hash bits derived from them are
+      * engine-portable with no float rounding. */
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long])
   }
 
   /** Session conf key naming the [[MediaDecoder]] implementation class;
@@ -83,6 +89,30 @@ object Multimodal {
       }
       (img.width, img.height,
         sum.toDouble / (img.width.toLong * img.height * cc))
+    }
+
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) = {
+      val img = Png.decode(payload)
+      val cc = colorChannels(img.channels)
+      val sums = new Array[Long](grid * grid)
+      var y = 0
+      while (y < img.height) {
+        val by = y * grid / img.height
+        var x = 0
+        while (x < img.width) {
+          val bx = x * grid / img.width
+          var c = 0
+          var lum = 0L
+          while (c < cc) {
+            lum += img.samples((y * img.width + x) * img.channels + c)
+            c += 1
+          }
+          sums(by * grid + bx) += lum
+          x += 1
+        }
+        y += 1
+      }
+      (img.width, img.height, sums)
     }
 
     def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
@@ -148,6 +178,17 @@ object Multimodal {
       val thumbLen = (payload.length + 3) / 4
       (w / 2, h / 2, java.util.Arrays.copyOf(payload, thumbLen))
     }
+
+    /** STUB block sums: digest-derived pseudo-sums (same digest → same
+      * tile), so identical payloads still hash identically through the
+      * perceptual-hash pipeline offline. */
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) = {
+      val (w, h, _) = decode(payload)
+      val md = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+      val sums = Array.tabulate(grid * grid)(i =>
+        ((md(i % md.length) & 0xff).toLong << 8 | (md((i * 7 + 3) % md.length) & 0xff)))
+      (w, h, sums)
+    }
   }
 
   private def hex(bytes: Array[Byte]): String =
@@ -200,6 +241,68 @@ object Multimodal {
       }
       .toDF("doc_id", "r_width", "r_height", "thumb_len", "thumb_sha")
   }
+
+  /** Per-image perceptual hash (average-hash family) through the batched
+    * decode kernel: decode → `grid`×`grid` integer luminance block sums →
+    * bit per block set iff `blockSum · grid² > totalSum` (strict — the
+    * scale-free comparison stays in exact integers, so the SAME bits come
+    * out of any engine that can see the pixels) → one byte per grid row
+    * (`row_bytes`) plus the 64-bit packed form (`img_hash`, grid 8).
+    * Re-encodes of the same pixels hash identically regardless of the
+    * compressed byte stream; small edits flip few bits, which is what
+    * makes hamming distance the image near-dup metric. */
+  def imageHashes(media: DataFrame, grid: Int = 8): DataFrame =
+    imageHashesWith(media, decoderClass(media.sparkSession), grid)
+
+  /** [[imageHashes]] with an explicit [[MediaDecoder]] class. */
+  def imageHashesWith(media: DataFrame, decoderCls: String,
+      grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid <= 8, s"grid $grid outside 1..8 (64-bit packing)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        val decoder = instantiate(decoderCls)
+        it.map { m =>
+          val (w, h, sums) = decoder.blockSums(m.payload, grid)
+          val total = sums.sum
+          val n = grid * grid
+          val rowBytes = Array.tabulate(grid) { by =>
+            var b = 0
+            var bx = 0
+            while (bx < grid) {
+              if (sums(by * grid + bx) * n > total) b |= 1 << bx
+              bx += 1
+            }
+            b
+          }
+          var hash = 0L
+          var i = 0
+          while (i < grid) { hash |= rowBytes(i).toLong << (8 * i); i += 1 }
+          (m.doc_id, w, h, rowBytes.toSeq, hash)
+        }
+      }
+      .toDF("doc_id", "width", "height", "row_bytes", "img_hash")
+  }
+
+  /** Image near-duplicate pairs: perceptual hashes through the SAME
+    * banded-hamming screen-and-verify machinery simhash uses
+    * ([[Dedup.hammingNearDups]] — rotated key windows, capBuckets skew
+    * guard, exact `bit_count(xor)` verdict). Catches re-encodes, minor
+    * crops/edits, brightness tweaks — the image-side dedup a multimodal
+    * training corpus needs where byte-level dedup sees distinct files. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 2,
+      keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
+    imageNearDupsWith(media, decoderClass(media.sparkSession),
+      maxHamming, keyBits, maxBucket)
+
+  /** [[imageNearDups]] with an explicit [[MediaDecoder]] class. */
+  def imageNearDupsWith(media: DataFrame, decoderCls: String,
+      maxHamming: Int = 2, keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
+    Dedup.hammingNearDups(
+      imageHashesWith(media, decoderCls).select(col("doc_id"), col("img_hash")),
+      "img_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket)
 
   /** Build a media table over the documents corpus: text bytes stand in
     * for the media payload (deterministic, offline). */
@@ -359,6 +462,100 @@ object Multimodal {
       SELECT doc_id, width, height,
         CAST(sum(v) AS DOUBLE) / (width * height) AS channel_mean
       FROM px GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
+    // Perceptual image hash through the REAL decoder, oracle-gated: the
+    // synthetic gradient PNGs' block sums are exact integers, so DuckDB
+    // recomputes every hash bit arithmetically from the same pixel
+    // formula — engine-independent verification of decode → block-sum →
+    // bit → row-byte, the whole perceptual-hash path. (Dims are
+    // multiples of the grid so blocks are uniform; the kernel's floor
+    // boundaries cover ragged dims deterministically but the oracle
+    // covers the uniform case.)
+    ("m08_image_hash", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + 8 * (id % 2)).toInt
+            val h = 8
+            val px = Array.tabulate(w * h)(i =>
+              (((i % w) * 7L + (i / w) * 5L + id * 3L) % 256L).toInt)
+            (id, "image",
+              graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      imageHashesWith(png, classOf[PngDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"), col("row_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(8 + 8 * (doc_id % 2) AS INTEGER) AS width,
+          8 AS height
+        FROM documents),
+      xs AS (
+        SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM dims),
+      pix AS (
+        SELECT doc_id, width, height, x, unnest(range(0, height)) AS y FROM xs),
+      blocks AS (
+        SELECT doc_id, width, height,
+          CAST((x * 8) // width AS INTEGER) AS bx, CAST(y AS INTEGER) AS by,
+          sum((x * 7 + y * 5 + doc_id * 3) % 256) AS bsum
+        FROM pix GROUP BY doc_id, width, height, bx, by),
+      tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY doc_id),
+      bits AS (
+        SELECT b.doc_id, b.width, b.height, b.by, b.bx,
+          CASE WHEN b.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+      rws AS (
+        SELECT doc_id, width, height, by,
+          CAST(sum(bit * (1 << bx)) AS INTEGER) AS row_byte
+        FROM bits GROUP BY doc_id, width, height, by)
+      SELECT doc_id, width, height,
+        list(row_byte ORDER BY by) AS row_bytes
+      FROM rws GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
+    // Image near-duplicate pairs over planted identities: ids ≡ 0 mod 97
+    // share one image, ids ≡ 0 mod 89 (and not 97) carry the same image
+    // with one corner block brightened (a hamming-1-or-2 edit), everyone
+    // else is unique. Rows-only (the banded-hamming join is not
+    // SQL-expressible); planted-pair semantics are spec-gated in PngSpec
+    // over hand-built bit patterns.
+    ("m09_image_neardup", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16; val h = 8
+            val px =
+              if (id % 97 == 0)
+                Array.tabulate(w * h)(i =>
+                  (((i % w) * 3L + (i / w) * 11L + 7L) % 256L).toInt)
+              else if (id % 89 == 0)
+                Array.tabulate(w * h) { i =>
+                  val base = (((i % w) * 3L + (i / w) * 11L + 7L) % 256L).toInt
+                  // brighten the (0,0) block: x<2, y=0
+                  if (i % w < 2 && i / w == 0) (base + 96) % 256 else base
+                }
+              else {
+                // unique images must vary MULTIPLICATIVELY per doc: the
+                // hash is additive-shift invariant by construction (a
+                // brightness offset moves every block sum and the total
+                // in proportion), so `gradient + id` would collide all
+                // "unique" docs onto one hash
+                val m1 = (id * 2654435761L) % 251L + 2L
+                val m2 = (id * 40503L) % 239L + 3L
+                Array.tabulate(w * h)(i =>
+                  (((i % w) * m1 + (i / w) * m2 + id) % 256L).toInt)
+              }
+            (id, "image",
+              graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      imageNearDupsWith(png, classOf[PngDecoder].getName, maxHamming = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, None),
 
     // Per-label embedding band statistics through the mergeable
     // BandStats aggregator (A12's raster-stats shape over float arrays;

@@ -432,4 +432,6 @@ class ConstToyDecoder extends graft.operators.Multimodal.MediaDecoder {
   def decode(payload: Array[Byte]): (Int, Int, Double) = (7, 9, 3.5)
   def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) =
     (3, 4, Array[Byte](1, 2))
+  def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) =
+    (7, 9, Array.tabulate(grid * grid)(_.toLong))
 }

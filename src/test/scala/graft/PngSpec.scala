@@ -1,7 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import java.util.zip.{CRC32, Deflater}
 
 import graft.kernel.Png
@@ -13,8 +11,10 @@ import graft.operators.Multimodal
   * `java.util.zip.Deflater` — the opposite direction from the decoder's
   * Inflater — compressing the hand-built filtered scanlines. Expected
   * pixels are written out literally, not derived by code under test.
+  * Also gates the perceptual-hash family built on the decoder (m08/m09):
+  * hand-computed block sums, re-encode collision, constructed hamming.
   */
-class PngSpec extends AnyFunSuite {
+class PngSpec extends SparkSuite {
 
   /** Assemble a PNG from hand-built FILTERED scanlines (filter byte +
     * row bytes, exactly what sits inside the zlib stream). */
@@ -158,6 +158,57 @@ class PngSpec extends AnyFunSuite {
       .resize(Png.encode(Png.Image(3, 3, 1, 8, px)))
     assert(rw == 2 && rh == 2)
     assert(Png.decode(thumb).samples.toSeq == Seq(2, 3, 6, 8))
+  }
+
+  test("PngDecoder.blockSums: hand-computed integer block sums") {
+    // 4×2 gray, grid 2: blocks are 2×1 — sums 0+10, 20+30, 40+50, 60+70
+    val px = Array(0, 10, 20, 30, 40, 50, 60, 70)
+    val (w, h, sums) = new Multimodal.PngDecoder()
+      .blockSums(Png.encode(Png.Image(4, 2, 1, 8, px)), 2)
+    assert(w == 4 && h == 2)
+    assert(sums.toSeq == Seq(10L, 50L, 90L, 130L))
+  }
+
+  test("perceptual hash is pixel-derived: gray and RGB(v,v,v) re-encodes collide") {
+    // the same picture stored two ways — single-channel gray and
+    // truecolor with r=g=b — has different PNG bytes but identical hash
+    // bits (luminance sums scale uniformly by 3; the bit rule is
+    // scale-free). Byte-level dedup sees two files; the hash sees one.
+    val spark2 = spark
+    import spark2.implicits._
+    val px = Array.tabulate(64)(i => (i * 4) % 256)
+    val gray = Png.encode(Png.Image(8, 8, 1, 8, px))
+    val rgb = Png.encode(Png.Image(8, 8, 3, 8,
+      Array.tabulate(192)(i => px(i / 3))))
+    assert(!gray.sameElements(rgb))
+    val media = Seq((1L, "image", gray), (2L, "image", rgb))
+      .toDF("doc_id", "media_type", "payload")
+    val hashes = Multimodal.imageHashesWith(media,
+        classOf[Multimodal.PngDecoder].getName)
+      .select("doc_id", "img_hash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L), "re-encode changed the perceptual hash")
+  }
+
+  test("imageNearDups: identical pair at hamming 0, one-block edit at 1, inverse unpaired") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 8×8 at grid 8: every pixel is its own block, so bits are exactly
+    // the bright pixels — hamming distances are constructed, not hoped
+    val checker = Array.tabulate(64)(i => if ((i % 8 + i / 8) % 2 == 0) 200 else 0)
+    val oneFlip = checker.clone(); oneFlip(1) = 200 // pixel (1,0): 0 → 200
+    val inverse = checker.map(v => 200 - v)
+    val media = Seq(
+      (1L, "image", Png.encode(Png.Image(8, 8, 1, 8, checker))),
+      (2L, "image", Png.encode(Png.Image(8, 8, 1, 8, checker))), // re-encode
+      (3L, "image", Png.encode(Png.Image(8, 8, 1, 8, oneFlip))),
+      (4L, "image", Png.encode(Png.Image(8, 8, 1, 8, inverse))))
+      .toDF("doc_id", "media_type", "payload")
+    val pairs = Multimodal.imageNearDupsWith(media,
+        classOf[Multimodal.PngDecoder].getName, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1),
+      s"got $pairs")
   }
 
   test("committed golden PNG decodes to its analytic gradient (m07 shape, doc_id=42)") {
