@@ -164,6 +164,71 @@ object Curate {
         col("sum_wq").cast("double") / col("n_tokens") / lit(1073741824L))
   }
 
+  /** CCNet-style n-gram language-model quality score (Wenzek et al.
+    * 2020: documents ranked by a target-language LM): a word-BIGRAM LM
+    * with stupid backoff (Brants et al. 2007, α = 0.4) trained on the
+    * target slice, scored as the MEAN per-token probability in Q30 fixed
+    * point. True perplexity is the geometric mean and needs `ln` — the
+    * one step two engines won't bit-match (t25's lesson) — so the score
+    * is the arithmetic mean: the same more-target-like ⇒ higher
+    * monotone signal, exactly engine-reproducible.
+    *
+    * Per token (1-based position i): i = 1 scores the unigram
+    * `c(w₁)/T`; i > 1 scores the bigram `c(w₍ᵢ₋₁₎wᵢ)/c(w₍ᵢ₋₁₎)` when
+    * the bigram was seen, else backs off to `0.4·c(wᵢ)/T` (computed as
+    * the single division `2c/5T` — α itself is not a binary-exact
+    * constant), else 0 for OOV. Every probability is ONE
+    * correctly-rounded division of two exact integers scaled by 2³⁰ and
+    * floored, so per-document sums are integer arithmetic all the way
+    * down and the DuckDB oracle hash-matches the trained LM bit-for-bit.
+    *
+    * Scale: counts are two aggregations over the target; scoring
+    * shuffles the exploded corpus by word for three hash joins
+    * (bigram, prev-unigram, cur-unigram) then re-aggregates per doc —
+    * vocabulary-sized frames never broadcast, nothing corpus². */
+  def lmScore(docs: DataFrame, target: DataFrame): DataFrame = {
+    val Q = 1073741824L // 2^30
+    def tokens(df: DataFrame) =
+      df.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+    val tTok = tokens(target)
+      .select(explode(col("toks")).as("w")).filter(col("w") =!= "")
+    val uni = tTok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = uni.agg(sum(col("cu"))).head().getLong(0)
+    val bi = tokens(target)
+      .select(posexplode(col("toks")).as(Seq("pos", "cur")), col("toks"))
+      .filter(col("pos") > 0 && col("cur") =!= "")
+      .select(element_at(col("toks"), col("pos")).as("prev"), col("cur"))
+      .filter(col("prev") =!= "")
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+
+    val positions = tokens(docs)
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "cur")))
+      .select(col("doc_id"), col("cur"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"))
+    val scored = positions
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uni.select(col("w").as("prev"), col("cu").as("cu_prev")), Seq("prev"), "left")
+      .join(uni.select(col("w").as("cur"), col("cu").as("cu_cur")), Seq("cur"), "left")
+      .select(col("doc_id"),
+        when(col("prev").isNull,
+            // first token: plain unigram probability
+            when(col("cu_cur").isNotNull,
+              floor(col("cu_cur").cast("double") / lit(total.toDouble) * Q)
+                .cast("long")).otherwise(lit(0L)))
+          .when(col("cb").isNotNull,
+            floor(col("cb").cast("double") / col("cu_prev").cast("double") * Q)
+              .cast("long"))
+          .when(col("cu_cur").isNotNull,
+            floor((col("cu_cur") * 2).cast("double") / lit((5L * total).toDouble) * Q)
+              .cast("long"))
+          .otherwise(lit(0L)).as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("lm_q30_sum"))
+      .withColumn("lm_mean",
+        col("lm_q30_sum").cast("double") / (col("n_tokens") * lit(Q)).cast("double"))
+  }
+
   /** Corpus-level frequent lines — the CCNet/C4 boilerplate census: a
     * line (nav menu, cookie banner, copyright footer) that recurs across
     * `minDocs`+ DISTINCT documents is boilerplate, not content. One
@@ -214,6 +279,55 @@ object Curate {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Bigram-LM quality score: the LM trains on the English slice and
+    // scores every document — the CCNet ranking signal. Oracle-gated
+    // bit-for-bit INCLUDING the trained LM (see lmScore: every
+    // probability is one correctly-rounded integer division in Q30).
+    ("t32_lm_score", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      lmScore(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (
+        SELECT w, count(*) AS cu FROM (
+          SELECT unnest(t) AS w FROM toks WHERE lang = 'en') u
+        WHERE w <> '' GROUP BY w),
+      tot AS (SELECT sum(cu) AS tt FROM uni),
+      pos AS (
+        SELECT doc_id, lang, t,
+          unnest(range(1, len(t) + 1)) AS i
+        FROM toks),
+      bi AS (
+        SELECT prev, cur, count(*) AS cb FROM (
+          SELECT t[i - 1] AS prev, t[i] AS cur
+          FROM pos WHERE lang = 'en' AND i > 1) p
+        WHERE prev <> '' AND cur <> '' GROUP BY prev, cur),
+      scored AS (
+        SELECT p.doc_id,
+          CASE
+            WHEN p.i = 1 THEN
+              CASE WHEN uc.cu IS NOT NULL
+                THEN CAST(floor(CAST(uc.cu AS DOUBLE) / CAST(tot.tt AS DOUBLE) * 1073741824) AS BIGINT)
+                ELSE 0 END
+            WHEN b.cb IS NOT NULL
+              THEN CAST(floor(CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE) * 1073741824) AS BIGINT)
+            WHEN uc.cu IS NOT NULL
+              THEN CAST(floor(CAST(uc.cu * 2 AS DOUBLE) / CAST(5 * tot.tt AS DOUBLE) * 1073741824) AS BIGINT)
+            ELSE 0 END AS q
+        FROM pos p
+        LEFT JOIN bi b ON p.i > 1 AND b.prev = p.t[p.i - 1] AND b.cur = p.t[p.i]
+        LEFT JOIN uni up ON p.i > 1 AND up.w = p.t[p.i - 1]
+        LEFT JOIN uni uc ON uc.w = p.t[p.i], tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(q) AS BIGINT) AS lm_q30_sum,
+        CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1073741824 AS BIGINT)
+          AS lm_mean
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
     // Hashed linear quality model: GOOD reference = even docs as-is,
     // BAD reference = odd docs reversed (deterministic OOV-ish negative

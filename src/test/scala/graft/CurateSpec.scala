@@ -247,4 +247,46 @@ class CurateSpec extends SparkSuite {
     assert(byId(900002L) < 0.5, s"negative-class text scored ${byId(900002L)}")
     assert(byId(900001L) > byId(900002L))
   }
+
+  test("bigram LM score: hand-computed Q30 probabilities, stupid backoff, OOV") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // target LM corpus: one doc "a b a c" — T = 4; uni a=2, b=1, c=1;
+    // bigrams (a,b)=1, (b,a)=1, (a,c)=1
+    val target = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      // "a b x": unigram a = 2/4 → 2^29; bigram (a,b) = 1/2 → 2^29;
+      // x is OOV with an in-vocab prev → 0
+      (1L, "a b x"),
+      // "c a": unigram c = 1/4 → 2^28; (c,a) unseen, a in vocab →
+      // backoff 2·2/(5·4) = 0.2 → floor(0.2·2^30) = 214748364
+      (2L, "c a"),
+      // whitespace-only text tokenizes to [""], scoring 0 over 1 token
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = Curate.lmScore(docs, target).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 3L, 536870912L + 536870912L,
+      (2L * 536870912L).toDouble / (3L * 1073741824L))))
+    assert(got(1) == ((2L, 2L, 268435456L + 214748364L,
+      (268435456L + 214748364L).toDouble / (2L * 1073741824L))))
+    assert(got(2) == ((3L, 1L, 0L, 0.0)))
+    // determinism: bit-identical on a re-run
+    val again = Curate.lmScore(docs, target).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("bigram LM score ranks target-language documents above others") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val scored = graft.operators.Curate.lmScore(
+        docs, docs.filter(col("lang") === "en"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = scored
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("lm_mean")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} not above non-en ${byLang(false)}")
+  }
 }
