@@ -304,6 +304,38 @@ object Multimodal {
       imageHashesWith(media, decoderCls).select(col("doc_id"), col("img_hash")),
       "img_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket)
 
+  /** Audio feature extraction through the same batched partition kernel
+    * shape as the image path: parse RIFF/PCM ([[graft.kernel.Wav]] —
+    * real pure-JVM decode, not a stub), emit exact-integer features
+    * (sample sum, absolute sum, peak) so the stage is engine-portable
+    * and oracle-checkable. Float features (RMS, spectra) belong in a
+    * downstream projection over these integers. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val a = graft.kernel.Wav.decode(m.payload)
+          var sum = 0L; var absSum = 0L; var peak = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i)
+            sum += s
+            val ab = math.abs(s.toLong)
+            absSum += ab
+            if (ab > peak) peak = ab
+            i += 1
+          }
+          (m.doc_id, a.sampleRate, a.channels, a.samples.length.toLong,
+            sum, absSum, peak)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_channels", "n_samples",
+        "pcm_sum", "pcm_abs_sum", "peak")
+  }
+
   /** Build a media table over the documents corpus: text bytes stand in
     * for the media payload (deterministic, offline). */
   def mediaTable(docs: DataFrame): DataFrame =
@@ -514,6 +546,39 @@ object Multimodal {
       SELECT doc_id, width, height,
         list(row_byte ORDER BY by) AS row_bytes
       FROM rws GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
+    // REAL audio decode, oracle-gated: synthetic PCM waveforms (integer
+    // triangle-ish residues) round-trip through the real WAV encoder and
+    // parser; every emitted feature is an exact integer DuckDB
+    // recomputes from the same sample formula — header layout, chunk
+    // walk, little-endian int16 decode, and the feature math all gated.
+    ("m10_audio_meta", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (64 + id % 64).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((i * 37L + id * 11L) % 4001L) - 2000L).toInt)
+            (id, "audio",
+              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioFeatures(wav).orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS n FROM documents),
+      pos AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+      sm AS (
+        SELECT doc_id, n, (i * 37 + doc_id * 11) % 4001 - 2000 AS s FROM pos)
+      SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(sum(s) AS BIGINT) AS pcm_sum,
+        CAST(sum(abs(s)) AS BIGINT) AS pcm_abs_sum,
+        CAST(max(abs(s)) AS BIGINT) AS peak
+      FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
 
     // Image near-duplicate pairs over planted identities: ids ≡ 0 mod 97
     // share one image, ids ≡ 0 mod 89 (and not 97) carry the same image
