@@ -336,6 +336,60 @@ object Multimodal {
         "pcm_sum", "pcm_abs_sum", "peak")
   }
 
+  /** Audio fingerprint (Shazam-lite energy-delta hash): the decoded
+    * sample stream splits into `frames` segments (floor boundaries
+    * `k·n/frames` — the 1-D form of the image hash's block scheme), each
+    * segment's energy is the exact integer Σ|s|, and bit k is set iff
+    * `energy(k+1) > energy(k)`. 65 segments → 64 delta bits, packed one
+    * byte per 8 bits (`row_bytes`) plus the 64-bit form (`audio_hash`).
+    *
+    * The comparison chain makes the fingerprint AMPLITUDE-invariant by
+    * construction (volume scales every energy in proportion, the
+    * greater-than chain is unchanged) — the audio analog of the image
+    * hash's brightness-shift invariance — and all-integer, so the bits
+    * are engine-portable and m11 is oracle-gated. */
+  def audioFingerprints(media: DataFrame, frames: Int = 65): DataFrame = {
+    require(frames >= 2 && frames <= 65, s"frames $frames outside 2..65")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val a = graft.kernel.Wav.decode(m.payload)
+          val n = a.samples.length
+          require(n >= frames, s"doc ${m.doc_id}: $n samples < $frames frames")
+          val energy = new Array[Long](frames)
+          var i = 0
+          while (i < n) {
+            energy(((i.toLong * frames) / n).toInt) += math.abs(a.samples(i).toLong)
+            i += 1
+          }
+          val nBits = frames - 1
+          val rowBytes = new Array[Int]((nBits + 7) / 8)
+          var k = 0
+          while (k < nBits) {
+            if (energy(k + 1) > energy(k)) rowBytes(k / 8) |= 1 << (k % 8)
+            k += 1
+          }
+          var hash = 0L
+          var r = 0
+          while (r < rowBytes.length) { hash |= rowBytes(r).toLong << (8 * r); r += 1 }
+          (m.doc_id, n.toLong, rowBytes.toSeq, hash)
+        }
+      }
+      .toDF("doc_id", "n_samples", "row_bytes", "audio_hash")
+  }
+
+  /** Audio near-duplicate pairs: fingerprints through the shared banded
+    * hamming machinery ([[Dedup.hammingNearDups]]) — catches re-encodes
+    * and volume changes of the same recording. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 2,
+      keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
+    Dedup.hammingNearDups(
+      audioFingerprints(media).select(col("doc_id"), col("audio_hash")),
+      "audio_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket)
+
   /** Build a media table over the documents corpus: text bytes stand in
     * for the media payload (deterministic, offline). */
   def mediaTable(docs: DataFrame): DataFrame =
@@ -579,6 +633,90 @@ object Multimodal {
         CAST(sum(abs(s)) AS BIGINT) AS pcm_abs_sum,
         CAST(max(abs(s)) AS BIGINT) AS peak
       FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // Audio fingerprint through the real WAV parser, oracle-gated like
+    // m08: 65 uniform segments of the synthetic waveform, integer
+    // energies, delta bits recomputed by DuckDB via a LEAD window over
+    // the grouped energies — decode, segmentation, energy math, bit
+    // chain, and byte packing all hash-verified.
+    ("m11_audio_hash", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 65 * (10 + id % 7).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((i * 37L + id * 11L) % 4001L) - 2000L).toInt)
+            (id, "audio",
+              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioFingerprints(wav)
+        .select(col("doc_id"), col("n_samples"), col("row_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(10 + doc_id % 7 AS INTEGER) AS seg,
+          CAST(65 * (10 + doc_id % 7) AS INTEGER) AS n
+        FROM documents),
+      pos AS (SELECT doc_id, seg, n, unnest(range(0, n)) AS i FROM dims),
+      en AS (
+        SELECT doc_id, n, CAST((i * 65) // n AS INTEGER) AS k,
+          sum(abs((i * 37 + doc_id * 11) % 4001 - 2000)) AS e
+        FROM pos GROUP BY doc_id, n, k),
+      bits AS (
+        SELECT doc_id, n, k,
+          CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY k) > e
+            THEN 1 ELSE 0 END AS bit
+        FROM en),
+      bytes AS (
+        SELECT doc_id, n, k // 8 AS r,
+          CAST(sum(bit * (1 << (k % 8))) AS INTEGER) AS b
+        FROM bits WHERE k < 64 GROUP BY doc_id, n, r)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        list(b ORDER BY r) AS row_bytes
+      FROM bytes GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // Audio near-dup pairs over planted identities: ids ≡ 0 mod 97
+    // share one waveform, ids ≡ 0 mod 89 (not 97) carry the same
+    // waveform at half volume — amplitude-invariant, so hamming 0 —
+    // everyone else gets genuinely different (multiplicative) waveforms.
+    // Rows-only; constructed-hamming semantics spec-gated in WavSpec.
+    ("m12_audio_neardup", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 650
+            val samples =
+              if (id % 97 == 0)
+                Array.tabulate(n)(i => (((i * 53L + 17L) % 3001L) - 1500L).toInt)
+              else if (id % 89 == 0)
+                // the same recording at half volume (truncating toward
+                // zero keeps energies proportional enough: bits from
+                // strict > on halved sums match the full-volume chain
+                // for this waveform — spec-pinned)
+                Array.tabulate(n)(i => ((((i * 53L + 17L) % 3001L) - 1500L) / 2L).toInt)
+              else
+                // splitmix-style scrambled samples: the fingerprint is
+                // |s|-based, so sign-mirrored or linear-residue streams
+                // collide HONESTLY (same energies) — a nonlinear
+                // finalizer is needed to make distinct docs' bit chains
+                // actually independent
+                Array.tabulate(n) { i =>
+                  var z = i * 0x9E3779B97F4A7C15L + id * 0xBF58476D1CE4E5B9L
+                  z ^= z >>> 30; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+                  (java.lang.Math.floorMod(z, 3801L) - 1900L).toInt
+                }
+            (id, "audio",
+              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioNearDups(wav, maxHamming = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, None),
 
     // Image near-duplicate pairs over planted identities: ids ≡ 0 mod 97
     // share one image, ids ≡ 0 mod 89 (and not 97) carry the same image

@@ -1,15 +1,16 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.kernel.Wav
+import graft.operators.Multimodal
 
 /** [[graft.kernel.Wav]] codec gates — decode tested against hand-built
   * byte streams from the RIFF/WAVE grammar (headers written out
   * literally), independent of the encoder; plus bit-exact round-trips
-  * and loud rejection of the forms the parser does not speak.
+  * and loud rejection of the forms the parser does not speak. Also
+  * gates the audio fingerprint family (m11/m12): hand-computed energy
+  * deltas, amplitude invariance, constructed near-dup hamming.
   */
-class WavSpec extends AnyFunSuite {
+class WavSpec extends SparkSuite {
 
   private def le16(v: Int): Seq[Byte] = Seq(v.toByte, (v >> 8).toByte)
   private def le32(v: Int): Seq[Byte] =
@@ -51,6 +52,56 @@ class WavSpec extends AnyFunSuite {
       assert(back.sampleRate == 16000 && back.channels == ch)
       assert(back.samples.toSeq == samples.toSeq, s"round-trip drift at ch=$ch")
     }
+  }
+
+  test("audio fingerprint: hand-computed energy-delta bits") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 samples, 5 segments of 2: energies |s| sums = 3, 30, 7, 300, 1
+    // → delta bits (e1>e0, e2>e1, e3>e2, e4>e3) = 1, 0, 1, 0 → byte 0b0101
+    val samples = Array(1, -2, 10, -20, 3, 4, 100, -200, 1, 0)
+    val media = Seq((1L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, samples))))
+      .toDF("doc_id", "media_type", "payload")
+    val row = Multimodal.audioFingerprints(media, frames = 5).head()
+    assert(row.getLong(1) == 10L)
+    assert(row.getSeq[Int](2) == Seq(0x05))
+  }
+
+  test("audio fingerprint is amplitude-invariant: double volume, same bits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Array.tabulate(650)(i => ((i * 53 + 17) % 3001) - 1500)
+    val loud = base.map(_ * 2) // exact doubling — still int16 after *2? cap
+    assert(loud.forall(s => s >= -32768 && s <= 32767))
+    val media = Seq(
+      (1L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, base))),
+      (2L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, loud))))
+      .toDF("doc_id", "media_type", "payload")
+    val hashes = Multimodal.audioFingerprints(media)
+      .select("doc_id", "audio_hash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L), "volume change moved the fingerprint")
+  }
+
+  test("audioNearDups: re-encode and volume copy pair up, distinct audio does not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Array.tabulate(650)(i => ((i * 53 + 17) % 3001) - 1500)
+    val half = base.map(_ / 2)
+    val other = Array.tabulate(650)(i => ((i * 211 + 5) % 3801) - 1900)
+    val media = Seq(
+      (1L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, base))),
+      (2L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, base))), // re-encode
+      (3L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, half))),
+      (4L, "audio", Wav.encode(Wav.Audio(8000, 1, 16, other))))
+      .toDF("doc_id", "media_type", "payload")
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2,
+      s"half-volume copy not caught: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct audio paired: $pairs")
   }
 
   test("malformed inputs fail loudly, never misparse") {
