@@ -390,6 +390,43 @@ object Multimodal {
       audioFingerprints(media).select(col("doc_id"), col("audio_hash")),
       "audio_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket)
 
+  /** Real video frame sampling: parse Y4M ([[graft.kernel.Y4m]]), keep
+    * every `stride`-th frame (the m05 decimation, now over REAL frames
+    * instead of byte slices), and emit exact-integer luma-plane stats
+    * per sampled frame — the decode-then-featurize shape a video
+    * training pipeline runs before per-frame models. One input row fans
+    * out to one row per sampled frame inside the partition kernel; the
+    * raw planes never leave the task. */
+  def videoFrameStats(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val v = graft.kernel.Y4m.decode(m.payload)
+          val n = v.width * v.height // luma plane leads every layout
+          v.frames.iterator.zipWithIndex
+            .filter(_._2 % stride == 0)
+            .map { case (f, idx) =>
+              var sum = 0L; var mn = 255; var mx = 0
+              var i = 0
+              while (i < n) {
+                val b = f(i) & 0xff
+                sum += b
+                if (b < mn) mn = b
+                if (b > mx) mx = b
+                i += 1
+              }
+              (m.doc_id, idx, v.width, v.height, sum, mn, mx)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "luma_sum", "luma_min", "luma_max")
+  }
+
   /** Build a media table over the documents corpus: text bytes stand in
     * for the media payload (deterministic, offline). */
   def mediaTable(docs: DataFrame): DataFrame =
@@ -677,6 +714,56 @@ object Multimodal {
       SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
         list(b ORDER BY r) AS row_bytes
       FROM bytes GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // REAL video decode, oracle-gated: synthetic C420 Y4M streams
+    // (analytic luma gradient per frame, flat chroma) through the real
+    // encoder and parser, every 2nd frame sampled, per-frame integer
+    // luma stats hash-compared against DuckDB recomputing them from the
+    // pixel formula — header grammar, FRAME walk, plane layout, stride
+    // sampling, and the feature math all gated.
+    ("m13_video_frames", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 16; val h = 8
+      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (4 + id % 4).toInt
+            val frames = Vector.tabulate(nf) { f =>
+              val frame = new Array[Byte](w * h * 3 / 2)
+              var i = 0
+              while (i < w * h) {
+                frame(i) =
+                  (((i % w) * 7L + (i / w) * 5L + f * 13L + id * 3L) % 256L).toByte
+                i += 1
+              }
+              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+              frame
+            }
+            (id, "video",
+              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      videoFrameStats(y4m, stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + doc_id % 4 AS INTEGER) AS nf FROM documents),
+      fr AS (
+        SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
+      sampled AS (SELECT doc_id, CAST(f AS INTEGER) AS f FROM fr WHERE f % 2 = 0),
+      xs AS (
+        SELECT doc_id, f, unnest(range(0, 16)) AS x FROM sampled),
+      px AS (
+        SELECT doc_id, f, x, unnest(range(0, 8)) AS y FROM xs),
+      lum AS (
+        SELECT doc_id, f, (x * 7 + y * 5 + f * 13 + doc_id * 3) % 256 AS v
+        FROM px)
+      SELECT doc_id, f AS frame_idx, 16 AS width, 8 AS height,
+        CAST(sum(v) AS BIGINT) AS luma_sum,
+        CAST(min(v) AS INTEGER) AS luma_min,
+        CAST(max(v) AS INTEGER) AS luma_max
+      FROM lum GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
 
     // Audio near-dup pairs over planted identities: ids ≡ 0 mod 97
     // share one waveform, ids ≡ 0 mod 89 (not 97) carry the same
