@@ -6,11 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Schemas are read from the parquet footers at runtime — never
   * hand-declared — so the harness cannot drift from the data
-  * (FIXTURES.md §B). The `events` table carries nanosecond parquet
-  * timestamps, which Spark reads as LONG under
-  * `spark.sql.legacy.parquet.nanosAsLong`; [[Tables.events]] normalizes
-  * that back to a microsecond TIMESTAMP column so downstream operators
-  * see one canonical type at every scale factor.
+  * (FIXTURES.md §B). The `events` table's `ts` has shipped in two
+  * on-disk shapes across testdata generations — TIMESTAMP(NANOS) (read
+  * as LONG under `spark.sql.legacy.parquet.nanosAsLong`) and tz-naive
+  * microseconds (read as TIMESTAMP_NTZ); [[Tables.events]] normalizes
+  * BOTH to a microsecond TIMESTAMP column and asserts the result, so
+  * downstream event-time operators see one canonical type at every
+  * scale factor and the next silent testdata drift fails loudly.
   */
 object Tables {
 
