@@ -61,6 +61,34 @@ object AnnIndex {
       .parquet(s"$dir/index.parquet")
   }
 
+  /** Append new vectors to a stored index WITHOUT retraining — the
+    * index-maintenance step a served corpus needs (vectors arrive daily;
+    * the models retrain rarely). Assignment and codes use the STORED
+    * models, so the grown index is row-identical to encoding
+    * corpus ∪ batch with those models (spec-pinned); it is NOT a
+    * retrain — under real distribution shift the standard IVF practice
+    * applies: grow until recall degrades, then rebuild.
+    *
+    * The batch is frozen with an eager localCheckpoint before the
+    * append: if its plan derives from a query over this same index (a
+    * dedup-then-admit flow), Spark's path refresh after the write would
+    * otherwise invalidate and silently recompute it against the
+    * half-grown index — the [[DedupIndex.grow]] lesson. */
+  def grow(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val ix = load(spark, dir)
+    val fns = graft.functions.GraftFunctions
+    val frozen = batch.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    frozen.select(col("vec_id"),
+        explode(fns.nearest_centroids(col("embedding"), ix.centroids,
+          ix.dim, ix.replicas)).as("list_id"),
+        fns.pq_encode(col("embedding"), ix.codebook, ix.dim, ix.m).as("codes"))
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/index.parquet")
+  }
+
   /** Load the models driver-side and the index lazily. */
   def load(spark: SparkSession, dir: String): Loaded = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()

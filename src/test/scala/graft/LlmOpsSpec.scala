@@ -216,6 +216,67 @@ class LlmOpsSpec extends SparkSuite {
     assert(again == fromIndex)
   }
 
+  test("ANN index growth: appended vectors are encoded with the stored models") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val dim = emb.head().getSeq[Float](1).size
+    val dir = tempDir("anngrow").getAbsolutePath
+    AnnIndex.build(emb, s"file:$dir")
+    val before = AnnIndex.load(spark, s"file:$dir")
+    val rowsBefore = before.index
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    // arriving batch: near-copies of two corpus vectors (tiny
+    // perturbation — their exact top-1 must become the new ids)
+    val batch = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 90000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (x * lit(0.001f))).as("embedding"))
+      .cache()
+    AnnIndex.grow(batch, s"file:$dir")
+
+    val grown = AnnIndex.load(spark, s"file:$dir")
+    // parity: the grown index's rows are EXACTLY the old rows plus the
+    // batch encoded with the STORED models (no retrain, nothing changed)
+    val fns = graft.functions.GraftFunctions
+    val expectNew = batch.select(col("vec_id"),
+        explode(fns.nearest_centroids(col("embedding"), before.centroids,
+          before.dim, before.replicas)).as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rowsAfter = grown.index.select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rowsAfter == rowsBefore ++ expectNew)
+    assert((rowsAfter -- rowsBefore).forall(_._1 >= 90000L))
+    // and the codes round the same codebook: grown rows for the batch
+    // match a fresh encode bit-for-bit
+    val grownCodes = grown.index.filter(col("vec_id") >= 90000L)
+      .select("vec_id", "list_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val freshCodes = batch.select(col("vec_id"),
+        explode(fns.nearest_centroids(col("embedding"), before.centroids,
+          before.dim, before.replicas)).as("list_id"),
+        fns.pq_encode(col("embedding"), before.codebook, before.dim,
+          before.m).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(grownCodes == freshCodes)
+
+    // behaviorally: a query at vec 0's position must now SEE the
+    // appended near-copy through the grown index's partitions (the copy
+    // is a uniform scale of vec 0, so it ties the original at cosine
+    // 1.0 — discoverability, not rank order, is the growth claim)
+    val probeQ = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(batch)
+    val neighbors = AnnIndex.topK(grown, probeQ, full, 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(neighbors.contains(90000L),
+      s"appended near-copy not discoverable: $neighbors")
+  }
+
   test("ivfpq ANN: composed prune+compress keeps recall; deterministic") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)
