@@ -56,13 +56,18 @@ object Bench {
       // timings (it cost round 2 its recorded bench signal)
         spark.catalog.clearCache()
         // cache teardown happens OUTSIDE the timed window — the stopwatch
-        // stops the moment count() returns
-        def timedPass(): Double = {
+        // stops the moment count() returns. A timed pass that THROWS must
+        // not record its fail-fast duration as a timing (the round-9
+        // trap, which the warm gate alone doesn't close for transient
+        // failures): it reports the error instead and the pass is void.
+        def timedPass(): Either[String, Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          val r = try { fn(spark, sfDir).count(); Right(()) }
+            catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
           val secs = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          secs
+          r.map(_ => secs)
         }
         // min of two timed passes: transient machine contention inflates a
         // single pass unpredictably (observed 6× on untouched queries);
@@ -70,11 +75,18 @@ object Bench {
         // the two passes disagree >3×, a co-tenant stole the box mid-pass —
         // take a third so the recorded min reflects the engine, not the
         // sandbox's neighbors
-        var passes = Seq(timedPass(), timedPass())
-        if (passes.max > 3 * passes.min) passes = passes :+ timedPass()
-        (name, fn) -> passes.min
+        var attempts = Seq(timedPass(), timedPass())
+        val ok0 = attempts.collect { case Right(s) => s }
+        if (ok0.size == 2 && ok0.max > 3 * ok0.min) attempts = attempts :+ timedPass()
+        attempts.collectFirst { case Left(msg) => msg } match {
+          case Some(msg) =>
+            failed(name) = msg
+            (name, fn) -> Double.NaN
+          case None =>
+            (name, fn) -> attempts.collect { case Right(s) => s }.min
+        }
       }
-    }
+    }.filterNot(_._2.isNaN)
     // Sustained contention can inflate BOTH passes of a query (round 4
     // recorded q39 at 18.8 s vs 1.1 s quiet — the co-tenant held the box
     // through the whole min-of-two window). Re-time the outliers once more
@@ -104,11 +116,14 @@ object Bench {
         prior.get(name).exists(p => best > 3 * p && best > 0.3)
       if (best <= 1.5 && !regressedVsPrior) name -> best
       else {
+        // a recheck that throws keeps the earlier (valid) min — its
+        // fail-fast duration is not a timing
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val again = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        name -> math.min(best, again)
+        name -> (if (ok) math.min(best, again) else best)
       }
     }
     // 3-decimal formatting: the driver records only a bounded tail of
@@ -128,14 +143,9 @@ object Bench {
     val qs = rechecked.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = rechecked.map(_._2).sum
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val failedJson = failed
-      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => JsonUtil.quote(k) + ":" + JsonUtil.quote(v) }
+      .mkString("{", ",", "}")
     // probe/failed fields go AFTER "queries": the driver records a bounded
     // TAIL of stdout (round 8's capture lost the line's head), so anything
     // that must survive truncation belongs at the end of the line

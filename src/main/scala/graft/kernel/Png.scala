@@ -22,8 +22,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 object Png {
 
   /** Decoded raster: `samples` is row-major, channel-interleaved, one
-    * Int per sample (0..255 for depths ≤ 8 after palette expansion,
-    * 0..65535 for depth 16). Palette images expand to RGB. */
+    * Int per sample — 0..255 for depths ≤ 8 (sub-8-bit grayscale scales
+    * by 255/(2^d−1), so 1-bit white is 255, not 1 — the spec's
+    * max-intensity mapping; without it the same picture at depth 1 vs 8
+    * would feature wildly differently), 0..65535 for depth 16. Palette
+    * images expand to RGB. `bitDepth` reports the SOURCE depth. */
   final case class Image(width: Int, height: Int, channels: Int,
       bitDepth: Int, samples: Array[Int])
 
@@ -175,9 +178,11 @@ object Png {
                 val o = row + (x * rawChannels + ch) * 2
                 ((img(o) & 0xff) << 8) | (img(o + 1) & 0xff)
               case 8 => img(row + x * rawChannels + ch) & 0xff
-              case d => // gray 1/2/4-bit
+              case d => // gray 1/2/4-bit, scaled to full 0..255 range
                 val bitOff = x * d
-                (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) & ((1 << d) - 1)
+                val raw = (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) &
+                  ((1 << d) - 1)
+                raw * 255 / ((1 << d) - 1)
             }
             si += 1
             ch += 1

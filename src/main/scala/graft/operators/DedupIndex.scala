@@ -157,18 +157,21 @@ object DedupIndex {
     // 1. ONE folded exact pass (was two chained joins + an anti-join):
     // the corpus contributes min matching id per batch md5 (index side
     // streams past the broadcast batch-md5 set), the batch contributes
-    // its own min id per md5 — a WINDOW over the hashed frame rather
-    // than a separate aggregate + join-back (one exchange on doc_md5
-    // instead of two stages) — and one projection decides all three
-    // exact outcomes: corpus match wins, else earlier batch doc wins,
-    // else the doc survives to the near-dup stages (status NULL)
+    // its own min id per md5 via a partial aggregate joined back through
+    // `probe` — NOT a window over `hashed`: a window would exchange the
+    // full text-bearing batch by doc_md5, where the aggregate shuffles
+    // only (md5, id) pairs and the join-back broadcasts under the
+    // default — and one projection decides all three exact outcomes:
+    // corpus match wins, else earlier batch doc wins, else the doc
+    // survives to the near-dup stages (status NULL)
     import org.apache.spark.sql.expressions.Window
     val cMin = probe(hashed.select(col("doc_md5")).distinct())
       .join(ix.exact, "doc_md5")
       .groupBy(col("doc_md5")).agg(min(col("doc_id")).as("c_min"))
+    val bMin = hashed.groupBy(col("doc_md5"))
+      .agg(min(col("doc_id")).as("b_min"))
     val exact = hashed
-      .withColumn("b_min",
-        min(col("doc_id")).over(Window.partitionBy(col("doc_md5"))))
+      .join(probe(bMin), "doc_md5")
       .join(probe(cMin), Seq("doc_md5"), "left_outer")
       .select(col("doc_id"), col("text"),
         when(col("c_min").isNotNull, lit("exact_corpus"))
@@ -217,13 +220,15 @@ object DedupIndex {
       exSurv.select(col("doc_id").as("node")), pairs)
     val plan = Clusters.dedupPlan(labeled, exSurv)
     // component infection folded into the plan's own partitioning: join
-    // each member's direct corpus link once, then min it per component
-    // as a WINDOW — dedupPlan's output is already hash-partitioned by
-    // component, so this adds no exchange (the former shape was a
-    // separate groupBy(component) aggregate joined back, re-deriving
-    // the same per-component pass twice)
+    // each member's direct corpus link once (through `probe`, so the
+    // hatch governs whether the link set broadcasts), then min it per
+    // component as a WINDOW — when the join broadcasts, dedupPlan's
+    // component partitioning survives it and the window adds no
+    // exchange; under the shuffle hatch the window re-exchanges id-sized
+    // rows, still cheaper than the former groupBy(component) aggregate
+    // joined back (which re-derived the per-component pass twice)
     val enriched = plan
-      .join(crossLinks, Seq("doc_id"), "left_outer")
+      .join(probe(crossLinks), Seq("doc_id"), "left_outer")
       .withColumn("comp_of",
         min(col("direct_of")).over(Window.partitionBy(col("component"))))
 

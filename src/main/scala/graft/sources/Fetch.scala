@@ -102,12 +102,20 @@ object Fetch {
     @transient private lazy val mapper =
       new com.fasterxml.jackson.databind.ObjectMapper()
 
-    private def authed(uri: String): HttpRequest.Builder = {
-      val b = HttpRequest.newBuilder(URI.create(uri))
-      credentials.foreach { case (user, pass) =>
-        b.header("Authorization", "Basic " + Base64.getEncoder
-          .encodeToString(s"$user:$pass".getBytes("UTF-8")))
-      }
+    /** Basic auth is attached ONLY when the target shares the submit
+      * endpoint's host: paced services routinely hand back absolute
+      * status/location URLs on other hosts (presigned object-store
+      * links), and forwarding the provider credentials there would
+      * disclose them cross-origin — and presigned endpoints reject
+      * requests that carry an Authorization header at all. */
+    private def authed(uri: String, submitHost: String): HttpRequest.Builder = {
+      val target = URI.create(uri)
+      val b = HttpRequest.newBuilder(target)
+      if (target.getHost == submitHost)
+        credentials.foreach { case (user, pass) =>
+          b.header("Authorization", "Basic " + Base64.getEncoder
+            .encodeToString(s"$user:$pass".getBytes("UTF-8")))
+        }
       b
     }
 
@@ -120,7 +128,8 @@ object Fetch {
     }
 
     override def fetch(uri: String, destDir: File): File = {
-      val submitted = sendJson(authed(uri)
+      val submitHost = URI.create(uri).getHost
+      val submitted = sendJson(authed(uri, submitHost)
         .POST(HttpRequest.BodyPublishers.ofString(requestBody))
         .header("Content-Type", "application/json").build())
       val requestId = Option(submitted.get("request_id"))
@@ -150,14 +159,14 @@ object Fetch {
         sleeper(interval)
         waited += interval
         interval = math.min(maxPollMs, interval * 3 / 2)
-        node = sendJson(authed(statusUrl).GET().build())
+        node = sendJson(authed(statusUrl, submitHost).GET().build())
       }
 
       val location = Option(node.get("location")).map(_.asText())
         .getOrElse(throw new java.io.IOException(
           s"paced request $requestId completed without a location"))
       val resolved = URI.create(uri).resolve(location).toString
-      val resp = client.send(authed(resolved).GET().build(),
+      val resp = client.send(authed(resolved, submitHost).GET().build(),
         HttpResponse.BodyHandlers.ofByteArray())
       if (resp.statusCode() / 100 != 2)
         throw new java.io.IOException(s"GET $resolved -> HTTP ${resp.statusCode()}")

@@ -155,6 +155,37 @@ class FetchPublishSpec extends SparkSuite {
     }
   }
 
+  test("paced fetch: credentials never forwarded to a cross-host location") {
+    // the stub is one server with two host NAMES: submit on 127.0.0.1,
+    // location on localhost — a presigned-object-store stand-in. The
+    // download must arrive WITHOUT the provider's Authorization header.
+    val crossAuth = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    val payload = "presigned-bytes".getBytes(UTF_8)
+    withServer({
+      case ("/x/retrieve", ex) if ex.getRequestMethod == "POST" =>
+        respond(ex, 200, """{"request_id":"rx","state":"queued"}""".getBytes(UTF_8))
+      case ("/x/retrieve/rx", ex) =>
+        // same-host status poll MUST still carry auth
+        if (!basicAuthOk(ex, "u", "p")) respond(ex, 401, Array.empty)
+        else {
+          val port = ex.getLocalAddress.getPort
+          respond(ex, 200,
+            s"""{"state":"completed","location":"http://localhost:$port/x/out.nc"}"""
+              .getBytes(UTF_8))
+        }
+      case ("/x/out.nc", ex) =>
+        crossAuth.set(Option(ex.getRequestHeaders.getFirst("Authorization")).orNull)
+        respond(ex, 200, payload)
+    }) { base =>
+      val got = new Fetch.PacedFetcher(Some(("u", "p")), pollMs = 1,
+          sleeper = _ => ())
+        .fetch(s"$base/x/retrieve", tempDir("pacedxh"))
+      assert(java.nio.file.Files.readAllBytes(got.toPath).sameElements(payload))
+      assert(crossAuth.get() == null,
+        s"credentials leaked to cross-host location: ${crossAuth.get()}")
+    }
+  }
+
   test("routing fetcher sends paced prefixes through the async protocol") {
     val payload = "prepared".getBytes(UTF_8)
     withServer({

@@ -91,6 +91,16 @@ class PngSpec extends SparkSuite {
       0, 0, 255, 0, 255, 0, 255, 0, 0))
   }
 
+  test("sub-8-bit grayscale scales to the full 0..255 range") {
+    // 1-bit 8×1: bits 1011 0010 → 255,0,255,255,0,0,255,0
+    val g1 = Png.decode(mkPng(8, 1, 1, 0, Array[Int](0, 0xb2).map(_.toByte)))
+    assert(g1.bitDepth == 1)
+    assert(g1.samples.toSeq == Seq(255, 0, 255, 255, 0, 0, 255, 0))
+    // 2-bit 4×1: values 0,1,2,3 packed 0b00011011 → 0, 85, 170, 255
+    val g2 = Png.decode(mkPng(4, 1, 2, 0, Array[Int](0, 0x1b).map(_.toByte)))
+    assert(g2.samples.toSeq == Seq(0, 85, 170, 255))
+  }
+
   test("16-bit gray decode keeps full sample range (big-endian pairs)") {
     val filtered = Array[Int](
       0, 1, 0, 2, 0, // 256, 512
