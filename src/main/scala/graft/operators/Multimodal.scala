@@ -609,7 +609,11 @@ object Multimodal {
         }
         .toDF("doc_id", "media_type", "payload")
       imageHashesWith(png, classOf[PngDecoder].getName)
-        .select(col("doc_id"), col("width"), col("height"), col("row_bytes"))
+        .select(col("doc_id"), col("width"), col("height"),
+          // scalar encoding: the driver's oracle harness sorts whole result
+          // frames, and array cells are unhashable there — join to a string
+          array_join(col("row_bytes").cast("array<string>"), "-")
+            .as("row_bytes"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH dims AS (
@@ -635,7 +639,7 @@ object Multimodal {
           CAST(sum(bit * (1 << bx)) AS INTEGER) AS row_byte
         FROM bits GROUP BY doc_id, width, height, by)
       SELECT doc_id, width, height,
-        list(row_byte ORDER BY by) AS row_bytes
+        string_agg(CAST(row_byte AS VARCHAR), '-' ORDER BY by) AS row_bytes
       FROM rws GROUP BY doc_id, width, height ORDER BY doc_id""")),
 
     // REAL audio decode, oracle-gated: synthetic PCM waveforms (integer
@@ -690,7 +694,10 @@ object Multimodal {
         }
         .toDF("doc_id", "media_type", "payload")
       audioFingerprints(wav)
-        .select(col("doc_id"), col("n_samples"), col("row_bytes"))
+        .select(col("doc_id"), col("n_samples"),
+          // scalar encoding for the driver's sort-based harness (see m08)
+          array_join(col("row_bytes").cast("array<string>"), "-")
+            .as("row_bytes"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH dims AS (
@@ -712,7 +719,7 @@ object Multimodal {
           CAST(sum(bit * (1 << (k % 8))) AS INTEGER) AS b
         FROM bits WHERE k < 64 GROUP BY doc_id, n, r)
       SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
-        list(b ORDER BY r) AS row_bytes
+        string_agg(CAST(b AS VARCHAR), '-' ORDER BY r) AS row_bytes
       FROM bytes GROUP BY doc_id, n ORDER BY doc_id""")),
 
     // REAL video decode, oracle-gated: synthetic C420 Y4M streams
