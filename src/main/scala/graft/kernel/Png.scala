@@ -7,12 +7,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * [[Hdf5]]/[[Tiff]] are built from their public specs — no image
   * library, just `java.util.zip` for the zlib stream.
   *
-  * Decode supports the full non-interlaced static surface: bit depths
-  * 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+α),
-  * 6 (RGBA), all five per-row filters, multi-IDAT streams, chunk CRC
-  * verification. Adam7 interlacing is rejected loudly (progressive
-  * rendering is a display concern; pipeline media should be
-  * non-interlaced, and a silent misdecode would be worse than an error).
+  * Decode supports the full static surface: bit depths 1/2/4/8/16,
+  * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+α), 6 (RGBA),
+  * all five per-row filters, multi-IDAT streams, chunk CRC
+  * verification, and both interlace methods (progressive Adam7 streams
+  * deinterlace to the identical pixels as their sequential twins —
+  * filters apply within each of the seven pass sub-images, spec §8.2).
+  * Dimensions are untrusted input: decode validates the header-implied
+  * sample count against a configurable budget before allocating.
   *
   * Reference behavior anchor: the reference pipeline's per-asset raster
   * statistics over decoded pixels (cloud-optimized-data-pipelines
@@ -40,7 +42,21 @@ object Png {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  def decode(bytes: Array[Byte]): Image = {
+  /** Decoded-sample budget: a corpus decoder sees untrusted headers, so
+    * dimensions are validated against this cap BEFORE any allocation —
+    * a crafted 2³⁰×2³⁰ IHDR must fail with a message, not an Int
+    * overflow into NegativeArraySizeException or an executor OOM. The
+    * default (2²⁸ samples ≈ a 256-megapixel gray or 89-megapixel RGB
+    * image → ≤ 1 GiB of Int samples) is far above real crawl media;
+    * callers with bigger legitimate rasters pass their own bound. */
+  val DefaultMaxSamples: Long = 1L << 28
+
+  /** Adam7 pass geometry (spec §8.2): xStart, yStart, xStep, yStep. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  def decode(bytes: Array[Byte], maxSamples: Long = DefaultMaxSamples): Image = {
     require(isPng(bytes), "not a PNG: bad signature")
     var off = 8
     var width, height, bitDepth, colorType, interlace = -1
@@ -65,8 +81,8 @@ object Png {
           require((bytes(d + 10) & 0xff) == 0, "unknown compression method")
           require((bytes(d + 11) & 0xff) == 0, "unknown filter method")
           interlace = bytes(d + 12) & 0xff
-          require(interlace == 0,
-            "Adam7-interlaced PNG not supported (re-encode non-interlaced)")
+          require(interlace == 0 || interlace == 1,
+            s"unknown interlace method $interlace")
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
         case "PLTE" =>
           require(len % 3 == 0, s"PLTE length $len")
@@ -95,10 +111,37 @@ object Png {
     require(okDepth(bitDepth), s"bit depth $bitDepth invalid for color type $colorType")
     if (colorType == 3) require(palette != null, "palette image missing PLTE")
 
-    // inflate the concatenated IDAT zlib stream
+    // header-derived sizes in LONG, validated against the sample budget
+    // BEFORE any allocation (untrusted input: a crafted huge IHDR must
+    // fail loudly here, not overflow an Int array size or OOM the task)
+    val outChannels = if (colorType == 3) 3 else rawChannels
     val bitsPerPixel = rawChannels * bitDepth
-    val bytesPerRow = (width * bitsPerPixel + 7) / 8
-    val expected = (bytesPerRow + 1) * height
+    val totalSamples = width.toLong * height.toLong * outChannels
+    require(totalSamples <= maxSamples,
+      s"${width}x$height x$outChannels = $totalSamples samples exceeds " +
+        s"the $maxSamples-sample decode budget (corrupt or hostile header?)")
+
+    // pass geometry: one full-image pass, or the seven Adam7 sub-images
+    // (spec §8.2; passes with zero pixels contribute NO bytes, not even
+    // filter bytes)
+    val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+      (if (interlace == 0) Array((0, 0, 1, 1))
+       else Adam7.map(p => (p._1, p._2, p._3, p._4)))
+        .map { case (xs, ys, xStep, yStep) =>
+          val wp = if (width > xs) (width - xs + xStep - 1) / xStep else 0
+          val hp = if (height > ys) (height - ys + yStep - 1) / yStep else 0
+          (xs, ys, xStep, yStep, wp, hp)
+        }
+        .filter { case (_, _, _, _, wp, hp) => wp > 0 && hp > 0 }
+    def rowBytesOf(w: Int): Int = ((w.toLong * bitsPerPixel + 7) / 8).toInt
+    val expectedL = passes.map { case (_, _, _, _, wp, hp) =>
+      (rowBytesOf(wp) + 1).toLong * hp
+    }.sum
+    require(expectedL <= Int.MaxValue - 8,
+      s"filtered stream of $expectedL bytes exceeds a JVM array")
+    val expected = expectedL.toInt
+
+    // inflate the concatenated IDAT zlib stream
     val raw = new Array[Byte](expected)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
@@ -114,83 +157,90 @@ object Png {
     inf.end()
     require(got == expected, s"IDAT inflated to $got bytes, expected $expected")
 
-    // undo per-row filters (spec §6: None/Sub/Up/Average/Paeth). `bpp` is
-    // the per-pixel byte distance for the `a`/`c` neighbors — at least 1
-    // even for sub-byte depths.
-    val bpp = math.max(1, bitsPerPixel / 8)
-    val img = new Array[Byte](bytesPerRow * height)
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (bytesPerRow + 1)) & 0xff
-      val src = y * (bytesPerRow + 1) + 1
-      val dst = y * bytesPerRow
-      val prev = dst - bytesPerRow
-      var x = 0
-      while (x < bytesPerRow) {
-        val rx = raw(src + x) & 0xff
-        val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0
-        val b = if (y > 0) img(prev + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) img(prev + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => rx
-          case 1 => rx + a
-          case 2 => rx + b
-          case 3 => rx + (a + b) / 2
-          case 4 => // Paeth predictor, exactly as specified
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case other => throw new IllegalArgumentException(s"bad filter $other on row $y")
-        }
-        img(dst + x) = (v & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
+    val samples = new Array[Int](totalSamples.toInt)
+    var rawBase = 0
+    passes.foreach { case (xs, ys, xStep, yStep, wp, hp) =>
+      val bytesPerRow = rowBytesOf(wp)
 
-    // unpack bytes to samples; expand palette to RGB
-    val outChannels = if (colorType == 3) 3 else rawChannels
-    val samples = new Array[Int](width * height * outChannels)
-    var si = 0
-    y = 0
-    while (y < height) {
-      val row = y * bytesPerRow
-      var x = 0
-      while (x < width) {
-        if (colorType == 3) {
-          val idx = bitDepth match {
-            case 8 => img(row + x) & 0xff
-            case d => // 1/2/4-bit indices packed big-endian within the byte
-              val bitOff = x * d
-              (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) & ((1 << d) - 1)
+      // undo per-row filters (spec §6: None/Sub/Up/Average/Paeth) within
+      // this pass's sub-image — filters never reach across passes. `bpp`
+      // is the per-pixel byte distance for the `a`/`c` neighbors — at
+      // least 1 even for sub-byte depths.
+      val bpp = math.max(1, bitsPerPixel / 8)
+      val img = new Array[Byte](bytesPerRow * hp)
+      var y = 0
+      while (y < hp) {
+        val ft = raw(rawBase + y * (bytesPerRow + 1)) & 0xff
+        val src = rawBase + y * (bytesPerRow + 1) + 1
+        val dst = y * bytesPerRow
+        val prev = dst - bytesPerRow
+        var x = 0
+        while (x < bytesPerRow) {
+          val rx = raw(src + x) & 0xff
+          val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0
+          val b = if (y > 0) img(prev + x) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) img(prev + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => rx
+            case 1 => rx + a
+            case 2 => rx + b
+            case 3 => rx + (a + b) / 2
+            case 4 => // Paeth predictor, exactly as specified
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => throw new IllegalArgumentException(s"bad filter $other on row $y")
           }
-          require(idx < palette.length, s"palette index $idx out of range")
-          val rgb = palette(idx)
-          samples(si) = (rgb >> 16) & 0xff
-          samples(si + 1) = (rgb >> 8) & 0xff
-          samples(si + 2) = rgb & 0xff
-          si += 3
-        } else {
-          var ch = 0
-          while (ch < rawChannels) {
-            samples(si) = bitDepth match {
-              case 16 =>
-                val o = row + (x * rawChannels + ch) * 2
-                ((img(o) & 0xff) << 8) | (img(o + 1) & 0xff)
-              case 8 => img(row + x * rawChannels + ch) & 0xff
-              case d => // gray 1/2/4-bit, scaled to full 0..255 range
-                val bitOff = x * d
-                val raw = (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) &
-                  ((1 << d) - 1)
-                raw * 255 / ((1 << d) - 1)
-            }
-            si += 1
-            ch += 1
-          }
+          img(dst + x) = (v & 0xff).toByte
+          x += 1
         }
-        x += 1
+        y += 1
       }
-      y += 1
+      rawBase += (bytesPerRow + 1) * hp
+
+      // unpack this pass's bytes to samples, scattered to the pass's
+      // strided pixel positions in the full image; expand palette to RGB
+      y = 0
+      while (y < hp) {
+        val row = y * bytesPerRow
+        var x = 0
+        while (x < wp) {
+          var si = ((ys + y.toLong * yStep) * width +
+            (xs + x.toLong * xStep)).toInt * outChannels
+          if (colorType == 3) {
+            val idx = bitDepth match {
+              case 8 => img(row + x) & 0xff
+              case d => // 1/2/4-bit indices packed big-endian within the byte
+                val bitOff = x * d
+                (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) & ((1 << d) - 1)
+            }
+            require(idx < palette.length, s"palette index $idx out of range")
+            val rgb = palette(idx)
+            samples(si) = (rgb >> 16) & 0xff
+            samples(si + 1) = (rgb >> 8) & 0xff
+            samples(si + 2) = rgb & 0xff
+          } else {
+            var ch = 0
+            while (ch < rawChannels) {
+              samples(si) = bitDepth match {
+                case 16 =>
+                  val o = row + (x * rawChannels + ch) * 2
+                  ((img(o) & 0xff) << 8) | (img(o + 1) & 0xff)
+                case 8 => img(row + x * rawChannels + ch) & 0xff
+                case d => // gray 1/2/4-bit, scaled to full 0..255 range
+                  val bitOff = x * d
+                  val raw = (img(row + bitOff / 8) >> (8 - d - bitOff % 8)) &
+                    ((1 << d) - 1)
+                  raw * 255 / ((1 << d) - 1)
+              }
+              si += 1
+              ch += 1
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
     }
     Image(width, height, outChannels, if (colorType == 3) 8 else bitDepth, samples)
   }

@@ -185,7 +185,14 @@ object Curate {
     * Scale: counts are two aggregations over the target; scoring
     * shuffles the exploded corpus by word for three hash joins
     * (bigram, prev-unigram, cur-unigram) then re-aggregates per doc —
-    * vocabulary-sized frames never broadcast, nothing corpus². */
+    * vocabulary-sized frames never broadcast, nothing corpus².
+    *
+    * Cache contract: the unigram table stays persisted because the
+    * returned frame is LAZY and reads it three times when the caller
+    * finally executes — unpersisting here would re-aggregate the target
+    * per join. Callers owning a long-lived session should
+    * `spark.catalog.clearCache()` (or unpersist) once the score frame is
+    * materialized; the Verify harness does this per query. */
   def lmScore(docs: DataFrame, target: DataFrame): DataFrame = {
     val Q = 1073741824L // 2^30
     def tokens(df: DataFrame) =
@@ -194,7 +201,12 @@ object Curate {
       .select(explode(col("toks")).as("w")).filter(col("w") =!= "")
     val uni = tTok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = uni.agg(sum(col("cu"))).head().getLong(0)
+    val totalRow = uni.agg(sum(col("cu"))).head()
+    require(!totalRow.isNullAt(0),
+      "lmScore: target slice has no tokens — an LM cannot be trained on " +
+        "an empty target; filter/langid upstream produced zero rows or " +
+        "all-whitespace text")
+    val total = totalRow.getLong(0)
     val bi = tokens(target)
       .select(posexplode(col("toks")).as(Seq("pos", "cur")), col("toks"))
       .filter(col("pos") > 0 && col("cur") =!= "")

@@ -229,11 +229,19 @@ object Dedup {
     * signatures (the image perceptual hash in [[Multimodal]]) share the
     * same screen-then-verify discipline: rotated key windows as the
     * candidate screen, [[Scale.capBuckets]] as the skew guard, exact
-    * `bit_count(xor)` as the verdict. */
+    * `bit_count(xor)` as the verdict.
+    *
+    * `sigCount`: pre-computed row count used to size the LSH keys when
+    * `keyBits` is 0. Callers whose `sigs` frame is expensive to produce
+    * (a media-decode kernel Spark cannot prune under a count aggregate)
+    * should count their cheap RAW input — same cardinality, one row per
+    * input — and pass it here so the decode runs once, not twice. */
   def hammingNearDups(sigs: DataFrame, hashCol: String, maxHamming: Int,
-      blocks: Int = 4, keyBits: Int = 0, maxBucket: Int = 100): DataFrame = {
+      blocks: Int = 4, keyBits: Int = 0, maxBucket: Int = 100,
+      sigCount: Long = -1L): DataFrame = {
     val bits = if (keyBits > 0) keyBits
-      else Scale.lshBitsFor(sigs.count(), targetOccupancy = 32, minBits = 16, maxBits = 30)
+      else Scale.lshBitsFor(if (sigCount >= 0) sigCount else sigs.count(),
+        targetOccupancy = 32, minBits = 16, maxBits = 30)
     val mask = (1L << bits) - 1
     val keyed = sigs.select(col("doc_id"), col(hashCol).as("simhash"))
       .select(col("doc_id"), col("simhash"),

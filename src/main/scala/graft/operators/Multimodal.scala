@@ -302,7 +302,10 @@ object Multimodal {
       maxHamming: Int = 2, keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
     Dedup.hammingNearDups(
       imageHashesWith(media, decoderCls).select(col("doc_id"), col("img_hash")),
-      "img_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket)
+      "img_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
+      // LSH key sizing counts the cheap raw frame (same cardinality:
+      // one hash per payload) so the decode kernel runs once, not twice
+      sigCount = media.count())
 
   /** Audio feature extraction through the same batched partition kernel
     * shape as the image path: parse RIFF/PCM ([[graft.kernel.Wav]] —
@@ -388,7 +391,9 @@ object Multimodal {
       keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
     Dedup.hammingNearDups(
       audioFingerprints(media).select(col("doc_id"), col("audio_hash")),
-      "audio_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket)
+      "audio_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
+      // count the raw frame, not the decoded one (see imageNearDupsWith)
+      sigCount = media.count())
 
   /** Real video frame sampling: parse Y4M ([[graft.kernel.Y4m]]), keep
     * every `stride`-th frame (the m05 decimation, now over REAL frames

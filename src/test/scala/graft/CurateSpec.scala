@@ -289,4 +289,13 @@ class CurateSpec extends SparkSuite {
     assert(byLang(true) > byLang(false),
       s"en mean ${byLang(true)} not above non-en ${byLang(false)}")
   }
+
+  test("lmScore: token-free target fails loudly, not with an NPE") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val empty = Seq((2L, "   ")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Curate.lmScore(docs, empty))
+    assert(e.getMessage.contains("no tokens"))
+  }
 }

@@ -125,10 +125,10 @@ class PngSpec extends SparkSuite {
   test("malformed inputs fail loudly, never misdecode") {
     // not a PNG
     assertThrows[IllegalArgumentException](Png.decode("JFIF....".getBytes))
-    // Adam7 interlaced
-    val inter = mkPng(1, 1, 8, 0, Array[Byte](0, 7), interlace = 1)
-    val e1 = intercept[IllegalArgumentException](Png.decode(inter))
-    assert(e1.getMessage.contains("Adam7"))
+    // unknown interlace method (0 and 1 are the only spec values)
+    val badInter = mkPng(1, 1, 8, 0, Array[Byte](0, 7), interlace = 2)
+    val e1 = intercept[IllegalArgumentException](Png.decode(badInter))
+    assert(e1.getMessage.contains("interlace"))
     // corrupted chunk body → CRC mismatch
     val ok = mkPng(1, 1, 8, 0, Array[Byte](0, 7))
     val bad = ok.clone()
@@ -138,6 +138,84 @@ class PngSpec extends SparkSuite {
     // truncated IDAT: drop the last chunks entirely
     val cut = java.util.Arrays.copyOf(ok, 40)
     assertThrows[IllegalArgumentException](Png.decode(cut))
+  }
+
+  /** Adam7 pass geometry duplicated from the spec (NOT from the code
+    * under test): xStart, yStart, xStep, yStep per pass. */
+  private val adam7 =
+    Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Build the interlaced filtered stream for an 8-bit image: per spec
+    * each non-empty pass contributes its own scanlines (filter byte +
+    * pass-row bytes). `subOnPass` rows use filter 1 (Sub, encoded
+    * test-side from the spec formula) to prove filters stay inside a
+    * pass sub-image. */
+  private def interlacedFiltered(w: Int, h: Int, ch: Int,
+      pix: (Int, Int, Int) => Int, subOnPass: Set[Int] = Set()): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    adam7.zipWithIndex.foreach { case ((xs, ys, dx, dy), pi) =>
+      val cols = xs until w by dx
+      val rows = ys until h by dy
+      if (cols.nonEmpty && rows.nonEmpty) rows.foreach { y =>
+        val rowVals = cols.flatMap(x => (0 until ch).map(c => pix(x, y, c)))
+        if (subOnPass(pi)) {
+          out.write(1)
+          rowVals.zipWithIndex.foreach { case (v, i) =>
+            val a = if (i >= ch) rowVals(i - ch) else 0
+            out.write((v - a) & 0xff)
+          }
+        } else {
+          out.write(0)
+          rowVals.foreach(v => out.write(v & 0xff))
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  test("Adam7 interlaced gray decodes bit-exact to its sequential twin") {
+    val w = 8; val h = 8
+    def pix(x: Int, y: Int, c: Int) = (x * 7 + y * 5 + 3) % 256
+    val seqFiltered = (0 until h).flatMap(y =>
+      0 +: (0 until w).map(x => pix(x, y, 0))).map(_.toByte).toArray
+    val straight = Png.decode(mkPng(w, h, 8, 0, seqFiltered))
+    // pass 7 rows use Sub filtering — per-pass neighbors, not full-image
+    val inter = Png.decode(mkPng(w, h, 8, 0,
+      interlacedFiltered(w, h, 1, pix, subOnPass = Set(6)), interlace = 1))
+    assert(inter.width == w && inter.height == h && inter.channels == 1)
+    assert(inter.samples.toSeq == straight.samples.toSeq)
+    assert(straight.samples.toSeq ==
+      (for (y <- 0 until h; x <- 0 until w) yield pix(x, y, 0)))
+  }
+
+  test("Adam7 ragged RGB (5x6): partial and empty passes land correctly") {
+    // width 5 / height 6 leaves pass 2 empty (xStart 4 < 5 keeps it,
+    // but e.g. 3-wide would drop it) and every pass ragged — the shape
+    // that breaks ceil arithmetic if any off-by-one exists
+    val w = 5; val h = 6
+    def pix(x: Int, y: Int, c: Int) = (x * 11 + y * 17 + c * 29 + 1) % 256
+    val seqFiltered = (0 until h).flatMap(y =>
+      0 +: (0 until w).flatMap(x => (0 until 3).map(c => pix(x, y, c))))
+      .map(_.toByte).toArray
+    val straight = Png.decode(mkPng(w, h, 8, 2, seqFiltered))
+    val inter = Png.decode(mkPng(w, h, 8, 2,
+      interlacedFiltered(w, h, 3, pix), interlace = 1))
+    assert(inter.samples.toSeq == straight.samples.toSeq)
+  }
+
+  test("hostile IHDR dimensions are rejected before any allocation") {
+    // 2^30 × 2^30 would overflow Int sample math into a negative array
+    // size or an OOM — the sample budget must reject it first
+    val huge = mkPng(1 << 30, 1 << 30, 8, 0, Array[Byte](0, 7))
+    val e = intercept[IllegalArgumentException](Png.decode(huge))
+    assert(e.getMessage.contains("budget"))
+    // a legitimate image decodes under a caller-supplied tighter budget
+    // only if it fits
+    val ok = mkPng(2, 2, 8, 0, Array[Int](0, 1, 2, 0, 3, 4).map(_.toByte))
+    assert(Png.decode(ok, maxSamples = 4).samples.toSeq == Seq(1, 2, 3, 4))
+    val e2 = intercept[IllegalArgumentException](Png.decode(ok, maxSamples = 3))
+    assert(e2.getMessage.contains("budget"))
   }
 
   test("PngDecoder.decode: channel mean excludes alpha") {
