@@ -86,21 +86,37 @@ object CorpusPipeline {
       .filter(size(split(trim(col("text")), "\\s+")) >= opts.minDocWords))
 
     // 2. exact dedup on the normalized content hash; min doc_id wins
-    // (the d01 idempotent re-ingest rule)
-    val hashed = gated.withColumn("doc_md5",
-      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-    val survivors = hashed.groupBy(col("doc_md5"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val exact = mark("exact_dedup",
-      hashed.join(survivors, Seq("doc_md5", "doc_id"), "left_semi")
-        .drop("doc_md5"))
+    // (the d01 idempotent re-ingest rule). min_by carries the whole
+    // winning row through ONE corpus exchange — the previous
+    // agg-then-semi-join shape paid that same shuffle for the join AND
+    // a second corpus scan
+    val exact = mark("exact_dedup", gated
+      .withColumn("doc_md5",
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .groupBy(col("doc_md5"))
+      .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("row"))
+      .select(col("row.*")))
 
     // 3. near-dup dedup: banded MinHash-LSH pairs → connected
-    // components (large-star/small-star) → apply (broadcast anti-join)
+    // components (large-star/small-star) → apply (broadcast anti-join).
+    // Components and survivor choice run over PAIR ENDPOINTS only — a
+    // document in no candidate pair can never be dropped, so the corpus
+    // never enters the label join or the per-component window (labeling
+    // everything pushed the full corpus through a shuffle+window to
+    // conclude keep=true for ~98% of rows; at 100 TB the endpoint set
+    // is the few percent that collided)
+    // pairs are eagerly checkpointed, not just persisted: every
+    // downstream stage's plan otherwise CONTAINS the whole LSH DAG via
+    // the endpoint set, and Catalyst re-analyzes that tree per action —
+    // measured 131 jobs totalling ~6 task-seconds under ~4 MINUTES of
+    // driver-side planning before this cut. The checkpoint is a
+    // lineage-free leaf the size of the candidate pair list.
     val pairs = Dedup.minhashNearDups(exact, tau = opts.nearDupTau)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val labeled = Clusters.labelAll(
-      exact.select(col("doc_id").as("node")), pairs)
+      .localCheckpoint(true)
+    val endpoints = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node"))).distinct()
+    val labeled = Clusters.labelAll(endpoints, pairs)
     val plan = Clusters.dedupPlan(labeled, exact)
     val neardup = mark("near_dedup", Clusters.applyDedup(exact, plan))
 
