@@ -44,4 +44,50 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Gate provenance for every query WITHOUT a DuckDB oracle: the named
+    * golden-frame / ScalaTest gates that stand in for the hash compare.
+    * `golden:X` = a committed expected frame regenerated only on semantic
+    * change; `spec:X` = property/witness tests in suite X. Queries absent
+    * here are oracle-gated. GatesSpec asserts this map stays total
+    * (every rows-only query names at least one existing suite) and in
+    * sync with the committed gates.json + COVERAGE.md. */
+  private val rowsOnlyGates: Map[String, Seq[String]] = Map(
+    "c01_corpus_curate" -> Seq("spec:CorpusPipelineSpec"),
+    "d03_minhash_lsh" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec", "spec:ScaleSpec"),
+    "d04_simhash_pairs" -> Seq("golden:GoldenDedupSpec", "spec:ScaleSpec"),
+    "d05_winnow_overlap" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
+    "d11_incremental_dedup" -> Seq("spec:DedupIndexSpec", "spec:StreamingSpec"),
+    "k01_approx_distinct" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
+    "k03_approx_quantiles" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
+    "k04_heavy_hitters" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
+    "m03_band_stats" -> Seq("spec:KernelSpec"),
+    "m09_image_neardup" -> Seq("spec:PngSpec"),
+    "m12_audio_neardup" -> Seq("spec:WavSpec"),
+    "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
+    "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
+    "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
+    "s05_ann_pq" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
+    "s06_ann_ivfpq" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
+    "s07_semantic_dedup" -> Seq("spec:LlmOpsSpec"),
+    "s08_embedding_admission" -> Seq("spec:LlmOpsSpec", "spec:StreamingSpec"),
+    "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
+    "t22_bpe_train" -> Seq("spec:TrainingSpec"),
+    "t23_bpe_segment" -> Seq("spec:TrainingSpec"))
+
+  /** (query → gates) for ALL registered queries — "oracle" where a
+    * DuckDB oracle exists, the named rows-only gates otherwise. Written
+    * as gates.json by Verify so the per-query correctness story is a
+    * machine-checkable artifact rather than prose in COVERAGE.md. */
+  def gates: Map[String, Seq[String]] =
+    queries.keySet.map { n =>
+      n -> (if (oracleSql.contains(n)) Seq("oracle")
+            else rowsOnlyGates.getOrElse(n, Seq.empty))
+    }.toMap
+
+  /** [[gates]] rendered as deterministic JSON (sorted keys). */
+  def gatesJson: String =
+    gates.toSeq.sortBy(_._1).map { case (n, gs) =>
+      JsonUtil.quote(n) + ":" + gs.map(JsonUtil.quote).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 }

@@ -39,6 +39,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query gate provenance (oracle vs named golden/spec gates) —
+    // the machine-checkable form of COVERAGE.md's correctness story
+    Files.writeString(Paths.get(s"$outDir/gates.json"), SparkEntry.gatesJson)
     // Always write the manifest (empty {} on a clean run) so its absence
     // vs emptiness is never ambiguous. Exit code stays 0 — a nonzero exit
     // could make the driver discard the healthy queries' dumps too.
