@@ -73,8 +73,17 @@ object AnnIndex {
     * append: if its plan derives from a query over this same index (a
     * dedup-then-admit flow), Spark's path refresh after the write would
     * otherwise invalidate and silently recompute it against the
-    * half-grown index — the [[DedupIndex.grow]] lesson. */
-  def grow(batch: DataFrame, dir: String): Unit = {
+    * half-grown index — the [[DedupIndex.grow]] lesson.
+    *
+    * Finishes with a rewrite-when-fragmented pass
+    * ([[Scale.compactTable]]): daily appends otherwise accumulate one
+    * small file per task per batch in every touched list directory,
+    * and probe cost is per-file, so a long-lived served index degrades
+    * by listing/footer overhead alone. Above `compactAbove` data files
+    * the index parquet is rewritten size-targeted, keeping the list_id
+    * partitioning (the layout IS the inverted file). `compactAbove <= 0`
+    * disables; re-[[load]] after a compacting grow (stale listings). */
+  def grow(batch: DataFrame, dir: String, compactAbove: Int = 64): Unit = {
     val spark = batch.sparkSession
     val ix = load(spark, dir)
     val fns = graft.functions.GraftFunctions
@@ -87,6 +96,9 @@ object AnnIndex {
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$dir/index.parquet")
+    if (compactAbove > 0)
+      Scale.compactTable(spark, s"$dir/index.parquet",
+        partitionCols = Seq("list_id"), maxFiles = compactAbove)
   }
 
   /** Load the models driver-side and the index lazily. */

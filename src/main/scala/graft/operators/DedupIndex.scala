@@ -93,8 +93,18 @@ object DedupIndex {
     * every doc would self-match as exact_corpus, and the band keys would
     * append empty (silent index corruption: exact rows present, bucket
     * rows missing). A checkpoint is a lineage-free leaf, so the path
-    * refresh cannot reach it and both appends see the same frozen rows. */
-  def grow(survivors: DataFrame, dir: String): Unit = {
+    * refresh cannot reach it and both appends see the same frozen rows.
+    *
+    * Each append adds one-file-per-task; over a long crawl loop that is
+    * unbounded small-file accumulation, so grow finishes with a
+    * rewrite-when-fragmented pass ([[Scale.compactTable]]): once either
+    * table exceeds `compactAbove` data files it is rewritten
+    * size-targeted (content identical, layout rebuilt — buckets keep
+    * their band partitioning). `compactAbove <= 0` disables. After a
+    * compacting grow, previously-loaded index frames hold stale file
+    * listings — re-[[load]] per batch, as the crawl loop already does. */
+  def grow(survivors: DataFrame, dir: String,
+      compactAbove: Int = 64): Unit = {
     val spark = survivors.sparkSession
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     val (k, b, r) =
@@ -106,6 +116,12 @@ object DedupIndex {
     keyedBands(frozen, k, b, r)
       .write.mode("append").partitionBy("band")
       .parquet(s"$dir/buckets.parquet")
+    if (compactAbove > 0) {
+      Scale.compactTable(spark, s"$dir/exact.parquet",
+        maxFiles = compactAbove)
+      Scale.compactTable(spark, s"$dir/buckets.parquet",
+        partitionCols = Seq("band"), maxFiles = compactAbove)
+    }
   }
 
   def load(spark: SparkSession, dir: String): Loaded = {

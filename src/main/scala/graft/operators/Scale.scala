@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities for the 100 TB posture (SURVEY §7.4 / builder
@@ -86,6 +86,76 @@ object Scale {
       .max(BigInt(1)).min(BigInt(100000)).toInt
     df.repartition(n).write.mode("overwrite").parquet(path)
     n
+  }
+
+  /** Count of parquet data files under `path` (recursive — includes
+    * partition subdirectories; `_SUCCESS`/metadata files excluded). The
+    * fragmentation signal for [[compactTable]]. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** Rewrite-when-fragmented compaction for an append-maintained parquet
+    * table — the missing maintenance step of any grow loop. Parquet
+    * appends accumulate one-file-per-task-per-append; over a long crawl
+    * loop that is unbounded small-file growth, and small files are the
+    * classic downstream-scan killer (every probe pays per-file open +
+    * footer read + listing).
+    *
+    * If the table at `path` holds more than `maxFiles` data files, it is
+    * rewritten with size-targeted partitioning (the [[compactWrite]]
+    * sizing) into a temporary sibling directory and then swapped in.
+    * Content is preserved exactly (same rows, set semantics); the
+    * physical layout is rebuilt. Returns true iff a rewrite happened.
+    *
+    * `partitionCols` must name the table's hive-style partition columns
+    * (empty for an unpartitioned table); the rewrite preserves that
+    * layout. The exchange is `repartitionByRange` over the partition
+    * columns plus the first data column: ranging (not hashing) on the
+    * partition column co-locates each partition value into FEW
+    * CONSECUTIVE tasks — so files-per-partition-directory stays bounded
+    * by the task count — while the secondary column still splits a hot
+    * partition value across tasks instead of concentrating it on one
+    * (the [[capBuckets]] lesson: never let a maintenance pass become the
+    * skew point).
+    *
+    * Single-writer contract (same as the grow loops it serves): the swap
+    * is delete-then-rename, not atomic under concurrent readers, and any
+    * DataFrame loaded from `path` BEFORE the call holds a stale file
+    * listing afterwards — re-`load` the index after a compacting grow,
+    * exactly as the crawl loop already re-loads per batch. */
+  def compactTable(spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = 128L << 20, maxFiles: Int = 64): Boolean = {
+    if (dataFileCount(spark, path) <= maxFiles) return false
+    val df = spark.read.parquet(path)
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((estimate + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(100000)).toInt
+    val rangeCols = (partitionCols ++
+      df.columns.filterNot(partitionCols.contains).take(1)).map(col)
+    val writer = df.repartitionByRange(n, rangeCols: _*).write
+    val tmp = s"$path.__compact_tmp"
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    true
   }
 
   /** Salted equi-join for a known-skewed big side: the big side's key is

@@ -152,6 +152,59 @@ class DedupIndexSpec extends SparkSuite {
       Map(20L -> "near_corpus", 21L -> "kept"), a)
   }
 
+  test("crawl loop: compaction bounds index file count, verdicts identical") {
+    import graft.operators.Scale
+    // N batches of novel docs (each survives whole) through the crawl
+    // loop twice: compaction disabled vs an aggressive threshold. The
+    // verdicts of a probe after every grow must be identical, and only
+    // the compacted index's file count stays bounded.
+    def novelBatch(i: Int): DataFrame =
+      (0 until 3).map { j =>
+        (1000L + i * 10 + j,
+          (0 until 40).map(w => s"loop${i}doc${j}w$w").mkString(" "))
+      }.toDF("doc_id", "text")
+
+    def runLoop(compactAbove: Int): (String, Seq[Seq[(Long, String)]]) = {
+      val dir = tempDir(s"graft-dedupix-c$compactAbove").toString
+      DedupIndex.build(corpus, dir, K, B, R)
+      var extra = corpus
+      val probes = (0 until 6).map { i =>
+        val b = novelBatch(i)
+        val v = DedupIndex.dedupAgainst(b, extra,
+          DedupIndex.load(spark, dir), TAU)
+        val out = v.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        // all novel: everything admitted, whole batch grows the index
+        DedupIndex.grow(b, dir, compactAbove)
+        extra = extra.unionByName(b)
+        v.unpersist()
+        out
+      }
+      (dir, probes)
+    }
+
+    val (plainDir, plainProbes) = runLoop(0)      // never compacts
+    val (compDir, compProbes) = runLoop(8)        // compacts aggressively
+    assert(compProbes == plainProbes)             // verdict parity per batch
+    // a cross-batch re-crawl probe answers identically post-compaction
+    val recrawl = Seq((9000L, novelBatch(2).head().getString(1)))
+      .toDF("doc_id", "text")
+    def probe(d: String) = DedupIndex.dedupAgainst(recrawl, corpus,
+      DedupIndex.load(spark, d), TAU).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(probe(compDir) == probe(plainDir))
+    assert(probe(compDir) == Seq((9000L, "exact_corpus", 1020L)))
+    // and the file counts: unbounded growth vs bounded
+    def files(d: String) = Scale.dataFileCount(spark, s"$d/exact.parquet") +
+      Scale.dataFileCount(spark, s"$d/buckets.parquet")
+    assert(files(compDir) < files(plainDir),
+      s"compacted ${files(compDir)} vs plain ${files(plainDir)}")
+    // bounded: exact ≤ 8 post-rewrite + ≤1 batch of appends since;
+    // buckets likewise (appends land one file per band per task)
+    assert(Scale.dataFileCount(spark, s"$compDir/exact.parquet") <= 16,
+      Scale.dataFileCount(spark, s"$compDir/exact.parquet"))
+  }
+
   test("broadcastKeys=false (backfill shuffle-join hatch) matches the broadcast path") {
     val dir = tempDir("graft-dedupix-h").toString
     DedupIndex.build(corpus, dir, K, B, R)

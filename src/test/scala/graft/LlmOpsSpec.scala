@@ -275,6 +275,25 @@ class LlmOpsSpec extends SparkSuite {
       .collect().map(_.getLong(2)).toSet
     assert(neighbors.contains(90000L),
       s"appended near-copy not discoverable: $neighbors")
+
+    // long grow loop with compaction: file count stays bounded and the
+    // compacted index's rows are identical to the uncompacted ones
+    val preRows = rowsAfter
+    (0 until 5).foreach { i =>
+      val b = emb.filter(col("vec_id") < 2)
+        .select((col("vec_id") + 95000L + i * 10).as("vec_id"),
+          col("embedding"))
+      AnnIndex.grow(b, s"file:$dir", compactAbove = 8)
+    }
+    val files = graft.operators.Scale.dataFileCount(spark,
+      s"file:$dir/index.parquet")
+    assert(files <= 8 + grown.nlist,
+      s"index fragmented to $files files after 5 compacting grows")
+    val loopRows = AnnIndex.load(spark, s"file:$dir").index
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert((loopRows -- preRows).forall(_._1 >= 95000L))
+    assert(preRows.subsetOf(loopRows))
   }
 
   test("ivfpq ANN: composed prune+compress keeps recall; deterministic") {

@@ -283,4 +283,45 @@ class ScaleSpec extends SparkSuite {
     assert(spark.read.parquet(one).count() == li.count())
     assert(spark.read.parquet(many).count() == li.count())
   }
+
+  test("compactTable: rewrite-when-fragmented preserves content and partitioning") {
+    import spark.implicits._
+    import graft.operators.Scale
+
+    // unpartitioned table fragmented by 12 multi-task appends
+    val flat = tempDir("ctflat").getAbsolutePath
+    (0 until 12).foreach { i =>
+      spark.range(i * 100, i * 100 + 100).toDF("id").repartition(4)
+        .write.mode("append").parquet(flat)
+    }
+    assert(Scale.dataFileCount(spark, flat) == 48)
+    // below threshold: no-op
+    assert(!Scale.compactTable(spark, flat, maxFiles = 64))
+    assert(Scale.dataFileCount(spark, flat) == 48)
+    // above threshold: rewritten, same rows, bounded files
+    assert(Scale.compactTable(spark, flat, maxFiles = 16))
+    assert(Scale.dataFileCount(spark, flat) <= 16)
+    assert(spark.read.parquet(flat).select("id").as[Long].collect().sorted
+      .toSeq == (0L until 1200L))
+
+    // hive-partitioned table: partition dirs survive, rows identical
+    val part = tempDir("ctpart").getAbsolutePath
+    (0 until 12).foreach { i =>
+      spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), (col("id") % 4).cast("int").as("band"))
+        .repartition(4)
+        .write.mode("append").partitionBy("band").parquet(part)
+    }
+    val before = spark.read.parquet(part).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(Scale.compactTable(spark, part, partitionCols = Seq("band"),
+      maxFiles = 16))
+    assert(Scale.dataFileCount(spark, part) <= 16)
+    val dirs = new java.io.File(part).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("band=0", "band=1", "band=2", "band=3"))
+    val after = spark.read.parquet(part).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(after == before)
+  }
 }
