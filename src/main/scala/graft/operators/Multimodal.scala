@@ -152,6 +152,106 @@ object Multimodal {
     }
   }
 
+  /** Real decoder: pure-JVM baseline JPEG via [[graft.kernel.Jpeg]]
+    * (public T.81/JFIF spec — no image library). The crawl-dominant
+    * image format; non-JPEG payloads are rejected loudly. Feature
+    * semantics mirror [[PngDecoder]]: JPEG has no alpha, so every
+    * channel is a color channel; `resize` is the same half-scale box
+    * filter re-encoded as baseline 4:4:4 JPEG with flat quantization. */
+  final class JpegDecoder extends MediaDecoder {
+    import graft.kernel.Jpeg
+
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val img = Jpeg.decode(payload)
+      var sum = 0L
+      var i = 0
+      while (i < img.samples.length) { sum += img.samples(i); i += 1 }
+      (img.width, img.height,
+        sum.toDouble / (img.width.toLong * img.height * img.channels))
+    }
+
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) = {
+      val img = Jpeg.decode(payload)
+      val sums = new Array[Long](grid * grid)
+      var y = 0
+      while (y < img.height) {
+        val by = y * grid / img.height
+        var x = 0
+        while (x < img.width) {
+          val bx = x * grid / img.width
+          var c = 0
+          var lum = 0L
+          while (c < img.channels) {
+            lum += img.samples((y * img.width + x) * img.channels + c)
+            c += 1
+          }
+          sums(by * grid + bx) += lum
+          x += 1
+        }
+        y += 1
+      }
+      (img.width, img.height, sums)
+    }
+
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = Jpeg.decode(payload)
+      val rw = math.max(1, (img.width + 1) / 2)
+      val rh = math.max(1, (img.height + 1) / 2)
+      val ch = img.channels
+      val out = new Array[Int](rw * rh * ch)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val x0 = x * 2; val y0 = y * 2
+          val xN = math.min(2, img.width - x0)
+          val yN = math.min(2, img.height - y0)
+          var c = 0
+          while (c < ch) {
+            var sum = 0
+            var dy = 0
+            while (dy < yN) {
+              var dx = 0
+              while (dx < xN) {
+                sum += img.samples(((y0 + dy) * img.width + x0 + dx) * ch + c)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * rw + x) * ch + c) = sum / (xN * yN)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (rw, rh, Jpeg.encode(Jpeg.Image(rw, rh, ch, out)))
+    }
+  }
+
+  /** Format-sniffing image decoder — the real-crawl dispatch: a crawled
+    * corpus mixes containers, and PIXELS, not container bytes, decide
+    * duplication (the same picture saved as PNG and re-saved as JPEG
+    * must land on the same perceptual hash). Routes by file signature to
+    * [[PngDecoder]] or [[JpegDecoder]]; unknown formats are rejected
+    * loudly (the DLQ contract at the kernel boundary — a silent fake
+    * feature would poison the dedup tables). */
+  final class ImageDecoder extends MediaDecoder {
+    private val png = new PngDecoder
+    private val jpeg = new JpegDecoder
+    private def route(payload: Array[Byte]): MediaDecoder =
+      if (graft.kernel.Png.isPng(payload)) png
+      else if (graft.kernel.Jpeg.isJpeg(payload)) jpeg
+      else throw new IllegalArgumentException(
+        "unknown image format (not PNG or JPEG)")
+    def decode(payload: Array[Byte]): (Int, Int, Double) =
+      route(payload).decode(payload)
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) =
+      route(payload).blockSums(payload, grid)
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+      route(payload).resize(payload)
+  }
+
   /** STUB decoder (test/offline baseline — the driver corpus carries text
     * stand-in payloads, not decodable media): derives deterministic fake
     * dimensions/stats from the payload's sha-256 digest so the pipeline
@@ -856,6 +956,154 @@ object Multimodal {
         }
         .toDF("doc_id", "media_type", "payload")
       imageNearDupsWith(png, classOf[PngDecoder].getName, maxHamming = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, None),
+
+    // REAL JPEG decode, oracle-gated (the m07 treatment for the
+    // crawl-dominant format): synthesize a baseline 4:2:0 color JFIF per
+    // document from constant 8×8 tiles of gray-valued pixels — a
+    // constant tile's DCT is DC-only, gray pixels make chroma exactly
+    // 128, and flat quantization keeps both, so the lossy codec is
+    // BIT-EXACT on this family (JpegSpec pins the theorem) and DuckDB
+    // can recompute the decoded features arithmetically. Pins marker
+    // parse → Huffman → dequant → IDCT → upsample → YCbCr→RGB → feature
+    // math against an engine that never saw the JPEG.
+    ("m14_jpeg_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (16 * (1 + id % 2)).toInt
+            val h = (16 * (1 + id % 3)).toInt
+            val rgb = new Array[Int](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (((x / 8) * 31L + (y / 8) * 17L + id * 7L) % 256L).toInt
+                val o = (y * w + x) * 3
+                rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+                x += 1
+              }
+              y += 1
+            }
+            (id, "image", graft.kernel.Jpeg.encode(
+              graft.kernel.Jpeg.Image(w, h, 3, rgb), subsample420 = true))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      decodeFeaturesWith(jpg, classOf[JpegDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"), col("channel_mean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(16 * (1 + doc_id % 2) AS INTEGER) AS width,
+          CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height
+        FROM documents),
+      bxs AS (
+        SELECT doc_id, width, height, unnest(range(0, width // 8)) AS bx FROM dims),
+      blocks AS (
+        SELECT doc_id, width, height, bx, unnest(range(0, height // 8)) AS by FROM bxs),
+      vals AS (
+        SELECT doc_id, width, height,
+          (bx * 31 + by * 17 + doc_id * 7) % 256 AS v
+        FROM blocks)
+      SELECT doc_id, width, height,
+        -- 64 px per tile, 3 identical channels; numerator and
+        -- denominator match the Spark division operand-for-operand
+        CAST(sum(v) * 64 * 3 AS DOUBLE) / (width * height * 3) AS channel_mean
+      FROM vals GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
+    // Perceptual hash through the REAL JPEG decoder, oracle-gated (the
+    // m08 treatment): grayscale constant-tile JPEGs decode bit-exact,
+    // every 4×4 hash cell lies inside one 8×8 tile, so DuckDB recomputes
+    // every hash bit from the tile formula — decode → block-sum → bit →
+    // row-byte across the JPEG path, hash-verified end to end.
+    ("m15_jpeg_hash", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 32; val h = 32
+            val px = Array.tabulate(w * h) { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((bx * 29L + by * 13L + id * 5L) % 256L).toInt
+            }
+            (id, "image", graft.kernel.Jpeg.encode(
+              graft.kernel.Jpeg.Image(w, h, 1, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      imageHashesWith(jpg, classOf[JpegDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"),
+          // scalar encoding for the driver's sort-based harness (see m08)
+          array_join(col("row_bytes").cast("array<string>"), "-")
+            .as("row_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH cs AS (
+        SELECT doc_id, unnest(range(0, 8)) AS cx FROM documents),
+      cells AS (
+        SELECT doc_id, cx, unnest(range(0, 8)) AS cy FROM cs),
+      sums AS ( -- 4×4-pixel hash cell inside the constant 8×8 tile
+        SELECT doc_id, cx, cy,
+          16 * (((cx // 2) * 29 + (cy // 2) * 13 + doc_id * 5) % 256) AS bsum
+        FROM cells),
+      tot AS (SELECT doc_id, sum(bsum) AS total FROM sums GROUP BY doc_id),
+      bits AS (
+        SELECT s.doc_id, s.cx, s.cy,
+          CASE WHEN s.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM sums s JOIN tot t ON s.doc_id = t.doc_id),
+      rws AS (
+        SELECT doc_id, cy, CAST(sum(bit * (1 << cx)) AS INTEGER) AS row_byte
+        FROM bits GROUP BY doc_id, cy)
+      SELECT doc_id, 32 AS width, 32 AS height,
+        string_agg(CAST(row_byte AS VARCHAR), '-' ORDER BY cy) AS row_bytes
+      FROM rws GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Cross-container image near-dups — the real-crawl dedup story: the
+    // SAME picture saved as PNG by one site and re-saved as JPEG by
+    // another must collapse onto one perceptual hash, because pixels,
+    // not container bytes, decide duplication. ids ≡ 0 mod 97 carry a
+    // constant-tile image as PNG; ids ≡ 0 mod 89 (not 97) carry the
+    // IDENTICAL pixels as JPEG (constant tiles make the JPEG re-encode
+    // lossless → hamming 0 across formats); everyone else is unique
+    // (multiplicative variation, alternating container by parity).
+    // Rows-only; cross-format collapse is spec-gated in JpegSpec.
+    ("m16_mixed_image_neardup", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            // 64×64 of 8×8 tiles: each hash cell is exactly one tile, so
+            // the 64 hash bits vary independently — smaller tilings
+            // would collapse "unique" images onto a handful of hashes
+            // and explode the pair join
+            val w = 64; val h = 64
+            def tiles(m1: Long, m2: Long, add: Long): Array[Int] =
+              Array.tabulate(w * h) { i =>
+                val bx = (i % w) / 8; val by = (i / w) / 8
+                ((bx * m1 + by * m2 + add) % 256L).toInt
+              }
+            val (px, asJpeg) =
+              if (id % 97 == 0) (tiles(57L, 131L, 23L), false)
+              else if (id % 89 == 0) (tiles(57L, 131L, 23L), true)
+              else {
+                val m1 = (id * 2654435761L) % 251L + 2L
+                val m2 = (id * 40503L) % 239L + 3L
+                (tiles(m1, m2, id), id % 2 == 0)
+              }
+            val payload =
+              if (asJpeg) graft.kernel.Jpeg.encode(
+                graft.kernel.Jpeg.Image(w, h, 1, px))
+              else graft.kernel.Png.encode(
+                graft.kernel.Png.Image(w, h, 1, 8, px))
+            (id, "image", payload)
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      imageNearDupsWith(media, classOf[ImageDecoder].getName, maxHamming = 2)
         .orderBy(col("doc_a"), col("doc_b"))
     }, None),
 
