@@ -393,19 +393,25 @@ object Multimodal {
     * crops/edits, brightness tweaks — the image-side dedup a multimodal
     * training corpus needs where byte-level dedup sees distinct files. */
   def imageNearDups(media: DataFrame, maxHamming: Int = 2,
-      keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
+      keyBits: Int = 0, maxBucket: Int = 100, sigCount: Long = -1L): DataFrame =
     imageNearDupsWith(media, decoderClass(media.sparkSession),
-      maxHamming, keyBits, maxBucket)
+      maxHamming, keyBits, maxBucket, sigCount)
 
-  /** [[imageNearDups]] with an explicit [[MediaDecoder]] class. */
+  /** [[imageNearDups]] with an explicit [[MediaDecoder]] class.
+    * `sigCount` (when >= 0) supplies the corpus cardinality for LSH key
+    * sizing — pass it when the caller knows the count from a frame
+    * UPSTREAM of the encode/decode kernel (one hash per payload, so the
+    * cardinalities match); counting `media` itself executes the whole
+    * media-synthesis/decode lineage once extra just to size keys. */
   def imageNearDupsWith(media: DataFrame, decoderCls: String,
-      maxHamming: Int = 2, keyBits: Int = 0, maxBucket: Int = 100): DataFrame =
+      maxHamming: Int = 2, keyBits: Int = 0, maxBucket: Int = 100,
+      sigCount: Long = -1L): DataFrame =
     Dedup.hammingNearDups(
       imageHashesWith(media, decoderCls).select(col("doc_id"), col("img_hash")),
       "img_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
-      // LSH key sizing counts the cheap raw frame (same cardinality:
-      // one hash per payload) so the decode kernel runs once, not twice
-      sigCount = media.count())
+      // LSH key sizing counts a cheap frame (same cardinality: one hash
+      // per payload) so the decode kernel runs once, not twice
+      sigCount = if (sigCount >= 0) sigCount else media.count())
 
   /** Audio feature extraction through the same batched partition kernel
     * shape as the image path: parse RIFF/PCM ([[graft.kernel.Wav]] —
@@ -955,7 +961,10 @@ object Multimodal {
           }
         }
         .toDF("doc_id", "media_type", "payload")
-      imageNearDupsWith(png, classOf[PngDecoder].getName, maxHamming = 2)
+      imageNearDupsWith(png, classOf[PngDecoder].getName, maxHamming = 2,
+          // key sizing from the raw table count: one image per document,
+          // so the PNG-synthesis kernel runs once, not twice
+          sigCount = graft.Tables.documents(s, d).count())
         .orderBy(col("doc_a"), col("doc_b"))
     }, None),
 
@@ -1103,7 +1112,10 @@ object Multimodal {
           }
         }
         .toDF("doc_id", "media_type", "payload")
-      imageNearDupsWith(media, classOf[ImageDecoder].getName, maxHamming = 2)
+      imageNearDupsWith(media, classOf[ImageDecoder].getName, maxHamming = 2,
+          // one image per document: size keys from the raw table count
+          // so the 64×64 encode kernel runs once, not twice
+          sigCount = graft.Tables.documents(s, d).count())
         .orderBy(col("doc_a"), col("doc_b"))
     }, None),
 
