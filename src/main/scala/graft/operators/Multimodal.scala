@@ -1071,6 +1071,50 @@ object Multimodal {
         string_agg(CAST(row_byte AS VARCHAR), '-' ORDER BY cy) AS row_bytes
       FROM rws GROUP BY doc_id ORDER BY doc_id""")),
 
+    // PROGRESSIVE JPEG decode, oracle-gated: the same constant-tile
+    // exactness as m14, but through the SOF2 multi-scan path — DC
+    // first/refinement scans, spectral AC bands, successive-approximation
+    // refinement with EOB runs — so the whole progressive protocol is
+    // hash-verified against DuckDB recomputing the tile arithmetic.
+    // (Real crawls are a substantial fraction progressive; a
+    // baseline-only decoder silently drops them to the DLQ.)
+    ("m17_jpeg_progressive", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 * (2 + id % 3)).toInt
+            val h = 16
+            val px = Array.tabulate(w * h) { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((bx * 29L + by * 13L + id * 11L) % 256L).toInt
+            }
+            (id, "image", graft.kernel.Jpeg.encodeProgressive(
+              graft.kernel.Jpeg.Image(w, h, 1, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      decodeFeaturesWith(jpg, classOf[JpegDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"), col("channel_mean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+          16 AS height
+        FROM documents),
+      bxs AS (
+        SELECT doc_id, width, height, unnest(range(0, width // 8)) AS bx FROM dims),
+      blocks AS (
+        SELECT doc_id, width, height, bx, unnest(range(0, height // 8)) AS by FROM bxs),
+      vals AS (
+        SELECT doc_id, width, height,
+          (bx * 29 + by * 13 + doc_id * 11) % 256 AS v
+        FROM blocks)
+      SELECT doc_id, width, height,
+        CAST(sum(v) * 64 AS DOUBLE) / (width * height) AS channel_mean
+      FROM vals GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
     // Cross-container image near-dups — the real-crawl dedup story: the
     // SAME picture saved as PNG by one site and re-saved as JPEG by
     // another must collapse onto one perceptual hash, because pixels,

@@ -159,15 +159,70 @@ class JpegSpec extends SparkSuite {
     assert(Jpeg.decode(bytes).samples.toSeq == px.toSeq)
   }
 
+  test("progressive encode decodes to IDENTICAL pixels as baseline (gray)") {
+    // the strongest refinement gate: both encoders quantize to the SAME
+    // coefficients and every progressive band refines down to Al=0, so
+    // any slip in the successive-approximation bit protocol (correction
+    // bit order, EOB runs, ZRL-vs-EOB folding) changes a coefficient
+    // and breaks pixel equality on a busy image
+    val w = 41; val h = 23 // ragged: padding blocks + partial MCUs
+    val px = Array.tabulate(w * h)(i =>
+      ((i % w) * 37 + (i / w) * 11 + (i % 7) * 53) % 256)
+    val prog = Jpeg.encodeProgressive(Jpeg.Image(w, h, 1, px))
+    val base = Jpeg.encode(Jpeg.Image(w, h, 1, px))
+    // really progressive: SOF2 frame, many scans
+    val sof2 = prog.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    val scans = prog.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    assert(sof2 && scans == 6, s"sof2=$sof2 scans=$scans") // DC×2 + AC bands×2 + AC refine×2
+    val dp = Jpeg.decode(prog); val db = Jpeg.decode(base)
+    assert(dp.width == w && dp.height == h && dp.channels == 1)
+    assert(dp.samples.toSeq == db.samples.toSeq)
+  }
+
+  test("progressive encode decodes to IDENTICAL pixels as baseline (4:2:0 color)") {
+    val w = 40; val h = 24
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val c = i % 3
+      ((p % w) * 13 + (p / w) * 29 + c * 71 + 5) % 256
+    }
+    for (sub <- Seq(false, true)) {
+      val dp = Jpeg.decode(Jpeg.encodeProgressive(Jpeg.Image(w, h, 3, rgb), sub))
+      val db = Jpeg.decode(Jpeg.encode(Jpeg.Image(w, h, 3, rgb), sub))
+      assert(dp.samples.toSeq == db.samples.toSeq, s"subsample420=$sub drifts")
+    }
+  }
+
+  test("progressive constant-tile gray round-trip is bit-exact (m17 shape)") {
+    for ((w, h) <- Seq((16, 16), (24, 40), (9, 17))) {
+      val px = tiled(w, h)((bx, by) => (bx * 29 + by * 13 + 7) % 256)
+      val dec = Jpeg.decode(Jpeg.encodeProgressive(Jpeg.Image(w, h, 1, px)))
+      assert(dec.samples.toSeq == px.toSeq, s"drift at ${w}x$h")
+    }
+  }
+
+  test("coarse-quant progressive still matches coarse-quant baseline") {
+    // nonzero AC sparsity changes which refinement paths (EOB runs,
+    // long zero runs, ZRL folding) actually execute — a coarse table
+    // exercises the sparse shapes the flat table cannot
+    val w = 48; val h = 32
+    val px = Array.tabulate(w * h)(i =>
+      ((i % w) * 3 + (i / w) * 5 + (i % 13) * 31) % 256)
+    val q = Array.fill(64)(24)
+    val dp = Jpeg.decode(Jpeg.encodeProgressive(Jpeg.Image(w, h, 1, px), quant = q))
+    val db = Jpeg.decode(Jpeg.encode(Jpeg.Image(w, h, 1, px), quant = q))
+    assert(dp.samples.toSeq == db.samples.toSeq)
+  }
+
   test("hostile and unsupported inputs fail loudly") {
-    // progressive
+    // lossless (SOF3) — still rejected now that SOF2 decodes
     val prog = handJpeg()
-    // find the SOF0 marker and rewrite to SOF2
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sofAt + 1) = 0xc2.toByte
+    prog(sofAt + 1) = 0xc3.toByte
     val e1 = intercept[IllegalArgumentException](Jpeg.decode(prog))
-    assert(e1.getMessage.contains("progressive"))
+    assert(e1.getMessage.contains("non-baseline"))
 
     // oversized header must fail BEFORE allocating
     val huge = handJpeg()
