@@ -1115,6 +1115,57 @@ object Multimodal {
         CAST(sum(v) * 64 AS DOUBLE) / (width * height) AS channel_mean
       FROM vals GROUP BY doc_id, width, height ORDER BY doc_id""")),
 
+    // EXIF-orientation-normalized perceptual hash, oracle-gated: every
+    // document's constant-tile JPEG is STORED rotated (orientation tag
+    // 6), and DuckDB recomputes the hash bits from the DISPLAY-side
+    // pixel formula — so the gate fails unless decode applies the EXIF
+    // remap exactly (dimension swap included). This is the phone-photo
+    // dedup requirement: the hash must see the picture, not the storage.
+    ("m18_jpeg_orientation", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 24; val h = 16 // stored; displays as 16×24 under tag 6
+            val px = Array.tabulate(w * h) { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((bx * 19L + by * 23L + id * 13L) % 256L).toInt
+            }
+            (id, "image", graft.kernel.Jpeg.encode(
+              graft.kernel.Jpeg.Image(w, h, 1, px), orientation = 6))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      imageHashesWith(jpg, classOf[JpegDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"),
+          array_join(col("row_bytes").cast("array<string>"), "-")
+            .as("row_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH xs AS (
+        SELECT doc_id, unnest(range(0, 16)) AS x FROM documents),
+      pix AS (
+        SELECT doc_id, x, unnest(range(0, 24)) AS y FROM xs),
+      -- display pixel (x,y) sources stored tile (y//8, 1 - x//8):
+      -- tag 6 means rotate the stored 24x16 image 90 deg clockwise
+      cells AS (
+        SELECT doc_id, CAST(x // 2 AS INTEGER) AS bx, CAST(y // 3 AS INTEGER) AS by,
+          ((y // 8) * 19 + (1 - x // 8) * 23 + doc_id * 13) % 256 AS v
+        FROM pix),
+      sums AS (
+        SELECT doc_id, bx, by, sum(v) AS bsum FROM cells GROUP BY doc_id, bx, by),
+      tot AS (SELECT doc_id, sum(bsum) AS total FROM sums GROUP BY doc_id),
+      bits AS (
+        SELECT s.doc_id, s.bx, s.by,
+          CASE WHEN s.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM sums s JOIN tot t ON s.doc_id = t.doc_id),
+      rws AS (
+        SELECT doc_id, by, CAST(sum(bit * (1 << bx)) AS INTEGER) AS row_byte
+        FROM bits GROUP BY doc_id, by)
+      SELECT doc_id, 16 AS width, 24 AS height,
+        string_agg(CAST(row_byte AS VARCHAR), '-' ORDER BY by) AS row_bytes
+      FROM rws GROUP BY doc_id ORDER BY doc_id""")),
+
     // Cross-container image near-dups — the real-crawl dedup story: the
     // SAME picture saved as PNG by one site and re-saved as JPEG by
     // another must collapse onto one perceptual hash, because pixels,
