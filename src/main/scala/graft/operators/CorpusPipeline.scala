@@ -68,11 +68,14 @@ object CorpusPipeline {
     }
 
     // 0. extraction: an `html` column is the raw-crawl form; a corpus
-    // that is already text passes through
-    val extracted = mark("extract",
+    // that is already text passes through — uncached (the stage is the
+    // identity, so caching it would only duplicate the source scan the
+    // next stage performs anyway; the report still gets the ingest count)
+    val extracted =
       if (raw.columns.contains("html"))
-        raw.withColumn("text", Curate.htmlToText(col("html"))).drop("html")
-      else raw)
+        mark("extract",
+          raw.withColumn("text", Curate.htmlToText(col("html"))).drop("html"))
+      else { stages += "extract" -> raw.count(); raw }
 
     // 1. line-level gate (C4 rules), PII scrub, document word floor —
     // all row-local, one projection + one filter

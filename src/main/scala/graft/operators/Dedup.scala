@@ -90,9 +90,12 @@ object Dedup {
 
     // exact-Jaccard verification builds shingle arrays only for candidate
     // docs (left-semi prune first — at 100 TB the candidate set is tiny
-    // next to the corpus); persisted because both verify joins read it
+    // next to the corpus); persisted because both verify joins read it.
+    // No distinct on the id union: the right side of a left-semi join
+    // tolerates duplicates (the build set dedups inherently), and the
+    // pair list is bucket-capped so the union stays ≤ 2·|pairs|
     val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      .union(cands.select(col("doc_b").as("doc_id")))
     val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
