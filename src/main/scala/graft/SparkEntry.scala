@@ -64,7 +64,7 @@ object SparkEntry {
     "m03_band_stats" -> Seq("spec:KernelSpec"),
     "m09_image_neardup" -> Seq("spec:PngSpec"),
     "m12_audio_neardup" -> Seq("spec:WavSpec"),
-    "m16_mixed_image_neardup" -> Seq("spec:JpegSpec"),
+    "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
     "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),

@@ -229,21 +229,104 @@ object Multimodal {
     }
   }
 
+  /** Real decoder: pure-JVM GIF via [[graft.kernel.Gif]] (public spec —
+    * no image library). Decode composites the FIRST frame (for still
+    * images, the image itself) and always yields RGB, so feature
+    * semantics mirror [[JpegDecoder]]. `resize` is the same half-scale
+    * box filter — re-encoded as 8-bit PNG, not GIF, because box
+    * averaging a palette image routinely exceeds 256 distinct colors
+    * and the GIF encoder is exact-palette by contract (a thumbnail in a
+    * different lossless container is honest; a silently quantized GIF
+    * would not round-trip). */
+  final class GifDecoder extends MediaDecoder {
+    import graft.kernel.Gif
+
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val img = Gif.decode(payload)
+      var sum = 0L
+      var i = 0
+      while (i < img.samples.length) { sum += img.samples(i); i += 1 }
+      (img.width, img.height,
+        sum.toDouble / (img.width.toLong * img.height * img.channels))
+    }
+
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) = {
+      val img = Gif.decode(payload)
+      val sums = new Array[Long](grid * grid)
+      var y = 0
+      while (y < img.height) {
+        val by = y * grid / img.height
+        var x = 0
+        while (x < img.width) {
+          val bx = x * grid / img.width
+          var c = 0
+          var lum = 0L
+          while (c < img.channels) {
+            lum += img.samples((y * img.width + x) * img.channels + c)
+            c += 1
+          }
+          sums(by * grid + bx) += lum
+          x += 1
+        }
+        y += 1
+      }
+      (img.width, img.height, sums)
+    }
+
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = Gif.decode(payload)
+      val rw = math.max(1, (img.width + 1) / 2)
+      val rh = math.max(1, (img.height + 1) / 2)
+      val ch = img.channels
+      val out = new Array[Int](rw * rh * ch)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val x0 = x * 2; val y0 = y * 2
+          val xN = math.min(2, img.width - x0)
+          val yN = math.min(2, img.height - y0)
+          var c = 0
+          while (c < ch) {
+            var sum = 0
+            var dy = 0
+            while (dy < yN) {
+              var dx = 0
+              while (dx < xN) {
+                sum += img.samples(((y0 + dy) * img.width + x0 + dx) * ch + c)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * rw + x) * ch + c) = sum / (xN * yN)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (rw, rh, graft.kernel.Png.encode(graft.kernel.Png.Image(rw, rh, ch, 8, out)))
+    }
+  }
+
   /** Format-sniffing image decoder — the real-crawl dispatch: a crawled
     * corpus mixes containers, and PIXELS, not container bytes, decide
-    * duplication (the same picture saved as PNG and re-saved as JPEG
-    * must land on the same perceptual hash). Routes by file signature to
-    * [[PngDecoder]] or [[JpegDecoder]]; unknown formats are rejected
-    * loudly (the DLQ contract at the kernel boundary — a silent fake
-    * feature would poison the dedup tables). */
+    * duplication (the same picture saved as PNG, re-saved as JPEG, or
+    * exported as GIF must land on the same perceptual hash). Routes by
+    * file signature to [[PngDecoder]], [[JpegDecoder]] or
+    * [[GifDecoder]]; unknown formats are rejected loudly (the DLQ
+    * contract at the kernel boundary — a silent fake feature would
+    * poison the dedup tables). */
   final class ImageDecoder extends MediaDecoder {
     private val png = new PngDecoder
     private val jpeg = new JpegDecoder
+    private val gif = new GifDecoder
     private def route(payload: Array[Byte]): MediaDecoder =
       if (graft.kernel.Png.isPng(payload)) png
       else if (graft.kernel.Jpeg.isJpeg(payload)) jpeg
+      else if (graft.kernel.Gif.isGif(payload)) gif
       else throw new IllegalArgumentException(
-        "unknown image format (not PNG or JPEG)")
+        "unknown image format (not PNG, JPEG or GIF)")
     def decode(payload: Array[Byte]): (Int, Int, Double) =
       route(payload).decode(payload)
     def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) =
@@ -536,6 +619,42 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "width", "height",
         "luma_sum", "luma_min", "luma_max")
+  }
+
+  /** Animated-GIF frame sampling — the m13 shape over the third real
+    * video-ish container: composite frames via [[graft.kernel.Gif]]
+    * (transparency and disposal applied, so stats describe what a
+    * viewer SEES per frame, not raw sub-rects), keep every `stride`-th
+    * composited frame, and emit exact-integer RGB stats. One input row
+    * fans out per sampled frame inside the partition kernel; canvases
+    * never leave the task. */
+  def gifFrameStats(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val anim = graft.kernel.Gif.decodeFrames(m.payload)
+          anim.frames.iterator.zipWithIndex
+            .filter(_._2 % stride == 0)
+            .map { case (f, idx) =>
+              var sum = 0L; var mn = 255; var mx = 0
+              var i = 0
+              while (i < f.length) {
+                val v = f(i)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              (m.doc_id, idx, anim.width, anim.height, sum, mn, mx)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "rgb_sum", "v_min", "v_max")
   }
 
   /** Build a media table over the documents corpus: text bytes stand in
@@ -1166,14 +1285,109 @@ object Multimodal {
         string_agg(CAST(row_byte AS VARCHAR), '-' ORDER BY by) AS row_bytes
       FROM rws GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Real-GIF decode, oracle-gated end to end: per-document grayscale
+    // formula images, LZW-compressed into real GIF containers (every
+    // third document INTERLACED — the decode result is identical, so
+    // the same oracle pins both row orders), decoded through the full
+    // LZW → palette → composite path, features recomputed by DuckDB
+    // from the pixel formula. GIF is lossless, so no constant-tile
+    // exactness theorem is needed — ANY formula round-trips bit-exact.
+    ("m19_gif_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val gif = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (9 + id % 14).toInt
+            val h = (7 + id % 6).toInt
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = ((x * 5L + y * 3L + id) % 256L).toInt
+                x += 1
+              }
+              y += 1
+            }
+            (id, "image", graft.kernel.Gif.encode(
+              graft.kernel.Gif.Image(w, h, 1, px), interlaced = id % 3 == 0))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      decodeFeaturesWith(gif, classOf[GifDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"), col("channel_mean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(9 + doc_id % 14 AS INTEGER) AS width,
+          CAST(7 + doc_id % 6 AS INTEGER) AS height
+        FROM documents),
+      xs AS (
+        SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM dims),
+      px AS (
+        SELECT doc_id, width, height,
+          (x * 5 + 3 * unnest(range(0, height)) + doc_id) % 256 AS v
+        FROM xs)
+      SELECT doc_id, width, height,
+        -- gray expands to (v,v,v): numerator and denominator mirror the
+        -- Spark division operand-for-operand (3·sum over 3·pixels)
+        CAST(sum(v) * 3 AS DOUBLE) / (width * height * 3) AS channel_mean
+      FROM px GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
+    // Animated-GIF frame stats, oracle-gated: full-frame animations
+    // (disposal none — composited canvas == frame raster), stride-2
+    // sampling, exact-integer RGB stats recomputed by DuckDB per
+    // sampled frame. The m13 video treatment for the GIF container.
+    ("m20_gif_frames", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 12; val h = 7
+      val gif = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (3 + id % 3).toInt
+            val frames = Seq.tabulate(nf) { f =>
+              Array.tabulate(w * h) { i =>
+                (((i % w) * 7L + (i / w) * 11L + f * 29L + id * 3L) % 256L).toInt
+              }
+            }
+            (id, "image",
+              graft.kernel.Gif.encodeAnimation(w, h, frames, channels = 1))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      gifFrameStats(gif, stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(3 + doc_id % 3 AS INTEGER) AS nf FROM documents),
+      fr AS (
+        SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
+      sampled AS (SELECT doc_id, CAST(f AS INTEGER) AS f FROM fr WHERE f % 2 = 0),
+      xs AS (
+        SELECT doc_id, f, unnest(range(0, 12)) AS x FROM sampled),
+      px AS (
+        SELECT doc_id, f, x, unnest(range(0, 7)) AS y FROM xs),
+      vals AS (
+        SELECT doc_id, f, (x * 7 + y * 11 + f * 29 + doc_id * 3) % 256 AS v
+        FROM px)
+      SELECT doc_id, f AS frame_idx, 12 AS width, 7 AS height,
+        CAST(sum(v) * 3 AS BIGINT) AS rgb_sum,
+        CAST(min(v) AS INTEGER) AS v_min,
+        CAST(max(v) AS INTEGER) AS v_max
+      FROM vals GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
+
     // Cross-container image near-dups — the real-crawl dedup story: the
-    // SAME picture saved as PNG by one site and re-saved as JPEG by
-    // another must collapse onto one perceptual hash, because pixels,
-    // not container bytes, decide duplication. ids ≡ 0 mod 97 carry a
-    // constant-tile image as PNG; ids ≡ 0 mod 89 (not 97) carry the
-    // IDENTICAL pixels as JPEG (constant tiles make the JPEG re-encode
-    // lossless → hamming 0 across formats); everyone else is unique
-    // (multiplicative variation, alternating container by parity).
+    // SAME picture saved as PNG by one site, re-saved as JPEG by
+    // another, and exported as GIF by a third must collapse onto one
+    // perceptual hash, because pixels, not container bytes, decide
+    // duplication. ids ≡ 0 mod 97 carry a constant-tile image as PNG;
+    // ids ≡ 0 mod 89 carry the IDENTICAL pixels as JPEG (constant tiles
+    // make the JPEG re-encode lossless); ids ≡ 0 mod 83 the same pixels
+    // as GIF (lossless by nature; its RGB expansion scales every block
+    // sum by 3, which the ratio-form hash bits are invariant to) —
+    // hamming 0 across all three formats. Everyone else is unique
+    // (multiplicative variation, container rotating by id mod 3).
     // Rows-only; cross-format collapse is spec-gated in JpegSpec.
     ("m16_mixed_image_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
@@ -1190,19 +1404,24 @@ object Multimodal {
                 val bx = (i % w) / 8; val by = (i / w) / 8
                 ((bx * m1 + by * m2 + add) % 256L).toInt
               }
-            val (px, asJpeg) =
-              if (id % 97 == 0) (tiles(57L, 131L, 23L), false)
-              else if (id % 89 == 0) (tiles(57L, 131L, 23L), true)
+            // container codes: 0 = PNG, 1 = JPEG, 2 = GIF
+            val (px, container) =
+              if (id % 97 == 0) (tiles(57L, 131L, 23L), 0)
+              else if (id % 89 == 0) (tiles(57L, 131L, 23L), 1)
+              else if (id % 83 == 0) (tiles(57L, 131L, 23L), 2)
               else {
                 val m1 = (id * 2654435761L) % 251L + 2L
                 val m2 = (id * 40503L) % 239L + 3L
-                (tiles(m1, m2, id), id % 2 == 0)
+                (tiles(m1, m2, id), (id % 3).toInt)
               }
-            val payload =
-              if (asJpeg) graft.kernel.Jpeg.encode(
-                graft.kernel.Jpeg.Image(w, h, 1, px))
-              else graft.kernel.Png.encode(
+            val payload = container match {
+              case 0 => graft.kernel.Png.encode(
                 graft.kernel.Png.Image(w, h, 1, 8, px))
+              case 1 => graft.kernel.Jpeg.encode(
+                graft.kernel.Jpeg.Image(w, h, 1, px))
+              case _ => graft.kernel.Gif.encode(
+                graft.kernel.Gif.Image(w, h, 1, px))
+            }
             (id, "image", payload)
           }
         }
