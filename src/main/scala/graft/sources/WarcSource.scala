@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel.Warc
+
+/** WARC crawl-archive ingestion — the front door of a web-scale
+  * training-data pipeline: `.warc.gz` segments in, an
+  * (url, fetch time, html) table out, feeding the curation chain
+  * (htmlToText → C4 gate → dedup → …).
+  *
+  * Layout at scale: crawl archives are ~1 GiB gzip files with one gzip
+  * member per record — NOT block-splittable, so the unit of parallelism
+  * is the FILE, exactly how production crawl processing shards (one
+  * task per segment; a 100 TB crawl is ~100k segments → ample
+  * parallelism). `binaryFile` distributes the listing and
+  * `pathGlobFilter` prunes at listing time; each task parses its whole
+  * segment in-memory and fans out one row per record, so raw archive
+  * bytes never cross an exchange — only the projected records do.
+  */
+object WarcSource {
+
+  /** Scan WARC files under `dir` into one row per record:
+    * (path, record_idx, warc_type, target_uri, warc_date, record_id,
+    * content_type, byte_len, content). */
+  def scan(spark: SparkSession, dir: String,
+      glob: Option[String] = Some("*.warc*")): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.format("binaryFile")
+    val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
+    withGlob.load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          Warc.parseAll(bytes).iterator.zipWithIndex.map { case (r, i) =>
+            (path, i, r.warcType, r.targetUri, r.date, r.recordId,
+              r.contentType, r.content.length.toLong, r.content)
+          }
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "target_uri", "warc_date",
+        "record_id", "content_type", "byte_len", "content")
+  }
+
+  /** Project the HTML page table out of a record scan: `response`
+    * records whose HTTP payload is text/html, split into
+    * (url, warc_date, http_status, html). Non-2xx responses are kept —
+    * dropping them is the caller's filter, not the reader's guess. */
+  def htmlResponses(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("warc_date"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (uri, date, content) =>
+          val http = Warc.httpResponse(content)
+          if (http.contentType.toLowerCase.startsWith("text/html"))
+            Some((uri, date, http.status,
+              new String(http.body, java.nio.charset.StandardCharsets.UTF_8)))
+          else None
+        }
+      }
+      .toDF("url", "warc_date", "http_status", "html")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    // WARC ingestion, oracle-gated end to end: every document becomes a
+    // two-record crawl segment (warcinfo + response) written with ONE
+    // GZIP MEMBER PER RECORD — the real archive layout — then parsed
+    // back through the full reader path: concatenated-member gunzip →
+    // record grammar → Content-Length slicing → HTTP status/header/body
+    // split. DuckDB recomputes the URL, record count, status,
+    // content type, and the sha + byte length of the extracted HTML
+    // body from the same template, so a framing bug ANYWHERE in the
+    // chain (member walk, header parse, length arithmetic, HTTP split)
+    // breaks the hash compare. File-based scan + listing-prune and the
+    // htmlResponses → htmlToText chain are spec-gated in WarcSpec.
+    ("w01_warc_extract", (s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (id, text) =>
+            val html = s"<html><body><h1>Doc $id</h1><p>" + text +
+              "</p></body></html>"
+            val body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val gz = Warc.writeGz(Seq(
+              (Seq(
+                "WARC-Type" -> "warcinfo",
+                "WARC-Record-ID" -> s"<urn:uuid:info-$id>",
+                "WARC-Date" -> "2025-01-01T00:00:00Z",
+                "Content-Type" -> "application/warc-fields"),
+                "software: graft\r\n".getBytes("US-ASCII")),
+              (Seq(
+                "WARC-Type" -> "response",
+                "WARC-Target-URI" -> s"http://example.com/doc/$id",
+                "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+                "WARC-Date" -> "2025-01-01T00:00:00Z",
+                "Content-Type" -> "application/http;msgtype=response"),
+                Warc.renderHttpResponse(200, "text/html; charset=utf-8", body))))
+            val recs = Warc.parseAll(gz)
+            val resp = recs.find(_.warcType == "response").get
+            val http = Warc.httpResponse(resp.content)
+            (id, resp.targetUri, recs.length, http.status, http.contentType,
+              http.body.length.toLong,
+              sha256.digest(http.body).map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("doc_id", "url", "n_records", "http_status", "content_type",
+          "body_len", "body_sha")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        'http://example.com/doc/' || doc_id AS url,
+        2 AS n_records,
+        200 AS http_status,
+        'text/html; charset=utf-8' AS content_type,
+        CAST(strlen('<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+          '</p></body></html>') AS BIGINT) AS body_len,
+        sha256('<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+          '</p></body></html>') AS body_sha
+      FROM documents ORDER BY doc_id""")))
+}
