@@ -63,5 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.C4LineGate].getName, "c4_line_gate"),
       es => functions.C4LineGate(es.head, intLit(es(1)),
         es.drop(2).map(strLit))))
+    // multi_match(text, term...) — varargs blocklist terms
+    e.injectFunction((FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[functions.MultiMatch].getName, "multi_match"),
+      es => functions.MultiMatch(es.head, es.drop(1).map(strLit))))
   }
 }

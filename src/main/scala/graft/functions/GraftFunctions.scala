@@ -68,6 +68,12 @@ object GraftFunctions {
       lowercase: Boolean = false): Column =
     toCol(MarkerCount(expression(tokens), markers, lowercase))
 
+  /** Distinct blocklist terms occurring in a text column, sorted
+    * (codegen'd single-pass Aho-Corasick — O(text) regardless of
+    * blocklist size, see [[MultiMatch]]). */
+  def multi_match(text: Column, terms: Seq[String]): Column =
+    toCol(MultiMatch(expression(text), terms))
+
   /** Winnowing rolling-hash fingerprints of a text column (codegen'd —
     * see [[WinnowFingerprint]]). */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =

@@ -631,6 +631,51 @@ object TextAnalysis {
         CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
           AS novelty
       FROM grams g JOIN df USING (gram)
-      GROUP BY g.doc_id ORDER BY g.doc_id"""))
+      GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // Blocklist screening via the native Aho-Corasick expression
+    // (functions/MultiMatch.scala): one O(text) pass per document
+    // regardless of blocklist size, where the composed
+    // one-contains-per-term form is O(terms × text) — the difference
+    // between a policy list of 10 phrases and one of 50k. The list here
+    // mixes multi-word phrases, terms with shared prefixes/suffixes
+    // (failure-link coverage on real data), and absent terms; every
+    // seventh document gets a planted violation appended, mirrored in
+    // SQL. Output is scalar-encoded (count + comma-joined sorted hits)
+    // for the driver's frame compare.
+    ("t33_blocklist", (s: SparkSession, d: String) => {
+      val terms = Seq("customer", "click here", "win a prize",
+        "table value", "value table", "spark", "park", "ark",
+        "windows", "no-such-term")
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" click here to win a prize now")))
+          .otherwise(col("text")).as("text"))
+      aug.select(col("doc_id"),
+          graft.functions.GraftFunctions.multi_match(col("text"), terms).as("m"))
+        .select(col("doc_id"),
+          size(col("m")).cast("long").as("n_hits"),
+          array_join(col("m"), ",").as("hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH terms(t) AS (VALUES ('customer'), ('click here'),
+        ('win a prize'), ('table value'), ('value table'), ('spark'),
+        ('park'), ('ark'), ('windows'), ('no-such-term')),
+      aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' click here to win a prize now' ELSE text END AS text
+        FROM documents),
+      hits AS (
+        SELECT a.doc_id, t.t FROM aug a
+        JOIN terms t ON contains(lower(a.text), t.t)),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+          string_agg(t, ',' ORDER BY t) AS hits
+        FROM hits GROUP BY doc_id)
+      SELECT a.doc_id,
+        coalesce(g.n_hits, 0) AS n_hits,
+        coalesce(g.hits, '') AS hits
+      FROM aug a LEFT JOIN agg g USING (doc_id) ORDER BY a.doc_id"""))
   )
 }

@@ -28,7 +28,8 @@ object Smoke {
         "size(sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 8)), " +
         "size(minhash_sig(array('a', 'b', 'c', 'd'), 3, 12)), " +
         "word_grams('one two three four', 3), " +
-        "c4_line_gate(array('keep this whole line.', 'nope'), 3, 'javascript')")
+        "c4_line_gate(array('keep this whole line.', 'nope'), 3, 'javascript'), " +
+        "multi_match('a small spark table', 'spark', 'park', 'zzz')")
       .head())
     spark.sparkContext.setLogLevel("ERROR")
 
