@@ -44,6 +44,38 @@ object WarcSource {
         "record_id", "content_type", "byte_len", "content")
   }
 
+  /** Streaming form of [[scan]]: watch `dir` for newly landed crawl
+    * segments (the continuous-crawl shape — fetchers drop `.warc.gz`
+    * files, the pipeline ingests them as they arrive). Same
+    * one-file-per-task parse, same output schema, so the whole
+    * downstream chain ([[htmlResponses]] → htmlToText → gates →
+    * admission dedup) runs unchanged on the stream — batch/stream
+    * parity is the library-wide operator contract. */
+  def scanStream(spark: SparkSession, dir: String,
+      glob: Option[String] = Some("*.warc*"),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val base = spark.readStream.format("binaryFile").schema(schema)
+    val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
+    val withTrig = maxFilesPerTrigger.fold(withGlob)(n =>
+      withGlob.option("maxFilesPerTrigger", n))
+    withTrig.load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          Warc.parseAll(bytes).iterator.zipWithIndex.map { case (r, i) =>
+            (path, i, r.warcType, r.targetUri, r.date, r.recordId,
+              r.contentType, r.content.length.toLong, r.content)
+          }
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "target_uri", "warc_date",
+        "record_id", "content_type", "byte_len", "content")
+  }
+
   /** Project the HTML page table out of a record scan: `response`
     * records whose HTTP payload is text/html, split into
     * (url, warc_date, http_status, html). Non-2xx responses are kept —

@@ -94,6 +94,50 @@ class WarcSpec extends SparkSuite {
       Warc.httpResponse("HTTP/1.1 200 OK\r\npartial".getBytes(Utf8)))
   }
 
+  test("streaming segment ingestion: landed archives parse on the stream, batch parity") {
+    import graft.streaming.EventStream
+    val dir = tempDir("graft_warc_stream")
+    def response(uri: String, body: String) =
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(200, "text/html", body.getBytes(Utf8)))
+    // two segments "landed by the fetcher", one file per micro-batch
+    java.nio.file.Files.write(new java.io.File(dir, "s1.warc.gz").toPath,
+      Warc.writeGz(Seq(
+        response("http://example.com/a", "<html><body><p>alpha page</p></body></html>"),
+        response("http://example.com/b", "<html><body><p>beta page</p></body></html>"))))
+    java.nio.file.Files.write(new java.io.File(dir, "s2.warc.gz").toPath,
+      Warc.writeGz(Seq(
+        response("http://example.com/c", "<html><body><p>gamma page</p></body></html>"))))
+
+    val stream = WarcSource.scanStream(spark, dir.getAbsolutePath,
+      maxFilesPerTrigger = Some(1))
+    val pages = WarcSource.htmlResponses(stream)
+      .withColumn("text", graft.operators.Curate.htmlToText(col("html")))
+      .select(col("url"), col("http_status"), col("text"))
+    val q = EventStream.runToMemory(pages, "warc_pages")
+    try {
+      val got = spark.table("warc_pages").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+      assert(got.toSeq == Seq(
+        ("http://example.com/a", 200, "alpha page"),
+        ("http://example.com/b", 200, "beta page"),
+        ("http://example.com/c", 200, "gamma page")))
+      // batch parity: the same directory through the batch scan
+      val batch = WarcSource.htmlResponses(
+          WarcSource.scan(spark, dir.getAbsolutePath))
+        .withColumn("text", graft.operators.Curate.htmlToText(col("html")))
+        .select(col("url"), col("http_status"), col("text"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .sortBy(_._1)
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
   test("file scan + glob prune + html extraction feed the curation chain") {
     val dir = tempDir("graft_warc")
     def seg(name: String, records: Seq[(Seq[(String, String)], Array[Byte])]): Unit =
