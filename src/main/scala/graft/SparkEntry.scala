@@ -65,6 +65,7 @@ object SparkEntry {
     "m09_image_neardup" -> Seq("spec:PngSpec"),
     "m12_audio_neardup" -> Seq("spec:WavSpec"),
     "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec"),
+    "m22_video_neardup" -> Seq("spec:Y4mSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
     "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),

@@ -621,6 +621,90 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max")
   }
 
+  /** Video perceptual fingerprint — the m08 aHash idea grown a TEMPORAL
+    * axis (the classic video-hash cube): frames fall into `tGrid` equal
+    * temporal buckets, each frame's luma plane into `sGrid`×`sGrid`
+    * spatial cells, and bit (t, cy, cx) asks whether that cell's luma
+    * mass beats its temporal bucket's average cell. The comparison is
+    * ratio-form, so the fingerprint is invariant to global brightness /
+    * gain scaling (re-encodes, levels tweaks) exactly like m08's image
+    * bits and m11's audio bits — and every bit is exact integer
+    * arithmetic, so an independent engine can recompute the whole hash.
+    * Emits both the 64-char bit string (driver-comparable scalar — the
+    * m08 row_bytes lesson) and the packed 64-bit hash for the banded
+    * hamming pair machinery. Decode runs inside the partition kernel;
+    * raw planes never leave the task. */
+  def videoFingerprints(media: DataFrame, tGrid: Int = 4,
+      sGrid: Int = 4): DataFrame = {
+    require(tGrid >= 1 && sGrid >= 1 && tGrid * sGrid * sGrid <= 64,
+      s"tGrid $tGrid x sGrid $sGrid^2 exceeds 64-bit packing")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val v = graft.kernel.Y4m.decode(m.payload)
+          val nf = v.frames.length
+          require(nf >= tGrid,
+            s"doc ${m.doc_id}: $nf frames < $tGrid temporal buckets")
+          require(v.width % sGrid == 0 && v.height % sGrid == 0,
+            s"doc ${m.doc_id}: ${v.width}x${v.height} not divisible by $sGrid")
+          val cw = v.width / sGrid; val ch = v.height / sGrid
+          val nCells = sGrid * sGrid
+          val cells = new Array[Long](tGrid * nCells)
+          var f = 0
+          while (f < nf) {
+            val t = ((f.toLong * tGrid) / nf).toInt
+            val frame = v.frames(f) // luma plane leads every layout
+            var y = 0
+            while (y < v.height) {
+              val rowBase = (t * sGrid + y / ch) * sGrid
+              var x = 0
+              while (x < v.width) {
+                cells(rowBase + x / cw) += frame(y * v.width + x) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          val bits = new Array[Char](tGrid * nCells)
+          var hash = 0L
+          var t = 0
+          while (t < tGrid) {
+            var total = 0L
+            var c = 0
+            while (c < nCells) { total += cells(t * nCells + c); c += 1 }
+            c = 0
+            while (c < nCells) {
+              val k = t * nCells + c
+              if (cells(k) * nCells > total) { bits(k) = '1'; hash |= 1L << k }
+              else bits(k) = '0'
+              c += 1
+            }
+            t += 1
+          }
+          (m.doc_id, nf, v.width, v.height, new String(bits), hash)
+        }
+      }
+      .toDF("doc_id", "n_frames", "width", "height", "hash_bits",
+        "video_hash")
+  }
+
+  /** Video near-duplicate pairs: fingerprints through the shared banded
+    * hamming machinery ([[Dedup.hammingNearDups]]) — catches re-encodes
+    * and brightness/gain changes of the same footage, the video-side
+    * dedup a multimodal training corpus needs where byte-level dedup
+    * sees distinct files. `sigCount` as in [[imageNearDupsWith]]: pass
+    * the known corpus count so the decode kernel runs once. */
+  def videoNearDups(media: DataFrame, maxHamming: Int = 2,
+      keyBits: Int = 0, maxBucket: Int = 100, sigCount: Long = -1L): DataFrame =
+    Dedup.hammingNearDups(
+      videoFingerprints(media).select(col("doc_id"), col("video_hash")),
+      "video_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
+      sigCount = if (sigCount >= 0) sigCount else media.count())
+
   /** Animated-GIF frame sampling — the m13 shape over the third real
     * video-ish container: composite frames via [[graft.kernel.Gif]]
     * (transparency and disposal applied, so stats describe what a
@@ -1001,6 +1085,125 @@ object Multimodal {
         CAST(min(v) AS INTEGER) AS luma_min,
         CAST(max(v) AS INTEGER) AS luma_max
       FROM lum GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
+
+    // Video perceptual hash, oracle-gated END TO END: every bit of the
+    // temporal×spatial fingerprint rides exact integer comparisons, so
+    // DuckDB recomputes the full 64-char bit string from the same
+    // deterministic luma formula the Spark side encodes through the
+    // REAL Y4M container (encode → header grammar → frame walk →
+    // bucket/cell sums → ratio bits). The packed 64-bit hash is a pure
+    // repack of these bits (spec-pinned in Y4mSpec) and is exercised by
+    // m22's pair machinery — it stays out of this projection so every
+    // output column is a driver-comparable scalar.
+    ("m21_video_hash", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 16; val h = 8
+      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (4 + id % 4).toInt
+            val frames = Vector.tabulate(nf) { f =>
+              val frame = new Array[Byte](w * h * 3 / 2)
+              var i = 0
+              while (i < w * h) {
+                frame(i) =
+                  (((i % w) * 7L + (i / w) * 5L + f * 13L + id * 3L) % 256L).toByte
+                i += 1
+              }
+              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+              frame
+            }
+            (id, "video",
+              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      videoFingerprints(y4m, tGrid = 4, sGrid = 4)
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("hash_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + doc_id % 4 AS INTEGER) AS nf FROM documents),
+      fr AS (
+        SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM dims),
+      xs AS (
+        SELECT doc_id, nf, f, unnest(range(0, 16)) AS x FROM fr),
+      px AS (
+        SELECT doc_id, nf, f, x, unnest(range(0, 8)) AS y FROM xs),
+      lum AS (
+        SELECT doc_id, nf,
+          CAST((f * 4) // nf AS INTEGER) AS t,
+          CAST(y // 2 AS INTEGER) AS cy,
+          CAST(x // 4 AS INTEGER) AS cx,
+          (x * 7 + y * 5 + f * 13 + doc_id * 3) % 256 AS v
+        FROM px),
+      cells AS (
+        SELECT doc_id, nf, t, cy, cx, sum(v) AS cs
+        FROM lum GROUP BY doc_id, nf, t, cy, cx),
+      buckets AS (
+        SELECT doc_id, t, sum(cs) AS bt FROM cells GROUP BY doc_id, t),
+      bits AS (
+        SELECT c.doc_id, c.nf, (c.t * 4 + c.cy) * 4 + c.cx AS k,
+          CASE WHEN c.cs * 16 > b.bt THEN '1' ELSE '0' END AS b
+        FROM cells c JOIN buckets b ON c.doc_id = b.doc_id AND c.t = b.t)
+      SELECT doc_id, CAST(max(nf) AS INTEGER) AS n_frames,
+        16 AS width, 8 AS height,
+        string_agg(b, '' ORDER BY k) AS hash_bits
+      FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Video near-dup pairs over planted identities — the m12 scheme for
+    // the video modality: ids ≡ 0 mod 97 share one clip; ids ≡ 0 mod 89
+    // (not 97) carry the SAME clip at double brightness (luma capped at
+    // 100 so ×2 never clamps — the ratio-form bits are scale-invariant,
+    // hamming 0); everyone else gets genuinely different footage via a
+    // splitmix-finalized luma (the m11 lesson: linear-residue patterns
+    // collide HONESTLY under sum-based bits — plant uniqueness with a
+    // nonlinear mix). Rows-only; constructed-hamming semantics and the
+    // bits↔hash repack are spec-gated in Y4mSpec.
+    ("m22_video_neardup", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 16; val h = 8; val nf = 6
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            def clip(base: Long, scale: Int): Vector[Array[Byte]] =
+              Vector.tabulate(nf) { f =>
+                val frame = new Array[Byte](w * h * 3 / 2)
+                var i = 0
+                while (i < w * h) {
+                  val v =
+                    if (base < 0) // planted identity: structured 0..100
+                      ((i % w) * 3L + (i / w) * 7L + f * 11L + 13L) % 101L
+                    else // unique footage: nonlinear in (id, f, pixel)
+                      mix(base * 0x100000001b3L + f * 8191L + i) & 0xffL
+                  frame(i) = (v * scale).toByte
+                  i += 1
+                }
+                java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+                frame
+              }
+            val frames =
+              if (id % 97 == 0) clip(-1L, 1)
+              else if (id % 89 == 0) clip(-1L, 2)
+              else clip(id, 1)
+            (id, "video",
+              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      videoNearDups(media, maxHamming = 2,
+          // one clip per document: size LSH keys from the raw table so
+          // the Y4M synthesis/decode kernel runs once, not twice
+          sigCount = graft.Tables.documents(s, d).count())
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, None),
 
     // Audio near-dup pairs over planted identities: ids ≡ 0 mod 97
     // share one waveform, ids ≡ 0 mod 89 (not 97) carry the same

@@ -93,4 +93,96 @@ class Y4mSpec extends SparkSuite {
     // frames 0 and 2 sampled; frame 1 skipped by the stride
     assert(got.toSeq == Seq((0, 100L, 10, 40), (2, 255L, 0, 255)))
   }
+
+  // ---- video fingerprint (m21/m22) gates ----
+
+  /** 16×8 C420 clip whose luma at (x, y, frame) is `lum`. */
+  private def clip(nf: Int, lum: (Int, Int, Int) => Int): Array[Byte] = {
+    val w = 16; val h = 8
+    val frames = Vector.tabulate(nf) { f =>
+      val frame = new Array[Byte](w * h * 3 / 2)
+      for (y <- 0 until h; x <- 0 until w)
+        frame(y * w + x) = lum(x, y, f).toByte
+      java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+      frame
+    }
+    Y4m.encode(Y4m.Video(w, h, "C420", frames))
+  }
+
+  private def fingerprint(payloads: Seq[(Long, Array[Byte])]): Map[Long, (String, Long)] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = payloads.map { case (id, p) => (id, "video", p) }
+      .toDF("doc_id", "media_type", "payload")
+    Multimodal.videoFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getLong(5))).toMap
+  }
+
+  test("videoFingerprints: hand-computed bits; brightness-scale invariance; bits↔hash repack") {
+    // left half luma 10, right half 30: within every temporal bucket the
+    // right-side cells (cx 2,3) beat the bucket average cell (160 vs
+    // 240·16 > 2560), the left ones (80·16) don't → every (t, cy) row of
+    // four bits reads "0011"
+    val base = clip(4, (x, _, _) => if (x < 8) 10 else 30)
+    val x3 = clip(4, (x, _, _) => if (x < 8) 30 else 90) // ×3 gain
+    val got = fingerprint(Seq((1L, base), (2L, x3)))
+    assert(got(1L)._1 == "0011" * 16)
+    assert(got(1L)._2 == java.lang.Long.parseUnsignedLong("CCCCCCCCCCCCCCCC", 16))
+    // ratio-form bits are invariant to a global gain change
+    assert(got(2L) == got(1L))
+    // the packed hash is a pure repack of the bit string (bit k = char k)
+    val arb = fingerprint(Seq((3L, clip(5, (x, y, f) => (x * 31 + y * 17 + f * 7) % 97))))(3L)
+    for (k <- 0 until 64)
+      assert(((arb._2 >>> k) & 1L) == (if (arb._1.charAt(k) == '1') 1L else 0L), s"bit $k")
+  }
+
+  test("videoFingerprints: the temporal axis discriminates frame ORDER") {
+    // same frames, reversed order: every temporal bucket sees the
+    // opposite spatial pattern, so all 64 bits flip
+    val fwd = clip(4, (x, _, f) => if ((f < 2) == (x < 8)) 30 else 10)
+    val rev = clip(4, (x, _, f) => if ((f >= 2) == (x < 8)) 30 else 10)
+    val got = fingerprint(Seq((1L, fwd), (2L, rev)))
+    assert(java.lang.Long.bitCount(got(1L)._2 ^ got(2L)._2) == 64)
+  }
+
+  test("videoFingerprints: hostile inputs fail loudly") {
+    // fewer frames than temporal buckets
+    val short = clip(3, (x, _, _) => x)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      fingerprint(Seq((1L, short)))
+    }
+    assert(e1.getMessage.contains("temporal") ||
+      e1.getCause.getMessage.contains("temporal"))
+    // dims not divisible by the spatial grid
+    val spark2 = spark
+    import spark2.implicits._
+    val odd = Y4m.encode(Y4m.Video(6, 4, "Cmono",
+      Vector.tabulate(4)(_ => Array.fill[Byte](24)(9))))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFingerprints(
+        Seq((1L, "video", odd)).toDF("doc_id", "media_type", "payload")).collect()
+    }
+    assert(e2.getMessage.contains("divisible") ||
+      e2.getCause.getMessage.contains("divisible"))
+  }
+
+  test("videoNearDups: copies + gain-scaled copy pair; distinct footage does not") {
+    // 1 = base, 2 = base at ×2 gain (hamming 0), 3 = top-bright,
+    // 4 = checkerboard cells — both far from base (hamming 32)
+    val base = clip(4, (x, _, _) => if (x < 8) 10 else 30)
+    val pairs = {
+      val spark2 = spark
+      import spark2.implicits._
+      val media = Seq(
+        (1L, base),
+        (2L, clip(4, (x, _, _) => if (x < 8) 20 else 60)),
+        (3L, clip(4, (_, y, _) => if (y < 4) 30 else 10)),
+        (4L, clip(4, (x, y, _) => if ((x / 4 + y / 2) % 2 == 0) 30 else 10)))
+        .map { case (id, p) => (id, "video", p) }
+        .toDF("doc_id", "media_type", "payload")
+      Multimodal.videoNearDups(media, maxHamming = 2, keyBits = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
 }
