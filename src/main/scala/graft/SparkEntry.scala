@@ -75,7 +75,9 @@ object SparkEntry {
     "s08_embedding_admission" -> Seq("spec:LlmOpsSpec", "spec:StreamingSpec"),
     "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
     "t22_bpe_train" -> Seq("spec:TrainingSpec"),
-    "t23_bpe_segment" -> Seq("spec:TrainingSpec"))
+    "t23_bpe_segment" -> Seq("spec:TrainingSpec"),
+    "t34_unigram_train" -> Seq("spec:TrainingSpec"),
+    "t35_unigram_segment" -> Seq("spec:TrainingSpec"))
 
   /** (query → gates) for ALL registered queries — "oracle" where a
     * DuckDB oracle exists, the named rows-only gates otherwise. Written

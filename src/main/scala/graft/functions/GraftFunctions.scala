@@ -52,6 +52,13 @@ object GraftFunctions {
   def merge_pair(syms: Column, left: String, right: String): Column =
     toCol(MergePair(expression(syms), left, right))
 
+  /** Viterbi segmentation of a word under a trained unigram LM
+    * (codegen'd — the decode half of the SentencePiece-style tokenizer,
+    * see [[UnigramSegment]]); `pieces` are (piece, logProb). */
+  def unigram_segment(word: Column, pieces: Seq[(String, Double)],
+      unkScore: Double): Column =
+    toCol(UnigramSegment(expression(word), pieces, unkScore))
+
   /** Order-preserving removal of a fixed excluded string set from an
     * array column (codegen'd — the corpus line-dedup cleanup stage, see
     * [[ArrayExclude]]). */

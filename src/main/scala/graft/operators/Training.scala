@@ -221,6 +221,196 @@ object Training {
       (c, m) => fns.merge_pair(c, m._1, m._2))
   }
 
+  /** Unigram-LM tokenizer training (the SentencePiece unigram model,
+    * Kudo 2018, arXiv 1804.10959) — the OTHER major subword family next
+    * to BPE ([[bpeTrain]]): seed a piece inventory from frequent word
+    * substrings, fit piece probabilities by EM over each word's
+    * segmentation lattice (log-domain forward-backward — soft counts,
+    * not Viterbi's hard ones), prune to `vocabSize` keeping every
+    * single character (coverage stays total), and re-fit.
+    *
+    * Scale split mirrors [[bpeTrain]] exactly and for the same measured
+    * reason: the corpus-sized work is the word-frequency aggregation
+    * (distributed, map-side partial agg compresses the corpus to a
+    * vocab table); EM is a sequential fixpoint over that bounded table
+    * and runs driver-side (`maxVocab` bounds the collect loudly).
+    * Encoding goes back to the cluster as one codegen'd projection
+    * ([[unigramSegmentColumn]]).
+    *
+    * Deterministic by construction: words, pieces, and accumulation all
+    * iterate in sorted order, so the same frame yields bit-identical
+    * doubles on every run. Returns (piece, log_prob, piece_len) sorted
+    * by (log_prob DESC, piece ASC) — the model table IS the tokenizer.
+    */
+  def unigramTrain(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 6,
+      emIters: Int = 3, seedFactor: Int = 4, minWordCount: Long = 1,
+      maxVocab: Int = 1 << 22): DataFrame = {
+    require(vocabSize >= 2, s"vocabSize $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen $maxPieceLen")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
+    val collected = words.limit(maxVocab + 1).collect()
+    require(collected.length <= maxVocab,
+      s"vocab exceeds maxVocab=$maxVocab; raise minWordCount")
+    val freq = collected.map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // deterministic iteration order everywhere below
+    require(freq.nonEmpty, "unigramTrain: empty corpus")
+
+    // --- seed inventory: substring counts up to maxPieceLen ---
+    val subCnt = new java.util.HashMap[String, Long]()
+    freq.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(w.length, i + maxPieceLen)) {
+          subCnt.merge(w.substring(i, j), c, Long.box(_) + _)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val all = subCnt.entrySet().asScala
+      .map(e => (e.getKey, e.getValue.longValue())).toArray
+    val chars = all.filter(_._1.length == 1).map(_._1).sorted
+    require(vocabSize > chars.length,
+      s"vocabSize $vocabSize <= ${chars.length} distinct chars — coverage needs every char")
+    val seedMulti = all.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(vocabSize * seedFactor, vocabSize) - chars.length)
+    val seed = (chars.map(c => c -> subCnt.get(c).longValue()) ++ seedMulti)
+      .sortBy(_._1)
+
+    // --- EM over the word lattices, log domain ---
+    def logSumExp(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+
+    def emFit(pieces0: Array[String], logp0: Array[Double],
+        iters: Int): (Array[String], Array[Double]) = {
+      var pieces = pieces0
+      var logp = logp0
+      var it = 0
+      while (it < iters) {
+        val lp = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+        var i = 0
+        while (i < pieces.length) {
+          lp.put(pieces(i), java.lang.Double.valueOf(logp(i))); i += 1
+        }
+        val maxLen = pieces.foldLeft(1)((m, p) => math.max(m, p.length))
+        val expCnt = new java.util.HashMap[String, Double]()
+        freq.foreach { case (w, c) =>
+          val n = w.length
+          val alpha = new Array[Double](n + 1)
+          val beta = new Array[Double](n + 1)
+          java.util.Arrays.fill(alpha, 1, n + 1, Double.NegativeInfinity)
+          java.util.Arrays.fill(beta, 0, n, Double.NegativeInfinity)
+          var i2 = 1
+          while (i2 <= n) {
+            var j = math.max(0, i2 - maxLen)
+            while (j < i2) {
+              val s = lp.get(w.substring(j, i2))
+              if (s != null && alpha(j) != Double.NegativeInfinity)
+                alpha(i2) = logSumExp(alpha(i2), alpha(j) + s.doubleValue())
+              j += 1
+            }
+            i2 += 1
+          }
+          val z = alpha(n)
+          // a word whose every char is in vocab is always coverable;
+          // guard anyway (a dropped piece must never strand a word)
+          require(z != Double.NegativeInfinity, s"word '$w' not coverable")
+          var j2 = n - 1
+          while (j2 >= 0) {
+            var i3 = j2 + 1
+            while (i3 <= math.min(n, j2 + maxLen)) {
+              val s = lp.get(w.substring(j2, i3))
+              if (s != null && beta(i3) != Double.NegativeInfinity)
+                beta(j2) = logSumExp(beta(j2), s.doubleValue() + beta(i3))
+              i3 += 1
+            }
+            j2 -= 1
+          }
+          // expected piece counts: alpha(j)·p·beta(i)/Z per lattice edge
+          var j3 = 0
+          while (j3 < n) {
+            if (alpha(j3) != Double.NegativeInfinity) {
+              var i4 = j3 + 1
+              while (i4 <= math.min(n, j3 + maxLen)) {
+                val piece = w.substring(j3, i4)
+                val s = lp.get(piece)
+                if (s != null && beta(i4) != Double.NegativeInfinity) {
+                  val e = c * math.exp(alpha(j3) + s.doubleValue() + beta(i4) - z)
+                  expCnt.merge(piece, e, Double.box(_) + _)
+                }
+                i4 += 1
+              }
+            }
+            j3 += 1
+          }
+        }
+        // M-step in sorted piece order (deterministic double sums).
+        // Every piece sits on SOME lattice path (seeds are substrings
+        // of corpus words) so its soft count is mathematically > 0 —
+        // but once probability mass concentrates, a rare piece's
+        // exp(alpha+s+beta-Z) underflows to exactly 0.0 and log would
+        // hand it -Infinity forever; floor counts at 1e-9 so scores
+        // stay finite and coverage never degenerates
+        var total = 0.0
+        i = 0
+        while (i < pieces.length) {
+          total += math.max(expCnt.getOrDefault(pieces(i), 0.0), 1e-9)
+          i += 1
+        }
+        val logTotal = math.log(total)
+        logp = pieces.map(p =>
+          math.log(math.max(expCnt.getOrDefault(p, 0.0), 1e-9)) - logTotal)
+        it += 1
+      }
+      (pieces, logp)
+    }
+
+    val seedPieces = seed.map(_._1)
+    val seedTotal = seed.map(_._2.toDouble).sum
+    val seedLogp = seed.map(e => math.log(e._2.toDouble / seedTotal))
+    val (p1, l1) = emFit(seedPieces, seedLogp, emIters)
+
+    // --- prune to vocabSize: keep every char, top multi-char by prob ---
+    val scored = p1.zip(l1)
+    val keptMulti = scored.filter(_._1.length > 1)
+      .sortBy { case (p, s) => (-s, p) }
+      .take(vocabSize - chars.length)
+    val kept = (scored.filter(_._1.length == 1) ++ keptMulti).sortBy(_._1)
+    val norm = kept.map(_._2).reduce(logSumExp)
+    val (p2, l2) = emFit(kept.map(_._1), kept.map(_._2 - norm), emIters)
+
+    import spark.implicits._
+    p2.zip(l2).toSeq
+      .map { case (p, s) => (p, s, p.length) }
+      .sortBy { case (p, s, _) => (-s, p) }
+      .toDF("piece", "log_prob", "piece_len")
+  }
+
+  /** Corpus segmentation with a trained unigram model — the distributed
+    * half: per word, one codegen'd Viterbi scan with the model shipped
+    * as plan constants ([[graft.functions.UnigramSegment]]). No shuffle,
+    * no state — encoding 100 TB is a plain map stage, exactly like
+    * [[bpeSegmentColumn]]. `pieces` are (piece, log_prob) rows from
+    * [[unigramTrain]] (collected — tokenizer-sized, not data-sized);
+    * out-of-vocabulary characters fall back to single-char pieces at
+    * one nat below the worst piece score. */
+  def unigramSegmentColumn(word: Column,
+      pieces: Seq[(String, Double)]): Column = {
+    require(pieces.nonEmpty, "unigramSegmentColumn: empty model")
+    graft.functions.GraftFunctions.unigram_segment(word, pieces,
+      unkScore = pieces.map(_._2).min - 1.0)
+  }
+
   /** Materialize the packed training sequences themselves — the emit
     * half of [[packSequences]] (which only computes placement): tokens
     * take a global position in their source stream (running doc offsets
@@ -475,6 +665,47 @@ object Training {
         .filter(col("word") =!= "")
         .select(col("doc_id"),
           size(bpeSegmentColumn(col("word"), merges)).cast("long")
+            .as("n_pieces"),
+          length(col("word")).cast("long").as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("compression",
+          col("n_chars").cast("double") / col("n_pieces").cast("double"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // Unigram-LM tokenizer training — the SentencePiece counterpart to
+    // t22's BPE: 120-piece model over the corpus word table (substring
+    // seed → EM on the segmentation lattice → char-preserving prune →
+    // re-fit). Not SQL-expressible (iterated EM fixpoint); the gate is
+    // TrainingSpec's parity against an independent in-spec reference
+    // implementation plus bit-identical determinism. Ordered by
+    // (log_prob DESC, piece) — the model table is the contract.
+    ("t34_unigram_train", (s: SparkSession, d: String) =>
+      unigramTrain(Tables.documents(s, d), vocabSize = 120,
+          maxPieceLen = 6, emIters = 3)
+        .orderBy(col("log_prob").desc, col("piece")), None),
+
+    // Corpus segmentation with the trained unigram model — per-doc
+    // word/piece/char totals plus compression, the t23 rollup through
+    // the OTHER tokenizer family. The segmentation itself is one
+    // shuffle-free codegen'd Viterbi projection with the model as plan
+    // constants. Gate: TrainingSpec segments every distinct word
+    // identically to the in-spec reference Viterbi and pieces always
+    // reassemble to the word.
+    ("t35_unigram_segment", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val model = unigramTrain(docs, vocabSize = 120, maxPieceLen = 6,
+          emIters = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(unigramSegmentColumn(col("word"), model)).cast("long")
             .as("n_pieces"),
           length(col("word")).cast("long").as("n_chars"))
         .groupBy(col("doc_id"))

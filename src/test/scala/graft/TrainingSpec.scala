@@ -407,6 +407,199 @@ class TrainingSpec extends SparkSuite {
       again.select("doc_id").collect().map(_.getLong(0)).toSeq)
   }
 
+  // ---- unigram-LM tokenizer (t34/t35) gates ----
+
+  /** Independent reference unigram trainer — same defined algorithm
+    * (seed → EM forward-backward → char-preserving prune → re-fit),
+    * written functionally over immutable maps rather than the
+    * operator's imperative array loops. Double sums land within ulps of
+    * the operator's (different accumulation structures), so parity
+    * compares at 1e-9; piece SETS compare exactly. */
+  private def referenceUnigram(wordCounts: Seq[(String, Long)],
+      vocabSize: Int, maxPieceLen: Int, emIters: Int,
+      seedFactor: Int = 4): Seq[(String, Double)] = {
+    val freq = wordCounts.sortBy(_._1)
+    val subCnt = freq.foldLeft(Map.empty[String, Long]) { case (m0, (w, c)) =>
+      (for {
+        i <- 0 until w.length
+        j <- (i + 1) to math.min(w.length, i + maxPieceLen)
+      } yield w.substring(i, j)).foldLeft(m0)((m, p) =>
+        m.updated(p, m.getOrElse(p, 0L) + c))
+    }
+    val chars = subCnt.keys.filter(_.length == 1).toSeq.sorted
+    val multi = subCnt.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(vocabSize * seedFactor, vocabSize) - chars.length)
+    val seed = (chars.map(c => c -> subCnt(c)) ++ multi).sortBy(_._1)
+    val total = seed.map(_._2.toDouble).sum
+
+    def lse(xs: Iterable[Double]): Double = {
+      val finite = xs.filter(_ != Double.NegativeInfinity)
+      if (finite.isEmpty) Double.NegativeInfinity
+      else {
+        val m = finite.max
+        m + math.log(finite.map(x => math.exp(x - m)).sum)
+      }
+    }
+
+    def em(model: Map[String, Double], iters: Int): Map[String, Double] =
+      if (iters == 0) model
+      else {
+        val maxLen = model.keys.map(_.length).max
+        val exp = scala.collection.mutable.Map[String, Double]()
+        freq.foreach { case (w, c) =>
+          val n = w.length
+          val alpha = new Array[Double](n + 1)
+          (1 to n).foreach { i =>
+            alpha(i) = lse((math.max(0, i - maxLen) until i).flatMap(j =>
+              model.get(w.substring(j, i)).map(alpha(j) + _)))
+          }
+          val beta = new Array[Double](n + 1)
+          (n - 1 to 0 by -1).foreach { j =>
+            beta(j) = lse((j + 1 to math.min(n, j + maxLen)).flatMap(i =>
+              model.get(w.substring(j, i)).map(_ + beta(i))))
+          }
+          for {
+            j <- 0 until n
+            i <- (j + 1) to math.min(n, j + maxLen)
+            s <- model.get(w.substring(j, i))
+          } {
+            val p = w.substring(j, i)
+            exp(p) = exp.getOrElse(p, 0.0) +
+              c * math.exp(alpha(j) + s + beta(i) - alpha(n))
+          }
+        }
+        // 1e-9 count floor mirrors the operator (underflowed rare
+        // pieces must keep finite scores)
+        val tot = model.keys.toSeq.sorted
+          .map(p => math.max(exp.getOrElse(p, 0.0), 1e-9)).sum
+        em(model.map { case (p, _) =>
+          p -> (math.log(math.max(exp.getOrElse(p, 0.0), 1e-9)) -
+            math.log(tot)) }, iters - 1)
+      }
+
+    val fit1 = em(seed.map { case (p, c) =>
+      p -> math.log(c.toDouble / total) }.toMap, emIters)
+    val keptMulti = fit1.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, s) => (-s, p) }.take(vocabSize - chars.length)
+    val kept = fit1.toSeq.filter(_._1.length == 1) ++ keptMulti
+    val norm = lse(kept.map(_._2))
+    em(kept.map { case (p, s) => p -> (s - norm) }.toMap, emIters)
+      .toSeq.sortBy { case (p, s) => (-s, p) }
+  }
+
+  /** Reference Viterbi mirroring the documented contract: left-to-right
+    * DP, candidates longest-first, strictly-better-wins (ties keep the
+    * longer last piece), single-char OOV fallback. Summation order
+    * (prefix score + piece score) matches the native expression so the
+    * discrete output cannot drift on fp ties. */
+  private def referenceViterbi(w: String, model: Map[String, Double],
+      unkScore: Double): Seq[String] = {
+    val maxLen = model.keys.map(_.length).max
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    for (i <- 1 to n) {
+      var found = false
+      for (j <- math.max(0, i - maxLen) until i) {
+        model.get(w.substring(j, i)).foreach { s =>
+          if (best(j) + s > best(i)) { best(i) = best(j) + s; back(i) = j }
+          found = true
+        }
+      }
+      if (!found) {
+        best(i) = best(i - 1) + unkScore; back(i) = i - 1
+      }
+    }
+    Iterator.iterate(n)(back(_)).takeWhile(_ > 0)
+      .map(i => w.substring(back(i), i)).toSeq.reverse
+  }
+
+  test("unigram training: reference parity, coverage, normalization, determinism") {
+    import graft.operators.Training
+    for (docs <- Seq(Tables.documents(spark, sf0001), tieCorpus)) {
+      val got = Training.unigramTrain(docs, vocabSize = 120,
+          maxPieceLen = 6, emIters = 3)
+        .orderBy(col("log_prob").desc, col("piece")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val wordCounts = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "").groupBy(col("w")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val ref = referenceUnigram(wordCounts, vocabSize = 120,
+        maxPieceLen = 6, emIters = 3)
+      assert(got.map(_._1).sorted == ref.map(_._1).sorted,
+        "piece inventories differ")
+      val refMap = ref.toMap
+      got.foreach { case (p, s) =>
+        assert(math.abs(s - refMap(p)) < 1e-9, s"piece '$p': $s vs ${refMap(p)}")
+      }
+      // every corpus char is a piece (total coverage survives pruning)
+      val corpusChars = wordCounts.flatMap(_._1.toSeq).map(_.toString).toSet
+      val pieceSet = got.map(_._1).toSet
+      assert(corpusChars.subsetOf(pieceSet))
+      // probabilities normalize: logsumexp(log_probs) ~ 0
+      val m = got.map(_._2).max
+      assert(math.abs(m + math.log(got.map(s => math.exp(s._2 - m)).sum)) < 1e-9)
+      // the model prefers real units over raw chars: multi-char pieces
+      // dominate the top of the table
+      assert(got.take(10).exists(_._1.length > 1),
+        s"no multi-char piece near the top: ${got.take(10)}")
+      // determinism: bit-identical on a re-run
+      val again = Training.unigramTrain(docs, vocabSize = 120,
+          maxPieceLen = 6, emIters = 3)
+        .orderBy(col("log_prob").desc, col("piece")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(again.map(p => (p._1, java.lang.Double.doubleToLongBits(p._2))) ==
+        got.map(p => (p._1, java.lang.Double.doubleToLongBits(p._2))))
+    }
+  }
+
+  test("unigram segmentation: reference Viterbi parity, reassembly, compression") {
+    import graft.operators.Training
+    val docs = Tables.documents(spark, sf0001)
+    val model = Training.unigramTrain(docs, vocabSize = 120,
+        maxPieceLen = 6, emIters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val unk = model.map(_._2).min - 1.0
+    val segmented = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"),
+        Training.unigramSegmentColumn(col("word"), model).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segmented.nonEmpty)
+    val refMap = model.toMap
+    segmented.foreach { case (w, pieces) =>
+      assert(pieces == referenceViterbi(w, refMap, unk), s"word '$w'")
+      assert(pieces.mkString == w, s"pieces must reassemble '$w'")
+    }
+    // the trained model actually compresses: pieces < chars somewhere
+    assert(segmented.exists { case (w, p) => w.length > 1 && p.size < w.length })
+  }
+
+  test("unigram segmentation: hand cases — likelihood wins, ties keep longer, OOV falls back") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Training
+    def seg(word: String, model: Seq[(String, Double)]): Seq[String] =
+      Seq(word).toDF("w")
+        .select(Training.unigramSegmentColumn(col("w"), model).as("p"))
+        .collect().head.getSeq[String](0)
+    // the fused piece is likelier than its chars → it wins
+    assert(seg("abab", Seq("ab" -> -1.0, "a" -> -3.0, "b" -> -3.0)) ==
+      Seq("ab", "ab"))
+    // the chars are likelier than the fused piece → they win
+    assert(seg("ab", Seq("ab" -> -5.0, "a" -> -1.0, "b" -> -1.0)) ==
+      Seq("a", "b"))
+    // exact score tie (-2 both ways) → the longer last piece wins
+    assert(seg("aa", Seq("aa" -> -2.0, "a" -> -1.0)) == Seq("aa"))
+    // OOV chars fall back to single-char pieces; coverage is total
+    assert(seg("axa", Seq("a" -> -1.0)) == Seq("a", "x", "a"))
+    assert(seg("", Seq("a" -> -1.0)) == Seq.empty[String])
+  }
+
   test("bpe merge application is greedy left-to-right without overlap") {
     val fns = graft.functions.GraftFunctions
     val df = Seq(
