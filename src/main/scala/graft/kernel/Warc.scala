@@ -41,27 +41,98 @@ object Warc {
   final case class HttpResponse(status: Int, contentType: String,
       body: Array[Byte])
 
+  /** A record plus its archive location: the byte span `[offset,
+    * offset + length)` of the enclosing unit — the GZIP MEMBER for
+    * `.warc.gz`, the record's own bytes for plain WARC. Slicing the
+    * file at that span and re-parsing yields the record back: the
+    * random-access contract a CDX index serves. */
+  final case class Located(record: Record, offset: Long, length: Long)
+
   def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
   /** Parse a WARC file (plain or gzipped — sniffed) into records. */
   def parseAll(bytes: Array[Byte]): Seq[Record] =
-    parsePlain(if (isGzip(bytes)) gunzipAll(bytes) else bytes)
+    parseLocated(bytes).map(_.record)
 
-  /** Inflate ALL concatenated gzip members (the member-per-record crawl
-    * layout) into one byte stream. */
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+  /** [[parseAll]] with archive offsets — the CDX indexing primitive.
+    * Gzipped input walks the concatenated members by the RFC 1952
+    * grammar (header flags, raw deflate, CRC32 + ISIZE trailer — both
+    * VERIFIED, a crawl archive is untrusted input), so each record
+    * carries its member's compressed span; plain input carries record
+    * byte spans. */
+  def parseLocated(bytes: Array[Byte]): Seq[Located] = {
+    if (!isGzip(bytes)) parsePlainLocated(bytes)
+    else {
+      val out = Seq.newBuilder[Located]
+      var off = 0
+      while (off < bytes.length) {
+        val (plain, end) = gzipMember(bytes, off)
+        // the crawl layout is one record per member; a member holding
+        // several (spec-legal) locates them all at the member span
+        parsePlainLocated(plain).foreach(l =>
+          out += Located(l.record, off.toLong, (end - off).toLong))
+        off = end
+      }
+      out.result()
+    }
   }
 
-  private def parsePlain(bytes: Array[Byte]): Seq[Record] = {
-    val out = Seq.newBuilder[Record]
+  /** Inflate ONE gzip member starting at `start`; returns (decompressed
+    * bytes, offset just past the member's trailer). RFC 1952: fixed
+    * 10-byte header, optional FEXTRA/FNAME/FCOMMENT/FHCRC fields, raw
+    * deflate stream, 4-byte CRC32 + 4-byte ISIZE trailer. */
+  private def gzipMember(b: Array[Byte], start: Int): (Array[Byte], Int) = {
+    require(start + 10 <= b.length, s"member at $start: truncated gzip header")
+    require((b(start) & 0xff) == 0x1f && (b(start + 1) & 0xff) == 0x8b,
+      s"member at $start: bad gzip magic")
+    require((b(start + 2) & 0xff) == 8,
+      s"member at $start: unsupported compression method ${b(start + 2) & 0xff}")
+    val flg = b(start + 3) & 0xff
+    var p = start + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + payload
+      require(p + 2 <= b.length, s"member at $start: truncated FEXTRA")
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME: zero-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    require(p <= b.length, s"member at $start: truncated gzip header fields")
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+          s"member at $start: truncated or invalid deflate stream")
+        out.write(buf, 0, n)
+      }
+      val trailerAt = p + (b.length - p) - inf.getRemaining
+      require(trailerAt + 8 <= b.length, s"member at $start: truncated gzip trailer")
+      def le32(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      val plain = out.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(plain)
+      require(crc.getValue == le32(trailerAt),
+        s"member at $start: CRC32 mismatch")
+      require((plain.length & 0xffffffffL) == le32(trailerAt + 4),
+        s"member at $start: ISIZE mismatch")
+      (plain, trailerAt + 8)
+    } finally inf.end()
+  }
+
+  private def parsePlainLocated(bytes: Array[Byte]): Seq[Located] = {
+    val out = Seq.newBuilder[Located]
     var off = 0
     // tolerate trailing CRLFs at EOF (the final record's separator)
     def atEnd(o: Int): Boolean = {
@@ -71,6 +142,7 @@ object Warc {
       i == bytes.length
     }
     while (!atEnd(off)) {
+      val recStart = off
       val headerEnd = indexOfDoubleCrlf(bytes, off)
       require(headerEnd >= 0, s"record at $off: unterminated header block")
       val header = new String(bytes, off, headerEnd - off, "ISO-8859-1")
@@ -97,7 +169,6 @@ object Warc {
         s"record at $off: truncated content (need $len bytes)")
       val content = java.util.Arrays.copyOfRange(
         bytes, contentStart, contentStart + len.toInt)
-      out += Record(headers, content)
       off = contentStart + len.toInt
       // consume the record separator (two CRLFs) when present
       var crlf = 0
@@ -105,6 +176,8 @@ object Warc {
           bytes(off) == '\r' && bytes(off + 1) == '\n') {
         off += 2; crlf += 1
       }
+      out += Located(Record(headers, content), recStart.toLong,
+        (off - recStart).toLong)
     }
     out.result()
   }

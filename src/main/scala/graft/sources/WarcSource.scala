@@ -76,6 +76,61 @@ object WarcSource {
         "record_id", "content_type", "byte_len", "content")
   }
 
+  /** CDX-style capture index rows over raw WARC segments — the
+    * random-access index crawl infrastructure serves next to the
+    * archives themselves (the CDX(J) convention: sorted
+    * url-key/timestamp lines pointing at (file, offset, length)).
+    * Input: one row per segment (path, content). Output: one row per
+    * `response` record — (urlkey, ts, url, mime, status, digest,
+    * filename, rec_offset, rec_length) where the last three are the
+    * random-access pointer: slicing the archive at
+    * [rec_offset, rec_offset + rec_length) re-parses to exactly that
+    * record ([[graft.kernel.Warc.parseLocated]]'s contract, spec-gated).
+    * urlkey is the t28 canonical URL (scheme/host case, default ports,
+    * www, fragments, tracking params); ts is the WARC-Date's digits in
+    * the 14-digit CDX form; mime is the media type without parameters;
+    * digest is sha-256 hex of the HTTP body. Index building is a pure
+    * map over segments — each task indexes its own files, nothing but
+    * the index rows crosses an exchange; sorting by (urlkey, ts) at
+    * write time is the ONE shuffle a global index inherently needs. */
+  def cdxRows(segments: DataFrame): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (path, bytes) =>
+          val filename = path.substring(path.lastIndexOf('/') + 1)
+          Warc.parseLocated(bytes).iterator
+            .filter(_.record.warcType == "response")
+            .map { loc =>
+              val http = Warc.httpResponse(loc.record.content)
+              val mime = http.contentType.split(";")(0).trim.toLowerCase
+              val ts = loc.record.date.filter(_.isDigit).take(14)
+              (loc.record.targetUri, ts, mime, http.status,
+                sha256.digest(http.body).map("%02x".format(_)).mkString,
+                filename, loc.offset, loc.length)
+            }
+        }
+      }
+      .toDF("url", "ts", "mime", "status", "digest", "filename",
+        "rec_offset", "rec_length")
+      .withColumn("urlkey", graft.operators.Curate.canonicalUrl(col("url")))
+      .select(col("urlkey"), col("ts"), col("url"), col("mime"),
+        col("status"), col("digest"), col("filename"), col("rec_offset"),
+        col("rec_length"))
+  }
+
+  /** [[cdxRows]] over a directory of WARC segments (the file-based
+    * form): same listing-prune + file-per-task layout as [[scan]]. */
+  def cdxIndex(spark: SparkSession, dir: String,
+      glob: Option[String] = Some("*.warc*")): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
+    cdxRows(withGlob.load(dir).select(col("path"), col("content")))
+  }
+
   /** Project the HTML page table out of a record scan: `response`
     * records whose HTTP payload is text/html, split into
     * (url, warc_date, http_status, html). Non-2xx responses are kept —
@@ -158,5 +213,65 @@ object WarcSource {
           '</p></body></html>') AS BIGINT) AS body_len,
         sha256('<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
           '</p></body></html>') AS body_sha
-      FROM documents ORDER BY doc_id""")))
+      FROM documents ORDER BY doc_id""")),
+
+    // CDX capture-index build, oracle-gated end to end: documents group
+    // into MULTI-RECORD segments (warcinfo + one response per doc, the
+    // member-per-record gzip layout), and the index path — RFC 1952
+    // member walk with verified trailers, record grammar, HTTP split,
+    // URL canonicalization, 14-digit timestamp, digest — must reproduce
+    // DuckDB's recomputation of every field from the same templates.
+    // Messy inputs are planted ON PURPOSE: uppercase host, explicit
+    // default port, tracking param (urlkey must normalize), mixed
+    // text/html + text/plain, non-2xx statuses. The (offset, length)
+    // random-access pointers are deflate-dependent — projected out here;
+    // their slice-reparse contract is spec-gated in WarcSpec.
+    ("w02_cdx_index", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val segments = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey { case (id, _) => id % 41 }
+        .mapGroups { (seg, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val recs = (Seq(
+            (Seq(
+              "WARC-Type" -> "warcinfo",
+              "WARC-Record-ID" -> s"<urn:uuid:info-$seg>",
+              "WARC-Date" -> "2025-01-01T00:00:00Z",
+              "Content-Type" -> "application/warc-fields"),
+              "software: graft\r\n".getBytes("US-ASCII"))) ++
+            docs.map { case (id, text) =>
+              val day = (id % 27 + 1).toInt
+              val mime = if (id % 2 == 0) "text/html" else "text/plain"
+              val status = if (id % 3 == 0) 404 else 200
+              val body = s"Doc $id: $text"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              (Seq(
+                "WARC-Type" -> "response",
+                "WARC-Target-URI" ->
+                  s"https://WWW.Example.com:443/doc/$id?utm_source=feed&id=$id",
+                "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+                "WARC-Date" -> f"2025-01-${day}%02dT03:04:05Z",
+                "Content-Type" -> "application/http;msgtype=response"),
+                Warc.renderHttpResponse(status, s"$mime; charset=utf-8", body))
+            })
+          (s"file:/crawl/seg-$seg.warc.gz", Warc.writeGz(recs))
+        }
+        .toDF("path", "content")
+      cdxRows(segments)
+        .select(col("urlkey"), col("ts"), col("url"), col("mime"),
+          col("status"), col("digest"), col("filename"))
+        .orderBy(col("urlkey"), col("ts"))
+    },
+    Some("""SELECT
+        'https://example.com/doc/' || doc_id || '?id=' || doc_id AS urlkey,
+        '202501' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') ||
+          '030405' AS ts,
+        'https://WWW.Example.com:443/doc/' || doc_id ||
+          '?utm_source=feed&id=' || doc_id AS url,
+        CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mime,
+        CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END AS status,
+        sha256('Doc ' || doc_id || ': ' || text) AS digest,
+        'seg-' || (doc_id % 41) || '.warc.gz' AS filename
+      FROM documents ORDER BY urlkey, ts""")))
 }

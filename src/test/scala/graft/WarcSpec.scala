@@ -177,4 +177,114 @@ class WarcSpec extends SparkSuite {
       ("http://example.com/1", 200, "first page"),
       ("http://example.com/2", 200, "T\nsecond & page")))
   }
+
+  // ---- CDX / record-offset gates (w02) ----
+
+  private def sampleRecords(n: Int) = (0 until n).map { i =>
+    (Seq("WARC-Type" -> "resource", "WARC-Record-ID" -> s"<urn:uuid:$i>"),
+      s"payload number $i with some content".getBytes(Utf8))
+  }
+
+  test("parseLocated: spans tile the archive and every slice re-parses (gzip + plain)") {
+    for (bytes <- Seq(Warc.writeGz(sampleRecords(5)), Warc.write(sampleRecords(5)))) {
+      val located = Warc.parseLocated(bytes)
+      assert(located.length == 5)
+      // spans tile: offset 0, contiguous, summing to the file length
+      assert(located.head.offset == 0L)
+      located.sliding(2).foreach { case Seq(a, b) =>
+        assert(a.offset + a.length == b.offset, s"gap after ${a.offset}") }
+      assert(located.last.offset + located.last.length == bytes.length)
+      // THE random-access contract: the slice alone re-parses to the record
+      located.foreach { loc =>
+        val slice = java.util.Arrays.copyOfRange(bytes,
+          loc.offset.toInt, (loc.offset + loc.length).toInt)
+        val back = Warc.parseAll(slice)
+        assert(back.length == 1)
+        assert(back.head.headers == loc.record.headers)
+        assert(back.head.content.toSeq == loc.record.content.toSeq)
+      }
+    }
+  }
+
+  test("gzip member grammar: FNAME/FCOMMENT/FEXTRA/FHCRC headers parse; corruption is loud") {
+    val one = Warc.writeGz(sampleRecords(1))
+    val deflateAndTrailer = java.util.Arrays.copyOfRange(one, 10, one.length)
+    def member(flg: Int, fields: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, flg.toByte,
+        0, 0, 0, 0, 0, 0))
+      out.write(fields)
+      out.write(deflateAndTrailer)
+      out.toByteArray
+    }
+    // FNAME (8), FCOMMENT (16): zero-terminated strings
+    assert(Warc.parseAll(member(8, ("seg.warc".getBytes("ISO-8859-1") :+ 0.toByte)))
+      .length == 1)
+    assert(Warc.parseAll(member(16, ("a comment".getBytes("ISO-8859-1") :+ 0.toByte)))
+      .length == 1)
+    // FEXTRA (4): little-endian length + payload
+    assert(Warc.parseAll(member(4, Array[Byte](3, 0, 9, 9, 9))).length == 1)
+    // FHCRC (2): CRC16 of the header bytes
+    val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 2, 0, 0, 0, 0, 0, 0)
+    val crc = new java.util.zip.CRC32(); crc.update(hdr)
+    val c = crc.getValue
+    assert(Warc.parseAll(member(2,
+      Array[Byte]((c & 0xff).toByte, ((c >> 8) & 0xff).toByte))).length == 1)
+    // stacked members with fancy headers still walk
+    val stacked = member(8, ("x".getBytes("ISO-8859-1") :+ 0.toByte)) ++ one
+    assert(Warc.parseLocated(stacked).map(_.offset).toSeq ==
+      Seq(0L, (one.length + 2).toLong))
+    // corrupted CRC32 trailer: loud, not silent garbage
+    val bad = one.clone(); bad(one.length - 6) = (bad(one.length - 6) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](Warc.parseAll(bad))
+    assert(e.getMessage.contains("CRC32"))
+    // truncated member: loud
+    assertThrows[IllegalArgumentException](
+      Warc.parseAll(java.util.Arrays.copyOfRange(one, 0, one.length - 4)))
+  }
+
+  test("cdx rows: fields, pointer fetch, and planted normalization") {
+    val spark2 = spark
+    import spark2.implicits._
+    def response(uri: String, date: String, status: Int, ct: String,
+        body: String) =
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> date,
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(status, ct, body.getBytes(Utf8)))
+    val gz = Warc.writeGz(Seq(
+      (Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:uuid:i>",
+        "Content-Type" -> "application/warc-fields"),
+        "software: test\r\n".getBytes(Utf8)),
+      response("https://WWW.Example.com:443/a?utm_source=x&k=1",
+        "2025-06-07T08:09:10Z", 200, "text/html; charset=utf-8", "page a"),
+      response("http://example.com/b", "2025-06-07T08:09:11Z", 404,
+        "text/plain", "gone")))
+    val rows = WarcSource.cdxRows(
+        Seq(("file:/crawl/seg-0.warc.gz", gz)).toDF("path", "content"))
+      .orderBy(col("ts")).collect()
+    assert(rows.length == 2) // the warcinfo record is not a capture
+    val a = rows(0)
+    assert(a.getString(0) == "https://example.com/a?k=1") // urlkey normalized
+    assert(a.getString(1) == "20250607080910")
+    assert(a.getString(3) == "text/html") // parameters stripped
+    assert(a.getInt(4) == 200)
+    assert(a.getString(6) == "seg-0.warc.gz")
+    assert(rows(1).getInt(4) == 404)
+    // the pointer FETCHES: slice the archive at (offset, length), parse,
+    // and the body digest matches the indexed digest — the full
+    // random-access loop an index server runs
+    rows.foreach { r =>
+      val slice = java.util.Arrays.copyOfRange(gz,
+        r.getLong(7).toInt, (r.getLong(7) + r.getLong(8)).toInt)
+      val rec = Warc.parseAll(slice).head
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      val digest = sha.digest(Warc.httpResponse(rec.content).body)
+        .map("%02x".format(_)).mkString
+      assert(digest == r.getString(5), s"pointer fetch at ${r.getLong(7)}")
+    }
+  }
 }
