@@ -241,6 +241,36 @@ object Curate {
         col("lm_q30_sum").cast("double") / (col("n_tokens") * lit(Q)).cast("double"))
   }
 
+  /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020): rank
+    * documents by LM score ([[lmScore]], best first) and cut the corpus
+    * at one-third and two-thirds of TOKEN mass — head is the cleanest
+    * third by volume, tail the noisiest, and downstream mixtures sample
+    * the buckets at different rates. The boundary tests are exact
+    * integer comparisons (3·cum vs totals), so bucket membership is
+    * engine-reproducible and oracle-checkable.
+    *
+    * Scale note: the exact global cut orders the per-DOCUMENT score
+    * table through one single-partition window — the t25 trade, exact
+    * for the gate; the production swap at billions of documents is two
+    * approx_percentile thresholds on lm_mean (one aggregation, no
+    * global sort) with identical bucket semantics away from the two
+    * boundary scores. */
+  def perplexityBuckets(docs: DataFrame, target: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(docs, target)
+    val ordered = Window.orderBy(col("lm_mean").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(ordered))
+      .withColumn("tot", sum(col("n_tokens")).over(
+        Window.partitionBy(Seq.empty[Column]: _*)))
+      .withColumn("bucket",
+        when(col("cum") * 3 <= col("tot"), lit("head"))
+          .when(col("cum") * 3 <= col("tot") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_tokens"), col("lm_mean"), col("bucket"))
+  }
+
   /** Corpus-level frequent lines — the CCNet/C4 boilerplate census: a
     * line (nav menu, cookie banner, copyright footer) that recurs across
     * `minDocs`+ DISTINCT documents is boilerplate, not content. One
@@ -340,6 +370,66 @@ object Curate {
         CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1073741824 AS BIGINT)
           AS lm_mean
       FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet head/middle/tail partition on the t32 LM signal: tertile
+    // cuts by token mass with exact integer boundary tests. Oracle-gated
+    // end to end — the trained LM, the per-doc means, the global cum-sum
+    // ordering, and every bucket verdict hash-match DuckDB.
+    ("t36_ccnet_buckets", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      perplexityBuckets(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (
+        SELECT w, count(*) AS cu FROM (
+          SELECT unnest(t) AS w FROM toks WHERE lang = 'en') u
+        WHERE w <> '' GROUP BY w),
+      tot AS (SELECT sum(cu) AS tt FROM uni),
+      pos AS (
+        SELECT doc_id, lang, t,
+          unnest(range(1, len(t) + 1)) AS i
+        FROM toks),
+      bi AS (
+        SELECT prev, cur, count(*) AS cb FROM (
+          SELECT t[i - 1] AS prev, t[i] AS cur
+          FROM pos WHERE lang = 'en' AND i > 1) p
+        WHERE prev <> '' AND cur <> '' GROUP BY prev, cur),
+      scored AS (
+        SELECT p.doc_id,
+          CASE
+            WHEN p.i = 1 THEN
+              CASE WHEN uc.cu IS NOT NULL
+                THEN CAST(floor(CAST(uc.cu AS DOUBLE) / CAST(tot.tt AS DOUBLE) * 1073741824) AS BIGINT)
+                ELSE 0 END
+            WHEN b.cb IS NOT NULL
+              THEN CAST(floor(CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE) * 1073741824) AS BIGINT)
+            WHEN uc.cu IS NOT NULL
+              THEN CAST(floor(CAST(uc.cu * 2 AS DOUBLE) / CAST(5 * tot.tt AS DOUBLE) * 1073741824) AS BIGINT)
+            ELSE 0 END AS q
+        FROM pos p
+        LEFT JOIN bi b ON p.i > 1 AND b.prev = p.t[p.i - 1] AND b.cur = p.t[p.i]
+        LEFT JOIN uni up ON p.i > 1 AND up.w = p.t[p.i - 1]
+        LEFT JOIN uni uc ON uc.w = p.t[p.i], tot),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1073741824 AS BIGINT)
+            AS lm_mean
+        FROM scored GROUP BY doc_id),
+      cum AS (
+        SELECT doc_id, n_tokens, lm_mean,
+          sum(n_tokens) OVER (ORDER BY lm_mean DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+          sum(n_tokens) OVER () AS tt
+        FROM agg)
+      SELECT doc_id, n_tokens, lm_mean,
+        CASE WHEN c * 3 <= tt THEN 'head'
+          WHEN c * 3 <= tt * 2 THEN 'middle'
+          ELSE 'tail' END AS bucket
+      FROM cum ORDER BY doc_id""")),
 
     // Hashed linear quality model: GOOD reference = even docs as-is,
     // BAD reference = odd docs reversed (deterministic OOV-ish negative

@@ -298,4 +298,39 @@ class CurateSpec extends SparkSuite {
       graft.operators.Curate.lmScore(docs, empty))
     assert(e.getMessage.contains("no tokens"))
   }
+
+  test("ccnet buckets: tight tertile cuts by token mass, head is cleanest") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val rows = graft.operators.Curate.perplexityBuckets(
+        docs, docs.filter(col("lang") === "en"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.map(_._4).toSet == Set("head", "middle", "tail"))
+    val total = rows.map(_._2).sum
+    def mass(b: String) = rows.filter(_._4 == b).map(_._2).sum
+    // each cut is tight: the bucket fits its third, and the NEXT doc in
+    // score order could not have joined it
+    val ordered = rows.sortBy(r => (-r._3, r._1))
+    val firstMid = ordered.find(_._4 == "middle").get
+    val firstTail = ordered.find(_._4 == "tail").get
+    assert(mass("head") * 3 <= total)
+    assert((mass("head") + firstMid._2) * 3 > total, "head cut not tight")
+    assert((mass("head") + mass("middle")) * 3 <= total * 2)
+    assert((mass("head") + mass("middle") + firstTail._2) * 3 > total * 2,
+      "middle cut not tight")
+    // score ordering respected: worst head score >= best tail score
+    assert(rows.filter(_._4 == "head").map(_._3).min >=
+      rows.filter(_._4 == "tail").map(_._3).max)
+    // the head bucket is richer in target-language docs than the tail —
+    // the signal CCNet cuts on
+    val lang = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def enRate(b: String) = {
+      val ids = rows.filter(_._4 == b).map(_._1)
+      ids.count(lang(_) == "en").toDouble / ids.length
+    }
+    assert(enRate("head") > enRate("tail"),
+      s"head en-rate ${enRate("head")} not above tail ${enRate("tail")}")
+  }
 }
