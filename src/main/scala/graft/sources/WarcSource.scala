@@ -55,14 +55,7 @@ object WarcSource {
       glob: Option[String] = Some("*.warc*"),
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-    val base = spark.readStream.format("binaryFile").schema(schema)
-    val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
-    val withTrig = maxFilesPerTrigger.fold(withGlob)(n =>
-      withGlob.option("maxFilesPerTrigger", n))
-    withTrig.load(dir)
-      .select(col("path"), col("content"))
+    scanStreamRaw(spark, dir, glob, maxFilesPerTrigger)
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
@@ -130,6 +123,41 @@ object WarcSource {
     val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
     cdxRows(withGlob.load(dir).select(col("path"), col("content")))
   }
+
+  /** Streaming form of [[cdxRows]]: index crawl segments as the
+    * fetchers land them ([[scanStream]]'s continuous-crawl shape) —
+    * each micro-batch appends the new segments' capture rows. The
+    * per-file indexing is a stateless map, so batch/stream parity holds
+    * by construction (spec-gated); a periodic [[cdxWrite]] compaction
+    * turns the append log into the sorted serving layout. */
+  def cdxStream(spark: SparkSession, dir: String,
+      glob: Option[String] = Some("*.warc*"),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    cdxRows(scanStreamRaw(spark, dir, glob, maxFilesPerTrigger))
+
+  private def scanStreamRaw(spark: SparkSession, dir: String,
+      glob: Option[String], maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val base = spark.readStream.format("binaryFile").schema(schema)
+    val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
+    val withTrig = maxFilesPerTrigger.fold(withGlob)(n =>
+      withGlob.option("maxFilesPerTrigger", n))
+    withTrig.load(dir).select(col("path"), col("content"))
+  }
+
+  /** Write a CDX index in the serving layout: GLOBALLY SORTED by
+    * (urlkey, ts) across range-partitioned shard files — the layout
+    * index servers binary-search (a shard manifest of min/max keys is
+    * the secondary index; here the parquet footer min/max statistics ARE
+    * that manifest). `repartitionByRange` + `sortWithinPartitions` is
+    * the one total-order exchange a sorted index inherently needs — no
+    * driver-side sort, no single-task global sort; at 100 TB the range
+    * exchange samples keys and every shard sorts independently. */
+  def cdxWrite(cdx: DataFrame, outDir: String, nShards: Int = 8): Unit =
+    cdx.repartitionByRange(nShards, col("urlkey"), col("ts"))
+      .sortWithinPartitions(col("urlkey"), col("ts"))
+      .write.mode("overwrite").parquet(outDir)
 
   /** Project the HTML page table out of a record scan: `response`
     * records whose HTTP payload is text/html, split into

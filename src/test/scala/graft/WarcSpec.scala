@@ -243,6 +243,65 @@ class WarcSpec extends SparkSuite {
       Warc.parseAll(java.util.Arrays.copyOfRange(one, 0, one.length - 4)))
   }
 
+  test("cdx stream + sorted write: stream/batch parity, global key order across shards") {
+    import graft.streaming.EventStream
+    val dir = tempDir("graft_cdx_stream")
+    def response(uri: String, date: String, body: String) =
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> date,
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(200, "text/html", body.getBytes(Utf8)))
+    // three segments landing with interleaved key ranges, so the sorted
+    // write has real re-ordering to do
+    for ((name, urls) <- Seq(
+        ("s1.warc.gz", Seq("http://site-c.com/1", "http://site-a.com/9")),
+        ("s2.warc.gz", Seq("http://site-b.com/5", "http://site-d.com/2")),
+        ("s3.warc.gz", Seq("http://site-a.com/1", "http://site-c.com/7"))))
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        Warc.writeGz(urls.zipWithIndex.map { case (u, i) =>
+          response(u, s"2025-02-0${i + 1}T00:00:00Z", s"page at $u") }))
+
+    val q = EventStream.runToMemory(
+      WarcSource.cdxStream(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = Some(1)), "cdx_stream")
+    try {
+      val streamed = spark.table("cdx_stream")
+        .select("urlkey", "ts", "digest").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+      val batch = WarcSource.cdxIndex(spark, dir.getAbsolutePath)
+        .select("urlkey", "ts", "digest").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+      assert(streamed.length == 6)
+      assert(streamed.toSeq == batch.toSeq, "stream/batch parity")
+    } finally q.stop()
+
+    // sorted serving layout: shard files carry disjoint ascending key
+    // ranges and each file is internally sorted — global order without
+    // any single-task sort
+    val out = tempDir("graft_cdx_out").getAbsolutePath
+    WarcSource.cdxWrite(
+      WarcSource.cdxIndex(spark, dir.getAbsolutePath), out, nShards = 3)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length > 1, "want several shards to prove global order")
+    val perFile = files.map { f =>
+      spark.read.parquet(f).select("urlkey", "ts").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    }.filter(_.nonEmpty)
+    perFile.foreach { rows =>
+      assert(rows.sameElements(rows.sorted), "shard not internally sorted")
+    }
+    val all = perFile.flatten
+    assert(all.length == 6)
+    // concatenating shards in SOME file order yields the global order —
+    // ranges must be disjoint, so sorting files by their min key works
+    val byMin = perFile.sortBy(_.head)
+    assert(byMin.flatten.sameElements(all.sorted), "shard ranges overlap")
+  }
+
   test("cdx rows: fields, pointer fetch, and planted normalization") {
     val spark2 = spark
     import spark2.implicits._
