@@ -166,6 +166,28 @@ class Y4mSpec extends SparkSuite {
       e2.getCause.getMessage.contains("divisible"))
   }
 
+  test("videoSceneCuts: hand-computed SADs, boundary-inclusive threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // base luma 50 everywhere; frame 1 identical (sad 0), frame 2 jumps
+    // +20 (mean 20 → cut), frame 3 drifts +1 (mean 1 → no cut), frame 4
+    // shifts by exactly the threshold mean 12 (inclusive → cut)
+    val deltas = Seq(0, 0, 20, 21, 33)
+    val media = Seq((9L, "video",
+      graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(16, 8, "Cmono",
+        deltas.map(d => Array.fill[Byte](16 * 8)((50 + d).toByte)).toVector))))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.videoSceneCuts(media, num = 12, den = 1)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (0, 0L, true),          // first frame always starts a scene
+      (1, 0L, false),         // identical
+      (2, 20L * 128, true),   // big jump
+      (3, 1L * 128, false),   // small drift
+      (4, 12L * 128, true)))  // exactly the threshold: >= cuts
+  }
+
   test("videoNearDups: copies + gain-scaled copy pair; distinct footage does not") {
     // 1 = base, 2 = base at ×2 gain (hamming 0), 3 = top-bright,
     // 4 = checkerboard cells — both far from base (hamming 32)
