@@ -52,6 +52,11 @@ object GraftFunctions {
   def merge_pair(syms: Column, left: String, right: String): Column =
     toCol(MergePair(expression(syms), left, right))
 
+  /** Project a float vector onto fixed component directions (codegen'd —
+    * the PCA/OPQ encode stage, see [[PcaProject]]). */
+  def pca_project(v: Column, components: Seq[Seq[Double]]): Column =
+    toCol(PcaProject(expression(v), components))
+
   /** Viterbi segmentation of a word under a trained unigram LM
     * (codegen'd — the decode half of the SentencePiece-style tokenizer,
     * see [[UnigramSegment]]); `pieces` are (piece, logProb). */

@@ -630,6 +630,203 @@ object Similarity {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Exact second-moment table for PCA — the distributed half of
+    * covariance estimation, in Q24 fixed point so it is ENGINE-EXACT:
+    * each component quantizes to `floor(v·2^24)` (float32 → double is
+    * lossless, the scale and floor are exact), and the output per
+    * dimension pair (i ≤ j) is (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) — integers an
+    * independent engine reproduces bit-for-bit, unlike a float
+    * covariance whose value depends on summation order.
+    *
+    * Scale shape: the classic one-pass distributed moment accumulation —
+    * each task folds its rows into ONE d×d partial (Long accumulators,
+    * flushed into BigInt every 4096 rows so products near 2^48 can never
+    * overflow), and only those d²-sized partials cross the exchange; the
+    * final reduce sums DECIMAL(38,0) (order-free, overflow-proof at any
+    * corpus size). Nothing vector-sized shuffles. */
+  def pcaMoments(emb: DataFrame, qBits: Int = 24): DataFrame = {
+    require(qBits >= 1 && qBits <= 28, s"qBits $qBits")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scale = (1L << qBits).toDouble
+    val partials = emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var flushed = 0
+        var s: Array[Long] = null
+        var p: Array[Long] = null // packed upper triangle Σ qi·qj
+        var sBig: Array[BigInt] = null
+        var pBig: Array[BigInt] = null
+        def flush(): Unit = {
+          var t = 0
+          while (t < s.length) { sBig(t) += s(t); s(t) = 0L; t += 1 }
+          t = 0
+          while (t < p.length) { pBig(t) += p(t); p(t) = 0L; t += 1 }
+          flushed = 0
+        }
+        it.foreach { v =>
+          if (d < 0) {
+            d = v.length
+            require(d >= 1 && d <= 256, s"pcaMoments: dim $d outside 1..256")
+            s = new Array[Long](d)
+            p = new Array[Long](d * (d + 1) / 2)
+            sBig = Array.fill(d)(BigInt(0))
+            pBig = Array.fill(d * (d + 1) / 2)(BigInt(0))
+          }
+          require(v.length == d, s"pcaMoments: ragged dim ${v.length} vs $d")
+          val q = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(v(i).toDouble * scale).toLong
+            i += 1
+          }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            s(i) += q(i)
+            var j = i
+            while (j < d) {
+              p(idx) += q(i) * q(j)
+              idx += 1
+              j += 1
+            }
+            i += 1
+          }
+          n += 1
+          flushed += 1
+          if (flushed >= 4096) flush()
+        }
+        if (d < 0) Iterator.empty
+        else {
+          flush()
+          var idx = 0
+          val rows = Seq.newBuilder[(Int, Int, Long, String, String, String)]
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              rows += ((i, j, n, sBig(i).toString, sBig(j).toString,
+                pBig(idx).toString))
+              idx += 1
+              j += 1
+            }
+            i += 1
+          }
+          rows.result().iterator
+        }
+      }
+      .toDF("i", "j", "pn", "psi", "psj", "psij")
+    partials
+      .groupBy(col("i"), col("j"))
+      .agg(
+        sum(col("pn")).as("n"),
+        sum(col("psi").cast("decimal(38,0)")).as("s_i"),
+        sum(col("psj").cast("decimal(38,0)")).as("s_j"),
+        sum(col("psij").cast("decimal(38,0)")).as("s_ij"))
+  }
+
+  /** PCA training from the exact moment table: build the d×d sample
+    * covariance in doubles, diagonalize with cyclic Jacobi rotations
+    * (deterministic sweep order → bit-identical runs), order eigenpairs
+    * by eigenvalue descending, and fix each component's sign so its
+    * largest-magnitude entry is positive (eigenvectors are defined up
+    * to sign; an undefined sign would make downstream encodes
+    * run-dependent). The moment table is d²-sized — driver-side by
+    * construction, like the IVF/PQ trainers. Returns (components k×d,
+    * all eigenvalues descending). */
+  def pcaTrain(emb: DataFrame, k: Int, qBits: Int = 24): (Seq[Seq[Double]], Seq[Double]) = {
+    val rows = pcaMoments(emb, qBits).collect()
+    require(rows.nonEmpty, "pcaTrain: empty corpus")
+    val d = rows.map(_.getInt(1)).max + 1
+    require(k >= 1 && k <= d, s"pcaTrain: k $k outside 1..$d")
+    val n = rows.head.getLong(2)
+    val scale = (1L << qBits).toDouble
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val si = r.getDecimal(3).doubleValue() / scale
+      val sj = r.getDecimal(4).doubleValue() / scale
+      val sij = r.getDecimal(5).doubleValue() / (scale * scale)
+      val c = sij / n - (si / n) * (sj / n)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => (-vals(i), i))
+    val comps = order.take(k).map { ei =>
+      val v = Array.tabulate(d)(r => vecs(r)(ei))
+      // deterministic sign: largest-|entry| positive (first on ties)
+      var best = 0
+      var m = math.abs(v(0))
+      var r = 1
+      while (r < d) {
+        if (math.abs(v(r)) > m) { m = math.abs(v(r)); best = r }
+        r += 1
+      }
+      (if (v(best) < 0) v.map(x => -x) else v).toSeq
+    }
+    (comps, order.map(vals(_)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: sweep the
+    * upper triangle in fixed (p, q) order, rotate away each off-diagonal
+    * element, until the off-diagonal mass is numerically zero. O(d³) per
+    * sweep on a tokenizer-sized matrix — driver arithmetic, bounded and
+    * deterministic. Returns (eigenvalues, eigenvector COLUMNS). */
+  private def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-22) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) off += a(p)(q) * a(p)(q)
+      if (off > 1e-22) {
+        for (p <- 0 until d; q <- (p + 1) until d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case tt => tt
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            for (r <- 0 until d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+            }
+            for (r <- 0 until d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+            }
+            for (r <- 0 until d) {
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+            }
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project an embedding frame onto trained components — the encode
+    * half: one codegen'd row-local projection
+    * ([[graft.functions.PcaProject]], matrix as plan constants), no
+    * shuffle, no state. The reduced vectors feed the same ANN family
+    * (s01–s06) at k/d of the scan and memory cost. */
+  def pcaProjectFrame(emb: DataFrame, components: Seq[Seq[Double]]): DataFrame =
+    emb.withColumn("reduced",
+      graft.functions.GraftFunctions.pca_project(col("embedding"), components))
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -715,6 +912,47 @@ object Similarity {
           emb.filter(col("vec_id") < n / 2), fpp = 0.001)
         .select(col("vec_id"), col("dup_candidate"))
         .orderBy(col("vec_id"))
+    }, None),
+
+    // PCA moment table — the distributed half of covariance estimation,
+    // oracle-gated EXACTLY: Q24 quantization makes every (n, Σqᵢ, Σqⱼ,
+    // Σqᵢqⱼ) an integer DuckDB reproduces bit-for-bit by joining the
+    // unnested vectors; a float covariance could never hash-match
+    // (summation order). The eigen/projection half rides s10.
+    ("s09_pca_moments", (s: SparkSession, d: String) =>
+      pcaMoments(Tables.embeddings(s, d))
+        .orderBy(col("i"), col("j")),
+    Some("""WITH idx AS (
+        SELECT vec_id, embedding AS e,
+          unnest(range(1, len(embedding) + 1)) AS ii
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, CAST(ii - 1 AS INTEGER) AS i,
+          CAST(floor(CAST(e[ii] AS DOUBLE) * 16777216) AS BIGINT) AS qv
+        FROM idx),
+      pr AS (
+        SELECT a.i AS i, b.i AS j, a.qv AS qa, b.qv AS qb
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i)
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(qa) AS DECIMAL(38,0)) AS s_i,
+        CAST(sum(qb) AS DECIMAL(38,0)) AS s_j,
+        CAST(sum(qa * qb) AS DECIMAL(38,0)) AS s_ij
+      FROM pr GROUP BY i, j ORDER BY i, j""")),
+
+    // PCA-reduced embedding encode: train on the exact moments (Jacobi
+    // eigensolver driver-side over the d×d table — the IVF/PQ trainer
+    // shape), project every vector through the codegen'd PcaProject
+    // expression to 8 of 64 dims. Rows-only (eigenvectors are
+    // float-iterative); orthonormality, eigen-residuals, variance
+    // capture, reference-matmul parity, and determinism are spec-gated
+    // in PcaSpec.
+    ("s10_pca_project", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val (comps, _) = pcaTrain(emb, k = 8)
+      pcaProjectFrame(emb, comps)
+        .select(col("vec_id"),
+          posexplode(col("reduced")).as(Seq("comp_idx", "coord")))
+        .orderBy(col("vec_id"), col("comp_idx"))
     }, None)
   )
 }
