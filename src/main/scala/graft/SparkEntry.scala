@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Training.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.CorpusPipeline.defs ++
-      operators.DedupIndex.defs ++ sources.WarcSource.defs
+      operators.DedupIndex.defs ++ sources.WarcSource.defs ++
+      sources.Frontier.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-ish: customer⋈orders⋈lineitem revenue per segment/date. */

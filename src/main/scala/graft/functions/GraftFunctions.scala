@@ -52,6 +52,12 @@ object GraftFunctions {
   def merge_pair(syms: Column, left: String, right: String): Column =
     toCol(MergePair(expression(syms), left, right))
 
+  /** RFC 9309 robots pattern match of a path against a rule-pattern
+    * COLUMN (codegen'd — the frontier verdict join's filter, see
+    * [[RobotsMatch]]). */
+  def robots_match(path: Column, pattern: Column): Column =
+    toCol(RobotsMatch(expression(path), expression(pattern)))
+
   /** Project a float vector onto fixed component directions (codegen'd —
     * the PCA/OPQ encode stage, see [[PcaProject]]). */
   def pca_project(v: Column, components: Seq[Seq[Double]]): Column =

@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel.{Robots, Sitemap}
+
+/** Crawl-frontier operators — the politeness layer between URL
+  * discovery and the fetchers ([[Fetch]]): robots.txt verdicts
+  * (RFC 9309 via [[graft.kernel.Robots]]), sitemap seed extraction
+  * ([[graft.kernel.Sitemap]]), and per-host fetch scheduling. With
+  * these, the engine covers the full crawl loop: frontier → fetch →
+  * WARC ([[WarcSource]]) → CDX → extraction → curation.
+  */
+object Frontier {
+
+  /** Lowercased host of a URL (t28's regex dialect — shared with the
+    * oracle). */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+
+  /** Path of a URL ("/" when absent); query/fragment excluded — robots
+    * rules match the path (plus-query matching uses patterns with `?`,
+    * which ride the path here when present in the URL). */
+  def pathOf(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** The effective robots rule table for one crawler agent: per host,
+    * parse robots.txt, run RFC 9309 group selection, and emit one row
+    * per selected rule — (host, is_allow, pattern, specificity,
+    * crawl_delay) — plus a ruleless marker row (specificity -1) so
+    * hosts whose robots allow everything still carry their crawl delay
+    * through the join. The parse runs ONCE per host inside the task
+    * (the robots table is hosts-sized, tiny next to the URL corpus). */
+  def effectiveRules(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host"), col("robots_txt"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (host, txt) =>
+          val g = Robots.select(Robots.parse(txt), agent)
+          val delay = g.crawlDelay.getOrElse(-1.0)
+          if (g.rules.isEmpty) Seq((host, true, "", -1, delay))
+          else g.rules.map { case (allow, pat) =>
+            (host, allow, pat, pat.length, delay)
+          }
+        }
+      }
+      .toDF("host", "is_allow", "pattern", "specificity", "crawl_delay")
+  }
+
+  /** RFC 9309 verdict per URL: join the URL table to the per-host rule
+    * table, test each rule with the codegen'd robots matcher, keep the
+    * most specific match (Allow wins ties — max of the (specificity,
+    * is_allow) struct), default allow. Output: (url, host, path,
+    * allowed, crawl_delay). The join is keyed on host — Spark
+    * broadcasts the rule table when it is small and hash-joins
+    * otherwise; URLs shuffle at most once, rules never explode. */
+  def robotsVerdicts(urls: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    val fns = graft.functions.GraftFunctions
+    val rules = effectiveRules(robots, agent)
+    val parsed = urls.select(col("url"),
+      hostOf(col("url")).as("host"), pathOf(col("url")).as("path"))
+    parsed
+      .join(rules, Seq("host"), "left")
+      .withColumn("hit",
+        col("pattern").isNotNull && col("specificity") >= 0 &&
+          fns.robots_match(col("path"), col("pattern")))
+      .groupBy(col("url"), col("host"), col("path"))
+      .agg(
+        max(when(col("hit"),
+          struct(col("specificity"), col("is_allow")))).as("best"),
+        max(col("crawl_delay")).as("crawl_delay"))
+      .select(col("url"), col("host"), col("path"),
+        coalesce(col("best.is_allow"), lit(true)).as("allowed"),
+        when(col("crawl_delay") >= 0, col("crawl_delay")).as("crawl_delay"))
+  }
+
+  /** Per-host politeness schedule over the allowed frontier: URLs of a
+    * host fetch one `delay` apart (its robots crawl-delay, else
+    * `defaultDelaySec`), hosts run in parallel. One window partitioned
+    * by host — the frontier's natural key, so the exchange is the same
+    * hash distribution every later per-host stage reuses. Output adds
+    * (slot, fetch_offset_sec). */
+  def schedule(verdicts: DataFrame, defaultDelaySec: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    verdicts
+      .filter(col("allowed"))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_offset_sec",
+        col("slot") * coalesce(col("crawl_delay"), lit(defaultDelaySec)))
+  }
+
+  /** Flatten sitemap XML documents into frontier seed rows:
+    * (host, kind, loc, lastmod). Index documents emit their child
+    * sitemap locations with kind `sitemapindex` — the caller fetches
+    * and feeds them back (the standard two-level walk). */
+  def sitemapSeeds(sitemaps: DataFrame): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    sitemaps.select(col("host"), col("sitemap_xml"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (host, xml) =>
+          val doc = Sitemap.parse(xml)
+          doc.entries.map(e => (host, doc.kind, e.loc, e.lastmod))
+        }
+      }
+      .toDF("host", "kind", "loc", "lastmod")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic per-host robots fixture shared by w03/w05 and their
+    * oracles: even hosts carry a crawler-specific group (plus a
+    * deny-all `*` group that MUST lose group selection), odd hosts only
+    * a `*` group. */
+  private def robotsFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    (0 until 19).map { k =>
+      val delay = s"Crawl-delay: ${1 + k % 5}\n"
+      val txt =
+        if (k % 2 == 0)
+          "User-agent: graft\n" +
+            "Disallow: /bot\nDisallow: /private\nAllow: /private/ok1\n" +
+            delay +
+            "\nUser-agent: *\nDisallow: /\n"
+        else
+          "User-agent: *\n" +
+            "Disallow: /private\nAllow: /private/ok1\n" + delay
+      (s"h$k.example.com", txt)
+    }.toDF("host", "robots_txt")
+  }
+
+  private def urlFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    docs.select(concat(lit("https://h"), col("doc_id") % 19,
+      lit(".example.com"),
+      element_at(array(
+        concat(lit("/public/doc"), col("doc_id")),
+        concat(lit("/private/doc"), col("doc_id")),
+        concat(lit("/private/ok"), col("doc_id") % 3, lit("/x"), col("doc_id")),
+        concat(lit("/bot/page"), col("doc_id")),
+        concat(lit("/?d="), col("doc_id"))), (col("doc_id") % 5 + 1).cast("int"))).as("url"))
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // robots.txt verdicts, oracle-gated end to end: the REAL grammar →
+    // group selection → longest-match/allow-wins decision runs on
+    // planted robots files whose EFFECTIVE outcome per URL class is
+    // SQL-computable (the w02 discipline). The plant exercises group
+    // selection (even hosts: the crawler group must beat a deny-all `*`
+    // group), specificity override (Allow /private/ok1 beats Disallow
+    // /private only for ok1 paths), per-group crawl delays, and the
+    // no-match default. Wildcard/$ patterns are spec-gated in
+    // FrontierSpec (not SQL-expressible).
+    ("w03_robots_verdicts", (s: SparkSession, d: String) => {
+      robotsVerdicts(urlFixture(s, d), robotsFixture(s, d), "graftbot")
+        .orderBy(col("url"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, doc_id % 19 AS k, doc_id % 5 AS pc,
+          'https://h' || (doc_id % 19) || '.example.com' ||
+            CASE doc_id % 5
+              WHEN 0 THEN '/public/doc' || doc_id
+              WHEN 1 THEN '/private/doc' || doc_id
+              WHEN 2 THEN '/private/ok' || (doc_id % 3) || '/x' || doc_id
+              WHEN 3 THEN '/bot/page' || doc_id
+              ELSE '/?d=' || doc_id END AS url,
+          CASE doc_id % 5
+            WHEN 0 THEN '/public/doc' || doc_id
+            WHEN 1 THEN '/private/doc' || doc_id
+            WHEN 2 THEN '/private/ok' || (doc_id % 3) || '/x' || doc_id
+            WHEN 3 THEN '/bot/page' || doc_id
+            ELSE '/?d=' || doc_id END AS path
+        FROM documents)
+      SELECT url, 'h' || k || '.example.com' AS host, path,
+        CASE CAST(pc AS INTEGER)
+          WHEN 1 THEN false
+          WHEN 2 THEN doc_id % 3 = 1
+          WHEN 3 THEN k % 2 = 1
+          ELSE true END AS allowed,
+        CAST(1 + k % 5 AS DOUBLE) AS crawl_delay
+      FROM u ORDER BY url""")),
+
+    // Sitemap seed extraction, oracle-gated: leaf urlsets and a
+    // sitemapindex per host, with entity-escaped locs the parser must
+    // decode and lastmod optionality — DuckDB recomputes every row
+    // from the same templates.
+    ("w04_sitemap_seeds", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val xml = (0 until 7).map { k =>
+        val host = s"h$k.example.com"
+        if (k % 3 == 2)
+          (host, "<?xml version=\"1.0\"?>\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            (0 until 3).map(i =>
+              s"<sitemap><loc>https://$host/maps/m$i.xml</loc>" +
+                s"<lastmod>2025-0${i + 1}-01</lastmod></sitemap>").mkString +
+            "</sitemapindex>")
+        else
+          (host, "<?xml version=\"1.0\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            (0 until 4).map(i =>
+              s"<url><loc>https://$host/p$i?a=1&amp;b=$i</loc>" +
+                (if (i % 2 == 0) s"<lastmod>2025-02-0${i + 1}</lastmod>" else "") +
+                "</url>").mkString +
+            "</urlset>")
+      }.toDF("host", "sitemap_xml")
+      sitemapSeeds(xml).orderBy(col("host"), col("loc"))
+    },
+    Some("""WITH hosts AS (
+        SELECT 'h' || k || '.example.com' AS host, k
+        FROM (SELECT unnest(range(0, 7)) AS k)),
+      leaf AS (
+        SELECT host, 'urlset' AS kind,
+          'https://' || host || '/p' || i || '?a=1&b=' || i AS loc,
+          CASE WHEN i % 2 = 0 THEN '2025-02-0' || (i + 1) ELSE '' END AS lastmod
+        FROM hosts, (SELECT unnest(range(0, 4)) AS i) WHERE k % 3 <> 2),
+      idx AS (
+        SELECT host, 'sitemapindex' AS kind,
+          'https://' || host || '/maps/m' || i || '.xml' AS loc,
+          '2025-0' || (i + 1) || '-01' AS lastmod
+        FROM hosts, (SELECT unnest(range(0, 3)) AS i) WHERE k % 3 = 2)
+      SELECT * FROM (SELECT * FROM leaf UNION ALL SELECT * FROM idx)
+      ORDER BY host, loc""")),
+
+    // Per-host politeness schedule over the allowed frontier — slots
+    // and fetch offsets from each host's crawl delay; oracle recomputes
+    // the window exactly (slot arithmetic is integer, offsets are
+    // small-int multiples — exact doubles).
+    ("w05_fetch_schedule", (s: SparkSession, d: String) => {
+      schedule(
+        robotsVerdicts(urlFixture(s, d), robotsFixture(s, d), "graftbot"))
+        .select(col("url"), col("host"), col("slot"),
+          col("fetch_offset_sec"))
+        .orderBy(col("url"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, doc_id % 19 AS k, doc_id % 5 AS pc,
+          'https://h' || (doc_id % 19) || '.example.com' ||
+            CASE doc_id % 5
+              WHEN 0 THEN '/public/doc' || doc_id
+              WHEN 1 THEN '/private/doc' || doc_id
+              WHEN 2 THEN '/private/ok' || (doc_id % 3) || '/x' || doc_id
+              WHEN 3 THEN '/bot/page' || doc_id
+              ELSE '/?d=' || doc_id END AS url
+        FROM documents),
+      verdicts AS (
+        SELECT url, 'h' || k || '.example.com' AS host,
+          CAST(1 + k % 5 AS DOUBLE) AS delay,
+          CASE CAST(pc AS INTEGER)
+            WHEN 1 THEN false
+            WHEN 2 THEN doc_id % 3 = 1
+            WHEN 3 THEN k % 2 = 1
+            ELSE true END AS allowed
+        FROM u),
+      allowed_urls AS (SELECT * FROM verdicts WHERE allowed)
+      SELECT url, host,
+        CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+          AS BIGINT) AS slot,
+        CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+          AS DOUBLE) * delay AS fetch_offset_sec
+      FROM allowed_urls ORDER BY url"""))
+  )
+}

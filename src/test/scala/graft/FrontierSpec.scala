@@ -1,0 +1,156 @@
+package graft
+
+import graft.kernel.{Robots, Sitemap}
+import graft.sources.Frontier
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier gates (w03/w04/w05): RFC 9309 grammar + matching
+  * semantics the SQL oracle cannot express (wildcards, anchors, group
+  * selection edge cases), sitemap grammar leniency/loudness, and the
+  * schedule invariants.
+  */
+class FrontierSpec extends SparkSuite {
+
+  // ---- robots kernel ----
+
+  test("robots: wildcard and anchor patterns match per RFC 9309") {
+    val m = Robots.patternMatches _
+    assert(m("/fish", "/fish"))
+    assert(m("/fish", "/fishheads")) // prefix
+    assert(!m("/fish", "/Fish")) // case-sensitive paths
+    assert(m("/fish*.php", "/fishheads/catfish.php?id=2"))
+    assert(m("/fish*.php", "/fish/file.php"))
+    assert(!m("/fish*.php", "/fishheads/catfish.htm"))
+    assert(m("/*.php", "/index.php"))
+    assert(m("/*.php", "/folder/any.php.file")) // .php needn't be terminal
+    assert(!m("/*.php$", "/folder/any.php.file")) // unless anchored
+    assert(m("/*.php$", "/folder/page.php"))
+    assert(m("/fish*$", "/fishheads"))
+    assert(!m("/a*b*c", "/acb"))
+    assert(m("/a*b*c", "/a-x-b-y-c"))
+    assert(m("/a**b", "/ab")) // stacked wildcards collapse
+    assert(!m("/p$", "/page")) // anchored exact
+    assert(m("/p$", "/p"))
+  }
+
+  test("robots: group selection — longest agent prefix wins, * is fallback only") {
+    val rf = Robots.parse(
+      """User-agent: graft
+        |Disallow: /a
+        |
+        |User-agent: graftbot
+        |Disallow: /b
+        |Crawl-delay: 7
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin)
+    // the most specific token wins outright
+    val g = Robots.select(rf, "GraftBot/2.1")
+    assert(g.rules == Seq((false, "/b")))
+    assert(g.crawlDelay.contains(7.0))
+    // a shorter-token crawler gets the shorter group
+    assert(Robots.select(rf, "graft-x").rules == Seq((false, "/a")))
+    // an unknown crawler falls back to *
+    assert(Robots.select(rf, "other").rules == Seq((false, "/")))
+    // no * group and no match → empty rules (allow everything)
+    val rf2 = Robots.parse("User-agent: a\nDisallow: /x\n")
+    assert(Robots.select(rf2, "other").rules.isEmpty)
+  }
+
+  test("robots: shared rule blocks, lenient parse, allow-wins ties, empty Disallow") {
+    // adjacent User-agent lines share one block; comments and unknown
+    // fields are skipped; an empty Disallow matches nothing
+    val rf = Robots.parse(
+      "# politeness file\r\n" +
+        "User-agent: a\r\nUser-agent: b\r\n" +
+        "Disallow: /x # inline comment\r\n" +
+        "Unknown-Field: zzz\r\n" +
+        "Disallow:\r\n" +
+        "Sitemap: https://example.com/map.xml\r\n")
+    assert(rf.groups.length == 1)
+    assert(rf.groups.head.agents == Seq("a", "b"))
+    assert(rf.groups.head.rules == Seq((false, "/x")))
+    assert(rf.sitemaps == Seq("https://example.com/map.xml"))
+    // specificity tie between Allow and Disallow → Allow wins
+    val tie = Robots.Group(Seq("x"), Seq((false, "/dir/a"), (true, "/dir/b")), None)
+    assert(Robots.allowed(tie, "/dir/a") == false)
+    assert(Robots.allowed(tie, "/dir/b"))
+    val exact = Robots.Group(Seq("x"), Seq((false, "/p"), (true, "/p")), None)
+    assert(Robots.allowed(exact, "/p")) // same pattern both ways → allow
+    // longest match beats file order
+    val spec = Robots.Group(Seq("x"), Seq((true, "/p/deep"), (false, "/p")), None)
+    assert(Robots.allowed(spec, "/p/deep/page"))
+    assert(!Robots.allowed(spec, "/p/other"))
+  }
+
+  // ---- sitemap kernel ----
+
+  test("sitemap: entity decode, attributes tolerated, loud on malformed") {
+    val doc = Sitemap.parse(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://e.com/a?x=1&amp;y=2</loc><lastmod>2025-01-02</lastmod></url>
+        |<url><loc> https://e.com/b </loc></url>
+        |</urlset>""".stripMargin)
+    assert(doc.kind == "urlset")
+    assert(doc.entries == Seq(
+      Sitemap.Entry("https://e.com/a?x=1&y=2", "2025-01-02"),
+      Sitemap.Entry("https://e.com/b", "")))
+    val idx = Sitemap.parse(
+      "<sitemapindex><sitemap><loc>https://e.com/m1.xml</loc></sitemap></sitemapindex>")
+    assert(idx.kind == "sitemapindex" && idx.entries.map(_.loc) ==
+      Seq("https://e.com/m1.xml"))
+    // not a sitemap / entry without loc: loud
+    val e1 = intercept[IllegalArgumentException](Sitemap.parse("<html></html>"))
+    assert(e1.getMessage.contains("root"))
+    val e2 = intercept[IllegalArgumentException](
+      Sitemap.parse("<urlset><url><lastmod>x</lastmod></url></urlset>"))
+    assert(e2.getMessage.contains("loc"))
+  }
+
+  // ---- frontier operators ----
+
+  test("robotsVerdicts honors wildcard rules end-to-end; missing-host default-allows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq(
+      "https://a.com/doc.pdf",        // wildcard-anchored deny
+      "https://a.com/doc.pdfx",       // $ anchor must NOT match
+      "https://a.com/tmp/file",       // prefix deny
+      "https://a.com/ok",             // no rule → allow
+      "https://b.com/anything"        // host without robots → allow
+    ).toDF("url")
+    val got = Frontier.robotsVerdicts(urls, robots, "graftbot")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got("https://a.com/doc.pdf") == ((false, Some(2.0))))
+    assert(got("https://a.com/doc.pdfx") == ((true, Some(2.0))))
+    assert(got("https://a.com/tmp/file") == ((false, Some(2.0))))
+    assert(got("https://a.com/ok") == ((true, Some(2.0))))
+    assert(got("https://b.com/anything") == ((true, None)))
+  }
+
+  test("schedule: per-host slots are dense, offsets are delay multiples, denied urls absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val verdicts = Seq(
+      ("https://a.com/1", "a.com", true, Some(2.0)),
+      ("https://a.com/2", "a.com", true, Some(2.0)),
+      ("https://a.com/3", "a.com", false, Some(2.0)),
+      ("https://b.com/1", "b.com", true, None)
+    ).toDF("url", "host", "allowed", "crawl_delay")
+    val got = Frontier.schedule(verdicts, defaultDelaySec = 0.5)
+      .select("url", "slot", "fetch_offset_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("https://a.com/1", 0L, 0.0),
+      ("https://a.com/2", 1L, 2.0),
+      ("https://b.com/1", 0L, 0.0)))
+  }
+}
