@@ -55,6 +55,7 @@ object SparkEntry {
     * sync with the committed gates.json + COVERAGE.md. */
   private val rowsOnlyGates: Map[String, Seq[String]] = Map(
     "c01_corpus_curate" -> Seq("spec:CorpusPipelineSpec"),
+    "c02_crawl_curate" -> Seq("spec:CorpusPipelineSpec", "spec:WarcSpec"),
     "d03_minhash_lsh" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec", "spec:ScaleSpec"),
     "d04_simhash_pairs" -> Seq("golden:GoldenDedupSpec", "spec:ScaleSpec"),
     "d05_winnow_overlap" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),

@@ -161,6 +161,59 @@ object CorpusPipeline {
     (fin, report)
   }
 
+  /** The WEB form of [[curate]] — the full crawl-to-corpus loop in one
+    * composition, starting from raw WARC segments instead of a clean
+    * documents table:
+    *
+    *   WARC record parse → HTML response extraction → HTTP 2xx filter →
+    *   URL-level dedup (t28 canonicalization, min-url survivor) →
+    *   [[curate]] (HTML→text, gates, exact/near/substring dedup,
+    *   decontamination).
+    *
+    * Survivor ids are `xxhash64(urlkey)` — stable across re-crawls of
+    * the same page, which is what makes the downstream dedup stages
+    * idempotent under re-ingestion. Returns (final corpus, combined
+    * per-stage report). Every pre-curation stage is a map or one
+    * keyed aggregation; raw archive bytes never cross an exchange
+    * (the w01/w02 scan shape). */
+  def crawlCurate(segments: DataFrame, evalRef: Option[DataFrame] = None,
+      opts: Opts = Opts()): (DataFrame, DataFrame) = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val pre = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def mark(name: String, df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached += p
+      pre += name -> p.count()
+      p
+    }
+    val records = mark("records",
+      graft.sources.WarcSource.records(segments))
+    val pages = mark("html_pages",
+      graft.sources.WarcSource.htmlResponses(records))
+    val ok = mark("http_ok",
+      pages.filter(col("http_status") >= 200 && col("http_status") < 300))
+    val canon = ok.withColumn("urlkey", Curate.canonicalUrl(col("url")))
+    val urlDedup = mark("url_dedup", canon
+      .groupBy(col("urlkey"))
+      // (url, warc_date) survivor key: total under re-crawls of one URL
+      .agg(min_by(struct(canon.columns.map(col): _*),
+        struct(col("url"), col("warc_date"))).as("row"))
+      .select(col("row.*")))
+    val raw = urlDedup.select(
+      xxhash64(col("urlkey")).as("doc_id"), col("url"), col("urlkey"),
+      col("html"))
+    val (fin, inner) = curate(raw, evalRef, opts)
+    val innerRows = inner.orderBy(col("stage_idx")).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val report = (pre.toSeq ++ innerRows).zipWithIndex
+      .map { case ((name, n), i) => (i, name, n) }
+      .toDF("stage_idx", "stage", "rows")
+    cached.foreach(_.unpersist(blocking = false))
+    (fin, report)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -188,6 +241,67 @@ object CorpusPipeline {
       val st = report.orderBy(col("stage_idx")).collect()
       require(st.nonEmpty && st.last.getLong(2) > 0L,
         "c01: curation chain left no survivors — " +
+          st.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", "))
+      report.orderBy(col("stage_idx"))
+    }, None),
+
+    // The crawl-to-corpus composition: documents become WARC crawl
+    // segments (the w02 member-per-record layout) with PLANTED mess —
+    // 404s (dropped at http_ok), image responses (dropped at
+    // html_pages), URL-variant re-crawls of the previous doc's page
+    // (collapse at url_dedup), and a fixed boilerplate page shared by
+    // every 83rd doc (collapses at exact dedup) — then the full chain
+    // runs: record grammar → HTTP split → canonicalization → HTML→text
+    // → gates → exact/near/substring dedup. Rows-only (the near-dup
+    // stage is not SQL-expressible); CorpusPipelineSpec gates every
+    // stage with witnesses, and each stage is an independently
+    // oracle-gated operator (w01/w02/t28/t27/t24/d01/d03/d06/d09/d10).
+    ("c02_crawl_curate", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val segments = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey { case (id, _) => id % 41 }
+        .mapGroups { (seg, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val recs = docs.map { case (id, text) =>
+            val (status, mime, url, body) =
+              if (id % 7 == 0)
+                (404, "text/html",
+                  s"https://example.com/doc/$id", "<html>gone</html>")
+              else if (id % 11 == 0)
+                (200, "image/png",
+                  s"https://example.com/img/$id", "not-a-page")
+              else if (id % 89 == 0)
+                // URL-variant re-crawl of the PREVIOUS doc's page:
+                // canonicalizes onto doc id-1's urlkey
+                (200, "text/html",
+                  s"https://WWW.Example.com:443/doc/${id - 1}?utm_source=x",
+                  s"<html><body><p>recrawl of ${id - 1}</p></body></html>")
+              else if (id % 83 == 0)
+                (200, "text/html", s"https://example.com/doc/$id",
+                  "<html><body><p>shared boilerplate page body here" +
+                    " with enough words to pass the floor.</p></body></html>")
+              else
+                (200, "text/html", s"https://example.com/doc/$id",
+                  s"<html><body><h1>Doc $id</h1><p>" + text +
+                    "</p></body></html>")
+            (Seq(
+              "WARC-Type" -> "response",
+              "WARC-Target-URI" -> url,
+              "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+              "WARC-Date" -> "2025-01-01T00:00:00Z",
+              "Content-Type" -> "application/http;msgtype=response"),
+              graft.kernel.Warc.renderHttpResponse(status,
+                s"$mime; charset=utf-8",
+                body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          (s"file:/crawl/seg-$seg.warc.gz", graft.kernel.Warc.writeGz(recs))
+        }
+        .toDF("path", "content")
+      val (_, report) = crawlCurate(segments, opts = Opts(lineGate = false))
+      val st = report.orderBy(col("stage_idx")).collect()
+      require(st.nonEmpty && st.last.getLong(2) > 0L,
+        "c02: crawl chain left no survivors — " +
           st.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", "))
       report.orderBy(col("stage_idx"))
     }, None))

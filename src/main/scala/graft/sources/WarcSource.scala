@@ -26,11 +26,19 @@ object WarcSource {
     * content_type, byte_len, content). */
   def scan(spark: SparkSession, dir: String,
       glob: Option[String] = Some("*.warc*")): DataFrame = {
-    import spark.implicits._
     val base = spark.read.format("binaryFile")
     val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
-    withGlob.load(dir)
-      .select(col("path"), col("content"))
+    records(withGlob.load(dir).select(col("path"), col("content")))
+  }
+
+  /** The segment → record-rows transform [[scan]]/[[scanStream]] share:
+    * one row per WARC record of each (path, content) segment, parsed
+    * inside the task. Public so in-memory segment frames (tests, the
+    * c02 composition) ride the same code path as file scans. */
+  def records(segments: DataFrame): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
@@ -53,21 +61,8 @@ object WarcSource {
     * parity is the library-wide operator contract. */
   def scanStream(spark: SparkSession, dir: String,
       glob: Option[String] = Some("*.warc*"),
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    scanStreamRaw(spark, dir, glob, maxFilesPerTrigger)
-      .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (path, bytes) =>
-          Warc.parseAll(bytes).iterator.zipWithIndex.map { case (r, i) =>
-            (path, i, r.warcType, r.targetUri, r.date, r.recordId,
-              r.contentType, r.content.length.toLong, r.content)
-          }
-        }
-      }
-      .toDF("path", "record_idx", "warc_type", "target_uri", "warc_date",
-        "record_id", "content_type", "byte_len", "content")
-  }
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    records(scanStreamRaw(spark, dir, glob, maxFilesPerTrigger))
 
   /** CDX-style capture index rows over raw WARC segments — the
     * random-access index crawl infrastructure serves next to the

@@ -101,4 +101,60 @@ class CorpusPipelineSpec extends SparkSuite {
     val (wiped, _) = CorpusPipeline.curate(docs, None)
     assert(wiped.count() == 0L)
   }
+
+  test("crawlCurate: every crawl stage drops exactly its witness") {
+    import graft.kernel.Warc
+    def resp(url: String, status: Int, mime: String, body: String) =
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:uuid:$url>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(status, s"$mime; charset=utf-8",
+          body.getBytes("UTF-8")))
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val seg1 = Warc.writeGz(Seq(
+      resp("https://example.com/gone", 404, "text/html", page("gone away.")),
+      resp("https://example.com/img", 200, "image/png", "binarybytes"),
+      resp("https://example.com/page", 200, "text/html",
+        page("the very same page fetched twice from variant urls.")),
+      resp("https://WWW.Example.com:443/page?utm_source=z", 200, "text/html",
+        page("the very same page fetched twice from variant urls.")),
+      resp("https://example.com/e1", 200, "text/html",
+        page("this exact page text appears under two different urls entirely."))))
+    val seg2 = Warc.writeGz(Seq(
+      resp("https://example.com/e2", 200, "text/html",
+        page("this exact page text appears under two different urls entirely.")),
+      resp("https://example.com/n1", 200, "text/html", page(base)),
+      resp("https://example.com/n2", 200, "text/html", page(twin)),
+      resp("https://example.com/s", 200, "text/html", page("tiny doc.")),
+      resp("https://example.com/c", 200, "text/html",
+        page("a perfectly ordinary surviving page with plenty of words."))))
+    val segments = Seq(
+      ("file:/crawl/seg-1.warc.gz", seg1),
+      ("file:/crawl/seg-2.warc.gz", seg2)).toDF("path", "content")
+
+    val (out, report) = CorpusPipeline.crawlCurate(segments)
+    val keys = out.select(col("urlkey")).collect().map(_.getString(0)).toSet
+    assert(keys.size == 4, keys)
+    assert(keys.contains("https://example.com/page")) // url variants collapsed
+    assert(keys.contains("https://example.com/c"))
+    assert(keys.count(k => k == "https://example.com/e1" ||
+      k == "https://example.com/e2") == 1, keys) // exact-dup survivor
+    assert(keys.count(k => k == "https://example.com/n1" ||
+      k == "https://example.com/n2") == 1, keys) // near-dup survivor
+    // survivors carry clean extracted text and a stable urlkey-hash id
+    val rows = out.select(col("urlkey"), col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      assert(!r.getString(2).contains("<"), r.getString(2))
+    }
+
+    val st = report.orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(st.map(_._1) == Seq("records", "html_pages", "http_ok",
+      "url_dedup", "extract", "gate_scrub", "exact_dedup", "near_dedup",
+      "substring_dedup"))
+    assert(st.map(_._2) == Seq(10L, 9L, 8L, 7L, 7L, 6L, 5L, 4L, 4L), st)
+  }
 }
