@@ -584,6 +584,60 @@ object Multimodal {
       // count the raw frame, not the decoded one (see imageNearDupsWith)
       sigCount = media.count())
 
+  /** Audio activity segmentation — the VAD-shaped primitive a speech
+    * training pipeline runs before transcription/feature models: split
+    * the waveform into fixed frames, call a frame ACTIVE when its mean
+    * absolute amplitude reaches `num/den`, and emit one row per maximal
+    * run of active frames (segment bounds, frame count, energy). The
+    * m23 scene-cut idea for the audio modality; every verdict is exact
+    * integer arithmetic (`energy·den ≥ num·samples`), so segmentation
+    * is engine-reproducible and oracle-checkable (gaps-and-islands in
+    * SQL). Decode and the run walk live in the partition kernel. */
+  def audioSegments(media: DataFrame, frameLen: Int = 256, num: Int = 100,
+      den: Int = 1): DataFrame = {
+    require(frameLen >= 1 && num >= 0 && den > 0,
+      s"frameLen $frameLen threshold $num/$den")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val a = graft.kernel.Wav.decode(m.payload)
+          val n = a.samples.length
+          val nf = (n + frameLen - 1) / frameLen
+          val e = new Array[Long](nf)
+          val c = new Array[Int](nf)
+          var i = 0
+          while (i < n) {
+            e(i / frameLen) += math.abs(a.samples(i).toLong)
+            c(i / frameLen) += 1
+            i += 1
+          }
+          val segs = Seq.newBuilder[(Long, Int, Int, Int, Int, Long)]
+          var f = 0
+          var segStart = -1
+          var segE = 0L
+          var segIdx = 0
+          while (f <= nf) {
+            val active = f < nf && e(f) * den >= num.toLong * c(f)
+            if (active) {
+              if (segStart < 0) { segStart = f; segE = 0L }
+              segE += e(f)
+            } else if (segStart >= 0) {
+              segs += ((m.doc_id, segIdx, segStart, f - 1, f - segStart, segE))
+              segIdx += 1
+              segStart = -1
+            }
+            f += 1
+          }
+          segs.result()
+        }
+      }
+      .toDF("doc_id", "seg_idx", "start_frame", "end_frame", "n_frames",
+        "energy")
+  }
+
   /** Real video frame sampling: parse Y4M ([[graft.kernel.Y4m]]), keep
     * every `stride`-th frame (the m05 decimation, now over REAL frames
     * instead of byte slices), and emit exact-integer luma-plane stats
@@ -1028,6 +1082,62 @@ object Multimodal {
         CAST(sum(abs(s)) AS BIGINT) AS pcm_abs_sum,
         CAST(max(abs(s)) AS BIGINT) AS peak
       FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // Audio activity segmentation, oracle-gated end to end: waveforms
+    // carry REAL speech-like structure (32-sample blocks alternate loud
+    // noise and near-silence on a per-doc schedule), frames are half a
+    // block so runs span frames, and DuckDB recomputes every segment
+    // with the classic gaps-and-islands window over the recomputed
+    // frame energies — decode, framing, threshold, and run assembly all
+    // hash-verified.
+    ("m24_audio_segments", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (192 + id % 64).toInt
+            val samples = Array.tabulate(n) { i =>
+              if ((i / 32 + id) % 3 != 0)
+                (((i * 37L + id * 11L) % 4001L) - 2000L).toInt // loud
+              else ((i * 7L) % 21L - 10L).toInt // near-silent
+            }
+            (id, "audio",
+              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioSegments(wav, frameLen = 16, num = 100, den = 1)
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(192 + doc_id % 64 AS INTEGER) AS n FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+      sm AS (
+        SELECT doc_id, i,
+          CASE WHEN ((i // 32) + doc_id) % 3 <> 0
+            THEN (i * 37 + doc_id * 11) % 4001 - 2000
+            ELSE (i * 7) % 21 - 10 END AS s
+        FROM pos),
+      fr AS (
+        SELECT doc_id, CAST(i // 16 AS INTEGER) AS f,
+          sum(abs(s)) AS e, count(*) AS c
+        FROM sm GROUP BY doc_id, i // 16),
+      act AS (
+        SELECT doc_id, f, e,
+          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM fr WHERE e >= 100 * c),
+      seg AS (
+        SELECT doc_id, min(f) AS start_frame, max(f) AS end_frame,
+          count(*) AS nf, sum(e) AS energy
+        FROM act GROUP BY doc_id, grp)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
+          AS INTEGER) AS seg_idx,
+        start_frame, end_frame,
+        CAST(nf AS INTEGER) AS n_frames,
+        CAST(energy AS BIGINT) AS energy
+      FROM seg ORDER BY doc_id, seg_idx""")),
 
     // Audio fingerprint through the real WAV parser, oracle-gated like
     // m08: 65 uniform segments of the synthetic waveform, integer

@@ -104,6 +104,38 @@ class WavSpec extends SparkSuite {
       s"distinct audio paired: $pairs")
   }
 
+  test("audioSegments: hand-computed runs, inclusive threshold, partial tail frame") {
+    val spark2 = spark
+    import spark2.implicits._
+    // frameLen 4; 19 samples → four full frames and a 3-sample tail;
+    // frame 3 sits EXACTLY on the threshold (mean 100, inclusive →
+    // active), the tail scores 310 vs its own 3·100 floor
+    val samples =
+      Array.fill(4)(200) ++ Array.fill(4)(-200) ++ Array.fill(4)(0) ++
+        Array.fill(4)(100) ++ Array(5, 5, 300)
+    val media = Seq((3L, "audio",
+      graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples))))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.audioSegments(media, frameLen = 4, num = 100, den = 1)
+      .orderBy("seg_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+    // frames: e = 800, 800, 0, 400, tail {5,5,300} → 310; active:
+    // 0,1 (mean 200), 3 (exactly 100), 4 (310 ≥ 300)
+    assert(got.toSeq == Seq(
+      (0, 0, 1, 2, 1600L),
+      (1, 3, 4, 2, 710L)))
+    // an all-silent clip yields no rows, an all-active one exactly one
+    val silent = Seq((4L, "audio", graft.kernel.Wav.encode(
+      graft.kernel.Wav.Audio(8000, 1, 16, Array.fill(8)(1)))))
+      .toDF("doc_id", "media_type", "payload")
+    assert(Multimodal.audioSegments(silent, frameLen = 4).count() == 0L)
+    val loud = Seq((5L, "audio", graft.kernel.Wav.encode(
+      graft.kernel.Wav.Audio(8000, 1, 16, Array.fill(8)(500)))))
+      .toDF("doc_id", "media_type", "payload")
+    val one = Multimodal.audioSegments(loud, frameLen = 4).collect()
+    assert(one.length == 1 && one.head.getInt(2) == 0 && one.head.getInt(3) == 1)
+  }
+
   test("malformed inputs fail loudly, never misparse") {
     // not RIFF/WAVE
     assertThrows[IllegalArgumentException](Wav.decode("OggS....".getBytes))
