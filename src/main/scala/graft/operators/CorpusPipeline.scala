@@ -201,9 +201,14 @@ object CorpusPipeline {
       .agg(min_by(struct(canon.columns.map(col): _*),
         struct(col("url"), col("warc_date"))).as("row"))
       .select(col("row.*")))
+    // lineage cut (the c01 checkpoint lesson): every curate stage's
+    // plan otherwise CONTAINS the whole segment-parse DAG and Catalyst
+    // re-analyzes it per action — the pages table is the size that
+    // matters from here on, so freeze it as a leaf
     val raw = urlDedup.select(
       xxhash64(col("urlkey")).as("doc_id"), col("url"), col("urlkey"),
       col("html"))
+      .localCheckpoint(true)
     val (fin, inner) = curate(raw, evalRef, opts)
     val innerRows = inner.orderBy(col("stage_idx")).collect()
       .map(r => (r.getString(1), r.getLong(2)))
