@@ -75,6 +75,7 @@ object SparkEntry {
     "s06_ann_ivfpq" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s07_semantic_dedup" -> Seq("spec:LlmOpsSpec"),
     "s10_pca_project" -> Seq("spec:PcaSpec"),
+    "s11_opq_encode" -> Seq("spec:PcaSpec"),
     "s08_embedding_admission" -> Seq("spec:LlmOpsSpec", "spec:StreamingSpec"),
     "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
     "t22_bpe_train" -> Seq("spec:TrainingSpec"),

@@ -827,6 +827,43 @@ object Similarity {
     emb.withColumn("reduced",
       graft.functions.GraftFunctions.pca_project(col("embedding"), components))
 
+  /** Parametric-OPQ rotation (Ge et al. 2013 §4: PCA + eigenvalue
+    * allocation) — the preprocessing that makes product quantization
+    * work on anisotropic embeddings: plain PQ splits RAW coordinates
+    * into subspaces, so correlated/heavy dimensions pile into one
+    * subspace and its k centroids drown while the others quantize
+    * noise. The fix: rotate to principal axes, then deal dimensions to
+    * the `m` subspaces GREEDILY BALANCING the per-subspace eigenvalue
+    * log-product (variance product ≈ quantization difficulty). Returns
+    * the d×d rotation with each subspace's dimensions contiguous —
+    * feed [[pcaProjectFrame]] then [[trainPq]]/[[pqTopK]] unchanged.
+    * Deterministic: sorted eigenpairs, ties to the lowest bucket index. */
+  def opqRotation(emb: DataFrame, m: Int): Seq[Seq[Double]] = {
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m $m")
+    val sub = d / m
+    val (comps, eigvals) = pcaTrain(emb, k = d)
+    val logs = eigvals.map(v => math.log(math.max(v, 1e-12)))
+    // LPT greedy needs NON-NEGATIVE weights or "least loaded" inverts
+    // (eigenvalues < 1 have negative logs and the heaviest bucket looks
+    // emptiest); shift by the minimum — every bucket ends with exactly
+    // `sub` dims, so a constant shift cancels out of the balance
+    val shift = logs.min
+    val load = new Array[Double](m)
+    val used = new Array[Int](m)
+    val buckets = Array.fill(m)(Seq.newBuilder[Int])
+    // eigvals arrive descending: place each principal dim into the
+    // open subspace with the smallest shifted variance log-product
+    logs.indices.foreach { i =>
+      val j = (0 until m).filter(used(_) < sub)
+        .minBy(j => (load(j), j))
+      buckets(j) += i
+      load(j) += logs(i) - shift
+      used(j) += 1
+    }
+    buckets.toSeq.flatMap(_.result().map(comps(_)))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -953,6 +990,27 @@ object Similarity {
         .select(col("vec_id"),
           posexplode(col("reduced")).as(Seq("comp_idx", "coord")))
         .orderBy(col("vec_id"), col("comp_idx"))
+    }, None),
+
+    // OPQ-rotated PQ encode: the full-d parametric-OPQ rotation
+    // (PCA + eigenvalue allocation) followed by the stored-index PQ
+    // byte codes over the rotated vectors — the FAISS OPQ preprocessing
+    // composed with the existing s05 machinery. Rows-only (rotation is
+    // float-iterative); the quantization-error improvement over
+    // unrotated PQ and the allocation balance are spec-gated in
+    // PcaSpec.
+    ("s11_opq_encode", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val rot = opqRotation(emb, m = 8)
+      val rotated = pcaProjectFrame(emb, rot)
+        .select(col("vec_id"), col("reduced").as("embedding"))
+      val (codebook, dim) = trainPq(rotated, n, m = 8)
+      val fns = graft.functions.GraftFunctions
+      rotated
+        .select(col("vec_id"),
+          hex(fns.pq_encode(col("embedding"), codebook, dim, 8)).as("codes"))
+        .orderBy(col("vec_id"))
     }, None)
   )
 }

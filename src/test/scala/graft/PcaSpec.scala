@@ -138,6 +138,67 @@ class PcaSpec extends SparkSuite {
       (e.getCause != null && e.getCause.getMessage.contains("dims")))
   }
 
+  test("opqRotation: balanced eigen allocation beats unrotated PQ on anisotropic data") {
+    def mixu(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    // two heavy dimensions that plain PQ puts in the SAME subspace
+    // (dims 0 and 1 of subspace 0 at m=4), everything else near-noise
+    val emb = (0L until 300L).map { id =>
+      val v = Array.tabulate(16)(i => (mixu(id * 131L + i) * 0.04).toFloat)
+      v(0) = (mixu(id * 131L + 100) * 2.0).toFloat
+      v(1) = (mixu(id * 131L + 101) * 1.6).toFloat
+      (id, v)
+    }
+    val frame = toDFloat(emb)
+
+    // total squared quantization residual under a trained codebook,
+    // mirroring trainPq's unit normalization — computed independently
+    // here, not via the PqEncode expression
+    def pqError(vecs: Seq[Array[Float]], codebook: Array[Float],
+        dim: Int, m: Int): Double = {
+      val sub = dim / m
+      val k = codebook.length / dim
+      vecs.map { r =>
+        val norm = math.sqrt(r.map(x => x.toDouble * x).sum)
+        val u = r.map(x => if (norm == 0) 0.0 else x / norm)
+        (0 until m).map { j =>
+          (0 until k).map { c =>
+            (0 until sub).map { i =>
+              val diff = u(j * sub + i) - codebook(j * k * sub + c * sub + i)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+
+    val plainCb = Similarity.trainPq(frame, 300L, m = 4, ks = 16)._1
+    val plainErr = pqError(emb.map(_._2), plainCb, 16, 4)
+
+    val rot = Similarity.opqRotation(frame, m = 4)
+    // a d×d rotation stays orthonormal after allocation reordering
+    for (a <- rot.indices; b <- a until rot.length) {
+      val dot = rot(a).zip(rot(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"($a,$b)")
+    }
+    val rotated = Similarity.pcaProjectFrame(frame, rot)
+      .select(col("vec_id"), col("reduced").as("embedding"))
+    val rotVecs = rotated.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    val rotCb = Similarity.trainPq(rotated, 300L, m = 4, ks = 16)._1
+    val rotErr = pqError(rotVecs, rotCb, 16, 4)
+
+    assert(rotErr < plainErr * 0.9,
+      s"OPQ error $rotErr not clearly below plain PQ $plainErr")
+    // determinism
+    assert(Similarity.opqRotation(frame, m = 4) == rot)
+  }
+
   test("reduced space preserves geometry and cluster structure") {
     // what PCA guarantees is APPROXIMATION, not rank preservation: the
     // dropped dims carry ~5% of variance, so pairwise cosines move by
