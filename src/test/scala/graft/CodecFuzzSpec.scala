@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative round-trip gates for every pure-JVM codec: the
+  * hand-built fixtures in the per-codec specs pin exact grammar cases;
+  * this suite drives seeded-random shapes and payloads through the
+  * same kernels to catch the corners nobody hand-builds (odd
+  * dimensions, extreme values, boundary lengths). Lossless paths must
+  * round-trip bit-exactly; the lossy JPEG path must decode its own
+  * encodes with correct geometry and bounded error. Deterministic
+  * (splitmix-derived cases, no clock/global RNG); purely local — no
+  * SparkSession.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def pick(seed: Long, k: Long, bound: Int): Int =
+    ((mix(seed * 1000003L + k) >>> 13) % bound).toInt
+
+  private val Cases = 40
+
+  test("PNG: random dims/channels/content round-trip bit-exactly") {
+    for (c <- 0 until Cases) {
+      val seed = mix(c.toLong)
+      val w = 1 + pick(seed, 1, 40); val h = 1 + pick(seed, 2, 40)
+      val ch = 1 + pick(seed, 3, 4)
+      val px = Array.tabulate(w * h * ch)(i => (mix(seed + i) & 0xff).toInt)
+      val back = graft.kernel.Png.decode(
+        graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, ch, 8, px)))
+      assert(back.width == w && back.height == h && back.channels == ch,
+        s"case $c: ${w}x$h ch=$ch")
+      assert(back.samples.sameElements(px), s"case $c: ${w}x$h ch=$ch")
+    }
+  }
+
+  test("GIF: random dims/content round-trip exactly (any image, exact palette)") {
+    for (c <- 0 until Cases) {
+      val seed = mix(1000L + c)
+      val w = 1 + pick(seed, 1, 30); val h = 1 + pick(seed, 2, 30)
+      val ch = if (pick(seed, 3, 2) == 0) 1 else 3
+      val colors = 1 + pick(seed, 4, 16)
+      val palette = Array.tabulate(colors * ch)(i => (mix(seed - i) & 0xff).toInt)
+      val px = Array.tabulate(w * h * ch) { i =>
+        val p = pick(seed, 100 + i / ch, colors)
+        palette(p * ch + i % ch)
+      }
+      val back = graft.kernel.Gif.decode(
+        graft.kernel.Gif.encode(graft.kernel.Gif.Image(w, h, ch, px)))
+      assert(back.width == w && back.height == h && back.channels == 3,
+        s"case $c: ${w}x$h ch=$ch")
+      // the composited canvas is RGB; gray sources widen 1 → 3
+      for (i <- 0 until w * h; cc <- 0 until 3) {
+        val want = if (ch == 3) px(i * 3 + cc) else px(i)
+        assert(back.samples(i * 3 + cc) == want, s"case $c pixel $i ch $cc")
+      }
+    }
+  }
+
+  test("WAV: random rates/channels/samples round-trip bit-exactly") {
+    // the encoder writes 16-bit PCM only (8-bit DECODE is gated by
+    // WavSpec's hand-built RIFF bytes); fuzz the encoder's domain
+    for (c <- 0 until Cases) {
+      val seed = mix(2000L + c)
+      val chn = 1 + pick(seed, 4, 2)
+      val n = chn * (1 + pick(seed, 1, 250))
+      val rate = Seq(8000, 16000, 44100)(pick(seed, 3, 3))
+      val samples = Array.tabulate(n)(i => (mix(seed + i) % 32768L).toInt)
+      val back = graft.kernel.Wav.decode(graft.kernel.Wav.encode(
+        graft.kernel.Wav.Audio(rate, chn, 16, samples)))
+      assert(back.sampleRate == rate && back.bitsPerSample == 16 &&
+        back.channels == chn, s"case $c")
+      assert(back.samples.sameElements(samples), s"case $c: n=$n ch=$chn")
+    }
+  }
+
+  test("Y4M: random colorspace/dims/frames round-trip bit-exactly") {
+    for (c <- 0 until Cases) {
+      val seed = mix(3000L + c)
+      // the encoder writes C420/Cmono (C422/C444 DECODE is gated by
+      // Y4mSpec's hand-built streams); fuzz the encoder's domain
+      val cs = Seq("C420", "Cmono")(pick(seed, 1, 2))
+      val w = 2 * (1 + pick(seed, 2, 16)); val h = 2 * (1 + pick(seed, 3, 16))
+      val nf = 1 + pick(seed, 4, 5)
+      val fb = if (cs == "C420") w * h * 3 / 2 else w * h
+      val frames = Vector.tabulate(nf)(f =>
+        Array.tabulate[Byte](fb)(i => (mix(seed + f * 100003L + i) & 0xff).toByte))
+      val back = graft.kernel.Y4m.decode(
+        graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, cs, frames)))
+      assert(back.width == w && back.height == h && back.colorspace == cs,
+        s"case $c: $cs ${w}x$h")
+      assert(back.frames.length == nf)
+      for (f <- 0 until nf)
+        assert(back.frames(f).sameElements(frames(f)), s"case $c frame $f")
+    }
+  }
+
+  test("JPEG: random block-structured images decode with correct geometry and bounded error") {
+    for (c <- 0 until Cases) {
+      val seed = mix(4000L + c)
+      val w = 1 + pick(seed, 1, 24); val h = 1 + pick(seed, 2, 24)
+      val ch = if (pick(seed, 3, 2) == 0) 1 else 3
+      // 8-aligned constant blocks: every coded unit is DC-only, so the
+      // flat-quant round-trip error is a few rounding units at most —
+      // for ANY random block values, not just the oracle's gray ones
+      val px = Array.tabulate(w * h * ch) { i =>
+        val x = (i / ch) % w; val y = (i / ch) / w
+        (mix(seed + (x / 8) * 31L + (y / 8) * 17L + i % ch) & 0xff).toInt
+      }
+      val back = graft.kernel.Jpeg.decode(
+        graft.kernel.Jpeg.encode(graft.kernel.Jpeg.Image(w, h, ch, px)))
+      assert(back.width == w && back.height == h && back.channels == ch,
+        s"case $c: ${w}x$h ch=$ch")
+      val maxErr = px.indices.map(i => math.abs(px(i) - back.samples(i))).max
+      assert(maxErr <= 8, s"case $c: max error $maxErr at ${w}x$h ch=$ch")
+      // and the 4:2:0 path keeps geometry on odd dims too
+      val back420 = graft.kernel.Jpeg.decode(
+        graft.kernel.Jpeg.encode(graft.kernel.Jpeg.Image(w, h, ch, px),
+          subsample420 = true))
+      assert(back420.width == w && back420.height == h, s"case $c 4:2:0")
+    }
+  }
+
+  test("WARC: random record batches round-trip through plain and gzip framing") {
+    for (c <- 0 until Cases) {
+      val seed = mix(5000L + c)
+      val n = 1 + pick(seed, 1, 6)
+      val gz = pick(seed, 2, 2) == 0
+      val records = (0 until n).map { i =>
+        val len = pick(seed, 10 + i, 1024)
+        val body = Array.tabulate[Byte](len)(j =>
+          (mix(seed + i * 7919L + j) & 0xff).toByte)
+        (Seq("WARC-Type" -> "resource",
+          "WARC-Record-ID" -> s"<urn:uuid:$i>"), body)
+      }
+      val bytes = if (gz) graft.kernel.Warc.writeGz(records)
+        else graft.kernel.Warc.write(records)
+      val back = graft.kernel.Warc.parseAll(bytes)
+      assert(back.length == n, s"case $c")
+      for (i <- 0 until n)
+        assert(back(i).content.sameElements(records(i)._2), s"case $c record $i")
+    }
+  }
+}
