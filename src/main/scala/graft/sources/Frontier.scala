@@ -80,6 +80,43 @@ object Frontier {
         when(col("crawl_delay") >= 0, col("crawl_delay")).as("crawl_delay"))
   }
 
+  /** [[robotsVerdicts]] with the rule table riding the PLAN instead of a
+    * join: parse + group-select per host ON THE DRIVER (bounded by
+    * `maxHosts` — loud, not OOM), broadcast the host → rules map, and
+    * decide every URL row-locally with the kernel's RFC 9309 walk. ZERO
+    * shuffles and zero joins — the corpus never exchanges. This is the
+    * common-case shape (robots tables are millions of hosts at most —
+    * far under executor memory); the join form above is the fallback
+    * when the host table itself is at data scale. Output identical
+    * (spec-gated parity). */
+  def robotsVerdictsLocal(urls: DataFrame, robots: DataFrame, agent: String,
+      maxHosts: Int = 1 << 22): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val collected = robots.select(col("host"), col("robots_txt"))
+      .as[(String, String)].limit(maxHosts + 1).collect()
+    require(collected.length <= maxHosts,
+      s"robots table exceeds maxHosts=$maxHosts; use robotsVerdicts (join form)")
+    val groups: Map[String, Robots.Group] = collected.map { case (h, txt) =>
+      h -> Robots.select(Robots.parse(txt), agent)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(groups)
+    urls.select(col("url"),
+        hostOf(col("url")).as("host"), pathOf(col("url")).as("path"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val gs = bc.value
+        it.map { case (url, host, path) =>
+          gs.get(host) match {
+            case Some(g) =>
+              (url, host, path, Robots.allowed(g, path), g.crawlDelay)
+            case None => (url, host, path, true, None: Option[Double])
+          }
+        }
+      }
+      .toDF("url", "host", "path", "allowed", "crawl_delay")
+  }
+
   /** Per-host politeness schedule over the allowed frontier: URLs of a
     * host fetch one `delay` apart (its robots crawl-delay, else
     * `defaultDelaySec`), hosts run in parallel. One window partitioned

@@ -135,6 +135,33 @@ class FrontierSpec extends SparkSuite {
     assert(got("https://b.com/anything") == ((true, None)))
   }
 
+  test("robotsVerdictsLocal: zero-shuffle broadcast form matches the join form exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp\nAllow: /tmp/ok\nCrawl-delay: 2\n"),
+      ("b.com", "User-agent: graft\nDisallow: /x\n\nUser-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq(
+      "https://a.com/doc.pdf", "https://a.com/tmp/ok/file",
+      "https://a.com/tmp/no", "https://b.com/x/1", "https://b.com/y",
+      "https://c.com/free").toDF("url")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), Option(r.get(4)))).sortBy(_._1).toSeq
+    val join = rows(Frontier.robotsVerdicts(urls, robots, "graftbot"))
+    val local = rows(Frontier.robotsVerdictsLocal(urls, robots, "graftbot"))
+    assert(local == join)
+    // the broadcast form's plan has NO exchange — one map over the urls
+    val plan = Frontier.robotsVerdictsLocal(urls, robots, "graftbot")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // host-count cap is loud
+    val e = intercept[IllegalArgumentException](
+      Frontier.robotsVerdictsLocal(urls, robots, "graftbot", maxHosts = 1))
+    assert(e.getMessage.contains("maxHosts"))
+  }
+
   test("schedule: per-host slots are dense, offsets are delay multiples, denied urls absent") {
     val spark2 = spark
     import spark2.implicits._
