@@ -81,6 +81,7 @@ object SparkEntry {
     "t22_bpe_train" -> Seq("spec:TrainingSpec"),
     "t23_bpe_segment" -> Seq("spec:TrainingSpec"),
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
+    "w07_host_rank" -> Seq("spec:FrontierSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"))
 
   /** (query → gates) for ALL registered queries — "oracle" where a

@@ -133,6 +133,77 @@ object Frontier {
         col("slot") * coalesce(col("crawl_delay"), lit(defaultDelaySec)))
   }
 
+  /** Extract outbound links from crawled pages — the edge source for
+    * crawl prioritization: absolute http(s) `href` values from anchor
+    * tags (attribute order tolerated, quotes required; relative-URL
+    * resolution is a caller concern and deliberately out of scope).
+    * One row-local regex projection over (url, html): zero shuffles.
+    * Output (src_url, src_host, dst_url, dst_host). */
+  def extractLinks(pages: DataFrame): DataFrame =
+    pages.select(col("url").as("src_url"),
+        hostOf(col("url")).as("src_host"),
+        explode(expr(
+          """regexp_extract_all(html, '<a\\s[^>]*href="(https?://[^"#]+)', 1)"""))
+          .as("dst_url"))
+      .withColumn("dst_host", hostOf(col("dst_url")))
+
+  /** Host-level link graph: (src_host, dst_host, n_links) with
+    * self-links kept (callers drop them for ranking) — one aggregation
+    * over the link rows, the standard web-graph rollup. */
+  def hostGraph(links: DataFrame): DataFrame =
+    links.groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** PageRank over an edge table (src, dst) — crawl-frontier
+    * prioritization (which hosts deserve fetch budget): the standard
+    * damped power iteration with dangling-mass redistribution. Each
+    * iteration is one join + one aggregation (contributions along
+    * edges) plus a scalar action for the dangling mass; ranks are
+    * eagerly checkpointed per iteration — the iterative-lineage trap
+    * (each plan otherwise CONTAINS all previous iterations and
+    * planning, not compute, dominates past ~5 rounds). Deterministic:
+    * per-node contribution sums ride one aggregation; doubles differ
+    * only in ulps across partitionings of the same frame, and the spec
+    * pins hand-computed values on exact-arithmetic graphs. */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val withDeg = ranks.join(outdeg, col("node") === col("src"), "left")
+      // dangling nodes (no out-edges) spread their mass uniformly
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(ranks.join(outdeg, col("node") === col("src"))
+          .select(col("node").as("c_src"), (col("rank") / col("deg")).as("share")),
+          col("src") === col("c_src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+
   /** Flatten sitemap XML documents into frontier seed rows:
     * (host, kind, loc, lastmod). Index documents emit their child
     * sitemap locations with kind `sitemapindex` — the caller fetches
@@ -267,6 +338,64 @@ object Frontier {
         FROM hosts, (SELECT unnest(range(0, 3)) AS i) WHERE k % 3 = 2)
       SELECT * FROM (SELECT * FROM leaf UNION ALL SELECT * FROM idx)
       ORDER BY host, loc""")),
+
+    // Link extraction + host-graph rollup, oracle-gated: pages carry
+    // planted anchors (attribute clutter, a relative link that must NOT
+    // extract, a fragment that must trim) and DuckDB recomputes the
+    // full (src_host, dst_host, n_links) rollup from the plant
+    // arithmetic.
+    ("w06_link_graph", (s: SparkSession, d: String) => {
+      val docs = graft.Tables.documents(s, d)
+      val pages = docs.select(
+        concat(lit("https://h"), col("doc_id") % 19,
+          lit(".example.com/p"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><body><a href=\"https://h"), (col("doc_id") + 1) % 19,
+          lit(".example.com/x"), col("doc_id"),
+          lit("\">a</a> <a class=\"z\" href=\"https://h"),
+          (col("doc_id") * 3 + 1) % 19,
+          lit(".example.com/y\">b</a> <a href=\"/relative/skip\">c</a>"),
+          lit(" <a href=\"https://skip.example.com/frag#sec\">d</a>"),
+          lit("</body></html>")).as("html"))
+      hostGraph(extractLinks(pages))
+        .orderBy(col("src_host"), col("dst_host"))
+    },
+    Some("""WITH e AS (
+        SELECT 'h' || (doc_id % 19) || '.example.com' AS src_host,
+          'h' || ((doc_id + 1) % 19) || '.example.com' AS dst_host
+        FROM documents
+        UNION ALL
+        SELECT 'h' || (doc_id % 19) || '.example.com',
+          'h' || ((doc_id * 3 + 1) % 19) || '.example.com'
+        FROM documents
+        UNION ALL
+        SELECT 'h' || (doc_id % 19) || '.example.com', 'skip.example.com'
+        FROM documents)
+      SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+      FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host""")),
+
+    // Host PageRank over the crawled link graph — the crawl-budget
+    // prioritization signal. Rows-only (damped power iteration in
+    // doubles is not SQL-expressible at parity); hand-computed
+    // iteration values, dangling-mass conservation, star-graph
+    // ordering, and bit-identical determinism are spec-gated in
+    // FrontierSpec.
+    ("w07_host_rank", (s: SparkSession, d: String) => {
+      val docs = graft.Tables.documents(s, d)
+      val pages = docs.select(
+        concat(lit("https://h"), col("doc_id") % 19,
+          lit(".example.com/p"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><body><a href=\"https://h"), (col("doc_id") + 1) % 19,
+          lit(".example.com/x\">a</a> <a href=\"https://h"),
+          (col("doc_id") * 3 + 1) % 19,
+          lit(".example.com/y\">b</a></body></html>")).as("html"))
+      val edges = hostGraph(extractLinks(pages))
+        .filter(col("src_host") =!= col("dst_host"))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+      pageRank(edges, iters = 10)
+        .orderBy(col("node"))
+    }, None),
 
     // Per-host politeness schedule over the allowed frontier — slots
     // and fetch offsets from each host's crawl delay; oracle recomputes

@@ -162,6 +162,57 @@ class FrontierSpec extends SparkSuite {
     assert(e.getMessage.contains("maxHosts"))
   }
 
+  test("extractLinks: absolute hrefs only, fragments trim, attribute clutter tolerated") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pages = Seq((
+      "https://src.com/page",
+      """<html><a href="https://a.com/x">1</a>
+        |<a class="big" id="z" href="https://b.com/y?q=1">2</a>
+        |<a href="/relative">3</a><a href="#frag">4</a>
+        |<a href="https://c.com/p#section">5</a>
+        |<a data-x="href=\"https://decoy.com/\"">6</a></html>""".stripMargin))
+      .toDF("url", "html")
+    val got = Frontier.extractLinks(pages)
+      .select("dst_url").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("https://a.com/x", "https://b.com/y?q=1",
+      "https://c.com/p"))
+  }
+
+  test("pageRank: hand-computed iteration, mass conservation, star ordering, determinism") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A→B, A→D, B→A, C→A; D dangles
+    val edges = Seq(("A", "B"), ("A", "D"), ("B", "A"), ("C", "A"))
+      .toDF("src", "dst")
+    val one = Frontier.pageRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // by hand from uniform 0.25 with d = 0.85 and dangling mass 0.25:
+    //   A: 0.0375 + .85·(0.5 + 0.0625), B/D: … 0.1875+…, C: base share
+    assert(math.abs(one("A") - 0.515625) < 1e-12, one)
+    assert(math.abs(one("B") - 0.196875) < 1e-12, one)
+    assert(math.abs(one("D") - 0.196875) < 1e-12, one)
+    assert(math.abs(one("C") - 0.090625) < 1e-12, one)
+    assert(math.abs(one.values.sum - 1.0) < 1e-12)
+
+    val ten = Frontier.pageRank(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ten.values.sum - 1.0) < 1e-9, "mass conserved")
+    assert(ten("A") > ten("B") && ten("B") > ten("C"), ten)
+
+    // star: every spoke points at the hub → hub dominates
+    val star = (1 to 6).map(i => (s"s$i", "hub")).toDF("src", "dst")
+    val ranks = Frontier.pageRank(star, iters = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("hub") > ranks.filterNot(_._1 == "hub").values.max * 3)
+
+    // determinism: bit-identical re-run
+    val again = Frontier.pageRank(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again.view.mapValues(java.lang.Double.doubleToLongBits).toMap ==
+      ten.view.mapValues(java.lang.Double.doubleToLongBits).toMap)
+  }
+
   test("schedule: per-host slots are dense, offsets are delay multiples, denied urls absent") {
     val spark2 = spark
     import spark2.implicits._
