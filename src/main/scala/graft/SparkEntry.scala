@@ -82,7 +82,8 @@ object SparkEntry {
     "t23_bpe_segment" -> Seq("spec:TrainingSpec"),
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
     "w07_host_rank" -> Seq("spec:FrontierSpec"),
-    "t35_unigram_segment" -> Seq("spec:TrainingSpec"))
+    "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
+    "t37_bpe_bytes" -> Seq("spec:TrainingSpec"))
 
   /** (query → gates) for ALL registered queries — "oracle" where a
     * DuckDB oracle exists, the named rows-only gates otherwise. Written

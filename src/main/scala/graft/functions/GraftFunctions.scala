@@ -52,6 +52,15 @@ object GraftFunctions {
   def merge_pair(syms: Column, left: String, right: String): Column =
     toCol(MergePair(expression(syms), left, right))
 
+  /** GPT-2 byte-level text encoding: every UTF-8 byte → one printable
+    * char, bijective (codegen'd, see [[ByteMap]]). */
+  def byte_map(text: Column): Column =
+    toCol(ByteMap(expression(text), inverse = false))
+
+  /** Inverse of [[byte_map]] — recovers the exact original bytes. */
+  def byte_unmap(text: Column): Column =
+    toCol(ByteMap(expression(text), inverse = true))
+
   /** RFC 9309 robots pattern match of a path against a rule-pattern
     * COLUMN (codegen'd — the frontier verdict join's filter, see
     * [[RobotsMatch]]). */

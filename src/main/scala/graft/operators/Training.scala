@@ -146,11 +146,22 @@ object Training {
     * the merges into one codegen'd projection. `minPairCount` stops
     * early once nothing recurs (a singleton pair is not compression). */
   def bpeTrain(docs: DataFrame, merges: Int, minPairCount: Long = 2,
-      minWordCount: Long = 1, maxVocab: Int = 1 << 22): DataFrame = {
+      minWordCount: Long = 1, maxVocab: Int = 1 << 22,
+      caseFold: Boolean = true, byteLevel: Boolean = false): DataFrame = {
+    // byteLevel: GPT-2's byte alphabet — words map through
+    // [[graft.functions.ByteMap]] AFTER whitespace split (the map sends
+    // the space byte out of ASCII, so splitting must come first), and
+    // the merge loop runs unchanged over the mapped chars; caseFold
+    // stays off in byte mode (case carries bytes)
     val spark = docs.sparkSession
+    val base = if (caseFold) lower(col("text")) else col("text")
+    val wordCol =
+      if (byteLevel) graft.functions.GraftFunctions.byte_map(col("word"))
+      else col("word")
     val words = docs
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(explode(split(trim(base), "\\s+")).as("word"))
       .filter(col("word") =!= "")
+      .select(wordCol.as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minWordCount)
     val collected = words.limit(maxVocab + 1).collect()
@@ -714,6 +725,39 @@ object Training {
           sum(col("n_chars")).as("n_chars"))
         .withColumn("compression",
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // Byte-level BPE — the production tokenizer regime (GPT-2 lineage):
+    // words map through the bijective byte alphabet
+    // (functions/ByteMap.scala) and the UNCHANGED merge loop trains over
+    // mapped chars, so the tokenizer covers ANY byte sequence with zero
+    // unknown tokens; segmentation composes byte_map into the same
+    // shuffle-free MergePair projection. Per-doc rollup like t23 with
+    // n_bytes = UTF-8 byte totals. Rows-only; ASCII-parity with char
+    // BPE, the bijection (emoji/CJK round-trips), and multibyte
+    // reassembly are spec-gated in TrainingSpec.
+    ("t37_bpe_bytes", (s: SparkSession, d: String) => {
+      val fns = graft.functions.GraftFunctions
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs, merges = 16, caseFold = false,
+          byteLevel = true)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(bpeSegmentColumn(fns.byte_map(col("word")), merges))
+            .cast("long").as("n_pieces"),
+          length(fns.byte_map(col("word"))).cast("long").as("n_bytes"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_bytes")).as("n_bytes"))
+        .withColumn("compression",
+          col("n_bytes").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
     }, None),
 

@@ -600,6 +600,81 @@ class TrainingSpec extends SparkSuite {
     assert(seg("", Seq("a" -> -1.0)) == Seq.empty[String])
   }
 
+  // ---- byte-level BPE (t37) gates ----
+
+  test("byte map: bijective on arbitrary unicode, length = UTF-8 bytes, no raw whitespace") {
+    val spark2 = spark
+    import spark2.implicits._
+    val fns = graft.functions.GraftFunctions
+    val inputs = Seq("hello", "Mixed CASE", "café", "ναι", "🙂🙃",
+      "tab\tand\nnewline", "nul byte", "ÿ¡¬®")
+    val rows = inputs.toDF("t")
+      .select(col("t"), fns.byte_map(col("t")).as("m"),
+        fns.byte_unmap(fns.byte_map(col("t"))).as("back"))
+      .collect()
+    rows.foreach { r =>
+      val (t, m, back) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(back == t, s"round-trip broke for '$t'")
+      assert(m.length == t.getBytes("UTF-8").length,
+        s"'$t': mapped length ${m.length} != byte count")
+      // whitespace and controls leave the raw-ASCII range entirely
+      assert(!m.exists(c => c.isWhitespace || c.isControl), s"'$t' → '$m'")
+    }
+    // unmapping a string outside the byte alphabet is loud
+    val e = intercept[Exception](Seq("Ȁ").toDF("t") // U+0200 > alphabet
+      .select(fns.byte_unmap(col("t"))).collect())
+    assert(e.getMessage.contains("alphabet") ||
+      (e.getCause != null && e.getCause.getMessage.contains("alphabet")))
+  }
+
+  test("byte-level bpe: ASCII parity with char bpe; multibyte pieces reassemble") {
+    import graft.operators.Training
+    val docs = Tables.documents(spark, sf0001)
+    // printable-ASCII corpus: the byte map is the identity, so the merge
+    // sequences must agree exactly (both without case folding)
+    val chars = Training.bpeTrain(docs, merges = 12, caseFold = false)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val bytes = Training.bpeTrain(docs, merges = 12, caseFold = false,
+        byteLevel = true)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(bytes == chars, "byte map must be identity on printable ASCII")
+
+    // multibyte corpus: train + segment byte-level, then unmapped pieces
+    // must reassemble the EXACT original words
+    val spark2 = spark
+    import spark2.implicits._
+    val uni = Seq(
+      (1L, "café café café ναι ναι 🙂🙂 smile"),
+      (2L, "café ναι 🙂 smile smile smile")).toDF("doc_id", "text")
+    val merges = Training.bpeTrain(uni, merges = 8, caseFold = false,
+        byteLevel = true)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val fns = graft.functions.GraftFunctions
+    val segmented = uni
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .distinct()
+      .select(col("word"),
+        Training.bpeSegmentColumn(fns.byte_map(col("word")), merges).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    segmented.foreach { case (w, pieces) =>
+      // unmap to BYTES and decode once at the end — a merge boundary may
+      // split a multibyte character, so per-piece string decoding would
+      // mangle partial sequences
+      val back = new String(
+        pieces.flatMap(p => graft.functions.ByteMapEval
+          .unmap(org.apache.spark.unsafe.types.UTF8String.fromString(p))
+          .getBytes).toArray, "UTF-8")
+      assert(back == w, s"pieces did not reassemble '$w'")
+    }
+    // the repeated multibyte words actually compress below their byte count
+    val cafe = segmented.find(_._1 == "café").get
+    assert(cafe._2.length < "café".getBytes("UTF-8").length, cafe)
+  }
+
   test("bpe merge application is greedy left-to-right without overlap") {
     val fns = graft.functions.GraftFunctions
     val df = Seq(
