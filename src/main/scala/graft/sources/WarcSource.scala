@@ -154,6 +154,34 @@ object WarcSource {
       .sortWithinPartitions(col("urlkey"), col("ts"))
       .write.mode("overwrite").parquet(outDir)
 
+  /** Re-crawl dedup against a stored capture index — the screen a
+    * continuous crawl runs before admitting freshly fetched pages:
+    * a batch capture is `url_dup` when its canonical URL is already
+    * indexed (a re-fetch of a known page, regardless of content drift),
+    * else `content_dup` when its body digest is known under some OTHER
+    * URL (mirrors, aliases, tracking-URL copies), else `novel`. Verdict
+    * precedence url > content mirrors how crawl dedup reports.
+    *
+    * Shape: two key-level left-semi-style probes — the index sides
+    * project to DISTINCT keys first, so however many historic captures
+    * share a urlkey or digest, the join carries each key once; the
+    * batch never explodes and at scale the stored side streams from
+    * its sorted parquet shards ([[cdxWrite]]) with the d11 broadcast
+    * discipline when the BATCH is the small side. */
+  def cdxDedup(batch: DataFrame, stored: DataFrame): DataFrame = {
+    val knownUrls = stored.select(col("urlkey")).distinct()
+      .withColumn("url_known", lit(true))
+    val knownDigests = stored.select(col("digest")).distinct()
+      .withColumn("digest_known", lit(true))
+    batch
+      .join(knownUrls, Seq("urlkey"), "left")
+      .join(knownDigests, Seq("digest"), "left")
+      .select(col("urlkey"), col("url"), col("digest"),
+        when(coalesce(col("url_known"), lit(false)), lit("url_dup"))
+          .when(coalesce(col("digest_known"), lit(false)), lit("content_dup"))
+          .otherwise(lit("novel")).as("verdict"))
+  }
+
   /** Project the HTML page table out of a record scan: `response`
     * records whose HTTP payload is text/html, split into
     * (url, warc_date, http_status, html). Non-2xx responses are kept —
@@ -296,5 +324,72 @@ object WarcSource {
         CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END AS status,
         sha256('Doc ' || doc_id || ': ' || text) AS digest,
         'seg-' || (doc_id % 41) || '.warc.gz' AS filename
-      FROM documents ORDER BY urlkey, ts""")))
+      FROM documents ORDER BY urlkey, ts""")),
+
+    // Re-crawl dedup against the stored CDX index, oracle-gated end to
+    // end: the "stored" index comes from even docs' segments, the
+    // incoming batch from odd docs with planted classes — re-fetches of
+    // a stored URL with drifted content (url_dup), new URLs carrying a
+    // stored body verbatim (content_dup — mirror/alias detection by
+    // digest), and genuinely novel pages. Both sides run the REAL
+    // segment-build → member walk → HTTP split → canonicalize → digest
+    // path; DuckDB recomputes every verdict from the plant arithmetic.
+    ("w08_cdx_dedup", (s: SparkSession, d: String) => {
+      import s.implicits._
+      def segs(rows: org.apache.spark.sql.Dataset[(Long, String, String)]): DataFrame =
+        rows.groupByKey { case (id, _, _) => id % 37 }
+          .mapGroups { (seg, it) =>
+            val recs = it.toSeq.sortBy(_._1).map { case (id, url, body) =>
+              (Seq(
+                "WARC-Type" -> "response",
+                "WARC-Target-URI" -> url,
+                "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+                "WARC-Date" -> "2025-01-01T00:00:00Z",
+                "Content-Type" -> "application/http;msgtype=response"),
+                Warc.renderHttpResponse(200, "text/html; charset=utf-8",
+                  body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+            (s"file:/crawl/seg-$seg.warc.gz", Warc.writeGz(recs))
+          }
+          .toDF("path", "content")
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+        .as[(Long, String)].map { case (id, text) =>
+          (id, s"https://example.com/doc/$id", s"Doc $id: $text") }
+      val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("prev_text"))
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .join(prev, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("prev_text"))
+        .as[(Long, String, String)].map { case (id, text, prevText) =>
+          if (id % 5 == 1)
+            (id, s"https://example.com/doc/${id - 1}", s"Changed $id: $text")
+          else if (id % 5 == 3)
+            (id, s"https://example.com/alias/$id", s"Doc ${id - 1}: $prevText")
+          else
+            (id, s"https://example.com/doc/$id", s"Doc $id: $text")
+        }
+      cdxDedup(cdxRows(segs(odd)), cdxRows(segs(even)))
+        .orderBy(col("urlkey"))
+    },
+    Some("""WITH odd AS (
+        SELECT d.doc_id, d.text, p.text AS prev_text
+        FROM documents d JOIN documents p ON p.doc_id = d.doc_id - 1
+        WHERE d.doc_id % 2 = 1),
+      batch AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 5 AS INTEGER)
+            WHEN 1 THEN 'https://example.com/doc/' || (doc_id - 1)
+            WHEN 3 THEN 'https://example.com/alias/' || doc_id
+            ELSE 'https://example.com/doc/' || doc_id END AS url,
+          CASE CAST(doc_id % 5 AS INTEGER)
+            WHEN 1 THEN 'Changed ' || doc_id || ': ' || text
+            WHEN 3 THEN 'Doc ' || (doc_id - 1) || ': ' || prev_text
+            ELSE 'Doc ' || doc_id || ': ' || text END AS body
+        FROM odd)
+      SELECT url AS urlkey, url, sha256(body) AS digest,
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 1 THEN 'url_dup' WHEN 3 THEN 'content_dup'
+          ELSE 'novel' END AS verdict
+      FROM batch ORDER BY urlkey""")))
 }

@@ -302,6 +302,30 @@ class WarcSpec extends SparkSuite {
     assert(byMin.flatten.sameElements(all.sorted), "shard ranges overlap")
   }
 
+  test("cdxDedup: url precedence over content; distinct-key probes; novel passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val stored = Seq(
+      ("https://a.com/p", "https://a.com/p", "dA"),
+      ("https://a.com/q", "https://a.com/q", "dB"),
+      // duplicate historic captures of one key must not explode the probe
+      ("https://a.com/q", "https://a.com/q", "dB"))
+      .toDF("urlkey", "url", "digest")
+    val batch = Seq(
+      ("https://a.com/p", "https://a.com/p", "dA"), // both known → url_dup
+      ("https://a.com/new1", "https://a.com/new1", "dB"), // digest only
+      ("https://a.com/new2", "https://a.com/new2", "dZ")) // neither
+      .toDF("urlkey", "url", "digest")
+    val got = WarcSource.cdxDedup(batch, stored)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got == Map(
+      "https://a.com/p" -> "url_dup",
+      "https://a.com/new1" -> "content_dup",
+      "https://a.com/new2" -> "novel"))
+    // batch row count preserved (the distinct-key probes cannot fan out)
+    assert(WarcSource.cdxDedup(batch, stored).count() == 3L)
+  }
+
   test("cdx rows: fields, pointer fetch, and planted normalization") {
     val spark2 = spark
     import spark2.implicits._
