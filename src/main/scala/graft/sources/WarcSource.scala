@@ -141,6 +141,38 @@ object WarcSource {
     withTrig.load(dir).select(col("path"), col("content"))
   }
 
+  /** Raw (path, content) segment stream — the input side of the
+    * continuous-crawl admission loop ([[cdxAdmit]] inside a
+    * foreachBatch sink) and of [[scanStream]]/[[cdxStream]]. */
+  def segmentStream(spark: SparkSession, dir: String,
+      glob: Option[String] = Some("*.warc*"),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    scanStreamRaw(spark, dir, glob, maxFilesPerTrigger)
+
+  /** One admission step of the continuous-crawl loop: index the batch
+    * segments, screen them against the stored CDX parquet at `indexDir`
+    * ([[cdxDedup]]; an absent index admits everything), APPEND the
+    * novel captures, and return the verdicts. Single-writer contract
+    * like [[graft.operators.DedupIndex]]. Both the batch index rows and
+    * the verdicts are FROZEN (eager localCheckpoint) before the append
+    * — the DedupIndex.grow lesson: appending to a path a cached plan
+    * also reads fires invalidation through the plan's lineage and
+    * silently recomputes against the half-grown table. */
+  def cdxAdmit(segments: DataFrame, indexDir: String): DataFrame = {
+    val spark = segments.sparkSession
+    val cdx = cdxRows(segments).localCheckpoint(true)
+    val stored =
+      if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+      else cdx.limit(0)
+    val verdicts = cdxDedup(cdx, stored).localCheckpoint(true)
+    val admitted = cdx.join(
+      verdicts.filter(col("verdict") === "novel")
+        .select(col("urlkey"), col("digest")).distinct(),
+      Seq("urlkey", "digest"), "left_semi")
+    admitted.write.mode("append").parquet(indexDir)
+    verdicts
+  }
+
   /** Write a CDX index in the serving layout: GLOBALLY SORTED by
     * (urlkey, ts) across range-partitioned shard files — the layout
     * index servers binary-search (a shard manifest of min/max keys is

@@ -302,6 +302,64 @@ class WarcSpec extends SparkSuite {
     assert(byMin.flatten.sameElements(all.sorted), "shard ranges overlap")
   }
 
+  test("continuous-crawl admission loop: verdicts against the GROWN index, batch order honored") {
+    val spark2 = spark
+    import spark2.implicits._
+    def response(uri: String, body: String) =
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(200, "text/html", body.getBytes(Utf8)))
+    val segDir = tempDir("graft_cdx_admit_in")
+    def stage(name: String, mtime: Long,
+        pages: Seq[(String, String)]): Unit = {
+      val f = new java.io.File(segDir, name)
+      java.nio.file.Files.write(f.toPath,
+        Warc.writeGz(pages.map { case (u, b) => response(u, b) }))
+      f.setLastModified(mtime) // the file source orders by mtime
+    }
+    stage("b1.warc.gz", 1000000L, Seq(
+      ("https://a.com/u1", "body A"), ("https://a.com/u2", "body B")))
+    stage("b2.warc.gz", 2000000L, Seq(
+      ("https://a.com/u1", "body A CHANGED"), // url known from b1
+      ("https://a.com/u3", "body B"),         // content known from b1
+      ("https://a.com/u4", "body D")))        // novel
+    stage("b3.warc.gz", 3000000L, Seq(
+      ("https://a.com/u4", "body D2"),        // url admitted in b2!
+      ("https://a.com/u5", "body E")))        // novel
+
+    val ixDir = new java.io.File(tempDir("graft_cdx_admit_ix"), "ix")
+      .getAbsolutePath
+    val verdicts = scala.collection.mutable.Map.empty[String, String]
+    val q = WarcSource.segmentStream(spark, segDir.getAbsolutePath,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          verdicts ++= WarcSource.cdxAdmit(df, ixDir).collect()
+            .map(r => r.getString(1) -> r.getString(3))
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the map keeps each url's LAST verdict: u1 was novel in batch 1,
+    // then url_dup on the batch-2 re-fetch; u4's batch-3 re-fetch is
+    // caught against the index GROWN in batch 2
+    assert(verdicts == Map(
+      "https://a.com/u1" -> "url_dup",
+      "https://a.com/u2" -> "novel",
+      "https://a.com/u3" -> "content_dup",
+      "https://a.com/u4" -> "url_dup",
+      "https://a.com/u5" -> "novel"))
+    // and the admitted set is exactly the novel captures
+    val index = spark.read.parquet(ixDir)
+      .select("urlkey").collect().map(_.getString(0)).sorted.toSeq
+    assert(index == Seq("https://a.com/u1", "https://a.com/u2",
+      "https://a.com/u4", "https://a.com/u5"))
+  }
+
   test("cdxDedup: url precedence over content; distinct-key probes; novel passes") {
     val spark2 = spark
     import spark2.implicits._
