@@ -68,6 +68,7 @@ object SparkEntry {
     "m12_audio_neardup" -> Seq("spec:WavSpec"),
     "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec"),
     "m22_video_neardup" -> Seq("spec:Y4mSpec"),
+    "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
     "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),

@@ -799,6 +799,52 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "sad", "is_cut")
   }
 
+  /** Keyframe EXTRACTION — the payload-producing half of scene-cut
+    * sampling ([[videoSceneCuts]] decides, this materializes): each
+    * scene's first frame leaves the task as a self-contained grayscale
+    * PNG ([[graft.kernel.Png]]), the artifact an image-model training
+    * pipeline ingests downstream (the m-family image operators run on
+    * these directly — keyframes feed m07/m08 unchanged). Decode, SAD
+    * walk, and PNG encode all stay inside the partition kernel; only
+    * the (small) keyframe payloads cross an exchange, never full
+    * clips. */
+  def videoKeyframes(media: DataFrame, num: Int = 12,
+      den: Int = 1): DataFrame = {
+    require(num >= 0 && den > 0, s"threshold $num/$den")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val v = graft.kernel.Y4m.decode(m.payload)
+          val n = v.width * v.height
+          v.frames.iterator.zipWithIndex.flatMap { case (f, idx) =>
+            val cut =
+              if (idx == 0) true
+              else {
+                val prev = v.frames(idx - 1)
+                var sad = 0L
+                var i = 0
+                while (i < n) {
+                  sad += math.abs((f(i) & 0xff) - (prev(i) & 0xff))
+                  i += 1
+                }
+                sad * den >= num.toLong * n
+              }
+            if (!cut) None
+            else {
+              val luma = Array.tabulate(n)(i => f(i) & 0xff)
+              Some((m.doc_id, idx, v.width, v.height,
+                graft.kernel.Png.encode(
+                  graft.kernel.Png.Image(v.width, v.height, 1, 8, luma))))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "png")
+  }
+
   /** Animated-GIF frame sampling — the m13 shape over the third real
     * video-ish container: composite frames via [[graft.kernel.Gif]]
     * (transparency and disposal applied, so stats describe what a
@@ -1426,6 +1472,40 @@ object Multimodal {
       SELECT doc_id, 0 AS frame_idx, CAST(0 AS BIGINT) AS sad, true AS is_cut
       FROM dims
       ORDER BY doc_id, frame_idx""")),
+
+    // Keyframe extraction over the m23 scene-structured corpus: one
+    // grayscale PNG per scene start. The cut schedule is the
+    // oracle-verified m23 one; the payloads themselves are gated in
+    // Y4mSpec (each keyframe PNG decodes back to the exact luma plane).
+    // Rows-only: PNG bytes are not SQL-recomputable.
+    ("m26_video_keyframes", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 16; val h = 8
+      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (6 + id % 5).toInt
+            val frames = Vector.tabulate(nf) { f =>
+              val frame = new Array[Byte](w * h * 3 / 2)
+              var i = 0
+              while (i < w * h) {
+                frame(i) = (((i % w) * 7L + (i / w) * 5L +
+                  (f / 3) * 67L + id * 3L) % 256L).toByte
+                i += 1
+              }
+              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+              frame
+            }
+            (id, "video",
+              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      videoKeyframes(y4m, num = 12, den = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          length(col("png")).as("png_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }, None),
 
     // Video near-dup pairs over planted identities — the m12 scheme for
     // the video modality: ids ≡ 0 mod 97 share one clip; ids ≡ 0 mod 89

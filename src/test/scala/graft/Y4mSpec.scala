@@ -188,6 +188,28 @@ class Y4mSpec extends SparkSuite {
       (4, 12L * 128, true)))  // exactly the threshold: >= cuts
   }
 
+  test("videoKeyframes: one PNG per scene start, decoding back to the exact luma plane") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scenes: frames 0,1 at luma 10; frames 2,3 at 40 → keyframes 0, 2
+    val lum = (f: Int) => if (f < 2) 10 else 40
+    val frames = Vector.tabulate(4)(f =>
+      Array.tabulate[Byte](16 * 8)(i => (lum(f) + i % 5).toByte))
+    val media = Seq((7L, "video",
+      graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(16, 8, "Cmono", frames))))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.videoKeyframes(media, num = 12, den = 1)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 2))
+    got.foreach { r =>
+      val img = graft.kernel.Png.decode(r.getAs[Array[Byte]](4))
+      assert(img.width == 16 && img.height == 8 && img.channels == 1)
+      val f = frames(r.getInt(1))
+      assert(img.samples.sameElements(f.map(_ & 0xff)),
+        s"keyframe ${r.getInt(1)} luma drifted")
+    }
+  }
+
   test("videoNearDups: copies + gain-scaled copy pair; distinct footage does not") {
     // 1 = base, 2 = base at ×2 gain (hamming 0), 3 = top-bright,
     // 4 = checkerboard cells — both far from base (hamming 32)
