@@ -274,7 +274,63 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Terminal-punctuation sentence segmentation — the unit the packing
+    * and quality stages below paragraphs/lines need (sequence packing
+    * at sentence boundaries, per-sentence quality stats): maximal runs
+    * ending in `.!?`+ plus the unterminated tail, whitespace-only
+    * pieces dropped. Deliberately rule-based and dialect-shared (both
+    * regex calls exist identically in Java and RE2 — no lookbehind), so
+    * the split is engine-reproducible; abbreviation handling ("Dr.") is
+    * out of scope and documented, as in the C4 line rules. */
+  def sentenceSplit(text: Column): Column = {
+    val withT = regexp_extract_all(text, lit("[^.!?]*[.!?]+"), lit(0))
+    val tail = regexp_extract(text, "[^.!?]+$", 0)
+    val all = concat(withT,
+      when(tail =!= "", array(tail)).otherwise(array().cast("array<string>")))
+    filter(all, x => trim(x) =!= "")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Sentence segmentation over punctuation-augmented documents (the
+    // synthetic corpus is unpunctuated word soup, so the plant wraps
+    // each doc with known sentence structure): per-sentence rows with
+    // exact char/terminal accounting, oracle-recomputed by DuckDB in
+    // the shared regex dialect.
+    ("t38_sentences", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("First part. "), col("text"),
+            lit("! Second? trailing bit")).as("t"))
+        .select(col("doc_id"),
+          posexplode(sentenceSplit(col("t"))).as(Seq("sent_idx", "raw")))
+        .select(col("doc_id"), col("sent_idx"),
+          trim(col("raw")).as("sentence"),
+          length(trim(col("raw"))).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("sent_idx"))
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id,
+          'First part. ' || text || '! Second? trailing bit' AS t
+        FROM documents),
+      arrs AS (
+        SELECT doc_id,
+          list_filter(
+            list_concat(
+              regexp_extract_all(t, '[^.!?]*[.!?]+'),
+              CASE WHEN regexp_extract(t, '[^.!?]+$') <> ''
+                THEN [regexp_extract(t, '[^.!?]+$')]
+                ELSE [] END),
+            x -> trim(x) <> '') AS arr
+        FROM aug),
+      e AS (
+        SELECT doc_id, unnest(arr) AS raw,
+          generate_subscripts(arr, 1) - 1 AS sent_idx
+        FROM arrs)
+      SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+        trim(raw) AS sentence,
+        CAST(strlen(trim(raw)) AS BIGINT) AS n_chars
+      FROM e ORDER BY doc_id, sent_idx""")),
 
     // token counting: whitespace tokens + BPE-ish lexical pieces
     ("t01_token_count", (s: SparkSession, d: String) => {

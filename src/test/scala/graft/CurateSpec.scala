@@ -299,6 +299,24 @@ class CurateSpec extends SparkSuite {
     assert(e.getMessage.contains("no tokens"))
   }
 
+  test("sentence split: hand cases — runs, tails, stacked terminals, whitespace-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def split(t: String): Seq[String] =
+      Seq(t).toDF("t")
+        .select(graft.operators.TextAnalysis.sentenceSplit(col("t")).as("s"))
+        .collect().head.getSeq[String](0).map(_.trim)
+    assert(split("One. Two! Three? tail") == Seq("One.", "Two!", "Three?", "tail"))
+    assert(split("No terminal at all") == Seq("No terminal at all"))
+    assert(split("Stacked?! Really...") == Seq("Stacked?!", "Really..."))
+    assert(split("Ends clean.") == Seq("Ends clean."))
+    assert(split(".") == Seq("."))
+    assert(split("   ") == Seq.empty)
+    assert(split("") == Seq.empty)
+    // documented limitation: abbreviations split (terminal-punct rule)
+    assert(split("Dr. Who") == Seq("Dr.", "Who"))
+  }
+
   test("ccnet buckets: tight tertile cuts by token mass, head is cleanest") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
