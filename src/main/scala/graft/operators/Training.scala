@@ -122,6 +122,41 @@ object Training {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Document-boundary greedy packing — the OTHER packing regime next
+    * to concatenate-and-chunk (t13/t26): documents never split across
+    * training sequences (no cross-document attention contamination), a
+    * sequence closes when the next document would overflow `seqLen`,
+    * and an oversized document takes a bin alone (`overflow` flags it
+    * for the caller's truncation policy). The walk is inherently
+    * sequential PER STREAM (bin state carries forward), so it runs as
+    * one sorted pass inside each stream's group — exactly t13's
+    * parallelism contract: the stream key is `source` here and
+    * (source, shard) at 100 TB, where shards pack independently and the
+    * boundary costs at most one partially-filled bin per shard. */
+  def packGreedy(docs: DataFrame, seqLen: Int,
+      streamCol: String = "source"): DataFrame = {
+    require(seqLen >= 1, s"seqLen $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col(streamCol).as("stream"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (stream, it) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        var bin = 0L
+        var fill = 0L
+        sorted.map { case (id, _, n) =>
+          if (fill > 0 && fill + n > seqLen) { bin += 1; fill = 0 }
+          val placed = bin
+          fill += n
+          if (fill >= seqLen) { bin += 1; fill = 0 }
+          (id, stream, n, placed, n > seqLen)
+        }
+      }
+      .toDF("doc_id", "stream", "n_tok", "bin_id", "overflow")
+  }
+
   /** BPE training (Sennrich et al. 2016, arXiv 1508.07909): iterate —
     * count adjacent symbol pairs over the word-frequency table, take the
     * most frequent pair (ties break (count DESC, left ASC, right ASC) —
@@ -727,6 +762,48 @@ object Training {
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
     }, None),
+
+    // Document-boundary greedy packing, oracle-gated: DuckDB replays
+    // the sequential bin walk with a recursive CTE carrying (open bin,
+    // fill) per stream — every placement, overflow flag, and bin close
+    // (including the exact-fit close) must match the one-pass group
+    // walk.
+    ("t39_pack_boundary", (s: SparkSession, d: String) =>
+      packGreedy(Tables.documents(s, d), seqLen = 256)
+        .orderBy(col("stream"), col("doc_id")),
+    Some("""WITH RECURSIVE d AS (
+        SELECT doc_id, source AS stream,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      packed AS (
+        SELECT doc_id, stream, n_tok, rn,
+          CAST(0 AS BIGINT) AS bin_id,
+          n_tok > 256 AS overflow,
+          CASE WHEN n_tok >= 256 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS st_bin,
+          CASE WHEN n_tok >= 256 THEN CAST(0 AS BIGINT)
+            ELSE n_tok END AS st_fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.stream, d.n_tok, d.rn,
+          CASE WHEN p.st_fill > 0 AND p.st_fill + d.n_tok > 256
+            THEN p.st_bin + 1 ELSE p.st_bin END,
+          d.n_tok > 256,
+          CASE WHEN (CASE WHEN p.st_fill > 0 AND p.st_fill + d.n_tok > 256
+              THEN d.n_tok ELSE p.st_fill + d.n_tok END) >= 256
+            THEN (CASE WHEN p.st_fill > 0 AND p.st_fill + d.n_tok > 256
+              THEN p.st_bin + 1 ELSE p.st_bin END) + 1
+            ELSE (CASE WHEN p.st_fill > 0 AND p.st_fill + d.n_tok > 256
+              THEN p.st_bin + 1 ELSE p.st_bin END) END,
+          CASE WHEN (CASE WHEN p.st_fill > 0 AND p.st_fill + d.n_tok > 256
+              THEN d.n_tok ELSE p.st_fill + d.n_tok END) >= 256
+            THEN CAST(0 AS BIGINT)
+            ELSE (CASE WHEN p.st_fill > 0 AND p.st_fill + d.n_tok > 256
+              THEN d.n_tok ELSE p.st_fill + d.n_tok END) END
+        FROM d JOIN packed p ON d.stream = p.stream AND d.rn = p.rn + 1)
+      SELECT doc_id, stream, n_tok, bin_id, overflow
+      FROM packed ORDER BY stream, doc_id""")),
 
     // Byte-level BPE — the production tokenizer regime (GPT-2 lineage):
     // words map through the bijective byte alphabet

@@ -407,6 +407,36 @@ class TrainingSpec extends SparkSuite {
       again.select("doc_id").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("greedy boundary packing: hand-computed walk with exact fits and oversized docs") {
+    import graft.operators.Training
+    val sizes = Seq(4, 5, 2, 10, 3, 11, 1)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "s", (1 to n).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = Training.packGreedy(docs, seqLen = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    // 4+5 fill bin 0; 2 opens bin 1; 10 exactly fills (and closes)
+    // bin 2; 3 opens bin 3; 11 overflows alone in bin 4; 1 lands in 5
+    assert(got.toSeq == Seq(
+      (0L, 0L, false), (1L, 0L, false), (2L, 1L, false), (3L, 2L, false),
+      (4L, 3L, false), (5L, 4L, true), (6L, 5L, false)))
+    // no bin except overflow bins ever exceeds seqLen
+    val mass = Training.packGreedy(docs, seqLen = 10)
+      .groupBy("bin_id").agg(sum("n_tok").as("m"), max("overflow").as("o"))
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    mass.foreach { case (m, o) => assert(o || m <= 10, s"bin mass $m") }
+    // streams pack independently
+    val two = docs.union(
+      sizes.zipWithIndex.map { case (n, i) =>
+        ((100 + i).toLong, "t", (1 to n).map(k => s"v$k").mkString(" "))
+      }.toDF("doc_id", "source", "text"))
+    val byStream = Training.packGreedy(two, seqLen = 10)
+      .groupBy("stream").agg(max("bin_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStream == Map("s" -> 5L, "t" -> 5L))
+  }
+
   // ---- unigram-LM tokenizer (t34/t35) gates ----
 
   /** Independent reference unigram trainer — same defined algorithm
