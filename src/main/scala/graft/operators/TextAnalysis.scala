@@ -284,10 +284,17 @@ object TextAnalysis {
     * out of scope and documented, as in the C4 line rules. */
   def sentenceSplit(text: Column): Column = {
     val withT = regexp_extract_all(text, lit("[^.!?]*[.!?]+"), lit(0))
-    val tail = regexp_extract(text, "[^.!?]+$", 0)
-    val all = concat(withT,
-      when(tail =!= "", array(tail)).otherwise(array().cast("array<string>")))
-    filter(all, x => trim(x) =!= "")
+    // only the tail can be whitespace-only (every matched piece carries
+    // a terminal char, which trim keeps), so the "drop blank pieces"
+    // rule is one guard on the tail — no interpreted array-filter HOF.
+    // The tail comes from a SPLIT, not `[^.!?]+$`: an end-anchored
+    // negated run backtracks quadratically (measured ~400 µs per
+    // 300-char row — every non-terminal start position scans to the
+    // next terminal and unwinds char by char); the split is linear
+    val tail = element_at(split(text, "[.!?]+", -1), -1)
+    concat(withT,
+      when(trim(tail) =!= "", array(tail))
+        .otherwise(array().cast("array<string>")))
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -315,13 +322,13 @@ object TextAnalysis {
         FROM documents),
       arrs AS (
         SELECT doc_id,
-          list_filter(
-            list_concat(
-              regexp_extract_all(t, '[^.!?]*[.!?]+'),
-              CASE WHEN regexp_extract(t, '[^.!?]+$') <> ''
-                THEN [regexp_extract(t, '[^.!?]+$')]
-                ELSE [] END),
-            x -> trim(x) <> '') AS arr
+          list_concat(
+            regexp_extract_all(t, '[^.!?]*[.!?]+'),
+            CASE WHEN trim(string_split_regex(t, '[.!?]+')[
+                len(string_split_regex(t, '[.!?]+'))]) <> ''
+              THEN [string_split_regex(t, '[.!?]+')[
+                len(string_split_regex(t, '[.!?]+'))]]
+              ELSE [] END) AS arr
         FROM aug),
       e AS (
         SELECT doc_id, unnest(arr) AS raw,
