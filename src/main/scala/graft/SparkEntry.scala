@@ -69,6 +69,7 @@ object SparkEntry {
     "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec"),
     "m22_video_neardup" -> Seq("spec:Y4mSpec"),
     "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
+    "m27_audio_clips" -> Seq("spec:WavSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
     "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),

@@ -638,6 +638,62 @@ object Multimodal {
         "energy")
   }
 
+  /** Active-clip EXTRACTION — the payload half of [[audioSegments]]
+    * (m24 decides, this materializes): each maximal active run leaves
+    * the task as a self-contained 16-bit WAV ([[graft.kernel.Wav]]),
+    * the unit a speech pipeline feeds to transcription/feature models —
+    * the m26 keyframe treatment for the audio modality. Decode, the
+    * run walk, and the clip encode stay inside the partition kernel;
+    * only clip payloads cross an exchange, never whole recordings. */
+  def audioClips(media: DataFrame, frameLen: Int = 256, num: Int = 100,
+      den: Int = 1): DataFrame = {
+    require(frameLen >= 1 && num >= 0 && den > 0,
+      s"frameLen $frameLen threshold $num/$den")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val a = graft.kernel.Wav.decode(m.payload)
+          require(a.channels == 1,
+            s"doc ${m.doc_id}: audioClips slices mono streams; " +
+              s"${a.channels}-channel input must be downmixed upstream")
+          val n = a.samples.length
+          val nf = (n + frameLen - 1) / frameLen
+          val e = new Array[Long](nf)
+          val c = new Array[Int](nf)
+          var i = 0
+          while (i < n) {
+            e(i / frameLen) += math.abs(a.samples(i).toLong)
+            c(i / frameLen) += 1
+            i += 1
+          }
+          val out = Seq.newBuilder[(Long, Int, Int, Int, Array[Byte])]
+          var f = 0
+          var segStart = -1
+          var segIdx = 0
+          while (f <= nf) {
+            val active = f < nf && e(f) * den >= num.toLong * c(f)
+            if (active && segStart < 0) segStart = f
+            else if (!active && segStart >= 0) {
+              val from = segStart * frameLen
+              val until = math.min(f * frameLen, n)
+              out += ((m.doc_id, segIdx, from, until - from,
+                graft.kernel.Wav.encode(graft.kernel.Wav.Audio(
+                  a.sampleRate, a.channels, 16,
+                  java.util.Arrays.copyOfRange(a.samples, from, until)))))
+              segIdx += 1
+              segStart = -1
+            }
+            f += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("doc_id", "seg_idx", "start_sample", "n_samples", "wav")
+  }
+
   /** Real video frame sampling: parse Y4M ([[graft.kernel.Y4m]]), keep
     * every `stride`-th frame (the m05 decimation, now over REAL frames
     * instead of byte slices), and emit exact-integer luma-plane stats
@@ -1184,6 +1240,33 @@ object Multimodal {
         CAST(nf AS INTEGER) AS n_frames,
         CAST(energy AS BIGINT) AS energy
       FROM seg ORDER BY doc_id, seg_idx""")),
+
+    // Active-clip extraction over the m24 corpus: one WAV per active
+    // run. The segmentation schedule is the oracle-verified m24 one;
+    // the clip payloads are gated in WavSpec (each WAV decodes back to
+    // the exact sample span). Rows-only: WAV bytes are not
+    // SQL-recomputable.
+    ("m27_audio_clips", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (192 + id % 64).toInt
+            val samples = Array.tabulate(n) { i =>
+              if ((i / 32 + id) % 3 != 0)
+                (((i * 37L + id * 11L) % 4001L) - 2000L).toInt
+              else ((i * 7L) % 21L - 10L).toInt
+            }
+            (id, "audio",
+              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioClips(wav, frameLen = 16, num = 100, den = 1)
+        .select(col("doc_id"), col("seg_idx"), col("start_sample"),
+          col("n_samples"), length(col("wav")).as("wav_len"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }, None),
 
     // Audio fingerprint through the real WAV parser, oracle-gated like
     // m08: 65 uniform segments of the synthetic waveform, integer

@@ -136,6 +136,37 @@ class WavSpec extends SparkSuite {
     assert(one.length == 1 && one.head.getInt(2) == 0 && one.head.getInt(3) == 1)
   }
 
+  test("audioClips: each clip WAV decodes back to the exact active sample span") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same layout as the audioSegments gate: runs [0,1] and [3,4]
+    val samples =
+      Array.fill(4)(200) ++ Array.fill(4)(-200) ++ Array.fill(4)(0) ++
+        Array.fill(4)(100) ++ Array(5, 5, 300)
+    val media = Seq((3L, "audio",
+      graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples))))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.audioClips(media, frameLen = 4, num = 100, den = 1)
+      .orderBy("seg_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((0, 0, 8), (1, 12, 7)))
+    got.foreach { case (_, from, len, wav) =>
+      val clip = graft.kernel.Wav.decode(wav)
+      assert(clip.sampleRate == 8000 && clip.channels == 1)
+      assert(clip.samples.sameElements(samples.slice(from, from + len)))
+    }
+    // stereo input is refused loudly (sample-index slicing would split
+    // channel frames)
+    val stereo = Seq((4L, "audio", graft.kernel.Wav.encode(
+      graft.kernel.Wav.Audio(8000, 2, 16, Array.fill(8)(500)))))
+      .toDF("doc_id", "media_type", "payload")
+    val e = intercept[Exception](
+      Multimodal.audioClips(stereo, frameLen = 4).collect())
+    assert(e.getMessage.contains("mono") ||
+      (e.getCause != null && e.getCause.getMessage.contains("mono")))
+  }
+
   test("malformed inputs fail loudly, never misparse") {
     // not RIFF/WAVE
     assertThrows[IllegalArgumentException](Wav.decode("OggS....".getBytes))
