@@ -78,6 +78,7 @@ object SparkEntry {
     "s07_semantic_dedup" -> Seq("spec:LlmOpsSpec"),
     "s10_pca_project" -> Seq("spec:PcaSpec"),
     "s11_opq_encode" -> Seq("spec:PcaSpec"),
+    "s12_ann_delete" -> Seq("spec:LlmOpsSpec"),
     "s08_embedding_admission" -> Seq("spec:LlmOpsSpec", "spec:StreamingSpec"),
     "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
     "t22_bpe_train" -> Seq("spec:TrainingSpec"),

@@ -101,16 +101,67 @@ object AnnIndex {
         partitionCols = Seq("list_id"), maxFiles = compactAbove)
   }
 
-  /** Load the models driver-side and the index lazily. */
+  /** Delete vectors WITHOUT rewriting the inverted file — the other
+    * half of the served-index lifecycle next to [[grow]]: deleted ids
+    * land in an append-only tombstone table, and [[load]] masks them
+    * out lazily, so a deleted vector can never surface — including its
+    * REPLICA rows across several lists, which a per-list physical
+    * delete would have to chase. Deletes are rare and id-sized; the
+    * physical rows leave at the next [[vacuum]]. Same single-writer
+    * contract and checkpoint-before-append discipline as [[grow]] (the
+    * ids may derive from a query over this very index). */
+  def delete(ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id")).distinct().localCheckpoint(true)
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+
+  /** Physically drop tombstoned rows and clear the tombstone table —
+    * the vacuum step a long-lived index runs off-peak. Survivors are
+    * materialized (eager localCheckpoint) BEFORE the overwrite: the
+    * rewrite reads the files it is about to delete. Re-[[load]] after
+    * (stale listings). */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val t = tombstones(spark, dir)
+    if (t.isDefined) {
+      val raw = spark.read.parquet(s"$dir/index.parquet")
+      val survivors = raw.join(broadcast(t.get), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      survivors
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/index.parquet")
+      // an empty frame with the right schema clears the table
+      t.get.limit(0).write.mode("overwrite")
+        .parquet(s"$dir/tombstones.parquet")
+    }
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    // existence check on the local path (dir may carry a file: scheme)
+    val p = new java.io.File(
+      dir.stripPrefix("file:") + "/tombstones.parquet")
+    if (!p.exists()) None
+    else {
+      val t = spark.read.parquet(s"$dir/tombstones.parquet")
+        .select(col("vec_id"))
+      if (t.isEmpty) None else Some(t.distinct())
+    }
+  }
+
+  /** Load the models driver-side and the index lazily; tombstoned ids
+    * ([[delete]]) are masked here, so EVERY consumer honors deletions. */
   def load(spark: SparkSession, dir: String): Loaded = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val model = spark.read.parquet(s"$dir/model.parquet").collect()
       .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    val raw = spark.read.parquet(s"$dir/index.parquet")
+    val visible = tombstones(spark, dir) match {
+      case Some(t) => raw.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => raw
+    }
     Loaded(meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
       meta.getAs[Int]("ks"), meta.getAs[Int]("nlist"),
       meta.getAs[Int]("replicas"),
-      model("centroids"), model("codebook"),
-      spark.read.parquet(s"$dir/index.parquet"))
+      model("centroids"), model("codebook"), visible)
   }
 
   /** Query a loaded index: probe → partition-pruned ADC scan → exact

@@ -866,6 +866,9 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val annDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact cosine top-10 for a deterministic query set (vec_id < 5),
@@ -927,6 +930,27 @@ object Similarity {
     ("s06_ann_ivfpq", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       ivfpqTopK(emb.filter(col("vec_id") < 20), emb, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, None),
+
+    // Index deletion lifecycle: build the persistent IVFPQ index once,
+    // tombstone every 17th vector, query through the loaded (masked)
+    // index — deleted vectors must never surface, including replica
+    // rows across lists. Rows-only; tombstone masking, vacuum
+    // physical-drop parity, and checkpoint discipline are spec-gated
+    // in LlmOpsSpec.
+    ("s12_ann_delete", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = annDeleteCache.computeIfAbsent(d, { _ =>
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_s12_ix").toString
+        AnnIndex.build(emb, p)
+        AnnIndex.delete(
+          emb.filter(col("vec_id") % 17 === 0).select(col("vec_id")), p)
+        p
+      })
+      AnnIndex.topK(AnnIndex.load(s, dir),
+          emb.filter(col("vec_id") < 5 && col("vec_id") % 17 =!= 0), emb, 10)
         .orderBy(col("query_id"), col("rank"))
     }, None),
 

@@ -296,6 +296,52 @@ class LlmOpsSpec extends SparkSuite {
     assert(preRows.subsetOf(loopRows))
   }
 
+  test("ANN index deletion: tombstones mask every replica row; vacuum drops them physically") {
+    import graft.operators.AnnIndex
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val dir = tempDir("anndel").getAbsolutePath
+    AnnIndex.build(emb, s"file:$dir")
+    val queries = emb.filter(col("vec_id") < 5)
+
+    // pick victims that actually APPEAR in the pre-delete results
+    val before = AnnIndex.topK(AnnIndex.load(spark, s"file:$dir"),
+        queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(1)))
+    val victims = before.filter(_._3 <= 2).map(_._2).distinct.take(3)
+    assert(victims.nonEmpty)
+    AnnIndex.delete(victims.toSeq.toDF("vec_id"), s"file:$dir")
+
+    val masked = AnnIndex.load(spark, s"file:$dir")
+    // every replica row of a tombstoned id is invisible
+    assert(masked.index.filter(col("vec_id").isInCollection(victims))
+      .count() == 0L)
+    val after = AnnIndex.topK(masked, queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(1)))
+    assert(after.forall(r => !victims.contains(r._2)),
+      "deleted vector surfaced in results")
+    // result lists stay full: next-best neighbors fill the ranks
+    assert(after.groupBy(_._1).forall(_._2.length == 5))
+
+    // vacuum: physical rows gone, tombstone table cleared, answers
+    // identical to the masked index
+    val physBefore = spark.read.parquet(s"$dir/index.parquet").count()
+    AnnIndex.vacuum(spark, s"file:$dir")
+    val physAfter = spark.read.parquet(s"$dir/index.parquet").count()
+    assert(physAfter < physBefore)
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0L)
+    val vacuumed = AnnIndex.topK(AnnIndex.load(spark, s"file:$dir"),
+        queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(1)))
+    assert(vacuumed.toSeq == after.toSeq)
+    // the lifecycle composes: grow after vacuum still works
+    AnnIndex.grow(emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 970000L).as("vec_id"), col("embedding")),
+      s"file:$dir")
+    assert(AnnIndex.load(spark, s"file:$dir").index
+      .filter(col("vec_id") === 970007L).count() > 0L)
+  }
+
   test("ivfpq ANN: composed prune+compress keeps recall; deterministic") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)
