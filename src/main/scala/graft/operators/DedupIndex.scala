@@ -124,11 +124,62 @@ object DedupIndex {
     }
   }
 
+  /** Remove documents from the stored index WITHOUT rewriting it — the
+    * takedown step (right-to-be-forgotten, dedup-driven eviction):
+    * tombstoned ids land in an append-only table and [[load]] masks
+    * them out of BOTH the exact and bucket tables, so a forgotten
+    * document stops matching future re-crawls of its own content and
+    * its band keys stop attracting near-dup candidates — the exact
+    * symmetry of [[AnnIndex.delete]]. Same checkpoint-before-append
+    * discipline (ids may derive from a probe of this very index);
+    * physical rows leave at [[vacuum]]. */
+  def forget(ids: DataFrame, dir: String): Unit =
+    ids.select(col("doc_id")).distinct().localCheckpoint(true)
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+
+  /** Physically drop tombstoned rows from both tables and clear the
+    * tombstone table. Survivors are materialized (eager localCheckpoint)
+    * before each overwrite — the rewrite reads the files it deletes.
+    * Re-[[load]] after (stale listings). */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    tombstones(spark, dir).foreach { t =>
+      val exact = spark.read.parquet(s"$dir/exact.parquet")
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      exact.write.mode("overwrite").parquet(s"$dir/exact.parquet")
+      val buckets = spark.read.parquet(s"$dir/buckets.parquet")
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      buckets.repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$dir/buckets.parquet")
+      t.limit(0).write.mode("overwrite")
+        .parquet(s"$dir/tombstones.parquet")
+    }
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new java.io.File(
+      dir.stripPrefix("file:") + "/tombstones.parquet")
+    if (!p.exists()) None
+    else {
+      val t = spark.read.parquet(s"$dir/tombstones.parquet")
+        .select(col("doc_id"))
+      if (t.isEmpty) None else Some(t.distinct())
+    }
+  }
+
+  /** Load the index; tombstoned ids ([[forget]]) are masked out of both
+    * tables here, so every consumer honors takedowns. */
   def load(spark: SparkSession, dir: String): Loaded = {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    val mask: DataFrame => DataFrame = tombstones(spark, dir) match {
+      case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => identity
+    }
     Loaded(m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"),
-      spark.read.parquet(s"$dir/exact.parquet"),
-      spark.read.parquet(s"$dir/buckets.parquet"))
+      mask(spark.read.parquet(s"$dir/exact.parquet")),
+      mask(spark.read.parquet(s"$dir/buckets.parquet")))
   }
 
   /** Dedup `batch` against a loaded index (and itself), returning one

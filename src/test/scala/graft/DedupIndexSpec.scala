@@ -228,4 +228,47 @@ class DedupIndexSpec extends SparkSuite {
       DedupIndex.load(spark, dir), TAU).orderBy("doc_id").collect().toSeq
     assert(once == again)
   }
+
+  test("forget: a taken-down doc stops matching re-crawls; vacuum drops it physically") {
+    import spark.implicits._
+    val dir = tempDir("graft-dedupix-forget").toString
+    DedupIndex.build(corpus, dir, K, B, R)
+    def probe(): Map[Long, (String, Option[Long])] =
+      DedupIndex.dedupAgainst(batch, corpus, DedupIndex.load(spark, dir), TAU)
+        .collect().map(r => r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // pre-takedown: batch 10 is an exact re-crawl of corpus 3, batch 12
+    // a near-dup of corpus 1
+    val before = probe()
+    assert(before(10L) == (("exact_corpus", Some(3L))))
+    assert(before(12L) == (("near_corpus", Some(1L))))
+
+    DedupIndex.forget(Seq(3L, 1L).toDF("doc_id"), dir)
+    val after = probe()
+    // the forgotten docs no longer claim the re-crawls: their content
+    // re-enters as new (batch-kept), and near-dup attribution moves off
+    // the tombstoned anchor
+    assert(after(10L)._1 == "kept", after(10L))
+    assert(after(12L)._2 != Some(1L), after(12L))
+    // untouched corpus anchors keep working
+    assert(after(13L) == (("near_corpus", Some(2L))), after(13L))
+
+    // vacuum: both tables shrink, tombstones clear, verdicts unchanged
+    val exactBefore = spark.read.parquet(s"$dir/exact.parquet").count()
+    val bucketsBefore = spark.read.parquet(s"$dir/buckets.parquet").count()
+    DedupIndex.vacuum(spark, dir)
+    assert(spark.read.parquet(s"$dir/exact.parquet").count() < exactBefore)
+    assert(spark.read.parquet(s"$dir/buckets.parquet").count() < bucketsBefore)
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0L)
+    assert(probe() == after)
+    // the lifecycle composes: grow after vacuum, then the grown doc
+    // catches its own re-crawl
+    DedupIndex.grow(Seq(200L -> doc("r")).toDF("doc_id", "text"), dir)
+    val re = DedupIndex.dedupAgainst(
+        Seq(201L -> doc("r")).toDF("doc_id", "text"),
+        corpus.unionByName(Seq(200L -> doc("r")).toDF("doc_id", "text")),
+        DedupIndex.load(spark, dir), TAU)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re(201L) == "exact_corpus")
+  }
 }
