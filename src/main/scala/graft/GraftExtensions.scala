@@ -67,5 +67,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("multi_match"),
       new ExpressionInfo(classOf[functions.MultiMatch].getName, "multi_match"),
       es => functions.MultiMatch(es.head, es.drop(1).map(strLit))))
+    // robots_match(path, pattern) — RFC 9309 wildcard/$ rule match
+    e.injectFunction((FunctionIdentifier("robots_match"),
+      new ExpressionInfo(classOf[functions.RobotsMatch].getName, "robots_match"),
+      es => functions.RobotsMatch(es.head, es(1))))
+    // byte_map / byte_unmap — GPT-2's bijective byte alphabet
+    e.injectFunction((FunctionIdentifier("byte_map"),
+      new ExpressionInfo(classOf[functions.ByteMap].getName, "byte_map"),
+      es => functions.ByteMap(es.head, inverse = false)))
+    e.injectFunction((FunctionIdentifier("byte_unmap"),
+      new ExpressionInfo(classOf[functions.ByteMap].getName, "byte_unmap"),
+      es => functions.ByteMap(es.head, inverse = true)))
   }
 }

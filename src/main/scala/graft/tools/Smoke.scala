@@ -29,7 +29,9 @@ object Smoke {
         "size(minhash_sig(array('a', 'b', 'c', 'd'), 3, 12)), " +
         "word_grams('one two three four', 3), " +
         "c4_line_gate(array('keep this whole line.', 'nope'), 3, 'javascript'), " +
-        "multi_match('a small spark table', 'spark', 'park', 'zzz')")
+        "multi_match('a small spark table', 'spark', 'park', 'zzz'), " +
+        "robots_match('/fish/file.php', '/fish*.php'), " +
+        "byte_unmap(byte_map('round trip ✓'))")
       .head())
     spark.sparkContext.setLogLevel("ERROR")
 
