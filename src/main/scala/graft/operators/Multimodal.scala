@@ -901,6 +901,47 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "width", "height", "png")
   }
 
+  /** CROSS-MODALITY dedup: which videos contain known images? Keyframes
+    * ([[videoKeyframes]]) hash through the SAME perceptual-hash kernel
+    * as the image corpus ([[imageHashesWith]]), and the shared banded
+    * hamming machinery pairs them — a video whose scene start is a
+    * known image (slideshows, stills re-encoded as clips, meme videos)
+    * surfaces without any video-vs-video comparison. Keyframe rows ride
+    * a composite id namespace (video·10⁶ + frame, image ids negated) so
+    * ONE pair join covers both modalities; same-modality pairs are
+    * filtered out. Returns (video_id, frame_idx, image_id, hamming). */
+  def videoImageMatches(videos: DataFrame, images: DataFrame,
+      maxHamming: Int = 0, num: Int = 12, den: Int = 1,
+      keyBits: Int = 0, maxBucket: Int = 100,
+      sigCount: Long = -1L): DataFrame = {
+    val FrameCap = 1000000L
+    val kf = videoKeyframes(videos, num, den)
+    val kfMedia = kf.select(
+      when(col("frame_idx") < FrameCap && col("doc_id") >= 0,
+          col("doc_id") * FrameCap + col("frame_idx"))
+        .otherwise(raise_error(concat(lit("videoImageMatches: id namespace "),
+          lit("overflow at video "), col("doc_id").cast("string")))
+          .cast("long"))
+        .as("doc_id"),
+      lit("image").as("media_type"), col("png").as("payload"))
+    val vHashes = imageHashesWith(kfMedia, classOf[PngDecoder].getName)
+      .select(col("doc_id"), col("img_hash"))
+    val iHashes = imageHashesWith(images, decoderClass(images.sparkSession))
+      .select((-col("doc_id") - 1).as("doc_id"), col("img_hash"))
+    val pairs = Dedup.hammingNearDups(
+      vHashes.union(iHashes), "img_hash", maxHamming,
+      keyBits = keyBits, maxBucket = maxBucket,
+      sigCount = if (sigCount >= 0) sigCount
+        else videos.count() * 2 + images.count())
+    // doc_a < doc_b, so a cross pair always lands image (negative) on
+    // the a side and keyframe (positive) on the b side
+    pairs.filter(col("doc_a") < 0 && col("doc_b") >= 0)
+      .select(expr(s"doc_b div $FrameCap").as("video_id"),
+        (col("doc_b") % FrameCap).cast("int").as("frame_idx"),
+        (-col("doc_a") - 1).as("image_id"),
+        col("hamming"))
+  }
+
   /** Animated-GIF frame sampling — the m13 shape over the third real
     * video-ish container: composite frames via [[graft.kernel.Gif]]
     * (transparency and disposal applied, so stats describe what a
@@ -1555,6 +1596,59 @@ object Multimodal {
       SELECT doc_id, 0 AS frame_idx, CAST(0 AS BIGINT) AS sad, true AS is_cut
       FROM dims
       ORDER BY doc_id, frame_idx""")),
+
+    // Cross-modality dedup: every 97th doc's video carries a scene
+    // whose keyframe PIXELS equal that doc's corpus image (the
+    // slideshow/still-re-encode case); everyone else's videos and
+    // images are splitmix-unique. Rows-only; namespace wiring,
+    // exactness, and non-match behavior are spec-gated in Y4mSpec.
+    ("m28_video_image_matches", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 16; val h = 8
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      // the shared still: block-structured so its aHash bits vary
+      def still(id: Long, salt: Long): Array[Int] =
+        Array.tabulate(w * h) { i =>
+          (mix(id * 31L + salt * 7919L + (i % w / 2) * 131L +
+            (i / w) * 17L) & 0xffL).toInt
+        }
+      val videos = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val shared = id % 97 == 0
+            val frames = Vector.tabulate(6) { f =>
+              val frame = new Array[Byte](w * h * 3 / 2)
+              val px =
+                if (f >= 3 && shared) still(id, 0)
+                else still(id, 1 + f / 3) // scene-structured, video-only
+              var i = 0
+              while (i < w * h) { frame(i) = px(i).toByte; i += 1 }
+              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+              frame
+            }
+            (id, "video",
+              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      val images = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val px = if (id % 97 == 0) still(id, 0) else still(id, 99)
+            (id, "image",
+              graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      videoImageMatches(videos, images,
+          sigCount = graft.Tables.documents(s, d).count() * 3)
+        .orderBy(col("video_id"), col("frame_idx"), col("image_id"))
+    }, None),
 
     // Keyframe extraction over the m23 scene-structured corpus: one
     // grayscale PNG per scene start. The cut schedule is the

@@ -210,6 +210,36 @@ class Y4mSpec extends SparkSuite {
     }
   }
 
+  test("videoImageMatches: a keyframe equal to a known image pairs; others do not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = 16; val h = 8
+    // video: scene 0 = pattern A, scene 1 = pattern B (its keyframes
+    // are frames 0 and 2); image corpus: B (must match), C (must not)
+    def patt(seed: Int): Array[Int] =
+      Array.tabulate(w * h)(i => (i % w / 2 * 31 + i / w * 17 + seed * 53) % 256)
+    def frame(px: Array[Int]): Array[Byte] = {
+      val f = new Array[Byte](w * h * 3 / 2)
+      px.indices.foreach(i => f(i) = px(i).toByte)
+      java.util.Arrays.fill(f, w * h, f.length, 128.toByte)
+      f
+    }
+    val videos = Seq((5L, "video", graft.kernel.Y4m.encode(
+      graft.kernel.Y4m.Video(w, h, "C420", Vector(
+        frame(patt(1)), frame(patt(1)), frame(patt(2)), frame(patt(2)))))))
+      .toDF("doc_id", "media_type", "payload")
+    val images = Seq(
+      (7L, "image", graft.kernel.Png.encode(
+        graft.kernel.Png.Image(w, h, 1, 8, patt(2)))),
+      (8L, "image", graft.kernel.Png.encode(
+        graft.kernel.Png.Image(w, h, 1, 8, patt(9)))))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.videoImageMatches(videos, images, keyBits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((5L, 2L.toInt, 7L, 0)),
+      s"expected exactly the scene-1 keyframe ↔ image 7 pair, got ${got.toSeq}")
+  }
+
   test("videoNearDups: copies + gain-scaled copy pair; distinct footage does not") {
     // 1 = base, 2 = base at ×2 gain (hamming 0), 3 = top-bright,
     // 4 = checkerboard cells — both far from base (hamming 32)
