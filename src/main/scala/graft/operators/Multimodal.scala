@@ -927,7 +927,16 @@ object Multimodal {
     val vHashes = imageHashesWith(kfMedia, classOf[PngDecoder].getName)
       .select(col("doc_id"), col("img_hash"))
     val iHashes = imageHashesWith(images, decoderClass(images.sparkSession))
-      .select((-col("doc_id") - 1).as("doc_id"), col("img_hash"))
+      .select(
+        // same loudness as the video side: a negative image doc_id would
+        // map through -id-1 INTO the positive keyframe namespace and
+        // misattribute matches
+        when(col("doc_id") >= 0, -col("doc_id") - 1)
+          .otherwise(raise_error(concat(
+            lit("videoImageMatches: negative image doc_id "),
+            col("doc_id").cast("string"))).cast("long"))
+          .as("doc_id"),
+        col("img_hash"))
     val pairs = Dedup.hammingNearDups(
       vHashes.union(iHashes), "img_hash", maxHamming,
       keyBits = keyBits, maxBucket = maxBucket,

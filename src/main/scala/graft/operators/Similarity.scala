@@ -649,6 +649,9 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val scale = (1L << qBits).toDouble
+    // largest |q| whose pairwise products sum exactly in a Long across
+    // one 4096-row flush window: 4096·qMax² ≤ Long.Max
+    val qMax = math.sqrt(Long.MaxValue.toDouble / 4096).toLong - 1
     val partials = emb.select(col("embedding")).as[Array[Float]]
       .mapPartitions { it =>
         var d = -1
@@ -679,6 +682,13 @@ object Similarity {
           var i = 0
           while (i < d) {
             q(i) = math.floor(v(i).toDouble * scale).toLong
+            // the Long pair accumulator flushes to BigInt every 4096
+            // rows, so |qi·qj| must stay under Long.Max/4096 — LOUD
+            // bound, not silent covariance corruption (≈ |v| ≤ 2.8 at
+            // the default qBits=24)
+            require(math.abs(q(i)) <= qMax,
+              s"pcaMoments: |component| ${v(i)} exceeds the exact-" +
+                s"accumulation bound ${qMax / scale} at qBits=$qBits")
             i += 1
           }
           var idx = 0
@@ -980,8 +990,18 @@ object Similarity {
     // Σqᵢqⱼ) an integer DuckDB reproduces bit-for-bit by joining the
     // unnested vectors; a float covariance could never hash-match
     // (summation order). The eigen/projection half rides s10.
+    // The sums compute in DECIMAL(38,0) (exact + overflow-proof at any
+    // corpus size) but REGISTER as STRING: the driver's canonicalizer
+    // stringifies Decimal columns differently on its two sides (the
+    // r11 s09 red — same family as r10's array<int> crash), and the
+    // values are exact integers so the cast loses nothing. OracleTypes
+    // Spec lints every oracle-gated output down to driver-safe scalars.
     ("s09_pca_moments", (s: SparkSession, d: String) =>
       pcaMoments(Tables.embeddings(s, d))
+        .select(col("i"), col("j"), col("n"),
+          col("s_i").cast("string").as("s_i"),
+          col("s_j").cast("string").as("s_j"),
+          col("s_ij").cast("string").as("s_ij"))
         .orderBy(col("i"), col("j")),
     Some("""WITH idx AS (
         SELECT vec_id, embedding AS e,
@@ -995,9 +1015,9 @@ object Similarity {
         SELECT a.i AS i, b.i AS j, a.qv AS qa, b.qv AS qb
         FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i)
       SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(qa) AS DECIMAL(38,0)) AS s_i,
-        CAST(sum(qb) AS DECIMAL(38,0)) AS s_j,
-        CAST(sum(qa * qb) AS DECIMAL(38,0)) AS s_ij
+        CAST(CAST(sum(qa) AS DECIMAL(38,0)) AS VARCHAR) AS s_i,
+        CAST(CAST(sum(qb) AS DECIMAL(38,0)) AS VARCHAR) AS s_j,
+        CAST(CAST(sum(qa * qb) AS DECIMAL(38,0)) AS VARCHAR) AS s_ij
       FROM pr GROUP BY i, j ORDER BY i, j""")),
 
     // PCA-reduced embedding encode: train on the exact moments (Jacobi

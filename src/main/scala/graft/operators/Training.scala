@@ -187,7 +187,11 @@ object Training {
     // [[graft.functions.ByteMap]] AFTER whitespace split (the map sends
     // the space byte out of ASCII, so splitting must come first), and
     // the merge loop runs unchanged over the mapped chars; caseFold
-    // stays off in byte mode (case carries bytes)
+    // stays off in byte mode (case carries bytes) — ENFORCED, not just
+    // documented: lowercasing before byte mapping would silently break
+    // the byte-level contract
+    require(!(byteLevel && caseFold),
+      "bpeTrain: byteLevel=true requires caseFold=false (case carries bytes)")
     val spark = docs.sparkSession
     val base = if (caseFold) lower(col("text")) else col("text")
     val wordCol =

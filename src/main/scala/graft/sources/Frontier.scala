@@ -63,14 +63,19 @@ object Frontier {
       agent: String): DataFrame = {
     val fns = graft.functions.GraftFunctions
     val rules = effectiveRules(robots, agent)
+    // one output row PER INPUT ROW, duplicates included — the regroup
+    // after the rule fan-out keys on a stable row id, not the url value,
+    // so a frontier with repeated URLs round-trips row-for-row (parity
+    // with robotsVerdictsLocal, which is trivially per-row)
     val parsed = urls.select(col("url"),
       hostOf(col("url")).as("host"), pathOf(col("url")).as("path"))
+      .withColumn("_rid", monotonically_increasing_id())
     parsed
       .join(rules, Seq("host"), "left")
       .withColumn("hit",
         col("pattern").isNotNull && col("specificity") >= 0 &&
           fns.robots_match(col("path"), col("pattern")))
-      .groupBy(col("url"), col("host"), col("path"))
+      .groupBy(col("_rid"), col("url"), col("host"), col("path"))
       .agg(
         max(when(col("hit"),
           struct(col("specificity"), col("is_allow")))).as("best"),

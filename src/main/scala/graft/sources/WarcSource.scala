@@ -162,7 +162,8 @@ object WarcSource {
     val spark = segments.sparkSession
     val cdx = cdxRows(segments).localCheckpoint(true)
     val stored =
-      if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+      if (new java.io.File(indexDir.stripPrefix("file:")).exists())
+        spark.read.parquet(indexDir)
       else cdx.limit(0)
     val verdicts = cdxDedup(cdx, stored).localCheckpoint(true)
     val admitted = cdx.join(

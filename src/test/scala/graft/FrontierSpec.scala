@@ -160,6 +160,15 @@ class FrontierSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Frontier.robotsVerdictsLocal(urls, robots, "graftbot", maxHosts = 1))
     assert(e.getMessage.contains("maxHosts"))
+    // DUPLICATE frontier URLs: one output row per input row in BOTH
+    // forms (the join form regroups on a stable row id, not the url
+    // value — the r11 ADVICE parity break)
+    val dupUrls = Seq(
+      "https://a.com/doc.pdf", "https://a.com/doc.pdf",
+      "https://a.com/doc.pdf", "https://c.com/free").toDF("url")
+    val dj = rows(Frontier.robotsVerdicts(dupUrls, robots, "graftbot"))
+    val dl = rows(Frontier.robotsVerdictsLocal(dupUrls, robots, "graftbot"))
+    assert(dj.size == 4 && dj == dl)
   }
 
   test("extractLinks: absolute hrefs only, fragments trim, attribute clutter tolerated") {
