@@ -37,9 +37,15 @@ object Warc {
     def contentType: String = h("content-type")
   }
 
-  /** An HTTP response split out of a `response` record's content block. */
+  /** An HTTP response split out of a `response` record's content block.
+    * `body` is the message body AS CAPTURED ON THE WIRE — still chunked
+    * and/or content-coded if the origin served it that way; [[decodedBody]]
+    * / [[decodeText]] undo the transfer layers. `headers` carries every
+    * response header (lowercased names, first-wins). */
   final case class HttpResponse(status: Int, contentType: String,
-      body: Array[Byte])
+      body: Array[Byte], headers: Map[String, String] = Map.empty) {
+    def header(name: String): String = headers.getOrElse(name.toLowerCase, "")
+  }
 
   /** A record plus its archive location: the byte span `[offset,
     * offset + length)` of the enclosing unit — the GZIP MEMBER for
@@ -204,14 +210,195 @@ object Warc {
     val parts = lines(0).split(" ")
     require(parts.length >= 2, s"bad HTTP status line '${lines(0)}'")
     val status = parts(1).toInt
-    val ct = lines.iterator.drop(1)
+    val hs = lines.iterator.drop(1)
       .map(l => (l, l.indexOf(':')))
-      .collectFirst { case (l, c) if c > 0 &&
-          l.substring(0, c).trim.equalsIgnoreCase("content-type") =>
-        l.substring(c + 1).trim }
-      .getOrElse("")
-    HttpResponse(status, ct,
-      java.util.Arrays.copyOfRange(content, headerEnd + 4, content.length))
+      .collect { case (l, c) if c > 0 =>
+        l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim }
+      .toSeq
+    val headers = hs.foldLeft(Map.empty[String, String]) { case (m, (k, v)) =>
+      if (m.contains(k)) m else m + (k -> v) // first-wins, like Record
+    }
+    HttpResponse(status, headers.getOrElse("content-type", ""),
+      java.util.Arrays.copyOfRange(content, headerEnd + 4, content.length),
+      headers)
+  }
+
+  // HTTP transfer decoding --------------------------------------------------
+  //
+  // Real crawl archives capture the response body AS SERVED: routinely
+  // `Transfer-Encoding: chunked` (RFC 9112 §7.1), `Content-Encoding:
+  // gzip`/`deflate` (RFC 9110 §8.4), and charsets other than UTF-8.
+  // Feeding such records straight into a UTF-8 decode produces silent
+  // mojibake in the curation chain — the r11 VERDICT's top real-input
+  // hole. Decoding order mirrors the wire: chunked framing comes OFF
+  // first (it is applied last), then the content coding, then charset.
+
+  /** The body with transfer layers undone: de-chunked if
+    * `Transfer-Encoding: chunked`, then gunzipped/inflated per
+    * `Content-Encoding`. Unknown content codings (br, zstd — no JVM
+    * codec in this engine) fail LOUDLY rather than pass garbage
+    * downstream. */
+  def decodedBody(http: HttpResponse): Array[Byte] = {
+    var b = http.body
+    if (http.header("transfer-encoding").toLowerCase.contains("chunked"))
+      b = dechunk(b)
+    http.header("content-encoding").trim.toLowerCase match {
+      case "" | "identity" => b
+      case "gzip" | "x-gzip" => gunzip(b)
+      case "deflate" => inflateAuto(b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Content-Encoding '$other'")
+    }
+  }
+
+  /** The response body as TEXT: transfer layers undone, charset resolved
+    * from the `Content-Type` charset parameter with a `<meta charset>` /
+    * `<meta http-equiv>` sniff of the first 1024 decoded bytes as
+    * fallback (the WHATWG order, bounded), UTF-8 default. Malformed or
+    * unmappable byte sequences decode to U+FFFD — a crawl must never
+    * die on one broken page's encoding. */
+  def decodeText(http: HttpResponse): String = {
+    val bytes = decodedBody(http)
+    val cs = charsetOf(http.contentType, bytes)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?'?([A-Za-z0-9._:-]+)")
+
+  /** Charset from the Content-Type parameter, else a bounded `<meta>`
+    * sniff, else UTF-8; unknown/unsupported names fall back to UTF-8
+    * (real crawls carry typo'd charset labels constantly). */
+  def charsetOf(contentType: String, body: Array[Byte]): java.nio.charset.Charset = {
+    def find(s: String): Option[String] = {
+      val m = CharsetParam.matcher(s)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    val name = find(contentType).orElse {
+      // the sniff window decodes as ISO-8859-1: single-byte total, so a
+      // binary prefix can't throw, and ASCII markup reads through
+      val head = new String(body, 0, math.min(body.length, 1024), "ISO-8859-1")
+      find(head)
+    }
+    name.flatMap { n =>
+      try Some(java.nio.charset.Charset.forName(n))
+      catch { case _: Exception => None }
+    }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Undo `Transfer-Encoding: chunked` (RFC 9112 §7.1): hex size line
+    * (chunk extensions after `;` ignored), that many bytes, CRLF,
+    * repeat; a zero-size chunk ends the body (trailer fields after it
+    * are framing, not body — skipped). Malformed framing fails loudly
+    * with an offset. */
+  def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    def crlfFrom(from: Int): Int = {
+      var j = from
+      while (j + 1 < b.length) {
+        if (b(j) == '\r' && b(j + 1) == '\n') return j
+        j += 1
+      }
+      -1
+    }
+    while (true) {
+      val eol = crlfFrom(i)
+      require(eol >= 0, s"chunked body: unterminated size line at $i")
+      val line = new String(b, i, eol - i, "ISO-8859-1")
+      val sizeStr = line.split(";", 2)(0).trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"chunked body: bad chunk size '$sizeStr' at $i") }
+      require(size >= 0 && size <= Int.MaxValue,
+        s"chunked body: chunk size $size out of range at $i")
+      i = eol + 2
+      if (size == 0) return out.toByteArray
+      require(i + size + 2 <= b.length, s"chunked body: truncated chunk at $i")
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      require(b(i) == '\r' && b(i + 1) == '\n',
+        s"chunked body: missing chunk CRLF at $i")
+      i += 2
+    }
+    out.toByteArray // unreachable
+  }
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** `deflate` content coding: RFC-correct is zlib-wrapped (RFC 1950),
+    * but a long tail of real servers send RAW deflate — try zlib first,
+    * fall back to raw on a wrapper error (the standard lenient walk). */
+  private def inflateAuto(b: Array[Byte]): Array[Byte] =
+    try inflateWith(b, nowrap = false)
+    catch { case _: java.util.zip.ZipException |
+                 _: java.util.zip.DataFormatException =>
+      inflateWith(b, nowrap = true) }
+
+  private def inflateWith(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          require(!inf.needsInput() && !inf.needsDictionary(),
+            "deflate body: truncated stream")
+        } else out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // fixture-side encoders (round-trip gates encode with these, decode
+  // through the real path above)
+  def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.finish(); gz.close()
+    out.toByteArray
+  }
+
+  def zlibBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Chunk-frame a body (fixture side of [[dechunk]]); one chunk carries
+    * a chunk extension so the parser's `;` split is exercised. */
+  def chunkBytes(b: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize >= 1, s"chunkSize $chunkSize")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var first = true
+    while (i < b.length) {
+      val n = math.min(chunkSize, b.length - i)
+      val ext = if (first) ";graft=1" else ""
+      out.write(s"${n.toHexString}$ext\r\n".getBytes("ISO-8859-1"))
+      out.write(b, i, n)
+      out.write("\r\n".getBytes("ISO-8859-1"))
+      i += n
+      first = false
+    }
+    out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    out.toByteArray
   }
 
   // writer -----------------------------------------------------------------
@@ -254,11 +441,27 @@ object Warc {
   /** Render an HTTP/1.1 response message (fixture side of
     * [[httpResponse]]). */
   def renderHttpResponse(status: Int, contentType: String,
+      body: Array[Byte]): Array[Byte] =
+    renderHttpResponse(status, Seq("Content-Type" -> contentType), body)
+
+  /** [[renderHttpResponse]] with explicit headers — the fixture side of
+    * the transfer-decoding gates: `body` is the ON-WIRE body (already
+    * chunk-framed / content-coded by the caller), so Content-Length is
+    * its literal length and is omitted when Transfer-Encoding is
+    * chunked (RFC 9112 §6.2). */
+  def renderHttpResponse(status: Int, headers: Seq[(String, String)],
       body: Array[Byte]): Array[Byte] = {
-    val head = s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n"
+    val chunked = headers.exists { case (k, v) =>
+      k.equalsIgnoreCase("transfer-encoding") &&
+        v.toLowerCase.contains("chunked") }
+    val sb = new StringBuilder(s"HTTP/1.1 $status OK\r\n")
+    for ((k, v) <- headers if !k.equalsIgnoreCase("content-length"))
+      sb.append(k).append(": ").append(v).append("\r\n")
+    if (!chunked)
+      sb.append("Content-Length: ").append(body.length).append("\r\n")
+    sb.append("\r\n")
     val out = new java.io.ByteArrayOutputStream()
-    out.write(head.getBytes("ISO-8859-1"))
+    out.write(sb.toString.getBytes("ISO-8859-1"))
     out.write(body)
     out.toByteArray
   }

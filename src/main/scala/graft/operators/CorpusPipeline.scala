@@ -290,15 +290,28 @@ object CorpusPipeline {
                 (200, "text/html", s"https://example.com/doc/$id",
                   s"<html><body><h1>Doc $id</h1><p>" + text +
                     "</p></body></html>")
+            // every 79th page serves its body the way real origins do —
+            // gzip-coded inside chunked framing; the extraction chain
+            // must see the SAME page text as the plain-wire form
+            // (transfer-decode parity spec-gated in CorpusPipelineSpec)
+            val wire =
+              if (id % 79 == 0 && status == 200 && mime == "text/html")
+                graft.kernel.Warc.renderHttpResponse(status, Seq(
+                  "Content-Type" -> s"$mime; charset=utf-8",
+                  "Content-Encoding" -> "gzip",
+                  "Transfer-Encoding" -> "chunked"),
+                  graft.kernel.Warc.chunkBytes(graft.kernel.Warc.gzipBytes(
+                    body.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 64))
+              else graft.kernel.Warc.renderHttpResponse(status,
+                s"$mime; charset=utf-8",
+                body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             (Seq(
               "WARC-Type" -> "response",
               "WARC-Target-URI" -> url,
               "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
               "WARC-Date" -> "2025-01-01T00:00:00Z",
               "Content-Type" -> "application/http;msgtype=response"),
-              graft.kernel.Warc.renderHttpResponse(status,
-                s"$mime; charset=utf-8",
-                body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              wire)
           }
           (s"file:/crawl/seg-$seg.warc.gz", graft.kernel.Warc.writeGz(recs))
         }

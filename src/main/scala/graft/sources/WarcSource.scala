@@ -218,7 +218,13 @@ object WarcSource {
   /** Project the HTML page table out of a record scan: `response`
     * records whose HTTP payload is text/html, split into
     * (url, warc_date, http_status, html). Non-2xx responses are kept —
-    * dropping them is the caller's filter, not the reader's guess. */
+    * dropping them is the caller's filter, not the reader's guess.
+    * The body goes through the FULL transfer decode
+    * ([[graft.kernel.Warc.decodeText]]): chunked de-framing, gzip /
+    * deflate Content-Encoding, and charset resolution (Content-Type
+    * param → bounded meta sniff → UTF-8) — real crawl responses hit all
+    * three constantly, and a raw UTF-8 decode would feed silent
+    * mojibake into the curation chain. */
   def htmlResponses(records: DataFrame): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -230,8 +236,7 @@ object WarcSource {
         it.flatMap { case (uri, date, content) =>
           val http = Warc.httpResponse(content)
           if (http.contentType.toLowerCase.startsWith("text/html"))
-            Some((uri, date, http.status,
-              new String(http.body, java.nio.charset.StandardCharsets.UTF_8)))
+            Some((uri, date, http.status, Warc.decodeText(http)))
           else None
         }
       }
@@ -424,5 +429,89 @@ object WarcSource {
         CASE CAST(doc_id % 5 AS INTEGER)
           WHEN 1 THEN 'url_dup' WHEN 3 THEN 'content_dup'
           ELSE 'novel' END AS verdict
-      FROM batch ORDER BY urlkey""")))
+      FROM batch ORDER BY urlkey""")),
+
+    // HTTP transfer decoding, oracle-gated end to end (the r11
+    // VERDICT's top real-input hole): every document becomes a response
+    // record whose body is served the way REAL origins serve it — one
+    // of seven wire shapes by doc_id: identity / Content-Encoding
+    // gzip / deflate / Transfer-Encoding chunked / chunked-over-gzip /
+    // an ISO-8859-1 charset param carrying bytes UTF-8 would mangle /
+    // a bare text/html whose windows-1252 charset only a <meta> sniff
+    // can find. The record round-trips the full archive path
+    // (member-per-record gzip → grammar → HTTP split) and the body
+    // comes back through Warc.decodeText (de-chunk → inflate → charset
+    // resolve). The oracle is the planted-effective-outcome: DuckDB
+    // rebuilds the ORIGINAL page text from the same template, so the
+    // engine only hash-matches if every decode layer recovers the page
+    // EXACTLY — mojibake, a dropped chunk, or a charset miss all break
+    // the sha.
+    ("w09_http_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (id, text) =>
+            val cls = (id % 7).toInt
+            val html =
+              if (cls == 6)
+                s"<html><head><meta charset=windows-1252></head>" +
+                  s"<body><p>Doc $id € $text</p></body></html>"
+              else if (cls == 5)
+                s"<html><body><p>Doc $id éü $text</p></body></html>"
+              else s"<html><body><p>Doc $id $text</p></body></html>"
+            val pageBytes = cls match {
+              case 5 => html.getBytes("ISO-8859-1")
+              case 6 => html.getBytes("windows-1252")
+              case _ => html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+            val (headers, wire) = cls match {
+              case 0 => (Seq("Content-Type" -> "text/html; charset=utf-8"),
+                pageBytes)
+              case 1 => (Seq("Content-Type" -> "text/html",
+                "Content-Encoding" -> "gzip"), Warc.gzipBytes(pageBytes))
+              case 2 => (Seq("Content-Type" -> "text/html",
+                "Content-Encoding" -> "deflate"), Warc.zlibBytes(pageBytes))
+              case 3 => (Seq("Content-Type" -> "text/html",
+                "Transfer-Encoding" -> "chunked"),
+                Warc.chunkBytes(pageBytes, 7))
+              case 4 => (Seq("Content-Type" -> "text/html",
+                "Content-Encoding" -> "gzip",
+                "Transfer-Encoding" -> "chunked"),
+                Warc.chunkBytes(Warc.gzipBytes(pageBytes), 5))
+              case 5 => (Seq(
+                "Content-Type" -> "text/html; charset=iso-8859-1"),
+                pageBytes)
+              case _ => (Seq("Content-Type" -> "text/html"), pageBytes)
+            }
+            val gz = Warc.writeGz(Seq((Seq(
+              "WARC-Type" -> "response",
+              "WARC-Target-URI" -> s"http://example.com/doc/$id",
+              "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+              "WARC-Date" -> "2025-01-01T00:00:00Z",
+              "Content-Type" -> "application/http;msgtype=response"),
+              Warc.renderHttpResponse(200, headers, wire))))
+            val resp = Warc.parseAll(gz).head
+            val http = Warc.httpResponse(resp.content)
+            val decoded = Warc.decodeText(http)
+            (id, cls, http.status,
+              sha256.digest(decoded
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("doc_id", "enc_class", "http_status", "html_sha")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS enc_class,
+        200 AS http_status,
+        sha256(CASE CAST(doc_id % 7 AS INTEGER)
+          WHEN 6 THEN '<html><head><meta charset=windows-1252></head>' ||
+            '<body><p>Doc ' || doc_id || ' € ' || text || '</p></body></html>'
+          WHEN 5 THEN '<html><body><p>Doc ' || doc_id || ' éü ' ||
+            text || '</p></body></html>'
+          ELSE '<html><body><p>Doc ' || doc_id || ' ' || text ||
+            '</p></body></html>' END) AS html_sha
+      FROM documents ORDER BY doc_id""")))
 }

@@ -129,8 +129,23 @@ class CorpusPipelineSpec extends SparkSuite {
       resp("https://example.com/n1", 200, "text/html", page(base)),
       resp("https://example.com/n2", 200, "text/html", page(twin)),
       resp("https://example.com/s", 200, "text/html", page("tiny doc.")),
-      resp("https://example.com/c", 200, "text/html",
-        page("a perfectly ordinary surviving page with plenty of words."))))
+      // the surviving witness arrives the way real origins serve pages:
+      // ISO-8859-1 bytes, gzip Content-Encoding, chunked framing — the
+      // extraction chain must decode it to the SAME clean text a plain
+      // UTF-8 page would yield (c02's transfer-decode witness)
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.com/c",
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "WARC-Record-ID" -> "<urn:uuid:https://example.com/c>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(200, Seq(
+          "Content-Type" -> "text/html; charset=iso-8859-1",
+          "Content-Encoding" -> "gzip",
+          "Transfer-Encoding" -> "chunked"),
+          Warc.chunkBytes(Warc.gzipBytes(
+            page("a perfectly ordinary café page with plenty of words.")
+              .getBytes("ISO-8859-1")), 7)))))
     val segments = Seq(
       ("file:/crawl/seg-1.warc.gz", seg1),
       ("file:/crawl/seg-2.warc.gz", seg2)).toDF("path", "content")
@@ -149,6 +164,12 @@ class CorpusPipelineSpec extends SparkSuite {
     rows.foreach { r =>
       assert(!r.getString(2).contains("<"), r.getString(2))
     }
+    // the chunked+gzip+latin-1 witness decoded to the exact page text —
+    // including the non-ASCII char only a correct charset walk recovers
+    val cText = rows.find(_.getString(0) == "https://example.com/c")
+      .get.getString(2)
+    assert(cText == "a perfectly ordinary café page with plenty of words.",
+      cText)
 
     val st = report.orderBy("stage_idx").collect()
       .map(r => (r.getString(1), r.getLong(2))).toSeq

@@ -73,6 +73,70 @@ class WarcSpec extends SparkSuite {
     assert(http.body.toSeq == body.toSeq)
   }
 
+  test("transfer decode: chunked framing, gzip/deflate codings, charset resolution") {
+    // dechunk: hand-assembled frame with a chunk extension and trailer
+    val chunked = ("4;ext=v\r\nWiki\r\n6\r\npedia \r\nD\r\nin\r\n\r\nchunks.\r\n" +
+      "0\r\nTrailer: x\r\n\r\n").getBytes("ISO-8859-1")
+    assert(new String(Warc.dechunk(chunked), Utf8) ==
+      "Wikipedia in\r\n\r\nchunks.")
+    // chunkBytes → dechunk round-trip at awkward sizes
+    val payload = ("x" * 23).getBytes(Utf8)
+    for (sz <- Seq(1, 7, 23, 100))
+      assert(Warc.dechunk(Warc.chunkBytes(payload, sz)).toSeq == payload.toSeq)
+    // malformed chunk framing is loud
+    intercept[IllegalArgumentException](
+      Warc.dechunk("zz\r\nabc\r\n0\r\n\r\n".getBytes("ISO-8859-1")))
+    intercept[IllegalArgumentException](
+      Warc.dechunk("5\r\nab".getBytes("ISO-8859-1")))
+
+    val text = "résumé Straße €uro"
+    def resp(headers: Seq[(String, String)], wire: Array[Byte]) =
+      Warc.httpResponse(Warc.renderHttpResponse(200, headers, wire))
+    // gzip Content-Encoding
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html; charset=utf-8",
+        "Content-Encoding" -> "gzip"),
+      Warc.gzipBytes(text.getBytes(Utf8)))) == text)
+    // deflate: zlib-wrapped AND the real-world raw form both decode
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html; charset=utf-8",
+        "Content-Encoding" -> "deflate"),
+      Warc.zlibBytes(text.getBytes(Utf8)))) == text)
+    val rawDeflater = new java.util.zip.Deflater(-1, true)
+    rawDeflater.setInput(text.getBytes(Utf8)); rawDeflater.finish()
+    val rawBuf = new Array[Byte](1 << 16)
+    val rawLen = rawDeflater.deflate(rawBuf)
+    rawDeflater.end()
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html; charset=utf-8",
+        "Content-Encoding" -> "deflate"),
+      java.util.Arrays.copyOf(rawBuf, rawLen))) == text)
+    // chunked over gzip: framing comes off first, then the coding
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html; charset=utf-8",
+        "Content-Encoding" -> "gzip", "Transfer-Encoding" -> "chunked"),
+      Warc.chunkBytes(Warc.gzipBytes(text.getBytes(Utf8)), 5))) == text)
+    // ISO-8859-1 via the Content-Type param: 0xE9 must come back as é
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html; charset=iso-8859-1"),
+      "café".getBytes("ISO-8859-1"))) == "café")
+    // windows-1252 via <meta> sniff only (bare text/html): € is 0x80
+    val metaPage = "<html><head><meta charset=windows-1252></head>" +
+      "<body>pay in € now</body></html>"
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html"),
+      metaPage.getBytes("windows-1252"))) == metaPage)
+    // unknown charset label falls back to UTF-8, malformed bytes → U+FFFD
+    assert(Warc.decodeText(resp(
+      Seq("Content-Type" -> "text/html; charset=no-such-charset"),
+      Array[Byte]('o', 'k', 0xFF.toByte))) == "ok�")
+    // unsupported content coding is loud, not garbage
+    val e = intercept[IllegalArgumentException](Warc.decodedBody(resp(
+      Seq("Content-Type" -> "text/html", "Content-Encoding" -> "br"),
+      "x".getBytes(Utf8))))
+    assert(e.getMessage.contains("br"))
+  }
+
   test("hostile inputs fail loudly") {
     // missing Content-Length
     val noLen = ("WARC/1.0\r\nWARC-Type: resource\r\n\r\nbody\r\n\r\n")
