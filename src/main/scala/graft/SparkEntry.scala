@@ -87,7 +87,9 @@ object SparkEntry {
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
     "w07_host_rank" -> Seq("spec:FrontierSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
-    "t37_bpe_bytes" -> Seq("spec:TrainingSpec"))
+    "t37_bpe_bytes" -> Seq("spec:TrainingSpec"),
+    "t40_dsir_scale" -> Seq("spec:TrainingSpec"),
+    "t41_ccnet_buckets_scale" -> Seq("spec:CurateSpec"))
 
   /** (query → gates) for ALL registered queries — "oracle" where a
     * DuckDB oracle exists, the named rows-only gates otherwise. Written

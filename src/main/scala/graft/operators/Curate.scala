@@ -271,6 +271,52 @@ object Curate {
       .select(col("doc_id"), col("n_tokens"), col("lm_mean"), col("bucket"))
   }
 
+  /** The 100-TB form of [[perplexityBuckets]] (r11 VERDICT item 3):
+    * the exact form moves every per-document score through one
+    * single-partition window; this one HISTOGRAMS the scores instead.
+    * lm_mean ∈ [0, 1] quantizes to `2^binBits` bins, ONE aggregation
+    * collapses the corpus to per-bin token mass (partial aggregation
+    * map-side), the two token-mass cut bins come from a bounded driver
+    * walk over the sorted bin table (≤ 2^binBits rows — model-sized,
+    * never corpus-sized, loud cap), and bucketing is a row-local
+    * comparison against two plan literals. The corpus is scanned twice
+    * (histogram + label) and never shuffles, sorts, or enters a window.
+    *
+    * Semantics match the exact cut for every document whose score bin
+    * differs from the two crossing bins (within-bin order is the
+    * resolution given up — 2^-binBits on lm_mean); spec-gated in
+    * CurateSpec. */
+  def perplexityBucketsScale(docs: DataFrame, target: DataFrame,
+      binBits: Int = 16): DataFrame = {
+    require(binBits >= 4 && binBits <= 22, s"binBits $binBits")
+    val nBins = 1L << binBits
+    val scored = lmScore(docs, target)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binCol = least(floor(col("lm_mean") * nBins), lit(nBins - 1))
+      .cast("long")
+    val bins = scored.select(binCol.as("bin"), col("n_tokens"))
+      .groupBy(col("bin")).agg(sum(col("n_tokens")).as("mass"))
+      .orderBy(col("bin").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(bins.length <= nBins, "impossible: more bins than the quantizer emits")
+    val tot = bins.map(_._2).sum
+    // walking best-score-first, the head cut is the bin where cumulative
+    // token mass first reaches a third of the corpus (the exact form's
+    // 3·cum vs tot test at bin granularity), the middle cut two thirds
+    var cum = 0L
+    var headBin = Long.MinValue
+    var midBin = Long.MinValue
+    for ((b, m) <- bins) {
+      cum += m
+      if (headBin == Long.MinValue && cum * 3 >= tot) headBin = b
+      if (midBin == Long.MinValue && cum * 3 >= tot * 2) midBin = b
+    }
+    scored.select(col("doc_id"), col("n_tokens"), col("lm_mean"),
+      when(binCol >= headBin, lit("head"))
+        .when(binCol >= midBin, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Corpus-level frequent lines — the CCNet/C4 boilerplate census: a
     * line (nav menu, cookie banner, copyright footer) that recurs across
     * `minDocs`+ DISTINCT documents is boilerplate, not content. One
@@ -944,6 +990,19 @@ object Curate {
         FROM parts)
       SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls,
         CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
-      FROM canon GROUP BY canonical ORDER BY canonical"""))
+      FROM canon GROUP BY canonical ORDER BY canonical""")),
+
+    // t36's registered SCALE TWIN (r11 VERDICT item 3): same CCNet
+    // head/middle/tail semantics, but the token-mass cuts come from a
+    // score HISTOGRAM (one aggregation to ≤2^16 bins + a bounded driver
+    // walk) instead of a corpus-wide single-partition window — plan
+    // asserted window-free in CurateSpec. Rows-only (within-crossing-bin
+    // membership is the resolution given up); agreement with t36 away
+    // from the two crossing bins is spec-gated.
+    ("t41_ccnet_buckets_scale", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      perplexityBucketsScale(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }, None)
   )
 }

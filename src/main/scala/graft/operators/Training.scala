@@ -558,6 +558,27 @@ object Training {
         col("sum_wq").cast("double") / col("n_feats") / lit(1048576L))
   }
 
+  /** The 100-TB form of t25's DSIR selection: instead of ranking every
+    * document through one single-partition `row_number` window (exact,
+    * fine at gate scale, a scale-killer at billions of docs), the cutoff
+    * comes from ONE `approx_percentile` aggregation over the scores and
+    * selection is a plain threshold filter riding a broadcast scalar —
+    * the corpus never enters a window and never globally sorts.
+    * Agreement with the exact form everywhere except documents whose
+    * ratio ties the boundary value is spec-gated (TrainingSpec). */
+  def dsirSelectScale(docs: DataFrame, isTarget: Column,
+      keepFraction: Double = 0.2, accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1, s"keepFraction $keepFraction")
+    // referenced twice (threshold agg + selection) — persist or the
+    // whole scoring chain runs twice
+    val scored = dsirScores(docs, isTarget)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = scored.agg(percentile_approx(col("ratio"),
+      lit(1.0 - keepFraction), lit(accuracy)).as("sel_threshold"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("selected", col("ratio") >= col("sel_threshold"))
+  }
+
   /** Apply the t15 source-mixture weights as a one-pass deterministic
     * sampler — the step between "here is the mixture table" and "here is
     * the training corpus" (the Doremi / multilingual-temperature
@@ -1087,6 +1108,16 @@ object Training {
           CAST(floor(n.rate * 16777216.0) AS BIGINT) AS threshold
         FROM per_doc d JOIN normed n USING (source))
       SELECT doc_id, source, n_tok, bucket, rate FROM keyed
-      WHERE bucket < threshold ORDER BY doc_id"""))
+      WHERE bucket < threshold ORDER BY doc_id""")),
+
+    // t25's registered SCALE TWIN (r11 VERDICT item 3): the same DSIR
+    // scoring, but the top-20% cut comes from approx_percentile +
+    // threshold filter — no corpus-wide window, no global sort (plan
+    // asserted window-free in TrainingSpec). Rows-only by nature
+    // (approx_percentile's interpolation isn't engine-reproducible);
+    // agreement with t25 away from the boundary ratio is spec-gated.
+    ("t40_dsir_scale", (s: SparkSession, d: String) =>
+      dsirSelectScale(Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id")), None)
   )
 }

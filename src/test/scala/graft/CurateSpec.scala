@@ -351,4 +351,55 @@ class CurateSpec extends SparkSuite {
     assert(enRate("head") > enRate("tail"),
       s"head en-rate ${enRate("head")} not above tail ${enRate("tail")}")
   }
+
+  test("ccnet buckets scale twin: window-free plan, exact agreement away from crossing bins") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val en = docs.filter(col("lang") === "en")
+    val binBits = 16
+    val exact = graft.operators.Curate.perplexityBuckets(docs, en)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    val scaleDf = graft.operators.Curate.perplexityBucketsScale(docs, en, binBits)
+    // the scale-killer is gone: the corpus never enters a window (the
+    // exact form's plan has the single-partition WindowExec)
+    assert(!scaleDf.queryExecution.executedPlan.toString.contains("Window"),
+      "scale twin's plan contains a Window")
+    val scale = scaleDf.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(scale.keySet == exact.keySet)
+    // recompute the two crossing bins independently (the histogram walk
+    // in plain Scala over the same scores)
+    val nBins = 1L << binBits
+    def binOf(m: Double): Long = math.min(math.floor(m * nBins).toLong, nBins - 1)
+    val byBin = exact.values.groupBy(v => binOf(v._2))
+      .map { case (b, vs) => b -> vs.map(_._1).sum }
+    val tot = byBin.values.sum
+    var cum = 0L; var headBin = Long.MinValue; var midBin = Long.MinValue
+    for (b <- byBin.keys.toSeq.sorted.reverse) {
+      cum += byBin(b)
+      if (headBin == Long.MinValue && cum * 3 >= tot) headBin = b
+      if (midBin == Long.MinValue && cum * 3 >= tot * 2) midBin = b
+    }
+    var disagree = 0
+    for ((id, (_, m, bExact)) <- exact) {
+      val bScale = scale(id)._3
+      val bin = binOf(m)
+      if (bin != headBin && bin != midBin)
+        assert(bScale == bExact,
+          s"doc $id (bin $bin, away from cuts $headBin/$midBin): " +
+            s"scale=$bScale exact=$bExact")
+      else {
+        // within a crossing bin the scale form rounds UP to the better
+        // bucket; the exact form may split the bin
+        if (bin == headBin) assert(bScale == "head")
+        if (bin == midBin && bin != headBin)
+          assert(bScale == "middle" || bScale == "head")
+        if (bScale != bExact) disagree += 1
+      }
+    }
+    // the approximation is confined to the crossing bins and small
+    assert(disagree <= exact.size / 10, s"$disagree/${exact.size} disagree")
+  }
 }

@@ -384,6 +384,42 @@ class TrainingSpec extends SparkSuite {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("dsir scale twin: no global rank in the plan, agreement away from the boundary ratio") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("t25_dsir_select")(spark, sf0001)
+      .select(col("doc_id"), col("ratio"), col("selected"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    val scaleDf = Training.dsirSelectScale(
+      Tables.documents(spark, sf0001), col("lang") === "en")
+    // the scale-killer is gone: no corpus-wide row_number rank (the
+    // remaining Window in dsirScores runs over the 2048-row model table)
+    assert(!scaleDf.queryExecution.executedPlan.toString.contains("row_number"),
+      "scale twin still global-ranks the corpus")
+    val scale = scaleDf
+      .select(col("doc_id"), col("ratio"), col("selected"), col("sel_threshold"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getDouble(3)))
+    assert(scale.map(_._1).toSet == exact.keySet)
+    val thr = scale.head._4
+    // the exact form's boundary: the worst selected ratio
+    val vStar = exact.values.filter(_._2).map(_._1).min
+    val lo = math.min(thr, vStar); val hi = math.max(thr, vStar)
+    for ((id, ratio, sel, _) <- scale) {
+      if (ratio > hi) assert(sel && exact(id)._2,
+        s"doc $id ratio $ratio above both cuts but not selected in both")
+      else if (ratio < lo) assert(!sel && !exact(id)._2,
+        s"doc $id ratio $ratio below both cuts but selected somewhere")
+      // ratios inside [lo, hi] are the boundary — forms may disagree
+    }
+    // the approximate threshold sits where it should: the selected
+    // count is within the boundary-tie band of the exact 20% cut
+    val nBoundary = scale.count(r => r._2 >= lo && r._2 <= hi)
+    val kExact = exact.values.count(_._2)
+    val kScale = scale.count(_._3)
+    assert(math.abs(kScale - kExact) <= nBoundary,
+      s"selected counts $kScale vs $kExact differ beyond the $nBoundary-doc boundary band")
+  }
+
   test("mixture apply: max-upweighted source keeps all, others downsample") {
     // small source = most upweighted under alpha=0.5 → rate 1.0
     val docs = (0 until 400).map { i =>
