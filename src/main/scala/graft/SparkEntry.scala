@@ -66,7 +66,7 @@ object SparkEntry {
     "m03_band_stats" -> Seq("spec:KernelSpec"),
     "m09_image_neardup" -> Seq("spec:PngSpec"),
     "m12_audio_neardup" -> Seq("spec:WavSpec"),
-    "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec"),
+    "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec", "spec:WebpSpec"),
     "m22_video_neardup" -> Seq("spec:Y4mSpec"),
     "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
     "m27_audio_clips" -> Seq("spec:WavSpec"),

@@ -309,24 +309,112 @@ object Multimodal {
     }
   }
 
+  /** Real decoder: pure-JVM lossless WebP via [[graft.kernel.Webp]]
+    * (public VP8L spec — no image library). Feature semantics mirror
+    * [[PngDecoder]]: alpha is metadata, not luminance, so it is
+    * excluded from means/block sums — the same picture as RGBA PNG and
+    * RGBA WebP must land on the same perceptual hash. Lossy VP8 rejects
+    * loudly inside the kernel. */
+  final class WebpDecoder extends MediaDecoder {
+    import graft.kernel.Webp
+
+    private def colorChannels(channels: Int): Int =
+      if (channels == 4) 3 else channels
+
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val img = Webp.decode(payload)
+      val cc = colorChannels(img.channels)
+      var sum = 0L
+      var i = 0
+      while (i < img.samples.length) {
+        if (i % img.channels < cc) sum += img.samples(i)
+        i += 1
+      }
+      (img.width, img.height,
+        sum.toDouble / (img.width.toLong * img.height * cc))
+    }
+
+    def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) = {
+      val img = Webp.decode(payload)
+      val cc = colorChannels(img.channels)
+      val sums = new Array[Long](grid * grid)
+      var y = 0
+      while (y < img.height) {
+        val by = y * grid / img.height
+        var x = 0
+        while (x < img.width) {
+          val bx = x * grid / img.width
+          var c = 0
+          var lum = 0L
+          while (c < cc) {
+            lum += img.samples((y * img.width + x) * img.channels + c)
+            c += 1
+          }
+          sums(by * grid + bx) += lum
+          x += 1
+        }
+        y += 1
+      }
+      (img.width, img.height, sums)
+    }
+
+    def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = Webp.decode(payload)
+      val rw = math.max(1, (img.width + 1) / 2)
+      val rh = math.max(1, (img.height + 1) / 2)
+      val ch = img.channels
+      val out = new Array[Int](rw * rh * ch)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val x0 = x * 2; val y0 = y * 2
+          val xN = math.min(2, img.width - x0)
+          val yN = math.min(2, img.height - y0)
+          var c = 0
+          while (c < ch) {
+            var sum = 0
+            var dy = 0
+            while (dy < yN) {
+              var dx = 0
+              while (dx < xN) {
+                sum += img.samples(((y0 + dy) * img.width + x0 + dx) * ch + c)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * rw + x) * ch + c) = sum / (xN * yN)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      // half-scale thumbnail re-encoded losslessly in the same container
+      (rw, rh, Webp.encode(Webp.Image(rw, rh, ch, out)))
+    }
+  }
+
   /** Format-sniffing image decoder — the real-crawl dispatch: a crawled
     * corpus mixes containers, and PIXELS, not container bytes, decide
-    * duplication (the same picture saved as PNG, re-saved as JPEG, or
-    * exported as GIF must land on the same perceptual hash). Routes by
-    * file signature to [[PngDecoder]], [[JpegDecoder]] or
-    * [[GifDecoder]]; unknown formats are rejected loudly (the DLQ
-    * contract at the kernel boundary — a silent fake feature would
-    * poison the dedup tables). */
+    * duplication (the same picture saved as PNG, re-saved as JPEG,
+    * exported as GIF, or re-encoded as WebP must land on the same
+    * perceptual hash). Routes by file signature to [[PngDecoder]],
+    * [[JpegDecoder]], [[GifDecoder]] or [[WebpDecoder]]; unknown
+    * formats are rejected loudly (the DLQ contract at the kernel
+    * boundary — a silent fake feature would poison the dedup tables). */
   final class ImageDecoder extends MediaDecoder {
     private val png = new PngDecoder
     private val jpeg = new JpegDecoder
     private val gif = new GifDecoder
+    private val webp = new WebpDecoder
     private def route(payload: Array[Byte]): MediaDecoder =
       if (graft.kernel.Png.isPng(payload)) png
       else if (graft.kernel.Jpeg.isJpeg(payload)) jpeg
       else if (graft.kernel.Gif.isGif(payload)) gif
+      else if (graft.kernel.Webp.isWebp(payload)) webp
       else throw new IllegalArgumentException(
-        "unknown image format (not PNG, JPEG or GIF)")
+        "unknown image format (not PNG, JPEG, GIF or WebP)")
     def decode(payload: Array[Byte]): (Int, Int, Double) =
       route(payload).decode(payload)
     def blockSums(payload: Array[Byte], grid: Int): (Int, Int, Array[Long]) =
@@ -2121,6 +2209,61 @@ object Multimodal {
         CAST(max(v) AS INTEGER) AS v_max
       FROM vals GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
 
+    // Real-WebP decode, oracle-gated end to end: per-document RGB
+    // formula images encoded as lossless VP8L containers (real Huffman
+    // codes through the code-length coder), decoded through the full
+    // RIFF → VP8L → prefix-code path, features recomputed by DuckDB
+    // from the pixel formula. VP8L is lossless, so ANY formula
+    // round-trips bit-exact (the m19 GIF treatment — no constant-tile
+    // theorem needed).
+    ("m29_webp_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val webp = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (9 + id % 14).toInt
+            val h = (7 + id % 6).toInt
+            val px = new Array[Int](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                px(base) = ((x * 5L + y * 3L + id) % 256L).toInt
+                px(base + 1) = ((x * 7L + y * 11L + id * 3L) % 256L).toInt
+                px(base + 2) = ((x * 13L + y * 17L + id * 5L) % 256L).toInt
+                x += 1
+              }
+              y += 1
+            }
+            (id, "image", graft.kernel.Webp.encode(
+              graft.kernel.Webp.Image(w, h, 3, px)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      decodeFeaturesWith(webp, classOf[WebpDecoder].getName)
+        .select(col("doc_id"), col("width"), col("height"), col("channel_mean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(9 + doc_id % 14 AS INTEGER) AS width,
+          CAST(7 + doc_id % 6 AS INTEGER) AS height
+        FROM documents),
+      xs AS (
+        SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM dims),
+      xy AS (
+        SELECT doc_id, width, height, x, unnest(range(0, height)) AS y FROM xs),
+      px AS (
+        SELECT doc_id, width, height,
+          (x * 5 + y * 3 + doc_id) % 256 +
+          (x * 7 + y * 11 + doc_id * 3) % 256 +
+          (x * 13 + y * 17 + doc_id * 5) % 256 AS v
+        FROM xy)
+      SELECT doc_id, width, height,
+        CAST(sum(v) AS DOUBLE) / (width * height * 3) AS channel_mean
+      FROM px GROUP BY doc_id, width, height ORDER BY doc_id""")),
+
     // Cross-container image near-dups — the real-crawl dedup story: the
     // SAME picture saved as PNG by one site, re-saved as JPEG by
     // another, and exported as GIF by a third must collapse onto one
@@ -2130,9 +2273,12 @@ object Multimodal {
     // make the JPEG re-encode lossless); ids ≡ 0 mod 83 the same pixels
     // as GIF (lossless by nature; its RGB expansion scales every block
     // sum by 3, which the ratio-form hash bits are invariant to) —
-    // hamming 0 across all three formats. Everyone else is unique
-    // (multiplicative variation, container rotating by id mod 3).
-    // Rows-only; cross-format collapse is spec-gated in JpegSpec.
+    // hamming 0 across all three formats — and ids ≡ 0 mod 79 the same
+    // pixels again as lossless WebP (VP8L; its RGB expansion is the
+    // same ×3 the ratio-form bits ignore). Everyone else is unique
+    // (multiplicative variation, container rotating by id mod 4).
+    // Rows-only; cross-format collapse is spec-gated in JpegSpec and
+    // WebpSpec.
     ("m16_mixed_image_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
       val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -2148,23 +2294,27 @@ object Multimodal {
                 val bx = (i % w) / 8; val by = (i / w) / 8
                 ((bx * m1 + by * m2 + add) % 256L).toInt
               }
-            // container codes: 0 = PNG, 1 = JPEG, 2 = GIF
+            // container codes: 0 = PNG, 1 = JPEG, 2 = GIF, 3 = WebP
             val (px, container) =
               if (id % 97 == 0) (tiles(57L, 131L, 23L), 0)
               else if (id % 89 == 0) (tiles(57L, 131L, 23L), 1)
               else if (id % 83 == 0) (tiles(57L, 131L, 23L), 2)
+              else if (id % 79 == 0) (tiles(57L, 131L, 23L), 3)
               else {
                 val m1 = (id * 2654435761L) % 251L + 2L
                 val m2 = (id * 40503L) % 239L + 3L
-                (tiles(m1, m2, id), (id % 3).toInt)
+                (tiles(m1, m2, id), (id % 4).toInt)
               }
             val payload = container match {
               case 0 => graft.kernel.Png.encode(
                 graft.kernel.Png.Image(w, h, 1, 8, px))
               case 1 => graft.kernel.Jpeg.encode(
                 graft.kernel.Jpeg.Image(w, h, 1, px))
-              case _ => graft.kernel.Gif.encode(
+              case 2 => graft.kernel.Gif.encode(
                 graft.kernel.Gif.Image(w, h, 1, px))
+              case _ => graft.kernel.Webp.encode(
+                graft.kernel.Webp.Image(w, h, 3,
+                  px.flatMap(v => Array(v, v, v))))
             }
             (id, "image", payload)
           }

@@ -62,6 +62,20 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("WebP: random dims/channels/content round-trip bit-exactly") {
+    for (c <- 0 until Cases) {
+      val seed = mix(7000L + c)
+      val w = 1 + pick(seed, 1, 40); val h = 1 + pick(seed, 2, 40)
+      val ch = if (pick(seed, 3, 2) == 0) 3 else 4
+      val px = Array.tabulate(w * h * ch)(i => (mix(seed + i) & 0xff).toInt)
+      val back = graft.kernel.Webp.decode(
+        graft.kernel.Webp.encode(graft.kernel.Webp.Image(w, h, ch, px)))
+      assert(back.width == w && back.height == h && back.channels == ch,
+        s"case $c: ${w}x$h ch=$ch")
+      assert(back.samples.sameElements(px), s"case $c: ${w}x$h ch=$ch")
+    }
+  }
+
   test("WAV: random rates/channels/samples round-trip bit-exactly") {
     // the encoder writes 16-bit PCM only (8-bit DECODE is gated by
     // WavSpec's hand-built RIFF bytes); fuzz the encoder's domain
