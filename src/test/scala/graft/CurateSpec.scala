@@ -313,8 +313,32 @@ class CurateSpec extends SparkSuite {
     assert(split(".") == Seq("."))
     assert(split("   ") == Seq.empty)
     assert(split("") == Seq.empty)
-    // documented limitation: abbreviations split (terminal-punct rule)
+    // raw sentenceSplit is the pure terminal-punct rule: abbreviations
+    // split unless the caller masks them first
     assert(split("Dr. Who") == Seq("Dr.", "Who"))
+
+    // mask → split → restore (the t38 registered walk): the bounded
+    // abbreviation list keeps titles/latinisms inside one sentence —
+    // hand cases on the boundary, where the Spark query and the oracle
+    // could otherwise be wrong together
+    val TA = graft.operators.TextAnalysis
+    def splitAbbrev(t: String): Seq[String] =
+      Seq(t).toDF("t")
+        .select(TA.sentenceSplit(TA.maskAbbrev(col("t"))).as("s"))
+        .select(transform(col("s"), p => TA.unmaskAbbrev(p)).as("s"))
+        .collect().head.getSeq[String](0).map(_.trim)
+    assert(splitAbbrev("Dr. Smith met Mr. Jones. He left.") ==
+      Seq("Dr. Smith met Mr. Jones.", "He left."))
+    assert(splitAbbrev("Use e.g. apples. Done!") ==
+      Seq("Use e.g. apples.", "Done!"))
+    assert(splitAbbrev("See Fig. 3 i.e. the graph? Yes.") ==
+      Seq("See Fig. 3 i.e. the graph?", "Yes."))
+    // an abbreviation-free dot still splits, and a non-listed word
+    // followed by a dot is a real boundary
+    assert(splitAbbrev("Plain end. Next") == Seq("Plain end.", "Next"))
+    assert(splitAbbrev("Hello Dring. Bye.") == Seq("Hello Dring.", "Bye."))
+    // restore is 1:1 — char accounting is mask-invariant
+    assert(splitAbbrev("Dr. Who") == Seq("Dr. Who"))
   }
 
   test("ccnet buckets: tight tertile cuts by token mass, head is cleanest") {
@@ -350,6 +374,45 @@ class CurateSpec extends SparkSuite {
     }
     assert(enRate("head") > enRate("tail"),
       s"head en-rate ${enRate("head")} not above tail ${enRate("tail")}")
+  }
+
+  test("trained langid separates en/de/fr/code witnesses, incl. short docs markers missed") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val docs = Seq(
+      // training mass per language (distinct vocabularies)
+      (1L, "en", rep("the quick brown fox jumps over the lazy dog and runs", 4)),
+      (2L, "en", rep("a report of the meeting is due and ready to read", 4)),
+      (3L, "de", rep("der schnelle braune fuchs springt über den faulen hund und", 4)),
+      (4L, "de", rep("die katze ist im haus und der garten ist grün", 4)),
+      (5L, "fr", rep("le chat et la maison sont dans le jardin vert", 4)),
+      (6L, "fr", rep("les enfants et la mer sont près de la ville", 4)),
+      (7L, "code", rep("def foo(): return bar(x) += 1 { } ; import sys", 4)),
+      (8L, "code", rep("for (i = 0; i < n; i++) { sum += arr[i]; }", 4)),
+      // WITNESSES: short docs, the marker heuristic's known weakness —
+      // 'quick fox' has zero en stop-word markers
+      (101L, "en", "quick fox report"),
+      (102L, "de", "schnelle katze garten"),
+      (103L, "fr", "chat jardin ville"),
+      (104L, "code", "import foo(): { }"),
+      // token-free doc → und
+      (105L, "en", "   ")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextAnalysis.langIdModel(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(101L) == "en", out(101L))
+    assert(out(102L) == "de", out(102L))
+    assert(out(103L) == "fr", out(103L))
+    assert(out(104L) == "code", out(104L))
+    assert(out(105L) == "und", out(105L))
+    // the training rows classify as themselves
+    for (id <- 1L to 8L) {
+      val want = if (id <= 2) "en" else if (id <= 4) "de"
+        else if (id <= 6) "fr" else "code"
+      assert(out(id) == want, s"doc $id: ${out(id)} != $want")
+    }
   }
 
   test("ccnet buckets scale twin: window-free plan, exact agreement away from crossing bins") {
