@@ -58,12 +58,18 @@ object CorpusPipeline {
       opts: Opts = Opts()): (DataFrame, DataFrame) = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    def mark(name: String, df: DataFrame): DataFrame = {
+    // per-stage wall seconds ride the report (r11 VERDICT item 7 — the
+    // c01/c02 wobble diagnosis needs to NAME the wobbling stage, not
+    // re-derive it with a side probe); startNanos lets a stage charge
+    // pre-persist work (the pairs checkpoint) to its own row
+    def mark(name: String, df: DataFrame, startNanos: Long = -1L): DataFrame = {
+      val t0 = if (startNanos > 0) startNanos else System.nanoTime()
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       cached += p
-      stages += name -> p.count()
+      val n = p.count()
+      stages += ((name, n, (System.nanoTime() - t0) / 1e9))
       p
     }
 
@@ -75,7 +81,12 @@ object CorpusPipeline {
       if (raw.columns.contains("html"))
         mark("extract",
           raw.withColumn("text", Curate.htmlToText(col("html"))).drop("html"))
-      else { stages += "extract" -> raw.count(); raw }
+      else {
+        val t0 = System.nanoTime()
+        val n = raw.count()
+        stages += (("extract", n, (System.nanoTime() - t0) / 1e9))
+        raw
+      }
 
     // 1. line-level gate (C4 rules), PII scrub, document word floor —
     // all row-local, one projection + one filter
@@ -114,6 +125,7 @@ object CorpusPipeline {
     // measured 131 jobs totalling ~6 task-seconds under ~4 MINUTES of
     // driver-side planning before this cut. The checkpoint is a
     // lineage-free leaf the size of the candidate pair list.
+    val tNearDup0 = System.nanoTime()
     val pairs = Dedup.minhashNearDups(exact, tau = opts.nearDupTau)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint(true)
@@ -121,7 +133,9 @@ object CorpusPipeline {
       .union(pairs.select(col("v").as("node"))).distinct()
     val labeled = Clusters.labelAll(endpoints, pairs)
     val plan = Clusters.dedupPlan(labeled, exact)
-    val neardup = mark("near_dedup", Clusters.applyDedup(exact, plan))
+    // the checkpointed LSH DAG is the expensive half of this stage —
+    // charge it here, not to the next count
+    val neardup = mark("near_dedup", Clusters.applyDedup(exact, plan), tNearDup0)
 
     // 4. exact-substring dedup (d10): duplicated >= minLen runs are cut
     // in place; documents reduced below the word floor drop out
@@ -156,8 +170,8 @@ object CorpusPipeline {
     // materialized — upstream stage caches are dead weight past this point
     cached.filter(_ ne fin).foreach(_.unpersist(blocking = false))
     val report = stages.toSeq.zipWithIndex
-      .map { case ((name, n), i) => (i, name, n) }
-      .toDF("stage_idx", "stage", "rows")
+      .map { case ((name, n, secs), i) => (i, name, n, secs) }
+      .toDF("stage_idx", "stage", "rows", "secs")
     (fin, report)
   }
 
@@ -180,12 +194,14 @@ object CorpusPipeline {
       opts: Opts = Opts()): (DataFrame, DataFrame) = {
     val spark = segments.sparkSession
     import spark.implicits._
-    val pre = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val pre = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def mark(name: String, df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       cached += p
-      pre += name -> p.count()
+      val n = p.count()
+      pre += ((name, n, (System.nanoTime() - t0) / 1e9))
       p
     }
     val records = mark("records",
@@ -211,10 +227,10 @@ object CorpusPipeline {
       .localCheckpoint(true)
     val (fin, inner) = curate(raw, evalRef, opts)
     val innerRows = inner.orderBy(col("stage_idx")).collect()
-      .map(r => (r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
     val report = (pre.toSeq ++ innerRows).zipWithIndex
-      .map { case ((name, n), i) => (i, name, n) }
-      .toDF("stage_idx", "stage", "rows")
+      .map { case ((name, n, secs), i) => (i, name, n, secs) }
+      .toDF("stage_idx", "stage", "rows", "secs")
     cached.foreach(_.unpersist(blocking = false))
     (fin, report)
   }

@@ -87,6 +87,19 @@ object Curate {
     * and the whole operator is one codegen'd row-local projection: at
     * 100 TB it is a map stage with zero shuffles, exactly as cheap as
     * the scan itself. */
+  /** Declared page language off the `<html lang=…>` attribute — the
+    * strongest cheap langid PRIOR a crawl pipeline has (CCNet/CC index
+    * both record it): primary subtag of the first html tag's lang
+    * attribute, lowercased, '' when absent. One row-local regex in the
+    * shared Java/RE2 dialect (inline `(?i)`, lazy run bounded by the
+    * tag) — a map-stage column at any scale; combine with the trained
+    * t04 classifier as prior vs evidence. */
+  def htmlLang(html: Column): Column = {
+    val tag = regexp_extract(html,
+      "(?i)<html\\b[^>]*?\\slang\\s*=\\s*[\"']?([A-Za-z][A-Za-z-]*)", 1)
+    lower(element_at(split(tag, "-"), 1))
+  }
+
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
@@ -1003,6 +1016,45 @@ object Curate {
       val docs = Tables.documents(s, d)
       perplexityBucketsScale(docs, docs.filter(col("lang") === "en"))
         .orderBy(col("doc_id"))
-    }, None)
+    }, None),
+
+    // Declared-language extraction off the <html lang=…> attribute —
+    // planted page classes cycle attribute casing, quoting styles,
+    // region subtags, attribute position, and a decoy lang on a NON-html
+    // tag that must not match; DuckDB runs the same shared-dialect regex
+    // over the same plant.
+    ("t42_html_lang", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<html LANG=\"EN-us\"><body>"), col("text"),
+              lit("</body></html>")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("<html dir=ltr lang='fr'><body>"), col("text"),
+              lit("</body></html>")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("<html><body lang=\"es\">"), col("text"),
+              lit("</body></html>")))
+          .otherwise(
+            concat(lit("<HTML lang=de-AT><body>"), col("text"),
+              lit("</body></html>")))
+          .as("html"))
+        .select(col("doc_id"), htmlLang(col("html")).as("html_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pages AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN '<html LANG="EN-us"><body>' || text || '</body></html>'
+            WHEN 1 THEN '<html dir=ltr lang=''fr''><body>' || text || '</body></html>'
+            WHEN 2 THEN '<html><body lang="es">' || text || '</body></html>'
+            ELSE '<HTML lang=de-AT><body>' || text || '</body></html>'
+          END AS html
+        FROM documents)
+      SELECT doc_id,
+        lower(string_split(regexp_extract(html,
+          '(?i)<html\b[^>]*?\slang\s*=\s*["'']?([A-Za-z][A-Za-z-]*)', 1),
+          '-')[1]) AS html_lang
+      FROM pages ORDER BY doc_id"""))
   )
 }

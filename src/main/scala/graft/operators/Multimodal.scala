@@ -1572,32 +1572,38 @@ object Multimodal {
     // Mixed-container image metadata extraction — the (container,
     // display width, display height) table a multimodal filter runs
     // before any decode-heavy stage. Oracle-gated end to end: payloads
-    // rotate PNG/JPEG/GIF per doc with planted per-class dimensions,
-    // JPEGs carry an EXIF orientation tag cycling all 8 values, and the
-    // emitted dims must be DISPLAY dims (tags 5–8 swap axes) — DuckDB
-    // recomputes container and both dims from the plant rules, so a
-    // sniffing bug, a header-parse bug, or an orientation-normalization
-    // bug all break the hash.
+    // rotate PNG/JPEG/GIF/WebP per doc with planted per-class
+    // dimensions, JPEGs carry an EXIF orientation tag cycling all 8
+    // values, and the emitted dims must be DISPLAY dims (tags 5–8 swap
+    // axes) — DuckDB recomputes container and both dims from the plant
+    // rules, so a sniffing bug, a header-parse bug, or an
+    // orientation-normalization bug all break the hash.
     ("m25_image_meta", (s: SparkSession, d: String) => {
       import s.implicits._
       val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
-            val payload = (id % 3) match {
+            val payload = (id % 4) match {
               case 0 =>
                 val w = (16 + id % 8).toInt; val h = (8 + id % 4).toInt
                 graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8,
                   Array.tabulate(w * h)(i => ((i * 31 + id) % 256).toInt)))
               case 1 =>
-                val tag = (id % 8 + 1).toInt
+                // id ≡ 1 mod 4, so id%8 only hits {1,5}; id/4 cycles
+                // the tag through all 8 values
+                val tag = (id / 4 % 8 + 1).toInt
                 graft.kernel.Jpeg.encode(
                   graft.kernel.Jpeg.Image(16, 8, 1,
                     Array.tabulate(16 * 8)(i => ((i / 8 * 17 + id) % 256).toInt)),
                   orientation = tag)
-              case _ =>
+              case 2 =>
                 val w = (12 + id % 5).toInt; val h = (7 + id % 3).toInt
                 graft.kernel.Gif.encode(graft.kernel.Gif.Image(w, h, 1,
                   Array.tabulate(w * h)(i => ((i * 7 + id) % 200).toInt)))
+              case _ =>
+                val w = (10 + id % 6).toInt; val h = (6 + id % 4).toInt
+                graft.kernel.Webp.encode(graft.kernel.Webp.Image(w, h, 3,
+                  Array.tabulate(w * h * 3)(i => ((i * 11 + id) % 256).toInt)))
             }
             (id, "image", payload)
           }
@@ -1612,6 +1618,7 @@ object Multimodal {
               if (graft.kernel.Png.isPng(p)) "png"
               else if (graft.kernel.Jpeg.isJpeg(p)) "jpeg"
               else if (graft.kernel.Gif.isGif(p)) "gif"
+              else if (graft.kernel.Webp.isWebp(p)) "webp"
               else "unknown"
             val (w, h, _) = dec.decode(p)
             (id, container, w, h, p.length.toLong)
@@ -1622,18 +1629,21 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
-        CASE CAST(doc_id % 3 AS INTEGER)
-          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS container,
-        CASE CAST(doc_id % 3 AS INTEGER)
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+          ELSE 'webp' END AS container,
+        CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN CAST(16 + doc_id % 8 AS INTEGER)
-          WHEN 1 THEN CASE WHEN doc_id % 8 >= 4
+          WHEN 1 THEN CASE WHEN (doc_id // 4) % 8 >= 4
             THEN 8 ELSE 16 END
-          ELSE CAST(12 + doc_id % 5 AS INTEGER) END AS width,
-        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 2 THEN CAST(12 + doc_id % 5 AS INTEGER)
+          ELSE CAST(10 + doc_id % 6 AS INTEGER) END AS width,
+        CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN CAST(8 + doc_id % 4 AS INTEGER)
-          WHEN 1 THEN CASE WHEN doc_id % 8 >= 4
+          WHEN 1 THEN CASE WHEN (doc_id // 4) % 8 >= 4
             THEN 16 ELSE 8 END
-          ELSE CAST(7 + doc_id % 3 AS INTEGER) END AS height
+          WHEN 2 THEN CAST(7 + doc_id % 3 AS INTEGER)
+          ELSE CAST(6 + doc_id % 4 AS INTEGER) END AS height
       FROM documents ORDER BY doc_id""")),
 
     // Scene-cut detection, oracle-gated end to end: clips carry REAL

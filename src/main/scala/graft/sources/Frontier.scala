@@ -230,6 +230,28 @@ object Frontier {
       .toDF("host", "kind", "loc", "lastmod")
   }
 
+  /** Sitemap DIRECTIVES out of robots.txt — the missing link between
+    * the robots fetch and [[sitemapSeeds]]: RFC 9309 lets a host
+    * advertise its sitemaps as `Sitemap:` lines (outside any group,
+    * case-insensitive, comments stripped), and a real crawl loop seeds
+    * its sitemap fetches from exactly these. One row per directive in
+    * file order, through the REAL [[graft.kernel.Robots]] grammar —
+    * a row-local flatMap, a map stage at any scale. */
+  def robotsSitemaps(robots: DataFrame): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host"), col("robots_txt"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (host, txt) =>
+          Robots.parse(txt).sitemaps.zipWithIndex.map {
+            case (u, i) => (host, i, u)
+          }
+        }
+      }
+      .toDF("host", "sitemap_idx", "sitemap_url")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Deterministic per-host robots fixture shared by w03/w05 and their
@@ -443,6 +465,47 @@ object Frontier {
           AS BIGINT) AS slot,
         CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
           AS DOUBLE) * delay AS fetch_offset_sec
-      FROM allowed_urls ORDER BY url"""))
+      FROM allowed_urls ORDER BY url""")),
+
+    // Sitemap directives out of robots.txt, oracle-gated end to end
+    // through the REAL RFC 9309 grammar: each host's file plants
+    // doc_id%3 directives in MIXED case and position (before the group,
+    // inside a group, after it — all legal), plus a commented-out
+    // directive and an empty `Sitemap:` that must both drop. DuckDB
+    // regenerates the expected (host, idx, url) rows from the plant
+    // rule, so a grammar bug (case, comment stripping, group
+    // interaction, ordering) breaks the hash.
+    ("w10_robots_sitemaps", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val robots = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val host = s"h$id.example.com"
+          val n = (id % 3).toInt
+          val lines = (0 until n).map { i =>
+            val field = if (i % 2 == 0) "Sitemap" else "sItEmAp"
+            s"$field: https://$host/sm-$i.xml"
+          }
+          val txt =
+            (if (n > 0) lines.take(1).mkString("", "\n", "\n") else "") +
+              "# Sitemap: https://ignored.example.com/no.xml\n" +
+              "User-agent: *\nDisallow: /tmp\n" +
+              "Sitemap:\n" + // empty value drops
+              (if (n > 1) lines.drop(1).mkString("", "\n", "\n") else "")
+          (host, txt, id)
+        }
+        .toDF("host", "robots_txt", "doc_id")
+      robotsSitemaps(robots)
+        .orderBy(col("host"), col("sitemap_idx"))
+    },
+    Some("""WITH n AS (
+        SELECT doc_id, 'h' || doc_id || '.example.com' AS host,
+          CAST(doc_id % 3 AS INTEGER) AS cnt
+        FROM documents),
+      rows_ AS (
+        SELECT host, CAST(unnest(range(0, cnt)) AS INTEGER) AS sitemap_idx
+        FROM n)
+      SELECT host, sitemap_idx,
+        'https://' || host || '/sm-' || sitemap_idx || '.xml' AS sitemap_url
+      FROM rows_ ORDER BY host, sitemap_idx"""))
   )
 }

@@ -171,6 +171,29 @@ class FrontierSpec extends SparkSuite {
     assert(dj.size == 4 && dj == dl)
   }
 
+  test("robotsSitemaps: file order, case-insensitivity, comments, BOM, group position") {
+    val spark2 = spark
+    import spark2.implicits._
+    val robots = Seq(
+      ("a.com", "﻿Sitemap: https://a.com/s0.xml\n" +
+        "# sitemap: https://a.com/commented.xml\n" +
+        "User-agent: *\nDisallow: /x\n" +
+        "SITEMAP: https://a.com/s1.xml  \n" + // inside a group is legal
+        "Sitemap:\n" + // empty drops
+        "Allow: /x/ok\nsitemap:https://a.com/s2.xml\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n"), // none
+      ("c.com", "Sitemap: https://c.com/only.xml\n"))
+      .toDF("host", "robots_txt")
+    val got = Frontier.robotsSitemaps(robots)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a.com", 0, "https://a.com/s0.xml"),
+      ("a.com", 1, "https://a.com/s1.xml"),
+      ("a.com", 2, "https://a.com/s2.xml"),
+      ("c.com", 0, "https://c.com/only.xml")), got)
+  }
+
   test("extractLinks: absolute hrefs only, fragments trim, attribute clutter tolerated") {
     val spark2 = spark
     import spark2.implicits._
