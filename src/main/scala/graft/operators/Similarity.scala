@@ -607,6 +607,28 @@ object Similarity {
     *
     * Returns (vec_id, cluster, is_dup) for every input vector.
     */
+  /** Scalar (SQ8) uniform quantization: per-dimension [min, max] train
+    * pass, codes floor((v−min)/(max−min)·255) ∈ 0..255 (a constant
+    * dimension codes 0). All arithmetic is engine-exact — see the s13
+    * registration. `stats` (d rows) broadcasts back over one exploded
+    * scan; at corpus scale this is a map + a tiny aggregation. */
+  def scalarQuantize(emb: DataFrame): DataFrame = {
+    val vals = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("dim"), col("f").cast("double").as("v"))
+      // feeds the stats pass AND the coding join — persist or the
+      // explode runs twice over the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = vals.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    vals.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+            * 255).cast("int"))
+          .as("code"))
+  }
+
   def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 0,
       maxCluster: Int = 10000): DataFrame = {
     val n = emb.count()
@@ -1055,6 +1077,33 @@ object Similarity {
         .select(col("vec_id"),
           hex(fns.pq_encode(col("embedding"), codebook, dim, 8)).as("codes"))
         .orderBy(col("vec_id"))
-    }, None)
+    }, None),
+
+    // Scalar (SQ8) embedding quantization — the third standard vector
+    // compression next to PQ (s05) and OPQ (s11), and the FAISS
+    // SQ8/ScaNN int8 shape: per-DIMENSION min/max train pass, uniform
+    // 8-bit codes. Oracle-gated bit-for-bit: float32→double is
+    // lossless, min/max are order-free, and the code is one correctly-
+    // rounded divide+multiply+floor both engines agree on. Plan: one
+    // explode feeds a d-row stats aggregation (tiny — broadcast back)
+    // and the coding join; the corpus never shuffles beyond the final
+    // order. Reconstruction-error bound and round-trip monotonicity
+    // are spec-gated in LlmOpsSpec.
+    ("s13_scalar_quant", (s: SparkSession, d: String) =>
+      scalarQuantize(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"), col("dim")),
+    Some("""WITH idx AS (
+        SELECT vec_id, embedding AS e,
+          unnest(range(1, len(embedding) + 1)) AS ii
+        FROM embeddings),
+      v AS (
+        SELECT vec_id, CAST(ii - 1 AS INTEGER) AS dim,
+          CAST(e[ii] AS DOUBLE) AS v
+        FROM idx),
+      st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM v GROUP BY dim)
+      SELECT vec_id, dim,
+        CAST(CASE WHEN mx = mn THEN 0
+          ELSE floor((v - mn) / (mx - mn) * 255) END AS INTEGER) AS code
+      FROM v JOIN st USING (dim) ORDER BY vec_id, dim"""))
   )
 }

@@ -513,5 +513,102 @@ object WarcSource {
             text || '</p></body></html>'
           ELSE '<html><body><p>Doc ' || doc_id || ' ' || text ||
             '</p></body></html>' END) AS html_sha
-      FROM documents ORDER BY doc_id""")))
+      FROM documents ORDER BY doc_id""")),
+
+    // WET derivation, oracle-gated end to end — the Common Crawl
+    // sidecar format: response archives re-emit as `conversion`
+    // records carrying the EXTRACTED text with a `WARC-Refers-To` link
+    // back to the source response (ISO 28500 §6.8's conversion
+    // semantics). The chain runs the full real path twice: response
+    // segments → member gunzip → grammar → HTTP split → htmlToText →
+    // conversion re-archive (writer) → parse BACK (reader) → text
+    // digest. DuckDB rebuilds the extracted text from the page
+    // template through the t27 strip/decode/normalize recipe, so a bug
+    // in the writer, the reader, the linkage, or the extraction breaks
+    // the hash.
+    ("w11_wet_extract", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val segments = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val html = s"<html><body><h1>Doc $id</h1><p>" + text +
+            "</p></body></html>"
+          val gz = Warc.writeGz(Seq((Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://example.com/doc/$id",
+            "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+            "WARC-Date" -> "2025-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response"),
+            Warc.renderHttpResponse(200, "text/html; charset=utf-8",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+          (s"file:/crawl/wet-$id.warc.gz", gz)
+        }
+        .toDF("path", "content")
+      val pages = htmlResponses(records(segments))
+      pages
+        .select(col("url"), col("warc_date"),
+          graft.operators.Curate.htmlToText(col("html")).as("wtext"))
+        .as[(String, String, String)]
+        .mapPartitions { it =>
+          val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (url, date, text) =>
+            val wet = Warc.writeGz(Seq((Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> url,
+              "WARC-Record-ID" -> s"<urn:graft:wet:$url>",
+              "WARC-Refers-To" -> s"<urn:uuid:resp-${url.split('/').last}>",
+              "WARC-Date" -> date,
+              "Content-Type" -> "text/plain"), text.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))))
+            // back through the real reader: the WET round trip
+            val rec = Warc.parseAll(wet).head
+            (url, rec.warcType,
+              rec.headers.getOrElse("warc-refers-to", ""),
+              rec.content.length.toLong,
+              sha256.digest(rec.content).map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("url", "warc_type", "refers_to", "text_len", "text_sha")
+        .orderBy(col("url"))
+    },
+    Some("""WITH page AS (
+        SELECT doc_id,
+          '<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+            '</p></body></html>' AS h
+        FROM documents),
+      stripped AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(h,
+              '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?i)</?(?:p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>',
+                chr(10), 'g'),
+              '<[^>]*>', '', 'g') AS t
+        FROM page),
+      decoded AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+              '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+              '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+              '&nbsp;', ' ', 'g'),
+              '&amp;', '&', 'g') AS t
+        FROM stripped),
+      cleaned AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(t,
+            '[ \t]+', ' ', 'g'),
+            '\s*\n\s*', chr(10), 'g'),
+            '^\n|\n$', '', 'g')) AS w
+        FROM decoded)
+      SELECT 'http://example.com/doc/' || doc_id AS url,
+        'conversion' AS warc_type,
+        '<urn:uuid:resp-' || doc_id || '>' AS refers_to,
+        CAST(strlen(w) AS BIGINT) AS text_len,
+        sha256(w) AS text_sha
+      FROM cleaned ORDER BY url""")))
 }

@@ -526,6 +526,51 @@ class LlmOpsSpec extends SparkSuite {
     } finally spark.conf.unset(Multimodal.DecoderConfKey)
   }
 
+  test("scalar quantization: error bound, monotonicity, constant dim, range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val codes = Similarity.scalarQuantize(emb)
+    val stats = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("dim"), col("f").cast("double").as("v"))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = codes.join(
+        emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "f"))),
+        Seq("vec_id", "dim"))
+      .select(col("dim"), col("code"), col("f").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dim, code, v) =>
+      assert(code >= 0 && code <= 255, s"dim $dim code $code")
+      val (mn, mx) = stats(dim)
+      if (mx > mn) {
+        // midpoint reconstruction error is bounded by half a bucket
+        val w = (mx - mn) / 255.0
+        val recon = mn + (code + 0.5) * w
+        assert(math.abs(v - recon) <= w / 2 + 1e-12,
+          s"dim $dim v $v code $code recon $recon")
+      } else assert(code == 0)
+    }
+    // monotone within each dimension
+    rows.groupBy(_._1).foreach { case (dim, rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array((_, c1, _), (_, c2, _)) =>
+          assert(c1 <= c2, s"dim $dim codes not monotone")
+        case _ =>
+      }
+    }
+    // a constant dimension codes 0 everywhere
+    val toy = Seq((1L, Array(0.5f, 1.0f)), (2L, Array(0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val toyCodes = Similarity.scalarQuantize(toy)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(toyCodes == Set((1L, 0, 0), (2L, 0, 0), (1L, 1, 0), (2L, 1, 255)))
+  }
+
   test("novelty: hand-computed witnesses; hashed census path is identical") {
     import spark.implicits._
     // doc 1 and 2 share their first 8 tokens (one shared 8-gram); doc 3
