@@ -676,35 +676,54 @@ object Webp {
     }
   }
 
-  /** Depth-limited Huffman lengths from frequencies (fixture-grade:
-    * frequency halving until the tree fits the depth bound). */
+  /** Depth-limited Huffman lengths from frequencies: array-based
+    * parent-pointer Huffman (O(m log m), no per-merge allocation — the
+    * encoder runs this four times per image), frequency halving until
+    * the tree fits the depth bound. Deterministic: ties break on node
+    * index. */
   private def huffmanLengths(freqs: Array[Long], maxDepth: Int): Array[Int] = {
     val n = freqs.length
     var f = freqs.clone()
     var attempt = 0
     while (attempt < 64) {
       val lengths = new Array[Int](n)
-      val used = (0 until n).filter(f(_) > 0)
-      if (used.isEmpty) return lengths
-      if (used.length == 1) { lengths(used.head) = 1; return lengths }
-      // simple two-queue Huffman over (weight, tiebreak) pairs
-      final case class Node(weight: Long, order: Long, syms: List[Int], depths: Map[Int, Int])
-      val pq = new scala.collection.mutable.PriorityQueue[Node]()(
-        Ordering.by(nd => (-nd.weight, -nd.order)))
-      var order = 0L
-      used.foreach { s => pq.enqueue(Node(f(s), order, List(s), Map(s -> 0))); order += 1 }
+      val used = (0 until n).filter(f(_) > 0).toArray
+      if (used.length == 0) return lengths
+      if (used.length == 1) { lengths(used(0)) = 1; return lengths }
+      val m = used.length
+      val weight = new Array[Long](2 * m - 1)
+      val parent = new Array[Int](2 * m - 1)
+      java.util.Arrays.fill(parent, -1)
+      var i = 0
+      while (i < m) { weight(i) = f(used(i)); i += 1 }
+      val pq = new java.util.PriorityQueue[Integer](m,
+        (a: Integer, b: Integer) => {
+          val c = java.lang.Long.compare(weight(a), weight(b))
+          if (c != 0) c else Integer.compare(a, b)
+        })
+      i = 0
+      while (i < m) { pq.add(i); i += 1 }
+      var next = m
       while (pq.size > 1) {
-        val a = pq.dequeue(); val b = pq.dequeue()
-        val depths = (a.depths.map { case (s, d) => s -> (d + 1) }) ++
-          (b.depths.map { case (s, d) => s -> (d + 1) })
-        pq.enqueue(Node(a.weight + b.weight, order, a.syms ++ b.syms, depths))
-        order += 1
+        val a = pq.poll()
+        val b = pq.poll()
+        weight(next) = weight(a) + weight(b)
+        parent(a) = next
+        parent(b) = next
+        pq.add(next)
+        next += 1
       }
-      val depths = pq.dequeue().depths
-      if (depths.values.max <= maxDepth) {
-        depths.foreach { case (s, d) => lengths(s) = math.max(d, 1) }
-        return lengths
+      var maxD = 0
+      i = 0
+      while (i < m) {
+        var d = 0
+        var j = i
+        while (parent(j) >= 0) { d += 1; j = parent(j) }
+        lengths(used(i)) = math.max(d, 1)
+        if (d > maxD) maxD = d
+        i += 1
       }
+      if (maxD <= maxDepth) return lengths
       f = f.map(v => if (v > 0) (v + 1) / 2 else 0)
       attempt += 1
     }
