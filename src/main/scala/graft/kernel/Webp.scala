@@ -117,8 +117,6 @@ object Webp {
     private val right = new Array[Int](2 * usedCount)
     private var nNodes = 1
     if (single < 0 && pair.isEmpty) {
-      java.util.Arrays.fill(left, 0, left.length, 0)
-      java.util.Arrays.fill(right, 0, right.length, 0)
       var kraft = 0L
       val codes = canonicalCodes(lengths)
       lengths.indices.foreach { s =>
@@ -216,7 +214,7 @@ object Webp {
         clLengths(CodeLengthOrder(i)) = br.bits(3)
         i += 1
       }
-      val clTree = new HuffTree(clLengths.map(l => l))
+      val clTree = new HuffTree(clLengths)
       var maxSymbol =
         if (br.bit() == 1) {
           val lengthNBits = 2 + 2 * br.bits(3)
@@ -753,7 +751,6 @@ object Webp {
     // run-length the length sequence into code-length symbols
     val stream = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (sym, extra, extraBits)
     var i = 0
-    var prevNonZero = 8
     while (i < lengths.length) {
       val v = lengths(i)
       var run = 1
@@ -769,7 +766,6 @@ object Webp {
       } else {
         // first occurrence literal, then 16-repeats (requires prev == v)
         stream += ((v, 0, 0))
-        prevNonZero = v
         var left = run - 1
         while (left >= 3) {
           val take = math.min(left, 6)

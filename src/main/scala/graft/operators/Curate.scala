@@ -75,18 +75,6 @@ object Curate {
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
   }
 
-  /** HTML → text extraction (the step a web-crawl pipeline runs before
-    * any other curation — C4 §2.2 operates on extracted text, RefinedWeb
-    * §3.2 on trafilatura output): drop script/style/comment subtrees,
-    * turn block-level tags into line breaks, strip remaining tags,
-    * decode the five ubiquitous entities (`&amp;` LAST so `&amp;lt;`
-    * does not double-decode), and normalize whitespace to single spaces
-    * and single newlines. Entirely chained `regexp_replace` in the
-    * Java-regex/RE2 shared dialect (lazy quantifiers + inline `(?is)`
-    * flags are in both), so the DuckDB oracle runs the same patterns —
-    * and the whole operator is one codegen'd row-local projection: at
-    * 100 TB it is a map stage with zero shuffles, exactly as cheap as
-    * the scan itself. */
   /** Declared page language off the `<html lang=…>` attribute — the
     * strongest cheap langid PRIOR a crawl pipeline has (CCNet/CC index
     * both record it): primary subtag of the first html tag's lang
@@ -100,6 +88,18 @@ object Curate {
     lower(element_at(split(tag, "-"), 1))
   }
 
+  /** HTML → text extraction (the step a web-crawl pipeline runs before
+    * any other curation — C4 §2.2 operates on extracted text, RefinedWeb
+    * §3.2 on trafilatura output): drop script/style/comment subtrees,
+    * turn block-level tags into line breaks, strip remaining tags,
+    * decode the five ubiquitous entities (`&amp;` LAST so `&amp;lt;`
+    * does not double-decode), and normalize whitespace to single spaces
+    * and single newlines. Entirely chained `regexp_replace` in the
+    * Java-regex/RE2 shared dialect (lazy quantifiers + inline `(?is)`
+    * flags are in both), so the DuckDB oracle runs the same patterns —
+    * and the whole operator is one codegen'd row-local projection: at
+    * 100 TB it is a map stage with zero shuffles, exactly as cheap as
+    * the scan itself. */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")

@@ -588,25 +588,6 @@ object Similarity {
     embeddingAdmissionWith(vecs, index, planes, tables)
   }
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
-    * 2303.09540): cluster the corpus with the IVF coarse quantizer
-    * (spherical k-means, k ≈ √n), then within each cluster flag every
-    * vector whose cosine to a LOWER-id cluster-mate reaches `threshold`
-    * — the min-id survivor rule exact dedup (d01) uses, so re-runs are
-    * idempotent. Near-duplicate *meaning* (paraphrases, re-encodes,
-    * crops) collapses where exact and shingle dedup see distinct bytes.
-    *
-    * Scale: the only quadratic work is per-cluster — k ≈ √n keeps
-    * expected cluster size √n, so candidate pairs are ~n·√n/2 WITHIN
-    * partitions of one hash exchange on cluster id (centroids ride the
-    * plan as a broadcast model, assignment is a codegen'd row-local
-    * argmax). `maxCluster` is the usual degenerate-bucket guard
-    * ([[Scale.capBuckets]]): a cluster that swallowed a mode of the
-    * embedding distribution would re-quadratify the join; its rows are
-    * exempted from dedup rather than concentrated on one task.
-    *
-    * Returns (vec_id, cluster, is_dup) for every input vector.
-    */
   /** Scalar (SQ8) uniform quantization: per-dimension [min, max] train
     * pass, codes floor((v−min)/(max−min)·255) ∈ 0..255 (a constant
     * dimension codes 0). All arithmetic is engine-exact — see the s13
@@ -629,6 +610,25 @@ object Similarity {
           .as("code"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the corpus with the IVF coarse quantizer
+    * (spherical k-means, k ≈ √n), then within each cluster flag every
+    * vector whose cosine to a LOWER-id cluster-mate reaches `threshold`
+    * — the min-id survivor rule exact dedup (d01) uses, so re-runs are
+    * idempotent. Near-duplicate *meaning* (paraphrases, re-encodes,
+    * crops) collapses where exact and shingle dedup see distinct bytes.
+    *
+    * Scale: the only quadratic work is per-cluster — k ≈ √n keeps
+    * expected cluster size √n, so candidate pairs are ~n·√n/2 WITHIN
+    * partitions of one hash exchange on cluster id (centroids ride the
+    * plan as a broadcast model, assignment is a codegen'd row-local
+    * argmax). `maxCluster` is the usual degenerate-bucket guard
+    * ([[Scale.capBuckets]]): a cluster that swallowed a mode of the
+    * embedding distribution would re-quadratify the join; its rows are
+    * exempted from dedup rather than concentrated on one task.
+    *
+    * Returns (vec_id, cluster, is_dup) for every input vector.
+    */
   def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 0,
       maxCluster: Int = 10000): DataFrame = {
     val n = emb.count()

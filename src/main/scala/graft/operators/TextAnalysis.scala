@@ -329,14 +329,6 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Terminal-punctuation sentence segmentation — the unit the packing
-    * and quality stages below paragraphs/lines need (sequence packing
-    * at sentence boundaries, per-sentence quality stats): maximal runs
-    * ending in `.!?`+ plus the unterminated tail, whitespace-only
-    * pieces dropped. Deliberately rule-based and dialect-shared (both
-    * regex calls exist identically in Java and RE2 — no lookbehind), so
-    * the split is engine-reproducible; abbreviation handling ("Dr.") is
-    * out of scope and documented, as in the C4 line rules. */
   /** Bounded common-abbreviation masking for [[sentenceSplit]] (r11
     * VERDICT item 8): "Dr. Smith" must stay one sentence, and without
     * lookbehind (absent from RE2, so unusable in the shared dialect)
@@ -357,6 +349,15 @@ object TextAnalysis {
     * lengths are unchanged, so char accounting is mask-invariant). */
   def unmaskAbbrev(piece: Column): Column = translate(piece, "\u0001", ".")
 
+  /** Terminal-punctuation sentence segmentation — the unit the packing
+    * and quality stages below paragraphs/lines need (sequence packing
+    * at sentence boundaries, per-sentence quality stats): maximal runs
+    * ending in `.!?`+ plus the unterminated tail, whitespace-only
+    * pieces dropped. Deliberately rule-based and dialect-shared (both
+    * regex calls exist identically in Java and RE2 — no lookbehind), so
+    * the split is engine-reproducible; abbreviation handling lives in
+    * [[maskAbbrev]]/[[unmaskAbbrev]] — this function is the pure
+    * terminal-punct rule. */
   def sentenceSplit(text: Column): Column = {
     val withT = regexp_extract_all(text, lit("[^.!?]*[.!?]+"), lit(0))
     // only the tail can be whitespace-only (every matched piece carries

@@ -224,8 +224,16 @@ object WarcSource {
     * deflate Content-Encoding, and charset resolution (Content-Type
     * param → bounded meta sniff → UTF-8) — real crawl responses hit all
     * three constantly, and a raw UTF-8 decode would feed silent
-    * mojibake into the curation chain. */
-  def htmlResponses(records: DataFrame): DataFrame = {
+    * mojibake into the curation chain.
+    *
+    * Undecodable TRANSFER layers — a content coding this engine has no
+    * codec for (br, zstd), malformed chunk framing, a truncated deflate
+    * stream — SKIP the page by default instead of killing the job: a
+    * crawl-scale extraction must survive one broken record (charset
+    * problems never throw — they decode with U+FFFD). `lenient = false`
+    * restores the loud kernel behavior for curated inputs where an
+    * undecodable record means the ARCHIVE is broken. */
+  def htmlResponses(records: DataFrame, lenient: Boolean = true): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     records
@@ -235,9 +243,11 @@ object WarcSource {
       .mapPartitions { it =>
         it.flatMap { case (uri, date, content) =>
           val http = Warc.httpResponse(content)
-          if (http.contentType.toLowerCase.startsWith("text/html"))
-            Some((uri, date, http.status, Warc.decodeText(http)))
-          else None
+          if (!http.contentType.toLowerCase.startsWith("text/html")) None
+          else if (lenient) {
+            try Some((uri, date, http.status, Warc.decodeText(http)))
+            catch { case _: IllegalArgumentException => None }
+          } else Some((uri, date, http.status, Warc.decodeText(http)))
         }
       }
       .toDF("url", "warc_date", "http_status", "html")

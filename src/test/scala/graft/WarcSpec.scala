@@ -137,6 +137,37 @@ class WarcSpec extends SparkSuite {
     assert(e.getMessage.contains("br"))
   }
 
+  test("htmlResponses: undecodable transfer coding skips in lenient mode, throws in strict") {
+    import graft.sources.WarcSource
+    val spark2 = spark
+    import spark2.implicits._
+    def respRec(uri: String, headers: Seq[(String, String)], body: Array[Byte]) =
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "Content-Type" -> "application/http;msgtype=response"),
+        Warc.renderHttpResponse(200, headers, body))
+    val gz = Warc.writeGz(Seq(
+      respRec("http://ok.example.com/", Seq("Content-Type" -> "text/html"),
+        "<html><body>fine page</body></html>".getBytes(Utf8)),
+      // a coding this engine has no codec for — the record a real crawl
+      // WILL contain and a crawl-scale extraction must survive
+      respRec("http://br.example.com/", Seq("Content-Type" -> "text/html",
+        "Content-Encoding" -> "br"), Array[Byte](1, 2, 3)),
+      respRec("http://ok2.example.com/", Seq("Content-Type" -> "text/html"),
+        "<html><body>also fine</body></html>".getBytes(Utf8))))
+    val segments = Seq(("file:/crawl/mix.warc.gz", gz)).toDF("path", "content")
+    val recs = WarcSource.records(segments)
+    val lenient = WarcSource.htmlResponses(recs)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(lenient == Seq("http://ok.example.com/", "http://ok2.example.com/"))
+    val e = intercept[org.apache.spark.SparkException](
+      WarcSource.htmlResponses(recs, lenient = false).collect())
+    assert(e.getMessage != null)
+  }
+
   test("hostile inputs fail loudly") {
     // missing Content-Length
     val noLen = ("WARC/1.0\r\nWARC-Type: resource\r\n\r\nbody\r\n\r\n")
