@@ -253,6 +253,65 @@ object WarcSource {
       .toDF("url", "warc_date", "http_status", "html")
   }
 
+  /** Archive a fetched batch against a stored capture index with ISO
+    * 28500 §6.7 REVISIT semantics — the write side of re-crawl dedup
+    * ([[cdxDedup]] is the read side): a fetch whose payload digest is
+    * already indexed archives as a `revisit` record (profile
+    * identical-payload-digest, `WARC-Refers-To-Target-URI` naming the
+    * prior capture, `WARC-Payload-Digest` carrying the shared digest,
+    * EMPTY content block); novel payloads archive as full `response`
+    * records. This is what keeps a continuous crawl's archive growth
+    * proportional to NEW content — re-fetches cost headers, not bodies.
+    *
+    * `fetches`: (url, warc_date, body). `stored`: (digest, url) —
+    * historic payload digests with a representative capture URL.
+    * Returns member-per-record gzip segments (path, content), `nSegs`
+    * per hash of url. Shape: one row-local digest pass, one join on
+    * digest (the stored side projects to distinct digests first), one
+    * keyed aggregation into segments; payload bytes cross exactly one
+    * exchange (into their segment). */
+  def archiveWithRevisits(fetches: DataFrame, stored: DataFrame,
+      nSegs: Int = 16): DataFrame = {
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    val digested = fetches
+      .select(col("url"), col("warc_date"), col("body"))
+      .withColumn("digest", sha2(col("body"), 256))
+    val known = stored
+      .groupBy(col("digest"))
+      .agg(min(col("url")).as("refers_uri"))
+    digested.join(known, Seq("digest"), "left")
+      .select(col("url"), col("warc_date"), col("body"), col("digest"),
+        col("refers_uri"))
+      .as[(String, String, Array[Byte], String, Option[String])]
+      .groupByKey { case (url, _, _, _, _) =>
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), nSegs) }
+      .mapGroups { (seg, it) =>
+        val recs = it.toSeq.sortBy(_._1).map {
+          case (url, date, body, digest, refersUri) =>
+            val base = Seq(
+              "WARC-Target-URI" -> url,
+              "WARC-Record-ID" -> s"<urn:graft:capture:$url>",
+              "WARC-Date" -> date,
+              "WARC-Payload-Digest" -> s"sha-256:$digest")
+            refersUri match {
+              case Some(prior) => (Seq(
+                "WARC-Type" -> "revisit",
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+                "WARC-Refers-To-Target-URI" -> prior) ++ base,
+                Array.empty[Byte])
+              case None => (Seq(
+                "WARC-Type" -> "response",
+                "Content-Type" -> "application/http;msgtype=response") ++ base,
+                Warc.renderHttpResponse(200, "text/html; charset=utf-8", body))
+            }
+        }
+        (s"file:/crawl/revisit-seg-$seg.warc.gz", Warc.writeGz(recs))
+      }
+      .toDF("path", "content")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -620,5 +679,81 @@ object WarcSource {
         '<urn:uuid:resp-' || doc_id || '>' AS refers_to,
         CAST(strlen(w) AS BIGINT) AS text_len,
         sha256(w) AS text_sha
-      FROM cleaned ORDER BY url""")))
+      FROM cleaned ORDER BY url""")),
+
+    // Revisit archiving, oracle-gated end to end — the WRITE side of
+    // re-crawl dedup (w08 is the read side): odd docs are the fetched
+    // batch, even docs the stored index, and every 5th-mod batch fetch
+    // re-serves its predecessor's exact payload — those must archive as
+    // EMPTY revisit records (identical-payload-digest profile,
+    // Refers-To-Target-URI naming the prior capture) while novel
+    // payloads archive as full responses. The segments parse BACK
+    // through the real reader and DuckDB recomputes every field —
+    // type, profile, digest, linkage, body length — from the plant
+    // rule, so the join, the record grammar, and the empty-block
+    // framing are all under the hash.
+    ("w12_revisit_archive", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("prev_text"))
+      val odd = docs.filter(col("doc_id") % 2 === 1).join(prev, Seq("doc_id"))
+      val fetches = odd.select(
+        concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))
+          .as("url"),
+        lit("2025-01-01T00:00:00Z").as("warc_date"),
+        encode(when(col("doc_id") % 5 === 3,
+            concat(lit("Doc "), (col("doc_id") - 1).cast("string"),
+              lit(": "), col("prev_text")))
+          .otherwise(concat(lit("Doc "), col("doc_id").cast("string"),
+            lit(": "), col("text"))), "UTF-8").as("body"))
+      val stored = docs.filter(col("doc_id") % 2 === 0).select(
+        sha2(encode(concat(lit("Doc "), col("doc_id").cast("string"),
+          lit(": "), col("text")), "UTF-8"), 256).as("digest"),
+        concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))
+          .as("url"))
+      archiveWithRevisits(fetches, stored)
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (_, bytes) =>
+            Warc.parseAll(bytes).map { r =>
+              val bodyLen =
+                if (r.warcType == "response")
+                  Warc.httpResponse(r.content).body.length.toLong
+                else r.content.length.toLong
+              (r.targetUri, r.warcType,
+                r.headers.getOrElse("warc-profile", ""),
+                r.headers.getOrElse("warc-payload-digest", ""),
+                r.headers.getOrElse("warc-refers-to-target-uri", ""),
+                bodyLen)
+            }
+          }
+        }
+        .toDF("url", "warc_type", "profile", "payload_digest",
+          "refers_uri", "body_len")
+        .orderBy(col("url"))
+    },
+    Some("""WITH odd AS (
+        SELECT d.doc_id, d.text, p.text AS prev_text
+        FROM documents d JOIN documents p ON p.doc_id = d.doc_id - 1
+        WHERE d.doc_id % 2 = 1),
+      f AS (
+        SELECT doc_id,
+          'https://example.com/doc/' || doc_id AS url,
+          CASE WHEN doc_id % 5 = 3
+            THEN 'Doc ' || (doc_id - 1) || ': ' || prev_text
+            ELSE 'Doc ' || doc_id || ': ' || text END AS body,
+          doc_id % 5 = 3 AS is_rev
+        FROM odd)
+      SELECT url,
+        CASE WHEN is_rev THEN 'revisit' ELSE 'response' END AS warc_type,
+        CASE WHEN is_rev
+          THEN 'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+          ELSE '' END AS profile,
+        'sha-256:' || sha256(body) AS payload_digest,
+        CASE WHEN is_rev THEN 'https://example.com/doc/' || (doc_id - 1)
+          ELSE '' END AS refers_uri,
+        CAST(CASE WHEN is_rev THEN 0 ELSE strlen(body) END AS BIGINT)
+          AS body_len
+      FROM f ORDER BY url""")))
 }
