@@ -91,14 +91,28 @@ object WarcSource {
         it.flatMap { case (path, bytes) =>
           val filename = path.substring(path.lastIndexOf('/') + 1)
           Warc.parseLocated(bytes).iterator
-            .filter(_.record.warcType == "response")
+            .filter(l => l.record.warcType == "response" ||
+              l.record.warcType == "revisit")
             .map { loc =>
-              val http = Warc.httpResponse(loc.record.content)
-              val mime = http.contentType.split(";")(0).trim.toLowerCase
               val ts = loc.record.date.filter(_.isDigit).take(14)
-              (loc.record.targetUri, ts, mime, http.status,
-                sha256.digest(http.body).map("%02x".format(_)).mkString,
-                filename, loc.offset, loc.length)
+              if (loc.record.warcType == "revisit") {
+                // revisit records carry no payload — the digest comes
+                // from the WARC-Payload-Digest header (it names the
+                // ORIGINAL capture's content, which is exactly what a
+                // CDX lookup must resolve to); mime is the standard
+                // CDX marker, status 0 (a revisit has no HTTP message)
+                val digest = loc.record.headers
+                  .getOrElse("warc-payload-digest", "")
+                  .stripPrefix("sha-256:")
+                (loc.record.targetUri, ts, "warc/revisit", 0, digest,
+                  filename, loc.offset, loc.length)
+              } else {
+                val http = Warc.httpResponse(loc.record.content)
+                val mime = http.contentType.split(";")(0).trim.toLowerCase
+                (loc.record.targetUri, ts, mime, http.status,
+                  sha256.digest(http.body).map("%02x".format(_)).mkString,
+                  filename, loc.offset, loc.length)
+              }
             }
         }
       }

@@ -137,6 +137,43 @@ class WarcSpec extends SparkSuite {
     assert(e.getMessage.contains("br"))
   }
 
+  test("revisit archiving: digest-matched fetches empty out, cdx indexes them by header digest") {
+    import graft.sources.WarcSource
+    val spark2 = spark
+    import spark2.implicits._
+    val fetches = Seq(
+      ("https://a.com/new", "2025-03-01T00:00:00Z",
+        "fresh content body".getBytes(Utf8)),
+      ("https://a.com/again", "2025-03-01T00:00:00Z",
+        "previously stored body".getBytes(Utf8))).toDF("url", "warc_date", "body")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val knownDigest = sha.digest("previously stored body".getBytes(Utf8))
+      .map("%02x".format(_)).mkString
+    val stored = Seq((knownDigest, "https://b.com/original"))
+      .toDF("digest", "url")
+    val segments = WarcSource.archiveWithRevisits(fetches, stored, nSegs = 2)
+    val recs = segments.as[(String, Array[Byte])].collect()
+      .flatMap { case (_, bytes) => graft.kernel.Warc.parseAll(bytes) }
+    assert(recs.length == 2)
+    val rev = recs.find(_.warcType == "revisit").get
+    assert(rev.targetUri == "https://a.com/again")
+    assert(rev.content.isEmpty) // re-fetch costs headers, not bytes
+    assert(rev.headers("warc-refers-to-target-uri") == "https://b.com/original")
+    assert(rev.headers("warc-payload-digest") == s"sha-256:$knownDigest")
+    val resp = recs.find(_.warcType == "response").get
+    assert(new String(graft.kernel.Warc.httpResponse(resp.content).body, Utf8)
+      == "fresh content body")
+    // the CDX index sees BOTH captures: the revisit row resolves to the
+    // ORIGINAL payload digest via the header, with the standard marker
+    val cdx = WarcSource.cdxRows(segments)
+      .select("url", "mime", "status", "digest").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(cdx("https://a.com/again") == (("warc/revisit", 0, knownDigest)))
+    assert(cdx("https://a.com/new")._1 == "text/html")
+    assert(cdx("https://a.com/new")._3 != knownDigest)
+  }
+
   test("htmlResponses: undecodable transfer coding skips in lenient mode, throws in strict") {
     import graft.sources.WarcSource
     val spark2 = spark
