@@ -85,6 +85,23 @@ object Webp {
       while (i < n) { v |= bit() << i; i += 1 }
       v
     }
+    /** Next 8 bits in stream order WITHOUT consuming, zero-padded past
+      * the payload end — the prefix-decode lookup key ([[HuffTree]]). */
+    def peek8(): Int = {
+      val cur = if (pos < end) (b(pos) & 0xff) >>> bitPos else 0
+      val nxt = if (pos + 1 < end) (b(pos + 1) & 0xff) << (8 - bitPos) else 0
+      (cur | nxt) & 0xff
+    }
+    /** Consume `n` already-peeked bits (bounds-checked like [[bit]]). */
+    def skip(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        require(pos < end, "VP8L: bitstream truncated")
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+        i += 1
+      }
+    }
   }
 
   // --- prefix codes -------------------------------------------------------
@@ -116,9 +133,32 @@ object Webp {
     private val left = new Array[Int](2 * usedCount)
     private val right = new Array[Int](2 * usedCount)
     private var nNodes = 1
+    // 8-bit stream-order lookup: entry = (len << 16) | symbol for codes
+    // ≤ 8 bits (the overwhelming majority of decoded symbols); −1 falls
+    // back to the bit-by-bit tree walk — one peek replaces up to 8
+    // branchy reads on the per-pixel hot path
+    private var lut: Array[Int] = null
     if (single < 0 && pair.isEmpty) {
+      lut = Array.fill(256)(-1)
       var kraft = 0L
       val codes = canonicalCodes(lengths)
+      lengths.indices.foreach { s =>
+        val l = lengths(s)
+        if (l > 0 && l <= 8) {
+          // stream order: the code's MSB is transmitted first → LUT bit 0
+          var streamIdx = 0
+          var i = 0
+          while (i < l) {
+            streamIdx |= ((codes(s) >> (l - 1 - i)) & 1) << i
+            i += 1
+          }
+          var suffix = 0
+          while (suffix < (1 << (8 - l))) {
+            lut(streamIdx | (suffix << l)) = (l << 16) | s
+            suffix += 1
+          }
+        }
+      }
       lengths.indices.foreach { s =>
         val l = lengths(s)
         if (l > 0) {
@@ -151,6 +191,8 @@ object Webp {
     }
     private def readTree(br: BitReader): Int = {
       if (single >= 0) return single
+      val e = lut(br.peek8())
+      if (e >= 0) { br.skip(e >>> 16); return e & 0xffff }
       var node = 0
       while (true) {
         val next = if (br.bit() == 0) left(node) else right(node)
