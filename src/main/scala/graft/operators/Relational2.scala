@@ -395,5 +395,39 @@ object Relational2 {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
         l_linestatus NULLS FIRST"""))
+  ,
+    // Z-order (Morton) keys — the multi-dimensional data-layout
+    // primitive behind Delta OPTIMIZE ZORDER / Iceberg sort orders:
+    // exact integer bit interleave (codegen'd shift/mask arithmetic),
+    // oracle-gated bit-for-bit against DuckDB's replication of the
+    // same 5-step spread. The LAYOUT win (per-file min/max boxes
+    // pruning 2-D predicates a linear sort cannot) is measured in
+    // ScaleSpec over Scale.zorderWrite.
+    ("q49_zorder", (s: SparkSession, d: String) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Scale.zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber")),
+    Some("""WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem),
+      s1 AS (SELECT l_orderkey, l_linenumber,
+        ((x | (x << 16)) & 281470681808895) AS x,
+        ((y | (y << 16)) & 281470681808895) AS y FROM b),
+      s2 AS (SELECT l_orderkey, l_linenumber,
+        ((x | (x << 8)) & 71777214294589695) AS x,
+        ((y | (y << 8)) & 71777214294589695) AS y FROM s1),
+      s3 AS (SELECT l_orderkey, l_linenumber,
+        ((x | (x << 4)) & 1085102592571150095) AS x,
+        ((y | (y << 4)) & 1085102592571150095) AS y FROM s2),
+      s4 AS (SELECT l_orderkey, l_linenumber,
+        ((x | (x << 2)) & 3689348814741910323) AS x,
+        ((y | (y << 2)) & 3689348814741910323) AS y FROM s3),
+      s5 AS (SELECT l_orderkey, l_linenumber,
+        ((x | (x << 1)) & 6148914691236517205) AS x,
+        ((y | (y << 1)) & 6148914691236517205) AS y FROM s4)
+      SELECT l_orderkey, l_linenumber, (x | (y << 1)) AS z
+      FROM s5 ORDER BY z, l_orderkey, l_linenumber"""))
   )
 }

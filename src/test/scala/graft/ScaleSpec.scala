@@ -324,4 +324,54 @@ class ScaleSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(after == before)
   }
+
+  test("zorder2: hand-computed interleave; z-order layout prunes the non-leading dimension") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand case: x=3 (11b), y=5 (101b) interleave to 100111b = 39
+    val hand = Seq((3, 5), (0, 0), (1, 0), (0, 1), (7, 7)).toDF("x", "y")
+      .select(Scale.zorder2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hand == Seq(39L, 0L, 1L, 2L, 63L))
+    // negative input is loud, not silently wrapped into the key space
+    val negErr = intercept[Exception](
+      Seq((-1, 2)).toDF("x", "y")
+        .select(Scale.zorder2(col("x"), col("y"))).collect())
+    assert(negErr.getMessage.contains("zorder2"), negErr.getMessage)
+
+    // 64x64 grid written z-ordered vs linearly-by-x into 16 files each
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).cast("int").as("x"),
+        (col("id") / 64).cast("int").as("y"))
+    val zdir = tempDir("graft_zorder").getAbsolutePath + "/z"
+    val ldir = tempDir("graft_zorder").getAbsolutePath + "/linear"
+    Scale.zorderWrite(grid, col("x"), col("y"), zdir, 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(ldir)
+    // per-FILE min/max boxes — exactly what parquet footer pruning sees
+    def boxes(dir: String): Seq[(Int, Int, Int, Int)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val files = fs.listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      }
+    }
+    val zBoxes = boxes(zdir)
+    val lBoxes = boxes(ldir)
+    assert(zBoxes.size >= 8 && lBoxes.size >= 8)
+    // predicate on y ONLY (the dimension the linear layout cannot cut):
+    // y BETWEEN 10 AND 20 — every x-sorted file spans all of y and
+    // survives pruning; z-ordered files carry tight y ranges
+    def overlapping(bs: Seq[(Int, Int, Int, Int)]) =
+      bs.count { case (_, _, yMin, yMax) => yMax >= 10 && yMin <= 20 }
+    val lHit = overlapping(lBoxes)
+    val zHit = overlapping(zBoxes)
+    assert(lHit == lBoxes.size, s"linear layout unexpectedly pruned y: $lBoxes")
+    assert(zHit * 2 <= zBoxes.size,
+      s"z-order pruning too weak: $zHit of ${zBoxes.size} files overlap y∈[10,20]")
+  }
 }
