@@ -174,6 +174,44 @@ class WarcSpec extends SparkSuite {
     assert(cdx("https://a.com/new")._3 != knownDigest)
   }
 
+  test("continuous-crawl revisit loop: batch 2 re-fetches archive empty against batch 1's index") {
+    import graft.sources.WarcSource
+    val spark2 = spark
+    import spark2.implicits._
+    def batchDf(rows: Seq[(String, String)]) =
+      rows.map { case (url, body) =>
+        (url, "2025-04-01T00:00:00Z", body.getBytes(Utf8)) }
+        .toDF("url", "warc_date", "body")
+    // batch 1: two novel pages — archives as full responses
+    val arch1 = WarcSource.archiveWithRevisits(
+      batchDf(Seq(("https://a.com/p1", "page one body"),
+        ("https://a.com/p2", "page two body"))),
+      Seq.empty[(String, String)].toDF("digest", "url"))
+    val cdx1 = WarcSource.cdxRows(arch1)
+    assert(cdx1.filter(col("mime") === "warc/revisit").count() == 0)
+    // batch 2: one new page + one re-serve of p1's exact payload from a
+    // DIFFERENT url — the index built from batch 1's own archive must
+    // turn it into a revisit referencing p1
+    val arch2 = WarcSource.archiveWithRevisits(
+      batchDf(Seq(("https://b.com/mirror-of-p1", "page one body"),
+        ("https://a.com/p3", "page three body"))),
+      cdx1.select(col("digest"), col("url")))
+    val recs2 = arch2.as[(String, Array[Byte])].collect()
+      .flatMap { case (_, b) => graft.kernel.Warc.parseAll(b) }
+    val rev = recs2.find(_.warcType == "revisit").get
+    assert(rev.targetUri == "https://b.com/mirror-of-p1")
+    assert(rev.headers("warc-refers-to-target-uri") == "https://a.com/p1")
+    assert(rev.content.isEmpty)
+    assert(recs2.count(_.warcType == "response") == 1)
+    // and the batch-2 index keeps the chain queryable: the revisit row
+    // resolves to p1's payload digest
+    val d1 = cdx1.filter(col("url") === "https://a.com/p1")
+      .select("digest").head().getString(0)
+    val cdx2 = WarcSource.cdxRows(arch2)
+    assert(cdx2.filter(col("mime") === "warc/revisit")
+      .select("digest").head().getString(0) == d1)
+  }
+
   test("htmlResponses: undecodable transfer coding skips in lenient mode, throws in strict") {
     import graft.sources.WarcSource
     val spark2 = spark
