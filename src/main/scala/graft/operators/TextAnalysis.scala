@@ -121,9 +121,14 @@ object TextAnalysis {
       .select(col("model_lang"), col("bucket"),
         floor((coalesce(col("c"), lit(0L)) + 1).cast("double") /
           (col("tot") + buckets).cast("double") * Q).cast("long").as("wq"))
-    val scores = toks.join(broadcast(dense), Seq("bucket"))
+    // pre-aggregate to (doc, bucket, n) BEFORE the ×languages fan-out:
+    // the scoring join then expands the compressed per-doc bucket
+    // profile, not every token occurrence
+    val docBuckets = toks.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val scores = docBuckets.join(broadcast(dense), Seq("bucket"))
       .groupBy(col("doc_id"), col("model_lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wq")).as("sum_wq"))
+      .agg(sum(col("n")).as("n_tokens"), sum(col("wq") * col("n")).as("sum_wq"))
     val best = scores.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("sum_wq").desc, col("model_lang"))))
