@@ -88,6 +88,7 @@ object SparkEntry {
     "w07_host_rank" -> Seq("spec:FrontierSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
     "t37_bpe_bytes" -> Seq("spec:TrainingSpec"),
+    "s14_cluster_mixture" -> Seq("spec:LlmOpsSpec"),
     "t40_dsir_scale" -> Seq("spec:TrainingSpec"),
     "t41_ccnet_buckets_scale" -> Seq("spec:CurateSpec"))
 

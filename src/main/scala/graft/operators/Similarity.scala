@@ -610,6 +610,49 @@ object Similarity {
           .as("code"))
   }
 
+  /** Cluster-balanced sampling — the DoReMi/temperature-flattening
+    * workflow over SEMANTIC clusters instead of named sources (t15/t30
+    * balance by source label; this balances by what documents are
+    * ABOUT): cluster the embedding corpus with the IVF coarse
+    * quantizer, flatten cluster mass with a `temperature` exponent
+    * (rate_c ∝ n_c^(τ−1), τ<1 down-weights dominant topics), normalize
+    * so the most up-weighted cluster keeps everything (one pass can
+    * only downsample — the t30 rule), and accept each vector by the
+    * deterministic md5-bucket test so re-runs keep the identical set.
+    *
+    * Plan: centroids ride the plan (broadcast model), assignment is the
+    * codegen'd row-local argmax, cluster counts are one tiny
+    * aggregation broadcast back — the corpus never shuffles. */
+  def clusterMixture(emb: DataFrame, temperature: Double = 0.5,
+      nClusters: Int = 0): DataFrame = {
+    require(temperature > 0 && temperature <= 1, s"temperature $temperature")
+    val n = emb.count()
+    val k = if (nClusters > 0) nClusters else nlistFor(n)
+    val (cents, dim) = trainCentroids(emb, k, n)
+    val fns = graft.functions.GraftFunctions
+    val assigned = emb.select(col("vec_id"),
+        element_at(fns.nearest_centroids(col("embedding"), cents, dim, 1), 1)
+          .as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    // rate_c ∝ n_c^(τ-1), normalized by the max so the most up-weighted
+    // cluster keeps rate 1; Q24-quantized threshold, md5-bucket accept
+    // (the t30 determinism discipline)
+    val rated = counts
+      .withColumn("raw_rate", pow(col("n_c").cast("double"), lit(temperature - 1)))
+      .withColumn("rate", col("raw_rate") /
+        max(col("raw_rate")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("cluster"), col("n_c"), col("rate"),
+        floor(col("rate") * lit(16777216.0)).cast("long").as("threshold"))
+    assigned.join(broadcast(rated), Seq("cluster"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("cmix:"), col("vec_id").cast("string"))),
+          1, 6), 16, 10).cast("long"))
+      .select(col("vec_id"), col("cluster"), col("n_c"), col("rate"),
+        (col("bucket") < col("threshold")).as("kept"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the corpus with the IVF coarse quantizer
     * (spherical k-means, k ≈ √n), then within each cluster flag every
@@ -1089,6 +1132,15 @@ object Similarity {
     // and the coding join; the corpus never shuffles beyond the final
     // order. Reconstruction-error bound and round-trip monotonicity
     // are spec-gated in LlmOpsSpec.
+    // Cluster-balanced sampling — temperature-flattened keep rates over
+    // semantic clusters (the DoReMi workflow with topics instead of
+    // source labels). Rows-only (k-means is float-iterative);
+    // flattening, rate-1 floor, temperature=1 identity, and determinism
+    // are spec-gated in LlmOpsSpec.
+    ("s14_cluster_mixture", (s: SparkSession, d: String) =>
+      clusterMixture(Tables.embeddings(s, d), temperature = 0.5)
+        .orderBy(col("vec_id")), None),
+
     ("s13_scalar_quant", (s: SparkSession, d: String) =>
       scalarQuantize(Tables.embeddings(s, d))
         .orderBy(col("vec_id"), col("dim")),

@@ -526,6 +526,48 @@ class LlmOpsSpec extends SparkSuite {
     } finally spark.conf.unset(Multimodal.DecoderConfKey)
   }
 
+  test("cluster mixture: flattening, rate-1 floor, temperature-1 identity, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three well-separated clusters with very different masses
+    def vec(center: Int, j: Long): Array[Float] = Array.tabulate(8) { i =>
+      val base = if (i == center) 10f else 0f
+      base + ((j * 31 + i * 7) % 5) * 0.01f
+    }
+    val rows = (0 until 200).map(j => (j.toLong, vec(0, j))) ++
+      (0 until 50).map(j => (200L + j, vec(1, j))) ++
+      (0 until 10).map(j => (250L + j, vec(2, j)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.clusterMixture(emb, temperature = 0.5, nClusters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 260)
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.size == 3, s"expected 3 clusters, got ${byCluster.keySet}")
+    // the smallest cluster is the most up-weighted: rate exactly 1,
+    // everything kept
+    val smallest = byCluster.minBy(_._2.size)._2
+    assert(smallest.size == 10 && smallest.forall(_._5) &&
+      smallest.forall(_._4 == 1.0), "smallest cluster must keep all")
+    // flattening: kept-count imbalance strictly below input imbalance
+    val inRatio = byCluster.values.map(_.size).max.toDouble /
+      byCluster.values.map(_.size).min
+    val kept = byCluster.view.mapValues(_.count(_._5)).toMap
+    val keptRatio = kept.values.max.toDouble / math.max(kept.values.min, 1)
+    assert(keptRatio < inRatio, s"kept ratio $keptRatio !< input $inRatio")
+    // rates follow n^(tau-1): dominant cluster's rate ≈ (10/200)^0.5
+    val big = byCluster.maxBy(_._2.size)._2
+    assert(math.abs(big.head._4 - math.sqrt(10.0 / 200)) < 1e-9, big.head._4)
+    // temperature 1 = identity: every rate 1, everything kept
+    val flat = Similarity.clusterMixture(emb, temperature = 1.0, nClusters = 3)
+      .collect()
+    assert(flat.forall(r => r.getDouble(3) == 1.0 && r.getBoolean(4)))
+    // determinism: bit-identical kept set on a re-run
+    val again = Similarity.clusterMixture(emb, temperature = 0.5, nClusters = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1).toSeq
+    assert(again == out.map(r => (r._1, r._5)).sortBy(_._1).toSeq)
+  }
+
   test("scalar quantization: error bound, monotonicity, constant dim, range") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
