@@ -281,6 +281,30 @@ class WebpSpec extends AnyFunSuite {
       (10, 20, 30), (15, 25, 35), (20, 30, 40), (15, 25, 35), (10, 20, 30)))
   }
 
+  test("hand fixture: meta prefix codes partition the image into per-block groups") {
+    // 8x1 image, meta block size 4 (size_bits code 0 → 2+0... spec: 2 +
+    // ReadBits(3), here bits=0 → metaBits 2 → 4-px blocks): meta image
+    // 2x1 selects group 0 for x 0-3 and group 1 for x 4-7; each group's
+    // green code is single-symbol (0 bits per pixel), so the pixel
+    // values come ENTIRELY from group selection
+    val w = new W().header(8, 1, 0)
+      .b(0, 1)          // no transforms
+      .b(0, 1)          // no cache
+      .b(1, 1).b(0, 3)  // meta prefix codes, size_bits = 2
+      // meta sub-image 2x1 (level0=false): no cache; green simple pair
+      // 0/1, others single; pixels: group 0 then group 1
+      .b(0, 1)
+      .b(1, 1).b(1, 1).b(1, 1).b(0, 8).b(1, 8) // green simple2(0, 1)
+      .simple1(0).simple1(0).simple1(0).simple1(0)
+      .code("0").code("1")
+      // group 0: green always 100; group 1: green always 200
+      .simple1(100).simple1(0).simple1(0).simple1(255).simple1(0)
+      .simple1(200).simple1(0).simple1(0).simple1(255).simple1(0)
+    val img = Webp.decode(w.riff)
+    assert(img.width == 8 && img.height == 1)
+    assert(rgb(img) == Seq.fill(4)((0, 100, 0)) ++ Seq.fill(4)((0, 200, 0)))
+  }
+
   test("predictor kernel: clamp add/subtract full and half, averages (spec arithmetic)") {
     def px(a: Int, r: Int, g: Int, b: Int) = (a << 24) | (r << 16) | (g << 8) | b
     // mode 12 full clamp: L+T−TL per channel, clamped at both ends
