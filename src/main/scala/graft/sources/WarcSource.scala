@@ -267,6 +267,37 @@ object WarcSource {
       .toDF("url", "warc_date", "http_status", "html")
   }
 
+  /** One WAT metadata envelope (fixed field order, minimal JSON
+    * escaping) — the Common Crawl WAT sidecar's per-response payload
+    * shape: enough header/link structure to build link graphs and
+    * frontier tables WITHOUT touching page bytes. Deterministic by
+    * construction, so both engines can rebuild the exact string. */
+  def watEnvelope(url: String, status: Int, mime: String, length: Long,
+      links: Seq[String]): String = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    s"""{"url":${q(url)},"status":$status,"mime":${q(mime)},""" +
+      s""""length":$length,"links":[${links.map(q).mkString(",")}]}"""
+  }
+
+  private val WatHref =
+    java.util.regex.Pattern.compile("<a\\s[^>]*href=\"(https?://[^\"#]+)")
+
+  /** Outbound links of an HTML body — the kernel-side twin of
+    * [[graft.sources.Frontier.extractLinks]]'s column regex (same
+    * pattern, same dialect), for use inside partition kernels. */
+  def extractHrefs(html: String): Seq[String] = {
+    val m = WatHref.matcher(html)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group(1)
+    out.result()
+  }
+
   /** Archive a fetched batch against a stored capture index with ISO
     * 28500 §6.7 REVISIT semantics — the write side of re-crawl dedup
     * ([[cdxDedup]] is the read side): a fetch whose payload digest is
@@ -769,5 +800,76 @@ object WarcSource {
           ELSE '' END AS refers_uri,
         CAST(CASE WHEN is_rev THEN 0 ELSE strlen(body) END AS BIGINT)
           AS body_len
-      FROM f ORDER BY url""")))
+      FROM f ORDER BY url""")),
+
+    // WAT derivation, oracle-gated end to end — the OTHER Common Crawl
+    // sidecar (w11 is WET/text; this is metadata): every response
+    // re-emits as an ISO 28500 `metadata` record whose JSON payload
+    // carries status, mime, payload length, and the page's outbound
+    // links (the input to w06's link graph) — fixed field order, so
+    // DuckDB rebuilds the exact envelope. The chain runs archive →
+    // parse → HTTP split → href extraction → metadata re-archive →
+    // parse BACK, so the writer, the reader, the linkage, and the link
+    // regex are all under the hash.
+    ("w13_wat_extract", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val segments = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val html = s"<html><body><h1>Doc $id</h1><p>" + text +
+            s""" <a href="https://example.com/next/${id + 1}">n</a>""" +
+            "</p></body></html>"
+          val gz = Warc.writeGz(Seq((Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://example.com/doc/$id",
+            "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+            "WARC-Date" -> "2025-01-01T00:00:00Z",
+            "Content-Type" -> "application/http;msgtype=response"),
+            Warc.renderHttpResponse(200, "text/html; charset=utf-8",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+          (s"file:/crawl/wat-$id.warc.gz", gz)
+        }
+        .toDF("path", "content")
+      records(segments)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"), col("warc_date"), col("content"))
+        .as[(String, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (uri, date, content) =>
+            val http = Warc.httpResponse(content)
+            val body = Warc.decodeText(http)
+            val wat = watEnvelope(uri, http.status,
+              http.contentType.split(";")(0).trim.toLowerCase,
+              http.body.length.toLong, extractHrefs(body))
+            val gz = Warc.writeGz(Seq((Seq(
+              "WARC-Type" -> "metadata",
+              "WARC-Target-URI" -> uri,
+              "WARC-Record-ID" -> s"<urn:graft:wat:$uri>",
+              "WARC-Refers-To" -> s"<urn:uuid:resp-${uri.split('/').last}>",
+              "WARC-Date" -> date,
+              "Content-Type" -> "application/json"),
+              wat.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            val rec = Warc.parseAll(gz).head
+            (uri, rec.warcType,
+              rec.headers.getOrElse("warc-refers-to", ""),
+              new String(rec.content, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+        .toDF("url", "warc_type", "refers_to", "wat_json")
+        .orderBy(col("url"))
+    },
+    Some("""WITH page AS (
+        SELECT doc_id,
+          '<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+            ' <a href="https://example.com/next/' || (doc_id + 1) ||
+            '">n</a></p></body></html>' AS h
+        FROM documents)
+      SELECT 'http://example.com/doc/' || doc_id AS url,
+        'metadata' AS warc_type,
+        '<urn:uuid:resp-' || doc_id || '>' AS refers_to,
+        '{"url":"http://example.com/doc/' || doc_id ||
+          '","status":200,"mime":"text/html","length":' || strlen(h) ||
+          ',"links":["https://example.com/next/' || (doc_id + 1) ||
+          '"]}' AS wat_json
+      FROM page ORDER BY url""")))
 }
