@@ -506,6 +506,69 @@ object Frontier {
         FROM n)
       SELECT host, sitemap_idx,
         'https://' || host || '/sm-' || sitemap_idx || '.xml' AS sitemap_url
-      FROM rows_ ORDER BY host, sitemap_idx"""))
+      FROM rows_ ORDER BY host, sitemap_idx""")),
+
+    // The WHOLE frontier politeness pipeline in one composed
+    // oracle-gated query: crawled pages → link extraction → URL dedup →
+    // RFC 9309 robots verdicts (real grammar: longest-match Allow /x8
+    // carving an exception out of Disallow /x, per-host crawl delays,
+    // rule-free hosts defaulting to allow) → per-host fetch schedule.
+    // DuckDB recomputes the planted-effective-outcome of every stage,
+    // so a bug in the regex, the dedup, group selection, specificity,
+    // delay plumbing, or slot assignment breaks the hash.
+    ("c03_frontier_pipeline", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d)
+      val pages = docs.select(
+        concat(lit("https://h"), col("doc_id") % 19,
+          lit(".example.com/p"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><body><a href=\"https://h"), (col("doc_id") + 1) % 19,
+          lit(".example.com/x"), col("doc_id"),
+          lit("\">a</a> <a href=\"https://h"), (col("doc_id") * 3 + 1) % 19,
+          lit(".example.com/y\">b</a></body></html>")).as("html"))
+      val frontier = extractLinks(pages)
+        .select(col("dst_url").as("url")).distinct()
+      val robots = s.range(19).select(
+        concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+        when(col("id") % 2 === 0,
+          concat(lit("User-agent: *\nDisallow: /x\nAllow: /x8\nCrawl-delay: "),
+            (lit(1) + col("id") % 4).cast("string"), lit("\n")))
+          .otherwise(lit("User-agent: *\n")).as("robots_txt"))
+      schedule(robotsVerdicts(frontier, robots, "graftbot"))
+        .select(col("url"), col("host"), col("slot"), col("fetch_offset_sec"))
+        .orderBy(col("url"))
+    },
+    Some("""WITH x AS (
+        SELECT 'https://h' || ((doc_id + 1) % 19) || '.example.com/x' ||
+            doc_id AS url,
+          'h' || ((doc_id + 1) % 19) || '.example.com' AS host,
+          CAST((doc_id + 1) % 19 AS INTEGER) AS k,
+          CAST(doc_id AS VARCHAR) LIKE '8%' AS x8
+        FROM documents),
+      y AS (
+        SELECT DISTINCT
+          'https://h' || ((doc_id * 3 + 1) % 19) || '.example.com/y' AS url,
+          'h' || ((doc_id * 3 + 1) % 19) || '.example.com' AS host,
+          CAST((doc_id * 3 + 1) % 19 AS INTEGER) AS k
+        FROM documents),
+      verd AS (
+        SELECT url, host,
+          CASE WHEN k % 2 = 1 THEN true ELSE x8 END AS allowed,
+          CASE WHEN k % 2 = 0 THEN CAST(1 + k % 4 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS delay
+        FROM x
+        UNION ALL
+        SELECT url, host, true,
+          CASE WHEN k % 2 = 0 THEN CAST(1 + k % 4 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END
+        FROM y),
+      a AS (SELECT * FROM verd WHERE allowed)
+      SELECT url, host,
+        CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+          AS BIGINT) AS slot,
+        CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+          AS DOUBLE) * delay AS fetch_offset_sec
+      FROM a ORDER BY url"""))
   )
 }
