@@ -97,8 +97,10 @@ object TextAnalysis {
     * (persisted); the model is languages×buckets — tiny — and rides a
     * broadcast join; the per-doc argmax window partitions BY doc_id
     * (languages-many rows each, never a global window). */
-  def langIdModel(docs: DataFrame, buckets: Int = 2048): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The per-(document, language) score table behind [[langIdModel]]
+    * and [[langIdMargin]]: one row per (doc_id, model_lang) with the
+    * exact Q30 integer score sum. */
+  def langIdScores(docs: DataFrame, buckets: Int = 2048): DataFrame = {
     val Q = 1073741824L // 2^30
     val spark = docs.sparkSession
     val toks = docs.select(col("doc_id"), col("lang"),
@@ -126,9 +128,14 @@ object TextAnalysis {
     // profile, not every token occurrence
     val docBuckets = toks.groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val scores = docBuckets.join(broadcast(dense), Seq("bucket"))
+    docBuckets.join(broadcast(dense), Seq("bucket"))
       .groupBy(col("doc_id"), col("model_lang"))
       .agg(sum(col("n")).as("n_tokens"), sum(col("wq") * col("n")).as("sum_wq"))
+  }
+
+  def langIdModel(docs: DataFrame, buckets: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = langIdScores(docs, buckets)
     val best = scores.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("sum_wq").desc, col("model_lang"))))
@@ -139,6 +146,34 @@ object TextAnalysis {
         coalesce(col("model_lang"), lit("und")).as("pred_lang"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("sum_wq"), lit(0L)).as("sum_wq"))
+  }
+
+  /** CCNet-style confidence for the trained langid: the Q30 score gap
+    * between the winning and runner-up languages — the gate real
+    * pipelines threshold before trusting a prediction (a short or
+    * code-switched document wins by a sliver; a clean monolingual one
+    * by a mile). Exact integer arithmetic end to end, so the margin —
+    * and transitively both models — is oracle-comparable. Same plan
+    * shape as [[langIdModel]] plus one extra filter over the ranked
+    * frame (persisted — both the winner and runner-up read it). */
+  def langIdMargin(docs: DataFrame, buckets: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = langIdScores(docs, buckets)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("sum_wq").desc, col("model_lang"))))
+      .filter(col("rk") <= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = ranked.filter(col("rk") === 1).select(col("doc_id"),
+      col("model_lang").as("pred_lang"), col("n_tokens"),
+      col("sum_wq").as("s1"))
+    val second = ranked.filter(col("rk") === 2).select(col("doc_id"),
+      col("model_lang").as("second_lang"), col("sum_wq").as("s2"))
+    top.join(second, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pred_lang"),
+        coalesce(col("second_lang"), lit("")).as("second_lang"),
+        col("n_tokens"),
+        (col("s1") - coalesce(col("s2"), lit(0L))).as("margin_q30"))
   }
 
   /** (doc_id, w1, w2) bigram rows — `slice` + `arrays_zip` (codegen'd
@@ -701,6 +736,48 @@ object TextAnalysis {
       FROM documents docs
       LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON docs.doc_id = b.doc_id
       ORDER BY docs.doc_id""")),
+
+    // Langid confidence margins — the CCNet-style gate on top of t04:
+    // the exact Q30 gap between winner and runner-up, oracle-gated
+    // (integer sums of the same bit-stable model weights). Token-free
+    // docs have no score rows and are absent by contract on both sides.
+    ("t43_langid_margin", (s: SparkSession, d: String) =>
+      langIdMargin(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, lang,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tk AS (
+        SELECT doc_id, lang,
+          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 2048 AS bucket
+        FROM tok WHERE token <> ''),
+      cnt AS (
+        SELECT lang AS model_lang, bucket, count(*) AS c
+        FROM tk GROUP BY 1, 2),
+      tot AS (SELECT model_lang, sum(c) AS tot FROM cnt GROUP BY 1),
+      dense AS (
+        SELECT t.model_lang, r.range AS bucket,
+          CAST(floor(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+            / CAST(t.tot + 2048 AS DOUBLE) * 1073741824) AS BIGINT) AS wq
+        FROM tot t CROSS JOIN range(2048) r
+        LEFT JOIN cnt c ON c.model_lang = t.model_lang AND c.bucket = r.range),
+      sc AS (
+        SELECT tk.doc_id, d.model_lang, count(*) AS n_tokens,
+          CAST(sum(d.wq) AS BIGINT) AS sum_wq
+        FROM tk JOIN dense d ON tk.bucket = d.bucket
+        GROUP BY 1, 2),
+      rnk AS (
+        SELECT doc_id, model_lang, n_tokens, sum_wq,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY sum_wq DESC, model_lang) AS rk
+        FROM sc)
+      SELECT t.doc_id, t.model_lang AS pred_lang,
+        COALESCE(s.model_lang, '') AS second_lang,
+        CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        CAST(t.sum_wq - COALESCE(s.sum_wq, 0) AS BIGINT) AS margin_q30
+      FROM (SELECT * FROM rnk WHERE rk = 1) t
+      LEFT JOIN (SELECT * FROM rnk WHERE rk = 2) s ON t.doc_id = s.doc_id
+      ORDER BY t.doc_id""")),
 
     // Gopher Table-A1 quality rules over a planted view: most docs get
     // a stop-word tail (so the two-of-eight floor differentiates), and
