@@ -230,6 +230,29 @@ object Frontier {
       .toDF("host", "kind", "loc", "lastmod")
   }
 
+  /** Freshness-driven re-crawl selection — what a continuous crawl
+    * does with sitemap `lastmod` against its own capture index: a URL
+    * is DUE when it was never captured, or when its advertised lastmod
+    * post-dates the latest stored capture. `seeds`: (loc, lastmod —
+    * `YYYY-MM-DD` or empty) from [[sitemapSeeds]]; `cdx`: (url, ts —
+    * 14-digit) from [[WarcSource.cdxRows]]. The index side aggregates
+    * to max-ts per url BEFORE the join, so capture multiplicity never
+    * fans the seed list; one keyed join, no other shuffle. An empty
+    * lastmod means the sitemap makes no freshness claim — only
+    * never-captured URLs are due. */
+  def recrawlDue(seeds: DataFrame, cdx: DataFrame): DataFrame = {
+    val latest = cdx.groupBy(col("url"))
+      .agg(max(col("ts")).as("last_capture_ts"))
+    seeds.select(col("loc").as("url"), col("lastmod"))
+      .join(latest, Seq("url"), "left")
+      .select(col("url"), col("lastmod"),
+        coalesce(col("last_capture_ts"), lit("")).as("last_capture_ts"),
+        (col("last_capture_ts").isNull ||
+          (col("lastmod") =!= "" &&
+            concat(regexp_replace(col("lastmod"), "-", ""), lit("000000")) >
+              col("last_capture_ts"))).as("due"))
+  }
+
   /** Sitemap DIRECTIVES out of robots.txt — the missing link between
     * the robots fetch and [[sitemapSeeds]]: RFC 9309 lets a host
     * advertise its sitemaps as `Sitemap:` lines (outside any group,
@@ -569,6 +592,48 @@ object Frontier {
           AS BIGINT) AS slot,
         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
           AS DOUBLE) * delay AS fetch_offset_sec
-      FROM a ORDER BY url"""))
+      FROM a ORDER BY url""")),
+
+    // Freshness-driven re-crawl selection, oracle-gated: per-doc seed
+    // URLs carry a planted lastmod day (every 6th doc makes NO
+    // freshness claim), the capture index covers every 3rd doc with a
+    // planted capture day, and `due` must reproduce the exact
+    // calendar comparison — never-captured URLs due, stale captures
+    // due, fresh captures and claim-free captured URLs not due.
+    ("w14_recrawl_due", (s: SparkSession, d: String) => {
+      val docs = graft.Tables.documents(s, d)
+      val seeds = docs.select(
+        concat(lit("https://h"), col("doc_id") % 19,
+          lit(".example.com/p"), col("doc_id")).as("loc"),
+        when(col("doc_id") % 6 === 0, lit(""))
+          .otherwise(concat(lit("2025-02-"),
+            lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0")))
+          .as("lastmod"))
+      val cdx = docs.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("https://h"), col("doc_id") % 19,
+          lit(".example.com/p"), col("doc_id")).as("url"),
+        concat(lit("202502"),
+          lpad((col("doc_id") % 13 + 1).cast("string"), 2, "0"),
+          lit("120000")).as("ts"))
+      recrawlDue(seeds, cdx).orderBy(col("url"))
+    },
+    Some("""WITH seeds AS (
+        SELECT doc_id,
+          'https://h' || (doc_id % 19) || '.example.com/p' || doc_id AS url,
+          CASE WHEN doc_id % 6 = 0 THEN ''
+            ELSE '2025-02-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+          END AS lastmod
+        FROM documents),
+      cdx AS (
+        SELECT doc_id,
+          '202502' || lpad(CAST(doc_id % 13 + 1 AS VARCHAR), 2, '0') ||
+            '120000' AS ts
+        FROM documents WHERE doc_id % 3 = 0)
+      SELECT s.url, s.lastmod,
+        COALESCE(c.ts, '') AS last_capture_ts,
+        (c.ts IS NULL OR (s.lastmod <> '' AND
+          replace(s.lastmod, '-', '') || '000000' > c.ts)) AS due
+      FROM seeds s LEFT JOIN cdx c ON s.doc_id = c.doc_id
+      ORDER BY s.url"""))
   )
 }

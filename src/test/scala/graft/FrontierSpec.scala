@@ -263,4 +263,42 @@ class FrontierSpec extends SparkSuite {
       ("https://a.com/2", 1L, 2.0),
       ("https://b.com/1", 0L, 0.0)))
   }
+
+  // Hand-computed (not shared-formula): the day-boundary semantics of
+  // lastmod-vs-capture. A lastmod date expands to midnight (D000000),
+  // so a capture at ANY time on day D beats a lastmod claim of day D —
+  // same-day is NOT due. Multiple captures collapse to the latest
+  // before the join (no seed fan-out).
+  test("recrawlDue: never-captured due, same-day not due, only newer lastmod re-crawls") {
+    val spark2 = spark
+    import spark2.implicits._
+    val seeds = Seq(
+      ("https://a.com/new", "2025-02-05"), // never captured, claim → due
+      ("https://a.com/newq", ""), // never captured, no claim → still due
+      ("https://a.com/fresh", "2025-02-05"), // captured 02-05 12:00 → same day, not due
+      ("https://a.com/stale", "2025-02-06"), // captured 02-05 → due
+      ("https://a.com/old", "2025-02-04"), // captured 02-05 → not due
+      ("https://a.com/quiet", ""), // captured, no claim → not due
+      ("https://a.com/multi", "2025-02-08") // captured 02-03 AND 02-10 → latest wins, not due
+    ).toDF("loc", "lastmod")
+    val cdx = Seq(
+      ("https://a.com/fresh", "20250205120000"),
+      ("https://a.com/stale", "20250205120000"),
+      ("https://a.com/old", "20250205120000"),
+      ("https://a.com/quiet", "20250205120000"),
+      ("https://a.com/multi", "20250203120000"),
+      ("https://a.com/multi", "20250210120000")
+    ).toDF("url", "ts")
+    val got = Frontier.recrawlDue(seeds, cdx)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("https://a.com/fresh", "20250205120000", false),
+      ("https://a.com/multi", "20250210120000", false),
+      ("https://a.com/new", "", true),
+      ("https://a.com/newq", "", true),
+      ("https://a.com/old", "20250205120000", false),
+      ("https://a.com/quiet", "20250205120000", false),
+      ("https://a.com/stale", "20250205120000", true)))
+  }
 }
