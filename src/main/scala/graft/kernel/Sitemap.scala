@@ -48,7 +48,7 @@ object Sitemap {
     indexOfTag(xml, tag, 0) >= 0
 
   /** Index just past `<tag`+delimiter (attributes tolerated), or -1. */
-  private def indexOfTag(xml: String, tag: String, from: Int): Int = {
+  private[kernel] def indexOfTag(xml: String, tag: String, from: Int): Int = {
     var i = from
     while (true) {
       val at = xml.indexOf(s"<$tag", i)
@@ -65,7 +65,7 @@ object Sitemap {
     -1
   }
 
-  private def tagText(block: String, tag: String): Option[String] = {
+  private[kernel] def tagText(block: String, tag: String): Option[String] = {
     val open = indexOfTag(block, tag, 0)
     if (open < 0) None
     else {
@@ -75,7 +75,7 @@ object Sitemap {
     }
   }
 
-  private def decodeEntities(s: String): String =
+  private[kernel] def decodeEntities(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&") // &amp; LAST (t27's lesson)
 }
