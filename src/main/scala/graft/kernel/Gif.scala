@@ -53,6 +53,17 @@ object Gif {
       bytes(2) == 'F' && bytes(3) == '8' &&
       (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
 
+  /** Header-only (width, height) from the logical screen descriptor —
+    * the canvas every frame composites onto. */
+  def headerDims(bytes: Array[Byte]): (Int, Int) = {
+    require(isGif(bytes), "not a GIF: bad signature")
+    require(bytes.length >= 13, "truncated logical screen descriptor")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    require(w > 0 && h > 0, s"GIF: degenerate dimensions ${w}x$h")
+    (w, h)
+  }
+
   /** First composited frame (for still images, the image itself). */
   def decode(bytes: Array[Byte],
       maxSamples: Long = DefaultMaxSamples): Image = {

@@ -56,6 +56,18 @@ object Png {
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
+  /** Header-only (width, height) from IHDR — which the spec requires
+    * to be the FIRST chunk, so this is a fixed-offset read. */
+  def headerDims(bytes: Array[Byte]): (Int, Int) = {
+    require(isPng(bytes), "not a PNG: bad signature")
+    require(bytes.length >= 24, "PNG: truncated before IHDR")
+    require(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+      bytes(15) == 'R', "PNG: first chunk is not IHDR")
+    val w = be32(bytes, 16); val h = be32(bytes, 20)
+    require(w > 0 && h > 0, s"PNG: degenerate dimensions ${w}x$h")
+    (w, h)
+  }
+
   def decode(bytes: Array[Byte], maxSamples: Long = DefaultMaxSamples): Image = {
     require(isPng(bytes), "not a PNG: bad signature")
     var off = 8

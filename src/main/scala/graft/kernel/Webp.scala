@@ -661,6 +661,85 @@ object Webp {
     result
   }
 
+  // --- header-only metadata ----------------------------------------------
+
+  /** Container-level metadata: codec flavor + dimensions, NO pixel
+    * decode. `flavor` is `"lossless"` (VP8L) or `"lossy"` (VP8). This
+    * is the piece that keeps the metadata table (m25) total over real
+    * crawls: lossy VP8 is the DOMINANT WebP flavor in the wild, and
+    * while its DCT payload is out of a pure-JVM codec's scope, its
+    * keyframe header — frame tag, start code, 14-bit dimensions — is
+    * UNCOMPRESSED (RFC 6386 §9.1) and free to read. */
+  final case class Meta(flavor: String, width: Int, height: Int)
+
+  def metadata(bytes: Array[Byte]): Meta = {
+    require(isWebp(bytes), "not a WebP: bad RIFF/WEBP signature")
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, "ISO-8859-1")
+      val size = le32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"WebP: chunk '$tag' size $size overruns the file")
+      val p = off + 8
+      if (tag == "VP8L") {
+        // 1-byte signature, then 14+14 bit dims (LSB-first)
+        require(size >= 5, "VP8L: header truncated")
+        require((bytes(p) & 0xff) == 0x2f, "VP8L: bad signature byte")
+        val br = new BitReader(bytes, p + 1, p + 5)
+        return Meta("lossless", br.bits(14) + 1, br.bits(14) + 1)
+      }
+      if (tag == "VP8 ") {
+        // RFC 6386 §9.1: 3-byte frame tag (bit 0: 0 = key frame — the
+        // only frame a standalone file can open with), 3-byte start
+        // code 9D 01 2A, then 16-bit LE width/height (14 bits each,
+        // top 2 bits are the rescale hint)
+        require(size >= 10, "VP8: frame header truncated")
+        val frameTag = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+          ((bytes(p + 2) & 0xff) << 16)
+        require((frameTag & 1) == 0, "VP8: first frame is not a key frame")
+        require((bytes(p + 3) & 0xff) == 0x9d && (bytes(p + 4) & 0xff) == 0x01 &&
+          (bytes(p + 5) & 0xff) == 0x2a, "VP8: bad keyframe start code")
+        val w = ((bytes(p + 6) & 0xff) | ((bytes(p + 7) & 0xff) << 8)) & 0x3fff
+        val h = ((bytes(p + 8) & 0xff) | ((bytes(p + 9) & 0xff) << 8)) & 0x3fff
+        require(w > 0 && h > 0, s"VP8: degenerate dimensions ${w}x$h")
+        return Meta("lossy", w, h)
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    throw new IllegalArgumentException("WebP: no VP8L or VP8 chunk found")
+  }
+
+  /** Fixture builder: a structurally valid lossy-WebP file — RIFF
+    * container + `VP8 ` chunk whose keyframe header carries `w`×`h` —
+    * with an empty coefficient payload. [[metadata]] reads it;
+    * [[decode]] rejects it loudly (DCT decode is out of scope), which
+    * is exactly the metadata-only vs decodable split the media seam
+    * reports. */
+  def encodeLossyHeader(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && w <= 0x3fff && h >= 1 && h <= 0x3fff,
+      s"VP8 dims ${w}x$h out of 14-bit range")
+    val payload = new Array[Byte](10)
+    // frame tag: key frame (bit0=0), version 0, show_frame (bit4),
+    // first_part_size 0
+    payload(0) = 0x10
+    payload(1) = 0
+    payload(2) = 0
+    payload(3) = 0x9d.toByte; payload(4) = 0x01; payload(5) = 0x2a
+    payload(6) = (w & 0xff).toByte; payload(7) = ((w >> 8) & 0x3f).toByte
+    payload(8) = (h & 0xff).toByte; payload(9) = ((h >> 8) & 0x3f).toByte
+    val buf = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    buf.write("RIFF".getBytes("ISO-8859-1"))
+    buf.write(le(4 + 8 + payload.length)) // WEBP + chunk header + payload
+    buf.write("WEBP".getBytes("ISO-8859-1"))
+    buf.write("VP8 ".getBytes("ISO-8859-1"))
+    buf.write(le(payload.length))
+    buf.write(payload)
+    buf.toByteArray
+  }
+
   // --- public decode ------------------------------------------------------
 
   def decode(bytes: Array[Byte], maxSamples: Long = DefaultMaxSamples): Image = {

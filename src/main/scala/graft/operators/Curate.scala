@@ -292,8 +292,9 @@ object Curate {
     * map-side), the two token-mass cut bins come from a bounded driver
     * walk over the sorted bin table (≤ 2^binBits rows — model-sized,
     * never corpus-sized, loud cap), and bucketing is a row-local
-    * comparison against two plan literals. The corpus is scanned twice
-    * (histogram + label) and never shuffles, sorts, or enters a window.
+    * comparison against two plan literals. The scored frame is
+    * checkpointed once; histogram and label both read it back — the
+    * corpus never shuffles, sorts, or enters a window.
     *
     * Semantics match the exact cut for every document whose score bin
     * differs from the two crossing bins (within-bin order is the
@@ -303,8 +304,10 @@ object Curate {
       binBits: Int = 16): DataFrame = {
     require(binBits >= 4 && binBits <= 22, s"binBits $binBits")
     val nBins = 1L << binBits
-    val scored = lmScore(docs, target)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // referenced twice (histogram collect + label pass) — eager
+    // localCheckpoint, not persist: blocks free on GC instead of leaking
+    // across the session (r12 ADVICE)
+    val scored = lmScore(docs, target).localCheckpoint(true)
     val binCol = least(floor(col("lm_mean") * nBins), lit(nBins - 1))
       .cast("long")
     val bins = scored.select(binCol.as("bin"), col("n_tokens"))

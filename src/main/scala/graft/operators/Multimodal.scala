@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * raster cogify kernel uses (SURVEY §2.2 A8: the canonical opaque heavy
   * UDF stage).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from
-  * the payload bytes. The Spark-side contract — schema, binary column
-  * handling, per-partition batching, feature struct shape — is real and
-  * oracle-tested where the features are SQL-derivable.
+  * Media decode is REAL: six pure-JVM codecs written from the public
+  * container/bitstream specs (PNG, baseline+progressive JPEG, GIF, WAV,
+  * Y4M, WebP/VP8L — `graft.kernel.{Png,Jpeg,Gif,Wav,Y4m,Webp}`) sit
+  * behind the [[MediaDecoder]]/[[ImageDecoder]] seam, with [[PngDecoder]]
+  * as the session default. Lossy codecs needing DCT/entropy machinery a
+  * JVM-only build can't carry (VP8 pixel data, MP4/H.264, MP3/Opus) are
+  * rejected LOUDLY at the same seam — never faked. [[FakeDecoder]] remains
+  * only as a pinned oracle-baseline fixture: deterministic pseudo-features
+  * whose SQL-derivability lets specific queries keep a DuckDB oracle.
   */
 object Multimodal {
 
@@ -421,6 +425,41 @@ object Multimodal {
       route(payload).blockSums(payload, grid)
     def resize(payload: Array[Byte]): (Int, Int, Array[Byte]) =
       route(payload).resize(payload)
+  }
+
+  object ImageDecoder {
+    /** Header-only image metadata: container, codec flavor, whether the
+      * PIXELS are decodable by this engine, and DISPLAY dims (JPEG EXIF
+      * orientations 5–8 swap the stored axes — the same normalization
+      * [[MediaDecoder.decode]] applies). */
+    final case class ImageInfo(container: String, flavor: String,
+        decodable: Boolean, width: Int, height: Int)
+
+    /** Sniff + header parse, NO pixel decode — the metadata-table fast
+      * path (m25), and the honest answer for containers whose headers
+      * are readable but whose payloads are not (lossy VP8 WebP: the
+      * dominant crawl flavor; dims are in the uncompressed keyframe
+      * header, the DCT payload is out of a pure-JVM codec's scope). */
+    def sniff(payload: Array[Byte]): ImageInfo = {
+      import graft.kernel.{Gif, Jpeg, Png, Webp}
+      if (Png.isPng(payload)) {
+        val (w, h) = Png.headerDims(payload)
+        ImageInfo("png", "", decodable = true, w, h)
+      } else if (Jpeg.isJpeg(payload)) {
+        val (w, h, o) = Jpeg.headerMeta(payload)
+        val swap = o >= 5
+        ImageInfo("jpeg", "", decodable = true,
+          if (swap) h else w, if (swap) w else h)
+      } else if (Gif.isGif(payload)) {
+        val (w, h) = Gif.headerDims(payload)
+        ImageInfo("gif", "", decodable = true, w, h)
+      } else if (Webp.isWebp(payload)) {
+        val m = Webp.metadata(payload)
+        ImageInfo("webp", m.flavor, decodable = m.flavor == "lossless",
+          m.width, m.height)
+      } else throw new IllegalArgumentException(
+        "unknown image format (not PNG, JPEG, GIF or WebP)")
+    }
   }
 
   /** STUB decoder (test/offline baseline — the driver corpus carries text
@@ -1570,14 +1609,18 @@ object Multimodal {
       FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     // Mixed-container image metadata extraction — the (container,
-    // display width, display height) table a multimodal filter runs
-    // before any decode-heavy stage. Oracle-gated end to end: payloads
-    // rotate PNG/JPEG/GIF/WebP per doc with planted per-class
+    // flavor, decodable, display width, display height) table a
+    // multimodal filter runs before any decode-heavy stage — and it is
+    // now HEADER-ONLY ([[ImageDecoder.sniff]]): a metadata table that
+    // pixel-decodes every payload is wrong at crawl scale, and
+    // header-only is what lets it cover lossy VP8 WebP (the DOMINANT
+    // WebP flavor — dims sit in the uncompressed keyframe header) whose
+    // pixels this engine loudly refuses. Oracle-gated end to end:
+    // payloads rotate PNG/JPEG/GIF/WebP per doc with planted per-class
     // dimensions, JPEGs carry an EXIF orientation tag cycling all 8
-    // values, and the emitted dims must be DISPLAY dims (tags 5–8 swap
-    // axes) — DuckDB recomputes container and both dims from the plant
-    // rules, so a sniffing bug, a header-parse bug, or an
-    // orientation-normalization bug all break the hash.
+    // values (the emitted dims must be DISPLAY dims — tags 5–8 swap
+    // axes), and the WebP rows alternate lossless VP8L with
+    // lossy-header files that must report dims with decodable=false.
     ("m25_image_meta", (s: SparkSession, d: String) => {
       import s.implicits._
       val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -1602,8 +1645,12 @@ object Multimodal {
                   Array.tabulate(w * h)(i => ((i * 7 + id) % 200).toInt)))
               case _ =>
                 val w = (10 + id % 6).toInt; val h = (6 + id % 4).toInt
-                graft.kernel.Webp.encode(graft.kernel.Webp.Image(w, h, 3,
-                  Array.tabulate(w * h * 3)(i => ((i * 11 + id) % 256).toInt)))
+                // id ≡ 3 mod 4 → id%8 ∈ {3, 7}: 3 = lossless VP8L,
+                // 7 = lossy VP8 (header-only fixture, same dim plant)
+                if (id % 8 == 3)
+                  graft.kernel.Webp.encode(graft.kernel.Webp.Image(w, h, 3,
+                    Array.tabulate(w * h * 3)(i => ((i * 11 + id) % 256).toInt)))
+                else graft.kernel.Webp.encodeLossyHeader(w, h)
             }
             (id, "image", payload)
           }
@@ -1612,26 +1659,25 @@ object Multimodal {
       media.select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
-          val dec = new ImageDecoder
           it.map { case (id, p) =>
-            val container =
-              if (graft.kernel.Png.isPng(p)) "png"
-              else if (graft.kernel.Jpeg.isJpeg(p)) "jpeg"
-              else if (graft.kernel.Gif.isGif(p)) "gif"
-              else if (graft.kernel.Webp.isWebp(p)) "webp"
-              else "unknown"
-            val (w, h, _) = dec.decode(p)
-            (id, container, w, h, p.length.toLong)
+            val info = ImageDecoder.sniff(p)
+            (id, info.container, info.flavor, info.decodable,
+              info.width, info.height, p.length.toLong)
           }
         }
-        .toDF("doc_id", "container", "width", "height", "byte_len")
-        .select(col("doc_id"), col("container"), col("width"), col("height"))
+        .toDF("doc_id", "container", "flavor", "decodable", "width",
+          "height", "byte_len")
+        .select(col("doc_id"), col("container"), col("flavor"),
+          col("decodable"), col("width"), col("height"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
         CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
           ELSE 'webp' END AS container,
+        CASE WHEN doc_id % 4 <> 3 THEN ''
+          WHEN doc_id % 8 = 3 THEN 'lossless' ELSE 'lossy' END AS flavor,
+        (doc_id % 8 <> 7) AS decodable,
         CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN CAST(16 + doc_id % 8 AS INTEGER)
           WHEN 1 THEN CASE WHEN (doc_id // 4) % 8 >= 4

@@ -597,11 +597,14 @@ object Similarity {
     val vals = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
       .select(col("vec_id"), col("dim"), col("f").cast("double").as("v"))
-      // feeds the stats pass AND the coding join — persist or the
-      // explode runs twice over the corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the d-row model is materialized EAGERLY (localCheckpoint — blocks
+    // are freed by the ContextCleaner once unreachable, unlike a
+    // persist() nothing ever releases), so the coding pass re-scans the
+    // corpus once instead of caching the d×-expanded explode — at corpus
+    // scale that cache is d× the data; in-session it leaks (r12 ADVICE)
     val stats = vals.groupBy(col("dim"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .localCheckpoint(true)
     vals.join(broadcast(stats), Seq("dim"))
       .select(col("vec_id"), col("dim"),
         when(col("mx") === col("mn"), lit(0))
@@ -633,7 +636,6 @@ object Similarity {
     val assigned = emb.select(col("vec_id"),
         element_at(fns.nearest_centroids(col("embedding"), cents, dim, 1), 1)
           .as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
     // rate_c ∝ n_c^(τ-1), normalized by the max so the most up-weighted
     // cluster keeps rate 1; Q24-quantized threshold, md5-bucket accept
@@ -645,6 +647,10 @@ object Similarity {
           .partitionBy()))
       .select(col("cluster"), col("n_c"), col("rate"),
         floor(col("rate") * lit(16777216.0)).cast("long").as("threshold"))
+      // k-row rate table, eager (auto-GC'd) — the accept pass then
+      // recomputes the row-local argmax instead of caching a
+      // corpus-sized assignment frame that nothing unpersists
+      .localCheckpoint(true)
     assigned.join(broadcast(rated), Seq("cluster"))
       .withColumn("bucket",
         conv(substring(md5(concat(lit("cmix:"), col("vec_id").cast("string"))),

@@ -117,6 +117,77 @@ object StacQueries {
       FROM orders JOIN m USING (o_orderkey)
       ORDER BY o_orderkey""")),
 
+    // A12 per-event asset overrides (reference events.py:17-20 →
+    // stac.py:42-47): events cycle through full-override, name-only,
+    // roles-only, and all-defaults shapes; the asset key, media type,
+    // roles, and href are parsed BACK out of the item JSON the real
+    // buildItems emitted, and DuckDB rebuilds the expected values from
+    // the plant rule — so a dropped override OR a broken default breaks
+    // the hash.
+    ("q50_stac_asset_overrides", (s: SparkSession, d: String) => {
+      import graft.pipeline.Ingest
+      val orders = Tables.orders(s, d)
+      val k4 = col("o_orderkey") % 4
+      val events = orders.select(
+        col("o_orderkey"),
+        lit("coll").as("collection"),
+        concat(lit("s3://b/coll/file_"),
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          lit("_k"), col("o_orderkey").cast("string"), lit(".tif"))
+          .as("s3_filename"),
+        lit(null).cast("string").as("granule_id"),
+        lit(null).cast("string").as("datetime_range"),
+        lit(null).cast("string").as("id_regex"),
+        when(k4 === 0, concat(lit("band_"),
+            (col("o_orderkey") % 3).cast("string")))
+          .when(k4 === 1, lit("visual"))
+          .otherwise(lit(null).cast("string")).as("asset_name"),
+        when(k4 === 0, array(lit("data")))
+          .when(k4 === 2, array(lit("overview"), lit("thumbnail")))
+          .otherwise(lit(null).cast("array<string>")).as("asset_roles"),
+        when(k4 === 0, lit("image/jp2"))
+          .otherwise(lit(null).cast("string")).as("asset_media_type"))
+      val statsType = "struct<count:bigint,min:double,max:double,mean:double," +
+        "stddev:double,p25:double,p50:double,p75:double,p98:double," +
+        "histogram:array<bigint>>"
+      val meta = events.select(col("s3_filename"),
+        lit(10).cast("int").as("width"), lit(10).cast("int").as("height"),
+        array(lit(0.25), lit(0.0), lit(-180.0), lit(0.0), lit(-0.5),
+          lit(90.0)).as("affine"),
+        lit(4326).as("epsg"),
+        struct(lit(50L).as("count"), lit(0.0).as("min"), lit(1.0).as("max"),
+          lit(0.5).as("mean"), lit(0.25).as("stddev"), lit(0.1).as("p25"),
+          lit(0.5).as("p50"), lit(0.75).as("p75"), lit(0.98).as("p98"),
+          array(lit(1L)).as("histogram")).cast(statsType).as("stats"))
+      val assetsMap = from_json(
+        get_json_object(col("item_json"), "$.assets"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "map<string,struct<href:string,type:string,roles:array<string>>>"))
+      Ingest.buildItems(events, None, Some(meta))
+        .withColumn("__a", assetsMap)
+        .select(col("o_orderkey"),
+          element_at(map_keys(col("__a")), 1).as("asset_key"),
+          element_at(map_values(col("__a")), 1).getField("href").as("href"),
+          element_at(map_values(col("__a")), 1).getField("type")
+            .as("media_type"),
+          array_join(element_at(map_values(col("__a")), 1).getField("roles"),
+            ",").as("roles"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+        CASE WHEN o_orderkey % 4 = 0 THEN 'band_' || (o_orderkey % 3)
+          WHEN o_orderkey % 4 = 1 THEN 'visual'
+          ELSE 'cog_default' END AS asset_key,
+        's3://b/coll/file_' || strftime(o_orderdate, '%Y%m%d') ||
+          '_k' || o_orderkey || '.tif' AS href,
+        CASE WHEN o_orderkey % 4 = 0 THEN 'image/jp2'
+          ELSE 'image/tiff; application=geotiff; profile=cloud-optimized'
+          END AS media_type,
+        CASE WHEN o_orderkey % 4 = 0 THEN 'data'
+          WHEN o_orderkey % 4 = 2 THEN 'overview,thumbnail'
+          ELSE 'data,layer' END AS roles
+      FROM orders ORDER BY o_orderkey""")),
+
     // Catalog validation: items against their collection's (possibly
     // open-ended) temporal interval via StacCollection.enrich — the
     // broadcast catalog join plus the null-end rule of

@@ -93,10 +93,11 @@ object TextAnalysis {
     * argmax language of the score sum (lexicographic tie-break),
     * 'und' for token-free documents.
     *
-    * Scale shape: one token explode feeds model AND scoring
-    * (persisted); the model is languages×buckets — tiny — and rides a
-    * broadcast join; the per-doc argmax window partitions BY doc_id
-    * (languages-many rows each, never a global window). */
+    * Scale shape: the token explode runs twice (model build, eager;
+    * scoring, at consumption) — cheaper at scale than caching a
+    * tokens×-corpus frame; the model is languages×buckets — tiny — and
+    * rides a broadcast join; the per-doc argmax window partitions BY
+    * doc_id (languages-many rows each, never a global window). */
   /** The per-(document, language) score table behind [[langIdModel]]
     * and [[langIdMargin]]: one row per (doc_id, model_lang) with the
     * exact Q30 integer score sum. */
@@ -109,7 +110,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = toks.groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
@@ -123,6 +123,11 @@ object TextAnalysis {
       .select(col("model_lang"), col("bucket"),
         floor((coalesce(col("c"), lit(0L)) + 1).cast("double") /
           (col("tot") + buckets).cast("double") * Q).cast("long").as("wq"))
+      // languages×buckets rows, materialized EAGERLY (localCheckpoint —
+      // auto-GC'd, unlike a leaked persist): the scoring pass below then
+      // re-tokenizes the corpus once rather than caching the exploded
+      // token table, which is tokens× the corpus at scale (r12 ADVICE)
+      .localCheckpoint(true)
     // pre-aggregate to (doc, bucket, n) BEFORE the ×languages fan-out:
     // the scoring join then expands the compressed per-doc bucket
     // profile, not every token occurrence
@@ -154,8 +159,10 @@ object TextAnalysis {
     * code-switched document wins by a sliver; a clean monolingual one
     * by a mile). Exact integer arithmetic end to end, so the margin —
     * and transitively both models — is oracle-comparable. Same plan
-    * shape as [[langIdModel]] plus one extra filter over the ranked
-    * frame (persisted — both the winner and runner-up read it). */
+    * shape as [[langIdModel]] plus one conditional aggregation pivoting
+    * winner and runner-up out of the ranked frame in a single pass —
+    * no self-join, no cached intermediate (the groupBy rides the
+    * window's doc_id partitioning, so no extra exchange either). */
   def langIdMargin(docs: DataFrame, buckets: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = langIdScores(docs, buckets)
@@ -163,17 +170,14 @@ object TextAnalysis {
         Window.partitionBy(col("doc_id"))
           .orderBy(col("sum_wq").desc, col("model_lang"))))
       .filter(col("rk") <= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val top = ranked.filter(col("rk") === 1).select(col("doc_id"),
-      col("model_lang").as("pred_lang"), col("n_tokens"),
-      col("sum_wq").as("s1"))
-    val second = ranked.filter(col("rk") === 2).select(col("doc_id"),
-      col("model_lang").as("second_lang"), col("sum_wq").as("s2"))
-    top.join(second, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("pred_lang"),
-        coalesce(col("second_lang"), lit("")).as("second_lang"),
-        col("n_tokens"),
-        (col("s1") - coalesce(col("s2"), lit(0L))).as("margin_q30"))
+    ranked.groupBy(col("doc_id")).agg(
+      max(when(col("rk") === 1, col("model_lang"))).as("pred_lang"),
+      coalesce(max(when(col("rk") === 2, col("model_lang"))), lit(""))
+        .as("second_lang"),
+      max(when(col("rk") === 1, col("n_tokens"))).as("n_tokens"),
+      (max(when(col("rk") === 1, col("sum_wq"))) -
+        coalesce(max(when(col("rk") === 2, col("sum_wq"))), lit(0L)))
+        .as("margin_q30"))
   }
 
   /** (doc_id, w1, w2) bigram rows — `slice` + `arrays_zip` (codegen'd

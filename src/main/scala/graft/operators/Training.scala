@@ -534,7 +534,6 @@ object Training {
         .as("feat"))
     val feats = uni.unionAll(bi)
       .select(col("doc_id"), col("is_t"), bucketOf(col("feat")).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("r"),
       sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("t"))
@@ -547,6 +546,11 @@ object Training {
           (sum(col("r")).over(all) + buckets).cast("double")) *
         lit(1048576L))
         .cast("long").as("wq"))
+      // buckets-row model, eager (localCheckpoint → auto-GC'd): scoring
+      // re-tokenizes the corpus once instead of caching the exploded
+      // feature frame nothing ever unpersisted (r12 ADVICE) — at scale
+      // that cache is grams× the corpus
+      .localCheckpoint(true)
     // raw = the scored corpus, so every scored bucket exists in the
     // model; the coalesce is belt-and-braces for a caller scoring a
     // frame that wasn't the model's raw side
@@ -569,10 +573,12 @@ object Training {
   def dsirSelectScale(docs: DataFrame, isTarget: Column,
       keepFraction: Double = 0.2, accuracy: Int = 10000): DataFrame = {
     require(keepFraction > 0 && keepFraction < 1, s"keepFraction $keepFraction")
-    // referenced twice (threshold agg + selection) — persist or the
-    // whole scoring chain runs twice
-    val scored = dsirScores(docs, isTarget)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // referenced twice (threshold agg + selection) — materialized ONCE,
+    // eagerly, via localCheckpoint so the blocks are ContextCleaner-freed
+    // when the frame goes unreachable (a bare persist here leaked across
+    // the whole sweep — r12 ADVICE); per-doc rows, far smaller than the
+    // corpus text
+    val scored = dsirScores(docs, isTarget).localCheckpoint(true)
     val thr = scored.agg(percentile_approx(col("ratio"),
       lit(1.0 - keepFraction), lit(accuracy)).as("sel_threshold"))
     scored.crossJoin(broadcast(thr))
@@ -600,7 +606,7 @@ object Training {
     val w = Window.partitionBy()
     val perDoc = docs.select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // referenced twice; eager + auto-GC'd
     val rates = perDoc.groupBy(col("source"))
       .agg(sum(col("n_tok")).as("n_tokens"))
       .withColumn("total_tokens", sum(col("n_tokens")).over(w))

@@ -56,7 +56,11 @@ object Ingest {
     * `rio_stac`-shaped field set (stac.py:32-48 `with_proj=True,
     * with_raster=True`): `bbox` + GeoJSON `geometry` footprint in
     * EPSG:4326, `proj:epsg`/`proj:shape`/`proj:transform` properties,
-    * and a `cog_default` asset with per-band `raster:bands` statistics.
+    * and an asset entry with per-band `raster:bands` statistics. The
+    * asset's key/roles/media-type honor the per-event
+    * `asset_name`/`asset_roles`/`asset_media_type` overrides
+    * (events.py:17-20) with stac.py:42-47's defaults (`cog_default`,
+    * `["data","layer"]`, the COG media type) when absent or null.
     *
     * @param cmrMeta optional granule-metadata dim
     *   (granule_id, time_start, time_end), e.g. from the
@@ -68,11 +72,23 @@ object Ingest {
     */
   def buildItems(events: DataFrame, cmrMeta: Option[DataFrame] = None,
       rasterMeta: Option[DataFrame] = None): DataFrame = {
+    // Per-event asset overrides (reference events.py:17-20 → stac.py's
+    // `asset_name or "cog_default"` defaulting, stac.py:42-47): events
+    // MAY carry asset_name / asset_roles / asset_media_type; absent
+    // columns mean "all defaults" — normalized to typed nulls here so
+    // one JSON-build expression serves both shapes.
+    val events1 = Seq(
+      "asset_name" -> "string",
+      "asset_roles" -> "array<string>",
+      "asset_media_type" -> "string"
+    ).foldLeft(events) { case (df, (c, t)) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(t))
+    }
     val withDates = cmrMeta match {
       case Some(meta) =>
         val isCmr = col("granule_id").isNotNull
         val regexDts = extract_filename_dates(col("s3_filename"), col("datetime_range"))
-        events
+        events1
           .join(broadcast(meta.select(col("granule_id"),
             col("time_start").as("__meta_start"))), Seq("granule_id"), "left")
           .withColumn("dts",
@@ -83,7 +99,7 @@ object Ingest {
               .otherwise(regexDts))
           .drop("__meta_start")
       case None =>
-        events.withColumn("dts",
+        events1.withColumn("dts",
           extract_filename_dates(col("s3_filename"), col("datetime_range")))
     }
     val withRaster = rasterMeta match {
@@ -158,17 +174,23 @@ object Ingest {
           col("__epsg").as("proj:epsg"),
           array(col("__h"), col("__w")).as("proj:shape"),
           col("__affine").as("proj:transform"))).as("properties"),
-        when(col("__stats").isNotNull, struct(struct(
+        // the asset key is DYNAMIC (events.py asset_name override, default
+        // cog_default) — a map, not a struct field, so to_json emits the
+        // per-event key; roles/media-type coalesce to stac.py:42-47's
+        // defaults
+        when(col("__stats").isNotNull, map(
+          coalesce(col("asset_name"), lit("cog_default")), struct(
           col("s3_filename").as("href"),
-          lit("image/tiff; application=geotiff; profile=cloud-optimized")
+          coalesce(col("asset_media_type"),
+            lit("image/tiff; application=geotiff; profile=cloud-optimized"))
             .as("type"),
-          array(lit("data"), lit("layer")).as("roles"),
+          coalesce(col("asset_roles"), array(lit("data"), lit("layer")))
+            .as("roles"),
           array(struct(
             col("__stats.min").as("minimum"), col("__stats.max").as("maximum"),
             col("__stats.mean").as("mean"), col("__stats.stddev").as("stddev"),
             (col("__stats.count") * lit(100.0) / (col("__w") * col("__h")))
-              .as("valid_percent"))).as("raster:bands"))
-          .as("cog_default"))).as("assets"))))
+              .as("valid_percent"))).as("raster:bands")))).as("assets"))))
       // A13 contract: no extractable datetime and no explicit one → the
       // record is dead-letterable, not publishable
       .withColumn("valid", col("dts").isNotNull)

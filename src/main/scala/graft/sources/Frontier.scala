@@ -230,16 +230,55 @@ object Frontier {
       .toDF("host", "kind", "loc", "lastmod")
   }
 
+  /** Normalize a sitemap `lastmod` to the 14-digit UTC capture-index
+    * key (`yyyyMMddHHmmss`) — the comparison currency of
+    * [[recrawlDue]]. sitemaps.org allows the full W3C datetime grammar,
+    * not just bare dates, and the offset math matters: a
+    * `2025-02-05T10:30:00+13:00` lastmod is 2025-02-04 in UTC.
+    * Accepted forms (everything a conforming sitemap can emit):
+    *   - empty        → empty (no freshness claim)
+    *   - `YYYY-MM-DD` → date + `000000` (midnight UTC — the W3C rule
+    *     that a bare date means "unknown time of that day"; comparing
+    *     at 000000 makes a same-day capture at any time count as fresh
+    *     only if the lastmod is strictly newer, i.e. never)
+    *   - `YYYY-MM-DDThh:mm[:ss[.frac]](Z|±hh:mm)` → UTC instant
+    * Anything else raises LOUDLY ([[raise_error]]) — the r12 verdict
+    * found `'T' > '9'` string comparison silently marking every
+    * timestamped lastmod permanently due, and a silent wrong answer is
+    * exactly what this engine's loud-on-malformed discipline exists to
+    * prevent. Rendering goes through `to_utc_timestamp(·,
+    * current_timezone())` so the key is UTC regardless of the session
+    * timezone. */
+  def lastmodKey(lm: Column): Column =
+    when(lm === "", lit(""))
+      .when(lm.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+        concat(regexp_replace(lm, "-", ""), lit("000000")))
+      .when(lm.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?" +
+          "(Z|[+-]\\d{2}:\\d{2})$"),
+        date_format(
+          to_utc_timestamp(to_timestamp(
+            // W3C allows minute precision; pad :00 so both engines cast
+            // the same string (DuckDB rejects minute-only timestamps).
+            // Fractional seconds truncate — sub-second freshness is
+            // below the capture key's resolution.
+            regexp_replace(lm,
+              "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2})(Z|[+-]\\d{2}:\\d{2})$",
+              "$1:00$2")), current_timezone()),
+          "yyyyMMddHHmmss"))
+      .otherwise(raise_error(
+        concat(lit("unparseable sitemap lastmod: "), lm)).cast("string"))
+
   /** Freshness-driven re-crawl selection — what a continuous crawl
     * does with sitemap `lastmod` against its own capture index: a URL
     * is DUE when it was never captured, or when its advertised lastmod
     * post-dates the latest stored capture. `seeds`: (loc, lastmod —
-    * `YYYY-MM-DD` or empty) from [[sitemapSeeds]]; `cdx`: (url, ts —
-    * 14-digit) from [[WarcSource.cdxRows]]. The index side aggregates
-    * to max-ts per url BEFORE the join, so capture multiplicity never
-    * fans the seed list; one keyed join, no other shuffle. An empty
-    * lastmod means the sitemap makes no freshness claim — only
-    * never-captured URLs are due. */
+    * any W3C datetime form accepted by [[lastmodKey]], or empty) from
+    * [[sitemapSeeds]]; `cdx`: (url, ts — 14-digit) from
+    * [[WarcSource.cdxRows]]. The index side aggregates to max-ts per
+    * url BEFORE the join, so capture multiplicity never fans the seed
+    * list; one keyed join, no other shuffle. An empty lastmod means
+    * the sitemap makes no freshness claim — only never-captured URLs
+    * are due; an unparseable lastmod fails loudly. */
   def recrawlDue(seeds: DataFrame, cdx: DataFrame): DataFrame = {
     val latest = cdx.groupBy(col("url"))
       .agg(max(col("ts")).as("last_capture_ts"))
@@ -249,8 +288,7 @@ object Frontier {
         coalesce(col("last_capture_ts"), lit("")).as("last_capture_ts"),
         (col("last_capture_ts").isNull ||
           (col("lastmod") =!= "" &&
-            concat(regexp_replace(col("lastmod"), "-", ""), lit("000000")) >
-              col("last_capture_ts"))).as("due"))
+            lastmodKey(col("lastmod")) > col("last_capture_ts"))).as("due"))
   }
 
   /** Sitemap DIRECTIVES out of robots.txt — the missing link between
@@ -594,46 +632,213 @@ object Frontier {
           AS DOUBLE) * delay AS fetch_offset_sec
       FROM a ORDER BY url""")),
 
-    // Freshness-driven re-crawl selection, oracle-gated: per-doc seed
-    // URLs carry a planted lastmod day (every 6th doc makes NO
-    // freshness claim), the capture index covers every 3rd doc with a
-    // planted capture day, and `due` must reproduce the exact
-    // calendar comparison — never-captured URLs due, stale captures
-    // due, fresh captures and claim-free captured URLs not due.
+    // Freshness-driven re-crawl selection, oracle-gated over the FULL
+    // W3C lastmod grammar (the r12 verdict's silent over-crawl bug:
+    // timestamped lastmods string-compared as 'T' > '9' → permanently
+    // due): per-doc seed URLs cycle through bare dates, full UTC
+    // datetimes, minute-only +13:00-offset datetimes (a different UTC
+    // day!), and a datetime landing EXACTLY on its capture timestamp
+    // (the boundary case — equal is NOT due); every 6th doc makes no
+    // freshness claim. The capture index covers every 3rd doc. `due`
+    // must reproduce the exact UTC-normalized comparison in both
+    // engines.
     ("w14_recrawl_due", (s: SparkSession, d: String) => {
       val docs = graft.Tables.documents(s, d)
+      val day = lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0")
+      val capDay = lpad((col("doc_id") % 13 + 1).cast("string"), 2, "0")
       val seeds = docs.select(
         concat(lit("https://h"), col("doc_id") % 19,
           lit(".example.com/p"), col("doc_id")).as("loc"),
         when(col("doc_id") % 6 === 0, lit(""))
-          .otherwise(concat(lit("2025-02-"),
-            lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0")))
+          .when(col("doc_id") % 4 === 0, concat(lit("2025-02-"), day))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("2025-02-"), day, lit("T10:30:00Z")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("2025-02-"), day, lit("T10:30+13:00")))
+          .otherwise(concat(lit("2025-02-"), capDay, lit("T12:00:00Z")))
           .as("lastmod"))
       val cdx = docs.filter(col("doc_id") % 3 === 0).select(
         concat(lit("https://h"), col("doc_id") % 19,
           lit(".example.com/p"), col("doc_id")).as("url"),
-        concat(lit("202502"),
-          lpad((col("doc_id") % 13 + 1).cast("string"), 2, "0"),
-          lit("120000")).as("ts"))
+        concat(lit("202502"), capDay, lit("120000")).as("ts"))
       recrawlDue(seeds, cdx).orderBy(col("url"))
     },
     Some("""WITH seeds AS (
         SELECT doc_id,
           'https://h' || (doc_id % 19) || '.example.com/p' || doc_id AS url,
           CASE WHEN doc_id % 6 = 0 THEN ''
-            ELSE '2025-02-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+            WHEN doc_id % 4 = 0 THEN
+              '2025-02-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+            WHEN doc_id % 4 = 1 THEN
+              '2025-02-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                || 'T10:30:00Z'
+            WHEN doc_id % 4 = 2 THEN
+              '2025-02-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                || 'T10:30+13:00'
+            ELSE '2025-02-' || lpad(CAST(doc_id % 13 + 1 AS VARCHAR), 2, '0')
+                || 'T12:00:00Z'
           END AS lastmod
         FROM documents),
       cdx AS (
         SELECT doc_id,
           '202502' || lpad(CAST(doc_id % 13 + 1 AS VARCHAR), 2, '0') ||
             '120000' AS ts
-        FROM documents WHERE doc_id % 3 = 0)
+        FROM documents WHERE doc_id % 3 = 0),
+      keyed AS (
+        SELECT s.*, CASE WHEN s.lastmod = '' THEN ''
+          WHEN s.lastmod LIKE '____-__-__' THEN
+            replace(s.lastmod, '-', '') || '000000'
+          ELSE strftime(CAST(regexp_replace(s.lastmod,
+            '^([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2})(Z|[+-][0-9]{2}:[0-9]{2})$',
+            '\1:00\2') AS TIMESTAMPTZ) AT TIME ZONE 'UTC', '%Y%m%d%H%M%S')
+        END AS lm_key FROM seeds s)
       SELECT s.url, s.lastmod,
         COALESCE(c.ts, '') AS last_capture_ts,
-        (c.ts IS NULL OR (s.lastmod <> '' AND
-          replace(s.lastmod, '-', '') || '000000' > c.ts)) AS due
-      FROM seeds s LEFT JOIN cdx c ON s.doc_id = c.doc_id
-      ORDER BY s.url"""))
+        (c.ts IS NULL OR (s.lastmod <> '' AND s.lm_key > c.ts)) AS due
+      FROM keyed s LEFT JOIN cdx c ON s.doc_id = c.doc_id
+      ORDER BY s.url""")),
+
+    // The composed CONTINUOUS-RE-CRAWL scheduler in one oracle-gated
+    // query (r12 verdict item 7) — the chain a real freshness loop
+    // runs: robots `Sitemap:` directives (real RFC 9309 grammar, mixed
+    // case/position, commented-out directive dropped) → sitemap
+    // fetch+parse (real [[graft.kernel.Sitemap]] over planted XML
+    // cycling every W3C lastmod form, incl. minute-only +13:00 offsets
+    // and a value landing EXACTLY on its capture ts) → freshness
+    // selection against the capture index ([[recrawlDue]],
+    // UTC-normalized) → admission screen of the due batch against the
+    // SAME index ([[WarcSource.cdxDedup]]: re-fetches url_dup, mirrored
+    // bodies content_dup, the rest novel). A bug in any stage breaks
+    // the hash — THIS composition would have caught the r12 lastmod
+    // string-compare bug at pipeline level.
+    ("c04_recrawl_pipeline", (s: SparkSession, d: String) => {
+      val robots = s.range(19).select(
+        concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+        concat(
+          lit("Sitemap: https://h"), col("id"), lit(".example.com/sm-0.xml\n"),
+          lit("# Sitemap: https://ignored.example.com/no.xml\n"),
+          lit("User-agent: *\nDisallow: /tmp\n"),
+          when(col("id") % 2 === 0,
+            concat(lit("sItEmAp: https://h"), col("id"),
+              lit(".example.com/sm-1.xml\n"))).otherwise(lit("")))
+          .as("robots_txt"))
+      val directives = robotsSitemaps(robots)
+      val k = regexp_extract(col("host"), "^h(\\d+)", 1).cast("long")
+      val j = regexp_extract(col("sitemap_url"), "sm-(\\d+)\\.xml$", 1)
+        .cast("long")
+      def dd(c: Column): Column = lpad(c.cast("string"), 2, "0")
+      def lmOf(i: Int): Column = {
+        val f = (k + lit(i) + j * 2) % 5
+        val dlm = dd((k + lit(i) * 7 + j) % 27 + 1)
+        val dcap = dd((k + lit(i) * 5 + j * 3) % 13 + 1)
+        when(f === 0, lit(""))
+          .when(f === 1, concat(lit("2025-02-"), dlm))
+          .when(f === 2, concat(lit("2025-02-"), dlm, lit("T10:30:00Z")))
+          .when(f === 3, concat(lit("2025-02-"), dlm, lit("T10:30+13:00")))
+          .otherwise(concat(lit("2025-02-"), dcap, lit("T12:00:00Z")))
+      }
+      def entry(i: Int): Column = {
+        val loc = concat(lit("https://h"), k, lit(".example.com/s"), j,
+          lit("p"), lit(i))
+        concat(lit("<url><loc>"), loc, lit("</loc>"),
+          when(lmOf(i) === "", lit(""))
+            .otherwise(concat(lit("<lastmod>"), lmOf(i), lit("</lastmod>"))),
+          lit("</url>"))
+      }
+      val sitemaps = directives.select(col("host"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          entry(0), entry(1), entry(2), lit("</urlset>")).as("sitemap_xml"))
+      val seeds = sitemapSeeds(sitemaps)
+      val caps = s.range(19).select(col("id").as("k"))
+        .crossJoin(s.range(2).select(col("id").as("j")))
+        .crossJoin(s.range(3).select(col("id").as("i")))
+        .filter(col("j") === 0 || col("k") % 2 === 0)
+        .filter((col("k") + col("i") + col("j")) % 3 === 0)
+        .select(
+          concat(lit("https://h"), col("k"), lit(".example.com/s"),
+            col("j"), lit("p"), col("i")).as("url"),
+          concat(lit("202502"),
+            dd((col("k") + col("i") * 5 + col("j") * 3) % 13 + 1),
+            lit("120000")).as("ts"),
+          concat(lit("d"),
+            (col("k") * 31 + col("j") * 7 + col("i")) % 97).as("digest"))
+      val due = recrawlDue(seeds, caps.select(col("url"), col("ts")))
+      val bk = regexp_extract(col("url"), "^https://h(\\d+)", 1).cast("long")
+      val bj = regexp_extract(col("url"), "/s(\\d+)p", 1).cast("long")
+      val bi = regexp_extract(col("url"), "p(\\d+)$", 1).cast("long")
+      // the re-fetched body carries the SAME planted digest (content
+      // unchanged): a due re-fetch screens url_dup; a never-captured
+      // URL is novel unless its body mirrors a stored digest
+      val batch = due.filter(col("due")).select(
+        col("url").as("urlkey"), col("url"),
+        concat(lit("d"), (bk * 31 + bj * 7 + bi) % 97).as("digest"))
+      val verd = WarcSource.cdxDedup(batch,
+        caps.select(col("url").as("urlkey"), col("digest")))
+      due.join(verd.select(col("urlkey").as("url"), col("verdict")),
+          Seq("url"), "left")
+        .select(col("url"), col("lastmod"), col("last_capture_ts"),
+          col("due"), coalesce(col("verdict"), lit("")).as("verdict"))
+        .orderBy(col("url"))
+    },
+    Some("""WITH ks AS (SELECT CAST(unnest(range(0, 19)) AS BIGINT) AS k),
+      js AS (
+        SELECT k, CAST(unnest(range(0,
+          CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END)) AS BIGINT) AS j
+        FROM ks),
+      seeds AS (
+        SELECT k, j, i,
+          'https://h' || k || '.example.com/s' || j || 'p' || i AS url,
+          CASE (k + i + j * 2) % 5
+            WHEN 0 THEN ''
+            WHEN 1 THEN '2025-02-' ||
+              lpad(CAST((k + i * 7 + j) % 27 + 1 AS VARCHAR), 2, '0')
+            WHEN 2 THEN '2025-02-' ||
+              lpad(CAST((k + i * 7 + j) % 27 + 1 AS VARCHAR), 2, '0')
+              || 'T10:30:00Z'
+            WHEN 3 THEN '2025-02-' ||
+              lpad(CAST((k + i * 7 + j) % 27 + 1 AS VARCHAR), 2, '0')
+              || 'T10:30+13:00'
+            ELSE '2025-02-' ||
+              lpad(CAST((k + i * 5 + j * 3) % 13 + 1 AS VARCHAR), 2, '0')
+              || 'T12:00:00Z'
+          END AS lastmod
+        FROM js, (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS i) is_),
+      caps AS (
+        SELECT 'https://h' || k || '.example.com/s' || j || 'p' || i AS url,
+          '202502' ||
+            lpad(CAST((k + i * 5 + j * 3) % 13 + 1 AS VARCHAR), 2, '0') ||
+            '120000' AS ts,
+          'd' || CAST((k * 31 + j * 7 + i) % 97 AS VARCHAR) AS digest
+        FROM js, (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS i) is_
+        WHERE (k + i + j) % 3 = 0),
+      keyed AS (
+        SELECT s.*, CASE WHEN s.lastmod = '' THEN ''
+          WHEN s.lastmod LIKE '____-__-__' THEN
+            replace(s.lastmod, '-', '') || '000000'
+          ELSE strftime(CAST(regexp_replace(s.lastmod,
+            '^([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2})(Z|[+-][0-9]{2}:[0-9]{2})$',
+            '\1:00\2') AS TIMESTAMPTZ) AT TIME ZONE 'UTC', '%Y%m%d%H%M%S')
+        END AS lm_key FROM seeds s),
+      due_t AS (
+        SELECT s.url, s.lastmod, COALESCE(c.ts, '') AS last_capture_ts,
+          (c.ts IS NULL OR (s.lastmod <> '' AND s.lm_key > c.ts)) AS due,
+          s.k, s.j, s.i
+        FROM keyed s LEFT JOIN caps c ON s.url = c.url),
+      batch AS (
+        SELECT url,
+          'd' || CAST((k * 31 + j * 7 + i) % 97 AS VARCHAR) AS digest
+        FROM due_t WHERE due),
+      verd AS (
+        SELECT b.url,
+          CASE WHEN b.url IN (SELECT url FROM caps) THEN 'url_dup'
+            WHEN b.digest IN (SELECT digest FROM caps) THEN 'content_dup'
+            ELSE 'novel' END AS verdict
+        FROM batch b)
+      SELECT d.url, d.lastmod, d.last_capture_ts, d.due,
+        COALESCE(v.verdict, '') AS verdict
+      FROM due_t d LEFT JOIN verd v ON d.url = v.url
+      ORDER BY d.url"""))
   )
 }

@@ -260,7 +260,10 @@ object WarcSource {
           if (!http.contentType.toLowerCase.startsWith("text/html")) None
           else if (lenient) {
             try Some((uri, date, http.status, Warc.decodeText(http)))
-            catch { case _: IllegalArgumentException => None }
+            // IOException covers the gzip path's ZipException/EOFException
+            // on corrupt or truncated bodies — the most common coding must
+            // not be the one that escapes the lenient contract
+            catch { case _: IllegalArgumentException | _: java.io.IOException => None }
           } else Some((uri, date, http.status, Warc.decodeText(http)))
         }
       }

@@ -301,4 +301,73 @@ class FrontierSpec extends SparkSuite {
       ("https://a.com/quiet", "20250205120000", false),
       ("https://a.com/stale", "20250205120000", true)))
   }
+
+  test("lastmodKey: golden table over the real-world W3C lastmod shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the A13/A15 parity discipline applied to the crawl loop's newest
+    // pure function: every shape a conforming (or broken) sitemap emits,
+    // each with a HAND-computed UTC key
+    val golden = Seq(
+      ("", ""), // no freshness claim
+      ("2025-02-05", "20250205000000"), // bare date → midnight UTC
+      ("2025-02-05T10:30:00Z", "20250205103000"), // full datetime, UTC
+      ("2025-02-05T10:30Z", "20250205103000"), // minute precision
+      ("2025-02-05T10:30:00.5Z", "20250205103000"), // fraction truncates
+      ("2025-02-05T10:30:00+13:00", "20250204213000"), // offset → PREV UTC day
+      ("2025-02-05T10:30+13:00", "20250204213000"), // minute + offset
+      ("2025-02-05T23:30:00-05:00", "20250206043000"), // offset → NEXT UTC day
+      ("2025-03-01T00:30:00+01:00", "20250228233000"), // month boundary back
+      ("2024-12-31T23:45:00-00:30", "20250101001500"), // year boundary forward
+      ("2025-02-05T00:00:00Z", "20250205000000") // explicit midnight = bare date
+    ).toDF("lm", "want")
+    val got = golden
+      .select(col("lm"), col("want"),
+        Frontier.lastmodKey(col("lm")).as("got"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"lastmodKey('${r.getString(0)}') = '${r.getString(2)}', want '${r.getString(1)}'")
+    }
+    // garbage fails LOUDLY — every shape the old string-compare silently
+    // mis-ordered ('T' > '9') or a broken generator emits
+    for (bad <- Seq("yesterday", "2025-2-5", "2025-02-05 10:30:00",
+        "2025-02-05T10:30:00", "2025-02-05T10:30:00 +13:00", "05-02-2025",
+        "2025-02-05T10", "20250205")) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("lm").select(Frontier.lastmodKey(col("lm"))).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("unparseable sitemap lastmod")),
+        s"'$bad' did not raise the loud lastmod error: $e")
+    }
+  }
+
+  test("recrawlDue boundary: lastmod exactly ON the capture ts is NOT due; one second past is") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the oracle-parity blind-spot rule: the boundary case hand-planted
+    // ON a capture timestamp, not derived from the shared formula
+    val seeds = Seq(
+      ("https://b.com/on", "2025-02-05T12:00:00Z"), // == capture → not due
+      ("https://b.com/past", "2025-02-05T12:00:01Z"), // 1 s newer → due
+      ("https://b.com/tzon", "2025-02-06T01:00:00+13:00"), // == capture via offset → not due
+      ("https://b.com/tzpast", "2025-02-06T01:00:01+13:00") // 1 s newer via offset → due
+    ).toDF("loc", "lastmod")
+    val cdx = Seq(
+      ("https://b.com/on", "20250205120000"),
+      ("https://b.com/past", "20250205120000"),
+      ("https://b.com/tzon", "20250205120000"),
+      ("https://b.com/tzpast", "20250205120000")
+    ).toDF("url", "ts")
+    val got = Frontier.recrawlDue(seeds, cdx)
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("https://b.com/on", false),
+      ("https://b.com/past", true),
+      ("https://b.com/tzon", false),
+      ("https://b.com/tzpast", true)))
+  }
 }

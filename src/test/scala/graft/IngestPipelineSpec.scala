@@ -159,6 +159,31 @@ class IngestPipelineSpec extends SparkSuite {
     val bare = Ingest.buildItems(events).head()
     assert(bare.getAs[Any]("bbox") == null)
     assert(!bare.getAs[String]("item_json").contains("proj:epsg"))
+
+    // per-event asset overrides (events.py:17-20) mixed with defaulted
+    // events in ONE frame: the override event renames the asset key and
+    // swaps roles/media type; the null-override event keeps
+    // stac.py:42-47's defaults exactly; rows with no asset_* columns at
+    // all (the `events` frame above) already proved the absent-column
+    // path
+    val mixed = Seq(
+      ("no2", results.head.filename, null: String, null: String,
+        null: String, "visual", Seq("overview"), "image/jp2"),
+      ("no2", results.head.filename, null: String, null: String,
+        null: String, null: String, null: Seq[String], null: String))
+      .toDF("collection", "s3_filename", "granule_id", "datetime_range",
+        "id_regex", "asset_name", "asset_roles", "asset_media_type")
+    val mixedRows = Ingest.buildItems(mixed, rasterMeta = Some(meta))
+      .select("asset_name", "item_json").collect()
+    val over = mixedRows.find(_.getString(0) == "visual").get.getString(1)
+    assert(over.contains(""""visual":{"href""""))
+    assert(over.contains(""""type":"image/jp2""""))
+    assert(over.contains(""""roles":["overview"]"""))
+    assert(!over.contains("cog_default"))
+    val dflt = mixedRows.find(_.isNullAt(0)).get.getString(1)
+    assert(dflt.contains(""""cog_default":{"href""""))
+    assert(dflt.contains("image/tiff; application=geotiff; profile=cloud-optimized"))
+    assert(dflt.contains(""""roles":["data","layer"]"""))
   }
 
   test("records without extractable dates are flagged invalid, not fatal") {

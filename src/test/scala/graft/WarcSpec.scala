@@ -212,6 +212,61 @@ class WarcSpec extends SparkSuite {
       .select("digest").head().getString(0) == d1)
   }
 
+  test("c04 witness: robots→sitemap→freshness→cdxAdmit loop over never-captured/stale/fresh") {
+    import graft.sources.Frontier
+    val spark2 = spark
+    import spark2.implicits._
+    val ixDir = new java.io.File(tempDir("c04ix"), "ix").getAbsolutePath
+    def segment(date: String, pages: (String, String)*): org.apache.spark.sql.DataFrame =
+      Seq((s"file:/crawl/$date.warc.gz", Warc.writeGz(pages.map { case (u, body) =>
+        (Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> u,
+          "WARC-Record-ID" -> s"<urn:uuid:$u-$date>",
+          "WARC-Date" -> date,
+          "Content-Type" -> "application/http;msgtype=response"),
+          Warc.renderHttpResponse(200, Seq("Content-Type" -> "text/html"),
+            body.getBytes(Utf8)))
+      }))).toDF("path", "content")
+    // batch 0 seeds the capture index: /stale and /fresh captured 02-05 12:00
+    WarcSource.cdxAdmit(segment("2025-02-05T12:00:00Z",
+      "https://a.com/stale" -> "<html>old stale body</html>",
+      "https://a.com/fresh" -> "<html>fresh body</html>"), ixDir)
+    // the re-crawl scheduler's chain: robots directives → sitemap parse →
+    // freshness against the stored index
+    val robots = Seq(("a.com",
+      "Sitemap: https://a.com/sm.xml\nUser-agent: *\nDisallow: /tmp\n"))
+      .toDF("host", "robots_txt")
+    val directives = Frontier.robotsSitemaps(robots)
+    assert(directives.select("sitemap_url").as[String].collect().toSeq ==
+      Seq("https://a.com/sm.xml"))
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.com/new</loc>" +
+      "<lastmod>2025-02-05T10:00:00Z</lastmod></url>" +
+      "<url><loc>https://a.com/stale</loc><lastmod>2025-02-06</lastmod></url>" +
+      "<url><loc>https://a.com/fresh</loc>" +
+      "<lastmod>2025-02-04T00:00:00Z</lastmod></url></urlset>"
+    val seeds = Frontier.sitemapSeeds(
+      directives.select(col("host")).withColumn("sitemap_xml", lit(xml)))
+    def dueSet(): Set[String] = Frontier.recrawlDue(seeds,
+        spark2.read.parquet(ixDir).select(col("url"), col("ts")))
+      .filter(col("due")).select("url").as[String].collect().toSet
+    // pass 1: never-captured due; stale (lastmod 02-06 > capture 02-05)
+    // due; fresh (lastmod 02-04 < capture) not due
+    assert(dueSet() == Set("https://a.com/new", "https://a.com/stale"))
+    // fetch the due URLs, screen through the REAL admission step
+    val verdicts = WarcSource.cdxAdmit(segment("2025-02-07T09:00:00Z",
+      "https://a.com/new" -> "<html>new page body</html>",
+      "https://a.com/stale" -> "<html>rewritten stale body</html>"), ixDir)
+      .select(col("url"), col("verdict")).as[(String, String)].collect().toMap
+    assert(verdicts("https://a.com/new") == "novel")
+    assert(verdicts("https://a.com/stale") == "url_dup")
+    // pass 2: the loop CLOSED — the admitted /new capture (02-07) now
+    // out-dates its lastmod, so only /stale (url_dup, not re-admitted,
+    // capture unchanged) stays due
+    assert(dueSet() == Set("https://a.com/stale"))
+  }
+
   test("htmlResponses: undecodable transfer coding skips in lenient mode, throws in strict") {
     import graft.sources.WarcSource
     val spark2 = spark
@@ -231,6 +286,17 @@ class WarcSpec extends SparkSuite {
       // WILL contain and a crawl-scale extraction must survive
       respRec("http://br.example.com/", Seq("Content-Type" -> "text/html",
         "Content-Encoding" -> "br"), Array[Byte](1, 2, 3)),
+      // a CORRUPT gzip body (valid magic, garbage stream) — GZIPInputStream
+      // throws ZipException (an IOException, not IllegalArgumentException);
+      // the lenient catch must cover it or one bad record kills the job
+      respRec("http://corruptgz.example.com/", Seq("Content-Type" -> "text/html",
+        "Content-Encoding" -> "gzip"),
+        Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 99, 98, 97)),
+      // a TRUNCATED but well-started gzip body → EOFException mid-inflate
+      respRec("http://truncgz.example.com/", Seq("Content-Type" -> "text/html",
+        "Content-Encoding" -> "gzip"),
+        Warc.gzipBytes("<html><body>cut off mid-stream page</body></html>"
+          .getBytes(Utf8)).dropRight(12)),
       respRec("http://ok2.example.com/", Seq("Content-Type" -> "text/html"),
         "<html><body>also fine</body></html>".getBytes(Utf8))))
     val segments = Seq(("file:/crawl/mix.warc.gz", gz)).toDF("path", "content")

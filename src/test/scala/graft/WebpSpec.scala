@@ -383,4 +383,48 @@ class WebpSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Webp.decode(huge.riff))
     assert(e2.getMessage.contains("budget"))
   }
+
+  test("metadata: header-only dims for lossless AND lossy; decode still rejects lossy") {
+    // lossless: metadata matches the encoded dims without pixel decode
+    val ll = Webp.encode(Webp.Image(13, 7, 3,
+      Array.tabulate(13 * 7 * 3)(i => (i * 5) % 256)))
+    assert(Webp.metadata(ll) == Webp.Meta("lossless", 13, 7))
+    // lossy: the RFC 6386 §9.1 keyframe header parses — dims with NO
+    // DCT work — while pixel decode refuses loudly
+    val lossy = Webp.encodeLossyHeader(640, 480)
+    assert(Webp.metadata(lossy) == Webp.Meta("lossy", 640, 480))
+    val e = intercept[IllegalArgumentException](Webp.decode(lossy))
+    assert(e.getMessage.contains("lossy"))
+    // 14-bit boundary dims survive the LE packing
+    assert(Webp.metadata(Webp.encodeLossyHeader(16383, 1)) ==
+      Webp.Meta("lossy", 16383, 1))
+    // corrupt start code fails loudly
+    val bad = Webp.encodeLossyHeader(8, 8)
+    bad(20 + 3) = 0 // clobber the 0x9d start-code byte inside the payload
+    intercept[IllegalArgumentException](Webp.metadata(bad))
+    // interframe-first (frame tag bit 0 set) is not a standalone file
+    val inter = Webp.encodeLossyHeader(8, 8)
+    inter(20) = (inter(20) | 1).toByte
+    intercept[IllegalArgumentException](Webp.metadata(inter))
+  }
+
+  test("ImageDecoder.sniff: metadata-only vs decodable split across containers") {
+    import graft.operators.Multimodal.ImageDecoder
+    import graft.operators.Multimodal.ImageDecoder.ImageInfo
+    val png = graft.kernel.Png.encode(graft.kernel.Png.Image(5, 4, 1, 8,
+      Array.tabulate(20)(_ % 256)))
+    assert(ImageDecoder.sniff(png) == ImageInfo("png", "", true, 5, 4))
+    // EXIF orientation 6 (90° CW): stored 16x8 must sniff as DISPLAY 8x16
+    val jpg = graft.kernel.Jpeg.encode(graft.kernel.Jpeg.Image(16, 8, 1,
+      Array.tabulate(128)(_ % 256)), orientation = 6)
+    assert(ImageDecoder.sniff(jpg) == ImageInfo("jpeg", "", true, 8, 16))
+    val gif = graft.kernel.Gif.encode(graft.kernel.Gif.Image(9, 3, 1,
+      Array.tabulate(27)(_ % 200)))
+    assert(ImageDecoder.sniff(gif) == ImageInfo("gif", "", true, 9, 3))
+    val vp8l = Webp.encode(Webp.Image(6, 2, 3, Array.tabulate(36)(_ % 256)))
+    assert(ImageDecoder.sniff(vp8l) == ImageInfo("webp", "lossless", true, 6, 2))
+    val vp8 = Webp.encodeLossyHeader(320, 200)
+    assert(ImageDecoder.sniff(vp8) == ImageInfo("webp", "lossy", false, 320, 200))
+    intercept[IllegalArgumentException](ImageDecoder.sniff("nope".getBytes))
+  }
 }
