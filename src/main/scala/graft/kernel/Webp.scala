@@ -670,10 +670,54 @@ object Webp {
     * while its DCT payload is out of a pure-JVM codec's scope, its
     * keyframe header — frame tag, start code, 14-bit dimensions — is
     * UNCOMPRESSED (RFC 6386 §9.1) and free to read. */
-  final case class Meta(flavor: String, width: Int, height: Int)
+  final case class Meta(flavor: String, width: Int, height: Int,
+      hasAlpha: Boolean = false, animated: Boolean = false, frames: Int = 0)
 
   def metadata(bytes: Array[Byte]): Meta = {
     require(isWebp(bytes), "not a WebP: bad RIFF/WEBP signature")
+    // VP8X extended container first: flags + 24-bit canvas dims, then
+    // feature chunks (ALPH/ANIM/ANMF/codec). Canvas dims are the
+    // DISPLAY truth; for animations the flavor comes from the first
+    // frame's codec chunk inside its ANMF wrapper.
+    if (bytes.length >= 30 &&
+        new String(bytes, 12, 4, "ISO-8859-1") == "VP8X") {
+      val size = le32(bytes, 16)
+      require(size == 10, s"VP8X: chunk size $size, spec requires 10")
+      val flags = bytes(20) & 0xff
+      val alpha = (flags & 0x10) != 0
+      val anim = (flags & 0x02) != 0
+      def u24(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16)
+      val w = u24(24) + 1
+      val h = u24(27) + 1
+      var off = 30
+      var frames = 0
+      var flavor = ""
+      while (off + 8 <= bytes.length) {
+        val tag = new String(bytes, off, 4, "ISO-8859-1")
+        val size2 = le32(bytes, off + 4)
+        require(size2 >= 0 && off + 8 + size2 <= bytes.length,
+          s"WebP: chunk '$tag' size $size2 overruns the file")
+        tag match {
+          case "ANMF" =>
+            frames += 1
+            // 16-byte frame header, then the frame's own codec chunk
+            if (flavor.isEmpty && size2 >= 24) {
+              val sub = new String(bytes, off + 8 + 16, 4, "ISO-8859-1")
+              if (sub == "VP8L") flavor = "lossless"
+              else if (sub == "VP8 ") flavor = "lossy"
+            }
+          case "VP8L" => if (flavor.isEmpty) flavor = "lossless"
+          case "VP8 " => if (flavor.isEmpty) flavor = "lossy"
+          case _ => // ALPH/ICCP/EXIF/XMP/ANIM — metadata chunks
+        }
+        off += 8 + size2.toInt + (size2.toInt & 1)
+      }
+      require(flavor.nonEmpty, "VP8X: no VP8L or VP8 codec chunk found")
+      require(!anim || frames > 0, "VP8X: animation flag but no ANMF frames")
+      return Meta(flavor, w, h, hasAlpha = alpha, animated = anim,
+        frames = if (anim) frames else 0)
+    }
     var off = 12
     while (off + 8 <= bytes.length) {
       val tag = new String(bytes, off, 4, "ISO-8859-1")
@@ -686,7 +730,9 @@ object Webp {
         require(size >= 5, "VP8L: header truncated")
         require((bytes(p) & 0xff) == 0x2f, "VP8L: bad signature byte")
         val br = new BitReader(bytes, p + 1, p + 5)
-        return Meta("lossless", br.bits(14) + 1, br.bits(14) + 1)
+        val w = br.bits(14) + 1
+        val h = br.bits(14) + 1
+        return Meta("lossless", w, h, hasAlpha = br.bit() == 1)
       }
       if (tag == "VP8 ") {
         // RFC 6386 §9.1: 3-byte frame tag (bit 0: 0 = key frame — the

@@ -455,7 +455,10 @@ object Multimodal {
         ImageInfo("gif", "", decodable = true, w, h)
       } else if (Webp.isWebp(payload)) {
         val m = Webp.metadata(payload)
-        ImageInfo("webp", m.flavor, decodable = m.flavor == "lossless",
+        // lossy pixels (DCT) and animated composites are both out of
+        // the pure-JVM decode surface — header metadata only
+        ImageInfo("webp", m.flavor,
+          decodable = m.flavor == "lossless" && !m.animated,
           m.width, m.height)
       } else throw new IllegalArgumentException(
         "unknown image format (not PNG, JPEG, GIF or WebP)")

@@ -408,6 +408,59 @@ class WebpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Webp.metadata(inter))
   }
 
+  test("metadata: VP8X extended container — canvas dims, alpha/animation flags, ANMF frames") {
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def u24(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] =
+      tag.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      "RIFF".getBytes("ISO-8859-1") ++ le32(4 + body.length) ++
+        "WEBP".getBytes("ISO-8859-1") ++ body
+    }
+    def vp8x(flags: Int, w: Int, h: Int): Array[Byte] =
+      chunk("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++ u24(w - 1) ++ u24(h - 1))
+    // a real VP8L chunk (header + payload) lifted out of the encoder's
+    // bare file: everything past the 12-byte RIFF/WEBP preamble
+    val bare = Webp.encode(Webp.Image(6, 2, 3, Array.tabulate(36)(_ % 256)))
+    val vp8lChunk = bare.drop(12)
+
+    // still VP8X-wrapped lossless with the alpha flag: canvas dims are
+    // the display truth, and the wrapped payload still pixel-decodes
+    val still = riff(vp8x(0x10, 6, 2), vp8lChunk)
+    assert(Webp.metadata(still) ==
+      Webp.Meta("lossless", 6, 2, hasAlpha = true))
+    assert(Webp.decode(still).width == 6)
+    import graft.operators.Multimodal.ImageDecoder
+    assert(ImageDecoder.sniff(still).decodable)
+
+    // animated: ANIM params + two ANMF-wrapped frames — frame count and
+    // first-frame flavor in the metadata, pixel decode refuses loudly
+    val anim = chunk("ANIM", Array.fill[Byte](6)(0))
+    def anmf(frame: Array[Byte]): Array[Byte] =
+      chunk("ANMF", Array.fill[Byte](16)(0) ++ frame)
+    val animated = riff(vp8x(0x02, 6, 2), anim, anmf(vp8lChunk), anmf(vp8lChunk))
+    assert(Webp.metadata(animated) ==
+      Webp.Meta("lossless", 6, 2, hasAlpha = false, animated = true, frames = 2))
+    assert(!ImageDecoder.sniff(animated).decodable)
+    intercept[IllegalArgumentException](Webp.decode(animated))
+
+    // VP8X wrapping a lossy frame keeps the lossy verdict
+    val lossyChunk = Webp.encodeLossyHeader(320, 200).drop(12)
+    assert(Webp.metadata(riff(vp8x(0, 320, 200), lossyChunk)) ==
+      Webp.Meta("lossy", 320, 200))
+
+    // malformed: wrong VP8X size, and a codec-less container, both loud
+    intercept[IllegalArgumentException](
+      Webp.metadata(riff(chunk("VP8X", Array.fill[Byte](9)(0)))))
+    intercept[IllegalArgumentException](
+      Webp.metadata(riff(vp8x(0, 6, 2))))
+  }
+
   test("ImageDecoder.sniff: metadata-only vs decodable split across containers") {
     import graft.operators.Multimodal.ImageDecoder
     import graft.operators.Multimodal.ImageDecoder.ImageInfo
