@@ -230,6 +230,39 @@ object Frontier {
       .toDF("host", "kind", "loc", "lastmod")
   }
 
+  /** Two-level sitemap walk — the sitemaps.org INDEX protocol: parse
+    * the fetched top-level documents; `urlset` entries emit directly
+    * (level 0), `sitemapindex` entries resolve through `children`
+    * (sitemap_url → sitemap_xml — the fetch table a crawler
+    * materializes for the child URLs) and parse again (level 1). The
+    * spec caps nesting at ONE index level, so the walk is a single
+    * keyed join, not a loop; a child that is itself an index raises
+    * loudly. A child listed in an index but absent from `children` is
+    * simply not-yet-fetched frontier state and contributes nothing —
+    * feeding the index's child URLs into the fetcher is the caller's
+    * loop, exactly like [[robotsSitemaps]] → sitemap fetch.
+    *
+    * Scale: both parses are row-local flatMaps; the only exchange is
+    * the child join keyed on sitemap_url (host-bounded — broadcastable
+    * whenever the index side is the usual few-thousand-hosts frontier
+    * table). */
+  def sitemapWalk(sitemaps: DataFrame, children: DataFrame): DataFrame = {
+    val first = sitemapSeeds(sitemaps)
+    val leaf1 = first.filter(col("kind") === "urlset")
+      .select(col("host"), lit(0).as("level"), col("loc"), col("lastmod"))
+    val childXml = first.filter(col("kind") === "sitemapindex")
+      .select(col("host"), col("loc").as("sitemap_url"))
+      .join(children, Seq("sitemap_url"))
+    val second = sitemapSeeds(childXml.select(col("host"), col("sitemap_xml")))
+    val leaf2 = second.select(col("host"),
+      when(col("kind") === "urlset", lit(1))
+        .otherwise(raise_error(concat(
+          lit("sitemap index nested beyond the spec's one level: "),
+          col("loc"))).cast("int")).as("level"),
+      col("loc"), col("lastmod"))
+    leaf1.unionAll(leaf2)
+  }
+
   /** Normalize a sitemap `lastmod` to the 14-digit UTC capture-index
     * key (`yyyyMMddHHmmss`) — the comparison currency of
     * [[recrawlDue]]. sitemaps.org allows the full W3C datetime grammar,
@@ -697,6 +730,71 @@ object Frontier {
         (c.ts IS NULL OR (s.lastmod <> '' AND s.lm_key > c.ts)) AS due
       FROM keyed s LEFT JOIN cdx c ON s.doc_id = c.doc_id
       ORDER BY s.url""")),
+
+    // Two-level sitemap-index walk, oracle-gated: even hosts publish an
+    // INDEX of two child sitemaps resolved through the fetch table
+    // (level 1), odd hosts a direct urlset (level 0, with every 4th
+    // entry claim-free) — the real sitemaps.org shape where large sites
+    // shard their URL space behind one index. DuckDB regenerates every
+    // (host, level, loc, lastmod) row from the plant rule, so a parse
+    // bug, a lost join row, or a level mixup breaks the hash.
+    ("w15_sitemap_walk", (s: SparkSession, d: String) => {
+      def dd(c: Column): Column = lpad(c.cast("string"), 2, "0")
+      val hosts = s.range(19).select(col("id").as("k"),
+        concat(lit("h"), col("id"), lit(".example.com")).as("host"))
+      def oddEntry(i: Int): Column = {
+        val lm = when((col("k") + lit(i)) % 4 === 0, lit(""))
+          .otherwise(concat(lit("2025-03-"), dd((col("k") + lit(i)) % 28 + 1)))
+        concat(lit("<url><loc>https://"), col("host"), lit(s"/p$i</loc>"),
+          when(lm === "", lit(""))
+            .otherwise(concat(lit("<lastmod>"), lm, lit("</lastmod>"))),
+          lit("</url>"))
+      }
+      val topXml = when(col("k") % 2 === 0,
+          concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+            lit("<sitemap><loc>https://"), col("host"),
+            lit("/sm-0.xml</loc></sitemap>"),
+            lit("<sitemap><loc>https://"), col("host"),
+            lit("/sm-1.xml</loc></sitemap>"),
+            lit("</sitemapindex>")))
+        .otherwise(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          oddEntry(0), oddEntry(1), oddEntry(2), lit("</urlset>")))
+      val sitemaps = hosts.select(col("host"), topXml.as("sitemap_xml"))
+      def childEntry(j: Column, i: Int): Column =
+        concat(lit("<url><loc>https://"), col("host"), lit("/i"), j,
+          lit(s"p$i</loc><lastmod>2025-03-"),
+          dd((col("k") + j + lit(i)) % 28 + 1),
+          lit("</lastmod></url>"))
+      val children = hosts.filter(col("k") % 2 === 0)
+        .crossJoin(s.range(2).select(col("id").as("j")))
+        .select(
+          concat(lit("https://"), col("host"), lit("/sm-"), col("j"),
+            lit(".xml")).as("sitemap_url"),
+          concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            childEntry(col("j"), 0), childEntry(col("j"), 1),
+            lit("</urlset>")).as("sitemap_xml"))
+      sitemapWalk(sitemaps, children).orderBy(col("loc"))
+    },
+    Some("""WITH ks AS (SELECT CAST(unnest(range(0, 19)) AS BIGINT) AS k),
+      odd AS (
+        SELECT 'h' || k || '.example.com' AS host, CAST(0 AS INTEGER) AS level,
+          'https://h' || k || '.example.com/p' || i AS loc,
+          CASE WHEN (k + i) % 4 = 0 THEN ''
+            ELSE '2025-03-' || lpad(CAST((k + i) % 28 + 1 AS VARCHAR), 2, '0')
+          END AS lastmod
+        FROM ks, (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS i) i_
+        WHERE k % 2 = 1),
+      ev AS (
+        SELECT 'h' || k || '.example.com' AS host, CAST(1 AS INTEGER) AS level,
+          'https://h' || k || '.example.com/i' || j || 'p' || i AS loc,
+          '2025-03-' || lpad(CAST((k + j + i) % 28 + 1 AS VARCHAR), 2, '0')
+            AS lastmod
+        FROM ks, (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS j) j_,
+          (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS i) i_
+        WHERE k % 2 = 0)
+      SELECT host, level, loc, lastmod FROM odd
+      UNION ALL SELECT host, level, loc, lastmod FROM ev
+      ORDER BY loc""")),
 
     // The composed CONTINUOUS-RE-CRAWL scheduler in one oracle-gated
     // query (r12 verdict item 7) — the chain a real freshness loop

@@ -302,6 +302,46 @@ class FrontierSpec extends SparkSuite {
       ("https://a.com/stale", "20250205120000", true)))
   }
 
+  test("sitemapWalk: index resolves fetched children, unfetched pend, nested index loud") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sitemaps = Seq(
+      ("a.com", "<?xml version=\"1.0\"?><sitemapindex>" +
+        "<sitemap><loc>https://a.com/sm-0.xml</loc></sitemap>" +
+        "<sitemap><loc>https://a.com/sm-unfetched.xml</loc></sitemap>" +
+        "</sitemapindex>"),
+      ("b.com", "<?xml version=\"1.0\"?><urlset>" +
+        "<url><loc>https://b.com/direct</loc>" +
+        "<lastmod>2025-03-01</lastmod></url></urlset>")
+    ).toDF("host", "sitemap_xml")
+    val children = Seq(
+      ("https://a.com/sm-0.xml", "<?xml version=\"1.0\"?><urlset>" +
+        "<url><loc>https://a.com/child1</loc></url>" +
+        "<url><loc>https://a.com/child2</loc>" +
+        "<lastmod>2025-03-02</lastmod></url></urlset>")
+    ).toDF("sitemap_url", "sitemap_xml")
+    val got = Frontier.sitemapWalk(sitemaps, children)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3))).sortBy(_._3)
+    // the fetched child's entries at level 1, the direct urlset at level
+    // 0; the unfetched child is pending frontier state, not an error
+    assert(got.toSeq == Seq(
+      ("a.com", 1, "https://a.com/child1", ""),
+      ("a.com", 1, "https://a.com/child2", "2025-03-02"),
+      ("b.com", 0, "https://b.com/direct", "2025-03-01")))
+    // a child that is ITSELF an index violates the spec's one-level cap
+    val nested = Seq(
+      ("https://a.com/sm-0.xml", "<?xml version=\"1.0\"?><sitemapindex>" +
+        "<sitemap><loc>https://a.com/sm-deeper.xml</loc></sitemap>" +
+        "</sitemapindex>")
+    ).toDF("sitemap_url", "sitemap_xml")
+    val e = intercept[Exception](
+      Frontier.sitemapWalk(sitemaps, nested).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("nested beyond")))
+  }
+
   test("lastmodKey: golden table over the real-world W3C lastmod shapes") {
     val spark2 = spark
     import spark2.implicits._
