@@ -1,0 +1,135 @@
+package graft.kernel
+
+/** MP3 (MPEG-1/2 audio Layer III) container metadata — frame-header
+  * walk from the public header tables (ISO/IEC 11172-3 §2.4.1.3 /
+  * 13818-3): each frame opens with a 32-bit header — 11-bit syncword,
+  * version, layer, bitrate index, sample-rate index, padding — and the
+  * frame length follows arithmetically, so the whole file structure is
+  * readable without touching a single Huffman-coded audio bit (the
+  * VP8-lossy/MP4 rule: payload decode is out of scope, structural
+  * metadata is free). An ID3v2 tag at the file start is skipped by its
+  * syncsafe length; ID3v1 (128-byte 'TAG' trailer) is tolerated.
+  *
+  * Duration is EXACT integer arithmetic: every Layer III frame carries
+  * 1152 samples (MPEG-1) or 576 (MPEG-2/2.5), so
+  * durationMs = floor(frames · samplesPerFrame · 1000 / sampleRate) —
+  * engine-exact, and honest for VBR too (it counts real frames, not a
+  * first-frame bitrate guess).
+  */
+object Mp3 {
+
+  /** version: "1"/"2"/"2.5"; sampleRate in Hz; bitrateKbps of the
+    * FIRST frame (VBR files vary per frame — `vbr` says whether any
+    * later frame disagrees); frames = physical frame count. */
+  final case class Meta(version: String, sampleRate: Int,
+      bitrateKbps: Int, vbr: Boolean, frames: Int, durationMs: Long)
+
+  // bitrate tables, kbps: [version][layerIII index 1..14]
+  private val BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private val SampleRateV1 = Array(44100, 48000, 32000)
+  private val SampleRateV2 = Array(22050, 24000, 16000)
+  private val SampleRateV25 = Array(11025, 12000, 8000)
+
+  def isMp3(bytes: Array[Byte]): Boolean =
+    hasId3v2(bytes) || (bytes.length >= 4 && isFrameSync(bytes, 0))
+
+  private def hasId3v2(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3'
+
+  private def isFrameSync(b: Array[Byte], o: Int): Boolean =
+    o + 4 <= b.length && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0
+
+  def metadata(bytes: Array[Byte]): Meta = {
+    var off = 0
+    if (hasId3v2(bytes)) {
+      // syncsafe 28-bit tag length at bytes 6..9, header itself is 10
+      val len = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + len
+      require(off <= bytes.length, s"mp3: ID3v2 length $len overruns the file")
+    }
+    val limit = // tolerate an ID3v1 trailer
+      if (bytes.length >= 128 && bytes(bytes.length - 128) == 'T' &&
+          bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G')
+        bytes.length - 128
+      else bytes.length
+    var version = ""
+    var sampleRate = 0
+    var bitrate0 = 0
+    var vbr = false
+    var frames = 0
+    var samplesPerFrame = 0
+    while (off + 4 <= limit) {
+      require(isFrameSync(bytes, off),
+        f"mp3: lost frame sync at $off (0x${bytes(off) & 0xff}%02x)")
+      val h1 = bytes(off + 1) & 0xff
+      val h2 = bytes(off + 2) & 0xff
+      val verBits = (h1 >> 3) & 3
+      val layerBits = (h1 >> 1) & 3
+      require(layerBits == 1, "mp3: not Layer III")
+      require(verBits != 1, "mp3: reserved MPEG version")
+      val brIdx = (h2 >> 4) & 0xf
+      val srIdx = (h2 >> 2) & 3
+      val padding = (h2 >> 1) & 1
+      require(brIdx != 0 && brIdx != 15,
+        s"mp3: free-format/bad bitrate index $brIdx")
+      require(srIdx != 3, "mp3: reserved sample-rate index")
+      val (ver, sr, br, spf) = verBits match {
+        case 3 => ("1", SampleRateV1(srIdx), BitrateV1L3(brIdx), 1152)
+        case 2 => ("2", SampleRateV2(srIdx), BitrateV2L3(brIdx), 576)
+        case _ => ("2.5", SampleRateV25(srIdx), BitrateV2L3(brIdx), 576)
+      }
+      if (frames == 0) {
+        version = ver; sampleRate = sr; bitrate0 = br; samplesPerFrame = spf
+      } else {
+        require(ver == version && sr == sampleRate,
+          "mp3: version/sample-rate changes mid-stream")
+        if (br != bitrate0) vbr = true
+      }
+      val frameLen = spf / 8 * br * 1000 / sr + padding
+      require(frameLen > 4, s"mp3: degenerate frame length $frameLen")
+      require(off + frameLen <= limit,
+        s"mp3: frame at $off (len $frameLen) truncated")
+      frames += 1
+      off += frameLen
+    }
+    require(frames > 0, "mp3: no audio frames")
+    Meta(version, sampleRate, bitrate0, vbr, frames,
+      frames.toLong * samplesPerFrame * 1000L / sampleRate)
+  }
+
+  // --- fixture encoder ----------------------------------------------------
+
+  /** Build a structurally valid CBR MPEG-1 Layer III stream: `frames`
+    * frames of the given bitrate/sample-rate with zeroed payloads —
+    * [[metadata]] walks it; there is nothing to audio-decode (the
+    * header-fixture pattern). */
+  def encodeHeader(frames: Int, bitrateKbps: Int, sampleRate: Int,
+      id3v2Bytes: Int = 0): Array[Byte] = {
+    val brIdx = BitrateV1L3.indexOf(bitrateKbps)
+    val srIdx = SampleRateV1.indexOf(sampleRate)
+    require(brIdx >= 1, s"unsupported MPEG-1 L3 bitrate $bitrateKbps")
+    require(srIdx >= 0, s"unsupported MPEG-1 sample rate $sampleRate")
+    require(frames >= 1, "at least one frame")
+    val frameLen = 1152 / 8 * bitrateKbps * 1000 / sampleRate // no padding
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // version 2.3, no flags
+      out.write((id3v2Bytes >> 21) & 0x7f); out.write((id3v2Bytes >> 14) & 0x7f)
+      out.write((id3v2Bytes >> 7) & 0x7f); out.write(id3v2Bytes & 0x7f)
+      out.write(new Array[Byte](id3v2Bytes))
+    }
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xff.toByte
+    frame(1) = 0xfb.toByte // MPEG-1 (11), Layer III (01), no CRC (1)
+    frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding, private 0
+    frame(3) = 0xc0.toByte // mono, no mode ext, no copyright/original
+    (0 until frames).foreach(_ => out.write(frame))
+    out.toByteArray
+  }
+}

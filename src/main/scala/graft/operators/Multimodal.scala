@@ -2443,6 +2443,103 @@ object Multimodal {
       SELECT label, count(*) AS n_values, min(v) AS min_v, max(v) AS max_v,
         CAST(sum(CAST(floor(v * 16777216) AS BIGINT)) AS BIGINT) AS sum_q24,
         min(CASE WHEN rn = (cnt + 1) // 2 THEN v END) AS median_lo
-      FROM ranked GROUP BY label ORDER BY label"""))
+      FROM ranked GROUP BY label ORDER BY label""")),
+
+    // MP4 structural metadata, oracle-gated: the ISO BMFF box walk
+    // (kernel/Mp4.scala) over planted containers — brand, EXACT
+    // integer-floored duration from mvhd timescale/duration, per-track
+    // handler/codec/dims from tkhd+hdlr+stsd; every third file is
+    // video+audio, the rest audio-only. H.264/AAC payloads stay
+    // undecodable by contract — this is the decode-free filter table
+    // (the m25 rule) for the dominant VIDEO container a crawl yields.
+    ("m30_video_meta", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val brand = if (id % 2 == 0) "isom" else "mp42"
+            val dur = (id % 100 + 1) * 600 + (id % 7) * 60
+            val tracks =
+              if (id % 3 == 0)
+                Seq(graft.kernel.Mp4.Track("vide", "avc1",
+                  (320 + id % 64).toInt, (180 + id % 36).toInt),
+                  graft.kernel.Mp4.Track("soun", "mp4a", 0, 0))
+              else Seq(graft.kernel.Mp4.Track("soun", "mp4a", 0, 0))
+            (id, graft.kernel.Mp4.encodeHeader(brand, 600, dur, tracks))
+          }
+        }
+        .toDF("doc_id", "payload")
+      media.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val m = graft.kernel.Mp4.metadata(p)
+            val v = m.video
+            (id, m.brand, m.durationMs, m.tracks.length,
+              v.map(_.codec).getOrElse(""), v.map(_.width).getOrElse(0),
+              v.map(_.height).getOrElse(0),
+              m.audio.map(_.codec).getOrElse(""))
+          }
+        }
+        .toDF("doc_id", "brand", "duration_ms", "n_tracks", "video_codec",
+          "width", "height", "audio_codec")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        ((doc_id % 100 + 1) * 600 + (doc_id % 7) * 60) * 1000 // 600
+          AS duration_ms,
+        CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_tracks,
+        CASE WHEN doc_id % 3 = 0 THEN 'avc1' ELSE '' END AS video_codec,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(320 + doc_id % 64 AS INTEGER)
+          ELSE 0 END AS width,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(180 + doc_id % 36 AS INTEGER)
+          ELSE 0 END AS height,
+        'mp4a' AS audio_codec
+      FROM documents ORDER BY doc_id""")),
+
+    // MP3 structural metadata, oracle-gated: the frame-header walk
+    // (kernel/Mp3.scala) over planted CBR streams — frame count, rates,
+    // and the EXACT sample-arithmetic duration
+    // floor(frames·1152·1000/sampleRate); every fifth file opens with
+    // an ID3v2 tag the walk must skip by its syncsafe length. The
+    // Huffman audio payload stays undecodable by contract.
+    ("m31_audio_meta", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val rates = Array(96, 128, 192, 320)
+      val srs = Array(44100, 48000, 32000)
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val frames = (10 + id % 50).toInt
+            val br = rates((id % 4).toInt)
+            val sr = srs((id % 3).toInt)
+            val tag = if (id % 5 == 0) (100 + id % 20).toInt else 0
+            (id, graft.kernel.Mp3.encodeHeader(frames, br, sr, tag))
+          }
+        }
+        .toDF("doc_id", "payload")
+      media.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val m = graft.kernel.Mp3.metadata(p)
+            (id, m.version, m.sampleRate, m.bitrateKbps, m.frames,
+              m.durationMs)
+          }
+        }
+        .toDF("doc_id", "version", "sample_rate", "bitrate_kbps", "frames",
+          "duration_ms")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id,
+          CAST(10 + doc_id % 50 AS INTEGER) AS frames,
+          CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 96 WHEN 1 THEN 128
+            WHEN 2 THEN 192 ELSE 320 END AS bitrate_kbps,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS sample_rate
+        FROM documents)
+      SELECT doc_id, '1' AS version, sample_rate, bitrate_kbps, frames,
+        CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
+      FROM p ORDER BY doc_id"""))
   )
 }
