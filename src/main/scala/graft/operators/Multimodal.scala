@@ -465,6 +465,42 @@ object Multimodal {
     }
   }
 
+  /** Header-only metadata over a crawl media table
+    * ([[graft.sources.WarcSource.mediaResponses]] shape: url, family,
+    * payload): images dispatch through [[ImageDecoder.sniff]], video
+    * containers through [[graft.kernel.Mp4.metadata]], audio through
+    * [[graft.kernel.Mp3.metadata]] — one row-local map, the media bytes
+    * never cross an exchange. `decodable` reports whether this engine
+    * can produce PIXELS/SAMPLES (true only for the image codecs it
+    * carries; AV payload decode is loudly out of scope). */
+  def crawlMediaMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("url"), col("family"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (url, family, p) =>
+          family match {
+            case "image" =>
+              val i = ImageDecoder.sniff(p)
+              (url, family, i.container, i.decodable, i.width, i.height, 0L)
+            case "video" =>
+              val m = graft.kernel.Mp4.metadata(p)
+              val v = m.video
+              (url, family, "mp4", false, v.map(_.width).getOrElse(0),
+                v.map(_.height).getOrElse(0), m.durationMs)
+            case "audio" =>
+              val m = graft.kernel.Mp3.metadata(p)
+              (url, family, "mp3", false, 0, 0, m.durationMs)
+            case other =>
+              throw new IllegalArgumentException(s"unknown media family '$other'")
+          }
+        }
+      }
+      .toDF("url", "family", "container", "decodable", "width", "height",
+        "duration_ms")
+  }
+
   /** STUB decoder (test/offline baseline — the driver corpus carries text
     * stand-in payloads, not decodable media): derives deterministic fake
     * dimensions/stats from the payload's sha-256 digest so the pipeline
@@ -2540,6 +2576,93 @@ object Multimodal {
         FROM documents)
       SELECT doc_id, '1' AS version, sample_rate, bitrate_kbps, frames,
         CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
-      FROM p ORDER BY doc_id"""))
+      FROM p ORDER BY doc_id""")),
+
+    // The composed CRAWL→MULTIMODAL pipeline in one oracle-gated query
+    // (the LAION-shape first step): raw WARC segments → record grammar
+    // → media-response extraction (content-type families, transfer
+    // decode — half the payloads ride a gzip Content-Encoding) →
+    // header-only metadata per family (image sniff / MP4 box walk /
+    // MP3 frame walk). HTML responses must NOT leak in; a bug in the
+    // record grammar, the family filter, the gzip layer, or any of the
+    // five header parsers breaks the hash. Media bytes never cross an
+    // exchange — the only shuffle is the final ORDER BY.
+    ("c05_crawl_media", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.kernel.{Gif, Mp3, Mp4, Png, Warc, Webp}
+      val segments = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val recs = it.map { id =>
+            val url = s"https://m${id % 19}.example.com/f$id"
+            val (ct, body): (String, Array[Byte]) = (id % 6) match {
+              case 0 =>
+                val w = (16 + id % 8).toInt; val h = (8 + id % 4).toInt
+                ("image/png", Png.encode(Png.Image(w, h, 1, 8,
+                  Array.tabulate(w * h)(i => ((i * 31 + id) % 256).toInt))))
+              case 1 =>
+                ("image/webp", Webp.encodeLossyHeader(
+                  (10 + id % 6).toInt, (6 + id % 4).toInt))
+              case 2 =>
+                val w = (12 + id % 5).toInt; val h = (7 + id % 3).toInt
+                ("image/gif", Gif.encode(Gif.Image(w, h, 1,
+                  Array.tabulate(w * h)(i => ((i * 7 + id) % 200).toInt))))
+              case 3 =>
+                ("video/mp4", Mp4.encodeHeader("isom", 600, (id % 100 + 1) * 600,
+                  Seq(Mp4.Track("vide", "avc1", (320 + id % 64).toInt,
+                    (180 + id % 36).toInt),
+                    Mp4.Track("soun", "mp4a", 0, 0))))
+              case 4 =>
+                ("audio/mpeg", Mp3.encodeHeader((10 + id % 50).toInt, 128, 44100))
+              case _ =>
+                ("text/html", "<html><body>not media</body></html>"
+                  .getBytes("UTF-8"))
+            }
+            val gz = id % 2 == 0
+            val hdrs = Seq("Content-Type" -> ct) ++
+              (if (gz) Seq("Content-Encoding" -> "gzip") else Nil)
+            (id, (Seq(
+              "WARC-Type" -> "response",
+              "WARC-Target-URI" -> url,
+              "WARC-Record-ID" -> s"<urn:uuid:media-$id>",
+              "WARC-Date" -> "2025-04-01T00:00:00Z",
+              "Content-Type" -> "application/http;msgtype=response"),
+              Warc.renderHttpResponse(200, hdrs,
+                if (gz) Warc.gzipBytes(body) else body)))
+          }.toSeq
+          if (recs.isEmpty) Iterator.empty
+          else Iterator((s"file:/crawl/media-${recs.head._1}.warc.gz",
+            Warc.writeGz(recs.map(_._2))))
+        }
+        .toDF("path", "content")
+      val media = graft.sources.WarcSource.mediaResponses(
+        graft.sources.WarcSource.records(segments))
+      crawlMediaMeta(media).orderBy(col("url"))
+    },
+    Some("""SELECT 'https://m' || (doc_id % 19) || '.example.com/f' || doc_id
+          AS url,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'image'
+          WHEN 3 THEN 'video' ELSE 'audio' END AS family,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN 'png' WHEN 1 THEN 'webp' WHEN 2 THEN 'gif'
+          WHEN 3 THEN 'mp4' ELSE 'mp3' END AS container,
+        (doc_id % 6 IN (0, 2)) AS decodable,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN CAST(16 + doc_id % 8 AS INTEGER)
+          WHEN 1 THEN CAST(10 + doc_id % 6 AS INTEGER)
+          WHEN 2 THEN CAST(12 + doc_id % 5 AS INTEGER)
+          WHEN 3 THEN CAST(320 + doc_id % 64 AS INTEGER)
+          ELSE 0 END AS width,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN CAST(8 + doc_id % 4 AS INTEGER)
+          WHEN 1 THEN CAST(6 + doc_id % 4 AS INTEGER)
+          WHEN 2 THEN CAST(7 + doc_id % 3 AS INTEGER)
+          WHEN 3 THEN CAST(180 + doc_id % 36 AS INTEGER)
+          ELSE 0 END AS height,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 3 THEN (doc_id % 100 + 1) * 1000
+          WHEN 4 THEN CAST(10 + doc_id % 50 AS BIGINT) * 1152 * 1000 // 44100
+          ELSE 0 END AS duration_ms
+      FROM documents WHERE doc_id % 6 <> 5 ORDER BY url"""))
   )
 }

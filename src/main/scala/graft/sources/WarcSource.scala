@@ -270,6 +270,45 @@ object WarcSource {
       .toDF("url", "warc_date", "http_status", "html")
   }
 
+  /** Project the MEDIA response table out of a record scan — the
+    * multimodal sibling of [[htmlResponses]]: `response` records whose
+    * HTTP payload is an image/audio/video type, with the transfer
+    * layers undone ([[graft.kernel.Warc.decodedBody]] — chunked,
+    * gzip/deflate) but the media BYTES left opaque. Same lenient
+    * contract: an undecodable transfer layer skips the record by
+    * default (a crawl-scale extraction must survive one broken
+    * response); `lenient = false` restores the loud kernel behavior.
+    * Media bytes never cross an exchange here — this is a row-local
+    * projection feeding the header-only metadata kernels
+    * ([[graft.operators.Multimodal.ImageDecoder.sniff]],
+    * [[graft.kernel.Mp4.metadata]], [[graft.kernel.Mp3.metadata]]). */
+  def mediaResponses(records: DataFrame, lenient: Boolean = true): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("warc_date"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (uri, date, content) =>
+          val http = Warc.httpResponse(content)
+          val ct = http.contentType.toLowerCase
+          val family = ct.takeWhile(_ != '/')
+          if (!Set("image", "audio", "video").contains(family)) None
+          else if (lenient) {
+            try Some((uri, date, http.status, ct, family,
+              Warc.decodedBody(http)))
+            catch {
+              case _: IllegalArgumentException | _: java.io.IOException => None
+            }
+          } else Some((uri, date, http.status, ct, family,
+            Warc.decodedBody(http)))
+        }
+      }
+      .toDF("url", "warc_date", "http_status", "content_type", "family",
+        "payload")
+  }
+
   /** One WAT metadata envelope (fixed field order, minimal JSON
     * escaping) — the Common Crawl WAT sidecar's per-response payload
     * shape: enough header/link structure to build link graphs and
