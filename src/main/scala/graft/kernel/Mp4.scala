@@ -156,6 +156,64 @@ object Mp4 {
     Track(handler, codec, w, h)
   }
 
+  // --- AVIF (AV1 Image File Format — the same ISO BMFF structure) ---------
+
+  /** AVIF sniff: an ftyp whose major brand is avif (still) or avis
+    * (sequence). */
+  def isAvif(bytes: Array[Byte]): Boolean =
+    isMp4(bytes) && {
+      val b = fourcc(bytes, 8)
+      b == "avif" || b == "avis"
+    }
+
+  /** AVIF image dimensions from `meta/iprp/ipco/ispe` — the spatial
+    * extents live in uncompressed property boxes; AV1 payload decode is
+    * out of scope (the VP8-lossy rule). `meta` is a FULLBOX (4-byte
+    * version/flags precede its children), unlike moov. A file may carry
+    * several `ispe` properties (thumbnails, alpha plane); without
+    * walking the full pitm/ipma association this returns the
+    * LARGEST-area extents — the primary image in every real encoder's
+    * output, and a documented approximation rather than a guess. */
+  def avifDims(bytes: Array[Byte]): (Int, Int) = {
+    require(isAvif(bytes), "not an AVIF: ftyp brand is not avif/avis")
+    var best = (0, 0)
+    walk(bytes, 0, bytes.length) { (typ, p, e) =>
+      if (typ == "meta") {
+        require(e - p >= 4, "avif: meta fullbox truncated")
+        walk(bytes, p + 4, e) { (t2, p2, e2) =>
+          if (t2 == "iprp") walk(bytes, p2, e2) { (t3, p3, e3) =>
+            if (t3 == "ipco") walk(bytes, p3, e3) { (t4, p4, e4) =>
+              if (t4 == "ispe") {
+                require(e4 - p4 >= 12, "avif: ispe truncated")
+                val w = u32(bytes, p4 + 4).toInt
+                val h = u32(bytes, p4 + 8).toInt
+                require(w > 0 && h > 0, s"avif: degenerate ispe ${w}x$h")
+                if (w.toLong * h > best._1.toLong * best._2) best = (w, h)
+              }
+            }
+          }
+        }
+      }
+    }
+    require(best._1 > 0, "avif: no meta/iprp/ipco/ispe box")
+    best
+  }
+
+  /** Fixture: a structurally valid AVIF header (ftyp + meta/iprp/ipco/
+    * ispe + empty mdat) — [[avifDims]] reads it, nothing decodes. */
+  def encodeAvifHeader(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"avif dims ${w}x$h")
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "avif".getBytes("ISO-8859-1") ++ be32(0) ++
+      "mif1".getBytes("ISO-8859-1"))
+    val ispe = box("ispe", be32(0) ++ be32(w.toLong) ++ be32(h.toLong))
+    val meta = box("meta", be32(0) ++ box("iprp", box("ipco", ispe)))
+    ftyp ++ meta ++ box("mdat", Array.empty[Byte])
+  }
+
   // --- fixture encoder ----------------------------------------------------
 
   /** Build a structurally valid MP4 whose headers carry the given

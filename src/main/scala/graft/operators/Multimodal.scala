@@ -417,6 +417,9 @@ object Multimodal {
       else if (graft.kernel.Jpeg.isJpeg(payload)) jpeg
       else if (graft.kernel.Gif.isGif(payload)) gif
       else if (graft.kernel.Webp.isWebp(payload)) webp
+      else if (graft.kernel.Mp4.isAvif(payload))
+        throw new IllegalArgumentException(
+          "AVIF (AV1 payload) pixel decode is not supported — metadata only")
       else throw new IllegalArgumentException(
         "unknown image format (not PNG, JPEG, GIF or WebP)")
     def decode(payload: Array[Byte]): (Int, Int, Double) =
@@ -453,6 +456,11 @@ object Multimodal {
       } else if (Gif.isGif(payload)) {
         val (w, h) = Gif.headerDims(payload)
         ImageInfo("gif", "", decodable = true, w, h)
+      } else if (graft.kernel.Mp4.isAvif(payload)) {
+        // AV1 payload decode is out of scope — dims from the
+        // uncompressed ispe property box (the VP8-lossy rule)
+        val (w, h) = graft.kernel.Mp4.avifDims(payload)
+        ImageInfo("avif", "av1", decodable = false, w, h)
       } else if (Webp.isWebp(payload)) {
         val m = Webp.metadata(payload)
         // lossy pixels (DCT) and animated composites are both out of

@@ -48,6 +48,22 @@ class MediaMetaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Mp4.metadata(ftypOnly))
   }
 
+  test("avif: dims from meta/iprp/ipco/ispe; sniff metadata-only; decode loud") {
+    val bytes = Mp4.encodeAvifHeader(1024, 768)
+    assert(Mp4.isAvif(bytes) && !Mp4.isAvif(Mp4.encodeHeader("isom", 600, 600,
+      Seq(Mp4.Track("soun", "mp4a", 0, 0)))))
+    assert(Mp4.avifDims(bytes) == (1024, 768))
+    import graft.operators.Multimodal.ImageDecoder
+    assert(ImageDecoder.sniff(bytes) ==
+      ImageDecoder.ImageInfo("avif", "av1", false, 1024, 768))
+    val e = intercept[IllegalArgumentException](
+      new graft.operators.Multimodal.ImageDecoder().decode(bytes))
+    assert(e.getMessage.contains("AVIF"))
+    // ispe-less file is loud, not zero-dims
+    val noIspe = Mp4.encodeAvifHeader(8, 8).take(24) // ftyp only
+    intercept[IllegalArgumentException](Mp4.avifDims(noIspe))
+  }
+
   test("mp3: CBR frame walk — frames, rates, exact duration") {
     val bytes = Mp3.encodeHeader(frames = 38, bitrateKbps = 128,
       sampleRate = 44100)
