@@ -46,10 +46,14 @@ object Mp3 {
   def metadata(bytes: Array[Byte]): Meta = {
     var off = 0
     if (hasId3v2(bytes)) {
-      // syncsafe 28-bit tag length at bytes 6..9, header itself is 10
+      // syncsafe 28-bit tag length at bytes 6..9, header itself is 10;
+      // the v2.4 footer flag (0x10) adds a 10-byte footer EXCLUDED from
+      // the syncsafe size — skipping only 10+len on such a file lands
+      // frame sync on the '3DI' footer
       val len = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      off = 10 + len
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      off = 10 + len + footer
       require(off <= bytes.length, s"mp3: ID3v2 length $len overruns the file")
     }
     val limit = // tolerate an ID3v1 trailer

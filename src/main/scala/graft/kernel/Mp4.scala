@@ -99,6 +99,11 @@ object Mp4 {
             t2 match {
               case "mvhd" =>
                 val ver = bytes(p2) & 0xff
+                // bounds-check the fixed layout like every other leaf
+                // box — a truncated mvhd must be loud, not read the
+                // next box's bytes as a duration
+                require(e2 - p2 >= (if (ver == 1) 32 else 20),
+                  s"mp4: mvhd v$ver too short (${e2 - p2} bytes)")
                 val (timescale, duration) =
                   if (ver == 1) (u32(bytes, p2 + 20), u64(bytes, p2 + 24))
                   else (u32(bytes, p2 + 12), u32(bytes, p2 + 16))

@@ -701,11 +701,22 @@ object Webp {
         tag match {
           case "ANMF" =>
             frames += 1
-            // 16-byte frame header, then the frame's own codec chunk
+            // 16-byte frame header, then the frame's own SUBCHUNKS — an
+            // optional ALPH precedes the bitstream chunk in real
+            // alpha-carrying animations, so WALK them rather than
+            // peeking at the first tag only
             if (flavor.isEmpty && size2 >= 24) {
-              val sub = new String(bytes, off + 8 + 16, 4, "ISO-8859-1")
-              if (sub == "VP8L") flavor = "lossless"
-              else if (sub == "VP8 ") flavor = "lossy"
+              var so = off + 8 + 16
+              val sEnd = off + 8 + size2.toInt
+              while (flavor.isEmpty && so + 8 <= sEnd) {
+                val sub = new String(bytes, so, 4, "ISO-8859-1")
+                val sSize = le32(bytes, so + 4)
+                require(sSize >= 0 && so + 8 + sSize <= sEnd,
+                  s"WebP: ANMF subchunk '$sub' size $sSize overruns the frame")
+                if (sub == "VP8L") flavor = "lossless"
+                else if (sub == "VP8 ") flavor = "lossy"
+                so += 8 + sSize.toInt + (sSize.toInt & 1)
+              }
             }
           case "VP8L" => if (flavor.isEmpty) flavor = "lossless"
           case "VP8 " => if (flavor.isEmpty) flavor = "lossy"

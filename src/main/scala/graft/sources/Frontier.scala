@@ -247,7 +247,11 @@ object Frontier {
     * whenever the index side is the usual few-thousand-hosts frontier
     * table). */
   def sitemapWalk(sitemaps: DataFrame, children: DataFrame): DataFrame = {
-    val first = sitemapSeeds(sitemaps)
+    // parsed ONCE, eagerly (localCheckpoint, auto-GC'd): both the leaf
+    // projection and the child join read this frame, and the seed rows
+    // are far smaller than re-running Sitemap.parse over every XML
+    // document twice (the multi-referenced-stage rule)
+    val first = sitemapSeeds(sitemaps).localCheckpoint(true)
     val leaf1 = first.filter(col("kind") === "urlset")
       .select(col("host"), lit(0).as("level"), col("loc"), col("lastmod"))
     val childXml = first.filter(col("kind") === "sitemapindex")
@@ -285,7 +289,11 @@ object Frontier {
   def lastmodKey(lm: Column): Column =
     when(lm === "", lit(""))
       .when(lm.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
-        concat(regexp_replace(lm, "-", ""), lit("000000")))
+        // through to_date, not string surgery: '2025-99-99' must raise
+        // (ANSI cast) like its timestamped twin would, not silently
+        // compare greater than every capture ts — the exact over-crawl
+        // class this function exists to prevent
+        concat(date_format(to_date(lm), "yyyyMMdd"), lit("000000")))
       .when(lm.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?" +
           "(Z|[+-]\\d{2}:\\d{2})$"),
         date_format(

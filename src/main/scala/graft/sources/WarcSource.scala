@@ -256,15 +256,21 @@ object WarcSource {
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (uri, date, content) =>
-          val http = Warc.httpResponse(content)
-          if (!http.contentType.toLowerCase.startsWith("text/html")) None
-          else if (lenient) {
-            try Some((uri, date, http.status, Warc.decodeText(http)))
+          def extract(): Option[(String, String, Int, String)] = {
+            // httpResponse is INSIDE the lenient scope: a malformed
+            // response head (garbage status line) is as routine in a
+            // real crawl as a broken coding, and must not kill the job
+            val http = Warc.httpResponse(content)
+            if (!http.contentType.toLowerCase.startsWith("text/html")) None
+            else Some((uri, date, http.status, Warc.decodeText(http)))
+          }
+          if (lenient)
             // IOException covers the gzip path's ZipException/EOFException
             // on corrupt or truncated bodies — the most common coding must
             // not be the one that escapes the lenient contract
+            try extract()
             catch { case _: IllegalArgumentException | _: java.io.IOException => None }
-          } else Some((uri, date, http.status, Warc.decodeText(http)))
+          else extract()
         }
       }
       .toDF("url", "warc_date", "http_status", "html")
@@ -291,18 +297,21 @@ object WarcSource {
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (uri, date, content) =>
-          val http = Warc.httpResponse(content)
-          val ct = http.contentType.toLowerCase
-          val family = ct.takeWhile(_ != '/')
-          if (!Set("image", "audio", "video").contains(family)) None
-          else if (lenient) {
-            try Some((uri, date, http.status, ct, family,
+          def extract(): Option[(String, String, Int, String, String, Array[Byte])] = {
+            // head parse inside the lenient scope (the htmlResponses rule)
+            val http = Warc.httpResponse(content)
+            val ct = http.contentType.toLowerCase
+            val family = ct.takeWhile(_ != '/')
+            if (!Set("image", "audio", "video").contains(family)) None
+            else Some((uri, date, http.status, ct, family,
               Warc.decodedBody(http)))
+          }
+          if (lenient)
+            try extract()
             catch {
               case _: IllegalArgumentException | _: java.io.IOException => None
             }
-          } else Some((uri, date, http.status, ct, family,
-            Warc.decodedBody(http)))
+          else extract()
         }
       }
       .toDF("url", "warc_date", "http_status", "content_type", "family",

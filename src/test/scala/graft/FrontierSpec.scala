@@ -383,6 +383,14 @@ class FrontierSpec extends SparkSuite {
       assert(msgs(e).exists(_.contains("unparseable sitemap lastmod")),
         s"'$bad' did not raise the loud lastmod error: $e")
     }
+    // an IMPOSSIBLE calendar date matches the bare-date shape but must
+    // still raise (ANSI to_date), not silently compare greater than
+    // every capture ts — the r12 over-crawl class
+    for (bad <- Seq("2025-99-99", "2025-02-30", "2025-00-01")) {
+      intercept[Exception] {
+        Seq(bad).toDF("lm").select(Frontier.lastmodKey(col("lm"))).collect()
+      }
+    }
   }
 
   test("recrawlDue boundary: lastmod exactly ON the capture ts is NOT due; one second past is") {

@@ -298,7 +298,16 @@ class WarcSpec extends SparkSuite {
         Warc.gzipBytes("<html><body>cut off mid-stream page</body></html>"
           .getBytes(Utf8)).dropRight(12)),
       respRec("http://ok2.example.com/", Seq("Content-Type" -> "text/html"),
-        "<html><body>also fine</body></html>".getBytes(Utf8))))
+        "<html><body>also fine</body></html>".getBytes(Utf8)),
+      // a response record whose HTTP HEAD is garbage (no status line) —
+      // head parsing must sit inside the lenient scope too
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://badhead.example.com/",
+        "WARC-Record-ID" -> "<urn:uuid:badhead>",
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "Content-Type" -> "application/http;msgtype=response"),
+        "THIS IS NOT AN HTTP RESPONSE".getBytes(Utf8))))
     val segments = Seq(("file:/crawl/mix.warc.gz", gz)).toDF("path", "content")
     val recs = WarcSource.records(segments)
     val lenient = WarcSource.htmlResponses(recs)

@@ -454,6 +454,14 @@ class WebpSpec extends AnyFunSuite {
     assert(Webp.metadata(riff(vp8x(0, 320, 200), lossyChunk)) ==
       Webp.Meta("lossy", 320, 200))
 
+    // the standard sticker shape: per-frame ALPH subchunk BEFORE the
+    // bitstream chunk — the flavor walk must not stop at the first tag
+    val alph = chunk("ALPH", Array[Byte](0, 1, 2))
+    val alphaAnim = riff(vp8x(0x12, 6, 2), anim,
+      anmf(alph ++ lossyChunk), anmf(alph ++ lossyChunk))
+    assert(Webp.metadata(alphaAnim) ==
+      Webp.Meta("lossy", 6, 2, hasAlpha = true, animated = true, frames = 2))
+
     // malformed: wrong VP8X size, and a codec-less container, both loud
     intercept[IllegalArgumentException](
       Webp.metadata(riff(chunk("VP8X", Array.fill[Byte](9)(0)))))
