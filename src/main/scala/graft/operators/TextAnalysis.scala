@@ -93,25 +93,33 @@ object TextAnalysis {
     * argmax language of the score sum (lexicographic tie-break),
     * 'und' for token-free documents.
     *
-    * Scale shape: the token explode runs twice (model build, eager;
-    * scoring, at consumption) — cheaper at scale than caching a
-    * tokens×-corpus frame; the model is languages×buckets — tiny — and
-    * rides a broadcast join; the per-doc argmax window partitions BY
-    * doc_id (languages-many rows each, never a global window). */
+    * Scale shape: ONE token explode collapses (partial aggregation
+    * map-side) into the compressed (doc, lang, bucket, n) profile,
+    * which is eagerly checkpointed (numbers-only columns — far smaller
+    * than the text it summarizes, and auto-GC'd unlike a persist);
+    * model counts and the per-doc scoring profile are both cheap
+    * re-aggregations of that frame, so the corpus text is scanned and
+    * tokenized exactly once and the token table crosses exactly one
+    * exchange. The model is languages×buckets — tiny — and rides a
+    * broadcast join; the per-doc argmax window partitions BY doc_id
+    * (languages-many rows each, never a global window). */
   /** The per-(document, language) score table behind [[langIdModel]]
     * and [[langIdMargin]]: one row per (doc_id, model_lang) with the
     * exact Q30 integer score sum. */
   def langIdScores(docs: DataFrame, buckets: Int = 2048): DataFrame = {
     val Q = 1073741824L // 2^30
     val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id"), col("lang"),
+    val profile = docs.select(col("doc_id"), col("lang"),
         explode(tokens(lower(col("text")))).as("token"))
       .filter(col("token") =!= "")
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"))
-    val counts = toks.groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val counts = profile.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n")).as("c"))
     val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
       .select(col("lang").as("model_lang"), col("tot"))
     // densify so every (language, bucket) has a weight — the smoothed
@@ -123,16 +131,11 @@ object TextAnalysis {
       .select(col("model_lang"), col("bucket"),
         floor((coalesce(col("c"), lit(0L)) + 1).cast("double") /
           (col("tot") + buckets).cast("double") * Q).cast("long").as("wq"))
-      // languages×buckets rows, materialized EAGERLY (localCheckpoint —
-      // auto-GC'd, unlike a leaked persist): the scoring pass below then
-      // re-tokenizes the corpus once rather than caching the exploded
-      // token table, which is tokens× the corpus at scale (r12 ADVICE)
-      .localCheckpoint(true)
-    // pre-aggregate to (doc, bucket, n) BEFORE the ×languages fan-out:
-    // the scoring join then expands the compressed per-doc bucket
-    // profile, not every token occurrence
-    val docBuckets = toks.groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+    // the scoring side is the same checkpointed profile re-keyed to
+    // (doc, bucket) — the ×languages fan-out expands the compressed
+    // per-doc bucket profile, not token occurrences
+    val docBuckets = profile.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
     docBuckets.join(broadcast(dense), Seq("bucket"))
       .groupBy(col("doc_id"), col("model_lang"))
       .agg(sum(col("n")).as("n_tokens"), sum(col("wq") * col("n")).as("sum_wq"))
