@@ -122,6 +122,27 @@ object Curate {
     trim(regexp_replace(vCollapsed, "^\\n|\\n$", ""))
   }
 
+  /** Main-content extraction over an HTML corpus — the
+    * [[graft.kernel.Boilerplate]] NumWordsRules classifier (Kohlschütter
+    * et al., WSDM 2010) as a dataflow stage: per document, segment into
+    * text blocks, classify content vs boilerplate on word counts and
+    * link density (exact integer rationals), return the surviving text.
+    * The step between [[htmlToText]] (keeps nav/footers) and the
+    * curation chain: feeding extraction output instead of raw strip
+    * output is the single biggest text-quality lever in a crawl
+    * pipeline. One row-local map — zero shuffles at any scale. */
+  def mainContent(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) =>
+        val (t, nb, nc) = graft.kernel.Boilerplate.mainContent(h)
+        (id, t, nb, nc)
+      })
+      .toDF("doc_id", "main_text", "n_blocks", "n_content_blocks")
+  }
+
   /** Deterministic content-hash sampling: keep a row iff the first two
     * hex chars of md5(source:doc_id) fall under the source's threshold.
     * Reproducible across runs/engines (no RNG), stable under corpus
@@ -857,6 +878,55 @@ object Curate {
         md5(string_agg(para, ' ~ ' ORDER BY pos)) AS cleaned_md5,
         CAST(length(string_agg(para, ' ~ ' ORDER BY pos)) AS BIGINT) AS cleaned_len
       FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Boilerpipe-style main-content extraction, oracle-gated by the
+    // planted-effective-outcome discipline: every doc's page carries a
+    // nav bar (link density 1 → boilerplate), a long lead paragraph
+    // (41-50 words → content via the >40 rule even after a link-dense
+    // predecessor), a second paragraph (17-21 words → content via the
+    // >16 rule with a clean predecessor), a related-links stub (2/3
+    // link density → boilerplate), and a footer trapped by the stricter
+    // after-link-dense branch (7 words, no next). DuckDB rebuilds the
+    // exact surviving text from the plant rule, so a segmentation,
+    // word-count, link-density, or neighbor-rule bug breaks the hash.
+    ("t44_main_content", (s: SparkSession, d: String) => {
+      val n2 = (col("doc_id") % 10 + 41).cast("int")
+      val n3m3 = (col("doc_id") % 5 + 14).cast("int")
+      def toks(prefix: String, n: Column): Column =
+        concat_ws(" ", transform(sequence(lit(0), n - 1),
+          j => concat(lit(prefix), j.cast("string"))))
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>"),
+        lit("<p>"), toks("w", n2), lit("</p>"),
+        lit("<p>A &amp; B "), toks("v", n3m3), lit("</p>"),
+        lit("<p>Related: <a href=\"/x\">more</a> <a href=\"/y\">links</a></p>"),
+        lit("<footer>Copyright 2025 Example Corp All rights reserved" +
+          "</footer></body></html>"))
+      mainContent(Tables.documents(s, d).select(col("doc_id"), page.as("html")))
+        .select(col("doc_id"), md5(col("main_text")).as("main_md5"),
+          length(col("main_text")).cast("long").as("main_len"),
+          col("n_blocks"), col("n_content_blocks"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b2 AS (
+        SELECT doc_id, string_agg('w' || j, ' ' ORDER BY j) AS t2
+        FROM (SELECT doc_id, CAST(unnest(range(0, 41 + doc_id % 10)) AS BIGINT)
+            AS j FROM documents) x
+        GROUP BY doc_id),
+      b3 AS (
+        SELECT doc_id, 'A & B ' || string_agg('v' || j, ' ' ORDER BY j) AS t3
+        FROM (SELECT doc_id, CAST(unnest(range(0, 14 + doc_id % 5)) AS BIGINT)
+            AS j FROM documents) x
+        GROUP BY doc_id),
+      mt AS (
+        SELECT b2.doc_id, t2 || chr(10) || t3 AS main_text
+        FROM b2 JOIN b3 ON b2.doc_id = b3.doc_id)
+      SELECT doc_id, md5(main_text) AS main_md5,
+        CAST(length(main_text) AS BIGINT) AS main_len,
+        CAST(5 AS INTEGER) AS n_blocks,
+        CAST(2 AS INTEGER) AS n_content_blocks
+      FROM mt ORDER BY doc_id""")),
 
     // HTML → text extraction. The planted page wraps every doc's text in
     // a deterministic full-page scaffold — head with style+script (the

@@ -465,4 +465,62 @@ class CurateSpec extends SparkSuite {
     // the approximation is confined to the crossing bins and small
     assert(disagree <= exact.size / 10, s"$disagree/${exact.size} disagree")
   }
+
+  test("boilerplate: block segmentation, anchor tracking, NumWordsRules branches") {
+    import graft.kernel.Boilerplate
+    import graft.kernel.Boilerplate.Block
+    // segmentation: block tags split, inline tags (a, span, b) do not;
+    // anchor words tracked; entities decode; script/comments vanish
+    val bs = Boilerplate.blocks(
+      "<html><script>var x = '<p>'</script><body>" +
+        "<!-- c --><div><a href=\"/\">Home</a> <span>and</span> more</div>" +
+        "<p>A &amp; B</p></body></html>")
+    assert(bs == Vector(
+      Block("Home and more", 3, 1),
+      Block("A & B", 3, 0)))
+    // dangling '<' at EOF drops the fragment instead of looping
+    assert(Boilerplate.blocks("<p>ok</p><p>tail <").head.text == "ok")
+
+    // rule branches, hand-computed:
+    def words(n: Int) = Block((1 to n).map("t" + _).mkString(" "), n, 0)
+    def linky(n: Int, a: Int) = Block((1 to n).map("l" + _).mkString(" "), n, a)
+    // link-dense current → boilerplate regardless of size
+    assert(Boilerplate.contentFlags(Vector(linky(60, 30))) == Vector(false))
+    // clean predecessor: >16 words is content, 16 is not (no next help)
+    assert(Boilerplate.contentFlags(Vector(words(17))) == Vector(true))
+    assert(Boilerplate.contentFlags(Vector(words(16))) == Vector(false))
+    // small block rescued by a big NEXT block (>15)
+    assert(Boilerplate.contentFlags(Vector(words(5), words(16)))(0))
+    // small block rescued by a PREV block with >4 words
+    assert(Boilerplate.contentFlags(Vector(words(5), words(6), words(1)))(1))
+    // after a link-dense block the bar rises to >40 (or next >17)
+    val nav = linky(6, 6)
+    assert(!Boilerplate.contentFlags(Vector(nav, words(40)))(1))
+    assert(Boilerplate.contentFlags(Vector(nav, words(41)))(1))
+    assert(Boilerplate.contentFlags(Vector(nav, words(20), words(18)))(1))
+    // exact 5/9 prev density is the LENIENT branch (<=), 5/9+ε strict:
+    // prev 9 words 5 anchors → 45 <= 45 lenient → 17 words is content
+    assert(Boilerplate.contentFlags(Vector(linky(9, 5), words(17)))(1))
+    // prev 9 words 6 anchors → 54 > 45 strict → 17 words is not
+    assert(!Boilerplate.contentFlags(Vector(linky(9, 6), words(17)))(1))
+
+    // a short CLEAN block right after content is rescued (prev > 4 in
+    // the lenient branch) — the algorithm's documented behavior, and
+    // why the t44 fixture guards its footer behind a link-dense stub
+    val (rescued, _, nrc) = Boilerplate.mainContent(
+      "<p>" + (1 to 20).map("w" + _).mkString(" ") + "</p>" +
+        "<footer>short footer line</footer>")
+    assert(nrc == 2 && rescued.endsWith("short footer line"))
+
+    // end to end: nav + article + related-links stub + footer
+    val (text, nb, nc) = Boilerplate.mainContent(
+      "<nav><a>Home</a> <a>About</a></nav>" +
+        "<p>" + (1 to 45).map("w" + _).mkString(" ") + "</p>" +
+        "<p>" + (1 to 18).map("v" + _).mkString(" ") + "</p>" +
+        "<p>Related: <a>more</a> <a>links</a></p>" +
+        "<footer>Copyright example site footer line</footer>")
+    assert(nb == 5 && nc == 2)
+    assert(text == (1 to 45).map("w" + _).mkString(" ") + "\n" +
+      (1 to 18).map("v" + _).mkString(" "))
+  }
 }
