@@ -49,7 +49,14 @@ object CorpusPipeline {
         * clean prose — or synthetic text with no sentence structure —
         * would be wiped by it; such runs turn it off and keep the PII
         * scrub + document word floor. */
-      lineGate: Boolean = true)
+      lineGate: Boolean = true,
+      /** Extraction for html corpora: false = tag-strip
+        * ([[Curate.htmlToText]] — keeps nav menus and footers), true =
+        * Boilerpipe-style main-content extraction
+        * ([[Curate.mainTextUdf]], t44) — the single biggest
+        * text-quality lever on raw crawl. Ignored when the corpus is
+        * already text. */
+      mainExtraction: Boolean = false)
 
   /** Returns (curated corpus, per-stage report (stage, rows) in run
     * order). `raw` needs (doc_id, text|html, ...); extra columns ride
@@ -80,7 +87,9 @@ object CorpusPipeline {
     val extracted =
       if (raw.columns.contains("html"))
         mark("extract",
-          raw.withColumn("text", Curate.htmlToText(col("html"))).drop("html"))
+          raw.withColumn("text",
+            if (opts.mainExtraction) Curate.mainTextUdf(col("html"))
+            else Curate.htmlToText(col("html"))).drop("html"))
       else {
         val t0 = System.nanoTime()
         val n = raw.count()

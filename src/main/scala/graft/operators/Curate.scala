@@ -143,6 +143,16 @@ object Curate {
       .toDF("doc_id", "main_text", "n_blocks", "n_content_blocks")
   }
 
+  /** Column form of [[mainContent]]'s extracted text — a Scala UDF
+    * because the kernel is an imperative per-row parser (the
+    * expression>UDF rule yields here: there is no codegen form of a
+    * stateful tag walk); still row-local with zero shuffles, and
+    * composable inside an existing projection (the curate chain's
+    * extraction stage). */
+  val mainTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((h: String) =>
+      if (h == null) "" else graft.kernel.Boilerplate.mainContent(h)._1)
+
   /** Deterministic content-hash sampling: keep a row iff the first two
     * hex chars of md5(source:doc_id) fall under the source's threshold.
     * Reproducible across runs/engines (no RNG), stable under corpus

@@ -178,4 +178,31 @@ class CorpusPipelineSpec extends SparkSuite {
       "substring_dedup"))
     assert(st.map(_._2) == Seq(10L, 9L, 8L, 7L, 7L, 6L, 5L, 4L, 4L), st)
   }
+
+  test("curate mainExtraction: nav/footer boilerplate gone from the corpus text") {
+    val spark2 = spark
+    import spark2.implicits._
+    def page(body: String): String =
+      "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav><p>" + body +
+        "</p><footer>Copyright <a href=\"/t\">terms</a> " +
+        "<a href=\"/p\">privacy</a></footer></body></html>"
+    val raw = Seq(
+      (1L, page((1 to 45).map(i => s"alpha$i").mkString(" "))),
+      (2L, page((1 to 45).map(i => s"beta$i").mkString(" ")))
+    ).toDF("doc_id", "html")
+    val opts = CorpusPipeline.Opts(lineGate = false)
+    // tag-strip keeps the nav words in the text; main extraction drops
+    // them while keeping every content word
+    val (strip, _) = CorpusPipeline.curate(raw, None, opts)
+    val stripText = strip.select("text").as[String].collect().mkString(" ")
+    assert(stripText.contains("Home") && stripText.contains("Copyright"))
+    val (main, _) = CorpusPipeline.curate(raw, None,
+      opts.copy(mainExtraction = true))
+    val mainText = main.select("text").as[String].collect()
+    assert(mainText.length == 2)
+    assert(mainText.forall(t => !t.contains("Home") && !t.contains("Copyright")))
+    assert(mainText.exists(_.contains("alpha45")) &&
+      mainText.exists(_.contains("beta45")))
+  }
 }
