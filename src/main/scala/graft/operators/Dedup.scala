@@ -426,6 +426,71 @@ object Dedup {
         concat_ws(" ", col("kept_tk")).as("cleaned"))
   }
 
+  /** C4's three-sentence-span deduplication (Raffel et al. 2020, JMLR
+    * — §2.2: "we discard all but one of any three-sentence span
+    * occurring more than once in the data set"), the SENTENCE-level
+    * member of the dedup family (d01 whole-doc, d10 token runs):
+    * documents split into sentences ([[TextAnalysis.sentenceSplit]] —
+    * the shared-dialect terminal-punct rule; pre-mask abbreviations
+    * upstream if the corpus needs it), every n consecutive sentences
+    * form a span, and for each span text occurring ≥2 times corpus-wide
+    * the lexicographically-first (doc_id, start) occurrence survives —
+    * every other occurrence's sentences are removed. Deterministic
+    * survivor rule ⇒ idempotent re-runs, like d01.
+    *
+    * Scale: sentence rows carry (doc, pos, text); spans come from two
+    * per-doc `lead` windows (PARTITION BY doc — never global); the
+    * census is one hash aggregation on the span key (partial map-side);
+    * survivors ride a min(struct) over the same aggregation; the only
+    * corpus-keyed joins are the span-key semi-join and the per-doc
+    * anti-join of removed positions. `hashSpans` switches the census
+    * key to xxhash64 for the at-scale shuffle (the d10 option). */
+  def spanDedup(docs: DataFrame, n: Int = 3,
+      hashSpans: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"span size $n")
+    val sents = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.sentenceSplit(col("text")))
+          .as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spanText = concat_ws(" ",
+      (0 until n).map(i => if (i == 0) col("sent")
+        else lead(col("sent"), i).over(w)): _*)
+    val lastSent = lead(col("sent"), n - 1).over(w)
+    val spans = sents
+      .withColumn("last", lastSent)
+      .withColumn("k",
+        if (hashSpans) xxhash64(spanText) else md5(spanText))
+      .filter(col("last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("k"))
+      .localCheckpoint(true) // census + occurrence join both read it
+    val dups = spans.groupBy(col("k"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+      .filter(col("occ") >= 2)
+      .select(col("k"), col("surv.doc_id").as("sd"), col("surv.pos").as("sp"))
+    val removed = spans.join(dups, Seq("k"))
+      .filter(!(col("doc_id") === col("sd") && col("pos") === col("sp")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = sents.join(removed, Seq("doc_id", "pos"), "left_anti")
+    val perDoc = sents.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"))
+    perDoc.join(
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              sort_array(collect_list(struct(col("pos"), col("sent")))),
+              x => x.getField("sent"))).as("cleaned")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sentences"),
+        (col("n_sentences") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -578,6 +643,83 @@ object Dedup {
       FROM toks t
       LEFT JOIN perdoc p ON t.doc_id = p.doc_id
       LEFT JOIN kept k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id""")),
+
+    // C4 three-sentence-span dedup (Raffel et al. 2020 §2.2) over
+    // planted sentence structure: every doc gets five sentences; docs
+    // ≡ 0 (mod 4) share an identical middle THREE-sentence run, so the
+    // (1..3) span duplicates corpus-wide and every occurrence but the
+    // (min doc, min pos) one loses those three sentences — while the
+    // overlapping (0..2)/(2..4) spans stay unique via the per-doc
+    // sentences. DuckDB RECOMPUTES the whole pipeline (t38's split
+    // recipe → span self-joins → census → survivor → removal →
+    // reassembly), so a split, window, census, survivor-rule, or
+    // reassembly bug breaks the hash.
+    ("d12_span_dedup", (s: SparkSession, d: String) => {
+      def sent(j: Int): Column =
+        when(col("doc_id") % 4 === 0 && lit(j) >= 1 && lit(j) <= 3,
+          lit(j match {
+            case 1 => "shared alpha one."
+            case 2 => "shared beta two."
+            case 3 => "shared gamma three."
+            case _ => ""
+          }))
+          .otherwise(concat(lit("u"), col("doc_id").cast("string"),
+            lit(s" w$j filler.")))
+      val text = concat_ws(" ", (0 to 4).map(sent): _*)
+      spanDedup(Tables.documents(s, d)
+          .select(col("doc_id"), text.as("text")))
+        .select(col("doc_id"), col("n_sentences"), col("n_removed"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs_t AS (
+        SELECT doc_id, concat_ws(' ',
+          'u' || doc_id || ' w0 filler.',
+          CASE WHEN doc_id % 4 = 0 THEN 'shared alpha one.'
+            ELSE 'u' || doc_id || ' w1 filler.' END,
+          CASE WHEN doc_id % 4 = 0 THEN 'shared beta two.'
+            ELSE 'u' || doc_id || ' w2 filler.' END,
+          CASE WHEN doc_id % 4 = 0 THEN 'shared gamma three.'
+            ELSE 'u' || doc_id || ' w3 filler.' END,
+          'u' || doc_id || ' w4 filler.') AS text
+        FROM documents),
+      arrs AS (
+        SELECT doc_id, regexp_extract_all(text, '[^.!?]*[.!?]+') AS arr
+        FROM docs_t),
+      sent AS (
+        SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+          trim(unnest(arr)) AS sent
+        FROM arrs),
+      sp AS (
+        SELECT a.doc_id, a.pos,
+          a.sent || ' ' || b.sent || ' ' || c.sent AS k
+        FROM sent a
+        JOIN sent b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN sent c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      ranked AS (
+        SELECT doc_id, pos, k,
+          count(*) OVER (PARTITION BY k) AS occ,
+          row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        FROM sp),
+      rem AS (
+        SELECT DISTINCT r.doc_id, r.pos + o.i AS pos
+        FROM ranked r, (SELECT unnest(range(0, 3)) AS i) o
+        WHERE r.occ >= 2 AND r.rn > 1),
+      kept AS (
+        SELECT s.doc_id, count(*) AS n_kept,
+          string_agg(s.sent, ' ' ORDER BY s.pos) AS cleaned
+        FROM sent s
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = s.doc_id AND rem.pos = s.pos)
+        GROUP BY s.doc_id),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences
+        FROM sent GROUP BY doc_id)
+      SELECT t.doc_id, t.n_sentences,
+        t.n_sentences - coalesce(k.n_kept, 0) AS n_removed,
+        md5(coalesce(k.cleaned, '')) AS cleaned_md5
+      FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
       ORDER BY t.doc_id"""))
   )
 }

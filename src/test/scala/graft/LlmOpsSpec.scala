@@ -68,6 +68,33 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("span dedup (C4 §2.2): survivor keeps, overlaps respected, idempotent") {
+    import spark.implicits._
+    val shared = "alpha one. beta two. gamma three."
+    val docs = Seq(
+      (1L, s"u1 intro. $shared u1 outro."), // min (doc, pos) → survivor
+      (2L, s"u2 intro. $shared u2 outro."), // loses the middle three
+      (3L, s"$shared u3 a. u3 b."), // same span at pos 0 — also loses it
+      (4L, "u4 one. u4 two. u4 three. u4 four."), // untouched
+      (5L, "short doc. two only.") // < 3 sentences: no spans, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 5L, 0L, s"u1 intro. $shared u1 outro.")))
+    assert(out(1) == ((2L, 5L, 3L, "u2 intro. u2 outro.")))
+    assert(out(2) == ((3L, 5L, 3L, "u3 a. u3 b.")))
+    assert(out(3) == ((4L, 4L, 0L, "u4 one. u4 two. u4 three. u4 four.")))
+    assert(out(4) == ((5L, 2L, 0L, "short doc. two only.")))
+    // idempotent: re-running on the cleaned corpus removes nothing
+    val again = Dedup.spanDedup(
+      Dedup.spanDedup(docs).select(col("doc_id"), col("cleaned").as("text")))
+    assert(again.agg(sum(col("n_removed"))).head.getLong(0) == 0L)
+    // hashed-span scale path is bit-identical
+    val hashed = Dedup.spanDedup(docs, hashSpans = true).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(hashed.map(_._2).toSeq == out.map(_._4).toSeq)
+  }
+
   test("substring dedup: hashed-gram scale path matches the string path") {
     val a = Dedup.substringDedup(docs, minLen = 8)
       .orderBy("doc_id").collect().toSeq
