@@ -20,9 +20,12 @@ object Mp3 {
 
   /** version: "1"/"2"/"2.5"; sampleRate in Hz; bitrateKbps of the
     * FIRST frame (VBR files vary per frame — `vbr` says whether any
-    * later frame disagrees); frames = physical frame count. */
+    * later frame disagrees); frames = physical frame count; channels
+    * from the first frame's channel-mode bits (mono → 1, every stereo
+    * flavor → 2). */
   final case class Meta(version: String, sampleRate: Int,
-      bitrateKbps: Int, vbr: Boolean, frames: Int, durationMs: Long)
+      bitrateKbps: Int, vbr: Boolean, frames: Int, durationMs: Long,
+      channels: Int = 0)
 
   // bitrate tables, kbps: [version][layerIII index 1..14]
   private val BitrateV1L3 =
@@ -67,6 +70,7 @@ object Mp3 {
     var vbr = false
     var frames = 0
     var samplesPerFrame = 0
+    var channels = 0
     while (off + 4 <= limit) {
       require(isFrameSync(bytes, off),
         f"mp3: lost frame sync at $off (0x${bytes(off) & 0xff}%02x)")
@@ -89,6 +93,7 @@ object Mp3 {
       }
       if (frames == 0) {
         version = ver; sampleRate = sr; bitrate0 = br; samplesPerFrame = spf
+        channels = if (((bytes(off + 3) >> 6) & 3) == 3) 1 else 2
       } else {
         require(ver == version && sr == sampleRate,
           "mp3: version/sample-rate changes mid-stream")
@@ -103,7 +108,7 @@ object Mp3 {
     }
     require(frames > 0, "mp3: no audio frames")
     Meta(version, sampleRate, bitrate0, vbr, frames,
-      frames.toLong * samplesPerFrame * 1000L / sampleRate)
+      frames.toLong * samplesPerFrame * 1000L / sampleRate, channels)
   }
 
   // --- fixture encoder ----------------------------------------------------

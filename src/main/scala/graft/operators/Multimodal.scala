@@ -473,6 +473,36 @@ object Multimodal {
     }
   }
 
+  /** Header-only AUDIO container dispatch — the m25/sniff rule for the
+    * formats crawls actually serve under the audio content-type
+    * family: MP3 frame walk, Ogg
+    * (Opus/Vorbis id headers, CRC-verified pages), FLAC STREAMINFO,
+    * and RIFF/WAV (whose PCM payload this engine can also fully
+    * decode). Returns (container, codec, channels, sampleRate,
+    * durationMs); unknown containers are loud. */
+  def audioContainerMeta(payload: Array[Byte])
+      : (String, String, Int, Int, Long) = {
+    import graft.kernel.{Flac, Mp3, Ogg, Wav}
+    if (Ogg.isOgg(payload)) {
+      val m = Ogg.metadata(payload)
+      ("ogg", m.codec, m.channels, m.sampleRate, m.durationMs)
+    } else if (Flac.isFlac(payload)) {
+      val m = Flac.metadata(payload)
+      ("flac", "flac", m.channels, m.sampleRate, m.durationMs)
+    } else if (payload.length >= 12 && payload(0) == 'R' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
+        payload(11) == 'E') {
+      val a = Wav.decode(payload)
+      ("wav", "pcm", a.channels, a.sampleRate,
+        a.samples.length.toLong / a.channels * 1000L / a.sampleRate)
+    } else if (Mp3.isMp3(payload)) {
+      val m = Mp3.metadata(payload)
+      ("mp3", "mp3", m.channels, m.sampleRate, m.durationMs)
+    } else throw new IllegalArgumentException(
+      "unknown audio container (not Ogg, FLAC, WAV or MP3)")
+  }
+
   /** Header-only metadata over a crawl media table
     * ([[graft.sources.WarcSource.mediaResponses]] shape: url, family,
     * payload): images dispatch through [[ImageDecoder.sniff]], video
@@ -498,8 +528,8 @@ object Multimodal {
               (url, family, "mp4", false, v.map(_.width).getOrElse(0),
                 v.map(_.height).getOrElse(0), m.durationMs)
             case "audio" =>
-              val m = graft.kernel.Mp3.metadata(p)
-              (url, family, "mp3", false, 0, 0, m.durationMs)
+              val (container, _, _, _, durationMs) = audioContainerMeta(p)
+              (url, family, container, container == "wav", 0, 0, durationMs)
             case other =>
               throw new IllegalArgumentException(s"unknown media family '$other'")
           }
@@ -2585,6 +2615,65 @@ object Multimodal {
       SELECT doc_id, '1' AS version, sample_rate, bitrate_kbps, frames,
         CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
       FROM p ORDER BY doc_id""")),
+
+    // The full audio-container dispatch, oracle-gated: payloads rotate
+    // Ogg-Opus (CRC-verified pages, 48 kHz granule math minus preSkip),
+    // Ogg-Vorbis (granules at the stream rate), FLAC (STREAMINFO
+    // bit-unpacking), and MP3 (frame walk + channel mode) — each with
+    // planted params whose exact integer durations DuckDB recomputes.
+    // A page-CRC, granule, bit-offset, or dispatch bug breaks the hash.
+    ("m32_audio_containers", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.kernel.{Flac, Mp3, Ogg}
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload = (id % 4) match {
+              case 0 => Ogg.encodeOpusHeader((1 + id % 2).toInt, 312, 48000,
+                312L + (id % 50 + 1) * 960L)
+              case 1 => Ogg.encodeVorbisHeader(2, 44100, (id % 60 + 1) * 4410L)
+              case 2 => Flac.encodeHeader(22050, (1 + id % 2).toInt, 16,
+                (id % 40 + 1) * 2205L)
+              case _ => Mp3.encodeHeader((10 + id % 50).toInt, 128, 44100)
+            }
+            (id, "audio", payload)
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      media.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val (container, codec, ch, sr, dur) = audioContainerMeta(p)
+            (id, container, codec, ch, sr, dur)
+          }
+        }
+        .toDF("doc_id", "container", "codec", "channels", "sample_rate",
+          "duration_ms")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'ogg' WHEN 1 THEN 'ogg' WHEN 2 THEN 'flac'
+          ELSE 'mp3' END AS container,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'opus' WHEN 1 THEN 'vorbis' WHEN 2 THEN 'flac'
+          ELSE 'mp3' END AS codec,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN CAST(1 + doc_id % 2 AS INTEGER)
+          WHEN 1 THEN 2
+          WHEN 2 THEN CAST(1 + doc_id % 2 AS INTEGER)
+          ELSE 1 END AS channels,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 48000 WHEN 1 THEN 44100 WHEN 2 THEN 22050
+          ELSE 44100 END AS sample_rate,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN (doc_id % 50 + 1) * 20
+          WHEN 1 THEN (doc_id % 60 + 1) * 100
+          WHEN 2 THEN (doc_id % 40 + 1) * 100
+          ELSE CAST(10 + doc_id % 50 AS BIGINT) * 1152 * 1000 // 44100
+          END AS duration_ms
+      FROM documents ORDER BY doc_id""")),
 
     // The composed CRAWL→MULTIMODAL pipeline in one oracle-gated query
     // (the LAION-shape first step): raw WARC segments → record grammar
