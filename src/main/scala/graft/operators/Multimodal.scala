@@ -1971,7 +1971,14 @@ object Multimodal {
     // share one waveform, ids ≡ 0 mod 89 (not 97) carry the same
     // waveform at half volume — amplitude-invariant, so hamming 0 —
     // everyone else gets genuinely different (multiplicative) waveforms.
-    // Rows-only; constructed-hamming semantics spec-gated in WavSpec.
+    // NOW FULLY ORACLE-GATED (r13, the m09 treatment): keyBits pinned
+    // to 16 makes the band keys contiguous hash slices, and DuckDB
+    // recomputes the whole pipeline — WAV samples (incl. the splitmix64
+    // finalizer in HUGEINT mod-2^64 arithmetic and the truncate-toward-
+    // zero half-volume division), segment energies, energy-delta bits,
+    // band keys, the >100 bucket cap, candidate equi-join, and the
+    // exact hamming verdict. Constructed-hamming semantics additionally
+    // spec-gated in WavSpec.
     ("m12_audio_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
       val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -2003,16 +2010,88 @@ object Multimodal {
           }
         }
         .toDF("doc_id", "media_type", "payload")
-      audioNearDups(wav, maxHamming = 2)
+      audioNearDups(wav, maxHamming = 2, keyBits = 16)
         .orderBy(col("doc_a"), col("doc_b"))
-    }, None),
+    },
+    Some("""WITH pos AS (
+        SELECT d.doc_id, i.i FROM documents d,
+          (SELECT CAST(unnest(range(0, 650)) AS BIGINT) AS i) i),
+      mix AS (
+        -- splitmix64 in HUGEINT; the 64x64 multiply is split into
+        -- 32-bit halves (lo*cl + ((lo*ch + hi*cl) mod 2^32)*2^32, the
+        -- hi*ch*2^64 term vanishing mod 2^64) because the naive
+        -- product overflows INT128
+        SELECT doc_id, i, xor(z2, z2 // 134217728::HUGEINT) AS z3 FROM (
+          SELECT doc_id, i,
+            ((zx % 4294967296::HUGEINT) * 321982955::HUGEINT
+              + (((zx % 4294967296::HUGEINT) * 2496678331::HUGEINT
+                  + (zx // 4294967296::HUGEINT) * 321982955::HUGEINT)
+                % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+              % 18446744073709551616::HUGEINT AS z2
+          FROM (
+            SELECT doc_id, i, xor(z1, z1 // 1073741824::HUGEINT) AS zx
+            FROM (
+              SELECT doc_id, i,
+                (i::HUGEINT * 11400714819323198485::HUGEINT +
+                  doc_id::HUGEINT * 13787848793156543929::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z1
+              FROM pos) a0) a) b),
+      sm AS (
+        SELECT p.doc_id, p.i,
+          CASE WHEN p.doc_id % 97 = 0 THEN (p.i * 53 + 17) % 3001 - 1500
+            WHEN p.doc_id % 89 = 0 THEN
+              CASE WHEN (p.i * 53 + 17) % 3001 - 1500 < 0
+                THEN -((1500 - (p.i * 53 + 17) % 3001) // 2)
+                ELSE ((p.i * 53 + 17) % 3001 - 1500) // 2 END
+            ELSE CAST((CASE WHEN m.z3 >= 9223372036854775808::HUGEINT
+                THEN m.z3 - 18446744073709551616::HUGEINT ELSE m.z3 END
+                % 3801 + 3801) % 3801 - 1900 AS BIGINT)
+          END AS s
+        FROM pos p JOIN mix m ON p.doc_id = m.doc_id AND p.i = m.i),
+      en AS (
+        SELECT doc_id, i // 10 AS k, sum(abs(s)) AS e
+        FROM sm GROUP BY doc_id, k),
+      bits AS (
+        SELECT doc_id, k AS pos,
+          CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY k) > e
+            THEN 1 ELSE 0 END AS bit
+        FROM en WHERE k < 65),
+      b64 AS (SELECT * FROM bits WHERE pos < 64),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM b64 GROUP BY doc_id, blk),
+      kept AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN b64 ba ON ba.doc_id = c.doc_a
+        JOIN b64 bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_a, doc_b""")),
 
     // Image near-duplicate pairs over planted identities: ids ≡ 0 mod 97
     // share one image, ids ≡ 0 mod 89 (and not 97) carry the same image
     // with one corner block brightened (a hamming-1-or-2 edit), everyone
-    // else is unique. Rows-only (the banded-hamming join is not
-    // SQL-expressible); planted-pair semantics are spec-gated in PngSpec
-    // over hand-built bit patterns.
+    // else is unique. NOW FULLY ORACLE-GATED (r13): with keyBits pinned
+    // to 16, the rotated band keys collapse to contiguous 16-bit hash
+    // slices — (h >>> 16·blk) & 0xffff, the shiftleft term contributing
+    // only masked-away zeros — and DuckDB recomputes the WHOLE pipeline
+    // on the per-bit table (PNG block sums → aHash bits → band keys →
+    // >100 bucket cap → equi-join candidates → exact hamming ≤ 2), so a
+    // decode, hash, banding, cap, or verify bug breaks the hash.
+    // Planted-pair semantics additionally spec-gated in PngSpec over
+    // hand-built bit patterns.
     ("m09_image_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
       val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -2046,11 +2125,54 @@ object Multimodal {
         }
         .toDF("doc_id", "media_type", "payload")
       imageNearDupsWith(png, classOf[PngDecoder].getName, maxHamming = 2,
-          // key sizing from the raw table count: one image per document,
-          // so the PNG-synthesis kernel runs once, not twice
-          sigCount = graft.Tables.documents(s, d).count())
+          // keyBits pinned to 16: the dialect-shared banding contract
+          // (16-bit aligned slices) the oracle recomputes
+          keyBits = 16)
         .orderBy(col("doc_a"), col("doc_b"))
-    }, None),
+    },
+    Some("""WITH px AS (
+        SELECT d.doc_id, x.x, y.y,
+          CASE WHEN d.doc_id % 97 = 0 THEN (x.x * 3 + y.y * 11 + 7) % 256
+            WHEN d.doc_id % 89 = 0 THEN
+              CASE WHEN x.x < 2 AND y.y = 0
+                THEN ((x.x * 3 + y.y * 11 + 7) % 256 + 96) % 256
+                ELSE (x.x * 3 + y.y * 11 + 7) % 256 END
+            ELSE (x.x * ((d.doc_id * 2654435761) % 251 + 2)
+              + y.y * ((d.doc_id * 40503) % 239 + 3) + d.doc_id) % 256
+          END AS v
+        FROM documents d,
+          (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS x) x,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS y) y),
+      blocks AS (
+        SELECT doc_id, x // 2 AS bx, y AS by, sum(v) AS bsum
+        FROM px GROUP BY doc_id, bx, by),
+      tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY doc_id),
+      bits AS (
+        SELECT b.doc_id, b.by * 8 + b.bx AS pos,
+          CASE WHEN b.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM blocks b JOIN tot t USING (doc_id)),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM bits GROUP BY doc_id, blk),
+      kept AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.doc_a
+        JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_a, doc_b""")),
 
     // REAL JPEG decode, oracle-gated (the m07 treatment for the
     // crawl-dominant format): synthesize a baseline 4:2:0 color JFIF per
