@@ -1921,8 +1921,10 @@ object Multimodal {
     // hamming 0); everyone else gets genuinely different footage via a
     // splitmix-finalized luma (the m11 lesson: linear-residue patterns
     // collide HONESTLY under sum-based bits — plant uniqueness with a
-    // nonlinear mix). Rows-only; constructed-hamming semantics and the
-    // bits↔hash repack are spec-gated in Y4mSpec.
+    // nonlinear mix). NOW FULLY ORACLE-GATED (r13, the m09/m12
+    // treatment — see the oracle SQL below); constructed-hamming
+    // semantics and the bits↔hash repack additionally spec-gated in
+    // Y4mSpec.
     ("m22_video_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8; val nf = 6
@@ -1961,11 +1963,89 @@ object Multimodal {
         }
         .toDF("doc_id", "media_type", "payload")
       videoNearDups(media, maxHamming = 2,
-          // one clip per document: size LSH keys from the raw table so
-          // the Y4M synthesis/decode kernel runs once, not twice
-          sigCount = graft.Tables.documents(s, d).count())
+          // keyBits pinned to 16: the dialect-shared banding contract
+          // (see m09) the oracle recomputes
+          keyBits = 16)
         .orderBy(col("doc_a"), col("doc_b"))
-    }, None),
+    },
+    // The m09/m12 oracle treatment for the video modality: DuckDB
+    // rebuilds the temporal×spatial fingerprint cube from the planted
+    // luma formulas — the unique-footage family through the FULL
+    // splitmix64 finalizer in HUGEINT mod-2^64 arithmetic (both 64×64
+    // multiplies split into 32-bit halves) — then the 16-bit bands,
+    // the bucket cap, the candidate equi-join, and the exact hamming
+    // verdict.
+    Some("""WITH px AS (
+        SELECT d.doc_id, f.f, x.x, y.y FROM documents d,
+          (SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS f) f,
+          (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS x) x,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS y) y),
+      z0 AS (
+        SELECT doc_id, f, x, y,
+          (doc_id::HUGEINT * 1099511628211 + f * 8191 + (y * 16 + x)
+            + 11400714819323198485::HUGEINT)
+            % 18446744073709551616::HUGEINT AS z
+        FROM px),
+      za AS (SELECT doc_id, f, x, y,
+        xor(z, z // 1073741824::HUGEINT) AS z FROM z0),
+      zb AS (SELECT doc_id, f, x, y,
+        ((z % 4294967296::HUGEINT) * 484763065::HUGEINT
+          + (((z % 4294967296::HUGEINT) * 3210233709::HUGEINT
+              + (z // 4294967296::HUGEINT) * 484763065::HUGEINT)
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS z FROM za),
+      zc AS (SELECT doc_id, f, x, y,
+        xor(z, z // 134217728::HUGEINT) AS z FROM zb),
+      zd AS (SELECT doc_id, f, x, y,
+        ((z % 4294967296::HUGEINT) * 321982955::HUGEINT
+          + (((z % 4294967296::HUGEINT) * 2496678331::HUGEINT
+              + (z // 4294967296::HUGEINT) * 321982955::HUGEINT)
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS z FROM zc),
+      ze AS (SELECT doc_id, f, x, y,
+        xor(z, z // 2147483648::HUGEINT) AS z FROM zd),
+      lum AS (
+        SELECT p.doc_id, p.f, p.x, p.y,
+          CASE WHEN p.doc_id % 97 = 0
+              THEN (p.x * 3 + p.y * 7 + p.f * 11 + 13) % 101
+            WHEN p.doc_id % 89 = 0
+              THEN ((p.x * 3 + p.y * 7 + p.f * 11 + 13) % 101) * 2
+            ELSE CAST(e.z % 256 AS BIGINT) END AS v
+        FROM px p JOIN ze e ON p.doc_id = e.doc_id AND p.f = e.f
+          AND p.x = e.x AND p.y = e.y),
+      cells AS (
+        SELECT doc_id, (f * 4) // 6 AS t, y // 2 AS cy, x // 4 AS cx,
+          sum(v) AS cs
+        FROM lum GROUP BY doc_id, t, cy, cx),
+      buckets AS (
+        SELECT doc_id, t, sum(cs) AS bt FROM cells GROUP BY doc_id, t),
+      bits AS (
+        SELECT c.doc_id, (c.t * 4 + c.cy) * 4 + c.cx AS pos,
+          CASE WHEN c.cs * 16 > b.bt THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN buckets b
+          ON c.doc_id = b.doc_id AND c.t = b.t),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM bits GROUP BY doc_id, blk),
+      kept AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.doc_a
+        JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_a, doc_b""")),
 
     // Audio near-dup pairs over planted identities: ids ≡ 0 mod 97
     // share one waveform, ids ≡ 0 mod 89 (not 97) carry the same
