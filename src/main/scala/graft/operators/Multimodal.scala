@@ -503,12 +503,38 @@ object Multimodal {
       "unknown audio container (not Ogg, FLAC, WAV or MP3)")
   }
 
+  /** Header-only VIDEO container dispatch — the audio-side rule applied
+    * to the two containers web video actually ships in: ISO BMFF / MP4
+    * (box walk, [[graft.kernel.Mp4]]) and Matroska / WebM (EBML walk,
+    * [[graft.kernel.Mkv]]). Returns (container, videoCodec, width,
+    * height, durationMs) for the FIRST video track (0-dims for
+    * audio-only containers; durationMs -1 for a live WebM with no
+    * Duration element); compressed payloads stay undecodable by
+    * contract, unknown containers are loud. */
+  def videoContainerMeta(payload: Array[Byte])
+      : (String, String, Int, Int, Long) = {
+    import graft.kernel.{Mkv, Mp4}
+    if (Mkv.isMkv(payload)) {
+      val m = Mkv.metadata(payload)
+      val v = m.video
+      (m.docType, v.map(_.codecId).getOrElse(""),
+        v.map(_.width).getOrElse(0), v.map(_.height).getOrElse(0),
+        m.durationMs)
+    } else if (Mp4.isMp4(payload)) {
+      val m = Mp4.metadata(payload)
+      val v = m.video
+      ("mp4", v.map(_.codec).getOrElse(""), v.map(_.width).getOrElse(0),
+        v.map(_.height).getOrElse(0), m.durationMs)
+    } else throw new IllegalArgumentException(
+      "unknown video container (not MP4/ISO-BMFF or Matroska/WebM)")
+  }
+
   /** Header-only metadata over a crawl media table
     * ([[graft.sources.WarcSource.mediaResponses]] shape: url, family,
     * payload): images dispatch through [[ImageDecoder.sniff]], video
-    * containers through [[graft.kernel.Mp4.metadata]], audio through
-    * [[graft.kernel.Mp3.metadata]] — one row-local map, the media bytes
-    * never cross an exchange. `decodable` reports whether this engine
+    * containers through [[videoContainerMeta]] (MP4 + Matroska/WebM),
+    * audio through [[audioContainerMeta]] — one row-local map, the
+    * media bytes never cross an exchange. `decodable` reports whether this engine
     * can produce PIXELS/SAMPLES (true only for the image codecs it
     * carries; AV payload decode is loudly out of scope). */
   def crawlMediaMeta(media: DataFrame): DataFrame = {
@@ -523,10 +549,8 @@ object Multimodal {
               val i = ImageDecoder.sniff(p)
               (url, family, i.container, i.decodable, i.width, i.height, 0L)
             case "video" =>
-              val m = graft.kernel.Mp4.metadata(p)
-              val v = m.video
-              (url, family, "mp4", false, v.map(_.width).getOrElse(0),
-                v.map(_.height).getOrElse(0), m.durationMs)
+              val (container, _, w, h, durationMs) = videoContainerMeta(p)
+              (url, family, container, false, w, h, durationMs)
             case "audio" =>
               val (container, _, _, _, durationMs) = audioContainerMeta(p)
               (url, family, container, container == "wav", 0, 0, durationMs)
@@ -2875,6 +2899,86 @@ object Multimodal {
           WHEN 2 THEN (doc_id % 40 + 1) * 100
           ELSE CAST(10 + doc_id % 50 AS BIGINT) * 1152 * 1000 // 44100
           END AS duration_ms
+      FROM documents ORDER BY doc_id""")),
+
+    // Matroska/WebM structural metadata, oracle-gated: the EBML vint
+    // walk (kernel/Mkv.scala) over planted containers — DocType,
+    // EXACT integer duration (planted at the default 1 ms
+    // TimestampScale, so the float Duration element is integer-exact),
+    // per-track type/codec, video pixel dims, audio channels + rate.
+    // The rotation covers video+audio WebM, audio-only Matroska
+    // (Vorbis), video-only WebM (VP8), and every fifth file a LIVE
+    // stream (no Duration element → the -1 sentinel). VP8/VP9/Opus
+    // payloads stay undecodable by contract — this is the decode-free
+    // filter table (the m25/m30 rule) for the OTHER video container a
+    // crawl yields.
+    ("m33_webm_meta", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.kernel.Mkv
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val tracks = (id % 3) match {
+              case 0 => Seq(
+                Mkv.Track("video", "V_VP9",
+                  (640 + id % 16).toInt, (360 + id % 9).toInt, 0, 0),
+                Mkv.Track("audio", "A_OPUS", 0, 0, 2, 48000))
+              case 1 => Seq(
+                Mkv.Track("audio", "A_VORBIS", 0, 0, (1 + id % 2).toInt,
+                  44100))
+              case _ => Seq(
+                Mkv.Track("video", "V_VP8",
+                  (320 + id % 32).toInt, (240 + id % 24).toInt, 0, 0))
+            }
+            val docType = if (id % 3 == 1) "matroska" else "webm"
+            val dur: Double =
+              if (id % 5 == 0) -1.0 else ((id % 90 + 1) * 500).toDouble
+            (id, Mkv.encodeHeader(docType, 1000000L, dur, tracks))
+          }
+        }
+        .toDF("doc_id", "payload")
+      media.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val m = Mkv.metadata(p)
+            val v = m.video
+            val a = m.audio
+            (id, m.docType, m.durationMs, m.tracks.length,
+              v.map(_.codecId).getOrElse(""),
+              v.map(_.width).getOrElse(0), v.map(_.height).getOrElse(0),
+              a.map(_.codecId).getOrElse(""),
+              a.map(_.channels).getOrElse(0),
+              a.map(_.sampleRate).getOrElse(0))
+          }
+        }
+        .toDF("doc_id", "doc_type", "duration_ms", "n_tracks",
+          "video_codec", "width", "height", "audio_codec", "channels",
+          "sample_rate")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 3 = 1 THEN 'matroska' ELSE 'webm' END
+          AS doc_type,
+        CASE WHEN doc_id % 5 = 0 THEN -1
+          ELSE (doc_id % 90 + 1) * 500 END AS duration_ms,
+        CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_tracks,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'V_VP9'
+          WHEN 2 THEN 'V_VP8' ELSE '' END AS video_codec,
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN CAST(640 + doc_id % 16 AS INTEGER)
+          WHEN 2 THEN CAST(320 + doc_id % 32 AS INTEGER)
+          ELSE 0 END AS width,
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN CAST(360 + doc_id % 9 AS INTEGER)
+          WHEN 2 THEN CAST(240 + doc_id % 24 AS INTEGER)
+          ELSE 0 END AS height,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'A_OPUS'
+          WHEN 1 THEN 'A_VORBIS' ELSE '' END AS audio_codec,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 2
+          WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+          ELSE 0 END AS channels,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 48000
+          WHEN 1 THEN 44100 ELSE 0 END AS sample_rate
       FROM documents ORDER BY doc_id""")),
 
     // The composed CRAWL→MULTIMODAL pipeline in one oracle-gated query
