@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Clusters.defs ++ operators.Curate.defs ++
       operators.Training.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.Sketches.defs ++ operators.CorpusPipeline.defs ++
+      operators.Sketches.defs ++ operators.Retrieval.defs ++
+      operators.CorpusPipeline.defs ++
       operators.DedupIndex.defs ++ sources.WarcSource.defs ++
       sources.Frontier.defs
 

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus retrieval: positional inverted index, exact phrase search, and
+  * BM25-ranked top-k — the search surface a training-data pipeline needs
+  * for decontamination lookups ("which training docs contain this eval
+  * phrase?"), dedup attribution, and corpus exploration.
+  *
+  * Scale posture (the shapes that survive 100 TB):
+  *  - The index build is ONE corpus explode + one (term, doc) partial
+  *    aggregation — the same cost class as the d05/d10/t31 census scans.
+  *    Postings shuffle once, keyed by term; a persisted index (parquet
+  *    partitioned by a term-hash bucket, the AnnIndex treatment) would
+  *    amortize it across query batches.
+  *  - Query-time work NEVER shuffles the corpus: the (tiny) query-term
+  *    set broadcasts into a semi-join that prunes the exploded postings
+  *    BEFORE any aggregation, so the only exchanges downstream of the
+  *    scan carry candidate rows (matched postings), not the corpus.
+  *  - Scoring is integer-exact: BM25 per-term weights are Q20 fixed-point
+  *    longs built from integer counts by correctly-rounded double ops
+  *    (divisions/multiplications only — no `ln`, the t19/t25 discipline,
+  *    using the rational idf (N - df + 0.5)/(df + 0.5), a per-term
+  *    monotone companion of the standard log idf), so per-doc scores are
+  *    order-free BIGINT sums that hash-match the DuckDB oracle.
+  *  - Top-k per query is a row_number window partitioned by query_id —
+  *    bounded by the (small) query batch, never by the corpus. A
+  *    corpus-bounded variant would ride plans.TopKPerKey.
+  */
+object Retrieval {
+
+  /** Whitespace tokens with 0-based positions: (doc_id, pos, term).
+    * The dialect-shared tokenizer (Spark `split(trim, \s+)` ≡ DuckDB
+    * `string_split_regex(trim, '\s+')`). */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+
+  /** The positional inverted index as a table: one row per (term, doc)
+    * with the term frequency and the ascending position list (comma
+    * string — driver-safe scalar, not an array). Build = one explode +
+    * one partial-agg shuffle keyed by (term, doc_id). */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    postings(docs)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        array_join(sort_array(collect_list(col("pos"))), ",").as("positions"))
+
+  /** Exact phrase search by positional adjacency: a phrase of tokens
+    * q0..q{n-1} matches doc d at start p iff the index holds (qi, d,
+    * p+i) for every i. `phrases` is (query_id, phrase); output one row
+    * per (query_id, doc_id) with the exact match count.
+    *
+    * The query side (terms AND per-query lengths) broadcasts; the
+    * corpus-side explode is pruned by the term join before the
+    * candidate aggregation, so only matched postings reach an exchange.
+    */
+  def phraseMatches(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val qt = phrases
+      .select(col("query_id"),
+        posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("qpos", "term")))
+    val qlen = qt.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
+    val cand = postings(docs)
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("start", col("pos") - col("qpos"))
+      .filter(col("start") >= 0)
+    cand
+      .join(broadcast(qlen), Seq("query_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("start"), col("qlen"))
+      .agg(countDistinct(col("qpos")).as("hit"))
+      .filter(col("hit") === col("qlen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** BM25 top-k (k1 = 1.25, b = 0.75 — both exactly representable):
+    * `queryTerms` is (query_id, term); returns the top `k` docs per
+    * query as (query_id, rank, doc_id, score).
+    *
+    * score = Σ_t floor( idf_q(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) )
+    * with idf_q(t) = floor(2^20 · (N − df + 0.5)/(df + 0.5)) — every
+    * operation a correctly-rounded IEEE double op on integer-derived
+    * values in a fixed order, so the BIGINT score is engine-exact.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("arr"))
+    val dl = base.select(col("doc_id"), size(col("arr")).cast("long").as("dl"))
+    val Seq(nDocs, totTokens) = {
+      val r = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val avgdl = totTokens.toDouble / nDocs.toDouble
+    val qDistinct = queryTerms.select(col("term")).distinct()
+    // corpus explode pruned by the broadcast term set BEFORE the tf agg
+    val tf = postings(docs).drop("pos")
+      .join(broadcast(qDistinct), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_q",
+        floor(lit(1048576.0) *
+          (((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))).cast("long"))
+      .select(col("term"), col("idf_q"))
+    val tfNorm = (col("tf").cast("double") * lit(2.25)) /
+      (col("tf").cast("double") + lit(1.25) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val contrib = tf
+      .join(broadcast(idf), Seq("term"))
+      .join(broadcast(queryTerms.select(col("query_id"), col("term")).distinct()),
+        Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("contrib",
+        floor(col("idf_q").cast("double") * tfNorm).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // The positional inverted index over the documents corpus — the
+    // one-time build whose postings every retrieval query probes.
+    ("r01_inverted_index", (s: SparkSession, d: String) =>
+      invertedIndex(Tables.documents(s, d))
+        .orderBy(col("term"), col("doc_id")),
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      p AS (
+        SELECT doc_id, unnest(arr) AS term,
+          unnest(range(0, len(arr))) AS pos
+        FROM base)
+      SELECT term, doc_id, count(*) AS tf,
+        string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+      FROM p GROUP BY term, doc_id ORDER BY term, doc_id""")),
+
+    // Exact phrase search: queries derived deterministically from the
+    // corpus itself (every doc_id ≡ 0 mod 97 contributes its first
+    // three tokens as a phrase), so each query is guaranteed at least
+    // its source match and the oracle can rebuild the query set.
+    ("r02_phrase_search", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val phrases = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3))
+            .as("phrase"))
+      phraseMatches(docs, phrases)
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      p AS (
+        SELECT doc_id, unnest(arr) AS term,
+          unnest(range(0, len(arr))) AS pos
+        FROM base),
+      q AS (
+        SELECT doc_id AS query_id, arr[1:3] AS qarr
+        FROM base WHERE doc_id % 97 = 0),
+      qt AS (
+        SELECT query_id, unnest(qarr) AS term,
+          unnest(range(0, len(qarr))) AS qpos
+        FROM q),
+      qlen AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
+      cand AS (
+        SELECT qt.query_id, p.doc_id, p.pos - qt.qpos AS start, qt.qpos
+        FROM p JOIN qt ON p.term = qt.term
+        WHERE p.pos - qt.qpos >= 0),
+      hits AS (
+        SELECT c.query_id, c.doc_id, c.start
+        FROM cand c JOIN qlen l ON c.query_id = l.query_id
+        GROUP BY c.query_id, c.doc_id, c.start, l.qlen
+        HAVING count(DISTINCT c.qpos) = l.qlen)
+      SELECT query_id, doc_id, count(*) AS n_matches
+      FROM hits GROUP BY query_id, doc_id
+      ORDER BY query_id, doc_id""")),
+
+    // BM25-ranked top-10 per query: query term sets are the distinct
+    // first-five tokens of every doc_id ≡ 0 mod 97. Scores are Q20
+    // integer sums (rational idf — no ln), bit-stable across engines.
+    ("r03_bm25_topk", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val qterms = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("qpos", "term")))
+        .filter(col("qpos") < 5)
+        .select(col("query_id"), col("term")).distinct()
+      bm25TopK(docs, qterms, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM base),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
+        FROM dl),
+      p AS (SELECT doc_id, unnest(arr) AS term FROM base),
+      qt AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(arr[1:5]) AS term
+          FROM base WHERE doc_id % 97 = 0) z),
+      tf AS (
+        SELECT p.term, p.doc_id, count(*) AS tf
+        FROM p JOIN (SELECT DISTINCT term FROM qt) s ON p.term = s.term
+        GROUP BY p.term, p.doc_id),
+      idf AS (
+        SELECT term, CAST(floor(1048576.0 *
+            ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
+        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+          CAST(floor(CAST(idf.idf_q AS DOUBLE) *
+            ((CAST(tf.tf AS DOUBLE) * 2.25) /
+             (CAST(tf.tf AS DOUBLE) + 1.25 *
+              (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+            AS BIGINT) AS contrib
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN qt ON tf.term = qt.term
+        JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      scored AS (
+        SELECT query_id, doc_id, SUM(contrib) AS score
+        FROM contrib GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, rank, doc_id, score
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+  )
+}

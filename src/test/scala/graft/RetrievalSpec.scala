@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Retrieval family: inverted index, phrase adjacency, BM25 ranking.
+  * Hand-computed expectations throughout — the oracle-parity blind-spot
+  * rule (shared formulas can be wrong on both sides) means every
+  * boundary here is worked on paper, not recomputed with the operator's
+  * own code.
+  */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("inverted index: positions, tf, ascending order") {
+    val d = docs(1L -> "a b c a b c", 2L -> "a b x c", 3L -> "  c a b  ")
+    val idx = Retrieval.invertedIndex(d)
+      .orderBy("term", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(idx.toSeq == Seq(
+      ("a", 1L, 2L, "0,3"), ("a", 2L, 1L, "0"), ("a", 3L, 1L, "1"),
+      ("b", 1L, 2L, "1,4"), ("b", 2L, 1L, "1"), ("b", 3L, 1L, "2"),
+      ("c", 1L, 2L, "2,5"), ("c", 2L, 1L, "3"), ("c", 3L, 1L, "0"),
+      ("x", 2L, 1L, "2")))
+  }
+
+  test("phrase search: multi-match, doc-end boundary, no false positives") {
+    // "a b c" occurs in doc 1 at starts 0 and 3 — start 3 ends exactly
+    // at the last position (the boundary case); doc 2 has all three
+    // terms but never adjacent; doc 3 has "a b" only.
+    val d = docs(1L -> "a b c a b c", 2L -> "a b x c", 3L -> "c a b")
+    val phrases = Seq((10L, "a b c")).toDF("query_id", "phrase")
+    val got = Retrieval.phraseMatches(d, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L, 2L)))
+  }
+
+  test("phrase with a repeated term needs BOTH positions") {
+    // phrase "a a" over "a a a": starts 0 and 1 match (2 matches);
+    // over "a b a": no start has two adjacent a's.
+    val d = docs(1L -> "a a a", 2L -> "a b a")
+    val phrases = Seq((1L, "a a")).toDF("query_id", "phrase")
+    val got = Retrieval.phraseMatches(d, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L)))
+  }
+
+  test("phrase search never shuffles the corpus: query side broadcasts") {
+    val d = docs(1L -> "a b c", 2L -> "c b a")
+    val phrases = Seq((1L, "a b")).toDF("query_id", "phrase")
+    val plan = Retrieval.phraseMatches(d, phrases)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bm25: hand-computed exact score on a floor boundary") {
+    // Corpus: d1 = "q a", d2 = "b c" — N = 2, every dl = 2, avgdl = 2.0
+    // so dl/avgdl = 1.0 exactly. Query {q}: df = 1 ⇒ rational idf
+    // = (2 - 1 + 0.5)/(1 + 0.5) = 1.5/1.5 = 1.0 exactly ⇒
+    // idf_q = floor(2^20 · 1.0) = 1048576 — the floor sits EXACTLY on an
+    // integer. tf = 1 ⇒ tf_norm = (1·2.25)/(1 + 1.25·(0.25 + 0.75·1.0))
+    // = 2.25/2.25 = 1.0 exactly ⇒ score = floor(1048576 · 1.0) = 1048576.
+    // Every step is exact dyadic arithmetic — worked on paper, no shared
+    // formula with the implementation.
+    val d = docs(1L -> "q a", 2L -> "b c")
+    val q = Seq((7L, "q")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(d, q)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((7L, 1, 1L, 1048576L)))
+  }
+
+  test("bm25: identical docs tie and break by doc_id; more hits rank higher") {
+    val d = docs(
+      1L -> "z w w w",
+      2L -> "z z w w", // more z's than 1/3 — must rank first
+      3L -> "z w w w", // identical to 1 — exact tie, doc 1 wins by id
+      4L -> "w w w w") // no z — excluded
+    val q = Seq((1L, "z")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(d, q)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3)
+    assert(got(0)._2 == 2L, s"doc 2 should rank first: ${got.toSeq}")
+    assert(got(1)._2 == 1L && got(2)._2 == 3L,
+      s"tie must break by doc_id: ${got.toSeq}")
+    assert(got(1)._3 == got(2)._3, "identical docs must score identically")
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("bm25 rewards rare terms: rational idf orders df correctly") {
+    // "rare" appears in 1 of 4 docs, "common" in all 4 — one occurrence
+    // each in doc 1; the rare term's contribution must dominate.
+    val d = docs(
+      1L -> "rare common x x",
+      2L -> "common y y y",
+      3L -> "common y y y",
+      4L -> "common y y y")
+    val q = Seq((1L, "rare"), (1L, "common")).toDF("query_id", "term")
+    val contribs = Retrieval.bm25TopK(d, q).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toMap
+    // doc 1 holds both terms; docs 2-4 only the common one — doc 1 first
+    val top = Retrieval.bm25TopK(d, q)
+      .filter(col("rank") === 1).head().getLong(2)
+    assert(top == 1L, s"$contribs")
+  }
+
+  test("bm25 and phrase search are deterministic across runs") {
+    val d = docs(1L -> "a b c a", 2L -> "b c a b", 3L -> "c a b c")
+    val q = Seq((1L, "a"), (1L, "b")).toDF("query_id", "term")
+    val r1 = Retrieval.bm25TopK(d, q).collect().toSeq
+    val r2 = Retrieval.bm25TopK(d, q).collect().toSeq
+    assert(r1 == r2)
+  }
+}
