@@ -44,13 +44,29 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/gates.json"), SparkEntry.gatesJson)
     // Self-heal the committed copy too (r12: a query registered without
     // rerunning WriteGates left gates.json stale and GatesSpec red at
-    // HEAD). Verify runs every round, so refreshing here guarantees the
-    // repo artifact can never drift past a round boundary.
+    // HEAD). Verify runs every round and the driver commits the working
+    // tree at round end, so the heal guarantees the repo artifact can
+    // never drift PAST a round boundary. Adjudicated vs the r13 advice
+    // (a verify entrypoint mutating a tracked file can mask staleness):
+    // the heal stays default-ON because it is the only mechanism that
+    // survives a registration commit made without WriteGates, but it is
+    // opt-out-able (-Dgraft.gates.heal=false) and now names the exact
+    // follow-up action instead of rewriting silently.
     val repoGates = Paths.get("gates.json")
     if (Files.exists(repoGates) &&
         Files.readString(repoGates).trim != SparkEntry.gatesJson.trim) {
-      Files.writeString(repoGates, SparkEntry.gatesJson + "\n")
-      System.err.println("[verify] refreshed stale repo gates.json")
+      if (sys.props.getOrElse("graft.gates.heal", "true") == "true") {
+        Files.writeString(repoGates, SparkEntry.gatesJson + "\n")
+        System.err.println(
+          "[verify] WARNING: repo gates.json was STALE — refreshed in the " +
+          "working tree. It is a TRACKED artifact: run `git add gates.json` " +
+          "and include it in the commit that registered the new queries.")
+      } else {
+        System.err.println(
+          "[verify] WARNING: repo gates.json is STALE (heal disabled via " +
+          "-Dgraft.gates.heal=false) — GatesSpec will fail until it is " +
+          "regenerated and committed.")
+      }
     }
     // Always write the manifest (empty {} on a clean run) so its absence
     // vs emptiness is never ambiguous. Exit code stays 0 — a nonzero exit

@@ -68,7 +68,10 @@ object Mp4 {
         if (size0 == 1) {
           require(off + 16 <= to, s"mp4: truncated largesize box '$typ'")
           val size = u64(b, off + 8)
-          require(size >= 16 && off + size <= to,
+          // overflow-safe form (subtraction, never off+size): a crafted
+          // largesize near 2^63 would wrap `off + size` negative, pass a
+          // sum-form check, and make `end < off` — an unbounded walk
+          require(size >= 16 && size <= (to - off).toLong,
             s"mp4: box '$typ' largesize $size overruns its parent")
           (off + 16, off + size.toInt)
         } else if (size0 == 0) {

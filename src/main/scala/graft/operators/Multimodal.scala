@@ -721,8 +721,10 @@ object Multimodal {
       imageHashesWith(media, decoderCls).select(col("doc_id"), col("img_hash")),
       "img_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
       // LSH key sizing counts a cheap frame (same cardinality: one hash
-      // per payload) so the decode kernel runs once, not twice
-      sigCount = if (sigCount >= 0) sigCount else media.count())
+      // per payload) so the decode kernel runs once, not twice; an
+      // explicit keyBits makes the count unused — skip it entirely
+      sigCount = if (keyBits > 0) 0L
+        else if (sigCount >= 0) sigCount else media.count())
 
   /** Audio feature extraction through the same batched partition kernel
     * shape as the image path: parse RIFF/PCM ([[graft.kernel.Wav]] —
@@ -809,8 +811,9 @@ object Multimodal {
     Dedup.hammingNearDups(
       audioFingerprints(media).select(col("doc_id"), col("audio_hash")),
       "audio_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
-      // count the raw frame, not the decoded one (see imageNearDupsWith)
-      sigCount = media.count())
+      // count the raw frame, not the decoded one (see imageNearDupsWith);
+      // unused when keyBits is explicit — skip the extra pass
+      sigCount = if (keyBits > 0) 0L else media.count())
 
   /** Audio activity segmentation — the VAD-shaped primitive a speech
     * training pipeline runs before transcription/feature models: split
@@ -1041,7 +1044,8 @@ object Multimodal {
     Dedup.hammingNearDups(
       videoFingerprints(media).select(col("doc_id"), col("video_hash")),
       "video_hash", maxHamming, keyBits = keyBits, maxBucket = maxBucket,
-      sigCount = if (sigCount >= 0) sigCount else media.count())
+      sigCount = if (keyBits > 0) 0L
+        else if (sigCount >= 0) sigCount else media.count())
 
   /** Video scene-cut detection — the keyframe-sampling primitive: a
     * training pipeline samples frames at SCENE CHANGES, not on a blind
@@ -1168,7 +1172,8 @@ object Multimodal {
     val pairs = Dedup.hammingNearDups(
       vHashes.union(iHashes), "img_hash", maxHamming,
       keyBits = keyBits, maxBucket = maxBucket,
-      sigCount = if (sigCount >= 0) sigCount
+      sigCount = if (keyBits > 0) 0L
+        else if (sigCount >= 0) sigCount
         else videos.count() * 2 + images.count())
     // doc_a < doc_b, so a cross pair always lands image (negative) on
     // the a side and keyframe (positive) on the b side
