@@ -171,6 +171,44 @@ object Bench {
     // untimed warm passes compile the probe loop before the first sample
     probePass(); probePass()
 
+    // Multi-core canary: the single-thread probe above CANNOT see a
+    // co-tenant that leaves one core's worth of headroom — round 13's
+    // box degraded 74→92 s for 32-wide query work across three sweeps
+    // while that probe stayed flat at ~0.22 s. This canary runs the same
+    // arithmetic loop on EVERY core simultaneously and reports the wall
+    // time of the slowest thread: a co-tenant occupying any cores
+    // stretches it roughly in proportion to the cores stolen, which is
+    // exactly the degradation the 32-thread query sweep experiences.
+    // It rides along at the same cadence as the single-thread probe
+    // (closed over mcSamples — sweep's signature stays probe-agnostic)
+    // and is REPORTED, not used for hot-span attribution: the
+    // single-thread probe remains the stable attribution clock, the
+    // canary is the box-comparability verdict a reader checks FIRST.
+    val mcThreads = cpus.toInt
+    val mcBlackhole = new java.util.concurrent.atomic.AtomicLong()
+    def mcPass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until mcThreads).map { t =>
+        val th = new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + t
+          var i = 0
+          while (i < 50000000) {
+            x ^= x >>> 27; x *= 0x3C79AC492BA7B653L; x ^= x << 33; i += 1
+          }
+          mcBlackhole.accumulateAndGet(x, _ ^ _)
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    mcPass(); mcPass() // warm the canary loop's JIT too
+    val mcSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def probeWithCanary(): Double = {
+      mcSamples += mcPass()
+      probePass()
+    }
+
     // previous round's recorded mins: a query over 3× its prior min gets
     // re-timed even on a quiet-looking box (round 6's 1.46 s contention
     // hits slipped under the absolute bar)
@@ -195,7 +233,7 @@ object Bench {
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       },
-      probePass _,
+      probeWithCanary _,
       () => spark.catalog.clearCache(),
       prior)
 
@@ -212,6 +250,18 @@ object Bench {
     val probesJson = res.probes.map { case (i, p) => s"[$i,${fmt(p)}]" }
       .mkString("[", ",", "]")
     val suspectJson = res.suspect.map(JsonUtil.quote).mkString("[", ",", "]")
+    // the canary verdict: min (best-case box), max (worst sample), and
+    // the ratio — a quiet box holds the ratio near 1; a co-tenant active
+    // for any stretch of the sweep shows up here even when the
+    // single-thread probes stay flat. Samples ride min-of-2 pairs (the
+    // sweep calls the probe twice per sample point), so pairwise-min
+    // before the verdict to shed one-off GC hits, same as probe2.
+    val mcPaired = mcSamples.grouped(2).map(_.min).toSeq
+    val mcJson =
+      if (mcPaired.isEmpty) "null"
+      else s"""{"threads":$mcThreads,"min":${fmt(mcPaired.min)},"max":${fmt(
+        mcPaired.max)},"ratio":${fmt(mcPaired.max / mcPaired.min)},"samples":${
+        mcPaired.map(fmt).mkString("[", ",", "]")}}"""
     // probe/failed/suspect fields go AFTER "queries": the driver records a
     // bounded TAIL of stdout (round 8's capture lost the line's head), so
     // anything that must survive truncation belongs at the end of the line.
@@ -221,7 +271,7 @@ object Bench {
     // window). Hot-span queries were re-timed at sweep end (`retimed`
     // count); any still unverifiable are NAMED in `suspect` — discard
     // exactly those numbers instead of the whole artifact.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probes":$probesJson,"contended":${res.contended},"retimed":${res.retimed.size},"suspect":$suspectJson,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probes":$probesJson,"mc_canary":$mcJson,"contended":${res.contended},"retimed":${res.retimed.size},"suspect":$suspectJson,"failed":$failedJson}"""
     println(line)
     // the driver captures a bounded TAIL of stdout and has truncated the
     // per-query map mid-JSON before (BENCH_r11 lost 77 of 152 timings,

@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Training.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.Retrieval.defs ++
+      operators.RetrievalIndex.defs ++
       operators.CorpusPipeline.defs ++
       operators.DedupIndex.defs ++ sources.WarcSource.defs ++
       sources.Frontier.defs
@@ -67,7 +68,6 @@ object SparkEntry {
     "m03_band_stats" -> Seq("spec:KernelSpec"),
     "m09_image_neardup" -> Seq("spec:PngSpec"),
     "m12_audio_neardup" -> Seq("spec:WavSpec"),
-    "m16_mixed_image_neardup" -> Seq("spec:JpegSpec", "spec:GifSpec", "spec:WebpSpec"),
     "m22_video_neardup" -> Seq("spec:Y4mSpec"),
     "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
     "m27_audio_clips" -> Seq("spec:WavSpec"),
@@ -86,7 +86,6 @@ object SparkEntry {
     "t22_bpe_train" -> Seq("spec:TrainingSpec"),
     "t23_bpe_segment" -> Seq("spec:TrainingSpec"),
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
-    "w07_host_rank" -> Seq("spec:FrontierSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
     "t37_bpe_bytes" -> Seq("spec:TrainingSpec"),
     "s14_cluster_mixture" -> Seq("spec:LlmOpsSpec"),

@@ -2641,8 +2641,15 @@ object Multimodal {
     // pixels again as lossless WebP (VP8L; its RGB expansion is the
     // same ×3 the ratio-form bits ignore). Everyone else is unique
     // (multiplicative variation, container rotating by id mod 4).
-    // Rows-only; cross-format collapse is spec-gated in JpegSpec and
-    // WebpSpec.
+    // NOW FULLY ORACLE-GATED (r14, the m09/m12/m22 conversion): with
+    // keyBits pinned to 16 the band keys are contiguous 16-bit hash
+    // slices, and because each hash cell is exactly one constant 8×8
+    // tile, DuckDB recomputes the whole pipeline from the TILE values
+    // (ratio-form bits are invariant to each container's ×1/×3 channel
+    // expansion) — tile grid → bits → band keys → cap → candidates →
+    // exact hamming ≤ 2. A decode bug in ANY of the four codecs, or a
+    // banding/cap/verify bug, breaks the hash. Cross-format collapse
+    // additionally spec-gated in JpegSpec and WebpSpec.
     ("m16_mixed_image_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
       val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -2685,11 +2692,53 @@ object Multimodal {
         }
         .toDF("doc_id", "media_type", "payload")
       imageNearDupsWith(media, classOf[ImageDecoder].getName, maxHamming = 2,
-          // one image per document: size keys from the raw table count
-          // so the 64×64 encode kernel runs once, not twice
-          sigCount = graft.Tables.documents(s, d).count())
+          // keyBits pinned to 16: the dialect-shared banding contract
+          // (16-bit aligned slices) the oracle recomputes; an explicit
+          // keyBits also skips the sigCount sizing pass entirely
+          keyBits = 16)
         .orderBy(col("doc_a"), col("doc_b"))
-    }, None),
+    },
+    Some("""WITH grid AS (
+        SELECT bx.bx, by.by FROM
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bx) bx,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS by) by),
+      cells AS (
+        SELECT d.doc_id, g.by * 8 + g.bx AS pos,
+          CASE WHEN d.doc_id % 97 = 0 THEN (g.bx * 57 + g.by * 131 + 23) % 256
+            WHEN d.doc_id % 89 = 0 THEN (g.bx * 57 + g.by * 131 + 23) % 256
+            WHEN d.doc_id % 83 = 0 THEN (g.bx * 57 + g.by * 131 + 23) % 256
+            WHEN d.doc_id % 79 = 0 THEN (g.bx * 57 + g.by * 131 + 23) % 256
+            ELSE (g.bx * ((d.doc_id * 2654435761) % 251 + 2)
+              + g.by * ((d.doc_id * 40503) % 239 + 3) + d.doc_id) % 256
+          END AS v
+        FROM documents d, grid g),
+      tot AS (SELECT doc_id, sum(v) AS total FROM cells GROUP BY doc_id),
+      bits AS (
+        SELECT c.doc_id, c.pos,
+          CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN tot t USING (doc_id)),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM bits GROUP BY doc_id, blk),
+      kept AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.doc_a
+        JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_a, doc_b""")),
 
     // Per-label embedding band statistics through the mergeable
     // BandStats aggregator (A12's raster-stats shape over float arrays;

@@ -57,12 +57,19 @@ object Retrieval {
     * corpus-side explode is pruned by the term join before the
     * candidate aggregation, so only matched postings reach an exchange.
     */
-  def phraseMatches(docs: DataFrame, phrases: DataFrame): DataFrame = {
+  def phraseMatches(docs: DataFrame, phrases: DataFrame): DataFrame =
+    phraseMatchesFrom(postings(docs), phrases)
+
+  /** [[phraseMatches]] over an ALREADY-MATERIALIZED postings frame
+    * (doc_id, pos, term) — the seam [[RetrievalIndex]] plugs the stored
+    * index into: the adjacency algebra is identical whether postings
+    * come from a live corpus explode or a parquet index scan. */
+  def phraseMatchesFrom(post: DataFrame, phrases: DataFrame): DataFrame = {
     val qt = phrases
       .select(col("query_id"),
         posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("qpos", "term")))
     val qlen = qt.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
-    val cand = postings(docs)
+    val cand = post
       .join(broadcast(qt), Seq("term"))
       .withColumn("start", col("pos") - col("qpos"))
       .filter(col("start") >= 0)
@@ -88,17 +95,30 @@ object Retrieval {
     val base = docs.select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("arr"))
     val dl = base.select(col("doc_id"), size(col("arr")).cast("long").as("dl"))
-    val Seq(nDocs, totTokens) = {
-      val r = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      Seq(r.getLong(0), r.getLong(1))
-    }
-    val avgdl = totTokens.toDouble / nDocs.toDouble
     val qDistinct = queryTerms.select(col("term")).distinct()
     // corpus explode pruned by the broadcast term set BEFORE the tf agg
     val tf = postings(docs).drop("pos")
       .join(broadcast(qDistinct), Seq("term"), "left_semi")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+    bm25From(tf, dl, queryTerms, k)
+  }
+
+  /** The BM25 scoring core over pre-computed per-(term, doc) `tf` rows
+    * (already restricted to the query vocabulary — they must still cover
+    * EVERY indexed doc containing a query term, or df goes wrong) and
+    * the full `dl` doc-length table — the seam [[RetrievalIndex]] plugs
+    * the stored index into. Arithmetic identical to the doc Scaladoc on
+    * [[bm25TopK]]: Q20 fixed-point, rational idf, order-free BIGINT
+    * sums. N and avgdl derive from `dl` (one agg over an id+length
+    * table, never the corpus text). */
+  def bm25From(tf: DataFrame, dl: DataFrame, queryTerms: DataFrame,
+      k: Int): DataFrame = {
+    val Seq(nDocs, totTokens) = {
+      val r = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val avgdl = totTokens.toDouble / nDocs.toDouble
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf_q",
         floor(lit(1048576.0) *
@@ -244,6 +264,97 @@ object Retrieval {
         FROM scored)
       SELECT query_id, rank, doc_id, score
       FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank""")),
+
+    // Composed decontamination pipeline — the use-case the retrieval
+    // family exists for: eval set = doc_id ≡ 0 mod 10, training corpus
+    // = the rest. Each eval doc contributes its 6-token prefix as an
+    // exact PHRASE query over the training corpus (r02's machinery) AND
+    // runs the word-8-gram overlap screen (d08's contamination — the
+    // two industry-standard decontamination tests), joined into one
+    // per-eval-doc report with a combined `flagged` verdict. Both legs
+    // broadcast only eval-derived frames; the training corpus never
+    // shuffles (phrase leg prunes postings via broadcast terms, gram
+    // leg probes a broadcast eval-gram set).
+    ("c06_decontam_pipeline", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val trainDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      val phrases = evalDocs.select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 6))
+          .as("phrase"))
+      val pm = phraseMatches(trainDocs, phrases)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("phrase_docs"),
+          sum(col("n_matches")).as("phrase_hits"))
+      val gram = Training.contamination(evalDocs, trainDocs)
+      gram.join(pm, gram("doc_id") === pm("query_id"), "left")
+        .select(gram("doc_id"), col("n_grams"), col("n_hit"),
+          col("contamination"),
+          coalesce(col("phrase_docs"), lit(0L)).as("phrase_docs"),
+          coalesce(col("phrase_hits"), lit(0L)).as("phrase_hits"),
+          (coalesce(col("phrase_docs"), lit(0L)) > 0 || col("n_hit") > 0)
+            .as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      -- phrase leg (r02's adjacency algebra over the train split)
+      p AS (
+        SELECT doc_id, unnest(arr) AS term,
+          unnest(range(0, len(arr))) AS pos
+        FROM docs WHERE doc_id % 10 <> 0),
+      q AS (
+        SELECT doc_id AS query_id, arr[1:6] AS qarr
+        FROM docs WHERE doc_id % 10 = 0),
+      qt AS (
+        SELECT query_id, unnest(qarr) AS term,
+          unnest(range(0, len(qarr))) AS qpos
+        FROM q),
+      qlen AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
+      cand AS (
+        SELECT qt.query_id, p.doc_id, p.pos - qt.qpos AS start, qt.qpos
+        FROM p JOIN qt ON p.term = qt.term
+        WHERE p.pos - qt.qpos >= 0),
+      hits AS (
+        SELECT c.query_id, c.doc_id, c.start
+        FROM cand c JOIN qlen l ON c.query_id = l.query_id
+        GROUP BY c.query_id, c.doc_id, c.start, l.qlen
+        HAVING count(DISTINCT c.qpos) = l.qlen),
+      pm0 AS (
+        SELECT query_id, doc_id, count(*) AS n_matches
+        FROM hits GROUP BY query_id, doc_id),
+      pm AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS phrase_docs,
+          CAST(sum(n_matches) AS BIGINT) AS phrase_hits
+        FROM pm0 GROUP BY query_id),
+      -- gram leg (d08's word-8-gram overlap, no canaries)
+      grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(arr) >= 8
+          THEN list_distinct(list_transform(
+            range(0, len(arr) - 7),
+            i -> array_to_string(arr[i+1:i+8], ' ')))
+          ELSE [text] END) AS gram
+        FROM docs),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+              WHERE doc_id % 10 = 0 GROUP BY 1),
+      hit AS (SELECT doc_id, count(*) AS n_hit FROM grams g
+              WHERE doc_id % 10 = 0 AND gram IN
+                (SELECT gram FROM grams WHERE doc_id % 10 <> 0)
+              GROUP BY 1)
+      SELECT tot.doc_id, n_grams,
+        coalesce(hit.n_hit, 0) AS n_hit,
+        CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / n_grams AS contamination,
+        coalesce(pm.phrase_docs, 0) AS phrase_docs,
+        coalesce(pm.phrase_hits, 0) AS phrase_hits,
+        (coalesce(pm.phrase_docs, 0) > 0 OR coalesce(hit.n_hit, 0) > 0)
+          AS flagged
+      FROM tot
+      LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      LEFT JOIN pm ON tot.doc_id = pm.query_id
+      ORDER BY tot.doc_id"""))
   )
 }

@@ -212,6 +212,65 @@ object Frontier {
     ranks
   }
 
+  /** [[pageRank]] in exact integer fixed-point — the oracle-checkable
+    * form (the t19/t25/r03 discipline applied to power iteration).
+    * Rank is an integer MASS out of `totalMass`; damping 17/20 and the
+    * teleport base 3·M/(20·n) are exact integer rationals; every
+    * per-iteration operation is an integer floor-division or an
+    * order-free BIGINT sum, so the per-node masses after any fixed
+    * iteration count are engine-exact and a SQL engine can replay the
+    * iterations verbatim (w07's oracle unrolls them as chained CTEs).
+    *
+    *   share(u)  = m(u) div deg(u)            (deg > 0)
+    *   dt        = Σ_{deg(u)=0} (m(u) div n)  (sum of floors — order-free)
+    *   m'(v)     = 3·M div (20·n) + 17·(Σ_{u→v} share(u) + dt) div 20
+    *
+    * Floor truncation leaks a few units of mass per iteration (bounded
+    * by n + 20 per step) — the price of exactness; ORDERING matches the
+    * double version away from sub-ppm ties. Same per-iteration
+    * checkpoint discipline as [[pageRank]] (iterative-lineage trap). */
+  def pageRankQ(edges: DataFrame, iters: Int = 6,
+      totalMass: Long = 1000000000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(totalMass > 0 && totalMass <= (Long.MaxValue / 20),
+      s"totalMass $totalMass out of the overflow-safe range")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRankQ: empty graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (3L * totalMass) / (20L * n)
+    var mass = nodes.withColumn("mass", lit(totalMass / n))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val withDeg = mass.join(outdeg, col("node") === col("src"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(expr(s"mass div ${n}L")), lit(0L)).as("dt"))
+      val contribs = e
+        .join(withDeg.filter(col("deg").isNotNull)
+          .select(col("node").as("c_src"), expr("mass div deg").as("share")),
+          col("src") === col("c_src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+      mass = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit(base) +
+            expr("(17L * (coalesce(c, 0L) + dt)) div 20L")).as("mass"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    mass
+  }
+
   /** Flatten sitemap XML documents into frontier seed rows:
     * (host, kind, loc, lastmod). Index documents emit their child
     * sitemap locations with kind `sitemapindex` — the caller fetches
@@ -389,6 +448,54 @@ object Frontier {
         concat(lit("/?d="), col("doc_id"))), (col("doc_id") % 5 + 1).cast("int"))).as("url"))
   }
 
+  /** w07's oracle: [[pageRankQ]]'s six iterations unrolled as chained
+    * CTEs (DuckDB recursive CTEs allow only one self-reference per
+    * recursive term; the iteration needs the previous masses twice —
+    * contributions AND dangling — so fixed-count unrolling is the
+    * portable form). `//` is DuckDB BIGINT floor division ≡ Spark `div`
+    * on positive masses. Edges derive from the doc_id congruences
+    * independently of the Spark side's HTML extraction. */
+  private lazy val w07OracleSql: String = {
+    val M = 1000000000000L
+    val iterCtes = (1 to 6).map { k =>
+      s"""  it$k AS (
+        SELECT nd.node,
+          (3 * $M) // (20 * nn.n) +
+          (17 * (COALESCE(c.c, 0) + dt.dt)) // 20 AS mass
+        FROM nodes nd
+        CROSS JOIN nn
+        CROSS JOIN (
+          SELECT COALESCE(SUM(m.mass // nn2.n), 0) AS dt
+          FROM it${k - 1} m CROSS JOIN nn nn2
+          LEFT JOIN deg dg ON m.node = dg.src
+          WHERE dg.src IS NULL) dt
+        LEFT JOIN (
+          SELECT e.dst, SUM(m.mass // dg.deg) AS c
+          FROM it${k - 1} m
+          JOIN deg dg ON m.node = dg.src
+          JOIN e ON e.src = m.node
+          GROUP BY e.dst) c ON c.dst = nd.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com' AS src,
+                 'h' || CAST((doc_id + 1) % 19 AS VARCHAR) || '.example.com' AS dst
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com' AS src,
+                 'h' || CAST((doc_id * 3 + 1) % 19 AS VARCHAR) || '.example.com' AS dst
+          FROM documents) z
+        WHERE src <> dst),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      it0 AS (SELECT node, $M // nn.n AS mass FROM nodes CROSS JOIN nn),
+$iterCtes
+      SELECT node, CAST(mass AS BIGINT) AS mass FROM it6 ORDER BY node"""
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // robots.txt verdicts, oracle-gated end to end: the REAL grammar →
@@ -507,11 +614,14 @@ object Frontier {
       FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host""")),
 
     // Host PageRank over the crawled link graph — the crawl-budget
-    // prioritization signal. Rows-only (damped power iteration in
-    // doubles is not SQL-expressible at parity); hand-computed
-    // iteration values, dangling-mass conservation, star-graph
-    // ordering, and bit-identical determinism are spec-gated in
-    // FrontierSpec.
+    // prioritization signal, in Q fixed-point ([[pageRankQ]]): integer
+    // masses are engine-exact, so the DuckDB oracle REPLAYS all six
+    // iterations verbatim (unrolled chained CTEs — the same arithmetic,
+    // independently derived edges from the doc_id congruences, which
+    // also cross-checks the HTML link-extraction path). The double
+    // pageRank keeps its hand-computed FrontierSpec gates; the fixture
+    // graph has no dangling hosts (every host links out), so the
+    // dangling-mass path is gated by a constructed-graph spec.
     ("w07_host_rank", (s: SparkSession, d: String) => {
       val docs = graft.Tables.documents(s, d)
       val pages = docs.select(
@@ -527,9 +637,9 @@ object Frontier {
         .select(col("src_host").as("src"), col("dst_host").as("dst"))
       // 6 rounds: rank ORDER on a 19-host graph stabilizes in 3-4; each
       // Spark iteration costs fixed scheduling overhead, not compute
-      pageRank(edges, iters = 6)
+      pageRankQ(edges, iters = 6)
         .orderBy(col("node"))
-    }, None),
+    }, Some(w07OracleSql)),
 
     // Per-host politeness schedule over the allowed frontier — slots
     // and fetch offsets from each host's crawl delay; oracle recomputes

@@ -245,6 +245,42 @@ class FrontierSpec extends SparkSuite {
       ten.view.mapValues(java.lang.Double.doubleToLongBits).toMap)
   }
 
+  test("pageRankQ: hand-computed dangling-path iterations, Q-exactness, ordering agrees with doubles") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A→B with B dangling, M = 10^12, n = 2: every value below worked
+    // by hand (base = 3·10^12/40 = 75e9, damping 17/20).
+    //   m0 = 500e9 each
+    //   it1: dt = 500e9 div 2 = 250e9; contrib(B) = 500e9
+    //        A = 75e9 + 17·250e9 div 20 = 287_500_000_000
+    //        B = 75e9 + 17·750e9 div 20 = 712_500_000_000
+    //   it2: dt = 712.5e9 div 2 = 356_250_000_000; contrib(B) = 287.5e9
+    //        A = 75e9 + 17·356.25e9 div 20 = 377_812_500_000
+    //        B = 75e9 + 17·643.75e9 div 20 = 622_187_500_000
+    val ab = Seq(("A", "B")).toDF("src", "dst")
+    val two = Frontier.pageRankQ(ab, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("A" -> 377812500000L, "B" -> 622187500000L), two)
+
+    // determinism is structural (integer sums), but pin the re-run
+    val again = Frontier.pageRankQ(ab, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == two)
+
+    // on a non-trivial graph the Q ordering matches the double ordering
+    val edges = Seq(("A", "B"), ("A", "D"), ("B", "A"), ("C", "A"))
+      .toDF("src", "dst")
+    val q = Frontier.pageRankQ(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(-_._2).map(_._1)
+    val dbl = Frontier.pageRank(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(-_._2).map(_._1)
+    assert(q == dbl, s"Q ordering $q != double ordering $dbl")
+
+    // overflow guard is loud
+    intercept[IllegalArgumentException](
+      Frontier.pageRankQ(ab, iters = 1, totalMass = Long.MaxValue))
+  }
+
   test("schedule: per-host slots are dense, offsets are delay multiples, denied urls absent") {
     val spark2 = spark
     import spark2.implicits._

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, RetrievalIndex}
+
+/** Persistent inverted index lifecycle: build-vs-load parity, grow
+  * parity (build(A)+grow(B) ≡ build(A∪B)), stored-path ≡ live-path for
+  * phrase/BM25, forget/vacuum takedown semantics (incl. the N/avgdl
+  * stat shift), and the bucket partition-pruning plan shape.
+  */
+class RetrievalIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_rixspec").toString
+
+  private val corpusA = Seq(
+    1L -> "a b c a b c",
+    2L -> "a b x c",
+    3L -> "  c a b  ",
+    4L -> "q r s",
+    6L -> "a a a")
+  private val corpusB = Seq(
+    5L -> "a b c q",
+    7L -> "x y z a b")
+
+  private def postingsSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("term"), col("doc_id"), col("tf"),
+        array_join(col("positions"), ",").as("pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+
+  test("build-vs-load parity: stored postings equal the live r01 index") {
+    val d = docs(corpusA: _*)
+    val dir = tmp()
+    RetrievalIndex.build(d, dir, nBuckets = 8)
+    val ix = RetrievalIndex.load(spark, dir)
+    val live = Retrieval.invertedIndex(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(postingsSet(ix.postings) == live)
+    // doclens: exact whitespace-token lengths (doc 3 has padding)
+    val dl = ix.doclens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dl == Set((1L, 6L), (2L, 4L), (3L, 3L), (4L, 3L), (6L, 3L)))
+  }
+
+  test("grow parity: build(A) + grow(B) equals build(A ∪ B)") {
+    val grownDir = tmp(); val fullDir = tmp()
+    RetrievalIndex.build(docs(corpusA: _*), grownDir, nBuckets = 4)
+    RetrievalIndex.grow(docs(corpusB: _*), grownDir)
+    RetrievalIndex.build(docs((corpusA ++ corpusB): _*), fullDir, nBuckets = 4)
+    val grown = RetrievalIndex.load(spark, grownDir)
+    val full = RetrievalIndex.load(spark, fullDir)
+    assert(postingsSet(grown.postings) == postingsSet(full.postings))
+    assert(grown.doclens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == full.doclens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("stored-path phrase search equals the live path (grown index)") {
+    val dir = tmp()
+    RetrievalIndex.build(docs(corpusA: _*), dir, nBuckets = 4)
+    RetrievalIndex.grow(docs(corpusB: _*), dir)
+    val all = docs((corpusA ++ corpusB): _*)
+    val phrases = Seq((10L, "a b c"), (11L, "a b"), (12L, "z q"))
+      .toDF("query_id", "phrase")
+    val ix = RetrievalIndex.load(spark, dir)
+    val stored = RetrievalIndex.phraseSearch(ix, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val live = Retrieval.phraseMatches(all, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == live)
+    // hand-computed anchor, not just parity (the shared-formula rule):
+    // "a b c" matches doc 1 at starts 0 and 3, doc 5 at start 0
+    assert(stored.contains((10L, 1L, 2L)) && stored.contains((10L, 5L, 1L)))
+    // "z q": both terms indexed, never adjacent anywhere — no rows
+    assert(!stored.exists(_._1 == 12L))
+  }
+
+  test("stored-path BM25 equals the live path bit-for-bit") {
+    val dir = tmp()
+    RetrievalIndex.build(docs(corpusA: _*), dir, nBuckets = 4)
+    RetrievalIndex.grow(docs(corpusB: _*), dir)
+    val all = docs((corpusA ++ corpusB): _*)
+    val qterms = Seq((1L, "a"), (1L, "q"), (2L, "x")).toDF("query_id", "term")
+    val ix = RetrievalIndex.load(spark, dir)
+    val stored = RetrievalIndex.bm25TopK(ix, qterms, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val live = Retrieval.bm25TopK(all, qterms, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stored.sorted == live.sorted && stored.nonEmpty)
+  }
+
+  test("hand-computed BM25 anchor on the stored index") {
+    // Corpus: d1 = "a b", d2 = "a", d3 = "c c c". N = 3, total = 6,
+    // avgdl = 2. Query {a}: df(a) = 2, idf_q = floor(2^20·1.5/2.5) =
+    // floor(629145.6) = 629145. d1: tf=1, dl=2 → tfNorm = 2.25/(1 +
+    // 1.25·(0.25+0.75·1)) = 2.25/2.25 = 1 → contrib = 629145. d2: tf=1,
+    // dl=1 → denom = 1 + 1.25·(0.25+0.375) = 1.78125; tfNorm =
+    // 2.25/1.78125 = 1.263157894736842 → floor(629145·that) =
+    // floor(794709.4736…) = 794709. d2 ranks above d1.
+    val dir = tmp()
+    RetrievalIndex.build(
+      docs(1L -> "a b", 2L -> "a", 3L -> "c c c"), dir, nBuckets = 4)
+    val ix = RetrievalIndex.load(spark, dir)
+    val got = RetrievalIndex.bm25TopK(
+        ix, Seq((9L, "a")).toDF("query_id", "term"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((9L, 1, 2L, 794709L), (9L, 2, 1L, 629145L)))
+  }
+
+  test("forget masks a doc everywhere: matches, tf, df, N and avgdl") {
+    val dir = tmp()
+    RetrievalIndex.build(
+      docs(1L -> "a b", 2L -> "a", 3L -> "c c c"), dir, nBuckets = 4)
+    RetrievalIndex.forget(Seq(2L).toDF("doc_id"), dir)
+    val ix = RetrievalIndex.load(spark, dir)
+    // phrase "a" no longer matches doc 2
+    val pm = RetrievalIndex.phraseSearch(
+        ix, Seq((1L, "a")).toDF("query_id", "phrase"))
+      .collect().map(r => (r.getLong(1))).toSet
+    assert(pm == Set(1L))
+    // BM25 stats shift to the 2-doc corpus: N = 2, avgdl = 5/2 = 2.5,
+    // df(a) = 1 → idf_q = floor(2^20·1.5/1.5) = 1048576. d1: tf=1, dl=2
+    // → denom = 1 + 1.25·(0.25 + 0.75·0.8) = 2.0625; tfNorm =
+    // 2.25/2.0625 = 1.0909090909090908 → floor(1048576·that) = 1143901.
+    val got = RetrievalIndex.bm25TopK(
+        ix, Seq((9L, "a")).toDF("query_id", "term"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((9L, 1, 1L, 1143901L)))
+  }
+
+  test("vacuum drops rows physically; answers unchanged; tombstones clear") {
+    val dir = tmp()
+    RetrievalIndex.build(
+      docs(1L -> "a b", 2L -> "a", 3L -> "c c c"), dir, nBuckets = 4)
+    RetrievalIndex.forget(Seq(2L).toDF("doc_id"), dir)
+    val before = RetrievalIndex.bm25TopK(RetrievalIndex.load(spark, dir),
+        Seq((9L, "a")).toDF("query_id", "term"), k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    RetrievalIndex.vacuum(spark, dir)
+    val ix = RetrievalIndex.load(spark, dir)
+    // physically gone, not just masked
+    assert(spark.read.parquet(s"$dir/postings.parquet")
+      .filter(col("doc_id") === 2L).count() == 0)
+    assert(spark.read.parquet(s"$dir/doclens.parquet")
+      .filter(col("doc_id") === 2L).count() == 0)
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0)
+    val after = RetrievalIndex.bm25TopK(ix,
+        Seq((9L, "a")).toDF("query_id", "term"), k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(after == before)
+  }
+
+  test("probe prunes to the query terms' bucket partitions at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmp()
+    // many distinct terms spread across 16 buckets; a one-term query
+    // must read ONE bucket directory
+    val many = (1L to 40L).map(i => i -> s"term$i filler$i")
+    RetrievalIndex.build(docs(many: _*), dir, nBuckets = 16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ix = RetrievalIndex.load(spark, dir)
+      val probed = RetrievalIndex.probe(ix, Seq("term7").toDF("term"))
+      val scans = probed.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+            if s.metadata("Location").contains("postings") => s
+      }
+      assert(scans.nonEmpty, "expected a postings parquet scan")
+      val meta = scans.head.metadata("PartitionFilters")
+      assert(meta.contains("bucket"),
+        s"bucket partition filter not applied: $meta")
+      // and the probe answers correctly through the pruning
+      val rows = probed.collect()
+      assert(rows.map(_.getAs[String]("term")).toSet == Set("term7"))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("hostile config is loud") {
+    intercept[IllegalArgumentException](
+      RetrievalIndex.build(docs(1L -> "a"), tmp(), nBuckets = 0))
+  }
+}

@@ -115,4 +115,40 @@ class RetrievalSpec extends SparkSuite {
     val r2 = Retrieval.bm25TopK(d, q).collect().toSeq
     assert(r1 == r2)
   }
+
+  test("decontamination witnesses: contaminated, clean, and gram-near-miss docs") {
+    // The c06 composition on a hand-built corpus. Eval doc 10 is
+    // CONTAMINATED: train doc 11 contains its full 6-token phrase
+    // verbatim (phrase leg) and therefore also shares 8-grams with it
+    // (gram leg). Eval doc 20 is CLEAN: no train doc shares its phrase
+    // or any 8-gram. Eval doc 30 is a NEAR-MISS: train doc 31 matches 5
+    // of its 6 phrase tokens in order ("n5" swapped for "xx") and
+    // shares a 7-gram but never a full 8-gram — BOTH legs must say no.
+    val evalTen = "e1 e2 e3 e4 e5 e6 e7 e8 e9"     // phrase: e1..e6
+    val evalTwenty = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val evalThirty = "n1 n2 n3 n4 n5 n6 n7 n8"     // phrase: n1..n6
+    val corpus = docs(
+      10L -> evalTen,
+      20L -> evalTwenty,
+      30L -> evalThirty,
+      11L -> ("zz " + evalTen + " yy"),             // full containment
+      31L -> "n1 n2 n3 n4 xx n6 n7 n8",             // 5-of-6, 7-gram max
+      12L -> "w1 w2 w3 w4 w5 w6 w7 w8")
+    val evalDocs = corpus.filter(col("doc_id") % 10 === 0)
+    val trainDocs = corpus.filter(col("doc_id") % 10 =!= 0)
+    val phrases = evalDocs.select(col("doc_id").as("query_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 6))
+        .as("phrase"))
+    val pm = Retrieval.phraseMatches(trainDocs, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pm == Set((10L, 11L)), s"phrase leg: $pm")
+    val gram = graft.operators.Training.contamination(evalDocs, trainDocs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10: 9 tokens → 2 distinct 8-grams, both inside doc 11 → 2 hits
+    assert(gram(10L) == (2L, 2L), s"gram leg 10: ${gram(10L)}")
+    // doc 20: 1 gram (8 tokens), no train match
+    assert(gram(20L) == (1L, 0L), s"gram leg 20: ${gram(20L)}")
+    // doc 30: near-miss shares at most a 7-gram → 0 of 1 hit
+    assert(gram(30L) == (1L, 0L), s"gram leg 30: ${gram(30L)}")
+  }
 }
