@@ -9,8 +9,12 @@ package graft.kernel
   * principle but out of scope for a metadata table). */
 object Flac {
 
+  /** title/artist from a VORBIS_COMMENT metadata block (type 4 — FLAC
+    * embeds the Vorbis comment structure verbatim, LE lengths despite
+    * FLAC's otherwise big-endian fields), "" when untagged. */
   final case class Meta(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      totalSamples: Long, durationMs: Long)
+      totalSamples: Long, durationMs: Long,
+      title: String = "", artist: String = "")
 
   def isFlac(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
@@ -33,13 +37,38 @@ object Flac {
       ((bytes(p + 14) & 0xffL) << 24) | ((bytes(p + 15) & 0xffL) << 16) |
       ((bytes(p + 16) & 0xffL) << 8) | (bytes(p + 17) & 0xffL)
     require(sampleRate >= 1, s"flac: sample rate $sampleRate")
-    Meta(sampleRate, channels, bps, total, total * 1000L / sampleRate)
+    // walk the remaining metadata blocks for VORBIS_COMMENT (type 4);
+    // every block is bounds-checked against the file (hostile declared
+    // lengths are loud, the kernel-wide untrusted-input rule)
+    var title = ""; var artist = ""
+    var last = (bytes(4) & 0x80) != 0
+    var off = 8 + 34
+    while (!last) {
+      require(off + 4 <= bytes.length, "flac: truncated metadata block header")
+      val hdr = bytes(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype2 = hdr & 0x7f
+      require(btype2 != 0, "flac: duplicate STREAMINFO block")
+      val blen = ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      require(off + 4 + blen <= bytes.length,
+        s"flac: metadata block (type $btype2) length $blen overruns the file")
+      if (btype2 == 4) {
+        val t = Ogg.vorbisComments(bytes, off + 4, off + 4 + blen)
+        title = t._1; artist = t._2
+      }
+      off += 4 + blen
+    }
+    Meta(sampleRate, channels, bps, total, total * 1000L / sampleRate,
+      title, artist)
   }
 
   /** Structurally valid fLaC + STREAMINFO fixture (zeroed MD5 and
-    * block/frame-size fields; no audio frames). */
+    * block/frame-size fields; no audio frames); title/artist append a
+    * real VORBIS_COMMENT block after STREAMINFO. */
   def encodeHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      totalSamples: Long): Array[Byte] = {
+      totalSamples: Long, title: String = "",
+      artist: String = ""): Array[Byte] = {
     require(sampleRate >= 1 && sampleRate < (1 << 20), s"rate $sampleRate")
     require(channels >= 1 && channels <= 8, s"channels $channels")
     require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bps $bitsPerSample")
@@ -59,6 +88,14 @@ object Flac {
     out(p + 15) = ((totalSamples >> 16) & 0xff).toByte
     out(p + 16) = ((totalSamples >> 8) & 0xff).toByte
     out(p + 17) = (totalSamples & 0xff).toByte
-    out
+    if (title.isEmpty && artist.isEmpty) out
+    else {
+      out(4) = 0 // STREAMINFO no longer the last block
+      val body = Ogg.commentBlock(title, artist)
+      val hdr = Array((0x80 | 4).toByte, // last block, type 4
+        ((body.length >> 16) & 0xff).toByte,
+        ((body.length >> 8) & 0xff).toByte, (body.length & 0xff).toByte)
+      out ++ hdr ++ body
+    }
   }
 }

@@ -22,10 +22,13 @@ object Mp3 {
     * FIRST frame (VBR files vary per frame — `vbr` says whether any
     * later frame disagrees); frames = physical frame count; channels
     * from the first frame's channel-mode bits (mono → 1, every stereo
-    * flavor → 2). */
+    * flavor → 2); title/artist from ID3v2 TIT2/TPE1 text frames (all
+    * four v2.4 encodings), falling back to the ID3v1 trailer fields —
+    * the metadata an audio-corpus curation keys on (dedup by declared
+    * title, language routing); "" when untagged. */
   final case class Meta(version: String, sampleRate: Int,
       bitrateKbps: Int, vbr: Boolean, frames: Int, durationMs: Long,
-      channels: Int = 0)
+      channels: Int = 0, title: String = "", artist: String = "")
 
   // bitrate tables, kbps: [version][layerIII index 1..14]
   private val BitrateV1L3 =
@@ -46,8 +49,67 @@ object Mp3 {
   private def isFrameSync(b: Array[Byte], o: Int): Boolean =
     o + 4 <= b.length && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0
 
+  /** Decode one ID3v2 text-frame payload: leading encoding byte per
+    * the v2.4 spec (0 = ISO-8859-1, 1 = UTF-16 with BOM, 2 = UTF-16BE,
+    * 3 = UTF-8), value terminated at the first NUL of the encoding. */
+  private def textPayload(b: Array[Byte], from: Int, len: Int): String = {
+    require(len >= 1, "mp3: empty ID3v2 text frame")
+    val enc = b(from) & 0xff
+    val s = enc match {
+      case 0 => new String(b, from + 1, len - 1, "ISO-8859-1")
+      case 1 => new String(b, from + 1, len - 1, "UTF-16") // BOM-led
+      case 2 => new String(b, from + 1, len - 1, "UTF-16BE")
+      case 3 => new String(b, from + 1, len - 1, "UTF-8")
+      case e => throw new IllegalArgumentException(
+        s"mp3: ID3v2 text encoding $e")
+    }
+    val nul = s.indexOf('\u0000')
+    if (nul >= 0) s.substring(0, nul) else s
+  }
+
+  /** Walk the ID3v2.3/v2.4 frames in [from, to); returns (title,
+    * artist) from TIT2/TPE1. v2.2 (3-byte ids) carries no frames this
+    * walk reads — its tag region is skipped whole. A 0x00 where a frame
+    * id should start is the padding area (spec §3.3): stop. */
+  private def id3v2Text(b: Array[Byte], from: Int, to: Int,
+      v4: Boolean): (String, String) = {
+    var title = ""; var artist = ""
+    var o = from
+    var stop = false
+    while (!stop && o + 10 <= to) {
+      if (b(o) == 0) stop = true // padding
+      else {
+        val id = new String(b, o, 4, "ISO-8859-1")
+        val size =
+          if (v4) ((b(o + 4) & 0x7f) << 21) | ((b(o + 5) & 0x7f) << 14) |
+            ((b(o + 6) & 0x7f) << 7) | (b(o + 7) & 0x7f)
+          else ((b(o + 4) & 0xff) << 24) | ((b(o + 5) & 0xff) << 16) |
+            ((b(o + 6) & 0xff) << 8) | (b(o + 7) & 0xff)
+        require(size >= 0 && o + 10 + size <= to,
+          s"mp3: ID3v2 frame '$id' size $size overruns the tag")
+        id match {
+          case "TIT2" => title = textPayload(b, o + 10, size)
+          case "TPE1" => artist = textPayload(b, o + 10, size)
+          case _ => ()
+        }
+        o += 10 + size
+      }
+    }
+    (title, artist)
+  }
+
+  /** ID3v1 fixed field: 30 ISO-8859-1 bytes, NUL- or space-padded. */
+  private def id3v1Field(b: Array[Byte], from: Int): String = {
+    var len = 30
+    while (len > 0 && (b(from + len - 1) == 0 || b(from + len - 1) == ' '))
+      len -= 1
+    new String(b, from, len, "ISO-8859-1")
+  }
+
   def metadata(bytes: Array[Byte]): Meta = {
     var off = 0
+    var title = ""
+    var artist = ""
     if (hasId3v2(bytes)) {
       // syncsafe 28-bit tag length at bytes 6..9, header itself is 10;
       // the v2.4 footer flag (0x10) adds a 10-byte footer EXCLUDED from
@@ -58,12 +120,22 @@ object Mp3 {
       val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
       off = 10 + len + footer
       require(off <= bytes.length, s"mp3: ID3v2 length $len overruns the file")
+      val major = bytes(3) & 0xff
+      if (major == 3 || major == 4) {
+        val t = id3v2Text(bytes, 10, 10 + len, v4 = major == 4)
+        title = t._1; artist = t._2
+      }
     }
     val limit = // tolerate an ID3v1 trailer
       if (bytes.length >= 128 && bytes(bytes.length - 128) == 'T' &&
-          bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G')
-        bytes.length - 128
-      else bytes.length
+          bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G') {
+        // v1 fields fill in only where v2 said nothing — the standard
+        // player precedence (v2 wins; v1 is the 1995-era fallback)
+        val base = bytes.length - 128
+        if (title.isEmpty) title = id3v1Field(bytes, base + 3)
+        if (artist.isEmpty) artist = id3v1Field(bytes, base + 33)
+        base
+      } else bytes.length
     var version = ""
     var sampleRate = 0
     var bitrate0 = 0
@@ -108,7 +180,8 @@ object Mp3 {
     }
     require(frames > 0, "mp3: no audio frames")
     Meta(version, sampleRate, bitrate0, vbr, frames,
-      frames.toLong * samplesPerFrame * 1000L / sampleRate, channels)
+      frames.toLong * samplesPerFrame * 1000L / sampleRate, channels,
+      title, artist)
   }
 
   // --- fixture encoder ----------------------------------------------------
@@ -117,8 +190,54 @@ object Mp3 {
     * frames of the given bitrate/sample-rate with zeroed payloads —
     * [[metadata]] walks it; there is nothing to audio-decode (the
     * header-fixture pattern). */
+  /** Build a real ID3v2.3 or v2.4 tag carrying TIT2/TPE1 text frames
+    * (encoding `enc`: 0 ISO-8859-1, 1 UTF-16 BOM, 2 UTF-16BE, 3 UTF-8)
+    * plus `padding` zero bytes — the planted-tag fixture for
+    * [[metadata]]'s text extraction. */
+  def encodeId3v2(title: String, artist: String, major: Int = 3,
+      enc: Int = 0, padding: Int = 0): Array[Byte] = {
+    require(major == 3 || major == 4, s"ID3v2.$major not buildable here")
+    require(enc >= 0 && enc <= 3, s"encoding $enc")
+    def encode(s: String): Array[Byte] = enc match {
+      case 0 => s.getBytes("ISO-8859-1")
+      case 1 => Array(0xfe.toByte, 0xff.toByte) ++ s.getBytes("UTF-16BE")
+      case 2 => s.getBytes("UTF-16BE")
+      case _ => s.getBytes("UTF-8")
+    }
+    def frame(id: String, text: String): Array[Byte] = {
+      val payload = Array(enc.toByte) ++ encode(text)
+      val n = payload.length
+      val size =
+        if (major == 4) Array(((n >> 21) & 0x7f).toByte,
+          ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
+          (n & 0x7f).toByte)
+        else Array(((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+          ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+      id.getBytes("ISO-8859-1") ++ size ++ Array[Byte](0, 0) ++ payload
+    }
+    val body = (if (title.nonEmpty) frame("TIT2", title)
+      else Array.empty[Byte]) ++
+      (if (artist.nonEmpty) frame("TPE1", artist) else Array.empty[Byte]) ++
+      new Array[Byte](padding)
+    val n = body.length
+    Array[Byte]('I', 'D', '3', major.toByte, 0, 0,
+      ((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+      ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte) ++ body
+  }
+
+  /** Append an ID3v1 trailer (title/artist fields, rest zeroed). */
+  def appendId3v1(stream: Array[Byte], title: String,
+      artist: String): Array[Byte] = {
+    require(title.length <= 30 && artist.length <= 30, "ID3v1 field > 30")
+    val tag = new Array[Byte](128)
+    tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+    title.getBytes("ISO-8859-1").copyToArray(tag, 3)
+    artist.getBytes("ISO-8859-1").copyToArray(tag, 33)
+    stream ++ tag
+  }
+
   def encodeHeader(frames: Int, bitrateKbps: Int, sampleRate: Int,
-      id3v2Bytes: Int = 0): Array[Byte] = {
+      id3v2Bytes: Int = 0, id3: Array[Byte] = null): Array[Byte] = {
     val brIdx = BitrateV1L3.indexOf(bitrateKbps)
     val srIdx = SampleRateV1.indexOf(sampleRate)
     require(brIdx >= 1, s"unsupported MPEG-1 L3 bitrate $bitrateKbps")
@@ -126,7 +245,8 @@ object Mp3 {
     require(frames >= 1, "at least one frame")
     val frameLen = 1152 / 8 * bitrateKbps * 1000 / sampleRate // no padding
     val out = new java.io.ByteArrayOutputStream()
-    if (id3v2Bytes > 0) {
+    if (id3 != null) out.write(id3, 0, id3.length)
+    else if (id3v2Bytes > 0) {
       out.write('I'); out.write('D'); out.write('3')
       out.write(3); out.write(0); out.write(0) // version 2.3, no flags
       out.write((id3v2Bytes >> 21) & 0x7f); out.write((id3v2Bytes >> 14) & 0x7f)

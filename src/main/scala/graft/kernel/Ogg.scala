@@ -19,9 +19,12 @@ object Ogg {
 
   /** codec: "opus" | "vorbis"; sampleRate: the ID header's rate
     * (Opus: original input rate; granule math is always 48 kHz);
-    * durationMs floored — exact integer arithmetic. */
+    * durationMs floored — exact integer arithmetic; title/artist from
+    * the Vorbis-comment header (`OpusTags` / `\x03vorbis` — RFC 7845
+    * §5.2 and the Vorbis I spec share the structure), "" when absent —
+    * the declared metadata an audio-corpus curation keys on. */
   final case class Meta(codec: String, channels: Int, sampleRate: Int,
-      durationMs: Long, pages: Int)
+      durationMs: Long, pages: Int, title: String = "", artist: String = "")
 
   def isOgg(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g' &&
@@ -38,7 +41,7 @@ object Ogg {
     r
   }
 
-  private[kernel] def crc(bytes: Array[Byte], from: Int, len: Int,
+  private[graft] def crc(bytes: Array[Byte], from: Int, len: Int,
       zeroAt: Int = -1): Int = {
     var c = 0
     var i = 0
@@ -59,6 +62,43 @@ object Ogg {
   private def le64(b: Array[Byte], o: Int): Long =
     le32(b, o) | (le32(b, o + 4) << 32)
 
+  /** Parse a Vorbis-comment block (vendor string, then `count` UPPER
+    * KEY=value entries, UTF-8): returns (title, artist). Shared by
+    * OpusTags and the Vorbis comment header; lengths are validated
+    * against the packet bound so hostile declared sizes are loud. */
+  private[kernel] def vorbisComments(b: Array[Byte], from: Int,
+      to: Int): (String, String) = {
+    require(from + 4 <= to, "ogg: comment header truncated at vendor length")
+    val vlen = le32(b, from)
+    require(vlen >= 0 && from + 4 + vlen + 4 <= to,
+      s"ogg: vendor length $vlen overruns the comment packet")
+    var o = from + 4 + vlen.toInt
+    val count = le32(b, o)
+    require(count >= 0 && count <= (to - o) / 4,
+      s"ogg: comment count $count overruns the packet")
+    o += 4
+    var title = ""; var artist = ""
+    var i = 0L
+    while (i < count) {
+      require(o + 4 <= to, "ogg: comment entry truncated at length")
+      val len = le32(b, o)
+      require(len >= 0 && o + 4 + len <= to,
+        s"ogg: comment length $len overruns the packet")
+      val s = new String(b, o + 4, len.toInt, "UTF-8")
+      val eq = s.indexOf('=')
+      if (eq > 0) {
+        // field names are case-insensitive (Vorbis I §5.2)
+        val key = s.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+        val v = s.substring(eq + 1)
+        if (key == "TITLE") title = v
+        else if (key == "ARTIST") artist = v
+      }
+      o += 4 + len.toInt
+      i += 1
+    }
+    (title, artist)
+  }
+
   def metadata(bytes: Array[Byte]): Meta = {
     require(isOgg(bytes), "not an Ogg stream: no OggS capture pattern")
     var off = 0
@@ -68,6 +108,8 @@ object Ogg {
     var channels = 0
     var sampleRate = 0
     var preSkip = 0
+    var title = ""
+    var artist = ""
     while (off + 27 <= bytes.length) {
       require(bytes(off) == 'O' && bytes(off + 1) == 'g' &&
         bytes(off + 2) == 'g' && bytes(off + 3) == 'S',
@@ -104,6 +146,30 @@ object Ogg {
         require(channels >= 1, s"ogg: $channels channels")
         require(sampleRate >= 1, s"ogg: sample rate $sampleRate")
       }
+      if (pages == 1) {
+        // the second page opens the comment header when present —
+        // OpusTags (RFC 7845 §5) or the \x03vorbis comment header; its
+        // FIRST packet ends at the first lacing value < 255
+        var p0 = 0
+        var s2 = 0
+        var open = true
+        while (s2 < nSegs && open) {
+          val l = bytes(off + 27 + s2) & 0xff
+          p0 += l
+          if (l < 255) open = false
+          s2 += 1
+        }
+        if (codec == "opus" && p0 >= 8 &&
+            new String(bytes, body, 8, "ISO-8859-1") == "OpusTags") {
+          val t = vorbisComments(bytes, body + 8, body + p0)
+          title = t._1; artist = t._2
+        } else if (codec == "vorbis" && p0 >= 7 &&
+            (bytes(body) & 0xff) == 3 &&
+            new String(bytes, body + 1, 6, "ISO-8859-1") == "vorbis") {
+          val t = vorbisComments(bytes, body + 7, body + p0)
+          title = t._1; artist = t._2
+        }
+      }
       if (granule != -1L) lastGranule = granule
       pages += 1
       off += pageLen
@@ -115,7 +181,7 @@ object Ogg {
       else if (codec == "opus")
         math.max(0L, lastGranule - preSkip) * 1000L / 48000L
       else lastGranule * 1000L / sampleRate
-    Meta(codec, channels, sampleRate, durationMs, pages)
+    Meta(codec, channels, sampleRate, durationMs, pages, title, artist)
   }
 
   // --- fixture encoder ----------------------------------------------------
@@ -147,11 +213,31 @@ object Ogg {
     out
   }
 
-  /** Structurally valid Ogg Opus header stream: id page + a final
-    * data page carrying `granule` (48 kHz samples incl. preSkip) with
-    * an empty packet body. */
+  /** A Vorbis-comment block body: vendor string + TITLE/ARTIST entries
+    * (entries with empty values are omitted — real taggers skip absent
+    * fields). */
+  private[kernel] def commentBlock(title: String, artist: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val vendor = "graft-fixture".getBytes("UTF-8")
+    le(vendor.length); out.write(vendor, 0, vendor.length)
+    val entries = Seq("TITLE" -> title, "ARTIST" -> artist)
+      .filter(_._2.nonEmpty)
+      .map { case (k, v) => (k + "=" + v).getBytes("UTF-8") }
+    le(entries.length)
+    entries.foreach { e => le(e.length); out.write(e, 0, e.length) }
+    out.toByteArray
+  }
+
+  /** Structurally valid Ogg Opus header stream: id page, an `OpusTags`
+    * comment page when title/artist given (RFC 7845 §5 layout), and a
+    * final data page carrying `granule` (48 kHz samples incl. preSkip)
+    * with an empty packet body. */
   def encodeOpusHeader(channels: Int, preSkip: Int, inputRate: Int,
-      granule: Long): Array[Byte] = {
+      granule: Long, title: String = "", artist: String = ""): Array[Byte] = {
     val head = new Array[Byte](19)
     "OpusHead".getBytes("ISO-8859-1").copyToArray(head)
     head(8) = 1 // version
@@ -160,14 +246,23 @@ object Ogg {
     var r = inputRate
     var i = 0
     while (i < 4) { head(12 + i) = (r & 0xff).toByte; r >>>= 8; i += 1 }
-    page(0x02, -1L, 1, 0, head) ++
-      page(0x04, granule, 1, 1, Array[Byte](0))
+    if (title.isEmpty && artist.isEmpty)
+      page(0x02, -1L, 1, 0, head) ++
+        page(0x04, granule, 1, 1, Array[Byte](0))
+    else {
+      val tags = "OpusTags".getBytes("ISO-8859-1") ++
+        commentBlock(title, artist)
+      page(0x02, -1L, 1, 0, head) ++
+        page(0x00, -1L, 1, 1, tags) ++
+        page(0x04, granule, 1, 2, Array[Byte](0))
+    }
   }
 
-  /** Structurally valid Ogg Vorbis header stream: id page + final data
-    * page at `granule` (samples at `rate`). */
+  /** Structurally valid Ogg Vorbis header stream: id page, a
+    * `\x03vorbis` comment page when title/artist given, and a final
+    * data page at `granule` (samples at `rate`). */
   def encodeVorbisHeader(channels: Int, rate: Int,
-      granule: Long): Array[Byte] = {
+      granule: Long, title: String = "", artist: String = ""): Array[Byte] = {
     val head = new Array[Byte](30)
     head(0) = 1
     "vorbis".getBytes("ISO-8859-1").copyToArray(head, 1)
@@ -177,7 +272,15 @@ object Ogg {
     while (i < 4) { head(12 + i) = (r & 0xff).toByte; r >>>= 8; i += 1 }
     head(28) = 0x01 // blocksizes (log2 6|6) — structural filler
     head(29) = 0x01 // framing bit
-    page(0x02, 0L, 2, 0, head) ++
-      page(0x04, granule, 2, 1, Array[Byte](0))
+    if (title.isEmpty && artist.isEmpty)
+      page(0x02, 0L, 2, 0, head) ++
+        page(0x04, granule, 2, 1, Array[Byte](0))
+    else {
+      val tags = Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
+        commentBlock(title, artist) ++ Array[Byte](1) // framing bit
+      page(0x02, 0L, 2, 0, head) ++
+        page(0x00, 0L, 2, 1, tags) ++
+        page(0x04, granule, 2, 2, Array[Byte](0))
+    }
   }
 }

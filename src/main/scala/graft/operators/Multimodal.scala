@@ -479,26 +479,32 @@ object Multimodal {
     * (Opus/Vorbis id headers, CRC-verified pages), FLAC STREAMINFO,
     * and RIFF/WAV (whose PCM payload this engine can also fully
     * decode). Returns (container, codec, channels, sampleRate,
-    * durationMs); unknown containers are loud. */
+    * durationMs, title, artist) — the declared text metadata comes from
+    * ID3v2/ID3v1 (MP3) and Vorbis comments (Ogg), "" where the
+    * container carries none (WAV) or the walk doesn't read it (FLAC
+    * STREAMINFO-only); unknown containers are loud. */
   def audioContainerMeta(payload: Array[Byte])
-      : (String, String, Int, Int, Long) = {
+      : (String, String, Int, Int, Long, String, String) = {
     import graft.kernel.{Flac, Mp3, Ogg, Wav}
     if (Ogg.isOgg(payload)) {
       val m = Ogg.metadata(payload)
-      ("ogg", m.codec, m.channels, m.sampleRate, m.durationMs)
+      ("ogg", m.codec, m.channels, m.sampleRate, m.durationMs,
+        m.title, m.artist)
     } else if (Flac.isFlac(payload)) {
       val m = Flac.metadata(payload)
-      ("flac", "flac", m.channels, m.sampleRate, m.durationMs)
+      ("flac", "flac", m.channels, m.sampleRate, m.durationMs,
+        m.title, m.artist)
     } else if (payload.length >= 12 && payload(0) == 'R' &&
         payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
         payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
         payload(11) == 'E') {
       val a = Wav.decode(payload)
       ("wav", "pcm", a.channels, a.sampleRate,
-        a.samples.length.toLong / a.channels * 1000L / a.sampleRate)
+        a.samples.length.toLong / a.channels * 1000L / a.sampleRate, "", "")
     } else if (Mp3.isMp3(payload)) {
       val m = Mp3.metadata(payload)
-      ("mp3", "mp3", m.channels, m.sampleRate, m.durationMs)
+      ("mp3", "mp3", m.channels, m.sampleRate, m.durationMs,
+        m.title, m.artist)
     } else throw new IllegalArgumentException(
       "unknown audio container (not Ogg, FLAC, WAV or MP3)")
   }
@@ -552,7 +558,8 @@ object Multimodal {
               val (container, _, w, h, durationMs) = videoContainerMeta(p)
               (url, family, container, false, w, h, durationMs)
             case "audio" =>
-              val (container, _, _, _, durationMs) = audioContainerMeta(p)
+              val (container, _, _, _, durationMs, _, _) =
+                audioContainerMeta(p)
               (url, family, container, container == "wav", 0, 0, durationMs)
             case other =>
               throw new IllegalArgumentException(s"unknown media family '$other'")
@@ -2853,9 +2860,13 @@ object Multimodal {
 
     // MP3 structural metadata, oracle-gated: the frame-header walk
     // (kernel/Mp3.scala) over planted CBR streams — frame count, rates,
-    // and the EXACT sample-arithmetic duration
-    // floor(frames·1152·1000/sampleRate); every fifth file opens with
-    // an ID3v2 tag the walk must skip by its syncsafe length. The
+    // the EXACT sample-arithmetic duration
+    // floor(frames·1152·1000/sampleRate), and the DECLARED text tags
+    // (title/artist): the id mod 5 rotation plants an ID3v2.3
+    // ISO-8859-1 tag with real TIT2/TPE1 frames + padding, an ID3v2.4
+    // UTF-8 tag (syncsafe frame sizes), an ID3v1-only trailer, an
+    // ID3v2.3 UTF-16 tag (BOM decode), and an untagged file — every
+    // tag syntax decodes to the SAME DuckDB-recomputable string. The
     // Huffman audio payload stays undecodable by contract.
     ("m31_audio_meta", (s: SparkSession, d: String) => {
       import s.implicits._
@@ -2864,11 +2875,25 @@ object Multimodal {
       val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
+            import graft.kernel.Mp3
             val frames = (10 + id % 50).toInt
             val br = rates((id % 4).toInt)
             val sr = srs((id % 3).toInt)
-            val tag = if (id % 5 == 0) (100 + id % 20).toInt else 0
-            (id, graft.kernel.Mp3.encodeHeader(frames, br, sr, tag))
+            val title = s"T$id"
+            val artist = s"A${id % 7}"
+            val payload = (id % 5) match {
+              case 0 => Mp3.encodeHeader(frames, br, sr,
+                id3 = Mp3.encodeId3v2(title, artist, major = 3, enc = 0,
+                  padding = (100 + id % 20).toInt))
+              case 1 => Mp3.encodeHeader(frames, br, sr,
+                id3 = Mp3.encodeId3v2(title, artist, major = 4, enc = 3))
+              case 2 => Mp3.appendId3v1(
+                Mp3.encodeHeader(frames, br, sr), title, artist)
+              case 3 => Mp3.encodeHeader(frames, br, sr,
+                id3 = Mp3.encodeId3v2(title, artist, major = 3, enc = 1))
+              case _ => Mp3.encodeHeader(frames, br, sr)
+            }
+            (id, payload)
           }
         }
         .toDF("doc_id", "payload")
@@ -2877,11 +2902,11 @@ object Multimodal {
           it.map { case (id, p) =>
             val m = graft.kernel.Mp3.metadata(p)
             (id, m.version, m.sampleRate, m.bitrateKbps, m.frames,
-              m.durationMs)
+              m.durationMs, m.title, m.artist)
           }
         }
         .toDF("doc_id", "version", "sample_rate", "bitrate_kbps", "frames",
-          "duration_ms")
+          "duration_ms", "title", "artist")
         .orderBy(col("doc_id"))
     },
     Some("""WITH p AS (
@@ -2893,7 +2918,10 @@ object Multimodal {
             ELSE 32000 END AS sample_rate
         FROM documents)
       SELECT doc_id, '1' AS version, sample_rate, bitrate_kbps, frames,
-        CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
+        CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms,
+        CASE WHEN doc_id % 5 = 4 THEN '' ELSE 'T' || doc_id END AS title,
+        CASE WHEN doc_id % 5 = 4 THEN '' ELSE 'A' || (doc_id % 7) END
+          AS artist
       FROM p ORDER BY doc_id""")),
 
     // The full audio-container dispatch, oracle-gated: payloads rotate
@@ -2909,12 +2937,22 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { id =>
             val payload = (id % 4) match {
+              // opus carries an OpusTags comment page (title only —
+              // absent fields are omitted, the real-tagger shape);
+              // vorbis a \x03vorbis comment page with both fields
               case 0 => Ogg.encodeOpusHeader((1 + id % 2).toInt, 312, 48000,
-                312L + (id % 50 + 1) * 960L)
-              case 1 => Ogg.encodeVorbisHeader(2, 44100, (id % 60 + 1) * 4410L)
+                312L + (id % 50 + 1) * 960L, title = s"OT$id")
+              case 1 => Ogg.encodeVorbisHeader(2, 44100, (id % 60 + 1) * 4410L,
+                title = s"VT$id", artist = s"VA${id % 5}")
+              // flac carries a VORBIS_COMMENT block (artist only — the
+              // omitted-field shape on this branch)
               case 2 => Flac.encodeHeader(22050, (1 + id % 2).toInt, 16,
-                (id % 40 + 1) * 2205L)
-              case _ => Mp3.encodeHeader((10 + id % 50).toInt, 128, 44100)
+                (id % 40 + 1) * 2205L, artist = s"FA${id % 4}")
+              case _ =>
+                val base = Mp3.encodeHeader((10 + id % 50).toInt, 128, 44100,
+                  id3 = if (id % 8 == 3)
+                    Mp3.encodeId3v2(s"MT$id", s"MA${id % 3}") else null)
+                base
             }
             (id, "audio", payload)
           }
@@ -2924,12 +2962,13 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, p) =>
-            val (container, codec, ch, sr, dur) = audioContainerMeta(p)
-            (id, container, codec, ch, sr, dur)
+            val (container, codec, ch, sr, dur, title, artist) =
+              audioContainerMeta(p)
+            (id, container, codec, ch, sr, dur, title, artist)
           }
         }
         .toDF("doc_id", "container", "codec", "channels", "sample_rate",
-          "duration_ms")
+          "duration_ms", "title", "artist")
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
@@ -2952,7 +2991,17 @@ object Multimodal {
           WHEN 1 THEN (doc_id % 60 + 1) * 100
           WHEN 2 THEN (doc_id % 40 + 1) * 100
           ELSE CAST(10 + doc_id % 50 AS BIGINT) * 1152 * 1000 // 44100
-          END AS duration_ms
+          END AS duration_ms,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'OT' || doc_id
+          WHEN 1 THEN 'VT' || doc_id
+          ELSE CASE WHEN doc_id % 8 = 3 THEN 'MT' || doc_id ELSE '' END
+          END AS title,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 1 THEN 'VA' || (doc_id % 5)
+          WHEN 2 THEN 'FA' || (doc_id % 4)
+          ELSE CASE WHEN doc_id % 8 = 3 THEN 'MA' || (doc_id % 3) ELSE '' END
+          END AS artist
       FROM documents ORDER BY doc_id""")),
 
     // Matroska/WebM structural metadata, oracle-gated: the EBML vint

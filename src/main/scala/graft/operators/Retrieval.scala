@@ -288,7 +288,9 @@ object Retrieval {
         .agg(count(lit(1)).as("phrase_docs"),
           sum(col("n_matches")).as("phrase_hits"))
       val gram = Training.contamination(evalDocs, trainDocs)
-      gram.join(pm, gram("doc_id") === pm("query_id"), "left")
+      // pm is bounded by the eval batch (one row per flagged eval doc)
+      // — broadcast it so the report join adds no exchange
+      gram.join(broadcast(pm), gram("doc_id") === pm("query_id"), "left")
         .select(gram("doc_id"), col("n_grams"), col("n_hit"),
           col("contamination"),
           coalesce(col("phrase_docs"), lit(0L)).as("phrase_docs"),

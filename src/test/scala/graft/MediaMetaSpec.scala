@@ -96,6 +96,49 @@ class MediaMetaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ogg.metadata(notId))
   }
 
+  test("ogg: vorbis-comment title/artist — opus and vorbis, hostile lengths loud") {
+    import graft.kernel.Ogg
+    // OpusTags page between id and data; granule math unchanged
+    val opus = Ogg.encodeOpusHeader(2, 312, 48000, 312L + 48000L * 3,
+      title = "Söng", artist = "The Band")
+    val mo = Ogg.metadata(opus)
+    assert(mo.title == "Söng" && mo.artist == "The Band" &&
+      mo.durationMs == 3000L && mo.pages == 3)
+    // \x03vorbis comment header; key matching is case-insensitive by
+    // construction (encoder emits upper, parser uppercases)
+    val vorb = Ogg.encodeVorbisHeader(1, 22050, 22050L,
+      title = "VTitle", artist = "VArtist")
+    val mv = Ogg.metadata(vorb)
+    assert(mv.title == "VTitle" && mv.artist == "VArtist" &&
+      mv.durationMs == 1000L)
+    // absent tags page → empty strings (the pre-r14 fixtures)
+    val plain = Ogg.metadata(Ogg.encodeOpusHeader(1, 0, 48000, 48000L))
+    assert(plain.title == "" && plain.artist == "")
+    // hostile: a comment length overrunning the packet must be loud,
+    // not a silent out-of-bounds read. Find the TITLE entry length
+    // field inside the tags page body and clobber it huge; re-CRC the
+    // page so the failure is the LENGTH check, not the CRC.
+    val tagged = Ogg.encodeOpusHeader(1, 0, 48000, 48000L, title = "XY")
+    // locate "TITLE=XY" and back up 4 to its length field
+    val needle = "TITLE=XY".getBytes("ISO-8859-1")
+    val at = tagged.indices.find(i => i + needle.length <= tagged.length &&
+      needle.indices.forall(j => tagged(i + j) == needle(j))).get
+    val bad = tagged.clone()
+    bad(at - 1) = 0x7f.toByte // length high byte → far past the packet
+    // re-CRC the middle page (starts at the second OggS)
+    val page2 = (4 until bad.length).find(i => bad(i) == 'O' &&
+      bad(i + 1) == 'g' && bad(i + 2) == 'g' && bad(i + 3) == 'S').get
+    val page3 = (page2 + 4 until bad.length).find(i => bad(i) == 'O' &&
+      bad(i + 1) == 'g' && bad(i + 2) == 'g' && bad(i + 3) == 'S').get
+    val c = Ogg.crc(bad, page2, page3 - page2, zeroAt = 22)
+    bad(page2 + 22) = (c & 0xff).toByte
+    bad(page2 + 23) = ((c >> 8) & 0xff).toByte
+    bad(page2 + 24) = ((c >> 16) & 0xff).toByte
+    bad(page2 + 25) = ((c >> 24) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](Ogg.metadata(bad))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
+
   test("flac: STREAMINFO bit unpacking round-trips across field boundaries") {
     import graft.kernel.Flac
     val m = Flac.metadata(Flac.encodeHeader(44100, 2, 16, 44100L * 11))
@@ -108,17 +151,35 @@ class MediaMetaSpec extends AnyFunSuite {
     val bad = Flac.encodeHeader(44100, 1, 16, 1L)
     bad(4) = 0x84.toByte
     intercept[IllegalArgumentException](Flac.metadata(bad))
+    // VORBIS_COMMENT block round-trip (title+artist, artist-only)
+    val tagged = Flac.metadata(Flac.encodeHeader(44100, 2, 16, 44100L,
+      title = "FTitle", artist = "FArtist"))
+    assert(tagged.title == "FTitle" && tagged.artist == "FArtist" &&
+      tagged.durationMs == 1000L)
+    val artistOnly = Flac.metadata(Flac.encodeHeader(8000, 1, 16, 0L,
+      artist = "Solo"))
+    assert(artistOnly.title == "" && artistOnly.artist == "Solo")
+    // hostile: a metadata-block length overrunning the file is loud
+    val hostile = Flac.encodeHeader(8000, 1, 16, 0L, title = "X")
+    hostile(8 + 34 + 3) = 0x7f.toByte // comment block length low→huge
+    hostile(8 + 34 + 2) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException](Flac.metadata(hostile))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
   }
 
   test("audio container dispatch: ogg/flac/wav/mp3 route; unknown is loud") {
     import graft.operators.Multimodal.audioContainerMeta
     import graft.kernel.{Flac, Mp3, Ogg, Wav}
     assert(audioContainerMeta(Ogg.encodeOpusHeader(1, 0, 48000, 48000L)) ==
-      (("ogg", "opus", 1, 48000, 1000L)))
+      (("ogg", "opus", 1, 48000, 1000L, "", "")))
     assert(audioContainerMeta(Flac.encodeHeader(8000, 1, 16, 4000L)) ==
-      (("flac", "flac", 1, 8000, 500L)))
+      (("flac", "flac", 1, 8000, 500L, "", "")))
     assert(audioContainerMeta(Wav.encode(Wav.Audio(8000, 1, 16,
-      Array.fill(4000)(7)))) == (("wav", "pcm", 1, 8000, 500L)))
+      Array.fill(4000)(7)))) == (("wav", "pcm", 1, 8000, 500L, "", "")))
+    // tags ride the dispatch too
+    assert(audioContainerMeta(Ogg.encodeOpusHeader(1, 0, 48000, 48000L,
+      title = "T", artist = "A")) ==
+      (("ogg", "opus", 1, 48000, 1000L, "T", "A")))
     assert(audioContainerMeta(Mp3.encodeHeader(5, 128, 44100))._1 == "mp3")
     intercept[IllegalArgumentException](audioContainerMeta("nope".getBytes))
   }
@@ -219,5 +280,58 @@ class MediaMetaSpec extends AnyFunSuite {
     // ID3v2 length overrunning the file
     val badTag = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
     intercept[IllegalArgumentException](Mp3.metadata(badTag))
+  }
+
+  test("mp3: ID3v2/ID3v1 text tags — all encodings, precedence, padding stop") {
+    // v2.3 ISO-8859-1 with padding: frames parse, padding stops the walk
+    val v23 = Mp3.encodeHeader(3, 128, 44100,
+      id3 = Mp3.encodeId3v2("Açai Song", "Band", major = 3, enc = 0,
+        padding = 64))
+    val m23 = Mp3.metadata(v23)
+    assert(m23.title == "Açai Song" && m23.artist == "Band" && m23.frames == 3)
+    // v2.4 UTF-8 syncsafe frame sizes
+    val v24 = Mp3.encodeHeader(2, 128, 44100,
+      id3 = Mp3.encodeId3v2("Tïtle", "Ärtist", major = 4, enc = 3))
+    val m24 = Mp3.metadata(v24)
+    assert(m24.title == "Tïtle" && m24.artist == "Ärtist")
+    // UTF-16 with BOM and UTF-16BE decode to the same strings
+    val v16 = Mp3.metadata(Mp3.encodeHeader(1, 128, 44100,
+      id3 = Mp3.encodeId3v2("U16", "A16", major = 3, enc = 1)))
+    assert(v16.title == "U16" && v16.artist == "A16")
+    val v16be = Mp3.metadata(Mp3.encodeHeader(1, 128, 44100,
+      id3 = Mp3.encodeId3v2("BE", "BEA", major = 3, enc = 2)))
+    assert(v16be.title == "BE" && v16be.artist == "BEA")
+    // ID3v1 trailer alone
+    val v1 = Mp3.metadata(Mp3.appendId3v1(
+      Mp3.encodeHeader(2, 128, 44100), "Old Title", "Old Artist"))
+    assert(v1.title == "Old Title" && v1.artist == "Old Artist" &&
+      v1.frames == 2)
+    // precedence: v2 wins over a disagreeing v1 trailer; v1 fills gaps
+    val both = Mp3.metadata(Mp3.appendId3v1(
+      Mp3.encodeHeader(1, 128, 44100,
+        id3 = Mp3.encodeId3v2("NewT", "", major = 3)), "OldT", "OldA"))
+    assert(both.title == "NewT" && both.artist == "OldA")
+    // untagged → empty strings
+    val none = Mp3.metadata(Mp3.encodeHeader(1, 128, 44100))
+    assert(none.title == "" && none.artist == "")
+  }
+
+  test("mp3: hostile ID3v2 text frames fail loudly") {
+    // a TIT2 whose declared size overruns the tag body
+    val ok = Mp3.encodeId3v2("T", "A", major = 3)
+    val bad = ok.clone()
+    bad(14) = 0x7f.toByte // TIT2 size byte 0 → huge
+    intercept[IllegalArgumentException](
+      Mp3.metadata(bad ++ Mp3.encodeHeader(1, 128, 44100).drop(0)))
+    // v2.4 footer + tags still parse (regression guard on the footer
+    // offset: text walk must stop at 10+len, not read into the footer)
+    val v24 = Mp3.encodeId3v2("F", "G", major = 4)
+    val withFooter = v24.clone()
+    withFooter(5) = (withFooter(5) | 0x10).toByte
+    val footer = "3DI".getBytes("ISO-8859-1") ++ new Array[Byte](7)
+    val stream = withFooter ++ footer ++
+      Mp3.encodeHeader(1, 128, 44100)
+    val m = Mp3.metadata(stream)
+    assert(m.title == "F" && m.artist == "G" && m.frames == 1)
   }
 }
