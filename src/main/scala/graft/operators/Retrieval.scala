@@ -64,7 +64,16 @@ object Retrieval {
     * (doc_id, pos, term) — the seam [[RetrievalIndex]] plugs the stored
     * index into: the adjacency algebra is identical whether postings
     * come from a live corpus explode or a parquet index scan. */
-  def phraseMatchesFrom(post: DataFrame, phrases: DataFrame): DataFrame = {
+  def phraseMatchesFrom(post: DataFrame, phrases: DataFrame): DataFrame =
+    phraseStartsFrom(post, phrases)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+
+  /** The phrase-adjacency core exposed one level down: every exact
+    * match SITE as (query_id, doc_id, start, qlen) — what snippet
+    * extraction and span-level attribution consume; [[phraseMatches]]
+    * is its per-doc count rollup. */
+  def phraseStartsFrom(post: DataFrame, phrases: DataFrame): DataFrame = {
     val qt = phrases
       .select(col("query_id"),
         posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("qpos", "term")))
@@ -78,8 +87,30 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"), col("start"), col("qlen"))
       .agg(countDistinct(col("qpos")).as("hit"))
       .filter(col("hit") === col("qlen"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_matches"))
+      .select(col("query_id"), col("doc_id"), col("start"), col("qlen"))
+  }
+
+  /** Snippet extraction — the evidence half of a decontamination
+    * report: for every exact phrase-match site, the surrounding
+    * `window` tokens on each side (clamped to the document), as
+    * (query_id, doc_id, start, snippet). The match sites are
+    * candidate-sized and BROADCAST back into one corpus projection, so
+    * the corpus pays one scan and never shuffles; only matched docs
+    * slice their token arrays. */
+  def phraseSnippets(docs: DataFrame, phrases: DataFrame,
+      window: Int = 3): DataFrame = {
+    require(window >= 0, s"window $window")
+    val starts = phraseStartsFrom(postings(docs), phrases)
+    val arrs = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("arr"))
+    val lo = greatest(col("start") - window, lit(0))
+    val hi = least(col("start") + col("qlen") - 1 + window,
+      size(col("arr")) - 1)
+    arrs.join(broadcast(starts), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        // BIGINT like the oracle dialect's range()-derived positions
+        col("start").cast("long").as("start"),
+        concat_ws(" ", slice(col("arr"), lo + 1, hi - lo + 1)).as("snippet"))
   }
 
   /** BM25 top-k (k1 = 1.25, b = 0.75 — both exactly representable):
@@ -265,6 +296,55 @@ object Retrieval {
       SELECT query_id, rank, doc_id, score
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank""")),
+
+    // Snippet extraction around every exact phrase-match site — the
+    // evidence a decontamination reviewer reads: queries are the
+    // 4-token prefixes of doc_id ≡ 0 mod 101, window 3 tokens each
+    // side, clamped at document edges. Oracle recomputes adjacency AND
+    // the clamped slice arithmetic.
+    ("r06_phrase_snippets", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val phrases = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+            .as("phrase"))
+      phraseSnippets(docs, phrases, window = 3)
+        .orderBy(col("query_id"), col("doc_id"), col("start"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      p AS (
+        SELECT doc_id, unnest(arr) AS term,
+          unnest(range(0, len(arr))) AS pos
+        FROM base),
+      q AS (
+        SELECT doc_id AS query_id, arr[1:4] AS qarr
+        FROM base WHERE doc_id % 101 = 0),
+      qt AS (
+        SELECT query_id, unnest(qarr) AS term,
+          unnest(range(0, len(qarr))) AS qpos
+        FROM q),
+      qlen AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
+      cand AS (
+        SELECT qt.query_id, p.doc_id, p.pos - qt.qpos AS start, qt.qpos
+        FROM p JOIN qt ON p.term = qt.term
+        WHERE p.pos - qt.qpos >= 0),
+      sites AS (
+        SELECT c.query_id, c.doc_id, c.start, l.qlen
+        FROM cand c JOIN qlen l ON c.query_id = l.query_id
+        GROUP BY c.query_id, c.doc_id, c.start, l.qlen
+        HAVING count(DISTINCT c.qpos) = l.qlen),
+      sn AS (
+        SELECT s.query_id, s.doc_id, s.start,
+          array_to_string(b.arr[
+            (CASE WHEN s.start - 3 > 0 THEN s.start - 3 ELSE 0 END) + 1 :
+            (CASE WHEN s.start + s.qlen - 1 + 3 < len(b.arr) - 1
+              THEN s.start + s.qlen - 1 + 3 ELSE len(b.arr) - 1 END) + 1],
+            ' ') AS snippet
+        FROM sites s JOIN base b ON s.doc_id = b.doc_id)
+      SELECT query_id, doc_id, start, snippet
+      FROM sn ORDER BY query_id, doc_id, start""")),
 
     // Composed decontamination pipeline — the use-case the retrieval
     // family exists for: eval set = doc_id ≡ 0 mod 10, training corpus

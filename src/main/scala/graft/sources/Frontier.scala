@@ -244,24 +244,35 @@ object Frontier {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (3L * totalMass) / (20L * n)
+    // one upfront structural check: a graph with NO dangling nodes (a
+    // host-level web graph usually has none — every crawled host links
+    // out) runs every iteration without the dangling aggregation and
+    // its crossed-in exchange; dt is identically 0 there, so the
+    // skipped plan computes the same masses
+    val hasDangling = !nodes
+      .join(outdeg, col("node") === col("src"), "left_anti").isEmpty
     var mass = nodes.withColumn("mass", lit(totalMass / n))
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
       val withDeg = mass.join(outdeg, col("node") === col("src"), "left")
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(expr(s"mass div ${n}L")), lit(0L)).as("dt"))
       val contribs = e
         .join(withDeg.filter(col("deg").isNotNull)
           .select(col("node").as("c_src"), expr("mass div deg").as("share")),
           col("src") === col("c_src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("c"))
-      mass = nodes
-        .join(contribs, col("node") === col("dst"), "left")
-        .crossJoin(dangling)
-        .select(col("node"),
-          (lit(base) +
-            expr("(17L * (coalesce(c, 0L) + dt)) div 20L")).as("mass"))
+      val joined = nodes.join(contribs, col("node") === col("dst"), "left")
+      mass = (if (hasDangling) {
+          val dangling = withDeg.filter(col("deg").isNull)
+            .agg(coalesce(sum(expr(s"mass div ${n}L")), lit(0L)).as("dt"))
+          joined.crossJoin(dangling)
+            .select(col("node"),
+              (lit(base) +
+                expr("(17L * (coalesce(c, 0L) + dt)) div 20L")).as("mass"))
+        } else
+          joined.select(col("node"),
+            (lit(base) +
+              expr("(17L * coalesce(c, 0L)) div 20L")).as("mass")))
         .localCheckpoint(true)
       it += 1
     }

@@ -160,4 +160,82 @@ class CodecFuzzSpec extends AnyFunSuite {
         assert(back(i).content.sameElements(records(i)._2), s"case $c record $i")
     }
   }
+
+  test("audio tags: random title/artist round-trip through ID3v2/ID3v1/Vorbis/FLAC") {
+    import graft.kernel.{Flac, Mp3, Ogg}
+    // printable-ASCII + Latin-1 + BMP strings of random lengths; every
+    // encoding and container must return the exact string
+    def str(seed: Long, k: Long, maxLen: Int, wide: Boolean): String = {
+      val len = pick(seed, k, maxLen + 1)
+      new String(Array.tabulate(len) { i =>
+        val r = mix(seed + k * 131 + i)
+        if (wide) (0x100 + ((r >>> 7) % 0x700)).toInt.toChar // BMP, no NUL
+        else (0x20 + ((r >>> 7) % 0x5f)).toInt.toChar // printable ASCII
+      })
+    }
+    for (c <- 0 until Cases) {
+      val seed = mix(9000L + c)
+      val enc = pick(seed, 1, 4)
+      val wide = enc != 0 // ISO-8859-1 frames can't carry BMP chars
+      val title = str(seed, 2, 24, wide)
+      val artist = str(seed, 3, 24, wide)
+      val major = 3 + pick(seed, 4, 2)
+      val m = Mp3.metadata(Mp3.encodeHeader(1 + pick(seed, 5, 5), 128, 44100,
+        id3 = Mp3.encodeId3v2(title, artist, major, enc,
+          padding = pick(seed, 6, 50))))
+      assert(m.title == title && m.artist == artist,
+        s"case $c id3v2.$major enc=$enc")
+      // Vorbis comments are UTF-8: any BMP string survives opus+vorbis
+      val mo = Ogg.metadata(Ogg.encodeOpusHeader(1, 0, 48000, 960L,
+        title = title, artist = artist))
+      assert(mo.title == title && mo.artist == artist, s"case $c opus")
+      val mv = Ogg.metadata(Ogg.encodeVorbisHeader(1, 8000, 800L,
+        title = title, artist = artist))
+      assert(mv.title == title && mv.artist == artist, s"case $c vorbis")
+      val mf = Flac.metadata(Flac.encodeHeader(8000, 1, 16, 0L,
+        title = title, artist = artist))
+      assert(mf.title == title && mf.artist == artist, s"case $c flac")
+      // ID3v1 (ISO-8859-1, <=30 chars): ascii only, no trailing pad chars
+      val t1 = str(seed, 7, 28, wide = false).replaceAll("[ ]+$", "")
+      val a1 = str(seed, 8, 28, wide = false).replaceAll("[ ]+$", "")
+      val m1 = Mp3.metadata(Mp3.appendId3v1(
+        Mp3.encodeHeader(1, 128, 44100), t1, a1))
+      assert(m1.title == t1 && m1.artist == a1, s"case $c id3v1")
+    }
+  }
+
+  test("audio tag walks never hang or throw unexpected errors on random bytes") {
+    import graft.kernel.{Flac, Mp3, Ogg}
+    // the untrusted-input theorem for the new walks: arbitrary bytes
+    // either parse or raise IllegalArgumentException — never an
+    // ArrayIndexOutOfBounds, NegativeArraySize, OOM-shaped allocation,
+    // or unbounded loop. Random mutations of VALID tagged streams hit
+    // the deep branches plain random bytes never reach.
+    for (c <- 0 until Cases * 4) {
+      val seed = mix(17000L + c)
+      val base = (c % 3) match {
+        case 0 => Mp3.encodeHeader(2, 128, 44100,
+          id3 = Mp3.encodeId3v2("Fuzz Title", "Fuzz Artist",
+            3 + pick(seed, 1, 2), pick(seed, 2, 4)))
+        case 1 => Ogg.encodeOpusHeader(1, 0, 48000, 960L,
+          title = "Fuzz", artist = "Fz")
+        case _ => Flac.encodeHeader(8000, 1, 16, 0L, title = "Fuzz")
+      }
+      val bytes = base.clone()
+      val flips = 1 + pick(seed, 3, 6)
+      for (f <- 0 until flips) {
+        val at = pick(seed, 10 + f, bytes.length)
+        bytes(at) = (bytes(at) ^ (1 << pick(seed, 20 + f, 8))).toByte
+      }
+      try {
+        (c % 3) match {
+          case 0 => Mp3.metadata(bytes)
+          case 1 => Ogg.metadata(bytes)
+          case _ => Flac.metadata(bytes)
+        }
+      } catch {
+        case _: IllegalArgumentException => () // loud rejection is correct
+      }
+    }
+  }
 }

@@ -116,6 +116,27 @@ class RetrievalSpec extends SparkSuite {
     assert(r1 == r2)
   }
 
+  test("phrase snippets: window clamps at both document edges, multi-site") {
+    // doc 1 = "a b c d e f g h" (8 tokens), window 2:
+    //   "c d" at start 2 → lo = 0, hi = min(3+2, 7) = 5 → "a b c d e f"
+    //   "a b" at start 0 → lo = 0, hi = 3            → "a b c d"
+    //   "g h" at start 6 → lo = 4, hi = 7            → "e f g h"
+    // doc 2 = "c d c d": "c d" matches at 0 AND 2 (multi-site)
+    val d = docs(1L -> "a b c d e f g h", 2L -> "c d c d")
+    val phrases = Seq((10L, "c d"), (11L, "a b"), (12L, "g h"))
+      .toDF("query_id", "phrase")
+    val got = Retrieval.phraseSnippets(d, phrases, window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (10L, 1L, 2L, "a b c d e f"),
+      (10L, 2L, 0L, "c d c d"),
+      (10L, 2L, 2L, "c d c d"),
+      (11L, 1L, 0L, "a b c d"),
+      (12L, 1L, 6L, "e f g h")), got)
+  }
+
   test("decontamination witnesses: contaminated, clean, and gram-near-miss docs") {
     // The c06 composition on a hand-built corpus. Eval doc 10 is
     // CONTAMINATED: train doc 11 contains its full 6-token phrase
