@@ -177,6 +177,40 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Per-document TF-IDF keyword extraction — corpus exploration's
+    * "what is this document about" primitive (and the feature a
+    * quality-classifier or dedup-explainer consumes). Entirely INTEGER
+    * arithmetic: score = tf · idf_q with the Q20 rational idf
+    * (floor(2^20·(N−df+0.5)/(df+0.5)) — no dl normalization, so no
+    * division at all), making per-doc top-k engine-exact under the
+    * (score desc, term asc) total order.
+    *
+    * Scale shape: one corpus explode → (term, doc) tf aggregation; df
+    * is a vocab-sized rollup of that SAME aggregated frame (no second
+    * corpus scan) joined back on term — Spark picks broadcast vs
+    * shuffle from its size. Top-k is a row_number window partitioned
+    * by doc_id — corpus-partitioned, never global. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = postings(docs).drop("pos")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.count()
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_q",
+        floor(lit(1048576.0) *
+          (((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))).cast("long"))
+      .select(col("term"), col("idf_q"))
+    import org.apache.spark.sql.expressions.Window
+    tf.join(idf, Seq("term"))
+      .withColumn("score", col("tf") * col("idf_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -296,6 +330,38 @@ object Retrieval {
       SELECT query_id, rank, doc_id, score
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank""")),
+
+    // Per-document top-3 TF-IDF keywords over the whole corpus — the
+    // all-integer score (tf · Q20 rational idf, no division) makes the
+    // ranked output hash-exact across engines.
+    ("r07_tfidf_keywords", (s: SparkSession, d: String) =>
+      tfidfKeywords(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+      p AS (SELECT doc_id, unnest(arr) AS term FROM base),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM p GROUP BY doc_id, term),
+      idf AS (
+        SELECT term, CAST(floor(1048576.0 *
+            ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
+        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), n),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          CAST(tf.tf AS BIGINT) * idf.idf_q AS score
+        FROM tf JOIN idf ON tf.term = idf.term),
+      ranked AS (
+        SELECT doc_id, term, score,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS INTEGER) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank""")),
 
     // Snippet extraction around every exact phrase-match site — the
     // evidence a decontamination reviewer reads: queries are the

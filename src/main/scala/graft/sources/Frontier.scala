@@ -282,6 +282,47 @@ object Frontier {
     mass
   }
 
+  /** Crawler-trap detection — the frontier hygiene screen every
+    * production crawler runs (Heritrix's TooManyPathSegments /
+    * PathologicalPath rules, made exact): a URL is a trap SUSPECT when
+    * its path repeats one segment `repeatAt`+ times (the /a/b/a/b/a/b
+    * mirror-loop signature) or nests deeper than `depthAt` segments
+    * (calendar/facet explosion). Returns one row per URL —
+    * (url, host, depth, max_mult, suspect) — all-integer verdicts, so
+    * the screen is engine-exact; [[trapHostReport]] rolls it up to the
+    * per-host budget signal. Row-local split + one (url, segment)
+    * aggregation: no corpus-shaped join anywhere. */
+  def trapSuspects(urls: DataFrame, repeatAt: Int = 3,
+      depthAt: Int = 12): DataFrame = {
+    require(repeatAt >= 2 && depthAt >= 1, s"repeatAt $repeatAt depthAt $depthAt")
+    val segs = urls.select(col("url"), hostOf(col("url")).as("host"),
+        expr("filter(split(" +
+          // pathOf, inlined for the expr: query/fragment excluded
+          "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#?]*)', 1)" +
+          ", '/'), s -> s != '')").as("segs"))
+    segs
+      .select(col("url"), col("host"), size(col("segs")).as("depth"),
+        explode_outer(col("segs")).as("seg"))
+      .groupBy(col("url"), col("host"), col("depth"), col("seg"))
+      .agg(count(col("seg")).as("mult"))
+      .groupBy(col("url"), col("host"), col("depth"))
+      .agg(max(col("mult")).as("max_mult"))
+      .select(col("url"), col("host"), col("depth"), col("max_mult"),
+        (col("max_mult") >= repeatAt || col("depth") >= depthAt)
+          .as("suspect"))
+  }
+
+  /** Per-host trap rollup: URL counts, suspect counts, and the exact
+    * suspect share — the signal a crawl budgeter throttles on. */
+  def trapHostReport(urls: DataFrame, repeatAt: Int = 3,
+      depthAt: Int = 12): DataFrame =
+    trapSuspects(urls, repeatAt, depthAt)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect"))
+      .withColumn("suspect_share",
+        col("n_suspect").cast("double") / col("n_urls").cast("double"))
+
   /** Flatten sitemap XML documents into frontier seed rows:
     * (host, kind, loc, lastmod). Index documents emit their child
     * sitemap locations with kind `sitemapindex` — the caller fetches
@@ -867,6 +908,56 @@ $iterCtes
     // shard their URL space behind one index. DuckDB regenerates every
     // (host, level, loc, lastmod) row from the plant rule, so a parse
     // bug, a lost join row, or a level mixup breaks the hash.
+    // Crawler-trap screen over a planted URL mix: ids ≡ 0 mod 13 carry
+    // the /a/b/a/b/a/b mirror-loop signature (segment multiplicity 3),
+    // ids ≡ 0 mod 17 (and not 13) a 13-deep facet path, everyone else
+    // a clean 3-segment URL. DuckDB rebuilds the urls from the same
+    // congruences and recomputes split → multiplicity → verdict, so a
+    // path-regex, segment-count, or threshold bug breaks the hash.
+    ("w16_trap_detection", (s: SparkSession, d: String) => {
+      val docs = graft.Tables.documents(s, d)
+      val urls = docs.select(
+        concat(lit("https://h"), col("doc_id") % 7, lit(".example.com"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit("/a/b/a/b/a/b/p"), col("doc_id")))
+          .when(col("doc_id") % 17 === 0,
+            concat(lit("/d1/d2/d3/d4/d5/d6/d7/d8/d9/d10/d11/d12/p"),
+              col("doc_id")))
+          .otherwise(concat(lit("/cat"), col("doc_id") % 5,
+            lit("/item/p"), col("doc_id")))).as("url"))
+      trapSuspects(urls)
+        .orderBy(col("url"))
+    },
+    Some("""WITH u AS (
+        SELECT 'https://h' || (doc_id % 7) || '.example.com' ||
+          CASE WHEN doc_id % 13 = 0 THEN '/a/b/a/b/a/b/p' || doc_id
+            WHEN doc_id % 17 = 0
+              THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9/d10/d11/d12/p' || doc_id
+            ELSE '/cat' || (doc_id % 5) || '/item/p' || doc_id
+          END AS url
+        FROM documents),
+      segs AS (
+        SELECT url,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+          list_filter(string_split(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#?]*)', 1), '/'),
+            s -> s <> '') AS segs
+        FROM u),
+      e AS (
+        SELECT url, host, len(segs) AS depth, unnest(segs) AS seg
+        FROM segs),
+      mult AS (
+        SELECT url, host, depth, seg, count(*) AS mult
+        FROM e GROUP BY url, host, depth, seg),
+      per AS (
+        SELECT url, host, CAST(depth AS INTEGER) AS depth,
+          CAST(max(mult) AS BIGINT) AS max_mult
+        FROM mult GROUP BY url, host, depth)
+      SELECT url, host, depth, max_mult,
+        (max_mult >= 3 OR depth >= 12) AS suspect
+      FROM per ORDER BY url""")),
+
     ("w15_sitemap_walk", (s: SparkSession, d: String) => {
       def dd(c: Column): Column = lpad(c.cast("string"), 2, "0")
       val hosts = s.range(19).select(col("id").as("k"),

@@ -281,6 +281,38 @@ class FrontierSpec extends SparkSuite {
       Frontier.pageRankQ(ab, iters = 1, totalMass = Long.MaxValue))
   }
 
+  test("trap detection: repeat/depth thresholds, root-url edge, query excluded, host rollup") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Seq(
+      "https://a.com/x/y/x/y/x/p1",        // 'x'×3 → suspect (repeat)
+      "https://a.com/x/y/x/p2",            // 'x'×2 → clean at repeatAt=3
+      "https://a.com/1/2/3/4/5/6/7/8/9/10/11/12", // depth 12 → suspect
+      "https://b.com/only/three/segs",     // clean
+      "https://b.com",                      // root: depth 0, never a trap
+      "https://b.com/p?x=1&x=2&x=3&x=4"    // query repeats DON'T count
+    ).toDF("url")
+    val got = Frontier.trapSuspects(urls).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("https://a.com/x/y/x/y/x/p1") == ((6, 3L, true)))
+    assert(got("https://a.com/x/y/x/p2") == ((4, 2L, false)))
+    assert(got("https://a.com/1/2/3/4/5/6/7/8/9/10/11/12") == ((12, 1L, true)))
+    assert(got("https://b.com/only/three/segs") == ((3, 1L, false)))
+    // root URL: kept (Spark explode_outer), zero depth/mult, clean —
+    // the edge the w16 oracle fixture never reaches (DuckDB's inner
+    // unnest would drop such a row; the operator contract is KEEP)
+    assert(got("https://b.com") == ((0, 0L, false)))
+    // the query string is not path: one 'p' segment, clean
+    assert(got("https://b.com/p?x=1&x=2&x=3&x=4") == ((1, 1L, false)))
+
+    val rep = Frontier.trapHostReport(urls).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep("https://a.com".drop(8)) == ((3L, 2L, 2.0 / 3.0)), rep)
+    assert(rep("b.com") == ((3L, 0L, 0.0)))
+  }
+
   test("schedule: per-host slots are dense, offsets are delay multiples, denied urls absent") {
     val spark2 = spark
     import spark2.implicits._

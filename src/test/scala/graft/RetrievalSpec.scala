@@ -116,6 +116,25 @@ class RetrievalSpec extends SparkSuite {
     assert(r1 == r2)
   }
 
+  test("tfidf keywords: hand-computed scores, tie broken by term") {
+    // N = 3. df: x→1, y→2, z→2, w→1.
+    //   idf_q(df=1) = floor(2^20·2.5/1.5) = 1747626
+    //   idf_q(df=2) = floor(2^20·1.5/2.5) = 629145
+    // d1 "x x y": x 2·1747626 = 3495252 > y 629145
+    // d2 "y z":   y = z = 629145 — tie → term asc: y first
+    // d3 "z z z w": z 3·629145 = 1887435 > w 1747626
+    val d = docs(1L -> "x x y", 2L -> "y z", 3L -> "z z z w")
+    val got = Retrieval.tfidfKeywords(d, k = 2)
+      .orderBy(col("doc_id"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1, "x", 3495252L), (1L, 2, "y", 629145L),
+      (2L, 1, "y", 629145L), (2L, 2, "z", 629145L),
+      (3L, 1, "z", 1887435L), (3L, 2, "w", 1747626L)), got)
+  }
+
   test("phrase snippets: window clamps at both document edges, multi-site") {
     // doc 1 = "a b c d e f g h" (8 tokens), window 2:
     //   "c d" at start 2 → lo = 0, hi = min(3+2, 7) = 5 → "a b c d e f"
