@@ -507,7 +507,13 @@ object Frontier {
     * portable form). `//` is DuckDB BIGINT floor division ≡ Spark `div`
     * on positive masses. Edges derive from the doc_id congruences
     * independently of the Spark side's HTML extraction. */
-  private lazy val w07OracleSql: String = {
+  private lazy val w07OracleSql: String =
+    s"""WITH $w07OracleCtes
+      SELECT node, CAST(mass AS BIGINT) AS mass FROM it6 ORDER BY node"""
+
+  /** The CTE body alone (edges → nodes → six unrolled iterations) so
+    * composed oracles (c07) can reuse the mass computation. */
+  private lazy val w07OracleCtes: String = {
     val M = 1000000000000L
     val iterCtes = (1 to 6).map { k =>
       s"""  it$k AS (
@@ -528,7 +534,7 @@ object Frontier {
           JOIN e ON e.src = m.node
           GROUP BY e.dst) c ON c.dst = nd.node)"""
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
         SELECT DISTINCT src, dst FROM (
           SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com' AS src,
                  'h' || CAST((doc_id + 1) % 19 AS VARCHAR) || '.example.com' AS dst
@@ -544,8 +550,7 @@ object Frontier {
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
       it0 AS (SELECT node, $M // nn.n AS mass FROM nodes CROSS JOIN nn),
-$iterCtes
-      SELECT node, CAST(mass AS BIGINT) AS mass FROM it6 ORDER BY node"""
+$iterCtes"""
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -692,6 +697,79 @@ $iterCtes
       pageRankQ(edges, iters = 6)
         .orderBy(col("node"))
     }, Some(w07OracleSql)),
+
+    // The composed crawl-budget allocator — authority × politeness in
+    // one pipeline: PageRank masses over the crawled link graph decide
+    // each host's fetch budget (budget = 1 + ⌊mass·19/M⌋, exact
+    // integers), the RFC 9309 politeness schedule orders each host's
+    // allowed URLs into delay slots, and the allocation keeps only the
+    // first `budget` slots per host — how a production crawler turns
+    // "which hosts matter" into "which URLs to fetch this cycle".
+    // DuckDB replays BOTH legs (the six unrolled PageRank iterations +
+    // the planted-effective robots/schedule outcome) and the budget
+    // cut, so a mass, verdict, slot, or threshold bug breaks the hash.
+    // The budget frame is host-cardinality — broadcast into the
+    // schedule, no corpus-shaped exchange.
+    ("c07_crawl_budget", (s: SparkSession, d: String) => {
+      val docs = graft.Tables.documents(s, d)
+      val pages = docs.select(
+        concat(lit("https://h"), col("doc_id") % 19,
+          lit(".example.com/p"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><body><a href=\"https://h"), (col("doc_id") + 1) % 19,
+          lit(".example.com/x\">a</a> <a href=\"https://h"),
+          (col("doc_id") * 3 + 1) % 19,
+          lit(".example.com/y\">b</a></body></html>")).as("html"))
+      val edges = hostGraph(extractLinks(pages))
+        .filter(col("src_host") =!= col("dst_host"))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+      val budget = pageRankQ(edges, iters = 6)
+        .select(col("node").as("host"),
+          (lit(1L) + expr("(mass * 19) div 1000000000000")).as("budget"))
+      val sched = schedule(
+        robotsVerdicts(urlFixture(s, d), robotsFixture(s, d), "graftbot"))
+      sched.join(broadcast(budget), Seq("host"))
+        .filter(col("slot") < col("budget"))
+        .select(col("url"), col("host"), col("slot"),
+          col("fetch_offset_sec"), col("budget"))
+        .orderBy(col("url"))
+    },
+    Some(s"""WITH $w07OracleCtes,
+      u AS (
+        SELECT doc_id, doc_id % 19 AS k, doc_id % 5 AS pc,
+          'https://h' || (doc_id % 19) || '.example.com' ||
+            CASE doc_id % 5
+              WHEN 0 THEN '/public/doc' || doc_id
+              WHEN 1 THEN '/private/doc' || doc_id
+              WHEN 2 THEN '/private/ok' || (doc_id % 3) || '/x' || doc_id
+              WHEN 3 THEN '/bot/page' || doc_id
+              ELSE '/?d=' || doc_id END AS url
+        FROM documents),
+      verdicts AS (
+        SELECT url, 'h' || k || '.example.com' AS host,
+          CAST(1 + k % 5 AS DOUBLE) AS delay,
+          CASE CAST(pc AS INTEGER)
+            WHEN 1 THEN false
+            WHEN 2 THEN doc_id % 3 = 1
+            WHEN 3 THEN k % 2 = 1
+            ELSE true END AS allowed
+        FROM u),
+      allowed_urls AS (SELECT * FROM verdicts WHERE allowed),
+      sched AS (
+        SELECT url, host,
+          CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+            AS BIGINT) AS slot,
+          CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+            AS DOUBLE) * delay AS fetch_offset_sec
+        FROM allowed_urls),
+      budget AS (
+        SELECT node AS host,
+          1 + (CAST(mass AS BIGINT) * 19) // 1000000000000 AS budget
+        FROM it6)
+      SELECT s.url, s.host, s.slot, s.fetch_offset_sec, b.budget
+      FROM sched s JOIN budget b ON s.host = b.host
+      WHERE s.slot < b.budget
+      ORDER BY s.url""")),
 
     // Per-host politeness schedule over the allowed frontier — slots
     // and fetch offsets from each host's crawl delay; oracle recomputes

@@ -398,6 +398,72 @@ class StreamingSpec extends SparkSuite {
     assert(batchOut == streamOut.toMap)
   }
 
+  test("streaming retrieval-index maintenance: search-while-growing, grown equals rebuilt") {
+    import spark.implicits._
+    import graft.operators.{Retrieval, RetrievalIndex}
+    val seed = Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon")
+    val b1 = Seq(10L -> "needle one alpha", 11L -> "filler text here")
+    val b2 = Seq(20L -> "needle two beta", 21L -> "more filler words")
+    val ixDir = tempDir("rix-stream").getAbsolutePath
+    RetrievalIndex.build(seed.toDF("doc_id", "text"), ixDir, nBuckets = 8)
+
+    val inDir = tempDir("rix-stream-in")
+    def stage(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val tmp = tempDir(s"rix-stage-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    stage(b1, "b1.parquet", 1000000L)
+    stage(b2, "b2.parquet", 2000000L)
+
+    // every trigger: answer a standing query against the CURRENT index
+    // (the decontamination-service shape: search keeps working while
+    // the index ingests), then grow with the batch. The grow scaladoc's
+    // checkpoint discipline makes the probe-then-append safe.
+    val probe = Seq("needle").toDF("term")
+    val perBatchHits = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val stream = spark.readStream
+      .schema(b1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ix = RetrievalIndex.load(spark, ixDir)
+        perBatchHits += RetrievalIndex.probe(ix, probe)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        RetrievalIndex.grow(df, ixDir)
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // trigger 1 saw the seed-only index (no needle docs); trigger 2 saw
+    // batch 1's needle doc — the index visibly grew between triggers
+    assert(perBatchHits.toSeq == Seq(Set.empty[Long], Set(10L)),
+      perBatchHits)
+
+    // the streamed-grown index answers exactly like a from-scratch
+    // build over seed ∪ b1 ∪ b2 — postings, doclens, and a BM25 score
+    val all = (seed ++ b1 ++ b2).toDF("doc_id", "text")
+    val rebuiltDir = tempDir("rix-rebuilt").getAbsolutePath
+    RetrievalIndex.build(all, rebuiltDir, nBuckets = 8)
+    val grown = RetrievalIndex.load(spark, ixDir)
+    val rebuilt = RetrievalIndex.load(spark, rebuiltDir)
+    def rows(ix: RetrievalIndex.Loaded) = ix.postings
+      .select(col("term"), col("doc_id"), col("tf"),
+        array_join(col("positions"), ",")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(rows(grown) == rows(rebuilt))
+    val qterms = Seq((1L, "needle"), (1L, "alpha")).toDF("query_id", "term")
+    val a = RetrievalIndex.bm25TopK(grown, qterms, k = 5).collect().toSeq
+    val b = RetrievalIndex.bm25TopK(rebuilt, qterms, k = 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stateless curation chain composes in one stream with batch parity") {
     import spark.implicits._
     import graft.operators.{Curate, Dedup}
