@@ -259,6 +259,65 @@ object StacQueries {
         CAST(date_diff('month', min(month), max(month)) + 1 AS BIGINT) AS span_months,
         CAST(date_diff('month', min(month), max(month)) + 1 - count(*) AS BIGINT) AS n_gaps,
         (date_diff('month', min(month), max(month)) + 1 = count(*)) AS is_periodic
-      FROM m GROUP BY collection ORDER BY collection"""))
+      FROM m GROUP BY collection ORDER BY collection""")),
+
+    // The STAC API's core item-search: bbox intersection (inclusive —
+    // touching boxes intersect, per GeoJSON bbox semantics) AND
+    // datetime-window overlap, over an item table whose bboxes derive
+    // from integer congruences (exact arithmetic, no float geometry).
+    // Matches come back in Z-ORDER (q49's Morton key over the shifted
+    // bbox origin) — the order a z-laid-out catalog returns them in,
+    // where one z-range scan covers a spatial query's file set
+    // (Scale.zorderWrite + the measured footer-pruning spec are the
+    // storage half of this query).
+    ("q51_stac_search", (s: SparkSession, d: String) => {
+      val items = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 360 - 180).cast("long").as("minx"),
+        // y decorrelated from x (a shared modulus base would make the
+        // conjunction of the two range predicates empty)
+        ((col("o_orderkey") * 131) % 180 - 90).cast("long").as("miny"),
+        col("o_orderdate").cast("date").as("datetime"))
+        .withColumn("maxx", col("minx") + 1 + col("o_orderkey") % 3)
+        .withColumn("maxy", col("miny") + 1 + col("o_orderkey") % 2)
+      items.filter(
+        col("minx") <= 30 && col("maxx") >= -10 &&
+          col("miny") <= 25 && col("maxy") >= -10 &&
+          col("datetime") >= lit("1994-01-01") &&
+          col("datetime") <= lit("1996-12-31"))
+        .select(col("o_orderkey"), col("minx"), col("miny"),
+          col("maxx"), col("maxy"), col("datetime"),
+          Scale.zorder2(col("minx") + 180, col("miny") + 90).as("z"))
+        .orderBy(col("z"), col("o_orderkey"))
+    },
+    Some("""WITH items AS (
+        SELECT o_orderkey,
+          CAST(o_orderkey % 360 - 180 AS BIGINT) AS minx,
+          CAST((o_orderkey * 131) % 180 - 90 AS BIGINT) AS miny,
+          CAST(o_orderkey % 360 - 180 + 1 + o_orderkey % 3 AS BIGINT) AS maxx,
+          CAST((o_orderkey * 131) % 180 - 90 + 1 + o_orderkey % 2 AS BIGINT) AS maxy,
+          CAST(o_orderdate AS DATE) AS datetime
+        FROM orders),
+      hits AS (
+        SELECT * FROM items
+        WHERE minx <= 30 AND maxx >= -10 AND miny <= 25 AND maxy >= -10
+          AND datetime >= DATE '1994-01-01' AND datetime <= DATE '1996-12-31'),
+      b AS (
+        SELECT o_orderkey, minx, miny, maxx, maxy, datetime,
+          minx + 180 AS x, miny + 90 AS y
+        FROM hits),
+      s1 AS (SELECT * REPLACE (((x | (x << 16)) & 281470681808895) AS x,
+        ((y | (y << 16)) & 281470681808895) AS y) FROM b),
+      s2 AS (SELECT * REPLACE (((x | (x << 8)) & 71777214294589695) AS x,
+        ((y | (y << 8)) & 71777214294589695) AS y) FROM s1),
+      s3 AS (SELECT * REPLACE (((x | (x << 4)) & 1085102592571150095) AS x,
+        ((y | (y << 4)) & 1085102592571150095) AS y) FROM s2),
+      s4 AS (SELECT * REPLACE (((x | (x << 2)) & 3689348814741910323) AS x,
+        ((y | (y << 2)) & 3689348814741910323) AS y) FROM s3),
+      s5 AS (SELECT * REPLACE (((x | (x << 1)) & 6148914691236517205) AS x,
+        ((y | (y << 1)) & 6148914691236517205) AS y) FROM s4)
+      SELECT o_orderkey, minx, miny, maxx, maxy, datetime,
+        (x | (y << 1)) AS z
+      FROM s5 ORDER BY z, o_orderkey"""))
   )
 }
