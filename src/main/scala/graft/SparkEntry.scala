@@ -71,7 +71,6 @@ object SparkEntry {
     "m22_video_neardup" -> Seq("spec:Y4mSpec"),
     "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
     "m27_audio_clips" -> Seq("spec:WavSpec"),
-    "m28_video_image_matches" -> Seq("spec:Y4mSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
     "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),

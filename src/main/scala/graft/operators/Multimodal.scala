@@ -1866,32 +1866,40 @@ object Multimodal {
     // Cross-modality dedup: every 97th doc's video carries a scene
     // whose keyframe PIXELS equal that doc's corpus image (the
     // slideshow/still-re-encode case); everyone else's videos and
-    // images are splitmix-unique. Rows-only; namespace wiring,
-    // exactness, and non-match behavior are spec-gated in Y4mSpec.
+    // images are arithmetic-unique. NOW FULLY ORACLE-GATED (r14, the
+    // m09/m16/m22 pattern extended one stage deeper): pixels are
+    // constant per 2×1 hash block and derive from integer congruences,
+    // so DuckDB replays the ENTIRE composed pipeline — per-frame SAD →
+    // scene-cut verdict (sad·den ≥ num·n) → keyframe schedule → aHash
+    // ratio bits for keyframes AND images → the id-namespace union →
+    // 16-bit band keys → bucket cap → hamming-0 verification →
+    // namespace unmap. A Y4M/PNG decode, SAD, cut-threshold, hash,
+    // banding, or namespace bug breaks the hash. Non-match behavior
+    // additionally spec-gated in Y4mSpec.
     ("m28_video_image_matches", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8
-      def mix(z0: Long): Long = {
-        var z = z0 + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      // the shared still: block-structured so its aHash bits vary
-      def still(id: Long, salt: Long): Array[Int] =
+      // scene cells: 8×8 blocks of 2×1 pixels, varying multiplicatively
+      // per (id, salt) — each doc's still is UNIQUE to it (a global
+      // shared tile would form a >maxBucket band bucket at sf0.1 and
+      // the cap would drop every match); "shared" means the video's
+      // scene 1 uses the SAME salt as that doc's image (31)
+      def cells(id: Long, salt: Long): Array[Int] = {
+        val m1 = (id * 2654435761L + salt * 97L) % 251L + 2L
+        val m2 = (id * 40503L + salt * 89L) % 239L + 3L
         Array.tabulate(w * h) { i =>
-          (mix(id * 31L + salt * 7919L + (i % w / 2) * 131L +
-            (i / w) * 17L) & 0xffL).toInt
+          val bx = (i % w) / 2; val y = i / w
+          ((bx * m1 + y * m2 + id) % 256L).toInt
         }
+      }
       val videos = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
             val shared = id % 97 == 0
             val frames = Vector.tabulate(6) { f =>
               val frame = new Array[Byte](w * h * 3 / 2)
-              val px =
-                if (f >= 3 && shared) still(id, 0)
-                else still(id, 1 + f / 3) // scene-structured, video-only
+              val s = f / 3
+              val px = cells(id, if (shared && s == 1) 31L else s.toLong)
               var i = 0
               while (i < w * h) { frame(i) = px(i).toByte; i += 1 }
               java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
@@ -1905,16 +1913,100 @@ object Multimodal {
       val images = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
-            val px = if (id % 97 == 0) still(id, 0) else still(id, 99)
+            val px = cells(id, if (id % 97 == 0) 31L else 9999L)
             (id, "image",
               graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
           }
         }
         .toDF("doc_id", "media_type", "payload")
-      videoImageMatches(videos, images,
-          sigCount = graft.Tables.documents(s, d).count() * 3)
+      videoImageMatches(videos, images, keyBits = 16)
         .orderBy(col("video_id"), col("frame_idx"), col("image_id"))
-    }, None),
+    },
+    Some("""WITH grid AS (
+        SELECT bx.bx, y.y FROM
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bx) bx,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS y) y),
+      -- video scene cells: s ∈ {0,1}; a shared doc's scene 1 uses
+      -- salt 31 (the same salt its image uses), everything else salt s
+      vcells AS (
+        SELECT d.doc_id, s.s, g.y * 8 + g.bx AS pos,
+          (g.bx * ((d.doc_id * 2654435761 +
+              (CASE WHEN d.doc_id % 97 = 0 AND s.s = 1
+                THEN 31 ELSE s.s END) * 97) % 251 + 2)
+            + g.y * ((d.doc_id * 40503 +
+              (CASE WHEN d.doc_id % 97 = 0 AND s.s = 1
+                THEN 31 ELSE s.s END) * 89) % 239 + 3)
+            + d.doc_id) % 256 AS v
+        FROM documents d, grid g,
+          (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS s) s),
+      -- the f=3 scene boundary's per-pixel SAD (each cell is 2 pixels);
+      -- within-scene transitions are zero. Cut iff sad*den >= num*n
+      -- with num=12, den=1, n=128
+      sad3 AS (
+        SELECT a.doc_id, 2 * sum(abs(a.v - b.v)) AS sad
+        FROM vcells a JOIN vcells b
+          ON a.doc_id = b.doc_id AND a.pos = b.pos
+          AND a.s = 0 AND b.s = 1
+        GROUP BY a.doc_id),
+      -- keyframes: frame 0 (scene 0) always; frame 3 (scene 1) iff cut
+      kf AS (
+        SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx, 0 AS s
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(3 AS INTEGER) AS frame_idx, 1 AS s
+        FROM sad3 WHERE sad >= 12 * 128),
+      icells AS (
+        SELECT d.doc_id, g.y * 8 + g.bx AS pos,
+          (g.bx * ((d.doc_id * 2654435761 +
+              (CASE WHEN d.doc_id % 97 = 0 THEN 31 ELSE 9999 END) * 97)
+              % 251 + 2)
+            + g.y * ((d.doc_id * 40503 +
+              (CASE WHEN d.doc_id % 97 = 0 THEN 31 ELSE 9999 END) * 89)
+              % 239 + 3)
+            + d.doc_id) % 256 AS v
+        FROM documents d, grid g),
+      -- ratio-form aHash bits (block sum = 2v; ×2 cancels), under the
+      -- videoImageMatches id namespace: keyframes at vid*1000000+f,
+      -- images at -id-1
+      vtot AS (SELECT doc_id, s, sum(v) AS total FROM vcells GROUP BY 1, 2),
+      vbits AS (
+        SELECT k.doc_id * 1000000 + k.frame_idx AS nsid, c.pos,
+          CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM kf k
+        JOIN vcells c ON c.doc_id = k.doc_id AND c.s = k.s
+        JOIN vtot t ON t.doc_id = k.doc_id AND t.s = k.s),
+      itot AS (SELECT doc_id, sum(v) AS total FROM icells GROUP BY 1),
+      ibits AS (
+        SELECT -c.doc_id - 1 AS nsid, c.pos,
+          CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM icells c JOIN itot t USING (doc_id)),
+      bits AS (SELECT * FROM vbits UNION ALL SELECT * FROM ibits),
+      bands AS (
+        SELECT nsid, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM bits GROUP BY nsid, blk),
+      kept AS (
+        SELECT nsid, blk, key FROM (
+          SELECT nsid, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.nsid AS doc_a, b.nsid AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.nsid < b.nsid),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.nsid = c.doc_a
+        JOIN bits bb ON bb.nsid = c.doc_b AND bb.pos = ba.pos
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_b // 1000000 AS video_id,
+        CAST(doc_b % 1000000 AS INTEGER) AS frame_idx,
+        -doc_a - 1 AS image_id, hamming
+      FROM ham
+      WHERE hamming <= 0 AND doc_a < 0 AND doc_b >= 0
+      ORDER BY video_id, frame_idx, image_id""")),
 
     // Keyframe extraction over the m23 scene-structured corpus: one
     // grayscale PNG per scene start. The cut schedule is the
