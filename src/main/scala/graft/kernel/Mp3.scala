@@ -121,8 +121,28 @@ object Mp3 {
       off = 10 + len + footer
       require(off <= bytes.length, s"mp3: ID3v2 length $len overruns the file")
       val major = bytes(3) & 0xff
-      if (major == 3 || major == 4) {
-        val t = id3v2Text(bytes, 10, 10 + len, v4 = major == 4)
+      // Unsynchronised tags (flag 0x80) store 0xFF,0x00 escape pairs —
+      // decoding text without reversing them would be silently WRONG,
+      // so tag text is skipped (structure walk is unaffected: the
+      // syncsafe tag length is still authoritative). The extended
+      // header (flag 0x40) shifts the first frame: v2.4 sizes are
+      // syncsafe and INCLUDE the header itself, v2.3 sizes are plain
+      // and EXCLUDE their own 4 size bytes (spec §3.2 of each).
+      if ((major == 3 || major == 4) && (bytes(5) & 0x80) == 0) {
+        var start = 10
+        if ((bytes(5) & 0x40) != 0) {
+          require(start + 4 <= 10 + len, "mp3: extended header truncated")
+          val ext =
+            if (major == 4) ((bytes(10) & 0x7f) << 21) |
+              ((bytes(11) & 0x7f) << 14) | ((bytes(12) & 0x7f) << 7) |
+              (bytes(13) & 0x7f)
+            else (((bytes(10) & 0xff) << 24) | ((bytes(11) & 0xff) << 16) |
+              ((bytes(12) & 0xff) << 8) | (bytes(13) & 0xff)) + 4
+          require(ext >= 4 && ext <= len,
+            s"mp3: extended header size $ext overruns the tag")
+          start = 10 + ext
+        }
+        val t = id3v2Text(bytes, start, 10 + len, v4 = major == 4)
         title = t._1; artist = t._2
       }
     }

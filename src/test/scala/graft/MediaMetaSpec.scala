@@ -316,6 +316,43 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(none.title == "" && none.artist == "")
   }
 
+  test("mp3: ID3v2 extended-header and unsynchronisation flags") {
+    // v2.4 extended header (syncsafe size INCLUDING itself): splice a
+    // minimal 6-byte ext header before the frames; tags must still read
+    val v24 = Mp3.encodeId3v2("ExtT", "ExtA", major = 4, enc = 3)
+    val body24 = v24.drop(10)
+    val ext24 = Array[Byte](0, 0, 0, 6, 1, 0) // size 6, one flag byte, 0
+    val n24 = body24.length + ext24.length
+    val tag24 = Array[Byte]('I', 'D', '3', 4, 0, 0x40,
+      ((n24 >> 21) & 0x7f).toByte, ((n24 >> 14) & 0x7f).toByte,
+      ((n24 >> 7) & 0x7f).toByte, (n24 & 0x7f).toByte) ++ ext24 ++ body24
+    val m24 = Mp3.metadata(tag24 ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(m24.title == "ExtT" && m24.artist == "ExtA", m24)
+    // v2.3 extended header (plain size EXCLUDING its own 4 size bytes):
+    // the standard 6-byte form is size=6 + 2 flag bytes + 4 padding-size
+    val v23 = Mp3.encodeId3v2("E3T", "E3A", major = 3, enc = 0)
+    val body23 = v23.drop(10)
+    val ext23 = Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0)
+    val n23 = body23.length + ext23.length
+    val tag23 = Array[Byte]('I', 'D', '3', 3, 0, 0x40,
+      ((n23 >> 21) & 0x7f).toByte, ((n23 >> 14) & 0x7f).toByte,
+      ((n23 >> 7) & 0x7f).toByte, (n23 & 0x7f).toByte) ++ ext23 ++ body23
+    val m23 = Mp3.metadata(tag23 ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(m23.title == "E3T" && m23.artist == "E3A", m23)
+    // unsynchronised tag (flag 0x80): text would need 0xFF,0x00 escape
+    // reversal — extraction declines (empty) rather than mis-decoding;
+    // the frame walk after the tag is untouched
+    val unsync = Mp3.encodeId3v2("NotRead", "NotRead", major = 3)
+    unsync(5) = 0x80.toByte
+    val mu = Mp3.metadata(unsync ++ Mp3.encodeHeader(2, 128, 44100))
+    assert(mu.title == "" && mu.artist == "" && mu.frames == 2)
+    // hostile: ext-header size overrunning the tag is loud
+    val badExt = tag24.clone()
+    badExt(13) = 0x7f.toByte // syncsafe ext size → far past the tag
+    intercept[IllegalArgumentException](
+      Mp3.metadata(badExt ++ Mp3.encodeHeader(1, 128, 44100)))
+  }
+
   test("mp3: hostile ID3v2 text frames fail loudly") {
     // a TIT2 whose declared size overruns the tag body
     val ok = Mp3.encodeId3v2("T", "A", major = 3)
