@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * behind the [[MediaDecoder]]/[[ImageDecoder]] seam, with [[PngDecoder]]
   * as the session default. Lossy codecs needing DCT/entropy machinery a
   * JVM-only build can't carry (VP8 pixel data, MP4/H.264, MP3/Opus) are
-  * rejected LOUDLY at the same seam — never faked. [[FakeDecoder]] remains
-  * only as a pinned oracle-baseline fixture: deterministic pseudo-features
-  * whose SQL-derivability lets specific queries keep a DuckDB oracle.
+  * rejected LOUDLY at the same seam — never faked — but their CONTAINERS
+  * are fully walked header-only (`kernel.{Mp4,Mp3,Ogg,Flac,Mkv}` + the
+  * image sniff: structure, codecs, exact durations, dims, and the
+  * declared text metadata — ID3v2/ID3v1 and Vorbis-comment title/artist
+  * — via [[audioContainerMeta]]/[[videoContainerMeta]]/
+  * [[ImageDecoder.sniff]]). [[FakeDecoder]] remains only as a pinned
+  * oracle-baseline fixture: deterministic pseudo-features whose
+  * SQL-derivability lets specific queries keep a DuckDB oracle.
   */
 object Multimodal {
 
