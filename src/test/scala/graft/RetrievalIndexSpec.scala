@@ -188,4 +188,46 @@ class RetrievalIndexSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       RetrievalIndex.build(docs(1L -> "a"), tmp(), nBuckets = 0))
   }
+
+  test("seeded random corpora: grow parity and stored-vs-live BM25 hold") {
+    // deterministic splitmix-driven corpora over a tiny vocabulary so
+    // repeated tokens, single-token docs, and high-df terms all occur;
+    // each case checks the two load-bearing theorems end to end
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vocab = Array("ax", "bo", "cu", "de", "el")
+    for (c <- 0 until 4) {
+      val seed = mix(700L + c)
+      val n = 6 + (mix(seed) & 3).toInt
+      val corpus = (1L to n).map { id =>
+        val len = 1 + (mix(seed + id * 13) & 7).toInt
+        id -> (0 until len)
+          .map(j => vocab((mix(seed + id * 131 + j) & 0x7fffffff).toInt % vocab.length))
+          .mkString(" ")
+      }
+      val (a, b) = corpus.partition(_._1 % 3 != 0)
+      val grownDir = tmp(); val fullDir = tmp()
+      RetrievalIndex.build(docs(a: _*), grownDir, nBuckets = 4)
+      RetrievalIndex.grow(docs(b: _*), grownDir)
+      RetrievalIndex.build(docs(corpus: _*), fullDir, nBuckets = 4)
+      val grown = RetrievalIndex.load(spark, grownDir)
+      assert(postingsSet(grown.postings) ==
+        postingsSet(RetrievalIndex.load(spark, fullDir).postings), s"case $c")
+      val qterms = Seq((1L, vocab((c + 1) % vocab.length)),
+        (1L, vocab(c % vocab.length))).toDF("query_id", "term")
+      val stored = RetrievalIndex.bm25TopK(grown, qterms, k = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      val live = Retrieval.bm25TopK(docs(corpus: _*), qterms, k = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(stored == live && stored.nonEmpty, s"case $c")
+    }
+  }
 }
