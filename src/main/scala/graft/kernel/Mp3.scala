@@ -87,9 +87,18 @@ object Mp3 {
             ((b(o + 6) & 0xff) << 8) | (b(o + 7) & 0xff)
         require(size >= 0 && o + 10 + size <= to,
           s"mp3: ID3v2 frame '$id' size $size overruns the tag")
+        // frame FORMAT flags (second flag byte): compression, encryption,
+        // grouping, per-frame unsynchronisation, data-length indicator —
+        // any of them changes the payload layout, so decoding it as
+        // encoding-byte + text would be silently wrong (v2.3 §3.3.1 /
+        // v2.4 §4.1.2). Skip the text of such frames, mirroring the
+        // tag-level unsynchronisation opt-out in metadata(); the
+        // structure walk is unaffected (size is still authoritative).
+        val fmtFlags = b(o + 9) & 0xff
+        val plain = if (v4) (fmtFlags & 0x4f) == 0 else (fmtFlags & 0xe0) == 0
         id match {
-          case "TIT2" => title = textPayload(b, o + 10, size)
-          case "TPE1" => artist = textPayload(b, o + 10, size)
+          case "TIT2" if plain => title = textPayload(b, o + 10, size)
+          case "TPE1" if plain => artist = textPayload(b, o + 10, size)
           case _ => ()
         }
         o += 10 + size

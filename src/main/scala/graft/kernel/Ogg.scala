@@ -110,6 +110,24 @@ object Ogg {
     var preSkip = 0
     var title = ""
     var artist = ""
+    // comment-header packet accumulator: the packet starts on page 1 but
+    // may CONTINUE onto later pages (all-255 lacing — routine for real
+    // files with embedded cover art in METADATA_BLOCK_PICTURE); parsing
+    // only page 1's slice would be a truncated bound and a false
+    // "overruns the packet" rejection of a valid stream
+    var tagBuf: java.io.ByteArrayOutputStream = null
+    def parseCommentPacket(pkt: Array[Byte]): Unit = {
+      if (codec == "opus" && pkt.length >= 8 &&
+          new String(pkt, 0, 8, "ISO-8859-1") == "OpusTags") {
+        val t = vorbisComments(pkt, 8, pkt.length)
+        title = t._1; artist = t._2
+      } else if (codec == "vorbis" && pkt.length >= 7 &&
+          (pkt(0) & 0xff) == 3 &&
+          new String(pkt, 1, 6, "ISO-8859-1") == "vorbis") {
+        val t = vorbisComments(pkt, 7, pkt.length)
+        title = t._1; artist = t._2
+      }
+    }
     while (off + 27 <= bytes.length) {
       require(bytes(off) == 'O' && bytes(off + 1) == 'g' &&
         bytes(off + 2) == 'g' && bytes(off + 3) == 'S',
@@ -146,10 +164,15 @@ object Ogg {
         require(channels >= 1, s"ogg: $channels channels")
         require(sampleRate >= 1, s"ogg: sample rate $sampleRate")
       }
-      if (pages == 1) {
+      if ((pages == 1 && nSegs > 0) || tagBuf != null) {
         // the second page opens the comment header when present —
         // OpusTags (RFC 7845 §5) or the \x03vorbis comment header; its
-        // FIRST packet ends at the first lacing value < 255
+        // FIRST packet ends at the first lacing value < 255. An
+        // all-255 lacing run means the packet continues on the next
+        // page (continuation bit 0x01): accumulate the slices and parse
+        // only once the packet closes.
+        if (pages > 1) require((bytes(off + 5) & 0x01) != 0,
+          s"ogg: comment packet left open but page at $off is not a continuation")
         var p0 = 0
         var s2 = 0
         var open = true
@@ -159,15 +182,15 @@ object Ogg {
           if (l < 255) open = false
           s2 += 1
         }
-        if (codec == "opus" && p0 >= 8 &&
-            new String(bytes, body, 8, "ISO-8859-1") == "OpusTags") {
-          val t = vorbisComments(bytes, body + 8, body + p0)
-          title = t._1; artist = t._2
-        } else if (codec == "vorbis" && p0 >= 7 &&
-            (bytes(body) & 0xff) == 3 &&
-            new String(bytes, body + 1, 6, "ISO-8859-1") == "vorbis") {
-          val t = vorbisComments(bytes, body + 7, body + p0)
-          title = t._1; artist = t._2
+        if (open) {
+          if (tagBuf == null) tagBuf = new java.io.ByteArrayOutputStream()
+          tagBuf.write(bytes, body, p0)
+        } else if (tagBuf != null) {
+          tagBuf.write(bytes, body, p0)
+          parseCommentPacket(tagBuf.toByteArray)
+          tagBuf = null
+        } else {
+          parseCommentPacket(java.util.Arrays.copyOfRange(bytes, body, body + p0))
         }
       }
       if (granule != -1L) lastGranule = granule
@@ -187,9 +210,14 @@ object Ogg {
   // --- fixture encoder ----------------------------------------------------
 
   private def page(headerType: Int, granule: Long, serial: Int, seq: Int,
-      body: Array[Byte]): Array[Byte] = {
+      body: Array[Byte], open: Boolean = false): Array[Byte] = {
     require(body.length < 255 * 255, "fixture page too large")
-    val nSegs = body.length / 255 + 1
+    // open = the page's packet does NOT end here (all-255 lacing, no
+    // terminating value — RFC 3533 §5); the next page must carry the
+    // continuation flag
+    if (open) require(body.length > 0 && body.length % 255 == 0,
+      "fixture: an open page body must be a positive multiple of 255")
+    val nSegs = if (open) body.length / 255 else body.length / 255 + 1
     val out = new Array[Byte](27 + nSegs + body.length)
     out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
     out(5) = headerType.toByte
@@ -205,7 +233,7 @@ object Ogg {
     out(26) = nSegs.toByte
     i = 0
     while (i < nSegs - 1) { out(27 + i) = 255.toByte; i += 1 }
-    out(27 + nSegs - 1) = (body.length % 255).toByte
+    out(27 + nSegs - 1) = if (open) 255.toByte else (body.length % 255).toByte
     System.arraycopy(body, 0, out, 27 + nSegs, body.length)
     val c = crc(out, 0, out.length, zeroAt = 22)
     out(22) = (c & 0xff).toByte; out(23) = ((c >> 8) & 0xff).toByte
@@ -216,7 +244,8 @@ object Ogg {
   /** A Vorbis-comment block body: vendor string + TITLE/ARTIST entries
     * (entries with empty values are omitted — real taggers skip absent
     * fields). */
-  private[kernel] def commentBlock(title: String, artist: String): Array[Byte] = {
+  private[kernel] def commentBlock(title: String, artist: String,
+      extra: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
@@ -224,8 +253,8 @@ object Ogg {
     }
     val vendor = "graft-fixture".getBytes("UTF-8")
     le(vendor.length); out.write(vendor, 0, vendor.length)
-    val entries = Seq("TITLE" -> title, "ARTIST" -> artist)
-      .filter(_._2.nonEmpty)
+    val entries = (Seq("TITLE" -> title, "ARTIST" -> artist)
+      .filter(_._2.nonEmpty) ++ extra)
       .map { case (k, v) => (k + "=" + v).getBytes("UTF-8") }
     le(entries.length)
     entries.foreach { e => le(e.length); out.write(e, 0, e.length) }
@@ -256,6 +285,36 @@ object Ogg {
         page(0x00, -1L, 1, 1, tags) ++
         page(0x04, granule, 1, 2, Array[Byte](0))
     }
+  }
+
+  /** Like [[encodeOpusHeader]] but the comment packet SPANS pages: a
+    * METADATA_BLOCK_PICTURE-style filler entry of `padBytes` pushes the
+    * OpusTags packet past one page, the first comment page ends in an
+    * all-255 lacing run (packet open), and a continuation page (header
+    * type 0x01) carries the remainder — the shape real files with
+    * embedded cover art produce (RFC 3533 §5 / RFC 7845 §5). */
+  def encodeOpusHeaderSpanningTags(channels: Int, preSkip: Int,
+      inputRate: Int, granule: Long, title: String, artist: String,
+      padBytes: Int = 600): Array[Byte] = {
+    val head = new Array[Byte](19)
+    "OpusHead".getBytes("ISO-8859-1").copyToArray(head)
+    head(8) = 1
+    head(9) = channels.toByte
+    head(10) = (preSkip & 0xff).toByte; head(11) = ((preSkip >> 8) & 0xff).toByte
+    var r = inputRate
+    var i = 0
+    while (i < 4) { head(12 + i) = (r & 0xff).toByte; r >>>= 8; i += 1 }
+    val tags = "OpusTags".getBytes("ISO-8859-1") ++
+      commentBlock(title, artist,
+        Seq("METADATA_BLOCK_PICTURE" -> ("A" * padBytes)))
+    // the cut is the largest multiple of 255 that still leaves a
+    // non-empty remainder for the continuation page
+    val cut = (tags.length - 1) / 255 * 255
+    require(cut >= 255, s"fixture: padded packet (${tags.length}) too small to span")
+    page(0x02, -1L, 1, 0, head) ++
+      page(0x00, -1L, 1, 1, tags.slice(0, cut), open = true) ++
+      page(0x01, -1L, 1, 2, tags.slice(cut, tags.length)) ++
+      page(0x04, granule, 1, 3, Array[Byte](0))
   }
 
   /** Structurally valid Ogg Vorbis header stream: id page, a

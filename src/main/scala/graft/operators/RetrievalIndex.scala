@@ -139,8 +139,14 @@ object RetrievalIndex {
         .join(broadcast(t), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       dl.write.mode("overwrite").parquet(s"$dir/doclens.parquet")
-      t.limit(0).write.mode("overwrite")
-        .parquet(s"$dir/tombstones.parquet")
+      // an explicitly EMPTY frame, not `t.limit(0)`: the latter only
+      // dodges Spark's overwrite-while-reading check because the
+      // optimizer happens to collapse LIMIT 0 to a LocalRelation —
+      // fragile across versions and inconsistent with the
+      // checkpoint-before-overwrite discipline above
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+        .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
     }
   }
 
@@ -213,12 +219,38 @@ object RetrievalIndex {
   // ---------------------------------------------------------------
 
   private val ixCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ixTmpDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    ixTmpDirs.forEach { p =>
+      import java.nio.file.{Files, Paths, Path}
+      import java.util.Comparator
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+  }
 
-  private def builtIndex(s: SparkSession, d: String): String =
-    ixCache.computeIfAbsent(d, { _ =>
+  /** Cache key = path + a fingerprint of the dataset files (name, size,
+    * mtime): a regenerated dataset at the SAME path within one JVM (or
+    * a long verify session) must rebuild, not silently serve a stale
+    * index. Temp dirs are removed by a shutdown hook. */
+  private def datasetFingerprint(d: String): String = {
+    val root = new java.io.File(d.stripPrefix("file:"), "documents.parquet")
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).sortBy(_.getName)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(d + "|", ",", "")
+  }
+
+  private[operators] def builtIndex(s: SparkSession, d: String): String =
+    ixCache.computeIfAbsent(datasetFingerprint(d), { _ =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val p = java.nio.file.Files
         .createTempDirectory("graft_retrieval_ix").toString
+      ixTmpDirs.add(p)
       build(docs.filter(col("doc_id") % 5 =!= 0), p)
       grow(docs.filter(col("doc_id") % 5 === 0), p)
       p

@@ -371,4 +371,67 @@ class MediaMetaSpec extends AnyFunSuite {
     val m = Mp3.metadata(stream)
     assert(m.title == "F" && m.artist == "G" && m.frames == 1)
   }
+
+  test("ogg: comment packet spanning pages — accumulated, not truncated") {
+    import graft.kernel.Ogg
+    // a METADATA_BLOCK_PICTURE-sized OpusTags packet continues onto a
+    // second comment page (all-255 lacing + continuation flag): tags
+    // must still read — the pre-r15 parser treated the first page's
+    // slice as the packet bound and threw on this valid stream
+    val spanning = Ogg.encodeOpusHeaderSpanningTags(1, 0, 48000, 48000L,
+      title = "Cover Art Söng", artist = "Big Band")
+    val m = Ogg.metadata(spanning)
+    assert(m.title == "Cover Art Söng" && m.artist == "Big Band" &&
+      m.pages == 4 && m.durationMs == 1000L, m)
+    // hostile: packet left open but the next page lacks the
+    // continuation flag — loud, not a mis-framed parse
+    val bad = spanning.clone()
+    def nthPage(n: Int): Int = {
+      var at = 0
+      var k = 0
+      while (k < n) {
+        at = (at + 4 until bad.length).find(i => bad(i) == 'O' &&
+          bad(i + 1) == 'g' && bad(i + 2) == 'g' && bad(i + 3) == 'S').get
+        k += 1
+      }
+      at
+    }
+    val p3 = nthPage(2) // third page (0-based after two jumps)
+    val p4 = nthPage(3)
+    bad(p3 + 5) = 0 // clear the continuation bit
+    val c = Ogg.crc(bad, p3, p4 - p3, zeroAt = 22)
+    bad(p3 + 22) = (c & 0xff).toByte
+    bad(p3 + 23) = ((c >> 8) & 0xff).toByte
+    bad(p3 + 24) = ((c >> 16) & 0xff).toByte
+    bad(p3 + 25) = ((c >> 24) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](Ogg.metadata(bad))
+    assert(e.getMessage.contains("not a continuation"), e.getMessage)
+  }
+
+  test("mp3: ID3v2 frames with format flags set decline text decode") {
+    // compression/encryption/DLI change the payload layout — decoding
+    // encoding-byte + text would be silently wrong; the walk must skip
+    // such a frame's text (and keep reading the clean sibling)
+    // v2.3: TIT2 is the first frame (header at 10, flag byte 2 at 19)
+    val v23 = Mp3.encodeId3v2("SecretT", "PlainA", major = 3, enc = 0)
+    v23(19) = 0x80.toByte // v2.3 compression
+    val m23 = Mp3.metadata(v23 ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(m23.title == "" && m23.artist == "PlainA", m23)
+    // v2.4: data-length-indicator flag (0x01) — 4 extra payload bytes
+    val v24 = Mp3.encodeId3v2("DliT", "PlainA", major = 4, enc = 3)
+    v24(19) = 0x01.toByte
+    val m24 = Mp3.metadata(v24 ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(m24.title == "" && m24.artist == "PlainA", m24)
+    // v2.3 grouping bit (0x20) is also a layout change: skipped
+    val grp = Mp3.encodeId3v2("GrpT", "PlainA", major = 3, enc = 0)
+    grp(19) = 0x20.toByte
+    val mg = Mp3.metadata(grp ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(mg.title == "" && mg.artist == "PlainA", mg)
+    // STATUS-only flags (first flag byte) don't change the layout —
+    // text still reads
+    val st = Mp3.encodeId3v2("StatT", "StatA", major = 3, enc = 0)
+    st(18) = 0x40.toByte // v2.3 file-alter-preserve (status byte)
+    val ms = Mp3.metadata(st ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(ms.title == "StatT" && ms.artist == "StatA", ms)
+  }
 }
