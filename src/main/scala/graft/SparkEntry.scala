@@ -20,7 +20,7 @@ object SparkEntry {
       operators.Training.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.Retrieval.defs ++
-      operators.RetrievalIndex.defs ++
+      operators.RetrievalIndex.defs ++ operators.DecontamIndex.defs ++
       operators.CorpusPipeline.defs ++
       operators.DedupIndex.defs ++ sources.WarcSource.defs ++
       sources.Frontier.defs

@@ -98,15 +98,24 @@ object Retrieval {
     * the corpus pays one scan and never shuffles; only matched docs
     * slice their token arrays. */
   def phraseSnippets(docs: DataFrame, phrases: DataFrame,
-      window: Int = 3): DataFrame = {
+      window: Int = 3): DataFrame =
+    snippetsFromStarts(docs, phraseStartsFrom(postings(docs), phrases), window)
+
+  /** The snippet-slice half on its own: match sites (query_id, doc_id,
+    * start, qlen) — from a live [[phraseStartsFrom]] or the stored
+    * [[RetrievalIndex]] — broadcast into ONE corpus projection. The
+    * token split sits ABOVE the join, so only matched rows pay it (the
+    * index does not store text; this one matched-doc text read is the
+    * irreducible part of snippet extraction). */
+  def snippetsFromStarts(docs: DataFrame, starts: DataFrame,
+      window: Int): DataFrame = {
     require(window >= 0, s"window $window")
-    val starts = phraseStartsFrom(postings(docs), phrases)
-    val arrs = docs.select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("arr"))
     val lo = greatest(col("start") - window, lit(0))
     val hi = least(col("start") + col("qlen") - 1 + window,
       size(col("arr")) - 1)
-    arrs.join(broadcast(starts), Seq("doc_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(starts), Seq("doc_id"))
+      .withColumn("arr", split(trim(col("text")), "\\s+"))
       .select(col("query_id"), col("doc_id"),
         // BIGINT like the oracle dialect's range()-derived positions
         col("start").cast("long").as("start"),
@@ -190,11 +199,19 @@ object Retrieval {
     * corpus scan) joined back on term — Spark picks broadcast vs
     * shuffle from its size. Top-k is a row_number window partitioned
     * by doc_id — corpus-partitioned, never global. */
-  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = postings(docs).drop("pos")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val nDocs = docs.count()
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidfFrom(
+      postings(docs).drop("pos")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      docs.count(), k)
+
+  /** The TF-IDF ranking core over pre-aggregated (doc_id, term, tf)
+    * rows — the seam [[RetrievalIndex.keywordsFrom]] plugs the stored
+    * postings into (tf is a stored column there; no corpus text is
+    * touched at all). `nDocs` must count the SAME document set the tf
+    * rows cover, or idf drifts. */
+  def tfidfFrom(tf: DataFrame, nDocs: Long, k: Int): DataFrame = {
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf_q",
         floor(lit(1048576.0) *

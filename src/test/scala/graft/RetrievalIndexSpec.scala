@@ -230,4 +230,51 @@ class RetrievalIndexSpec extends SparkSuite {
       assert(stored == live && stored.nonEmpty, s"case $c")
     }
   }
+
+  test("index-served snippets equal the live path; hand-computed anchor") {
+    val dir = tmp()
+    RetrievalIndex.build(docs(corpusA: _*), dir, nBuckets = 4)
+    RetrievalIndex.grow(docs(corpusB: _*), dir)
+    val all = docs((corpusA ++ corpusB): _*)
+    val phrases = Seq((10L, "a b c"), (11L, "y z")).toDF("query_id", "phrase")
+    val ix = RetrievalIndex.load(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val stored = rows(RetrievalIndex.snippets(ix, all, phrases, window = 1))
+    val live = rows(Retrieval.phraseSnippets(all, phrases, window = 1))
+    assert(stored == live && stored.nonEmpty)
+    // hand-computed (worked on paper, not shared-formula): doc 1 =
+    // "a b c a b c"; "a b c" matches at 0 (snippet clamps left, one
+    // token of right context: "a b c a") and at 3 (clamps right:
+    // "c a b c"); doc 5 = "a b c q" start 0 → "a b c q"
+    assert(stored((10L, 1L, 0L, "a b c a")))
+    assert(stored((10L, 1L, 3L, "c a b c")))
+    assert(stored((10L, 5L, 0L, "a b c q")))
+    // "y z" in doc 7 = "x y z a b": start 1, window 1 → "x y z a"
+    assert(stored((11L, 7L, 1L, "x y z a")))
+  }
+
+  test("index-served keywords equal the live path; forget re-ranks") {
+    val dir = tmp()
+    RetrievalIndex.build(docs(corpusA: _*), dir, nBuckets = 4)
+    RetrievalIndex.grow(docs(corpusB: _*), dir)
+    val all = docs((corpusA ++ corpusB): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val ix = RetrievalIndex.load(spark, dir)
+    assert(rows(RetrievalIndex.keywordsFrom(ix, k = 2)) ==
+      rows(Retrieval.tfidfKeywords(all, k = 2)))
+    // forget doc 6 ("a a a"): keywords must equal a from-scratch run
+    // over the SURVIVORS — tf rows gone, df("a") and N both shifted
+    RetrievalIndex.forget(Seq(6L).toDF("doc_id"), dir)
+    val masked = RetrievalIndex.load(spark, dir)
+    val after = rows(RetrievalIndex.keywordsFrom(masked, k = 2))
+    assert(after == rows(Retrieval.tfidfKeywords(
+      all.filter(col("doc_id") =!= 6L), k = 2)))
+    assert(!after.exists(_._1 == 6L))
+  }
 }
