@@ -21,7 +21,7 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.Retrieval.defs ++
       operators.RetrievalIndex.defs ++ operators.DecontamIndex.defs ++
-      operators.CorpusPipeline.defs ++
+      operators.CorpusPipeline.defs ++ operators.CrawlLoop.defs ++
       operators.DedupIndex.defs ++ sources.WarcSource.defs ++
       sources.Frontier.defs
 
@@ -58,6 +58,7 @@ object SparkEntry {
   private val rowsOnlyGates: Map[String, Seq[String]] = Map(
     "c01_corpus_curate" -> Seq("spec:CorpusPipelineSpec"),
     "c02_crawl_curate" -> Seq("spec:CorpusPipelineSpec", "spec:WarcSpec"),
+    "c08_crawl_loop" -> Seq("spec:CrawlLoopSpec"),
     "d03_minhash_lsh" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec", "spec:ScaleSpec"),
     "d04_simhash_pairs" -> Seq("golden:GoldenDedupSpec", "spec:ScaleSpec"),
     "d05_winnow_overlap" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),

@@ -200,7 +200,13 @@ object CorpusPipeline {
     * keyed aggregation; raw archive bytes never cross an exchange
     * (the w01/w02 scan shape). */
   def crawlCurate(segments: DataFrame, evalRef: Option[DataFrame] = None,
-      opts: Opts = Opts()): (DataFrame, DataFrame) = {
+      opts: Opts = Opts(),
+      /** Admission filter from a CDX screen ([[graft.sources.WarcSource
+        * .cdxAdmit]]): when set, only pages whose canonical urlkey is in
+        * this (batch-bounded, broadcast) frame proceed to curation —
+        * the continuous-crawl loop's seam, so url_dup/content_dup
+        * captures never pay extraction or dedup. */
+      admitKeys: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = segments.sparkSession
     import spark.implicits._
     val pre = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
@@ -219,7 +225,13 @@ object CorpusPipeline {
       graft.sources.WarcSource.htmlResponses(records))
     val ok = mark("http_ok",
       pages.filter(col("http_status") >= 200 && col("http_status") < 300))
-    val canon = ok.withColumn("urlkey", Curate.canonicalUrl(col("url")))
+    val canon0 = ok.withColumn("urlkey", Curate.canonicalUrl(col("url")))
+    val canon = admitKeys match {
+      case Some(keys) => mark("admitted", canon0.join(
+        broadcast(keys.select(col("urlkey")).distinct()),
+        Seq("urlkey"), "left_semi"))
+      case None => canon0
+    }
     val urlDedup = mark("url_dedup", canon
       .groupBy(col("urlkey"))
       // (url, warc_date) survivor key: total under re-crawls of one URL

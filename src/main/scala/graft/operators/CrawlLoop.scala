@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.sources.{Frontier, WarcSource}
+
+/** c08 — the composed continuous-crawl loop, the engine's end-to-end
+  * story in one gated pipeline (the full generalization of the
+  * reference's ingest loop, cloud-optimized-data-pipelines
+  * OPERATING.md-style discover→fetch→transform→publish, re-expressed
+  * as a crawl that FEEDS ITS OWN indexes):
+  *
+  *   frontier budgets (c07's PageRank × politeness machinery) select
+  *   the fetch set → fetched pages archive REVISIT-aware against the
+  *   stored capture digests (w12) → the CDX admission screen grows the
+  *   capture index and gates curation (w08/cdxAdmit) → crawlCurate
+  *   (c02) runs ONLY on admitted novel captures → survivors of the
+  *   incremental corpus dedup (d11) grow ALL THREE stored index
+  *   families — DedupIndex, RetrievalIndex, DecontamIndex — plus the
+  *   published corpus itself, so batch k+1 is screened against
+  *   everything batch k admitted.
+  *
+  * Scale posture: every stage is one of the already-audited shapes —
+  * the frontier leg broadcasts a hosts-sized budget frame; archive
+  * segments are built per url-hash group and their bytes never cross
+  * another exchange; admission probes project the stored index to
+  * DISTINCT keys; curation is the c02 chain; index grows append
+  * id/hash/posting-shaped rows. The loop adds NO corpus-shaped
+  * exchange of its own — only the per-batch fixed scheduling cost of
+  * composing them, which amortizes with batch size at 100 TB.
+  *
+  * Lineage discipline (the index-append-invalidation lesson): the
+  * fetch batch, the archive segments, and the dedup survivors are each
+  * frozen with an eager localCheckpoint BEFORE any append to a path
+  * their plans read — cdxAdmit and the three grows mutate exactly the
+  * tables the next stage's inputs derive from.
+  */
+object CrawlLoop {
+
+  /** On-disk homes of the loop's five stored artifacts. */
+  final case class State(root: String) {
+    def cdxDir: String = s"$root/cdx.parquet"
+    def corpusDir: String = s"$root/corpus.parquet"
+    def dedupDir: String = s"$root/dedup_ix"
+    def retrievalDir: String = s"$root/retrieval_ix"
+    def decontamDir: String = s"$root/decontam_ix"
+  }
+
+  def freshState(): State = State(
+    java.nio.file.Files.createTempDirectory("graft_crawl_loop").toString)
+
+  private def exists(p: String): Boolean =
+    new java.io.File(p.stripPrefix("file:")).exists()
+
+  /** Per-host fetch budgets from the PREVIOUS batch's link graph —
+    * c07's allocation: PageRank masses (Q fixed-point, engine-exact)
+    * scaled to budget = 1 + ⌊mass·scale/10^12⌋. Hosts absent from the
+    * graph (unlinked — the crawler-trap signature) fall to the
+    * caller's default. Empty graph → empty budget frame. */
+  def budgets(prevPages: DataFrame, scale: Long = 19L,
+      iters: Int = 2): DataFrame = {
+    val spark = prevPages.sparkSession
+    import spark.implicits._
+    val edges = Frontier.hostGraph(Frontier.extractLinks(prevPages))
+      .filter(col("src_host") =!= col("dst_host"))
+      .select(col("src_host").as("src"), col("dst_host").as("dst"))
+    if (edges.isEmpty) Seq.empty[(String, Long)].toDF("host", "budget")
+    else Frontier.pageRankQ(edges, iters)
+      .select(col("node").as("host"),
+        (lit(1L) + expr(s"(mass * $scale) div 1000000000000")).as("budget"))
+  }
+
+  /** Budgeted politeness selection over a candidate frontier: per-host
+    * delay slots ([[Frontier.schedule]]), keep the first `budget` slots
+    * per host (hosts without a budget row get `defaultBudget` — the
+    * squeeze that starves unlinked trap hosts). Returns the selected
+    * (url, host, slot). */
+  def frontierSelect(candidates: DataFrame, budget: DataFrame,
+      defaultBudget: Long = 1L, delaySec: Double = 1.0): DataFrame = {
+    val verdicts = candidates.select(col("url"),
+      Frontier.hostOf(col("url")).as("host"),
+      lit(true).as("allowed"), lit(delaySec).as("crawl_delay"))
+    Frontier.schedule(verdicts)
+      .join(broadcast(budget), Seq("host"), "left")
+      .filter(col("slot") < coalesce(col("budget"), lit(defaultBudget)))
+      .select(col("url"), col("host"), col("slot"))
+  }
+
+  /** One batch step of the loop: fetched pages (url, warc_date, body)
+    * → revisit-aware archive → CDX admission → curation of novel
+    * captures → corpus dedup → grow the three indexes + the corpus.
+    * Returns the per-stage report (stage_idx, stage, rows). */
+  def step(fetches: DataFrame, st: State,
+      opts: CorpusPipeline.Opts = CorpusPipeline.Opts(),
+      evalRef: Option[DataFrame] = None,
+      /** Term/gram bucket count for the loop-owned retrieval and
+        * decontamination indexes — the probe-pruning fan-out. Size it
+        * to the CORPUS the loop will accumulate (64 serves 100 TB-scale
+        * listing pruning; test-scale loops use 8 so each grow writes a
+        * handful of files instead of hundreds). */
+      ixBuckets: Int = 64): DataFrame = {
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    val report = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+    // per-stage wall seconds ride the report (the c02 discipline): a
+    // wobbling stage must be NAMEABLE without a side probe
+    var tPrev = System.nanoTime()
+    def stamp(): Double = {
+      val t = System.nanoTime(); val s = (t - tPrev) / 1e9; tPrev = t; s
+    }
+
+    // freeze the batch: its plan may read paths this step appends to
+    val batch = fetches.select(col("url"), col("warc_date"), col("body"))
+      .localCheckpoint(true)
+    report += (("fetched", batch.count(), stamp()))
+
+    // 1. revisit-aware archiving against the STORED capture digests:
+    // a re-fetched identical payload archives as an ISO 28500 revisit
+    // record, novel payloads as full responses. Frozen before cdxAdmit
+    // appends to the very index the `stored` side reads.
+    val stored =
+      if (exists(st.cdxDir))
+        spark.read.parquet(st.cdxDir).select(col("url"), col("digest"))
+      else Seq.empty[(String, String)].toDF("url", "digest")
+    val segments = WarcSource.archiveWithRevisits(batch, stored)
+      .localCheckpoint(true)
+    report += (("segments", segments.count(), stamp()))
+
+    // 2. CDX admission: screen vs the stored capture index, append the
+    // novel captures (single-writer contract), return verdicts
+    val verdicts = WarcSource.cdxAdmit(segments, st.cdxDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one aggregation pass for all three verdict counts
+    val vCounts = verdicts.groupBy(col("verdict")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (kind <- Seq("novel", "url_dup", "content_dup"))
+      report += (("cdx_" + kind, vCounts.getOrElse(kind, 0L), stamp()))
+    val novelKeys = verdicts.filter(col("verdict") === "novel")
+      .select(col("urlkey")).distinct()
+
+    // 3. curate ONLY the admitted novel captures (dup captures never
+    // pay extraction or dedup); revisit records carry no payload and
+    // never reach the page table at all
+    val (fin, cReport) = CorpusPipeline.crawlCurate(
+      segments, evalRef, opts, admitKeys = Some(novelKeys))
+    report ++= cReport.orderBy(col("stage_idx")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    tPrev = System.nanoTime()
+
+    // 4. incremental dedup against the published corpus, then grow all
+    // three index families + the corpus with the survivors
+    val first = !exists(s"${st.dedupDir}/meta.parquet")
+    // freeze the curated batch as a lineage-free leaf: fin's plan
+    // CONTAINS the whole curate DAG, and dedupAgainst + the three grows
+    // below fire many actions over it — Catalyst would re-analyze the
+    // full tree per action (the c01 driver-planning lesson)
+    val curated = fin.select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val (survivors, keptN) =
+      if (first) {
+        val sv = curated
+        val n = sv.count()
+        require(n > 0, "crawl loop: seed batch left no survivors")
+        report += (("corpus_kept", n, stamp()))
+        report += (("corpus_exact_dup", 0L, stamp()))
+        report += (("corpus_near_dup", 0L, stamp()))
+        (sv, n)
+      } else {
+        val corpusText = spark.read.parquet(st.corpusDir)
+          .select(col("doc_id"), col("text"))
+        val v = DedupIndex.dedupAgainst(curated, corpusText,
+            DedupIndex.load(spark, st.dedupDir), opts.nearDupTau)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val kept = v.filter(col("status") === "kept").select(col("doc_id"))
+        // freeze BEFORE the grows/appends below mutate the dedup index
+        // and corpus files this plan reads
+        val sv = curated.join(broadcast(kept), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val n = sv.count()
+        val sCounts = v.groupBy(col("status")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        report += (("corpus_kept", n, stamp()))
+        report += (("corpus_exact_dup",
+          sCounts.filter(_._1.startsWith("exact")).values.sum, stamp()))
+        report += (("corpus_near_dup",
+          sCounts.filter(_._1.startsWith("near")).values.sum, stamp()))
+        v.unpersist(blocking = false)
+        (sv, n)
+      }
+    // batch-shaped writes: without this every grow/append emits one
+    // file per shuffle partition per bucket dir (measured: hundreds of
+    // KB-sized files and a compaction rewrite per batch); ~100k rows
+    // per written partition keeps the three grows and the corpus append
+    // proportional to the BATCH, at any batch size
+    val sized = survivors.coalesce(((keptN - 1) / 100000L + 1L).toInt)
+    // the four maintenance writes are independent (distinct dirs, one
+    // frozen input leaf) — submit them as CONCURRENT Spark jobs; the
+    // scheduler interleaves their small stages instead of paying four
+    // sequential job latencies per batch
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes =
+        if (first) Seq(
+          Future(DedupIndex.build(sized, st.dedupDir)),
+          Future(RetrievalIndex.build(sized, st.retrievalDir,
+            nBuckets = ixBuckets)),
+          Future(DecontamIndex.build(sized, st.decontamDir,
+            nBuckets = ixBuckets)),
+          Future(sized.write.mode("append").parquet(st.corpusDir)))
+        else Seq(
+          Future(DedupIndex.grow(sized, st.dedupDir)),
+          Future(RetrievalIndex.grow(sized, st.retrievalDir)),
+          Future(DecontamIndex.grow(sized, st.decontamDir)),
+          Future(sized.write.mode("append").parquet(st.corpusDir)))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
+    report += (("corpus_total",
+      spark.read.parquet(st.corpusDir).count(), stamp()))
+    verdicts.unpersist(blocking = false)
+
+    report.toSeq.zipWithIndex
+      .map { case ((stage, n, secs), i) => (i, stage, n, secs) }
+      .toDF("stage_idx", "stage", "rows", "secs")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Two batches of a continuous crawl over the documents table:
+    // 5 cross-linked hosts (the c07 shape) plus an unlinked trap host.
+    // Batch 0 seeds; batch 1 is budget-selected by the seed batch's
+    // link graph (the trap host starves at the default budget).
+    // Planted cross-batch events ride the loop: identical re-fetches
+    // (revisit records + cdx url_dup), mirrors of earlier bodies on a
+    // new URL (content_dup), whitespace-variant re-posts (novel digest
+    // but exact_corpus at dedup), and near-dup edits (near_corpus via
+    // the grown DedupIndex). Not SQL-expressible (LSH + stored-index
+    // lifecycle); CrawlLoopSpec gates every stage count exactly on a
+    // witness crawl and pins batch parity with the streamed form.
+    ("c08_crawl_loop", (s: SparkSession, d: String) => {
+      import s.implicits._
+      // absolute doc cap (the d02 exact-baseline pattern): the loop's
+      // cost is per-batch FIXED scheduling (19 composed stages + three
+      // index grows), which amortizes with batch size at 100 TB but
+      // would dominate a local bench at any sf — the fixture verifies
+      // loop SEMANTICS, the plan shapes carry the scale argument
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 2000)
+      def urlOf(id: Column): Column = concat(lit("https://h"),
+        pmod(id, lit(5)), lit(".example.com/doc/"), id)
+      def htmlOf(id: Column, text: Column): Column = concat(
+        lit("<html><body><h1>Doc "), id, lit("</h1><p>"), text,
+        lit("</p><p><a href=\"https://h"), pmod(id + 1, lit(5)),
+        lit(".example.com/x\">a</a> <a href=\"https://h"),
+        pmod(id * 3 + 1, lit(5)),
+        lit(".example.com/y\">b</a></p></body></html>"))
+      val st = freshState()
+      var prevPages: DataFrame = null
+      val reports = (0 until 2).map { k =>
+        val none = docs.limit(0).select(lit("").as("url"), lit("").as("html"))
+        val base = docs.filter(col("doc_id") % 3 === k)
+          .select(urlOf(col("doc_id")).as("url"),
+            htmlOf(col("doc_id"), col("text")).as("html"))
+        val prev = docs.filter(col("doc_id") % 3 === (k + 2) % 3)
+        // identical re-fetch of the previous batch → revisit + url_dup
+        val refetch = if (k == 0) none else prev
+          .filter(col("doc_id") % 17 === 0)
+          .select(urlOf(col("doc_id")).as("url"),
+            htmlOf(col("doc_id"), col("text")).as("html"))
+        // same body on a NEW url → content_dup (archived as revisit)
+        val mirror = if (k != 1) none else prev
+          .filter(col("doc_id") % 23 === 0)
+          .select(concat(lit("https://h1.example.com/mirror/"),
+              col("doc_id")).as("url"),
+            htmlOf(col("doc_id"), col("text")).as("html"))
+        // whitespace-variant re-post: novel digest, exact_corpus text
+        val copy = if (k != 1) none else docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 31 === 0)
+          .select(concat(lit("https://h2.example.com/copy/"),
+              col("doc_id")).as("url"),
+            htmlOf(col("doc_id"), concat(col("text"), lit("  "))).as("html"))
+        // edited tail on a new url: novel digest, near_corpus text
+        val nearEdit = if (k != 1) none else docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 19 === 0)
+          .select(concat(lit("https://h0.example.com/v2/"),
+              col("doc_id")).as("url"),
+            htmlOf(col("doc_id"),
+              concat(col("text"), lit(" freshly edited tail"))).as("html"))
+        // an unlinked generator host: no inbound links → default budget
+        val trap = if (k == 0) none else s.range(30)
+          .select(concat(lit("https://trap.example.net/gen/"), col("id"),
+              lit(s"-b$k")).as("url"),
+            lit("<html><body><p>generated trap page stub</p></body></html>")
+              .as("html"))
+        val candidates = base.unionByName(refetch).unionByName(mirror)
+          .unionByName(copy).unionByName(nearEdit).unionByName(trap)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nCand = candidates.count()
+        val fetchSet =
+          if (k == 0) candidates
+          else {
+            // budget scale ≈ 6× the candidate count: linked hosts get
+            // generous budgets, the unlinked trap host starves at 1
+            val b = budgets(prevPages, scale = 6L * nCand, iters = 2)
+            frontierSelect(candidates.select(col("url")), b)
+              .select(col("url"))
+              .join(candidates, Seq("url"))
+          }
+        val fetches = fetchSet
+          .withColumn("warc_date", lit(s"2025-01-0${k + 1}T00:00:00Z"))
+          .withColumn("body", col("html").cast("binary"))
+          .select(col("url"), col("warc_date"), col("body"))
+        prevPages = base
+        val rep = step(fetches, st,
+            CorpusPipeline.Opts(lineGate = false), ixBuckets = 8)
+          .withColumn("batch_id", lit(k))
+        val pre = Seq((0, "frontier_candidates", nCand, 0.0),
+            (1, "frontier_selected", fetches.count(), 0.0))
+          .toDF("stage_idx", "stage", "rows", "secs")
+          .withColumn("batch_id", lit(k))
+        val out = pre.unionByName(
+          rep.withColumn("stage_idx", col("stage_idx") + 2))
+        candidates.unpersist(blocking = false)
+        out
+      }
+      reports.reduce(_.unionByName(_))
+        .select(col("batch_id"), col("stage_idx"), col("stage"),
+          col("rows"), col("secs"))
+        .orderBy(col("batch_id"), col("stage_idx"))
+    }, None)
+  )
+}

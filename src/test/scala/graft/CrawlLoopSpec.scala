@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CrawlLoop, CorpusPipeline, DecontamIndex, RetrievalIndex}
+
+/** The composed continuous-crawl loop (c08): exact stage counts over a
+  * hand-built three-batch crawl, cross-batch catches (a re-fetch of a
+  * batch-2 admission flagged url_dup by the GROWN capture index, a
+  * near-edit of a batch-2 doc flagged near_corpus by the GROWN dedup
+  * index), all three stored index families visibly growing between
+  * batches (retrieval probe + decontamination screen), budget-starved
+  * trap hosts, and batch parity with the streamed (foreachBatch) form.
+  */
+class CrawlLoopSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def doc(seed: String, changes: Map[Int, String] = Map.empty): String =
+    (0 until 40).map(i => changes.getOrElse(i, s"$seed$i")).mkString(" ")
+
+  private def html(text: String, linkHost: Int): String =
+    s"""<html><body><p>$text</p><a href="https://h$linkHost.example.com/x">go</a></body></html>"""
+
+  private val tA = doc("a"); private val tB = doc("b")
+  private val tC = doc("c"); private val tD = doc("d")
+  private val tG = doc("g")
+
+  // batch 1 (seed): two cross-linked hosts
+  private val pageA = ("https://h0.example.com/doc/a", html(tA, 1))
+  private val pageB = ("https://h1.example.com/doc/b", html(tB, 0))
+  private val pageC = ("https://h0.example.com/doc/c", html(tC, 1))
+
+  // batch 2: refetch A (revisit + url_dup), mirror of B's exact bytes on
+  // a new url (content_dup), novel D, near-edit of A (near_corpus),
+  // whitespace-variant copy of C (novel digest, exact_corpus text)
+  private val pageD = ("https://h1.example.com/doc/d", html(tD, 0))
+  private val mirrorB = ("https://h0.example.com/mirror/b", html(tB, 0))
+  private val editA = ("https://h0.example.com/v2/a",
+    html(doc("a", Map(5 -> "y5", 17 -> "y17", 30 -> "y30")), 1))
+  private val copyC = ("https://h1.example.com/copy/c", html(tC + "  ", 0))
+
+  // batch 3: refetch D (url_dup via the GROWN cdx), near-edit of D
+  // (near_corpus via the GROWN dedup index), fresh G, 3 trap urls on an
+  // unbudgeted host (default budget 1 → one fetched, stub text gated)
+  private val editD = ("https://h1.example.com/v2/d",
+    html(doc("d", Map(2 -> "z2", 11 -> "z11", 33 -> "z33")), 0))
+  private val pageG = ("https://h0.example.com/doc/g", html(tG, 1))
+  private def trapUrl(i: Int) = s"https://trap.example.net/gen/$i"
+  private val trapHtml = "<html><body><p>generated trap page stub</p></body></html>"
+
+  private def fetchesOf(rows: Seq[(String, String)], date: String) =
+    rows.toDF("url", "html")
+      .withColumn("warc_date", lit(date))
+      .withColumn("body", col("html").cast("binary"))
+      .select(col("url"), col("warc_date"), col("body"))
+
+  private def expectedSegs(urls: Seq[String]): Long =
+    urls.map(u => math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(u), 16)).distinct.size.toLong
+
+  private val opts = CorpusPipeline.Opts(lineGate = false)
+
+  private def counts(report: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    report.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  private val batch1 = Seq(pageA, pageB, pageC)
+  private val batch2 = Seq(pageD, mirrorB, editA, copyC,
+    (pageA._1, pageA._2)) // identical refetch of A
+  private val batch3sel = Seq(pageG, editD, (pageD._1, pageD._2),
+    (trapUrl(0), trapHtml)) // post-frontier selection
+
+  private def runBatches(st: CrawlLoop.State): Seq[Map[String, Long]] = Seq(
+    counts(CrawlLoop.step(fetchesOf(batch1, "2025-01-01T00:00:00Z"), st, opts, ixBuckets = 8)),
+    counts(CrawlLoop.step(fetchesOf(batch2, "2025-01-02T00:00:00Z"), st, opts, ixBuckets = 8)),
+    counts(CrawlLoop.step(fetchesOf(batch3sel, "2025-01-03T00:00:00Z"), st, opts, ixBuckets = 8)))
+
+  test("three-batch loop: exact stage counts and cross-batch catches") {
+    val st = CrawlLoop.freshState()
+
+    val r1 = counts(CrawlLoop.step(
+      fetchesOf(batch1, "2025-01-01T00:00:00Z"), st, opts, ixBuckets = 8))
+    assert(r1 == Map(
+      "fetched" -> 3L, "segments" -> expectedSegs(batch1.map(_._1)),
+      "cdx_novel" -> 3L, "cdx_url_dup" -> 0L, "cdx_content_dup" -> 0L,
+      "records" -> 3L, "html_pages" -> 3L, "http_ok" -> 3L,
+      "admitted" -> 3L, "url_dedup" -> 3L,
+      "extract" -> 3L, "gate_scrub" -> 3L, "exact_dedup" -> 3L,
+      "near_dedup" -> 3L, "substring_dedup" -> 3L,
+      "corpus_kept" -> 3L, "corpus_exact_dup" -> 0L,
+      "corpus_near_dup" -> 0L, "corpus_total" -> 3L), r1)
+
+    // the retrieval index grew with batch 1; D's vocabulary is absent
+    val ixBefore = RetrievalIndex.load(spark, st.retrievalDir)
+    assert(RetrievalIndex.probe(ixBefore, Seq("a0").toDF("term"))
+      .collect().nonEmpty)
+    assert(RetrievalIndex.probe(ixBefore, Seq("d0").toDF("term"))
+      .collect().isEmpty)
+    // the decontamination census: an eval 8-gram from A flags, D not yet
+    val evalA = Seq(100L -> tA.split(" ").take(8).mkString(" "))
+      .toDF("doc_id", "text")
+    val evalD = Seq(101L -> tD.split(" ").take(8).mkString(" "))
+      .toDF("doc_id", "text")
+    val dcBefore = DecontamIndex.load(spark, st.decontamDir)
+    assert(DecontamIndex.screen(dcBefore, evalA)
+      .head().getAs[Long]("n_hit") == 1L)
+    assert(DecontamIndex.screen(dcBefore, evalD)
+      .head().getAs[Long]("n_hit") == 0L)
+
+    // budget leg: the symmetric 2-host graph splits the mass exactly —
+    // 5e11 each, budget = 1 + floor(5e11·8/1e12) = 5 per host
+    val pages1 = batch1.map(p => (p._1, p._2)).toDF("url", "html")
+    val b = CrawlLoop.budgets(pages1, scale = 8L, iters = 2)
+    assert(b.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("h0.example.com" -> 5L, "h1.example.com" -> 5L))
+    // batch 2: 3 candidates on h0, 2 on h1 — all within budget
+    val cand2 = batch2.map(_._1).toDF("url")
+    assert(CrawlLoop.frontierSelect(cand2, b).count() == 5L)
+
+    val r2 = counts(CrawlLoop.step(
+      fetchesOf(batch2, "2025-01-02T00:00:00Z"), st, opts, ixBuckets = 8))
+    assert(r2 == Map(
+      "fetched" -> 5L, "segments" -> expectedSegs(batch2.map(_._1)),
+      // D + editA + copyC novel; refetch-A url_dup; mirror-B content_dup
+      "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 1L,
+      // 3 full responses + 2 revisit records; revisits carry no page
+      "records" -> 5L, "html_pages" -> 3L, "http_ok" -> 3L,
+      "admitted" -> 3L, "url_dedup" -> 3L,
+      "extract" -> 3L, "gate_scrub" -> 3L, "exact_dedup" -> 3L,
+      "near_dedup" -> 3L, "substring_dedup" -> 3L,
+      // D kept; copyC exact_corpus (whitespace normalizes away);
+      // editA near_corpus (3 of 40 words edited, J≈0.62 ≥ τ)
+      "corpus_kept" -> 1L, "corpus_exact_dup" -> 1L,
+      "corpus_near_dup" -> 1L, "corpus_total" -> 4L), r2)
+
+    // all three indexes visibly grew with D between batches
+    val ixAfter = RetrievalIndex.load(spark, st.retrievalDir)
+    assert(RetrievalIndex.probe(ixAfter, Seq("d0").toDF("term"))
+      .collect().nonEmpty)
+    assert(DecontamIndex.screen(DecontamIndex.load(spark, st.decontamDir),
+      evalD).head().getAs[Long]("n_hit") == 1L)
+
+    // batch 3 frontier: linked hosts budget 5, trap host defaults to 1
+    val manualBudget = Seq(("h0.example.com", 5L), ("h1.example.com", 5L))
+      .toDF("host", "budget")
+    val cand3 = (Seq(pageG._1, editD._1, pageD._1) ++
+      (0 until 3).map(trapUrl)).toDF("url")
+    val sel3 = CrawlLoop.frontierSelect(cand3, manualBudget)
+      .collect().map(_.getString(0)).toSet
+    assert(sel3 == Set(pageG._1, editD._1, pageD._1, trapUrl(0)), sel3)
+
+    val r3 = counts(CrawlLoop.step(
+      fetchesOf(batch3sel, "2025-01-03T00:00:00Z"), st, opts, ixBuckets = 8))
+    assert(r3 == Map(
+      "fetched" -> 4L, "segments" -> expectedSegs(batch3sel.map(_._1)),
+      // refetch-D caught by the GROWN capture index across the batch
+      // boundary; editD + G + the trap page are novel digests
+      "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 0L,
+      "records" -> 4L, "html_pages" -> 3L, "http_ok" -> 3L,
+      "admitted" -> 3L, "url_dedup" -> 3L, "extract" -> 3L,
+      // the trap stub (4 words) dies at the word floor
+      "gate_scrub" -> 2L, "exact_dedup" -> 2L, "near_dedup" -> 2L,
+      "substring_dedup" -> 2L,
+      // editD near_corpus via the dedup index GROWN with batch 2's D
+      "corpus_kept" -> 1L, "corpus_exact_dup" -> 0L,
+      "corpus_near_dup" -> 1L, "corpus_total" -> 5L), r3)
+
+    // the capture index holds exactly the admitted novel captures
+    assert(spark.read.parquet(st.cdxDir).count() == 9L)
+  }
+
+  test("streamed loop: foreachBatch parity with the batch form") {
+    val batchReports = runBatches(CrawlLoop.freshState())
+
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft_loop_stream").toFile
+    def stage(rows: Seq[(String, String)], date: String, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_loop_stage").toFile
+      fetchesOf(rows, date).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // file source orders by mtime
+    }
+    stage(batch1, "2025-01-01T00:00:00Z", "b1.parquet", 1000000L)
+    stage(batch2, "2025-01-02T00:00:00Z", "b2.parquet", 2000000L)
+    stage(batch3sel, "2025-01-03T00:00:00Z", "b3.parquet", 3000000L)
+
+    val st = CrawlLoop.freshState()
+    val streamed = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    val stream = spark.readStream
+      .schema(fetchesOf(batch1, "x").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed += counts(CrawlLoop.step(df, st, opts, ixBuckets = 8))
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(streamed.toSeq == batchReports)
+  }
+}
