@@ -1563,6 +1563,95 @@ object Multimodal {
         .orderBy(col("doc_id"), col("seg_idx"))
     }, None),
 
+    // Digest twin of m27 (the metadata-twin oracle pattern): m27's WAV
+    // payload column is inherently un-oracle-able, but re-DECODING every
+    // emitted clip and reducing it to exact-integer digests puts the
+    // whole chain under DuckDB — activity schedule, clip span slicing,
+    // AND the encode→decode payload round trip (pcm_wsum is
+    // position-weighted, so a shifted or reordered clip breaks the
+    // hash, not just a corrupted one).
+    ("m35_clip_digest", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (192 + id % 64).toInt
+            val samples = Array.tabulate(n) { i =>
+              if ((i / 32 + id) % 3 != 0)
+                (((i * 37L + id * 11L) % 4001L) - 2000L).toInt
+              else ((i * 7L) % 21L - 10L).toInt
+            }
+            (id, "audio",
+              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioClips(wav, frameLen = 16, num = 100, den = 1)
+        .select(col("doc_id"), col("seg_idx"), col("start_sample"),
+          col("n_samples"), col("wav"))
+        .as[(Long, Int, Int, Int, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, seg, start, nSamp, bytes) =>
+            val a = graft.kernel.Wav.decode(bytes)
+            require(a.sampleRate == 8000 && a.channels == 1 &&
+              a.samples.length == nSamp,
+              s"doc $id clip $seg: decoded shape disagrees with the schedule")
+            var sum = 0L; var wsum = 0L; var j = 0
+            while (j < a.samples.length) {
+              sum += a.samples(j)
+              wsum += (j + 1L) * a.samples(j)
+              j += 1
+            }
+            (id, seg, start, nSamp, sum, wsum)
+          }
+        }
+        .toDF("doc_id", "seg_idx", "start_sample", "n_samples",
+          "pcm_sum", "pcm_wsum")
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(192 + doc_id % 64 AS INTEGER) AS n FROM documents),
+      pos AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+      sm AS (
+        SELECT doc_id, n, i,
+          CASE WHEN ((i // 32) + doc_id) % 3 <> 0
+            THEN (i * 37 + doc_id * 11) % 4001 - 2000
+            ELSE (i * 7) % 21 - 10 END AS s
+        FROM pos),
+      fr AS (
+        SELECT doc_id, CAST(i // 16 AS INTEGER) AS f,
+          sum(abs(s)) AS e, count(*) AS c
+        FROM sm GROUP BY doc_id, i // 16),
+      act AS (
+        SELECT doc_id, f,
+          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM fr WHERE e >= 100 * c),
+      seg AS (
+        SELECT doc_id, min(f) AS sf, max(f) AS ef
+        FROM act GROUP BY doc_id, grp),
+      clips AS (
+        SELECT s2.doc_id,
+          CAST(row_number() OVER (PARTITION BY s2.doc_id ORDER BY s2.sf) - 1
+            AS INTEGER) AS seg_idx,
+          s2.sf * 16 AS start_sample,
+          least((s2.ef + 1) * 16, d2.n) - s2.sf * 16 AS n_samples
+        FROM seg s2 JOIN dims d2 ON s2.doc_id = d2.doc_id),
+      dg AS (
+        SELECT c2.doc_id, c2.seg_idx, c2.start_sample, c2.n_samples,
+          sum(sm.s) AS pcm_sum,
+          sum((sm.i - c2.start_sample + 1) * sm.s) AS pcm_wsum
+        FROM clips c2 JOIN sm ON sm.doc_id = c2.doc_id
+          AND sm.i >= c2.start_sample
+          AND sm.i < c2.start_sample + c2.n_samples
+        GROUP BY c2.doc_id, c2.seg_idx, c2.start_sample, c2.n_samples)
+      SELECT doc_id, seg_idx,
+        CAST(start_sample AS INTEGER) AS start_sample,
+        CAST(n_samples AS INTEGER) AS n_samples,
+        CAST(pcm_sum AS BIGINT) AS pcm_sum,
+        CAST(pcm_wsum AS BIGINT) AS pcm_wsum
+      FROM dg ORDER BY doc_id, seg_idx""")),
+
     // Audio fingerprint through the real WAV parser, oracle-gated like
     // m08: 65 uniform segments of the synthetic waveform, integer
     // energies, delta bits recomputed by DuckDB via a LEAD window over
@@ -2046,6 +2135,90 @@ object Multimodal {
           length(col("png")).as("png_len"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }, None),
+
+    // Digest twin of m26 (the metadata-twin oracle pattern): the
+    // keyframe PNG payloads stay binary, but re-DECODING every emitted
+    // keyframe and reducing the luma plane to exact-integer digests
+    // puts the whole chain under DuckDB — the SAD cut schedule, the
+    // keyframe selection, AND the PNG encode→decode round trip
+    // (luma_wsum is position-weighted, so a transposed or shifted
+    // plane breaks the hash, not just a corrupted one).
+    ("m34_keyframe_digest", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = 16; val h = 8
+      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (6 + id % 5).toInt
+            val frames = Vector.tabulate(nf) { f =>
+              val frame = new Array[Byte](w * h * 3 / 2)
+              var i = 0
+              while (i < w * h) {
+                frame(i) = (((i % w) * 7L + (i / w) * 5L +
+                  (f / 3) * 67L + id * 3L) % 256L).toByte
+                i += 1
+              }
+              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+              frame
+            }
+            (id, "video",
+              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      videoKeyframes(y4m, num = 12, den = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("png"))
+        .as[(Long, Int, Int, Int, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, fi, ww, hh, png) =>
+            val img = graft.kernel.Png.decode(png)
+            require(img.width == ww && img.height == hh &&
+              img.channels == 1 && img.bitDepth == 8,
+              s"doc $id keyframe $fi: decoded shape disagrees")
+            var sum = 0L; var wsum = 0L; var i = 0
+            while (i < img.samples.length) {
+              sum += img.samples(i)
+              wsum += (i + 1L) * img.samples(i)
+              i += 1
+            }
+            (id, fi, ww, hh, sum, wsum)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "width", "height",
+          "luma_sum", "luma_wsum")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(6 + doc_id % 5 AS INTEGER) AS nf FROM documents),
+      fr AS (
+        SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
+      px AS (
+        SELECT doc_id, f, unnest(range(0, 128)) AS i FROM fr),
+      lum AS (
+        SELECT doc_id, f, i,
+          ((i % 16) * 7 + (i // 16) * 5 + (f // 3) * 67 + doc_id * 3) % 256
+            AS v
+        FROM px),
+      sads AS (
+        SELECT a.doc_id, a.f, sum(abs(a.v - b.v)) AS sad
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.i = b.i
+        GROUP BY a.doc_id, a.f),
+      cuts AS (
+        SELECT doc_id, 0 AS f FROM dims
+        UNION ALL
+        SELECT doc_id, f FROM sads WHERE sad >= 12 * 128),
+      dg AS (
+        SELECT l.doc_id, l.f AS frame_idx,
+          sum(l.v) AS luma_sum, sum((l.i + 1) * l.v) AS luma_wsum
+        FROM lum l JOIN cuts c ON l.doc_id = c.doc_id AND l.f = c.f
+        GROUP BY l.doc_id, l.f)
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        16 AS width, 8 AS height,
+        CAST(luma_sum AS BIGINT) AS luma_sum,
+        CAST(luma_wsum AS BIGINT) AS luma_wsum
+      FROM dg ORDER BY doc_id, frame_idx""")),
 
     // Video near-dup pairs over planted identities — the m12 scheme for
     // the video modality: ids ≡ 0 mod 97 share one clip; ids ≡ 0 mod 89
