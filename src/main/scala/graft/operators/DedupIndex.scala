@@ -333,9 +333,6 @@ object DedupIndex {
   // call pays the one-time build, every later call measures what the
   // operator exists for — deduping a new batch WITHOUT reprocessing the
   // corpus
-  private val ixCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   val defs: Seq[(String, Q, Option[String])] = Seq(
     // Incremental dedup: every 5th document arrives as the "new
     // snapshot" and dedups against an index of the other 80% — planted
@@ -349,12 +346,10 @@ object DedupIndex {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val batch = docs.filter(col("doc_id") % 5 === 0)
-      val dir = ixCache.computeIfAbsent(d, { _ =>
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_d11_ix").toString
+      val dir = IxScratch.cached("d11:" + IxScratch.fingerprint(d),
+          "graft_d11_ix") { p =>
         build(corpus, p)
-        p
-      })
+      }
       dedupAgainst(batch, corpus, load(s, dir))
         .orderBy(col("doc_id"))
     }, None))

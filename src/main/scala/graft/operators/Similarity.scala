@@ -947,9 +947,6 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val annDeleteCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact cosine top-10 for a deterministic query set (vec_id < 5),
@@ -1022,14 +1019,13 @@ object Similarity {
     // in LlmOpsSpec.
     ("s12_ann_delete", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-      val dir = annDeleteCache.computeIfAbsent(d, { _ =>
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_s12_ix").toString
+      val dir = IxScratch.cached(
+          "s12:" + IxScratch.fingerprint(d, "embeddings.parquet"),
+          "graft_s12_ix") { p =>
         AnnIndex.build(emb, p)
         AnnIndex.delete(
           emb.filter(col("vec_id") % 17 === 0).select(col("vec_id")), p)
-        p
-      })
+      }
       AnnIndex.topK(AnnIndex.load(s, dir),
           emb.filter(col("vec_id") < 5 && col("vec_id") % 17 =!= 0), emb, 10)
         .orderBy(col("query_id"), col("rank"))
