@@ -178,6 +178,43 @@ object DecontamIndex {
           .as("contamination"))
   }
 
+  /** d08's FULL report (gram leg) + r02's phrase leg, both served from
+    * STORED indexes — the c06 composition as a standing service: eval
+    * batches arrive repeatedly, the train corpus is stable, so the
+    * phrase leg probes the persisted [[RetrievalIndex]] and the gram
+    * leg probes this census; neither leg re-reads train text. Output
+    * columns and arithmetic identical to the live c06 report. */
+  def decontaminationReport(rix: RetrievalIndex.Loaded, dcix: Loaded,
+      evalDocs: DataFrame, phraseLen: Int = 6): DataFrame = {
+    val phrases = evalDocs.select(col("doc_id").as("query_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, phraseLen))
+        .as("phrase"))
+    val pm = RetrievalIndex.phraseSearch(rix, phrases)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("phrase_docs"),
+        sum(col("n_matches")).as("phrase_hits"))
+    val gram = screen(dcix, evalDocs)
+    // pm is bounded by the eval batch — broadcast, no added exchange
+    gram.join(broadcast(pm), gram("doc_id") === pm("query_id"), "left")
+      .select(gram("doc_id"), col("n_grams"), col("n_hit"),
+        col("contamination"),
+        coalesce(col("phrase_docs"), lit(0L)).as("phrase_docs"),
+        coalesce(col("phrase_hits"), lit(0L)).as("phrase_hits"),
+        (coalesce(col("phrase_docs"), lit(0L)) > 0 || col("n_hit") > 0)
+          .as("flagged"))
+  }
+
+  /** Per-dataset stored retrieval index over the TRAIN split (the c10
+    * phrase leg), 80/20 build→grow like the census. */
+  private def trainRetrievalIndex(s: SparkSession, d: String): String =
+    IxScratch.cached("retrieval-train:" + IxScratch.fingerprint(d),
+        "graft_rtrain_ix") { p =>
+      val train = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 =!= 0)
+      RetrievalIndex.build(train.filter(col("doc_id") % 7 =!= 0), p)
+      RetrievalIndex.grow(train.filter(col("doc_id") % 7 === 0), p)
+    }
+
   /** Per-dataset stored census for the registered query — train side =
     * doc_id ≢ 0 mod 10 (c06/d08's split), built 80/20 so grow parity
     * sits under the oracle. */
@@ -228,6 +265,78 @@ object DecontamIndex {
         coalesce(hit.n_hit, 0) AS n_hit,
         CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / n_grams AS contamination
       FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      ORDER BY tot.doc_id""")),
+
+    // c06's FULL two-leg decontamination report as a standing SERVICE:
+    // phrase leg from the stored train RetrievalIndex, gram leg from
+    // the stored census — both under build(80%)→grow(20%) lifecycles,
+    // all replayed from raw text by the oracle (c06's SQL verbatim: the
+    // serving path changed, the answer must not).
+    ("c10_decontam_service", (s: SparkSession, d: String) => {
+      val evalDocs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      decontaminationReport(
+        RetrievalIndex.load(s, trainRetrievalIndex(s, d)),
+        load(s, builtIndex(s, d)), evalDocs)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      p AS (
+        SELECT doc_id, unnest(arr) AS term,
+          unnest(range(0, len(arr))) AS pos
+        FROM docs WHERE doc_id % 10 <> 0),
+      q AS (
+        SELECT doc_id AS query_id, arr[1:6] AS qarr
+        FROM docs WHERE doc_id % 10 = 0),
+      qt AS (
+        SELECT query_id, unnest(qarr) AS term,
+          unnest(range(0, len(qarr))) AS qpos
+        FROM q),
+      qlen AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
+      cand AS (
+        SELECT qt.query_id, p.doc_id, p.pos - qt.qpos AS start, qt.qpos
+        FROM p JOIN qt ON p.term = qt.term
+        WHERE p.pos - qt.qpos >= 0),
+      hits AS (
+        SELECT c.query_id, c.doc_id, c.start
+        FROM cand c JOIN qlen l ON c.query_id = l.query_id
+        GROUP BY c.query_id, c.doc_id, c.start, l.qlen
+        HAVING count(DISTINCT c.qpos) = l.qlen),
+      pm0 AS (
+        SELECT query_id, doc_id, count(*) AS n_matches
+        FROM hits GROUP BY query_id, doc_id),
+      pm AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS phrase_docs,
+          CAST(sum(n_matches) AS BIGINT) AS phrase_hits
+        FROM pm0 GROUP BY query_id),
+      grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(arr) >= 8
+          THEN list_distinct(list_transform(
+            range(0, len(arr) - 7),
+            i -> array_to_string(arr[i+1:i+8], ' ')))
+          ELSE [text] END) AS gram
+        FROM docs),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+              WHERE doc_id % 10 = 0 GROUP BY 1),
+      hit AS (SELECT doc_id, count(*) AS n_hit FROM grams g
+              WHERE doc_id % 10 = 0 AND gram IN
+                (SELECT gram FROM grams WHERE doc_id % 10 <> 0)
+              GROUP BY 1)
+      SELECT tot.doc_id, n_grams,
+        coalesce(hit.n_hit, 0) AS n_hit,
+        CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / n_grams AS contamination,
+        coalesce(pm.phrase_docs, 0) AS phrase_docs,
+        coalesce(pm.phrase_hits, 0) AS phrase_hits,
+        (coalesce(pm.phrase_docs, 0) > 0 OR coalesce(hit.n_hit, 0) > 0)
+          AS flagged
+      FROM tot
+      LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      LEFT JOIN pm ON tot.doc_id = pm.query_id
       ORDER BY tot.doc_id"""))
   )
 }

@@ -131,6 +131,40 @@ class DecontamIndexSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("two-leg service report: stored phrase + gram legs, hand-computed") {
+    import graft.operators.RetrievalIndex
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "p q r s t u v w x y"
+    val rixDir = tmp(); val dcDir = tmp()
+    // both legs under the build→grow lifecycle: t2 arrives by GROW
+    RetrievalIndex.build(docs(1L -> t1), rixDir, nBuckets = 8)
+    RetrievalIndex.grow(docs(2L -> t2), rixDir)
+    DecontamIndex.build(docs(1L -> t1), dcDir, n = 8, nBuckets = 8)
+    DecontamIndex.grow(docs(2L -> t2), dcDir)
+    val evalDocs = docs(
+      // both legs hit: shares t1's 6-token prefix AND its first 8-gram
+      100L -> "alpha beta gamma delta epsilon zeta eta theta lambda mu",
+      101L -> "one two three four five six seven eight nine", // clean
+      // near-miss: a 7-gram of t1 inside, but every 8-gram crosses x1/x2
+      102L -> "x1 alpha beta gamma delta epsilon zeta eta x2",
+      // phrase-only: 6-token prefix matches, no shared 8-gram
+      103L -> "alpha beta gamma delta epsilon zeta qq ww ee rr",
+      // hits the GROWN train doc on both legs
+      104L -> "p q r s t u v w z1 z2")
+    val rep = DecontamIndex.decontaminationReport(
+        RetrievalIndex.load(spark, rixDir),
+        DecontamIndex.load(spark, dcDir), evalDocs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(rep(100L) == ((3L, 1L, 1L, 1L, true)), rep(100L))
+    assert(rep(101L) == ((2L, 0L, 0L, 0L, false)), rep(101L))
+    assert(rep(102L) == ((2L, 0L, 0L, 0L, false)), rep(102L))
+    assert(rep(103L) == ((3L, 0L, 1L, 1L, true)), rep(103L))
+    assert(rep(104L) == ((3L, 1L, 1L, 1L, true)), rep(104L))
+  }
+
   test("hostile config is loud") {
     intercept[IllegalArgumentException](
       DecontamIndex.build(docs(1L -> "a"), tmp(), nBuckets = 0))
