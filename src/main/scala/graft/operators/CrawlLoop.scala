@@ -228,6 +228,44 @@ object CrawlLoop {
       .toDF("stage_idx", "stage", "rows", "secs")
   }
 
+  /** Takedown across EVERY stored artifact the loop maintains — the
+    * right-to-be-forgotten pass a production corpus owes its sources,
+    * in one call: the documents stop matching retrieval, stop
+    * attributing contamination, stop deduping future batches, leave
+    * the published corpus, and their capture rows leave the CDX index
+    * (so a later legitimate re-submission of the SAME url is
+    * re-admitted as novel rather than silently url_dup'd against a
+    * purged capture).
+    *
+    * Physical, not masked: each index family runs forget + vacuum, so
+    * no tombstone survives — which also makes re-admission after a
+    * takedown work (tombstones are id-level; a masked id would keep a
+    * re-grown duplicate invisible forever). Corpus and CDX rewrite
+    * left-anti with the checkpoint-before-overwrite discipline. CDX
+    * rows key by xxhash64(urlkey) — exactly how crawlCurate mints
+    * doc_ids, so the same id namespace addresses both. */
+  def forget(ids: DataFrame, st: State): Unit = {
+    val spark = ids.sparkSession
+    val frozen = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    DedupIndex.forget(frozen, st.dedupDir)
+    DedupIndex.vacuum(spark, st.dedupDir)
+    RetrievalIndex.forget(frozen, st.retrievalDir)
+    RetrievalIndex.vacuum(spark, st.retrievalDir)
+    DecontamIndex.forget(frozen, st.decontamDir)
+    DecontamIndex.vacuum(spark, st.decontamDir)
+    val corpus = spark.read.parquet(st.corpusDir)
+      .join(broadcast(frozen), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    corpus.write.mode("overwrite").parquet(st.corpusDir)
+    val cdx = spark.read.parquet(st.cdxDir)
+      .withColumn("__did", xxhash64(col("urlkey")))
+      .join(broadcast(frozen.withColumnRenamed("doc_id", "__did")),
+        Seq("__did"), "left_anti")
+      .drop("__did")
+      .localCheckpoint(true)
+    cdx.write.mode("overwrite").parquet(st.cdxDir)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Seq[(String, Q, Option[String])] = Seq(

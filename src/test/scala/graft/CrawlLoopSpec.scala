@@ -165,6 +165,32 @@ class CrawlLoopSpec extends SparkSuite {
 
     // the capture index holds exactly the admitted novel captures
     assert(spark.read.parquet(st.cdxDir).count() == 9L)
+
+    // takedown across EVERY artifact: forget D — retrieval stops
+    // matching, decontamination stops flagging, corpus and CDX rows
+    // leave physically
+    val dId = Seq(pageD._1).toDF("url")
+      .select(xxhash64(graft.operators.Curate.canonicalUrl(col("url"))))
+      .head().getLong(0)
+    CrawlLoop.forget(Seq(dId).toDF("doc_id"), st)
+    assert(RetrievalIndex.probe(
+      RetrievalIndex.load(spark, st.retrievalDir),
+      Seq("d0").toDF("term")).collect().isEmpty)
+    assert(DecontamIndex.screen(DecontamIndex.load(spark, st.decontamDir),
+      evalD).head().getAs[Long]("n_hit") == 0L)
+    assert(spark.read.parquet(st.corpusDir).count() == 4L)
+    assert(spark.read.parquet(st.cdxDir).count() == 8L)
+    // re-admission after takedown: the SAME url re-fetches as novel
+    // (its purged capture no longer url_dup's it) and every index
+    // serves it again — tombstones were vacuumed, not left masking
+    val r4 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageD), "2025-01-04T00:00:00Z"), st, opts,
+      ixBuckets = 8))
+    assert(r4("cdx_novel") == 1L && r4("cdx_url_dup") == 0L &&
+      r4("corpus_kept") == 1L && r4("corpus_total") == 5L, r4)
+    assert(RetrievalIndex.probe(
+      RetrievalIndex.load(spark, st.retrievalDir),
+      Seq("d0").toDF("term")).collect().nonEmpty)
   }
 
   test("streamed loop: foreachBatch parity with the batch form") {
