@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.Retrieval.defs ++
       operators.RetrievalIndex.defs ++ operators.DecontamIndex.defs ++
+      operators.HashIndex.defs ++
       operators.CorpusPipeline.defs ++ operators.CrawlLoop.defs ++
       operators.DedupIndex.defs ++ sources.WarcSource.defs ++
       sources.Frontier.defs

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.HashIndex
+
+/** Persistent fingerprint-index lifecycle: build-vs-load parity, grow ≡
+  * rebuild, hand-computed probe semantics (band screen THEN exact
+  * hamming — a hash within distance but sharing no band slice is
+  * correctly not a candidate), the hot-bucket guard, and
+  * forget/vacuum/regrow takedown symmetry.
+  */
+class HashIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_hixspec").toString
+
+  private def sigs(rows: (Long, Long)*) =
+    rows.toDF("doc_id", "hash")
+
+  private def bucketSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("blk"), col("key"), col("doc_id"), col("hash"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("build-vs-load parity and hand-computed band keys") {
+    val dir = tmp()
+    // 0xDEAD_BEEF_CAFE_F00D: 16-bit slices (LSB-first blocks) are
+    // f00d, cafe, beef, dead — hand-checkable rotated-window keys
+    val h = 0xDEADBEEFCAFEF00DL
+    HashIndex.build(sigs(1L -> h), dir)
+    val ix = HashIndex.load(spark, dir)
+    assert(ix.blocks == 4 && ix.keyBits == 16)
+    assert(bucketSet(ix.buckets) == Set(
+      (0, 0xF00DL, 1L, h), (1, 0xCAFEL, 1L, h),
+      (2, 0xBEEFL, 1L, h), (3, 0xDEADL, 1L, h)))
+    assert(ix.hashes.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, h)))
+  }
+
+  test("grow parity: build(A) + grow(B) equals build(A ∪ B)") {
+    val a = Seq(1L -> 5L, 2L -> 0xFFFF0000L)
+    val b = Seq(3L -> 0x123456789ABCDEFL)
+    val grownDir = tmp(); val fullDir = tmp()
+    HashIndex.build(sigs(a: _*), grownDir)
+    HashIndex.grow(sigs(b: _*), grownDir)
+    HashIndex.build(sigs((a ++ b): _*), fullDir)
+    assert(bucketSet(HashIndex.load(spark, grownDir).buckets) ==
+      bucketSet(HashIndex.load(spark, fullDir).buckets))
+  }
+
+  test("probe: band screen then exact hamming, hand-computed") {
+    val dir = tmp()
+    HashIndex.build(sigs(
+      10L -> 0L,                   // all-zero anchor
+      11L -> 0x0001000100010001L,  // hamming 4 from 0, but EVERY 16-bit
+                                   //   slice differs — never a candidate
+      12L -> 0xFFFFFFFFFFFFFFFFL), dir)
+    val ix = HashIndex.load(spark, dir)
+    val out = HashIndex.probe(ix,
+        sigs(100L -> 1L, 101L -> 0x00FF00FF00FF00FFL), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch 100 (hash 1, rotated keys 1,0,0,0): shares blocks 1–3
+    // (key 0) with doc 10 → hamming 1; doc 11's pattern is
+    // rotation-symmetric (every rotated key = 1) so block 0 collides
+    // too → hamming 3; doc 12 shares nothing (keys all FFFF).
+    // batch 101 (0x00FF… — every rotated key 0x00FF): no stored key
+    // matches → zero rows even though hamming to 0 would be 32.
+    assert(out == Set((100L, 10L, 1), (100L, 11L, 3)), out)
+    // the same pair is screened OUT when maxHamming is 0
+    assert(HashIndex.probe(ix, sigs(100L -> 1L), maxHamming = 0)
+      .collect().isEmpty)
+    // doc 11 IS within hamming 4 of the zero hash, but the band screen
+    // (correctly, by LSH contract) never surfaces it
+    assert(!HashIndex.probe(ix, sigs(102L -> 0L), maxHamming = 4)
+      .collect().map(_.getLong(1)).contains(11L))
+  }
+
+  test("hot-bucket guard: an over-full probed bucket drops whole") {
+    val dir = tmp()
+    // 150 stored docs share ONE hash → every band bucket holds 150
+    HashIndex.build(sigs((1L to 150L).map(i => i -> 0x42L): _*), dir)
+    val ix = HashIndex.load(spark, dir)
+    val batch = sigs(200L -> 0x42L)
+    assert(HashIndex.probe(ix, batch, maxBucket = 100).collect().isEmpty)
+    val uncapped = HashIndex.probe(ix, batch, maxBucket = 200).collect()
+    assert(uncapped.length == 150 && uncapped.forall(_.getInt(2) == 0))
+  }
+
+  test("forget masks, vacuum drops physically, regrow serves again") {
+    val dir = tmp()
+    HashIndex.build(sigs(1L -> 7L, 2L -> 0xF0F0L), dir)
+    val batch = sigs(100L -> 7L)
+    def hits(): Set[Long] =
+      HashIndex.probe(HashIndex.load(spark, dir), batch)
+        .collect().map(_.getLong(1)).toSet
+    assert(hits() == Set(1L))
+    HashIndex.forget(Seq(1L).toDF("doc_id"), dir)
+    assert(hits() == Set.empty[Long])
+    HashIndex.vacuum(spark, dir)
+    val vac = HashIndex.load(spark, dir)
+    assert(!vac.hashes.collect().map(_.getLong(0)).contains(1L))
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").isEmpty)
+    HashIndex.grow(sigs(3L -> 7L), dir)
+    assert(hits() == Set(3L))
+  }
+
+  test("hostile config is loud") {
+    intercept[IllegalArgumentException](
+      HashIndex.build(sigs(1L -> 1L), tmp(), blocks = 5))
+    intercept[IllegalArgumentException](
+      HashIndex.build(sigs(1L -> 1L), tmp(), keyBits = 0))
+  }
+}
