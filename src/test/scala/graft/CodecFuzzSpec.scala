@@ -192,6 +192,12 @@ class CodecFuzzSpec extends AnyFunSuite {
       val mv = Ogg.metadata(Ogg.encodeVorbisHeader(1, 8000, 800L,
         title = title, artist = artist))
       assert(mv.title == title && mv.artist == artist, s"case $c vorbis")
+      // comment packet spanning pages (cover-art-sized): accumulation
+      // across the continuation page must reproduce the same tags
+      val ms = Ogg.metadata(Ogg.encodeOpusHeaderSpanningTags(1, 0, 48000,
+        960L, title = title, artist = artist,
+        padBytes = 300 + pick(seed, 9, 600)))
+      assert(ms.title == title && ms.artist == artist, s"case $c spanning")
       val mf = Flac.metadata(Flac.encodeHeader(8000, 1, 16, 0L,
         title = title, artist = artist))
       assert(mf.title == title && mf.artist == artist, s"case $c flac")
@@ -213,12 +219,14 @@ class CodecFuzzSpec extends AnyFunSuite {
     // the deep branches plain random bytes never reach.
     for (c <- 0 until Cases * 4) {
       val seed = mix(17000L + c)
-      val base = (c % 3) match {
+      val base = (c % 4) match {
         case 0 => Mp3.encodeHeader(2, 128, 44100,
           id3 = Mp3.encodeId3v2("Fuzz Title", "Fuzz Artist",
             3 + pick(seed, 1, 2), pick(seed, 2, 4)))
         case 1 => Ogg.encodeOpusHeader(1, 0, 48000, 960L,
           title = "Fuzz", artist = "Fz")
+        case 2 => Ogg.encodeOpusHeaderSpanningTags(1, 0, 48000, 960L,
+          title = "Fuzz", artist = "Fz", padBytes = 400)
         case _ => Flac.encodeHeader(8000, 1, 16, 0L, title = "Fuzz")
       }
       val bytes = base.clone()
@@ -228,9 +236,9 @@ class CodecFuzzSpec extends AnyFunSuite {
         bytes(at) = (bytes(at) ^ (1 << pick(seed, 20 + f, 8))).toByte
       }
       try {
-        (c % 3) match {
+        (c % 4) match {
           case 0 => Mp3.metadata(bytes)
-          case 1 => Ogg.metadata(bytes)
+          case 1 | 2 => Ogg.metadata(bytes)
           case _ => Flac.metadata(bytes)
         }
       } catch {

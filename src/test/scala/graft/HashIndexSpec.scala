@@ -106,6 +106,74 @@ class HashIndexSpec extends SparkSuite {
     assert(hits() == Set(3L))
   }
 
+  test("seeded random lifecycles: grow ≡ rebuild; probe ≡ reference screen") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def refKeys(h: Long): Seq[Long] =
+      (0 until 4).map(i => ((h >>> (16 * i)) | (h << (64 - 16 * i))) & 0xFFFFL)
+    for (c <- 0 until 6) {
+      val seed = mix(4200L + c)
+      val nCorpus = 8 + (mix(seed) & 7).toInt
+      val corpus = (1L to nCorpus).map(i => i -> mix(seed + i * 17))
+      val batch = (100L until 100L + 5L).map { j =>
+        val r = mix(seed + j * 31)
+        if ((r & 3) == 0) {
+          // a near-copy: flip 0–3 bits of a random corpus hash
+          val base = corpus(((r >>> 8) % nCorpus).toInt)._2
+          val flips = ((r >>> 16) & 3).toInt
+          (j, (0 until flips).foldLeft(base)((h, f) =>
+            h ^ (1L << (mix(seed + j * 7 + f) & 63))))
+        } else (j, r) // genuinely random
+      }
+      val grownDir = tmp(); val fullDir = tmp()
+      val (a, b) = corpus.partition(_._1 % 3 != 0)
+      HashIndex.build(sigs(a: _*), grownDir)
+      HashIndex.grow(sigs(b: _*), grownDir)
+      HashIndex.build(sigs(corpus: _*), fullDir)
+      assert(bucketSet(HashIndex.load(spark, grownDir).buckets) ==
+        bucketSet(HashIndex.load(spark, fullDir).buckets), s"case $c")
+      // reference screen-then-verify, O(batch × corpus) in plain Scala
+      def reference(cs: Seq[(Long, Long)]): Set[(Long, Long, Int)] =
+        (for {
+          (bid, bh) <- batch
+          (cid, ch) <- cs
+          if refKeys(bh).zip(refKeys(ch)).exists(p => p._1 == p._2)
+          d = java.lang.Long.bitCount(bh ^ ch)
+          if d <= 8
+        } yield (bid, cid, d)).toSet
+      val ix = HashIndex.load(spark, grownDir)
+      def probed(): Set[(Long, Long, Int)] =
+        HashIndex.probe(ix, sigs(batch: _*), maxHamming = 8,
+            maxBucket = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+      assert(probed() == reference(corpus), s"case $c")
+      // forget a random third; masked probe ≡ reference over survivors
+      val gone = corpus.map(_._1).filter(i => (mix(seed + i * 101) & 3) == 0)
+      if (gone.nonEmpty) {
+        HashIndex.forget(gone.toDF("doc_id"), grownDir)
+        val masked = HashIndex.load(spark, grownDir)
+        val expect = reference(corpus.filterNot(kv => gone.contains(kv._1)))
+        val got = HashIndex.probe(masked, sigs(batch: _*), maxHamming = 8,
+            maxBucket = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        assert(got == expect, s"case $c after forget")
+        // vacuum changes nothing observable
+        HashIndex.vacuum(spark, grownDir)
+        val vac = HashIndex.probe(HashIndex.load(spark, grownDir),
+            sigs(batch: _*), maxHamming = 8, maxBucket = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        assert(vac == expect, s"case $c after vacuum")
+      }
+    }
+  }
+
   test("hostile config is loud") {
     intercept[IllegalArgumentException](
       HashIndex.build(sigs(1L -> 1L), tmp(), blocks = 5))

@@ -398,6 +398,63 @@ class StreamingSpec extends SparkSuite {
     assert(batchOut == streamOut.toMap)
   }
 
+  test("streaming fingerprint-index maintenance: probe-while-growing, grown equals rebuilt") {
+    import spark.implicits._
+    import graft.operators.HashIndex
+    // seed corpus + two streamed batches of 64-bit fingerprints; batch 2
+    // contains a near-copy (1 bit flipped) of a batch-1 fingerprint, so
+    // the cross-batch catch requires the index to have GROWN mid-stream
+    val seed = Seq(1L -> 0x1111222233334444L, 2L -> 0x0F0F0F0F0F0F0F0FL)
+    val b1 = Seq(10L -> 0xAAAA5555AAAA5555L)
+    val b2 = Seq(20L -> (0xAAAA5555AAAA5555L ^ 1L), 21L -> 0x7777000077770000L)
+    val ixDir = tempDir("hix-stream").getAbsolutePath
+    HashIndex.build(seed.toDF("doc_id", "hash"), ixDir)
+
+    val inDir = tempDir("hix-stream-in")
+    def stage(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val tmp = tempDir(s"hix-stage-$name")
+      rows.toDF("doc_id", "hash").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    stage(b1, "b1.parquet", 1000000L)
+    stage(b2, "b2.parquet", 2000000L)
+
+    // each trigger: probe the arriving batch against the CURRENT index
+    // (the dedup-admission shape), then grow with it
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val stream = spark.readStream
+      .schema(b1.toDF("doc_id", "hash").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ix = HashIndex.load(spark, ixDir)
+        perBatch += HashIndex.probe(ix, df, maxHamming = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        HashIndex.grow(df, ixDir)
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // trigger 1: batch 1 matches nothing in the seed; trigger 2: the
+    // near-copy matches the batch-1 fingerprint ADMITTED mid-stream
+    assert(perBatch.toSeq == Seq(Set.empty[(Long, Long)], Set((20L, 10L))),
+      perBatch)
+
+    // streamed-grown ≡ rebuilt from scratch over seed ∪ b1 ∪ b2
+    val rebuiltDir = tempDir("hix-rebuilt").getAbsolutePath
+    HashIndex.build((seed ++ b1 ++ b2).toDF("doc_id", "hash"), rebuiltDir)
+    def rows(dir: String) = HashIndex.load(spark, dir).buckets
+      .select(col("blk"), col("key"), col("doc_id"), col("hash")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(ixDir) == rows(rebuiltDir))
+  }
+
   test("streaming retrieval-index maintenance: search-while-growing, grown equals rebuilt") {
     import spark.implicits._
     import graft.operators.{Retrieval, RetrievalIndex}
