@@ -165,6 +165,55 @@ class DecontamIndexSpec extends SparkSuite {
     assert(rep(104L) == ((3L, 1L, 1L, 1L, true)), rep(104L))
   }
 
+  test("seeded random corpora: grow ≡ rebuild; stored screen ≡ live") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def text(seed: Long, id: Long): String = {
+      val len = 2 + (mix(seed + id * 13) & 7).toInt // some below n → whole-text gram
+      (0 until len)
+        .map(j => vocab((mix(seed + id * 131 + j) & 0x7fffffff).toInt % vocab.length))
+        .mkString(" ")
+    }
+    for (c <- 0 until 6) {
+      val seed = mix(880L + c)
+      val nTrain = 6 + (mix(seed) & 5).toInt
+      val train = (1L to nTrain).map(i => i -> text(seed, i))
+      val evalDocs = (100L until 104L).map(i => i -> text(seed + 7, i))
+      val (a, b) = train.partition(_._1 % 3 != 0)
+      val grownDir = tmp(); val fullDir = tmp()
+      DecontamIndex.build(docs(a: _*), grownDir, n = 3, nBuckets = 4)
+      DecontamIndex.grow(docs(b: _*), grownDir)
+      DecontamIndex.build(docs(train: _*), fullDir, n = 3, nBuckets = 4)
+      assert(gramSet(DecontamIndex.load(spark, grownDir).grams) ==
+        gramSet(DecontamIndex.load(spark, fullDir).grams), s"case $c")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      val stored = rows(DecontamIndex.screen(
+        DecontamIndex.load(spark, grownDir), docs(evalDocs: _*)))
+      val live = rows(Training.contamination(
+        docs(evalDocs: _*), docs(train: _*), n = 3))
+      assert(stored == live && stored.nonEmpty, s"case $c")
+      // forget a random subset: masked screen ≡ live over survivors
+      val gone = train.map(_._1).filter(i => (mix(seed + i * 101) & 3) == 0)
+      if (gone.nonEmpty && gone.size < nTrain) {
+        DecontamIndex.forget(gone.toDF("doc_id"), grownDir)
+        val masked = rows(DecontamIndex.screen(
+          DecontamIndex.load(spark, grownDir), docs(evalDocs: _*)))
+        val survivors = train.filterNot(kv => gone.contains(kv._1))
+        assert(masked == rows(Training.contamination(
+          docs(evalDocs: _*), docs(survivors: _*), n = 3)),
+          s"case $c after forget")
+      }
+    }
+  }
+
   test("hostile config is loud") {
     intercept[IllegalArgumentException](
       DecontamIndex.build(docs(1L -> "a"), tmp(), nBuckets = 0))
