@@ -257,10 +257,19 @@ object Bench {
     // sweep calls the probe twice per sample point), so pairwise-min
     // before the verdict to shed one-off GC hits, same as probe2.
     val mcPaired = mcSamples.grouped(2).map(_.min).toSeq
+    // self-flagged verdict: ratio > 2.0 means a co-tenant held cores for
+    // some stretch of the sweep — per-query numbers from a hot sweep are
+    // NOT comparable across rounds (round 15's driver sweep read 2.464
+    // and showed 8 phantom ≥1.5× regressions, all of which vanished on a
+    // quiet box). The threshold rides in the artifact so a reader — or
+    // the driver — can apply it mechanically instead of procedurally.
+    val mcThreshold = 2.0
     val mcJson =
       if (mcPaired.isEmpty) "null"
       else s"""{"threads":$mcThreads,"min":${fmt(mcPaired.min)},"max":${fmt(
-        mcPaired.max)},"ratio":${fmt(mcPaired.max / mcPaired.min)},"samples":${
+        mcPaired.max)},"ratio":${fmt(mcPaired.max / mcPaired.min)},"canary_threshold":${
+        fmt(mcThreshold)},"canary_hot":${
+        mcPaired.max / mcPaired.min > mcThreshold},"samples":${
         mcPaired.map(fmt).mkString("[", ",", "]")}}"""
     // probe/failed/suspect fields go AFTER "queries": the driver records a
     // bounded TAIL of stdout (round 8's capture lost the line's head), so

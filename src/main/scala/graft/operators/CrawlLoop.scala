@@ -40,13 +40,20 @@ import graft.sources.{Frontier, WarcSource}
   */
 object CrawlLoop {
 
-  /** On-disk homes of the loop's five stored artifacts. */
+  /** On-disk homes of the loop's stored artifacts: the capture index,
+    * the published corpus, the four index families (text dedup,
+    * retrieval, decontamination, media fingerprints), and the run
+    * ledger ([[State.manifestDir]] — every batch's per-stage report
+    * plus index row counts, so a RESTARTED loop can answer "what did
+    * batch k admit" without re-running anything). */
   final case class State(root: String) {
     def cdxDir: String = s"$root/cdx.parquet"
     def corpusDir: String = s"$root/corpus.parquet"
     def dedupDir: String = s"$root/dedup_ix"
     def retrievalDir: String = s"$root/retrieval_ix"
     def decontamDir: String = s"$root/decontam_ix"
+    def hashDir: String = s"$root/hash_ix"
+    def manifestDir: String = s"$root/manifest.parquet"
   }
 
   def freshState(): State = State(
@@ -89,10 +96,17 @@ object CrawlLoop {
       .select(col("url"), col("host"), col("slot"))
   }
 
-  /** One batch step of the loop: fetched pages (url, warc_date, body)
-    * → revisit-aware archive → CDX admission → curation of novel
-    * captures → corpus dedup → grow the three indexes + the corpus.
-    * Returns the per-stage report (stage_idx, stage, rows). */
+  /** One batch step of the loop: fetched captures (url, warc_date,
+    * body[, content_type — defaults to HTML]) → revisit-aware archive →
+    * CDX admission → media branch (admitted novel IMAGE captures are
+    * perceptually screened against the stored [[HashIndex]] — CDX
+    * catches byte-identical re-fetches, the hash probe catches
+    * re-encodes and near-edits byte dedup can't see; novel media grow
+    * the index) → curation of novel page captures → corpus dedup →
+    * grow the three text indexes + the corpus. Returns the per-stage
+    * report (stage_idx, stage, rows, secs) and appends it — plus the
+    * stored tables' row counts (parquet footer metadata, no data read)
+    * — to the run manifest under [[State.manifestDir]]. */
   def step(fetches: DataFrame, st: State,
       opts: CorpusPipeline.Opts = CorpusPipeline.Opts(),
       evalRef: Option[DataFrame] = None,
@@ -113,7 +127,11 @@ object CrawlLoop {
     }
 
     // freeze the batch: its plan may read paths this step appends to
-    val batch = fetches.select(col("url"), col("warc_date"), col("body"))
+    val batch = (if (fetches.columns.contains("content_type"))
+        fetches.select(col("url"), col("warc_date"), col("body"),
+          col("content_type"))
+      else fetches.select(col("url"), col("warc_date"), col("body"),
+        lit("text/html; charset=utf-8").as("content_type")))
       .localCheckpoint(true)
     report += (("fetched", batch.count(), stamp()))
 
@@ -133,13 +151,66 @@ object CrawlLoop {
     // novel captures (single-writer contract), return verdicts
     val verdicts = WarcSource.cdxAdmit(segments, st.cdxDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one aggregation pass for all three verdict counts
+    // one aggregation pass for all three verdict counts; the whole
+    // admission wall time is attributed to cdx_novel (ONE nameable row),
+    // the sibling count rows deliberately read 0 — they share the pass
     val vCounts = verdicts.groupBy(col("verdict")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    for (kind <- Seq("novel", "url_dup", "content_dup"))
-      report += (("cdx_" + kind, vCounts.getOrElse(kind, 0L), stamp()))
+    val admitSecs = stamp()
+    report += (("cdx_novel", vCounts.getOrElse("novel", 0L), admitSecs))
+    report += (("cdx_url_dup", vCounts.getOrElse("url_dup", 0L), 0.0))
+    report += (("cdx_content_dup", vCounts.getOrElse("content_dup", 0L), 0.0))
     val novelKeys = verdicts.filter(col("verdict") === "novel")
       .select(col("urlkey")).distinct()
+
+    // 2b. media branch — the modality half of the admission story:
+    // decodable image responses among the ADMITTED novel captures hash
+    // through the perceptual kernel, screen against the stored
+    // fingerprint index (re-encodes and near-edits arrive with a novel
+    // byte digest, so only the hash probe can catch them), and the
+    // survivors grow it — batch k+1's images are screened against every
+    // image batch k admitted. Media doc_ids share the xxhash64(urlkey)
+    // namespace with the page pipeline, so [[forget]] addresses both.
+    locally {
+      val mediaSigs = Multimodal.imageHashesWith(
+          graft.sources.WarcSource.mediaResponses(
+              graft.sources.WarcSource.records(segments))
+            .filter(col("family") === "image")
+            .withColumn("doc_id",
+              xxhash64(Curate.canonicalUrl(col("url"))))
+            .join(broadcast(novelKeys
+                .select(xxhash64(col("urlkey")).as("doc_id"))),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), lit("image").as("media_type"),
+              col("payload")),
+          classOf[Multimodal.ImageDecoder].getName)
+        .select(col("doc_id"), col("img_hash").as("hash"))
+        // frozen: the probe/grow below read and then mutate the index
+        .localCheckpoint(true)
+      val nImg = mediaSigs.count()
+      report += (("media_images", nImg, stamp()))
+      // within-batch perceptual collapse (min-id survivor per hash),
+      // then the stored-index screen
+      val collapsed = mediaSigs.groupBy(col("hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("hash"))
+      val hashMeta = exists(s"${st.hashDir}/meta.parquet")
+      val (keptSigs, nDup) =
+        if (!hashMeta) (collapsed.localCheckpoint(true), 0L)
+        else {
+          val dups = HashIndex.probe(
+              HashIndex.load(spark, st.hashDir), collapsed)
+            .select(col("doc_id")).distinct()
+          val kept = collapsed.join(broadcast(dups), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          (kept, dups.count())
+        }
+      report += (("media_near_dup", nDup, stamp()))
+      val nKept = keptSigs.count()
+      if (!hashMeta && nKept > 0) HashIndex.build(keptSigs, st.hashDir)
+      else if (hashMeta && nKept > 0) HashIndex.grow(keptSigs, st.hashDir)
+      report += (("media_kept", nKept, stamp()))
+    }
 
     // 3. curate ONLY the admitted novel captures (dup captures never
     // pay extraction or dedup); revisit records carry no payload and
@@ -217,15 +288,46 @@ object CrawlLoop {
           Future(RetrievalIndex.grow(sized, st.retrievalDir)),
           Future(DecontamIndex.grow(sized, st.decontamDir)),
           Future(sized.write.mode("append").parquet(st.corpusDir)))
-      writes.foreach(Await.result(_, Duration.Inf))
+      // await EVERY write before propagating the first failure: a caller
+      // retrying step() after an exception must never race a still-running
+      // sibling grow against the same index dirs (single-writer contract)
+      val done = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
+      done.foreach(_.get)
     }
     report += (("corpus_total",
       spark.read.parquet(st.corpusDir).count(), stamp()))
     verdicts.unpersist(blocking = false)
 
-    report.toSeq.zipWithIndex
+    val rep = report.toSeq.zipWithIndex
       .map { case ((stage, n, secs), i) => (i, stage, n, secs) }
       .toDF("stage_idx", "stage", "rows", "secs")
+
+    // run ledger: append this batch's report + the stored tables' row
+    // counts to the manifest, so a restarted loop serves per-batch
+    // history without re-running anything. Parquet count() is footer
+    // metadata only — no table is scanned. ONE file per batch (the
+    // report is tiny); batch_ord continues from the stored ledger.
+    val batchOrd =
+      if (!exists(st.manifestDir)) 0L
+      else Option(spark.read.parquet(st.manifestDir)
+          .agg(max(col("batch_ord"))).head().get(0))
+        .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    def tableRows(p: String): Long =
+      if (exists(p)) spark.read.parquet(p).count() else 0L
+    val ixRows = Seq(
+      ("ix_dedup_docs", tableRows(s"${st.dedupDir}/exact.parquet")),
+      ("ix_retrieval_docs", tableRows(s"${st.retrievalDir}/doclens.parquet")),
+      ("ix_decontam_grams", tableRows(s"${st.decontamDir}/grams.parquet")),
+      ("ix_hash_sigs", tableRows(s"${st.hashDir}/hashes.parquet")))
+      .zipWithIndex
+      .map { case ((stage, n), i) => (report.size + i, stage, n, 0.0) }
+      .toDF("stage_idx", "stage", "rows", "secs")
+    rep.unionByName(ixRows)
+      .withColumn("batch_ord", lit(batchOrd))
+      .coalesce(1)
+      .write.mode("append").parquet(st.manifestDir)
+
+    rep
   }
 
   /** Takedown across EVERY stored artifact the loop maintains — the
@@ -253,6 +355,12 @@ object CrawlLoop {
     RetrievalIndex.vacuum(spark, st.retrievalDir)
     DecontamIndex.forget(frozen, st.decontamDir)
     DecontamIndex.vacuum(spark, st.decontamDir)
+    // media fingerprints share the xxhash64(urlkey) id namespace — a
+    // forgotten media url stops attracting near-dup matches physically
+    if (exists(s"${st.hashDir}/meta.parquet")) {
+      HashIndex.forget(frozen, st.hashDir)
+      HashIndex.vacuum(spark, st.hashDir)
+    }
     val corpus = spark.read.parquet(st.corpusDir)
       .join(broadcast(frozen), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
@@ -298,6 +406,34 @@ object CrawlLoop {
         lit(".example.com/x\">a</a> <a href=\"https://h"),
         pmod(id * 3 + 1, lit(5)),
         lit(".example.com/y\">b</a></p></body></html>"))
+      // tile-congruence PNG/GIF payloads (the m36 fixture scheme): each
+      // id's image is unique; a GIF re-encode of a PREVIOUS batch's PNG
+      // arrives with a novel byte digest but identical pixels — only
+      // the loop's HashIndex screen can catch it
+      def imgFetches(ids: DataFrame, pathTag: String,
+          gif: Boolean): DataFrame = {
+        val out = ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = 64; val h = 64
+            val m1 = (id * 2654435761L) % 251L + 2L
+            val m2 = (id * 40503L) % 239L + 3L
+            val px = Array.tabulate(w * h) { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((bx * m1 + by * m2 + id) % 256L).toInt
+            }
+            if (gif)
+              (s"https://h${id % 5}.example.com/$pathTag/$id.gif",
+                graft.kernel.Gif.encode(graft.kernel.Gif.Image(w, h, 1, px)),
+                "image/gif")
+            else
+              (s"https://h${id % 5}.example.com/$pathTag/$id.png",
+                graft.kernel.Png.encode(
+                  graft.kernel.Png.Image(w, h, 1, 8, px)),
+                "image/png")
+          }
+        }
+        out.toDF("url", "body", "content_type")
+      }
       val st = freshState()
       var prevPages: DataFrame = null
       val reports = (0 until 2).map { k =>
@@ -336,8 +472,22 @@ object CrawlLoop {
               lit(s"-b$k")).as("url"),
             lit("<html><body><p>generated trap page stub</p></body></html>")
               .as("html"))
+        // media plants: each batch carries unique PNGs (ids ≡ 0 mod 11
+        // within the batch's residue class); batch 1 additionally
+        // re-encodes HALF of batch 0's images as GIFs on new urls —
+        // novel digests at CDX, hamming-0 at the GROWN HashIndex
+        val imgs = imgFetches(
+          docs.filter(col("doc_id") % 3 === k && col("doc_id") % 11 === 0),
+          "img", gif = false)
+        val reenc = if (k != 1) imgs.limit(0) else imgFetches(
+          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 11 === 0
+            && col("doc_id") % 4 === 0),
+          "img2", gif = true)
         val candidates = base.unionByName(refetch).unionByName(mirror)
           .unionByName(copy).unionByName(nearEdit).unionByName(trap)
+          .select(col("url"), col("html").cast("binary").as("body"),
+            lit("text/html; charset=utf-8").as("content_type"))
+          .unionByName(imgs).unionByName(reenc)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nCand = candidates.count()
         val fetchSet =
@@ -352,8 +502,8 @@ object CrawlLoop {
           }
         val fetches = fetchSet
           .withColumn("warc_date", lit(s"2025-01-0${k + 1}T00:00:00Z"))
-          .withColumn("body", col("html").cast("binary"))
-          .select(col("url"), col("warc_date"), col("body"))
+          .select(col("url"), col("warc_date"), col("body"),
+            col("content_type"))
         prevPages = base
         val rep = step(fetches, st,
             CorpusPipeline.Opts(lineGate = false), ixBuckets = 8)

@@ -170,12 +170,18 @@ object DecontamIndex {
     val hits = evalG
       .join(broadcast(hitGrams), Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val out = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
           .as("contamination"))
+      // eval-batch-bounded (one row per eval doc): freeze eagerly so the
+      // explode cache can be RELEASED here — a standing service invoked
+      // per eval batch must not accumulate cached blocks across calls
+      .localCheckpoint(true)
+    evalG.unpersist(blocking = false)
+    out
   }
 
   /** d08's FULL report (gram leg) + r02's phrase leg, both served from

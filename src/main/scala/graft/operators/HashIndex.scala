@@ -162,13 +162,20 @@ object HashIndex {
       .join(broadcast(hot), Seq("blk", "key"), "left_anti")
       .select(col("blk"), col("key"),
         col("doc_id").as("corpus_id"), col("hash").as("corpus_hash"))
-    stored.join(broadcast(bkeys), Seq("blk", "key"))
+    val out = stored.join(broadcast(bkeys), Seq("blk", "key"))
       .select(col("doc_id"), col("hash"), col("corpus_id"), col("corpus_hash"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("hash").bitwiseXOR(col("corpus_hash"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("corpus_id"), col("hamming"))
+      // candidate-bounded: freeze eagerly so both caches can be RELEASED
+      // here — the per-micro-batch streaming maintenance path calls probe
+      // once per trigger and must not leak a pair of cached frames per call
+      .localCheckpoint(true)
+    bkeys.unpersist(blocking = false)
+    probed.unpersist(blocking = false)
+    out
   }
 
   type Q = (SparkSession, String) => DataFrame

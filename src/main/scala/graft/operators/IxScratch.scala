@@ -30,15 +30,30 @@ private[operators] object IxScratch {
     }
   }
 
-  /** Fingerprint of one parquet table under a dataset dir (file name,
-    * length, mtime — enough to catch regeneration in place). */
+  /** Fingerprint of one parquet table under a dataset dir (relative
+    * path, length, mtime — enough to catch regeneration in place). The
+    * walk is RECURSIVE: a partitioned or bucketed table nests its part
+    * files in subdirectories, and a top-level-only listing would
+    * fingerprint it as empty (every regeneration would silently serve
+    * the first build's index). */
   def fingerprint(d: String, table: String = "documents.parquet"): String = {
     val root = new java.io.File(d.stripPrefix("file:"), table)
-    val files =
-      if (root.isFile) Array(root)
-      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isFile).sortBy(_.getName)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val files: Array[(String, java.io.File)] =
+      if (root.isFile) Array(root.getName -> root)
+      else if (!root.exists()) Array.empty
+      else {
+        import java.nio.file.{Files, Path}
+        val s = Files.walk(root.toPath)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => Files.isRegularFile(p))
+            .map(p => root.toPath.relativize(p).toString -> p.toFile)
+            .toArray
+        } finally s.close()
+      }
+    files.sortBy(_._1)
+      .map { case (rel, f) => s"$rel:${f.length}:${f.lastModified}" }
       .mkString(d + "|", ",", "")
   }
 

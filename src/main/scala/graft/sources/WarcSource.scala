@@ -370,21 +370,29 @@ object WarcSource {
       nSegs: Int = 16): DataFrame = {
     val spark = fetches.sparkSession
     import spark.implicits._
-    val digested = fetches
-      .select(col("url"), col("warc_date"), col("body"))
-      .withColumn("digest", sha2(col("body"), 256))
+    // an optional content_type column lets media fetches archive under
+    // their real HTTP type (the crawl loop's multimodal branch needs
+    // mediaResponses to classify them back out); absent, every fetch is
+    // an HTML page — the original contract, unchanged
+    val typed =
+      if (fetches.columns.contains("content_type"))
+        fetches.select(col("url"), col("warc_date"), col("body"),
+          col("content_type"))
+      else fetches.select(col("url"), col("warc_date"), col("body"),
+        lit("text/html; charset=utf-8").as("content_type"))
+    val digested = typed.withColumn("digest", sha2(col("body"), 256))
     val known = stored
       .groupBy(col("digest"))
       .agg(min(col("url")).as("refers_uri"))
     digested.join(known, Seq("digest"), "left")
-      .select(col("url"), col("warc_date"), col("body"), col("digest"),
-        col("refers_uri"))
-      .as[(String, String, Array[Byte], String, Option[String])]
-      .groupByKey { case (url, _, _, _, _) =>
+      .select(col("url"), col("warc_date"), col("body"),
+        col("content_type"), col("digest"), col("refers_uri"))
+      .as[(String, String, Array[Byte], String, String, Option[String])]
+      .groupByKey { case (url, _, _, _, _, _) =>
         math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), nSegs) }
       .mapGroups { (seg, it) =>
         val recs = it.toSeq.sortBy(_._1).map {
-          case (url, date, body, digest, refersUri) =>
+          case (url, date, body, ct, digest, refersUri) =>
             val base = Seq(
               "WARC-Target-URI" -> url,
               "WARC-Record-ID" -> s"<urn:graft:capture:$url>",
@@ -400,7 +408,7 @@ object WarcSource {
               case None => (Seq(
                 "WARC-Type" -> "response",
                 "Content-Type" -> "application/http;msgtype=response") ++ base,
-                Warc.renderHttpResponse(200, "text/html; charset=utf-8", body))
+                Warc.renderHttpResponse(200, ct, body))
             }
         }
         (s"file:/crawl/revisit-seg-$seg.warc.gz", Warc.writeGz(recs))

@@ -81,6 +81,7 @@ class CrawlLoopSpec extends SparkSuite {
     assert(r1 == Map(
       "fetched" -> 3L, "segments" -> expectedSegs(batch1.map(_._1)),
       "cdx_novel" -> 3L, "cdx_url_dup" -> 0L, "cdx_content_dup" -> 0L,
+      "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
       "records" -> 3L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L,
       "extract" -> 3L, "gate_scrub" -> 3L, "exact_dedup" -> 3L,
@@ -121,6 +122,7 @@ class CrawlLoopSpec extends SparkSuite {
       "fetched" -> 5L, "segments" -> expectedSegs(batch2.map(_._1)),
       // D + editA + copyC novel; refetch-A url_dup; mirror-B content_dup
       "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 1L,
+      "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
       // 3 full responses + 2 revisit records; revisits carry no page
       "records" -> 5L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L,
@@ -154,6 +156,7 @@ class CrawlLoopSpec extends SparkSuite {
       // refetch-D caught by the GROWN capture index across the batch
       // boundary; editD + G + the trap page are novel digests
       "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 0L,
+      "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
       "records" -> 4L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L, "extract" -> 3L,
       // the trap stub (4 words) dies at the word floor
@@ -227,5 +230,125 @@ class CrawlLoopSpec extends SparkSuite {
     try q.processAllAvailable() finally q.stop()
 
     assert(streamed.toSeq == batchReports)
+  }
+
+  // ---- media branch ----
+  // Two-level tile images make every hash bit PROVABLE: 64×64 of 8×8
+  // tiles, tile t = 200 ("high") if t ∈ highs else 50 — with 1 ≤ |highs|
+  // ≤ 63 the aHash bit vector IS the highs indicator (200·64·64 >
+  // total ⟺ nHigh < 64, and 50·64·64 > total is never true), so the
+  // hamming distance between two plants is exactly |highs Δ highs'|.
+  private def tilePx(highs: Set[Int]): Array[Int] =
+    Array.tabulate(64 * 64) { i =>
+      val bx = (i % 64) / 8; val by = (i / 64) / 8
+      if (highs(by * 8 + bx)) 200 else 50
+    }
+  private def pngOf(highs: Set[Int]): Array[Byte] =
+    graft.kernel.Png.encode(graft.kernel.Png.Image(64, 64, 1, 8, tilePx(highs)))
+  private def gifOf(highs: Set[Int]): Array[Byte] =
+    graft.kernel.Gif.encode(graft.kernel.Gif.Image(64, 64, 1, tilePx(highs)))
+
+  private def mediaFetches(rows: Seq[(String, Array[Byte], String)],
+      date: String) =
+    rows.toDF("url", "body", "content_type")
+      .withColumn("warc_date", lit(date))
+      .select(col("url"), col("warc_date"), col("body"), col("content_type"))
+
+  test("media branch: re-encodes and near-edits caught by the GROWN " +
+      "HashIndex; byte dups never reach it; takedown re-admits") {
+    val st = CrawlLoop.freshState()
+    val hX = (0 to 4).toSet // imgX: bits 0-4
+    val hY = Set(40, 41, 42, 50, 51, 52, 60) // disjoint from hX (ham 12)
+    val urlX = "https://h0.example.com/img/x.png"
+
+    // batch 1: one page (the curation chain needs ≥0 pages; include one
+    // so the text leg exercises too) + two unique images
+    val r1 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageA), "2025-01-01T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          (urlX, pngOf(hX), "image/png"),
+          ("https://h1.example.com/img/y.png", pngOf(hY), "image/png")),
+          "2025-01-01T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r1("media_images") == 2L && r1("media_near_dup") == 0L &&
+      r1("media_kept") == 2L, r1)
+
+    // batch 2: gifX = X's exact pixels re-encoded as GIF on a new url
+    // (novel byte digest — only the hash probe can catch it, ham 0);
+    // pngX1 = one-tile edit of X (ham 1); refetchX = identical bytes at
+    // the SAME url (cdx url_dup — excluded before the media stage);
+    // mirrorX = identical bytes at a NEW url (content_dup — excluded);
+    // imgZ = unique (ham ≥ 13 to everything stored)
+    val hX1 = hX + 9
+    val hZ = Set(20, 21, 22, 30, 31, 32, 33, 34)
+    val r2 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageD), "2025-01-02T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          ("https://h1.example.com/img2/x.gif", gifOf(hX), "image/gif"),
+          ("https://h0.example.com/img/x1.png", pngOf(hX1), "image/png"),
+          (urlX, pngOf(hX), "image/png"),
+          ("https://h2.example.com/mirror/x.png", pngOf(hX), "image/png"),
+          ("https://h3.example.com/img/z.png", pngOf(hZ), "image/png")),
+          "2025-01-02T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r2("cdx_novel") == 4L && r2("cdx_url_dup") == 1L &&
+      r2("cdx_content_dup") == 1L, r2)
+    assert(r2("media_images") == 3L && r2("media_near_dup") == 2L &&
+      r2("media_kept") == 1L, r2)
+
+    // the stored index holds exactly the three admitted originals
+    val ix = graft.operators.HashIndex.load(spark, st.hashDir)
+    assert(ix.hashes.count() == 3L)
+
+    // takedown: forget imgX — its fingerprint leaves physically, so the
+    // SAME pixels on a fresh url are re-admitted as novel media
+    val xId = Seq(urlX).toDF("url")
+      .select(xxhash64(graft.operators.Curate.canonicalUrl(col("url"))))
+      .head().getLong(0)
+    CrawlLoop.forget(Seq(xId).toDF("doc_id"), st)
+    assert(graft.operators.HashIndex.load(spark, st.hashDir)
+      .hashes.count() == 2L)
+    // the re-post uses X's PNG bytes: that digest left the CDX with the
+    // takedown (the GIF re-encode's digest is still captured — a
+    // re-fetch of IT would be content_dup, which is correct: only the
+    // forgotten capture was purged)
+    val r3 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageG), "2025-01-03T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          ("https://h4.example.com/img3/x.png", pngOf(hX), "image/png")),
+          "2025-01-03T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r3("media_images") == 1L && r3("media_near_dup") == 0L &&
+      r3("media_kept") == 1L, r3)
+  }
+
+  test("run manifest: the per-batch ledger accumulates across step " +
+      "invocations and serves history without re-running") {
+    val st = CrawlLoop.freshState()
+    val reports = runBatches(st)
+    val led = spark.read.parquet(st.manifestDir)
+    // every batch's returned report is IN the ledger, verbatim
+    val ledMaps = (0 until 3).map { k =>
+      led.filter(col("batch_ord") === k)
+        .filter(!col("stage").startsWith("ix_"))
+        .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows"))
+        .toMap
+    }
+    assert(ledMaps == reports)
+    // "what did batch 1 admit" answered from the ledger alone
+    assert(led.filter(col("batch_ord") === 1 && col("stage") === "corpus_kept")
+      .head().getAs[Long]("rows") == 1L)
+    // index row counts ride along per batch and grow monotonically
+    val rIx = (0 until 3).map(k => led
+      .filter(col("batch_ord") === k && col("stage") === "ix_retrieval_docs")
+      .head().getAs[Long]("rows"))
+    assert(rIx == Seq(3L, 4L, 5L), rIx)
+    val dIx = (0 until 3).map(k => led
+      .filter(col("batch_ord") === k && col("stage") === "ix_dedup_docs")
+      .head().getAs[Long]("rows"))
+    assert(dIx == Seq(3L, 4L, 5L), dIx)
   }
 }
