@@ -521,6 +521,118 @@ object CrawlLoop {
         .select(col("batch_id"), col("stage_idx"), col("stage"),
           col("rows"), col("secs"))
         .orderBy(col("batch_id"), col("stage_idx"))
+    }, None),
+
+    // The loop's CONTINUOUS mode, registered: fetch batches arrive as a
+    // FILE-SOURCE STREAM (one batch per trigger, the B6–B8 shape) and
+    // foreachBatch runs the same step() the batch form runs —
+    // CrawlLoopSpec pins foreachBatch ≡ batch parity, so the streamed
+    // loop inherits every batch-form gate. The registered query serves
+    // the RUN MANIFEST the streamed loop persisted: per-batch stage
+    // rows and index row counts, readable across restarts without
+    // re-running anything (the loop is maintenance; the ledger is the
+    // servable artifact — the r04/r08 index-serving discipline).
+    // Fixture: a 2-batch crawl with planted cross-batch events — an
+    // identical re-fetch (url_dup), a GIF re-encode of a batch-0 PNG
+    // (media near-dup via the GROWN HashIndex), a whitespace re-post
+    // (exact_corpus) — all visible as manifest rows. Not
+    // SQL-expressible (stored-index lifecycle); rows-only + specs.
+    ("c11_crawl_loop_stream", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val root = IxScratch.cached(
+          "crawlloop-stream:" + IxScratch.fingerprint(d),
+          "graft_loop_stream") { p =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
+        def urlOf(id: Column): Column = concat(lit("https://h"),
+          pmod(id, lit(5)), lit(".example.com/doc/"), id)
+        def htmlOf(id: Column, text: Column): Column = concat(
+          lit("<html><body><h1>Doc "), id, lit("</h1><p>"), text,
+          lit("</p></body></html>"))
+        def pngGif(ids: DataFrame, tag: String, gif: Boolean): DataFrame =
+          ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+            it.map { id =>
+              val w = 64; val h = 64
+              val m1 = (id * 2654435761L) % 251L + 2L
+              val m2 = (id * 40503L) % 239L + 3L
+              val px = Array.tabulate(w * h) { i =>
+                val bx = (i % w) / 8; val by = (i / w) / 8
+                ((bx * m1 + by * m2 + id) % 256L).toInt
+              }
+              if (gif)
+                (s"https://h${id % 5}.example.com/$tag/$id.gif",
+                  graft.kernel.Gif.encode(
+                    graft.kernel.Gif.Image(w, h, 1, px)), "image/gif")
+              else
+                (s"https://h${id % 5}.example.com/$tag/$id.png",
+                  graft.kernel.Png.encode(
+                    graft.kernel.Png.Image(w, h, 1, 8, px)), "image/png")
+            }
+          }.toDF("url", "body", "content_type")
+        def batchOf(k: Int): DataFrame = {
+          val pages = docs.filter(col("doc_id") % 3 === k)
+            .select(urlOf(col("doc_id")).as("url"),
+              htmlOf(col("doc_id"), col("text")).cast("binary").as("body"),
+              lit("text/html; charset=utf-8").as("content_type"))
+          val refetch = if (k == 0) pages.limit(0)
+            else docs.filter(col("doc_id") % 3 === 0
+                && col("doc_id") % 17 === 0)
+              .select(urlOf(col("doc_id")).as("url"),
+                htmlOf(col("doc_id"), col("text")).cast("binary").as("body"),
+                lit("text/html; charset=utf-8").as("content_type"))
+          val copy = if (k == 0) pages.limit(0)
+            else docs.filter(col("doc_id") % 3 === 0
+                && col("doc_id") % 31 === 0)
+              .select(concat(lit("https://h2.example.com/copy/"),
+                  col("doc_id")).as("url"),
+                htmlOf(col("doc_id"), concat(col("text"), lit("  ")))
+                  .cast("binary").as("body"),
+                lit("text/html; charset=utf-8").as("content_type"))
+          val imgs = pngGif(
+            docs.filter(col("doc_id") % 3 === k && col("doc_id") % 11 === 0),
+            "img", gif = false)
+          val reenc = if (k == 0) imgs.limit(0) else pngGif(
+            docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 11 === 0
+              && col("doc_id") % 4 === 0),
+            "img2", gif = true)
+          pages.unionByName(refetch).unionByName(copy)
+            .unionByName(imgs).unionByName(reenc)
+            .withColumn("warc_date", lit(s"2025-02-0${k + 1}T00:00:00Z"))
+            .select(col("url"), col("warc_date"), col("body"),
+              col("content_type"))
+        }
+        // stage each batch as ONE parquet file; the file source triggers
+        // them in mtime order, one batch per micro-batch
+        val inDir = new java.io.File(p, "in"); inDir.mkdirs()
+        (0 until 2).foreach { k =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_c11_stage").toFile
+          batchOf(k).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(inDir, s"b$k.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(1000000L * (k + 1))
+        }
+        val st = State(s"$p/state")
+        val stream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "url STRING, warc_date STRING, body BINARY, content_type STRING"))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.getAbsolutePath)
+        val q = stream.writeStream.foreachBatch {
+          (df: DataFrame, _: Long) =>
+            step(df, st, CorpusPipeline.Opts(lineGate = false),
+              ixBuckets = 8)
+            ()
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(State(s"$root/state").manifestDir)
+        .select(col("batch_ord"), col("stage_idx"), col("stage"),
+          col("rows"))
+        .orderBy(col("batch_ord"), col("stage_idx"))
     }, None)
   )
 }

@@ -180,4 +180,61 @@ class HashIndexSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       HashIndex.build(sigs(1L -> 1L), tmp(), keyBits = 0))
   }
+
+  // ---- m37 ≡ m16: index-served near-dups match the live banded form ----
+  // Two-level tile images (the CrawlLoopSpec scheme — the aHash bit
+  // vector IS the high-tile indicator, so every planted hamming distance
+  // is provable): corpus images 1..3 persist in the index, batch images
+  // probe it; the SAME decode kernel and the SAME banding must yield
+  // exactly the live hammingNearDups pairs restricted to (batch, corpus).
+  test("index-served near-dups equal the live cross pairs bit for bit") {
+    import graft.operators.{Dedup, Multimodal}
+    def px(highs: Set[Int]): Array[Int] =
+      Array.tabulate(64 * 64) { i =>
+        val bx = (i % 64) / 8; val by = (i / 64) / 8
+        if (highs(by * 8 + bx)) 200 else 50
+      }
+    val h1 = (0 to 4).toSet
+    val h2 = Set(20, 21, 22, 30, 31, 32)
+    val h3 = Set(40, 41, 50, 51, 60, 61, 62)
+    val plants: Seq[(Long, Array[Byte])] = Seq(
+      1L -> graft.kernel.Png.encode(
+        graft.kernel.Png.Image(64, 64, 1, 8, px(h1))),
+      2L -> graft.kernel.Png.encode(
+        graft.kernel.Png.Image(64, 64, 1, 8, px(h2))),
+      3L -> graft.kernel.Png.encode(
+        graft.kernel.Png.Image(64, 64, 1, 8, px(h3))),
+      // batch: 10 = one-tile edit of 1 (ham 1); 20 = 2's exact pixels
+      // re-encoded as GIF (ham 0 — only pixels decide); 30 = unique
+      10L -> graft.kernel.Png.encode(
+        graft.kernel.Png.Image(64, 64, 1, 8, px(h1 + 9))),
+      20L -> graft.kernel.Gif.encode(
+        graft.kernel.Gif.Image(64, 64, 1, px(h2))),
+      30L -> graft.kernel.Png.encode(
+        graft.kernel.Png.Image(64, 64, 1, 8, px(Set(7, 15, 23, 31, 39)))))
+    val media = plants.toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("image").as("media_type"), col("payload"))
+    val hashes = Multimodal.imageHashesWith(media,
+        classOf[Multimodal.ImageDecoder].getName)
+      .select(col("doc_id"), col("img_hash"))
+      .localCheckpoint(true)
+
+    val dir = tmp()
+    HashIndex.build(hashes.filter(col("doc_id") < 10)
+      .withColumnRenamed("img_hash", "hash"), dir)
+    val served = Multimodal.imageNearDupsAgainstIndex(
+        HashIndex.load(spark, dir),
+        media.filter(col("doc_id") >= 10),
+        classOf[Multimodal.ImageDecoder].getName)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == Set((10L, 1L, 1), (20L, 2L, 0)), served)
+
+    // the live all-pairs form, restricted to cross (batch, corpus) pairs
+    val live = Dedup.hammingNearDups(hashes, "img_hash", maxHamming = 2,
+        keyBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect { case (a, b, h) if a < 10 && b >= 10 => (b, a, h) }
+      .toSet
+    assert(served == live, s"served $served vs live $live")
+  }
 }
