@@ -127,6 +127,16 @@ object GraftFunctions {
   def pq_adc(codes: Column, lut: Column, ks: Int): Column =
     toCol(PqAdc(expression(codes), expression(lut), ks))
 
+  /** Norm-corrected ADC lookup table (dots + codeword norms² — see
+    * [[PqLutCos]]). */
+  def pq_lut_cos(v: Column, codebook: Array[Float], dim: Int, m: Int): Column =
+    toCol(PqLutCos(expression(v), codebook, dim, m))
+
+  /** Norm-corrected ADC: dot/‖reconstruction‖ ≈ true cosine (see
+    * [[PqAdcCos]] — removes the codeword norm-shrinkage bias). */
+  def pq_adc_cos(codes: Column, lut: Column, ks: Int): Column =
+    toCol(PqAdcCos(expression(codes), expression(lut), ks))
+
   /** Membership probe of an integral key against a broadcast Bloom
     * filter (codegen'd — see [[BloomMightContain]]). */
   def bloom_might_contain(key: Column,

@@ -120,6 +120,71 @@ case class PqAdc(left: Expression, right: Expression, ks: Int)
     copy(left = l, right = r)
 }
 
+/** Norm-corrected ADC lookup table: the first m×ks doubles are the
+  * subvector dot products ([[PqLut]]'s table), the second m×ks are the
+  * squared norms ‖codeword‖² — what [[PqAdcCos]] needs to estimate the
+  * true cosine `dot(q, x̂)/‖x̂‖` instead of the raw dot. The raw-dot ADC
+  * implicitly assumes ‖x̂‖ ≈ 1, but k-means centroids sit INSIDE the
+  * shell of their cluster (norm shrinkage), and when shrinkage varies
+  * across codewords the raw dot is biased toward large-norm
+  * reconstructions — measured on rotated anisotropic data: an EXACT
+  * copy's own code ranked below random competitors. Subspaces are
+  * orthogonal slices, so ‖x̂‖² = Σ_j ‖c_j‖² — m more lookups, no new
+  * per-row float math. */
+case class PqLutCos(child: Expression, codebook: Array[Float],
+    dim: Int, m: Int) extends UnaryExpression {
+
+  require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut_cos"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut_cos requires array<float>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEval.lutCos(input.asInstanceOf[ArrayData], codebook, dim, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqEval.lutCos($c, $ref, $dim, $m)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Norm-corrected ADC score against a [[PqLutCos]] table:
+  * `Σ_j dot_j / sqrt(Σ_j ‖c_j‖²)` ≈ cosine(query, original) with the
+  * reconstruction-norm bias removed. 2m lookups per corpus row. */
+case class PqAdcCos(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+
+  require(ks > 0 && ks <= 256, "ks must be in 1..256 for byte codes")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_cos"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_cos requires (binary, array<double>), got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqEval.adcCos(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.PqEval.adcCos($c, $l, $ks)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Static eval helpers (called from generated code). */
 object PqEval {
 
@@ -197,5 +262,50 @@ object PqEval {
     var j = 0
     while (j < m) { s += lut.getDouble(j * ks + (codes(j) & 0xFF)); j += 1 }
     s
+  }
+
+  def lutCos(arr: ArrayData, codebook: Array[Float], dim: Int,
+      m: Int): GenericArrayData = {
+    val sub = dim / m
+    val ks = codebook.length / dim
+    val v = normalized(arr, dim)
+    val out = new Array[Double](2 * m * ks)
+    var j = 0
+    while (j < m) {
+      val vBase = j * sub
+      val cbBase = j * ks * sub
+      var c = 0
+      while (c < ks) {
+        var dot = 0.0
+        var n2 = 0.0
+        var i = 0
+        val base = cbBase + c * sub
+        while (i < sub) {
+          val cw = codebook(base + i).toDouble
+          dot += v(vBase + i) * cw
+          n2 += cw * cw
+          i += 1
+        }
+        out(j * ks + c) = dot
+        out(m * ks + j * ks + c) = n2
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def adcCos(codes: Array[Byte], lut: ArrayData, ks: Int): Double = {
+    val m = codes.length
+    var s = 0.0
+    var n2 = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes(j) & 0xFF
+      s += lut.getDouble(j * ks + c)
+      n2 += lut.getDouble(m * ks + j * ks + c)
+      j += 1
+    }
+    if (n2 == 0) 0.0 else s / math.sqrt(n2)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent IVFPQ index — the stored form of [[Similarity.ivfpqTopK]]'s
@@ -27,20 +27,40 @@ object AnnIndex {
 
   final case class Loaded(dim: Int, m: Int, ks: Int, nlist: Int,
       replicas: Int, centroids: Array[Float], codebook: Array[Float],
-      index: DataFrame)
+      rotation: Option[Seq[Seq[Double]]], index: DataFrame)
+
+  /** Apply a stored OPQ rotation (identity when absent): one codegen'd
+    * row-local projection — encode-side and query-side vectors must
+    * pass through the SAME rotation the models were trained under. */
+  private def rotated(emb: DataFrame,
+      rot: Option[Seq[Seq[Double]]]): DataFrame =
+    rot.fold(emb)(r => Similarity.pcaProjectFrame(emb, r)
+      .select(col("vec_id"), col("reduced").as("embedding")))
 
   /** Train both models on the corpus, encode it, and persist the whole
     * index. Deterministic: same corpus + params ⇒ byte-identical models
-    * (the bounded-sample trainers are seedless and order-fixed). */
+    * (the bounded-sample trainers are seedless and order-fixed).
+    *
+    * `opq = true` trains and stores the parametric-OPQ rotation
+    * ([[Similarity.opqRotation]] — Ge et al. 2013 §4, the s11
+    * preprocessing) and both models train over ROTATED vectors; every
+    * encode and probe afterwards applies the stored rotation first, so
+    * the quantization-error win PcaSpec proves for s11 reaches the
+    * SERVED index, not just the one-shot query. Exact doubles persist
+    * (a float-rounded rotation would break grow ≡ rebuild parity). */
   def build(corpus: DataFrame, dir: String, nlist: Int = 0,
-      replicas: Int = 2, m: Int = 8, ks: Int = 64): Unit = {
+      replicas: Int = 2, m: Int = 8, ks: Int = 64,
+      opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val fns = graft.functions.GraftFunctions
-    val n = corpus.count()
+    val rot: Option[Seq[Seq[Double]]] =
+      if (opq) Some(Similarity.opqRotation(corpus, m)) else None
+    val enc = rotated(corpus.select(col("vec_id"), col("embedding")), rot)
+    val n = enc.count()
     val lists = if (nlist > 0) nlist else Similarity.nlistFor(n)
-    val (centroids, dim) = Similarity.trainCentroids(corpus, lists, n)
-    val (codebook, _) = Similarity.trainPq(corpus, n, m, ks)
+    val (centroids, dim) = Similarity.trainCentroids(enc, lists, n)
+    val (codebook, _) = Similarity.trainPq(enc, n, m, ks)
     val ksEff = codebook.length / dim
 
     // persist the EFFECTIVE replication (encode uses min(replicas,
@@ -51,8 +71,13 @@ object AnnIndex {
     Seq(("centroids", centroids.toSeq), ("codebook", codebook.toSeq))
       .toDF("kind", "vals")
       .write.mode("overwrite").parquet(s"$dir/model.parquet")
+    rot.foreach { r =>
+      Seq((r.length, r.flatten))
+        .toDF("dim", "vals")
+        .write.mode("overwrite").parquet(s"$dir/rotation.parquet")
+    }
 
-    corpus.select(col("vec_id"),
+    enc.select(col("vec_id"),
         explode(fns.nearest_centroids(col("embedding"), centroids, dim,
           math.min(replicas, lists))).as("list_id"),
         fns.pq_encode(col("embedding"), codebook, dim, m).as("codes"))
@@ -87,8 +112,8 @@ object AnnIndex {
     val spark = batch.sparkSession
     val ix = load(spark, dir)
     val fns = graft.functions.GraftFunctions
-    val frozen = batch.select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+    val frozen = rotated(batch.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true), ix.rotation)
     frozen.select(col("vec_id"),
         explode(fns.nearest_centroids(col("embedding"), ix.centroids,
           ix.dim, ix.replicas)).as("list_id"),
@@ -153,6 +178,15 @@ object AnnIndex {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val model = spark.read.parquet(s"$dir/model.parquet").collect()
       .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    val rotation =
+      if (!new java.io.File(
+          dir.stripPrefix("file:") + "/rotation.parquet").exists()) None
+      else {
+        val r = spark.read.parquet(s"$dir/rotation.parquet").head()
+        val d = r.getAs[Int]("dim")
+        Some(r.getSeq[Double](r.fieldIndex("vals"))
+          .grouped(d).map(_.toSeq).toSeq)
+      }
     val raw = spark.read.parquet(s"$dir/index.parquet")
     val visible = tombstones(spark, dir) match {
       case Some(t) => raw.join(broadcast(t), Seq("vec_id"), "left_anti")
@@ -161,7 +195,7 @@ object AnnIndex {
     Loaded(meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
       meta.getAs[Int]("ks"), meta.getAs[Int]("nlist"),
       meta.getAs[Int]("replicas"),
-      model("centroids"), model("codebook"), visible)
+      model("centroids"), model("codebook"), rotation, visible)
   }
 
   /** Query a loaded index: probe → partition-pruned ADC scan → exact
@@ -172,14 +206,31 @@ object AnnIndex {
       nprobe: Int = 8, rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fns = graft.functions.GraftFunctions
-    val probes = queries.select(col("vec_id").as("query_id"),
-      explode(fns.nearest_centroids(col("embedding"), ix.centroids, ix.dim,
-        math.min(nprobe, ix.nlist))).as("list_id"),
-      fns.pq_lut(col("embedding"), ix.codebook, ix.dim, ix.m).as("lut"))
+    // probes run in the index's (possibly rotated) space; the exact
+    // re-rank below stays on ORIGINAL vectors — cosine is rotation-
+    // invariant, and the corpus join carries the originals anyway.
+    // OPQ mode scores with the NORM-CORRECTED ADC (pq_adc_cos): rotated
+    // anisotropic spaces expose the raw dot's codeword norm-shrinkage
+    // bias (measured: an exact copy's own code ranked below random
+    // competitors); the plain path keeps the raw-dot ADC for bit parity
+    // with the live ivfpqTopK pipeline and its golden gates.
+    val lutFn: Column => Column =
+      if (ix.rotation.isDefined)
+        e => fns.pq_lut_cos(e, ix.codebook, ix.dim, ix.m)
+      else e => fns.pq_lut(e, ix.codebook, ix.dim, ix.m)
+    val adcFn: (Column, Column) => Column =
+      if (ix.rotation.isDefined) (c, l) => fns.pq_adc_cos(c, l, ix.ks)
+      else (c, l) => fns.pq_adc(c, l, ix.ks)
+    val probes = rotated(queries.select(col("vec_id"), col("embedding")),
+        ix.rotation)
+      .select(col("vec_id").as("query_id"),
+        explode(fns.nearest_centroids(col("embedding"), ix.centroids, ix.dim,
+          math.min(nprobe, ix.nlist))).as("list_id"),
+        lutFn(col("embedding")).as("lut"))
     val approx = ix.index.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        fns.pq_adc(col("codes"), col("lut"), ix.ks).as("adc"))
+        adcFn(col("codes"), col("lut")).as("adc"))
       .distinct()
     val cands = graft.plans.TopKPerKey.topKPerKey(approx,
         Seq("query_id"), Seq(("adc", true), ("neighbor_id", false)),

@@ -243,6 +243,117 @@ class LlmOpsSpec extends SparkSuite {
     assert(again == fromIndex)
   }
 
+  test("ANN index with OPQ: rotation persists exactly, grow encodes " +
+      "through it, stored codebook beats plain PQ on anisotropic data") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    // PcaSpec's anisotropic corpus: two heavy dimensions plain PQ puts
+    // in the SAME subspace at m=4, everything else near-noise
+    def mixu(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val emb = (0L until 300L).map { id =>
+      val v = Array.tabulate(16)(i => (mixu(id * 131L + i) * 0.04).toFloat)
+      v(0) = (mixu(id * 131L + 100) * 2.0).toFloat
+      v(1) = (mixu(id * 131L + 101) * 1.6).toFloat
+      (id, v.toSeq)
+    }
+    val frame = emb.toDF("vec_id", "embedding").cache()
+    val dirP = tempDir("annplain").getAbsolutePath
+    val dirO = tempDir("annopq").getAbsolutePath
+    AnnIndex.build(frame, s"file:$dirP", m = 4, ks = 16)
+    AnnIndex.build(frame, s"file:$dirO", m = 4, ks = 16, opq = true)
+    val ixP = AnnIndex.load(spark, s"file:$dirP")
+    val ixO = AnnIndex.load(spark, s"file:$dirO")
+    assert(ixP.rotation.isEmpty)
+    // the stored rotation round-trips EXACTLY (doubles, not floats —
+    // anything lossy would break grow ≡ rebuild parity)
+    assert(ixO.rotation.contains(Similarity.opqRotation(frame, m = 4)))
+
+    // the stored codebook's quantization error: OPQ clearly below plain
+    // (the PcaSpec property, now proven for the SERVED index's models)
+    def pqError(vecs: Seq[Seq[Float]], codebook: Array[Float],
+        dim: Int, m: Int): Double = {
+      val sub = dim / m
+      val k = codebook.length / dim
+      vecs.map { r =>
+        val norm = math.sqrt(r.map(x => x.toDouble * x).sum)
+        val u = r.map(x => if (norm == 0) 0.0 else x / norm)
+        (0 until m).map { j =>
+          (0 until k).map { c =>
+            (0 until sub).map { i =>
+              val diff = u(j * sub + i) - codebook(j * k * sub + c * sub + i)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val rawVecs = emb.map(_._2)
+    val rotVecs = Similarity.pcaProjectFrame(frame, ixO.rotation.get)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](2).toSeq).toSeq
+    val errP = pqError(rawVecs, ixP.codebook, 16, 4)
+    val errO = pqError(rotVecs, ixO.codebook, 16, 4)
+    assert(errO < errP * 0.9, s"OPQ error $errO not clearly below $errP")
+
+    // recall@1 on PLANTED near-copies (query i = corpus vector i plus
+    // per-dim noise at 1% of its scale — the true neighbor carries a
+    // real margin, unlike self-queries over noise-dominated data whose
+    // hairline margins make tiny-pool recall a coin flip)
+    val queries = (0L until 30L).map { id =>
+      val v = emb(id.toInt)._2.toArray
+      val q = v.indices.map(i =>
+        (v(i) + (mixu(id * 977L + i + 5000) * 0.02 * math.max(
+          math.abs(v(i).toDouble), 0.04)).toFloat)).toSeq
+      (id + 90000L, q)
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(queries, frame, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def recall(ix: AnnIndex.Loaded, nprobe: Int, rerank: Int): Double = {
+      val got = AnnIndex.topK(ix, queries, frame, 1, nprobe, rerank)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      bf.count { case (q, n) => got.get(q).contains(n) }.toDouble / bf.size
+    }
+    val (recP, recO) = (recall(ixP, 8, 4), recall(ixO, 8, 4))
+    assert(recO >= recP, s"OPQ recall $recO below plain $recP")
+    assert(recO >= 0.9, s"OPQ recall $recO unreasonably low")
+
+    // the sharpest ADC-quality gate: for EXACT copies at rerank 1 the
+    // norm-corrected OPQ scorer must put the true source first every
+    // time (the raw-dot scorer measured 0.07 here before the fix — the
+    // codeword norm-shrinkage bias this test exists to keep out)
+    val exact = frame.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    val bfE = Similarity.bruteForceTopK(exact, frame, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gotE = AnnIndex.topK(ixO, exact, frame, 1, nprobe = 8, rerank = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bfE.forall { case (q, n) => gotE.get(q).contains(n) },
+      s"exact-copy rr=1 misses: ${bfE.filterNot { case (q, n) => gotE.get(q).contains(n) }}")
+
+    // grow through the stored rotation: appended rows are exactly the
+    // batch rotated with the STORED matrix and encoded with the STORED
+    // models (no retrain)
+    val batch = frame.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    AnnIndex.grow(batch, s"file:$dirO")
+    val fns = graft.functions.GraftFunctions
+    val expectNew = Similarity.pcaProjectFrame(batch, ixO.rotation.get)
+      .select(col("vec_id"),
+        explode(fns.nearest_centroids(col("reduced"), ixO.centroids,
+          ixO.dim, ixO.replicas)).as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val grownNew = AnnIndex.load(spark, s"file:$dirO").index
+      .filter(col("vec_id") >= 90000L)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grownNew == expectNew)
+  }
+
   test("ANN index growth: appended vectors are encoded with the stored models") {
     import spark.implicits._
     import graft.operators.AnnIndex
