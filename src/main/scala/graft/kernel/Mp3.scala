@@ -68,9 +68,9 @@ object Mp3 {
   }
 
   /** Walk the ID3v2.3/v2.4 frames in [from, to); returns (title,
-    * artist) from TIT2/TPE1. v2.2 (3-byte ids) carries no frames this
-    * walk reads — its tag region is skipped whole. A 0x00 where a frame
-    * id should start is the padding area (spec §3.3): stop. */
+    * artist) from TIT2/TPE1 (v2.2's 3-byte-id frames walk through
+    * [[id3v22Text]] instead). A 0x00 where a frame id should start is
+    * the padding area (spec §3.3): stop. */
   private def id3v2Text(b: Array[Byte], from: Int, to: Int,
       v4: Boolean): (String, String) = {
     var title = ""; var artist = ""
@@ -102,6 +102,41 @@ object Mp3 {
           case _ => ()
         }
         o += 10 + size
+      }
+    }
+    (title, artist)
+  }
+
+  /** Walk the ID3v2.2 frames in [from, to): 3-byte ids, 3-byte PLAIN
+    * big-endian sizes, 6-byte headers, no per-frame flags (ID3v2.2 spec
+    * §3.2) — TT2/TP1 are the title/artist text frames old MP3s in real
+    * crawls still carry. Only encodings 0 (ISO-8859-1) and 1 (UCS-2,
+    * BOM-led) exist in v2.2; anything else is a malformed tag and
+    * raises. Padding stop as in the v2.3/v2.4 walk. */
+  private def id3v22Text(b: Array[Byte], from: Int,
+      to: Int): (String, String) = {
+    var title = ""; var artist = ""
+    var o = from
+    var stop = false
+    while (!stop && o + 6 <= to) {
+      if (b(o) == 0) stop = true // padding
+      else {
+        val id = new String(b, o, 3, "ISO-8859-1")
+        val size = ((b(o + 3) & 0xff) << 16) | ((b(o + 4) & 0xff) << 8) |
+          (b(o + 5) & 0xff)
+        require(size >= 1 && o + 6 + size <= to,
+          s"mp3: ID3v2.2 frame '$id' size $size overruns the tag")
+        def text(): String = {
+          val enc = b(o + 6) & 0xff
+          require(enc <= 1, s"mp3: ID3v2.2 text encoding $enc")
+          textPayload(b, o + 6, size)
+        }
+        id match {
+          case "TT2" => title = text()
+          case "TP1" => artist = text()
+          case _ => ()
+        }
+        o += 6 + size
       }
     }
     (title, artist)
@@ -152,6 +187,13 @@ object Mp3 {
           start = 10 + ext
         }
         val t = id3v2Text(bytes, start, 10 + len, v4 = major == 4)
+        title = t._1; artist = t._2
+      } else if (major == 2 && (bytes(5) & 0xc0) == 0) {
+        // v2.2: flag 0x80 is unsynchronisation (same skip reasoning as
+        // above), 0x40 is WHOLE-TAG compression with no defined scheme
+        // (spec §3.1 — "the tag should be ignored"); no extended header
+        // exists, so frames start right after the 10-byte header
+        val t = id3v22Text(bytes, 10, 10 + len)
         title = t._1; artist = t._2
       }
     }
@@ -225,8 +267,10 @@ object Mp3 {
     * [[metadata]]'s text extraction. */
   def encodeId3v2(title: String, artist: String, major: Int = 3,
       enc: Int = 0, padding: Int = 0): Array[Byte] = {
-    require(major == 3 || major == 4, s"ID3v2.$major not buildable here")
-    require(enc >= 0 && enc <= 3, s"encoding $enc")
+    require(major == 2 || major == 3 || major == 4,
+      s"ID3v2.$major not buildable here")
+    require(enc >= 0 && enc <= (if (major == 2) 1 else 3),
+      s"encoding $enc for ID3v2.$major")
     def encode(s: String): Array[Byte] = enc match {
       case 0 => s.getBytes("ISO-8859-1")
       case 1 => Array(0xfe.toByte, 0xff.toByte) ++ s.getBytes("UTF-16BE")
@@ -236,17 +280,25 @@ object Mp3 {
     def frame(id: String, text: String): Array[Byte] = {
       val payload = Array(enc.toByte) ++ encode(text)
       val n = payload.length
-      val size =
-        if (major == 4) Array(((n >> 21) & 0x7f).toByte,
-          ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
-          (n & 0x7f).toByte)
-        else Array(((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
-          ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
-      id.getBytes("ISO-8859-1") ++ size ++ Array[Byte](0, 0) ++ payload
+      if (major == 2)
+        // v2.2: 3-byte id, 3-byte plain size, NO flag bytes
+        id.getBytes("ISO-8859-1") ++ Array(((n >> 16) & 0xff).toByte,
+          ((n >> 8) & 0xff).toByte, (n & 0xff).toByte) ++ payload
+      else {
+        val size =
+          if (major == 4) Array(((n >> 21) & 0x7f).toByte,
+            ((n >> 14) & 0x7f).toByte, ((n >> 7) & 0x7f).toByte,
+            (n & 0x7f).toByte)
+          else Array(((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+            ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+        id.getBytes("ISO-8859-1") ++ size ++ Array[Byte](0, 0) ++ payload
+      }
     }
-    val body = (if (title.nonEmpty) frame("TIT2", title)
+    val (tFrame, aFrame) =
+      if (major == 2) ("TT2", "TP1") else ("TIT2", "TPE1")
+    val body = (if (title.nonEmpty) frame(tFrame, title)
       else Array.empty[Byte]) ++
-      (if (artist.nonEmpty) frame("TPE1", artist) else Array.empty[Byte]) ++
+      (if (artist.nonEmpty) frame(aFrame, artist) else Array.empty[Byte]) ++
       new Array[Byte](padding)
     val n = body.length
     Array[Byte]('I', 'D', '3', major.toByte, 0, 0,

@@ -3231,12 +3231,14 @@ object Multimodal {
     // (kernel/Mp3.scala) over planted CBR streams — frame count, rates,
     // the EXACT sample-arithmetic duration
     // floor(frames·1152·1000/sampleRate), and the DECLARED text tags
-    // (title/artist): the id mod 5 rotation plants an ID3v2.3
+    // (title/artist): the id mod 7 rotation plants an ID3v2.3
     // ISO-8859-1 tag with real TIT2/TPE1 frames + padding, an ID3v2.4
     // UTF-8 tag (syncsafe frame sizes), an ID3v1-only trailer, an
-    // ID3v2.3 UTF-16 tag (BOM decode), and an untagged file — every
-    // tag syntax decodes to the SAME DuckDB-recomputable string. The
-    // Huffman audio payload stays undecodable by contract.
+    // ID3v2.3 UTF-16 tag (BOM decode), an untagged file, an ID3v2.2
+    // ISO-8859-1 tag (3-byte TT2/TP1 ids, 3-byte plain sizes — the
+    // 1990s files real crawls still carry), and an ID3v2.2 UCS-2 tag —
+    // every tag syntax decodes to the SAME DuckDB-recomputable string.
+    // The Huffman audio payload stays undecodable by contract.
     ("m31_audio_meta", (s: SparkSession, d: String) => {
       import s.implicits._
       val rates = Array(96, 128, 192, 320)
@@ -3250,7 +3252,7 @@ object Multimodal {
             val sr = srs((id % 3).toInt)
             val title = s"T$id"
             val artist = s"A${id % 7}"
-            val payload = (id % 5) match {
+            val payload = (id % 7) match {
               case 0 => Mp3.encodeHeader(frames, br, sr,
                 id3 = Mp3.encodeId3v2(title, artist, major = 3, enc = 0,
                   padding = (100 + id % 20).toInt))
@@ -3260,7 +3262,12 @@ object Multimodal {
                 Mp3.encodeHeader(frames, br, sr), title, artist)
               case 3 => Mp3.encodeHeader(frames, br, sr,
                 id3 = Mp3.encodeId3v2(title, artist, major = 3, enc = 1))
-              case _ => Mp3.encodeHeader(frames, br, sr)
+              case 4 => Mp3.encodeHeader(frames, br, sr)
+              case 5 => Mp3.encodeHeader(frames, br, sr,
+                id3 = Mp3.encodeId3v2(title, artist, major = 2, enc = 0,
+                  padding = (50 + id % 10).toInt))
+              case _ => Mp3.encodeHeader(frames, br, sr,
+                id3 = Mp3.encodeId3v2(title, artist, major = 2, enc = 1))
             }
             (id, payload)
           }
@@ -3288,8 +3295,8 @@ object Multimodal {
         FROM documents)
       SELECT doc_id, '1' AS version, sample_rate, bitrate_kbps, frames,
         CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms,
-        CASE WHEN doc_id % 5 = 4 THEN '' ELSE 'T' || doc_id END AS title,
-        CASE WHEN doc_id % 5 = 4 THEN '' ELSE 'A' || (doc_id % 7) END
+        CASE WHEN doc_id % 7 = 4 THEN '' ELSE 'T' || doc_id END AS title,
+        CASE WHEN doc_id % 7 = 4 THEN '' ELSE 'A' || (doc_id % 7) END
           AS artist
       FROM p ORDER BY doc_id""")),
 

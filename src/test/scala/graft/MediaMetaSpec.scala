@@ -316,6 +316,46 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(none.title == "" && none.artist == "")
   }
 
+  test("mp3: ID3v2.2 TT2/TP1 — both encodings, v1 fill, flags, hostile") {
+    // ISO-8859-1 with padding: 3-byte ids, 3-byte plain sizes walk
+    val v22 = Mp3.metadata(Mp3.encodeHeader(2, 128, 44100,
+      id3 = Mp3.encodeId3v2("Old Söng", "Old Bänd", major = 2, enc = 0,
+        padding = 32)))
+    assert(v22.title == "Old Söng" && v22.artist == "Old Bänd" &&
+      v22.frames == 2)
+    // UCS-2 (BOM-led — the only other encoding v2.2 defines)
+    val u22 = Mp3.metadata(Mp3.encodeHeader(1, 128, 44100,
+      id3 = Mp3.encodeId3v2("U2T", "U2A", major = 2, enc = 1)))
+    assert(u22.title == "U2T" && u22.artist == "U2A")
+    // v1 trailer fills only where the v2.2 tag said nothing
+    val both = Mp3.metadata(Mp3.appendId3v1(
+      Mp3.encodeHeader(1, 128, 44100,
+        id3 = Mp3.encodeId3v2("N2T", "", major = 2)), "OldT", "OldA"))
+    assert(both.title == "N2T" && both.artist == "OldA")
+    // unsynchronisation declines text decode; the frame walk after the
+    // tag is untouched
+    val unsync = Mp3.encodeId3v2("X", "Y", major = 2)
+    unsync(5) = 0x80.toByte
+    val mu = Mp3.metadata(unsync ++ Mp3.encodeHeader(2, 128, 44100))
+    assert(mu.title == "" && mu.artist == "" && mu.frames == 2)
+    // whole-tag compression flag: v2.2 §3.1 defines no scheme — the tag
+    // is ignored, never mis-decoded
+    val comp = Mp3.encodeId3v2("X", "Y", major = 2)
+    comp(5) = 0x40.toByte
+    val mc = Mp3.metadata(comp ++ Mp3.encodeHeader(1, 128, 44100))
+    assert(mc.title == "" && mc.artist == "")
+    // hostile: a declared frame size overrunning the tag is loud
+    val bad = Mp3.encodeId3v2("TTT", "AAA", major = 2)
+    bad(13) = 0x7f.toByte // TT2's 3-byte size at offsets 13..15
+    intercept[IllegalArgumentException](
+      Mp3.metadata(bad ++ Mp3.encodeHeader(1, 128, 44100)))
+    // hostile: encoding byte 2 does not exist in v2.2
+    val badEnc = Mp3.encodeId3v2("T", "A", major = 2, enc = 0)
+    badEnc(16) = 2 // payload encoding byte: 10 header + 3 id + 3 size
+    intercept[IllegalArgumentException](
+      Mp3.metadata(badEnc ++ Mp3.encodeHeader(1, 128, 44100)))
+  }
+
   test("mp3: ID3v2 extended-header and unsynchronisation flags") {
     // v2.4 extended header (syncsafe size INCLUDING itself): splice a
     // minimal 6-byte ext header before the frames; tags must still read
