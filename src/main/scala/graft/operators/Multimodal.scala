@@ -1309,6 +1309,101 @@ object Multimodal {
       corpus.unpersist(blocking = false)
     }
 
+  /** [[videoImageMatches]] served from a STORED image fingerprint index:
+    * the known-image corpus's perceptual hashes persist once; each
+    * arriving video batch extracts ONLY its keyframes, hashes them
+    * through the same kernel, and probes — the live m28 form re-hashes
+    * and re-bands the whole image corpus per call. No id-namespace
+    * union needed: the probe's batch/stored sides are separate by
+    * construction. Returns (video_id, frame_idx, image_id, hamming). */
+  def videoImageMatchesAgainstIndex(ix: HashIndex.Loaded, videos: DataFrame,
+      maxHamming: Int = 0, num: Int = 12, den: Int = 1,
+      maxBucket: Int = 100): DataFrame = {
+    val FrameCap = 1000000L
+    val kf = videoKeyframes(videos, num, den)
+    val kfMedia = kf.select(
+      when(col("frame_idx") < FrameCap && col("doc_id") >= 0,
+          col("doc_id") * FrameCap + col("frame_idx"))
+        .otherwise(raise_error(concat(
+          lit("videoImageMatchesAgainstIndex: id namespace overflow at "),
+          lit("video "), col("doc_id").cast("string"))).cast("long"))
+        .as("doc_id"),
+      lit("image").as("media_type"), col("png").as("payload"))
+    val vHashes = imageHashesWith(kfMedia, classOf[PngDecoder].getName)
+      .select(col("doc_id"), col("img_hash").as("hash"))
+    HashIndex.probe(ix, vHashes, maxHamming, maxBucket)
+      .select(expr(s"doc_id div $FrameCap").as("video_id"),
+        (col("doc_id") % FrameCap).cast("int").as("frame_idx"),
+        col("corpus_id").as("image_id"), col("hamming"))
+  }
+
+  /** The m28/m38 fixture: 16×8 frames of 8×8 blocks (2×1 px each),
+    * varying multiplicatively per (id, salt) — each doc's still is
+    * UNIQUE to it (a global shared tile would form a >maxBucket band
+    * bucket at sf0.1 and the cap would drop every match); "shared"
+    * (id ≡ 0 mod 97) means the video's scene 1 uses the SAME salt (31)
+    * as that doc's image. */
+  private def m28Cells(id: Long, salt: Long): Array[Int] = {
+    val w = 16; val h = 8
+    val m1 = (id * 2654435761L + salt * 97L) % 251L + 2L
+    val m2 = (id * 40503L + salt * 89L) % 239L + 3L
+    Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 2; val y = i / w
+      ((bx * m1 + y * m2 + id) % 256L).toInt
+    }
+  }
+
+  private def m28Videos(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 16; val h = 8
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val shared = id % 97 == 0
+          val frames = Vector.tabulate(6) { f =>
+            val frame = new Array[Byte](w * h * 3 / 2)
+            val sc = f / 3
+            val px = m28Cells(id, if (shared && sc == 1) 31L else sc.toLong)
+            var i = 0
+            while (i < w * h) { frame(i) = px(i).toByte; i += 1 }
+            java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+            frame
+          }
+          (id, "video",
+            graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  private def m28Images(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 16; val h = 8
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val px = m28Cells(id, if (id % 97 == 0) 31L else 9999L)
+          (id, "image",
+            graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Per-dataset stored fingerprint index over m28's image corpus,
+    * built 80/20 so grow parity sits under m38's oracle. */
+  private def m28ImageIndex(s: SparkSession, d: String): String =
+    IxScratch.cached("hashix-m28img:" + IxScratch.fingerprint(d),
+        "graft_hash_img") { p =>
+      val sigs = imageHashesWith(m28Images(s, d),
+          classOf[ImageDecoder].getName)
+        .select(col("doc_id"), col("img_hash").as("hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      HashIndex.build(sigs.filter(col("doc_id") % 7 =!= 0), p)
+      HashIndex.grow(sigs.filter(col("doc_id") % 7 === 0), p)
+      sigs.unpersist(blocking = false)
+    }
+
   /** Build a media table over the documents corpus: text bytes stand in
     * for the media payload (deterministic, offline). */
   def mediaTable(docs: DataFrame): DataFrame =
@@ -2048,49 +2143,7 @@ object Multimodal {
     // banding, or namespace bug breaks the hash. Non-match behavior
     // additionally spec-gated in Y4mSpec.
     ("m28_video_image_matches", (s: SparkSession, d: String) => {
-      import s.implicits._
-      val w = 16; val h = 8
-      // scene cells: 8×8 blocks of 2×1 pixels, varying multiplicatively
-      // per (id, salt) — each doc's still is UNIQUE to it (a global
-      // shared tile would form a >maxBucket band bucket at sf0.1 and
-      // the cap would drop every match); "shared" means the video's
-      // scene 1 uses the SAME salt as that doc's image (31)
-      def cells(id: Long, salt: Long): Array[Int] = {
-        val m1 = (id * 2654435761L + salt * 97L) % 251L + 2L
-        val m2 = (id * 40503L + salt * 89L) % 239L + 3L
-        Array.tabulate(w * h) { i =>
-          val bx = (i % w) / 2; val y = i / w
-          ((bx * m1 + y * m2 + id) % 256L).toInt
-        }
-      }
-      val videos = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val shared = id % 97 == 0
-            val frames = Vector.tabulate(6) { f =>
-              val frame = new Array[Byte](w * h * 3 / 2)
-              val s = f / 3
-              val px = cells(id, if (shared && s == 1) 31L else s.toLong)
-              var i = 0
-              while (i < w * h) { frame(i) = px(i).toByte; i += 1 }
-              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
-              frame
-            }
-            (id, "video",
-              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
-          }
-        }
-        .toDF("doc_id", "media_type", "payload")
-      val images = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val px = cells(id, if (id % 97 == 0) 31L else 9999L)
-            (id, "image",
-              graft.kernel.Png.encode(graft.kernel.Png.Image(w, h, 1, 8, px)))
-          }
-        }
-        .toDF("doc_id", "media_type", "payload")
-      videoImageMatches(videos, images, keyBits = 16)
+      videoImageMatches(m28Videos(s, d), m28Images(s, d), keyBits = 16)
         .orderBy(col("video_id"), col("frame_idx"), col("image_id"))
     },
     Some("""WITH grid AS (
@@ -2177,6 +2230,101 @@ object Multimodal {
         -doc_a - 1 AS image_id, hamming
       FROM ham
       WHERE hamming <= 0 AND doc_a < 0 AND doc_b >= 0
+      ORDER BY video_id, frame_idx, image_id""")),
+
+    // m28 SERVED FROM THE STORED HashIndex — the last hammingNearDups
+    // call site amortized: the known-image corpus hashes once into the
+    // persisted index (build 80% → grow 20%), each video batch extracts
+    // only its keyframes and probes. The oracle replays the whole
+    // pipeline — SAD scene cuts → keyframe schedule → ratio bits →
+    // band slices → STORED-side cap → exact hamming — over the m28
+    // congruence fixture; bit parity with the live m28 form is spec'd
+    // in HashIndexSpec.
+    ("m38_index_video_matches", (s: SparkSession, d: String) => {
+      videoImageMatchesAgainstIndex(
+          HashIndex.load(s, m28ImageIndex(s, d)), m28Videos(s, d),
+          maxHamming = 0)
+        .orderBy(col("video_id"), col("frame_idx"), col("image_id"))
+    },
+    Some("""WITH grid AS (
+        SELECT bx.bx, y.y FROM
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bx) bx,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS y) y),
+      vcells AS (
+        SELECT d.doc_id, s.s, g.y * 8 + g.bx AS pos,
+          (g.bx * ((d.doc_id * 2654435761 +
+              (CASE WHEN d.doc_id % 97 = 0 AND s.s = 1
+                THEN 31 ELSE s.s END) * 97) % 251 + 2)
+            + g.y * ((d.doc_id * 40503 +
+              (CASE WHEN d.doc_id % 97 = 0 AND s.s = 1
+                THEN 31 ELSE s.s END) * 89) % 239 + 3)
+            + d.doc_id) % 256 AS v
+        FROM documents d, grid g,
+          (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS s) s),
+      sad3 AS (
+        SELECT a.doc_id, 2 * sum(abs(a.v - b.v)) AS sad
+        FROM vcells a JOIN vcells b
+          ON a.doc_id = b.doc_id AND a.pos = b.pos
+          AND a.s = 0 AND b.s = 1
+        GROUP BY a.doc_id),
+      kf AS (
+        SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx, 0 AS s
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(3 AS INTEGER) AS frame_idx, 1 AS s
+        FROM sad3 WHERE sad >= 12 * 128),
+      icells AS (
+        SELECT d.doc_id, g.y * 8 + g.bx AS pos,
+          (g.bx * ((d.doc_id * 2654435761 +
+              (CASE WHEN d.doc_id % 97 = 0 THEN 31 ELSE 9999 END) * 97)
+              % 251 + 2)
+            + g.y * ((d.doc_id * 40503 +
+              (CASE WHEN d.doc_id % 97 = 0 THEN 31 ELSE 9999 END) * 89)
+              % 239 + 3)
+            + d.doc_id) % 256 AS v
+        FROM documents d, grid g),
+      vtot AS (SELECT doc_id, s, sum(v) AS total FROM vcells GROUP BY 1, 2),
+      -- keyframe (batch) bits under the vid*10^6+frame namespace;
+      -- image (stored) bits under raw ids — probe sides never union
+      vbits AS (
+        SELECT k.doc_id * 1000000 + k.frame_idx AS nsid, c.pos,
+          CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM kf k
+        JOIN vcells c ON c.doc_id = k.doc_id AND c.s = k.s
+        JOIN vtot t ON t.doc_id = k.doc_id AND t.s = k.s),
+      itot AS (SELECT doc_id, sum(v) AS total FROM icells GROUP BY 1),
+      ibits AS (
+        SELECT c.doc_id, c.pos,
+          CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM icells c JOIN itot t USING (doc_id)),
+      vbands AS (
+        SELECT nsid, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM vbits GROUP BY nsid, blk),
+      ibands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM ibits GROUP BY doc_id, blk),
+      -- the stored-side hot-bucket cap (probe counts only its own side)
+      keptI AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM ibands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT v.nsid, i.doc_id AS image_id
+        FROM vbands v JOIN keptI i ON v.blk = i.blk AND v.key = i.key),
+      ham AS (
+        SELECT c.nsid, c.image_id,
+          CAST(sum(abs(vb.bit - ib.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN vbits vb ON vb.nsid = c.nsid
+        JOIN ibits ib ON ib.doc_id = c.image_id AND ib.pos = vb.pos
+        GROUP BY c.nsid, c.image_id)
+      SELECT nsid // 1000000 AS video_id,
+        CAST(nsid % 1000000 AS INTEGER) AS frame_idx,
+        image_id, hamming
+      FROM ham WHERE hamming <= 0
       ORDER BY video_id, frame_idx, image_id""")),
 
     // Keyframe extraction over the m23 scene-structured corpus: one

@@ -237,4 +237,55 @@ class HashIndexSpec extends SparkSuite {
       .toSet
     assert(served == live, s"served $served vs live $live")
   }
+
+  // ---- m38 ≡ m28: keyframes probing the stored image index ----
+  test("index-served video→image matches equal the live m28 form") {
+    import graft.operators.Multimodal
+    val w = 16; val h = 8
+    def cells(id: Long, salt: Long): Array[Int] = {
+      val m1 = (id * 2654435761L + salt * 97L) % 251L + 2L
+      val m2 = (id * 40503L + salt * 89L) % 239L + 3L
+      Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 2; val y = i / w
+        ((bx * m1 + y * m2 + id) % 256L).toInt
+      }
+    }
+    def videoOf(id: Long, sharedSalt: Option[Long]): Array[Byte] = {
+      val frames = Vector.tabulate(6) { f =>
+        val frame = new Array[Byte](w * h * 3 / 2)
+        val sc = f / 3
+        val px = cells(id,
+          if (sc == 1) sharedSalt.getOrElse(1L) else 0L)
+        var i = 0
+        while (i < w * h) { frame(i) = px(i).toByte; i += 1 }
+        java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+        frame
+      }
+      graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames))
+    }
+    // video 97 shares scene 1's salt (31) with image 97; video 5 doesn't
+    val videos = Seq(
+      (97L, "video", videoOf(97L, Some(31L))),
+      (5L, "video", videoOf(5L, None)))
+      .toDF("doc_id", "media_type", "payload")
+    val images = Seq(
+      (97L, "image", graft.kernel.Png.encode(
+        graft.kernel.Png.Image(w, h, 1, 8, cells(97L, 31L)))),
+      (5L, "image", graft.kernel.Png.encode(
+        graft.kernel.Png.Image(w, h, 1, 8, cells(5L, 9999L)))))
+      .toDF("doc_id", "media_type", "payload")
+    val live = Multimodal.videoImageMatches(videos, images, keyBits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val dir = tmp()
+    HashIndex.build(Multimodal.imageHashesWith(images,
+        classOf[Multimodal.ImageDecoder].getName)
+      .select(col("doc_id"), col("img_hash").as("hash")), dir)
+    val served = Multimodal.videoImageMatchesAgainstIndex(
+        HashIndex.load(spark, dir), videos)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(served.contains((97L, 3, 97L, 0)), served)
+    assert(served == live, s"served $served vs live $live")
+  }
 }
