@@ -83,6 +83,7 @@ object SparkEntry {
     "s10_pca_project" -> Seq("spec:PcaSpec"),
     "s11_opq_encode" -> Seq("spec:PcaSpec"),
     "s12_ann_delete" -> Seq("spec:LlmOpsSpec"),
+    "s15_ann_opq" -> Seq("spec:LlmOpsSpec", "spec:PcaSpec"),
     "s08_embedding_admission" -> Seq("spec:LlmOpsSpec", "spec:StreamingSpec"),
     "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
     "t22_bpe_train" -> Seq("spec:TrainingSpec"),

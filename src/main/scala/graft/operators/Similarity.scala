@@ -1031,6 +1031,28 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }, None),
 
+    // OPQ-rotated persistent index (FAISS's OPQ preprocessing reaching
+    // the SERVED index, not just the one-shot s11 encode): build stores
+    // the parametric-OPQ rotation as exact doubles, both models train
+    // over rotated vectors, queries probe through the stored rotation
+    // with the NORM-CORRECTED ADC (pq_adc_cos — the raw dot's codeword
+    // norm-shrinkage bias measurably inverts rankings in rotated
+    // anisotropic spaces). Rows-only (float model math is not
+    // SQL-replayable); LlmOpsSpec pins rotation round-trip exactness,
+    // grow-through-rotation parity, stored-codebook quantization error
+    // strictly below plain PQ, and exact copies found at rerank 1.
+    ("s15_ann_opq", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = IxScratch.cached(
+          "s15:" + IxScratch.fingerprint(d, "embeddings.parquet"),
+          "graft_s15_ix") { p =>
+        AnnIndex.build(emb, p, opq = true)
+      }
+      AnnIndex.topK(AnnIndex.load(s, dir),
+          emb.filter(col("vec_id") < 5), emb, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, None),
+
     // SemDeDup semantic deduplication over the full embedding corpus
     // (rows-only — centroid training is not SQL-expressible; planted
     // duplicates, idempotence, and determinism are spec-gated in
