@@ -53,6 +53,10 @@ object CrawlLoop {
     def retrievalDir: String = s"$root/retrieval_ix"
     def decontamDir: String = s"$root/decontam_ix"
     def hashDir: String = s"$root/hash_ix"
+    // per-family fingerprint indexes: hamming distance across
+    // modalities is meaningless, so image and audio hashes never share
+    // a band space
+    def audioHashDir: String = s"$root/hash_ix_audio"
     def manifestDir: String = s"$root/manifest.parquet"
   }
 
@@ -172,44 +176,75 @@ object CrawlLoop {
     // image batch k admitted. Media doc_ids share the xxhash64(urlkey)
     // namespace with the page pipeline, so [[forget]] addresses both.
     locally {
-      val mediaSigs = Multimodal.imageHashesWith(
-          graft.sources.WarcSource.mediaResponses(
-              graft.sources.WarcSource.records(segments))
-            .filter(col("family") === "image")
-            .withColumn("doc_id",
-              xxhash64(Curate.canonicalUrl(col("url"))))
-            .join(broadcast(novelKeys
-                .select(xxhash64(col("urlkey")).as("doc_id"))),
-              Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), lit("image").as("media_type"),
-              col("payload")),
-          classOf[Multimodal.ImageDecoder].getName)
-        .select(col("doc_id"), col("img_hash").as("hash"))
-        // frozen: the probe/grow below read and then mutate the index
-        .localCheckpoint(true)
-      val nImg = mediaSigs.count()
-      report += (("media_images", nImg, stamp()))
-      // within-batch perceptual collapse (min-id survivor per hash),
-      // then the stored-index screen
-      val collapsed = mediaSigs.groupBy(col("hash"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("hash"))
-      val hashMeta = exists(s"${st.hashDir}/meta.parquet")
-      val (keptSigs, nDup) =
-        if (!hashMeta) (collapsed.localCheckpoint(true), 0L)
+      // both modality legs read the admitted-novel media projection
+      val mediaResp = graft.sources.WarcSource.mediaResponses(
+          graft.sources.WarcSource.records(segments))
+        .withColumn("doc_id", xxhash64(Curate.canonicalUrl(col("url"))))
+        .join(broadcast(novelKeys
+            .select(xxhash64(col("urlkey")).as("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one modality's screen-and-grow: freeze the batch fingerprints
+      // (the probe/grow below read and then mutate the index), collapse
+      // within-batch perceptual twins (min-id survivor per hash), screen
+      // vs the stored index, grow it with the survivors
+      def screenAndGrow(sigs0: DataFrame, dir: String, inTag: String,
+          dupTag: String, keptTag: String): Unit = {
+        val sigs = sigs0.localCheckpoint(true)
+        report += ((inTag, sigs.count(), stamp()))
+        val collapsed = sigs.groupBy(col("hash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("hash"))
+        val hashMeta = exists(s"$dir/meta.parquet")
+        val (keptSigs, nDup) =
+          if (!hashMeta) (collapsed.localCheckpoint(true), 0L)
+          else {
+            val dups = HashIndex.probe(
+                HashIndex.load(spark, dir), collapsed)
+              .select(col("doc_id")).distinct()
+            val kept = collapsed
+              .join(broadcast(dups), Seq("doc_id"), "left_anti")
+              .localCheckpoint(true)
+            (kept, dups.count())
+          }
+        report += ((dupTag, nDup, stamp()))
+        val nKept = keptSigs.count()
+        if (!hashMeta && nKept > 0) HashIndex.build(keptSigs, dir)
+        else if (hashMeta && nKept > 0) HashIndex.grow(keptSigs, dir)
+        report += ((keptTag, nKept, stamp()))
+      }
+      // ONE family-count pass gates both legs: a batch with no media of
+      // a family skips that leg's whole job chain (a text-only crawl
+      // batch pays one aggregation, not eight empty-frame jobs per leg)
+      val famCounts = mediaResp.groupBy(col("family")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def leg(family: String, sigs: => DataFrame, dir: String,
+          inTag: String, dupTag: String, keptTag: String): Unit =
+        if (famCounts.getOrElse(family, 0L) > 0)
+          screenAndGrow(sigs, dir, inTag, dupTag, keptTag)
         else {
-          val dups = HashIndex.probe(
-              HashIndex.load(spark, st.hashDir), collapsed)
-            .select(col("doc_id")).distinct()
-          val kept = collapsed.join(broadcast(dups), Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-          (kept, dups.count())
+          report += ((inTag, 0L, stamp()))
+          report += ((dupTag, 0L, 0.0))
+          report += ((keptTag, 0L, 0.0))
         }
-      report += (("media_near_dup", nDup, stamp()))
-      val nKept = keptSigs.count()
-      if (!hashMeta && nKept > 0) HashIndex.build(keptSigs, st.hashDir)
-      else if (hashMeta && nKept > 0) HashIndex.grow(keptSigs, st.hashDir)
-      report += (("media_kept", nKept, stamp()))
+      // image leg: lenient perceptual hashes (undecodable containers
+      // skip rows, never fail the batch)
+      leg("image",
+        Multimodal.crawlImageHashes(
+          mediaResp.filter(col("family") === "image")
+            .select(col("doc_id"), col("payload"))),
+        st.hashDir, "media_images", "media_near_dup", "media_kept")
+      // audio leg: amplitude-invariant energy-delta fingerprints — a
+      // gain-scaled re-post arrives with a novel byte digest but the
+      // SAME fingerprint; only decodable WAV fingerprints (lenient —
+      // MP3/Ogg/FLAC skip, AV decode is loudly out of scope)
+      leg("audio",
+        Multimodal.crawlAudioFingerprints(
+          mediaResp.filter(col("family") === "audio")
+            .select(col("doc_id"), col("payload"))),
+        st.audioHashDir, "media_audio", "media_audio_dup",
+        "media_audio_kept")
+      mediaResp.unpersist(blocking = false)
     }
 
     // 3. curate ONLY the admitted novel captures (dup captures never
@@ -318,7 +353,8 @@ object CrawlLoop {
       ("ix_dedup_docs", tableRows(s"${st.dedupDir}/exact.parquet")),
       ("ix_retrieval_docs", tableRows(s"${st.retrievalDir}/doclens.parquet")),
       ("ix_decontam_grams", tableRows(s"${st.decontamDir}/grams.parquet")),
-      ("ix_hash_sigs", tableRows(s"${st.hashDir}/hashes.parquet")))
+      ("ix_hash_sigs", tableRows(s"${st.hashDir}/hashes.parquet")),
+      ("ix_audio_hash_sigs", tableRows(s"${st.audioHashDir}/hashes.parquet")))
       .zipWithIndex
       .map { case ((stage, n), i) => (report.size + i, stage, n, 0.0) }
       .toDF("stage_idx", "stage", "rows", "secs")
@@ -357,9 +393,10 @@ object CrawlLoop {
     DecontamIndex.vacuum(spark, st.decontamDir)
     // media fingerprints share the xxhash64(urlkey) id namespace — a
     // forgotten media url stops attracting near-dup matches physically
-    if (exists(s"${st.hashDir}/meta.parquet")) {
-      HashIndex.forget(frozen, st.hashDir)
-      HashIndex.vacuum(spark, st.hashDir)
+    for (dir <- Seq(st.hashDir, st.audioHashDir)
+        if exists(s"$dir/meta.parquet")) {
+      HashIndex.forget(frozen, dir)
+      HashIndex.vacuum(spark, dir)
     }
     val corpus = spark.read.parquet(st.corpusDir)
       .join(broadcast(frozen), Seq("doc_id"), "left_anti")

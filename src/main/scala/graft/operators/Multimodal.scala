@@ -782,6 +782,34 @@ object Multimodal {
     * greater-than chain is unchanged) — the audio analog of the image
     * hash's brightness-shift invariance — and all-integer, so the bits
     * are engine-portable and m11 is oracle-gated. */
+  /** The energy-delta bit math shared by [[audioFingerprints]] and the
+    * crawl loop's lenient form: per-segment exact Σ|s| energies, bit k
+    * set iff energy(k+1) > energy(k), packed LSB-first per byte. */
+  private def energyDeltaBytes(samples: Array[Int], frames: Int): Array[Int] = {
+    val n = samples.length
+    val energy = new Array[Long](frames)
+    var i = 0
+    while (i < n) {
+      energy(((i.toLong * frames) / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    val nBits = frames - 1
+    val rowBytes = new Array[Int]((nBits + 7) / 8)
+    var k = 0
+    while (k < nBits) {
+      if (energy(k + 1) > energy(k)) rowBytes(k / 8) |= 1 << (k % 8)
+      k += 1
+    }
+    rowBytes
+  }
+
+  private def packHash64(rowBytes: Array[Int]): Long = {
+    var hash = 0L
+    var r = 0
+    while (r < rowBytes.length) { hash |= rowBytes(r).toLong << (8 * r); r += 1 }
+    hash
+  }
+
   def audioFingerprints(media: DataFrame, frames: Int = 65): DataFrame = {
     require(frames >= 2 && frames <= 65, s"frames $frames outside 2..65")
     val spark = media.sparkSession
@@ -793,26 +821,70 @@ object Multimodal {
           val a = graft.kernel.Wav.decode(m.payload)
           val n = a.samples.length
           require(n >= frames, s"doc ${m.doc_id}: $n samples < $frames frames")
-          val energy = new Array[Long](frames)
-          var i = 0
-          while (i < n) {
-            energy(((i.toLong * frames) / n).toInt) += math.abs(a.samples(i).toLong)
-            i += 1
-          }
-          val nBits = frames - 1
-          val rowBytes = new Array[Int]((nBits + 7) / 8)
-          var k = 0
-          while (k < nBits) {
-            if (energy(k + 1) > energy(k)) rowBytes(k / 8) |= 1 << (k % 8)
-            k += 1
-          }
-          var hash = 0L
-          var r = 0
-          while (r < rowBytes.length) { hash |= rowBytes(r).toLong << (8 * r); r += 1 }
-          (m.doc_id, n.toLong, rowBytes.toSeq, hash)
+          val rowBytes = energyDeltaBytes(a.samples, frames)
+          (m.doc_id, n.toLong, rowBytes.toSeq, packHash64(rowBytes))
         }
       }
       .toDF("doc_id", "n_samples", "row_bytes", "audio_hash")
+  }
+
+  /** [[imageHashes]] for CRAWLED images — the htmlResponses lenient
+    * contract applied to the perceptual-hash stage: payloads in a
+    * container this engine can't decode to pixels (AVIF, lossy WebP,
+    * truncated streams) SKIP the row instead of failing the batch.
+    * Returns (doc_id, hash) — the [[HashIndex]] signature shape. */
+  def crawlImageHashes(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid <= 8, s"grid $grid outside 1..8")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new ImageDecoder
+        it.flatMap { case (id, p) =>
+          try {
+            val (_, _, sums) = decoder.blockSums(p, grid)
+            val total = sums.sum
+            val n = grid * grid
+            var hash = 0L
+            var i = 0
+            while (i < n) {
+              // the [[imageHashesWith]] packing: bit (by, bx) at
+              // position 8·by + bx (identity at grid 8) — parity with
+              // the strict form is spec-pinned
+              if (sums(i) * n > total) hash |= 1L << (8 * (i / grid) + i % grid)
+              i += 1
+            }
+            Some((id, hash))
+          } catch { case _: IllegalArgumentException => None }
+        }
+      }
+      .toDF("doc_id", "hash")
+  }
+
+  /** [[audioFingerprints]] for CRAWLED audio — the htmlResponses
+    * lenient contract applied to the fingerprint stage: only decodable
+    * WAV payloads with ≥ `frames` samples fingerprint; MP3/Ogg/FLAC
+    * (AV decode is loudly out of scope) and malformed or too-short
+    * streams SKIP the row instead of failing the batch. Returns
+    * (doc_id, hash) — the [[HashIndex]] signature shape. */
+  def crawlAudioFingerprints(media: DataFrame,
+      frames: Int = 65): DataFrame = {
+    require(frames >= 2 && frames <= 65, s"frames $frames outside 2..65")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          try {
+            val a = graft.kernel.Wav.decode(p)
+            if (a.samples.length < frames) None
+            else Some((id, packHash64(energyDeltaBytes(a.samples, frames))))
+          } catch { case _: IllegalArgumentException => None }
+        }
+      }
+      .toDF("doc_id", "hash")
   }
 
   /** Audio near-duplicate pairs: fingerprints through the shared banded

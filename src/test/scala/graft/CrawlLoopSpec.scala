@@ -82,6 +82,7 @@ class CrawlLoopSpec extends SparkSuite {
       "fetched" -> 3L, "segments" -> expectedSegs(batch1.map(_._1)),
       "cdx_novel" -> 3L, "cdx_url_dup" -> 0L, "cdx_content_dup" -> 0L,
       "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
+      "media_audio" -> 0L, "media_audio_dup" -> 0L, "media_audio_kept" -> 0L,
       "records" -> 3L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L,
       "extract" -> 3L, "gate_scrub" -> 3L, "exact_dedup" -> 3L,
@@ -123,6 +124,7 @@ class CrawlLoopSpec extends SparkSuite {
       // D + editA + copyC novel; refetch-A url_dup; mirror-B content_dup
       "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 1L,
       "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
+      "media_audio" -> 0L, "media_audio_dup" -> 0L, "media_audio_kept" -> 0L,
       // 3 full responses + 2 revisit records; revisits carry no page
       "records" -> 5L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L,
@@ -157,6 +159,7 @@ class CrawlLoopSpec extends SparkSuite {
       // boundary; editD + G + the trap page are novel digests
       "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 0L,
       "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
+      "media_audio" -> 0L, "media_audio_dup" -> 0L, "media_audio_kept" -> 0L,
       "records" -> 4L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L, "extract" -> 3L,
       // the trap stub (4 words) dies at the word floor
@@ -323,6 +326,79 @@ class CrawlLoopSpec extends SparkSuite {
       st, opts, ixBuckets = 8))
     assert(r3("media_images") == 1L && r3("media_near_dup") == 0L &&
       r3("media_kept") == 1L, r3)
+  }
+
+  // deterministic mono WAV; `gain` scales every sample — the
+  // energy-delta fingerprint is amplitude-invariant by construction
+  // (integer scaling preserves every strict > between segment energies),
+  // so a gain-scaled re-post arrives with a NOVEL byte digest but the
+  // SAME fingerprint: only the audio hash index can catch it
+  private def wavOf(seed: Long, gain: Int): Array[Byte] = {
+    val samples = Array.tabulate(200) { i =>
+      var z = seed * 1000L + i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (((z >>> 40) % 100L).toInt - 50) * gain
+    }
+    graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples))
+  }
+
+  test("media audio leg: gain-scaled re-posts caught by the GROWN audio " +
+      "index; undecodable containers skip; takedown re-admits") {
+    val st = CrawlLoop.freshState()
+    val urlX = "https://h0.example.com/au/x.wav"
+    val r1 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageA), "2025-01-01T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          (urlX, wavOf(1L, 1), "audio/wav"),
+          ("https://h1.example.com/au/y.wav", wavOf(2L, 1), "audio/wav")),
+          "2025-01-01T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r1("media_audio") == 2L && r1("media_audio_dup") == 0L &&
+      r1("media_audio_kept") == 2L, r1)
+
+    // batch 2: gain-doubled X on a new url (novel digest, SAME
+    // fingerprint → caught by the GROWN index); byte-identical X at a
+    // new url (content_dup — never reaches the audio stage); unrelated
+    // wavZ (kept); an MP3 under an audio content type (admitted novel
+    // but NOT fingerprintable — skips the leg, never fails the batch)
+    val r2 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageD), "2025-01-02T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          ("https://h1.example.com/au/x2.wav", wavOf(1L, 2), "audio/wav"),
+          ("https://h2.example.com/mirror/x.wav", wavOf(1L, 1), "audio/wav"),
+          ("https://h3.example.com/au/z.wav", wavOf(3L, 1), "audio/wav"),
+          ("https://h4.example.com/au/m.mp3",
+            graft.kernel.Mp3.encodeHeader(10, 128, 44100), "audio/mpeg")),
+          "2025-01-02T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r2("cdx_content_dup") == 1L, r2)
+    assert(r2("media_audio") == 2L && r2("media_audio_dup") == 1L &&
+      r2("media_audio_kept") == 1L, r2)
+
+    // stored audio index: X, Y, Z
+    assert(graft.operators.HashIndex.load(spark, st.audioHashDir)
+      .hashes.count() == 3L)
+
+    // takedown: forget X — a gain-4 re-post on a fresh url is
+    // re-admitted (its fingerprint no longer matches anything stored)
+    val xId = Seq(urlX).toDF("url")
+      .select(xxhash64(graft.operators.Curate.canonicalUrl(col("url"))))
+      .head().getLong(0)
+    CrawlLoop.forget(Seq(xId).toDF("doc_id"), st)
+    assert(graft.operators.HashIndex.load(spark, st.audioHashDir)
+      .hashes.count() == 2L)
+    val r3 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageG), "2025-01-03T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          ("https://h0.example.com/au/x4.wav", wavOf(1L, 4), "audio/wav")),
+          "2025-01-03T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r3("media_audio") == 1L && r3("media_audio_dup") == 0L &&
+      r3("media_audio_kept") == 1L, r3)
   }
 
   test("run manifest: the per-batch ledger accumulates across step " +

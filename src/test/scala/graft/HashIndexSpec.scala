@@ -236,6 +236,17 @@ class HashIndexSpec extends SparkSuite {
       .collect { case (a, b, h) if a < 10 && b >= 10 => (b, a, h) }
       .toSet
     assert(served == live, s"served $served vs live $live")
+
+    // the crawl loop's LENIENT image hasher: same hashes bit for bit as
+    // the strict form, undecodable payloads skip rather than fail
+    val lenient = Multimodal.crawlImageHashes(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strict = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lenient == strict, s"lenient $lenient vs strict $strict")
+    val withJunk = media.unionByName(
+      Seq((99L, "image", Array[Byte](0, 1, 2, 3)))
+        .toDF("doc_id", "media_type", "payload"))
+    assert(Multimodal.crawlImageHashes(withJunk).count() == media.count())
   }
 
   // ---- m38 ≡ m28: keyframes probing the stored image index ----
