@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -162,26 +161,25 @@ object DecontamIndex {
     * train set, but the train corpus is never re-read. */
   def screen(ix: Loaded, evalDocs: DataFrame,
       textCol: String = "text"): DataFrame = {
-    // totals AND the hit mark both read the eval explode — persist it
+    // totals AND the hit mark both read the eval explode — freeze it as
+    // an eager localCheckpoint leaf rather than persist: checkpointed
+    // blocks are AUTO-RELEASED by the ContextCleaner when the frame is
+    // unreferenced (the round-13 cache-hygiene pattern), so a standing
+    // service invoked per eval batch cannot accumulate cached blocks,
+    // and the result stays LAZY (no extra materialization per call)
     val evalG = evalDocs.select(col("doc_id"),
         explode(Dedup.shingles(col(textCol), ix.n)).as("gram"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val hitGrams = probe(ix, evalG)
     val hits = evalG
       .join(broadcast(hitGrams), Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    val out = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
           .as("contamination"))
-      // eval-batch-bounded (one row per eval doc): freeze eagerly so the
-      // explode cache can be RELEASED here — a standing service invoked
-      // per eval batch must not accumulate cached blocks across calls
-      .localCheckpoint(true)
-    evalG.unpersist(blocking = false)
-    out
   }
 
   /** d08's FULL report (gram leg) + r02's phrase leg, both served from

@@ -148,13 +148,18 @@ object HashIndex {
     * candidate rows carry. */
   def probe(ix: Loaded, batch: DataFrame, maxHamming: Int = 2,
       maxBucket: Int = 100): DataFrame = {
+    // multi-referenced frames freeze as eager localCheckpoint leaves
+    // rather than persist: checkpointed blocks are AUTO-RELEASED by the
+    // ContextCleaner when unreferenced, so the per-micro-batch streaming
+    // maintenance path cannot leak a pair of cached frames per trigger,
+    // and the result stays LAZY
     val bkeys = keyedOf(batch.select(col("doc_id"), col("hash")),
         ix.blocks, ix.keyBits)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val probed = ix.buckets
       .join(broadcast(bkeys.select(col("blk"), col("key")).distinct()),
         Seq("blk", "key"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val hot = probed.groupBy(col("blk"), col("key"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
       .select(col("blk"), col("key"))
@@ -162,20 +167,13 @@ object HashIndex {
       .join(broadcast(hot), Seq("blk", "key"), "left_anti")
       .select(col("blk"), col("key"),
         col("doc_id").as("corpus_id"), col("hash").as("corpus_hash"))
-    val out = stored.join(broadcast(bkeys), Seq("blk", "key"))
+    stored.join(broadcast(bkeys), Seq("blk", "key"))
       .select(col("doc_id"), col("hash"), col("corpus_id"), col("corpus_hash"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("hash").bitwiseXOR(col("corpus_hash"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("corpus_id"), col("hamming"))
-      // candidate-bounded: freeze eagerly so both caches can be RELEASED
-      // here — the per-micro-batch streaming maintenance path calls probe
-      // once per trigger and must not leak a pair of cached frames per call
-      .localCheckpoint(true)
-    bkeys.unpersist(blocking = false)
-    probed.unpersist(blocking = false)
-    out
   }
 
   type Q = (SparkSession, String) => DataFrame
