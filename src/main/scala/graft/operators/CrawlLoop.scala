@@ -54,9 +54,10 @@ object CrawlLoop {
     def decontamDir: String = s"$root/decontam_ix"
     def hashDir: String = s"$root/hash_ix"
     // per-family fingerprint indexes: hamming distance across
-    // modalities is meaningless, so image and audio hashes never share
-    // a band space
+    // modalities is meaningless, so image, audio, and video hashes
+    // never share a band space
     def audioHashDir: String = s"$root/hash_ix_audio"
+    def videoHashDir: String = s"$root/hash_ix_video"
     def manifestDir: String = s"$root/manifest.parquet"
   }
 
@@ -102,11 +103,12 @@ object CrawlLoop {
 
   /** One batch step of the loop: fetched captures (url, warc_date,
     * body[, content_type — defaults to HTML]) → revisit-aware archive →
-    * CDX admission → media branch (admitted novel IMAGE captures are
-    * perceptually screened against the stored [[HashIndex]] — CDX
-    * catches byte-identical re-fetches, the hash probe catches
-    * re-encodes and near-edits byte dedup can't see; novel media grow
-    * the index) → curation of novel page captures → corpus dedup →
+    * CDX admission → media branch (admitted novel IMAGE, AUDIO, and
+    * VIDEO captures are perceptually screened against their per-family
+    * stored [[HashIndex]]es — CDX catches byte-identical re-fetches,
+    * the hash probes catch re-encodes, near-edits, and gain-scaled
+    * re-posts byte dedup can't see; novel media grow the indexes) →
+    * curation of novel page captures → corpus dedup →
     * grow the three text indexes + the corpus. Returns the per-stage
     * report (stage_idx, stage, rows, secs) and appends it — plus the
     * stored tables' row counts (parquet footer metadata, no data read)
@@ -168,12 +170,13 @@ object CrawlLoop {
       .select(col("urlkey")).distinct()
 
     // 2b. media branch — the modality half of the admission story:
-    // decodable image responses among the ADMITTED novel captures hash
-    // through the perceptual kernel, screen against the stored
-    // fingerprint index (re-encodes and near-edits arrive with a novel
-    // byte digest, so only the hash probe can catch them), and the
-    // survivors grow it — batch k+1's images are screened against every
-    // image batch k admitted. Media doc_ids share the xxhash64(urlkey)
+    // decodable image/audio/video responses among the ADMITTED novel
+    // captures fingerprint through their perceptual kernels, screen
+    // against their per-family stored fingerprint indexes (re-encodes,
+    // near-edits, and gain-scaled re-posts arrive with a novel byte
+    // digest, so only the hash probes can catch them), and the
+    // survivors grow them — batch k+1's media is screened against every
+    // piece batch k admitted. Media doc_ids share the xxhash64(urlkey)
     // namespace with the page pipeline, so [[forget]] addresses both.
     locally {
       // both modality legs read the admitted-novel media projection
@@ -213,7 +216,7 @@ object CrawlLoop {
         else if (hashMeta && nKept > 0) HashIndex.grow(keptSigs, dir)
         report += ((keptTag, nKept, stamp()))
       }
-      // ONE family-count pass gates both legs: a batch with no media of
+      // ONE family-count pass gates every leg: a batch with no media of
       // a family skips that leg's whole job chain (a text-only crawl
       // batch pays one aggregation, not eight empty-frame jobs per leg)
       val famCounts = mediaResp.groupBy(col("family")).count().collect()
@@ -244,6 +247,16 @@ object CrawlLoop {
             .select(col("doc_id"), col("payload"))),
         st.audioHashDir, "media_audio", "media_audio_dup",
         "media_audio_kept")
+      // video leg: temporal×spatial cube fingerprints, ratio-form bits
+      // so brightness/gain-scaled re-encodes keep the SAME fingerprint;
+      // only decodable Y4M fingerprints (lenient — compressed MP4/
+      // Matroska bitstreams skip, their decode is loudly out of scope)
+      leg("video",
+        Multimodal.crawlVideoFingerprints(
+          mediaResp.filter(col("family") === "video")
+            .select(col("doc_id"), col("payload"))),
+        st.videoHashDir, "media_video", "media_video_dup",
+        "media_video_kept")
       mediaResp.unpersist(blocking = false)
     }
 
@@ -354,7 +367,8 @@ object CrawlLoop {
       ("ix_retrieval_docs", tableRows(s"${st.retrievalDir}/doclens.parquet")),
       ("ix_decontam_grams", tableRows(s"${st.decontamDir}/grams.parquet")),
       ("ix_hash_sigs", tableRows(s"${st.hashDir}/hashes.parquet")),
-      ("ix_audio_hash_sigs", tableRows(s"${st.audioHashDir}/hashes.parquet")))
+      ("ix_audio_hash_sigs", tableRows(s"${st.audioHashDir}/hashes.parquet")),
+      ("ix_video_hash_sigs", tableRows(s"${st.videoHashDir}/hashes.parquet")))
       .zipWithIndex
       .map { case ((stage, n), i) => (report.size + i, stage, n, 0.0) }
       .toDF("stage_idx", "stage", "rows", "secs")
@@ -393,7 +407,7 @@ object CrawlLoop {
     DecontamIndex.vacuum(spark, st.decontamDir)
     // media fingerprints share the xxhash64(urlkey) id namespace — a
     // forgotten media url stops attracting near-dup matches physically
-    for (dir <- Seq(st.hashDir, st.audioHashDir)
+    for (dir <- Seq(st.hashDir, st.audioHashDir, st.videoHashDir)
         if exists(s"$dir/meta.parquet")) {
       HashIndex.forget(frozen, dir)
       HashIndex.vacuum(spark, dir)
@@ -422,8 +436,10 @@ object CrawlLoop {
     // Planted cross-batch events ride the loop: identical re-fetches
     // (revisit records + cdx url_dup), mirrors of earlier bodies on a
     // new URL (content_dup), whitespace-variant re-posts (novel digest
-    // but exact_corpus at dedup), and near-dup edits (near_corpus via
-    // the grown DedupIndex). Not SQL-expressible (LSH + stored-index
+    // but exact_corpus at dedup), near-dup edits (near_corpus via
+    // the grown DedupIndex), GIF re-encodes of earlier PNGs (image
+    // HashIndex), and gain-doubled re-posts of earlier clips (video
+    // HashIndex). Not SQL-expressible (LSH + stored-index
     // lifecycle); CrawlLoopSpec gates every stage count exactly on a
     // witness crawl and pins batch parity with the streamed form.
     ("c08_crawl_loop", (s: SparkSession, d: String) => {
@@ -467,6 +483,31 @@ object CrawlLoop {
                 graft.kernel.Png.encode(
                   graft.kernel.Png.Image(w, h, 1, 8, px)),
                 "image/png")
+          }
+        }
+        out.toDF("url", "body", "content_type")
+      }
+      // tiny per-id-unique Y4M clips (8×8 Cmono, 4 frames — the video
+      // cube's minimum shape); `gain` scales every luma byte, so a
+      // gain-2 re-post of a PREVIOUS batch's clip arrives with a novel
+      // byte digest but the SAME ratio-form cube — only the loop's
+      // video HashIndex screen can catch it
+      def vidFetches(ids: DataFrame, pathTag: String,
+          gain: Int): DataFrame = {
+        val out = ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val m1 = (id * 2654435761L) % 13L + 2L
+            val m2 = (id * 40503L) % 11L + 3L
+            val frames = Vector.tabulate(4) { t =>
+              Array.tabulate[Byte](64) { i =>
+                val c = ((i / 8) / 2) * 4 + (i % 8) / 2
+                (((c * m1 + t * m2 + id) % 30L + 5L).toInt * gain).toByte
+              }
+            }
+            (s"https://h${id % 5}.example.com/$pathTag/$id-g$gain.y4m",
+              graft.kernel.Y4m.encode(
+                graft.kernel.Y4m.Video(8, 8, "Cmono", frames)),
+              "video/x-yuv4mpeg")
           }
         }
         out.toDF("url", "body", "content_type")
@@ -520,11 +561,24 @@ object CrawlLoop {
           docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 11 === 0
             && col("doc_id") % 4 === 0),
           "img2", gif = true)
+        // video plants (the image scheme, third modality): each batch
+        // carries unique clips (ids ≡ 0 mod 13 within the batch's
+        // residue class); batch 1 re-posts HALF of batch 0's clips
+        // gain-doubled on new urls — novel digests at CDX, hamming-0 at
+        // the GROWN video HashIndex
+        val vids = vidFetches(
+          docs.filter(col("doc_id") % 3 === k && col("doc_id") % 13 === 0),
+          "vid", gain = 1)
+        val regain = if (k != 1) vids.limit(0) else vidFetches(
+          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 13 === 0
+            && col("doc_id") % 4 === 0),
+          "vid2", gain = 2)
         val candidates = base.unionByName(refetch).unionByName(mirror)
           .unionByName(copy).unionByName(nearEdit).unionByName(trap)
           .select(col("url"), col("html").cast("binary").as("body"),
             lit("text/html; charset=utf-8").as("content_type"))
           .unionByName(imgs).unionByName(reenc)
+          .unionByName(vids).unionByName(regain)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nCand = candidates.count()
         val fetchSet =

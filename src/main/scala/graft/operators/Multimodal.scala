@@ -1075,46 +1075,87 @@ object Multimodal {
             s"doc ${m.doc_id}: $nf frames < $tGrid temporal buckets")
           require(v.width % sGrid == 0 && v.height % sGrid == 0,
             s"doc ${m.doc_id}: ${v.width}x${v.height} not divisible by $sGrid")
-          val cw = v.width / sGrid; val ch = v.height / sGrid
-          val nCells = sGrid * sGrid
-          val cells = new Array[Long](tGrid * nCells)
-          var f = 0
-          while (f < nf) {
-            val t = ((f.toLong * tGrid) / nf).toInt
-            val frame = v.frames(f) // luma plane leads every layout
-            var y = 0
-            while (y < v.height) {
-              val rowBase = (t * sGrid + y / ch) * sGrid
-              var x = 0
-              while (x < v.width) {
-                cells(rowBase + x / cw) += frame(y * v.width + x) & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            f += 1
-          }
-          val bits = new Array[Char](tGrid * nCells)
-          var hash = 0L
-          var t = 0
-          while (t < tGrid) {
-            var total = 0L
-            var c = 0
-            while (c < nCells) { total += cells(t * nCells + c); c += 1 }
-            c = 0
-            while (c < nCells) {
-              val k = t * nCells + c
-              if (cells(k) * nCells > total) { bits(k) = '1'; hash |= 1L << k }
-              else bits(k) = '0'
-              c += 1
-            }
-            t += 1
-          }
-          (m.doc_id, nf, v.width, v.height, new String(bits), hash)
+          val (bits, hash) = videoCubeBits(v, tGrid, sGrid)
+          (m.doc_id, nf, v.width, v.height, bits, hash)
         }
       }
       .toDF("doc_id", "n_frames", "width", "height", "hash_bits",
         "video_hash")
+  }
+
+  /** The temporal×spatial cube computation [[videoFingerprints]] and
+    * [[crawlVideoFingerprints]] share bit for bit. Callers must have
+    * checked `frames.length >= tGrid` and `width/height % sGrid == 0`. */
+  private def videoCubeBits(v: graft.kernel.Y4m.Video, tGrid: Int,
+      sGrid: Int): (String, Long) = {
+    val nf = v.frames.length
+    val cw = v.width / sGrid; val ch = v.height / sGrid
+    val nCells = sGrid * sGrid
+    val cells = new Array[Long](tGrid * nCells)
+    var f = 0
+    while (f < nf) {
+      val t = ((f.toLong * tGrid) / nf).toInt
+      val frame = v.frames(f) // luma plane leads every layout
+      var y = 0
+      while (y < v.height) {
+        val rowBase = (t * sGrid + y / ch) * sGrid
+        var x = 0
+        while (x < v.width) {
+          cells(rowBase + x / cw) += frame(y * v.width + x) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    val bits = new Array[Char](tGrid * nCells)
+    var hash = 0L
+    var t = 0
+    while (t < tGrid) {
+      var total = 0L
+      var c = 0
+      while (c < nCells) { total += cells(t * nCells + c); c += 1 }
+      c = 0
+      while (c < nCells) {
+        val k = t * nCells + c
+        if (cells(k) * nCells > total) { bits(k) = '1'; hash |= 1L << k }
+        else bits(k) = '0'
+        c += 1
+      }
+      t += 1
+    }
+    (new String(bits), hash)
+  }
+
+  /** [[videoFingerprints]] for CRAWLED video — the htmlResponses lenient
+    * contract applied to the fingerprint stage: only decodable Y4M
+    * payloads with at least `tGrid` frames and dims divisible by `sGrid`
+    * fingerprint; compressed AV containers (MP4/Matroska — bitstream
+    * decode is loudly out of scope, m30's walk is header-only), malformed
+    * streams, and too-short or ragged clips SKIP the row instead of
+    * failing the batch. Gain/brightness-scaled re-encodes keep the SAME
+    * fingerprint (ratio-form bits), which is exactly what the crawl
+    * loop's video screen exists to catch. Returns (doc_id, hash) — the
+    * [[HashIndex]] signature shape. */
+  def crawlVideoFingerprints(media: DataFrame, tGrid: Int = 4,
+      sGrid: Int = 4): DataFrame = {
+    require(tGrid >= 1 && sGrid >= 1 && tGrid * sGrid * sGrid <= 64,
+      s"tGrid $tGrid x sGrid $sGrid^2 exceeds 64-bit packing")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          try {
+            val v = graft.kernel.Y4m.decode(p)
+            if (v.frames.length < tGrid || v.width % sGrid != 0 ||
+                v.height % sGrid != 0) None
+            else Some((id, videoCubeBits(v, tGrid, sGrid)._2))
+          } catch { case _: IllegalArgumentException => None }
+        }
+      }
+      .toDF("doc_id", "hash")
   }
 
   /** Video near-duplicate pairs: fingerprints through the shared banded

@@ -83,6 +83,7 @@ class CrawlLoopSpec extends SparkSuite {
       "cdx_novel" -> 3L, "cdx_url_dup" -> 0L, "cdx_content_dup" -> 0L,
       "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
       "media_audio" -> 0L, "media_audio_dup" -> 0L, "media_audio_kept" -> 0L,
+      "media_video" -> 0L, "media_video_dup" -> 0L, "media_video_kept" -> 0L,
       "records" -> 3L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L,
       "extract" -> 3L, "gate_scrub" -> 3L, "exact_dedup" -> 3L,
@@ -125,6 +126,7 @@ class CrawlLoopSpec extends SparkSuite {
       "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 1L,
       "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
       "media_audio" -> 0L, "media_audio_dup" -> 0L, "media_audio_kept" -> 0L,
+      "media_video" -> 0L, "media_video_dup" -> 0L, "media_video_kept" -> 0L,
       // 3 full responses + 2 revisit records; revisits carry no page
       "records" -> 5L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L,
@@ -160,6 +162,7 @@ class CrawlLoopSpec extends SparkSuite {
       "cdx_novel" -> 3L, "cdx_url_dup" -> 1L, "cdx_content_dup" -> 0L,
       "media_images" -> 0L, "media_near_dup" -> 0L, "media_kept" -> 0L,
       "media_audio" -> 0L, "media_audio_dup" -> 0L, "media_audio_kept" -> 0L,
+      "media_video" -> 0L, "media_video_dup" -> 0L, "media_video_kept" -> 0L,
       "records" -> 4L, "html_pages" -> 3L, "http_ok" -> 3L,
       "admitted" -> 3L, "url_dedup" -> 3L, "extract" -> 3L,
       // the trap stub (4 words) dies at the word floor
@@ -399,6 +402,90 @@ class CrawlLoopSpec extends SparkSuite {
       st, opts, ixBuckets = 8))
     assert(r3("media_audio") == 1L && r3("media_audio_dup") == 0L &&
       r3("media_audio_kept") == 1L, r3)
+  }
+
+  // two-level temporal-spatial Y4M: 8×8 Cmono, 4 frames (tGrid=4 →
+  // bucket t = frame t), sGrid=4 → 2×2-px cells; cell c of frame t =
+  // 20·gain if (t·16+c) ∈ highs else 5·gain — with ≤15 highs per bucket
+  // the cube bit vector IS the highs indicator (20g·4·16 > 4g·(15·nH+80)
+  // ⟺ nH < 16; the 5g side never fires), so the hamming distance
+  // between two plants is exactly |highs Δ highs'|, and gain scaling
+  // preserves every bit while changing every payload byte
+  private def y4mOf(highs: Set[Int], gain: Int): Array[Byte] = {
+    val frames = Vector.tabulate(4) { t =>
+      Array.tabulate[Byte](64) { i =>
+        val c = ((i / 8) / 2) * 4 + (i % 8) / 2
+        (if (highs(t * 16 + c)) 20 * gain else 5 * gain).toByte
+      }
+    }
+    graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(8, 8, "Cmono", frames))
+  }
+
+  test("media video leg: gain-scaled re-encodes caught by the GROWN " +
+      "video index; compressed containers skip; takedown re-admits") {
+    val st = CrawlLoop.freshState()
+    val urlX = "https://h0.example.com/vid/x.y4m"
+    val hX = Set(0, 1, 2)
+    val hY = Set(16, 17, 33) // hamming 6 from X — a verified non-dup
+    val r1 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageA), "2025-01-01T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          (urlX, y4mOf(hX, 1), "video/x-yuv4mpeg"),
+          ("https://h1.example.com/vid/y.y4m", y4mOf(hY, 1),
+            "video/x-yuv4mpeg")),
+          "2025-01-01T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r1("media_video") == 2L && r1("media_video_dup") == 0L &&
+      r1("media_video_kept") == 2L, r1)
+
+    // batch 2: gain-doubled X on a new url (novel byte digest, SAME
+    // cube → caught by the GROWN index); byte-identical X at a new url
+    // (content_dup — never reaches the video stage); unique Z; a
+    // compressed MP4 container under a video content type (admitted
+    // novel but NOT decodable — skips the leg, never fails the batch)
+    val hZ = Set(5, 21, 37, 53)
+    val r2 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageD), "2025-01-02T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          ("https://h1.example.com/vid/x2.y4m", y4mOf(hX, 2),
+            "video/x-yuv4mpeg"),
+          ("https://h2.example.com/mirror/x.y4m", y4mOf(hX, 1),
+            "video/x-yuv4mpeg"),
+          ("https://h3.example.com/vid/z.y4m", y4mOf(hZ, 1),
+            "video/x-yuv4mpeg"),
+          ("https://h4.example.com/vid/m.mp4",
+            Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII"),
+            "video/mp4")),
+          "2025-01-02T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r2("cdx_content_dup") == 1L, r2)
+    assert(r2("media_video") == 2L && r2("media_video_dup") == 1L &&
+      r2("media_video_kept") == 1L, r2)
+
+    // stored video index: X, Y, Z
+    assert(graft.operators.HashIndex.load(spark, st.videoHashDir)
+      .hashes.count() == 3L)
+
+    // takedown: forget X — a gain-3 re-post on a fresh url is
+    // re-admitted (its cube no longer matches anything stored)
+    val xId = Seq(urlX).toDF("url")
+      .select(xxhash64(graft.operators.Curate.canonicalUrl(col("url"))))
+      .head().getLong(0)
+    CrawlLoop.forget(Seq(xId).toDF("doc_id"), st)
+    assert(graft.operators.HashIndex.load(spark, st.videoHashDir)
+      .hashes.count() == 2L)
+    val r3 = counts(CrawlLoop.step(
+      fetchesOf(Seq(pageG), "2025-01-03T00:00:00Z")
+        .withColumn("content_type", lit("text/html; charset=utf-8"))
+        .unionByName(mediaFetches(Seq(
+          ("https://h0.example.com/vid/x3.y4m", y4mOf(hX, 3),
+            "video/x-yuv4mpeg")),
+          "2025-01-03T00:00:00Z")),
+      st, opts, ixBuckets = 8))
+    assert(r3("media_video") == 1L && r3("media_video_dup") == 0L &&
+      r3("media_video_kept") == 1L, r3)
   }
 
   test("run manifest: the per-batch ledger accumulates across step " +
