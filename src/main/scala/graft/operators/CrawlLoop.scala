@@ -596,8 +596,16 @@ object CrawlLoop {
           .select(col("url"), col("warc_date"), col("body"),
             col("content_type"))
         prevPages = base
+        // per-batch eval decontamination rides the loop: pages sharing
+        // an 8-gram with the eval reference (a fixed slice of the
+        // documents table that IS crawled) die at the decontaminate
+        // stage every batch — eval text never reaches the corpus or
+        // the stored indexes
+        val evalRef = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))
         val rep = step(fetches, st,
-            CorpusPipeline.Opts(lineGate = false), ixBuckets = 8)
+            CorpusPipeline.Opts(lineGate = false),
+            evalRef = Some(evalRef), ixBuckets = 8)
           .withColumn("batch_id", lit(k))
         val pre = Seq((0, "frontier_candidates", nCand, 0.0),
             (1, "frontier_selected", fetches.count(), 0.0))
@@ -712,10 +720,16 @@ object CrawlLoop {
             "url STRING, warc_date STRING, body BINARY, content_type STRING"))
           .option("maxFilesPerTrigger", 1)
           .parquet(inDir.getAbsolutePath)
+        // the same per-batch eval screen the batch form runs — every
+        // trigger's admissions are decontaminated before they grow
+        // anything stored
+        val evalRef = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
         val q = stream.writeStream.foreachBatch {
           (df: DataFrame, _: Long) =>
             step(df, st, CorpusPipeline.Opts(lineGate = false),
-              ixBuckets = 8)
+              evalRef = Some(evalRef), ixBuckets = 8)
             ()
         }.start()
         try q.processAllAvailable() finally q.stop()

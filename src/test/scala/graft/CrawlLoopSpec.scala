@@ -404,6 +404,36 @@ class CrawlLoopSpec extends SparkSuite {
       r3("media_audio_kept") == 1L, r3)
   }
 
+  test("per-batch eval decontamination: a crawled page sharing an " +
+      "8-gram with the eval reference never reaches the corpus or the " +
+      "indexes, in any batch") {
+    val st = CrawlLoop.freshState()
+    val evalRef = Seq(900L -> tB).toDF("doc_id", "text")
+    val r1 = counts(CrawlLoop.step(
+      fetchesOf(batch1, "2025-01-01T00:00:00Z"), st, opts,
+      evalRef = Some(evalRef), ixBuckets = 8))
+    // A and C curate through; B dies at the decontamination gate
+    assert(r1("gate_scrub") == 3L && r1("decontaminate") == 2L &&
+      r1("corpus_kept") == 2L && r1("corpus_total") == 2L, r1)
+    // B's vocabulary reached NO stored index
+    assert(RetrievalIndex.probe(RetrievalIndex.load(spark, st.retrievalDir),
+      Seq("b0").toDF("term")).collect().isEmpty)
+    assert(DecontamIndex.screen(DecontamIndex.load(spark, st.decontamDir),
+      Seq(101L -> tB.split(" ").take(8).mkString(" ")).toDF("doc_id", "text"))
+      .head().getAs[Long]("n_hit") == 0L)
+    // a batch-2 re-post of B's text on a new URL dies the same way: the
+    // screen runs per batch, every batch — and a batch whose survivors
+    // all die must still step cleanly (the grows see an empty frame)
+    val r2 = counts(CrawlLoop.step(
+      fetchesOf(Seq(("https://h3.example.com/repost/b", html(tB, 2))),
+        "2025-01-02T00:00:00Z"), st, opts,
+      evalRef = Some(evalRef), ixBuckets = 8))
+    assert(r2("cdx_novel") == 1L && r2("decontaminate") == 0L &&
+      r2("corpus_kept") == 0L && r2("corpus_total") == 2L, r2)
+    assert(RetrievalIndex.probe(RetrievalIndex.load(spark, st.retrievalDir),
+      Seq("b0").toDF("term")).collect().isEmpty)
+  }
+
   // two-level temporal-spatial Y4M: 8×8 Cmono, 4 frames (tGrid=4 →
   // bucket t = frame t), sGrid=4 → 2×2-px cells; cell c of frame t =
   // 20·gain if (t·16+c) ∈ highs else 5·gain — with ≤15 highs per bucket
