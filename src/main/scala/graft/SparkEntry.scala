@@ -90,6 +90,7 @@ object SparkEntry {
     "t23_bpe_segment" -> Seq("spec:TrainingSpec"),
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
+    "t45_wordpiece_train" -> Seq("spec:TrainingSpec"),
     "t37_bpe_bytes" -> Seq("spec:TrainingSpec"),
     "s14_cluster_mixture" -> Seq("spec:LlmOpsSpec"),
     "t40_dsir_scale" -> Seq("spec:TrainingSpec"),

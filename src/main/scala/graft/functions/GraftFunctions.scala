@@ -79,6 +79,12 @@ object GraftFunctions {
       unkScore: Double): Column =
     toCol(UnigramSegment(expression(word), pieces, unkScore))
 
+  /** Greedy longest-match WordPiece segmentation of a word under a
+    * fixed vocabulary (codegen'd — see [[WordpieceSegment]]). */
+  def wordpiece_segment(word: Column, vocab: Seq[String],
+      unkToken: String): Column =
+    toCol(WordpieceSegment(expression(word), vocab, unkToken))
+
   /** Order-preserving removal of a fixed excluded string set from an
     * array column (codegen'd — the corpus line-dedup cleanup stage, see
     * [[ArrayExclude]]). */

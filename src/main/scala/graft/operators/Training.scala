@@ -271,6 +271,146 @@ object Training {
       (c, m) => fns.merge_pair(c, m._1, m._2))
   }
 
+  /** WordPiece tokenizer training (Schuster & Nakajima 2012, the BERT
+    * tokenizer of Devlin et al. 2018; merge rule as documented in the
+    * public HuggingFace tokenizers course) — the THIRD major subword
+    * family next to BPE ([[bpeTrain]]) and unigram ([[unigramTrain]]):
+    * the same iterate-and-fuse loop as BPE, but the merged pair is the
+    * one maximizing the LIKELIHOOD score
+    * `count(pair) / (count(left) · count(right))` rather than the raw
+    * pair count — frequent-but-expected pairs (both symbols common
+    * everywhere) lose to pairs that co-occur more than their parts
+    * predict. Non-initial symbols carry the `##` continuation marker
+    * from the start, so every merged piece is position-typed and the
+    * vocabulary drives [[wordpieceSegmentColumn]]'s greedy encode
+    * directly.
+    *
+    * Exactness: scores are exact rationals compared by cross-
+    * multiplication in BigInt (no double division anywhere), ties break
+    * (left ASC, right ASC) — a total order, so the merge sequence is
+    * deterministic. Scale split identical to [[bpeTrain]] and for the
+    * same measured reason: the corpus-sized work is the distributed
+    * word-frequency aggregation; the merge loop is a sequential fixpoint
+    * over the bounded vocab table and runs driver-side (`maxVocab`
+    * bounds the collect loudly). Returns the ordered merge table
+    * (rank, left, right, merged, pair_count). */
+  def wordpieceTrain(docs: DataFrame, merges: Int, minPairCount: Long = 2,
+      minWordCount: Long = 1, maxVocab: Int = 1 << 22,
+      caseFold: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    val base = if (caseFold) lower(col("text")) else col("text")
+    val words = docs
+      .select(explode(split(trim(base), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
+    val collected = words.limit(maxVocab + 1).collect()
+    require(collected.length <= maxVocab,
+      s"vocab exceeds maxVocab=$maxVocab; raise minWordCount")
+    var tbl: Array[(Array[String], Long)] = collected.map { r =>
+      val cs = r.getString(0).split("").filter(_.nonEmpty)
+      cs.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else "##" + c
+      } -> r.getLong(1)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val symCounts = new java.util.HashMap[String, Long]()
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      tbl.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length) {
+          symCounts.merge(syms(j), c, Long.box(_) + _)
+          if (j < syms.length - 1)
+            pairCounts.merge((syms(j), syms(j + 1)), c, Long.box(_) + _)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // best score = n/(l·r), compared exactly: n1·l2·r2 vs n2·l1·r1
+        // in BigInt (corpus-scale counts overflow a Long product)
+        var bestPair: (String, String) = null
+        var bestN = 0L
+        var bestDen = BigInt(0)
+        pairCounts.forEach { (p, n) =>
+          val den = BigInt(symCounts.get(p._1)) * BigInt(symCounts.get(p._2))
+          val better =
+            if (bestPair == null) true
+            else {
+              val cmp = (BigInt(n) * bestDen).compare(BigInt(bestN) * den)
+              cmp > 0 || (cmp == 0 &&
+                (p._1 < bestPair._1 ||
+                  (p._1 == bestPair._1 && p._2 < bestPair._2)))
+            }
+          if (better) { bestPair = p; bestN = n; bestDen = den }
+        }
+        if (bestN < minPairCount) done = true
+        else {
+          val (a, b) = bestPair
+          val merged = a + b.stripPrefix("##")
+          out += ((rank, a, b, merged, bestN))
+          tbl = tbl.map { case (syms, c) =>
+            if (syms.length < 2) syms -> c
+            else {
+              val m = Array.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                  m += merged; j += 2
+                } else { m += syms(j); j += 1 }
+              }
+              m.result() -> c
+            }
+          }
+          rank += 1
+        }
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The full WordPiece vocabulary a trained merge table implies: every
+    * position-typed single character of the word-frequency table (the
+    * alphabet — initial chars plain, later chars `##`-marked) plus every
+    * merged piece. This is the input [[wordpieceSegmentColumn]] takes;
+    * greedy encode needs the ALPHABET for coverage, not just the merges. */
+  def wordpieceVocab(docs: DataFrame, mergeTable: DataFrame,
+      minWordCount: Long = 1, caseFold: Boolean = true): Seq[String] = {
+    val base = if (caseFold) lower(col("text")) else col("text")
+    val alpha = docs
+      .select(explode(split(trim(base), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(when(col("s") === 1, col("word").substr(col("s"), lit(1)))
+        .otherwise(concat(lit("##"),
+          col("word").substr(col("s"), lit(1)))).as("piece"))
+      .distinct()
+      .collect().map(_.getString(0))
+    val merged = mergeTable.orderBy(col("rank"))
+      .collect().map(_.getAs[String]("merged"))
+    (alpha ++ merged).distinct.toSeq
+  }
+
+  /** Corpus encoding with a WordPiece vocabulary — the distributed half:
+    * per word, BERT's greedy longest-match-first walk as ONE codegen'd
+    * projection ([[graft.functions.WordpieceSegment]]), vocabulary as
+    * plan constants. No shuffle, no state — encoding 100 TB is a plain
+    * map stage exactly like [[bpeSegmentColumn]]. Words with no match at
+    * some position collapse to `unkToken` (WordPiece is deliberately
+    * partial — coverage comes from the alphabet in the vocab). */
+  def wordpieceSegmentColumn(word: Column, vocab: Seq[String],
+      unkToken: String = "[UNK]"): Column = {
+    require(vocab.nonEmpty, "wordpieceSegmentColumn: empty vocabulary")
+    graft.functions.GraftFunctions.wordpiece_segment(word, vocab, unkToken)
+  }
+
   /** Unigram-LM tokenizer training (the SentencePiece unigram model,
     * Kudo 2018, arXiv 1804.10959) — the OTHER major subword family next
     * to BPE ([[bpeTrain]]): seed a piece inventory from frequent word
@@ -793,6 +933,117 @@ object Training {
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
     }, None),
+
+    // WordPiece tokenizer training — the BERT tokenizer, completing the
+    // subword-family triad next to t22's BPE and t34's unigram model:
+    // 16 likelihood-scored merges (count(pair)/(count(l)·count(r)),
+    // exact rational compare) over the corpus word table, continuation
+    // symbols ##-marked from the start. Not SQL-expressible (iterated
+    // fixpoint); the gate is TrainingSpec's bit-for-bit parity against
+    // an independent in-spec reference plus hand-computed score cases.
+    ("t45_wordpiece_train", (s: SparkSession, d: String) =>
+      wordpieceTrain(Tables.documents(s, d), merges = 16)
+        .orderBy(col("rank")), None),
+
+    // WordPiece greedy encode under a FULL DuckDB oracle — the first
+    // fully oracle-gated tokenizer in the family (t23/t35 are
+    // reference-parity gated because their trained models are iterated
+    // fixpoints): the vocabulary here is SQL-derivable (top-200
+    // positional substrings ≤4 chars by (count, form, piece) over the
+    // word table, plus every positional single char for coverage), and
+    // BERT's longest-match-first walk replays exactly — the oracle
+    // computes per-position best matches, then walks each word with a
+    // recursive CTE (greedy = the argmax table makes the recursion
+    // join-only). The Spark side segments with the same codegen'd
+    // expression production uses; every piece of every word must match.
+    ("t46_wordpiece_segment", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      // positional substrings ≤4 chars weighted by word occurrences;
+      // eager leaf — the substring census is vocab-sized but its plan
+      // holds a corpus explode, and it feeds two branches below
+      val subs = words
+        .select(col("word"), col("wcnt"),
+          explode(sequence(lit(1), length(col("word")))).as("st"))
+        .select(col("word"), col("wcnt"), col("st"),
+          explode(array(lit(1), lit(2), lit(3), lit(4))).as("l"))
+        .filter(col("st") + col("l") <= length(col("word")) + 1)
+        .select(when(col("st") === 1, 0).otherwise(1).as("form"),
+          col("word").substr(col("st"), col("l")).as("piece"),
+          col("wcnt"))
+        .groupBy(col("form"), col("piece")).agg(sum(col("wcnt")).as("cnt"))
+        .localCheckpoint(true)
+      val topk = subs
+        .orderBy(col("cnt").desc, col("form").asc, col("piece").asc)
+        .limit(200).select(col("form"), col("piece"))
+      val chars = subs.filter(length(col("piece")) === 1)
+        .select(col("form"), col("piece")).distinct()
+      val vocab = topk.unionByName(chars).distinct()
+        .collect()
+        .map(r => (if (r.getInt(0) == 1) "##" else "") + r.getString(1))
+        .toSeq
+      words
+        .select(col("word"), col("wcnt"),
+          wordpieceSegmentColumn(col("word"), vocab).as("segs"))
+        .select(col("word"), col("wcnt"),
+          size(col("segs")).cast("long").as("n_pieces"),
+          array_join(col("segs"), " ").as("pieces"))
+        .orderBy(col("word"))
+    },
+    Some("""WITH RECURSIVE words AS (
+        SELECT word, count(*) AS wcnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents) t
+        WHERE word <> '' GROUP BY word),
+      starts AS (
+        SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS st
+        FROM words),
+      spans AS (
+        SELECT word, wcnt, st, unnest([1, 2, 3, 4]) AS l FROM starts),
+      subs AS (
+        SELECT CASE WHEN st = 1 THEN 0 ELSE 1 END AS form,
+          substr(word, st, l) AS piece, sum(wcnt) AS cnt
+        FROM spans WHERE st + l <= length(word) + 1
+        GROUP BY 1, 2),
+      topk AS (
+        SELECT form, piece FROM subs
+        ORDER BY cnt DESC, form ASC, piece ASC LIMIT 200),
+      chars AS (
+        SELECT DISTINCT form, piece FROM subs WHERE length(piece) = 1),
+      vocab AS (
+        SELECT DISTINCT form, piece FROM (
+          SELECT * FROM topk UNION ALL SELECT * FROM chars) u),
+      positions AS (
+        SELECT word, unnest(range(0, length(word))) AS pos FROM words),
+      cands AS (
+        SELECT p.word, p.pos, v.piece, v.form, length(v.piece) AS len
+        FROM (SELECT word, pos, unnest([1, 2, 3, 4]) AS l
+              FROM positions) p
+        JOIN vocab v ON v.form = (CASE WHEN p.pos = 0 THEN 0 ELSE 1 END)
+          AND v.piece = substr(p.word, p.pos + 1, p.l)
+        WHERE length(v.piece) = p.l),
+      best AS (
+        SELECT word, pos, piece, form, len FROM (
+          SELECT word, pos, piece, form, len,
+            row_number() OVER (PARTITION BY word, pos
+              ORDER BY len DESC) AS rn
+          FROM cands) b WHERE rn = 1),
+      walk AS (
+        SELECT word, 0 AS pos, 0 AS ord, CAST(NULL AS VARCHAR) AS tok
+        FROM words
+        UNION ALL
+        SELECT w.word, w.pos + b.len, w.ord + 1,
+          CASE WHEN b.form = 1 THEN '##' || b.piece ELSE b.piece END
+        FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos)
+      SELECT w.word, CAST(s.wcnt AS BIGINT) AS wcnt,
+        CAST(count(*) AS BIGINT) AS n_pieces,
+        string_agg(w.tok, ' ' ORDER BY w.ord) AS pieces
+      FROM walk w JOIN words s ON s.word = w.word
+      WHERE w.tok IS NOT NULL
+      GROUP BY w.word, s.wcnt ORDER BY w.word""")),
 
     // Document-boundary greedy packing, oracle-gated: DuckDB replays
     // the sequential bin walk with a recursive CTE carrying (open bin,

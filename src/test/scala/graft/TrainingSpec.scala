@@ -757,4 +757,182 @@ class TrainingSpec extends SparkSuite {
     assert(out(3) == Seq("a", "b", "aa"))
     assert(out(4) == Seq.empty[String])
   }
+
+  // ---- WordPiece (t45/t46) ----
+
+  /** Independent reference WordPiece trainer: likelihood-scored merges
+    * (count(pair)/(count(l)·count(r)) compared as exact rationals),
+    * continuation symbols ##-marked from the start, ties (left, right).
+    * Deliberately different code shape from the production loop (sorted
+    * immutable maps, minBy on a comparable key) so a shared bug can't
+    * hide. */
+  private def referenceWordpiece(wordCounts: Map[String, Long], merges: Int,
+      minPairCount: Long = 2): Seq[(Int, String, String, String, Long)] = {
+    var tbl: Seq[(Vector[String], Long)] =
+      wordCounts.toSeq.sortBy(_._1).map { case (w, c) =>
+        w.split("").filter(_.nonEmpty).zipWithIndex
+          .map { case (ch, i) => if (i == 0) ch else "##" + ch }
+          .toVector -> c
+      }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val syms = scala.collection.mutable.Map[String, Long]()
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      tbl.foreach { case (ss, c) =>
+        ss.foreach(x => syms(x) = syms.getOrElse(x, 0L) + c)
+        ss.zip(ss.tail).foreach { p => pairs(p) = pairs.getOrElse(p, 0L) + c }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        // exact rational argmax: compare n1/(l1 r1) vs n2/(l2 r2) by
+        // cross-multiplication; ties by (left, right) ascending
+        val best = pairs.toSeq.reduceLeft { (x, y) =>
+          val cmp = (BigInt(y._2) * BigInt(syms(x._1._1)) * BigInt(syms(x._1._2)))
+            .compare(BigInt(x._2) * BigInt(syms(y._1._1)) * BigInt(syms(y._1._2)))
+          if (cmp > 0) y
+          else if (cmp < 0) x
+          else if (y._1._1 < x._1._1 ||
+            (y._1._1 == x._1._1 && y._1._2 < x._1._2)) y
+          else x
+        }
+        val ((a, b), n) = best
+        if (n < minPairCount) done = true
+        else {
+          val merged = a + b.stripPrefix("##")
+          out += ((rank, a, b, merged, n))
+          tbl = tbl.map { case (ss, c) =>
+            val m = Vector.newBuilder[String]
+            var j = 0
+            while (j < ss.length) {
+              if (j + 1 < ss.length && ss(j) == a && ss(j + 1) == b) {
+                m += merged; j += 2
+              } else { m += ss(j); j += 1 }
+            }
+            m.result() -> c
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def checkWordpieceTrainParity(
+      docs: org.apache.spark.sql.DataFrame, m: Int): Unit = {
+    import graft.operators.Training
+    val got = Training.wordpieceTrain(docs, merges = m)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val wordCounts = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceWordpiece(wordCounts, merges = m)
+    assert(got == expected, s"merges=$m:\ngot      $got\nexpected $expected")
+    val again = Training.wordpieceTrain(docs, merges = m)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(again == got, "wordpiece training must be deterministic")
+  }
+
+  test("wordpiece training: reference parity on two corpora; likelihood " +
+      "beats raw count; continuation marking is hand-verified") {
+    import graft.operators.Training
+    checkWordpieceTrainParity(Tables.documents(spark, sf0001), 12)
+    checkWordpieceTrainParity(tieCorpus, 16)
+
+    // the WordPiece-vs-BPE discriminator, on paper: pair (a,##b)
+    // occurs 10x but "a" is everywhere (count(a)=100, count(##b)=10 ->
+    // score 10/1000 = 0.01); pair (c,##d) occurs 6x and its symbols
+    // occur ONLY there (score 6/36 = 0.167). BPE (raw counts: 10 vs 6)
+    // merges (a,b) first; WordPiece must merge (c,##d).
+    val spark2 = spark
+    import spark2.implicits._
+    val scored = (
+      (0 until 10).map(i => (i.toLong, "ab")) ++
+      (0 until 90).map(i => (100L + i, "a")) ++
+      (0 until 90).map(i => (200L + i, "b")) ++
+      (0 until 6).map(i => (300L + i, "cd"))).toDF("doc_id", "text")
+    val first = Training.wordpieceTrain(scored, merges = 1)
+      .head()
+    assert((first.getString(1), first.getString(2), first.getString(3),
+      first.getLong(4)) == ("c", "##d", "cd", 6L), first)
+    // BPE on the same corpus picks the raw-count winner - the two
+    // trainers genuinely differ where their papers say they differ
+    val bpeFirst = Training.bpeTrain(scored, merges = 1).head()
+    assert((bpeFirst.getString(1), bpeFirst.getString(2)) == ("a", "b"))
+
+    // hand-computed chain with continuation symbols: "fff" x4 ->
+    // syms (f, ##f, ##f); scores 4/(4*8) vs 4/(8*8) -> (f,##f) merges
+    // to "ff" (## stripped), then (ff,##f) -> "fff"
+    val fff = (0 until 4).map(i => (i.toLong, "fff")).toDF("doc_id", "text")
+    val chain = Training.wordpieceTrain(fff, merges = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(chain == Seq(("f", "##f", "ff"), ("ff", "##f", "fff")), chain)
+  }
+
+  test("wordpiece segmentation: greedy longest-match hand cases, UNK, " +
+      "## marking, trained-vocab parity and reassembly") {
+    import graft.operators.Training
+    val spark2 = spark
+    import spark2.implicits._
+    // hand vocabulary: initial pieces {a, ab, abc, b}, continuation
+    // pieces {##c, ##bc, ##d}
+    val vocab = Seq("a", "ab", "abc", "b", "##c", "##bc", "##d")
+    val words = Seq("abc", "abd", "abcd", "ad", "ba", "b").toDF("word")
+    val got = words.select(col("word"),
+        Training.wordpieceSegmentColumn(col("word"), vocab).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("abc") == Seq("abc"), got("abc"))          // longest wins
+    assert(got("abd") == Seq("ab", "##d"), got("abd"))
+    assert(got("abcd") == Seq("abc", "##d"), got("abcd")) // not ab+##c+##d
+    assert(got("ad") == Seq("a", "##d"), got("ad"))
+    assert(got("ba") == Seq("[UNK]"), got("ba"))          // no ##a piece
+    assert(got("b") == Seq("b"), got("b"))
+
+    // trained vocabulary over the real corpus: expression parity with an
+    // in-spec reference greedy walk, and non-UNK pieces reassemble
+    val docs = Tables.documents(spark, sf0001)
+    val merges = Training.wordpieceTrain(docs, merges = 24)
+    val tv = Training.wordpieceVocab(docs, merges)
+    val init = tv.filterNot(_.startsWith("##")).toSet
+    val cont = tv.filter(_.startsWith("##")).map(_.substring(2)).toSet
+    def refGreedy(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var pos = 0
+      while (pos < w.length) {
+        val set = if (pos == 0) init else cont
+        val hit = (math.min(w.length - pos,
+            set.map(_.length).max) to 1 by -1)
+          .find(l => set.contains(w.substring(pos, pos + l)))
+        hit match {
+          case None => return Seq("[UNK]")
+          case Some(l) =>
+            out += (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+            pos += l
+        }
+      }
+      out.toSeq
+    }
+    val distinctWords = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val seg = distinctWords.select(col("word"),
+        Training.wordpieceSegmentColumn(col("word"), tv).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, ps) =>
+      assert(ps == refGreedy(w), s"word $w: got $ps expected ${refGreedy(w)}")
+      if (ps != Seq("[UNK]"))
+        assert(ps.map(_.stripPrefix("##")).mkString == w,
+          s"pieces of $w do not reassemble: $ps")
+    }
+    // the trained alphabet covers the corpus, so nothing is UNK here
+    assert(seg.forall(_._2 != Seq("[UNK]")))
+  }
 }
