@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.RobotsMatch].getName, "robots_match"),
       es => functions.RobotsMatch(es.head, es(1))))
     // byte_map / byte_unmap — GPT-2's bijective byte alphabet
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      es => functions.NfcNormalize(es.head)))
     e.injectFunction((FunctionIdentifier("byte_map"),
       new ExpressionInfo(classOf[functions.ByteMap].getName, "byte_map"),
       es => functions.ByteMap(es.head, inverse = false)))

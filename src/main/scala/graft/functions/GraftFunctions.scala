@@ -85,6 +85,11 @@ object GraftFunctions {
       unkToken: String): Column =
     toCol(WordpieceSegment(expression(word), vocab, unkToken))
 
+  /** Unicode NFC normalization (codegen'd — see [[NfcNormalize]]):
+    * normalize-before-hash for dedup/n-gram pipelines. */
+  def nfc_normalize(text: Column): Column =
+    toCol(NfcNormalize(expression(text)))
+
   /** Order-preserving removal of a fixed excluded string set from an
     * array column (codegen'd — the corpus line-dedup cleanup stage, see
     * [[ArrayExclude]]). */

@@ -935,6 +935,56 @@ object TextAnalysis {
       SELECT a.doc_id,
         coalesce(g.n_hits, 0) AS n_hits,
         coalesce(g.hits, '') AS hits
-      FROM aug a LEFT JOIN agg g USING (doc_id) ORDER BY a.doc_id"""))
+      FROM aug a LEFT JOIN agg g USING (doc_id) ORDER BY a.doc_id""")),
+
+    // Unicode NFC normalization — normalize-before-hash (dedup and
+    // n-gram pipelines double-count wherever sources disagree on
+    // composition). The corpus is ASCII, so the fixture APPENDS
+    // synthesized decomposed sequences (base letter + combining mark,
+    // cycled by doc_id) next to their precomposed forms; the oracle is
+    // cross-ENGINE: the JDK's java.text.Normalizer vs DuckDB's
+    // utf8proc-backed nfc_normalize must produce identical bytes and
+    // identical char-count shrinkage, both SFs. Marks are built from
+    // code points in both dialects (no non-ASCII source literals).
+    ("t47_nfc_normalize", (s: SparkSession, d: String) => {
+      // U+0300 grave, U+0301 acute, U+0302 circumflex, U+0303 tilde;
+      // precomposed counterparts with 'e': U+00E8, U+00E9, U+00EA —
+      // and U+1EBD (e-tilde), all NFC targets of e + mark
+      val marks = array(lit("\u0300"), lit("\u0301"), lit("\u0302"),
+        lit("\u0303"))
+      val pre = array(lit("\u00e8"), lit("\u00e9"), lit("\u00ea"),
+        lit("\u1ebd"))
+      val idx = (pmod(col("doc_id"), lit(4)) + 1).cast("int")
+      val raw = concat(
+        substring(col("text"), 1, 12),
+        lit(" e"), element_at(marks, idx), // decomposed: composes
+        lit(" "), element_at(pre, idx),    // precomposed: unchanged
+        lit(" a"), element_at(marks, idx), // a + mark: composes too
+        lit(" x"), element_at(marks, idx)) // x + mark: NO precomposed
+                                           // form exists — stays 2 chars
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          graft.functions.GraftFunctions.nfc_normalize(col("raw"))
+            .as("norm"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+        .select(col("doc_id"), col("n_raw"), col("n_norm"), col("norm"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          substr(text, 1, 12)
+            || ' e' || chr(CAST(768 + (doc_id % 4) AS INTEGER))
+            || ' ' || chr(CAST(CASE doc_id % 4 WHEN 0 THEN 232
+                          WHEN 1 THEN 233 WHEN 2 THEN 234
+                          ELSE 7869 END AS INTEGER))
+            || ' a' || chr(CAST(768 + (doc_id % 4) AS INTEGER))
+            || ' x' || chr(CAST(768 + (doc_id % 4) AS INTEGER)) AS raw
+        FROM documents)
+      SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
+        nfc_normalize(raw) AS norm
+      FROM raw ORDER BY doc_id"""))
   )
 }

@@ -31,7 +31,8 @@ object Smoke {
         "c4_line_gate(array('keep this whole line.', 'nope'), 3, 'javascript'), " +
         "multi_match('a small spark table', 'spark', 'park', 'zzz'), " +
         "robots_match('/fish/file.php', '/fish*.php'), " +
-        "byte_unmap(byte_map('round trip ✓'))")
+        "byte_unmap(byte_map('round trip ✓')), " +
+        "length(nfc_normalize('e\\u0301'))") // e+combining acute -> 1 char
       .head())
     spark.sparkContext.setLogLevel("ERROR")
 
