@@ -1450,6 +1450,80 @@ object Multimodal {
         col("corpus_id").as("image_id"), col("hamming"))
   }
 
+  /** The m22/m39 fixture: 6-frame 16×8 C420 clips — ids ≡ 0 mod 97
+    * share one structured clip, ids ≡ 0 mod 89 (not 97) carry the SAME
+    * clip at double brightness (luma ≤ 100, ×2 never clamps — the
+    * ratio-form cube is scale-invariant, hamming 0), everyone else gets
+    * genuinely different footage via a splitmix-finalized luma (the m11
+    * lesson: linear-residue patterns collide HONESTLY under sum-based
+    * bits). The whole formula replays in the m22/m39 oracle SQL. */
+  private def m22Media(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 16; val h = 8; val nf = 6
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def clip(base: Long, scale: Int): Vector[Array[Byte]] =
+            Vector.tabulate(nf) { f =>
+              val frame = new Array[Byte](w * h * 3 / 2)
+              var i = 0
+              while (i < w * h) {
+                val v =
+                  if (base < 0) // planted identity: structured 0..100
+                    ((i % w) * 3L + (i / w) * 7L + f * 11L + 13L) % 101L
+                  else // unique footage: nonlinear in (id, f, pixel)
+                    mix(base * 0x100000001b3L + f * 8191L + i) & 0xffL
+                frame(i) = (v * scale).toByte
+                i += 1
+              }
+              java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+              frame
+            }
+          val frames =
+            if (id % 97 == 0) clip(-1L, 1)
+            else if (id % 89 == 0) clip(-1L, 2)
+            else clip(id, 1)
+          (id, "video",
+            graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** [[videoNearDups]] served from the STORED fingerprint index — the
+    * m37 amortization for the video modality: the corpus's cube
+    * fingerprints persist once; each arriving batch decodes ONLY its own
+    * clips, probes the index, and never re-fingerprints or re-bands the
+    * corpus. Returns (doc_id, corpus_id, hamming ≤ maxHamming). */
+  def videoNearDupsAgainstIndex(ix: HashIndex.Loaded, videos: DataFrame,
+      maxHamming: Int = 2, maxBucket: Int = 100, tGrid: Int = 4,
+      sGrid: Int = 4): DataFrame =
+    HashIndex.probe(ix,
+      videoFingerprints(videos, tGrid, sGrid)
+        .select(col("doc_id"), col("video_hash").as("hash")),
+      maxHamming, maxBucket)
+
+  /** Per-dataset stored video fingerprint index over m39's corpus split
+    * (doc_id ≢ 0 mod 10), built 80/20 so grow parity sits under the
+    * oracle. */
+  private def videoHashIndexDir(s: SparkSession, d: String): String =
+    IxScratch.cached("hashix-video:" + IxScratch.fingerprint(d),
+        "graft_hash_video") { p =>
+      val corpus = videoFingerprints(
+          m22Media(s, d).filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id"), col("video_hash").as("hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      HashIndex.build(corpus.filter(col("doc_id") % 7 =!= 0), p)
+      HashIndex.grow(corpus.filter(col("doc_id") % 7 === 0), p)
+      corpus.unpersist(blocking = false)
+    }
+
   /** The m28/m38 fixture: 16×8 frames of 8×8 blocks (2×1 px each),
     * varying multiplicatively per (id, salt) — each doc's still is
     * UNIQUE to it (a global shared tile would form a >maxBucket band
@@ -2570,42 +2644,7 @@ object Multimodal {
     // semantics and the bits↔hash repack additionally spec-gated in
     // Y4mSpec.
     ("m22_video_neardup", (s: SparkSession, d: String) => {
-      import s.implicits._
-      val w = 16; val h = 8; val nf = 6
-      def mix(z0: Long): Long = {
-        var z = z0 + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            def clip(base: Long, scale: Int): Vector[Array[Byte]] =
-              Vector.tabulate(nf) { f =>
-                val frame = new Array[Byte](w * h * 3 / 2)
-                var i = 0
-                while (i < w * h) {
-                  val v =
-                    if (base < 0) // planted identity: structured 0..100
-                      ((i % w) * 3L + (i / w) * 7L + f * 11L + 13L) % 101L
-                    else // unique footage: nonlinear in (id, f, pixel)
-                      mix(base * 0x100000001b3L + f * 8191L + i) & 0xffL
-                  frame(i) = (v * scale).toByte
-                  i += 1
-                }
-                java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
-                frame
-              }
-            val frames =
-              if (id % 97 == 0) clip(-1L, 1)
-              else if (id % 89 == 0) clip(-1L, 2)
-              else clip(id, 1)
-            (id, "video",
-              graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(w, h, "C420", frames)))
-          }
-        }
-        .toDF("doc_id", "media_type", "payload")
+      val media = m22Media(s, d)
       videoNearDups(media, maxHamming = 2,
           // keyBits pinned to 16: the dialect-shared banding contract
           // (see m09) the oracle recomputes
@@ -2690,6 +2729,98 @@ object Multimodal {
         GROUP BY c.doc_a, c.doc_b)
       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
       ORDER BY doc_a, doc_b""")),
+
+    // m22 SERVED FROM THE STORED HashIndex (the m37 amortization for
+    // the video modality, completing the index-served media family:
+    // m37 image→image, m38 video→image, m39 video→video): the corpus
+    // side (doc_id ≢ 0 mod 10) fingerprints through the real Y4M
+    // decode ONCE into a persisted index (build 80% → grow 20%), and
+    // the batch (doc_id ≡ 0 mod 10) decodes only itself and probes.
+    // FULLY oracle-gated: DuckDB rebuilds the temporal×spatial cube
+    // from the planted luma formulas (incl. the splitmix64 finalizer
+    // in HUGEINT mod-2^64 arithmetic), the 16-bit bands, the
+    // stored-side-only bucket cap, the candidate equi-join, and the
+    // exact hamming verdict. Served ≡ live parity is spec'd in
+    // HashIndexSpec.
+    ("m39_index_video_neardup", (s: SparkSession, d: String) => {
+      val batch = m22Media(s, d).filter(col("doc_id") % 10 === 0)
+      videoNearDupsAgainstIndex(
+          HashIndex.load(s, videoHashIndexDir(s, d)), batch,
+          maxHamming = 2, maxBucket = 100)
+        .orderBy(col("doc_id"), col("corpus_id"))
+    },
+    Some("""WITH px AS (
+        SELECT d.doc_id, f.f, x.x, y.y FROM documents d,
+          (SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS f) f,
+          (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS x) x,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS y) y),
+      z0 AS (
+        SELECT doc_id, f, x, y,
+          (doc_id::HUGEINT * 1099511628211 + f * 8191 + (y * 16 + x)
+            + 11400714819323198485::HUGEINT)
+            % 18446744073709551616::HUGEINT AS z
+        FROM px),
+      za AS (SELECT doc_id, f, x, y,
+        xor(z, z // 1073741824::HUGEINT) AS z FROM z0),
+      zb AS (SELECT doc_id, f, x, y,
+        ((z % 4294967296::HUGEINT) * 484763065::HUGEINT
+          + (((z % 4294967296::HUGEINT) * 3210233709::HUGEINT
+              + (z // 4294967296::HUGEINT) * 484763065::HUGEINT)
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS z FROM za),
+      zc AS (SELECT doc_id, f, x, y,
+        xor(z, z // 134217728::HUGEINT) AS z FROM zb),
+      zd AS (SELECT doc_id, f, x, y,
+        ((z % 4294967296::HUGEINT) * 321982955::HUGEINT
+          + (((z % 4294967296::HUGEINT) * 2496678331::HUGEINT
+              + (z // 4294967296::HUGEINT) * 321982955::HUGEINT)
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS z FROM zc),
+      ze AS (SELECT doc_id, f, x, y,
+        xor(z, z // 2147483648::HUGEINT) AS z FROM zd),
+      lum AS (
+        SELECT p.doc_id, p.f, p.x, p.y,
+          CASE WHEN p.doc_id % 97 = 0
+              THEN (p.x * 3 + p.y * 7 + p.f * 11 + 13) % 101
+            WHEN p.doc_id % 89 = 0
+              THEN ((p.x * 3 + p.y * 7 + p.f * 11 + 13) % 101) * 2
+            ELSE CAST(e.z % 256 AS BIGINT) END AS v
+        FROM px p JOIN ze e ON p.doc_id = e.doc_id AND p.f = e.f
+          AND p.x = e.x AND p.y = e.y),
+      cells AS (
+        SELECT doc_id, (f * 4) // 6 AS t, y // 2 AS cy, x // 4 AS cx,
+          sum(v) AS cs
+        FROM lum GROUP BY doc_id, t, cy, cx),
+      buckets AS (
+        SELECT doc_id, t, sum(cs) AS bt FROM cells GROUP BY doc_id, t),
+      bits AS (
+        SELECT c.doc_id, (c.t * 4 + c.cy) * 4 + c.cx AS pos,
+          CASE WHEN c.cs * 16 > b.bt THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN buckets b
+          ON c.doc_id = b.doc_id AND c.t = b.t),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM bits GROUP BY doc_id, blk),
+      keptC AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands WHERE doc_id % 10 <> 0) t WHERE n <= 100),
+      bandsB AS (
+        SELECT doc_id, blk, key FROM bands WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT b.doc_id, c.doc_id AS corpus_id
+        FROM bandsB b JOIN keptC c ON b.blk = c.blk AND b.key = c.key),
+      ham AS (
+        SELECT cd.doc_id, cd.corpus_id,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand cd
+        JOIN bits ba ON ba.doc_id = cd.doc_id
+        JOIN bits bb ON bb.doc_id = cd.corpus_id AND bb.pos = ba.pos
+        GROUP BY cd.doc_id, cd.corpus_id)
+      SELECT doc_id, corpus_id, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_id, corpus_id""")),
 
     // Audio near-dup pairs over planted identities: ids ≡ 0 mod 97
     // share one waveform, ids ≡ 0 mod 89 (not 97) carry the same

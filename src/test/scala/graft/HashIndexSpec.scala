@@ -299,4 +299,75 @@ class HashIndexSpec extends SparkSuite {
     assert(served.contains((97L, 3, 97L, 0)), served)
     assert(served == live, s"served $served vs live $live")
   }
+
+  // ---- m39 ≡ m22: index-served video near-dups match the live form ----
+  // Two-level cell clips (the CrawlLoopSpec scheme: 8x8 Cmono, 4 frames,
+  // 4x4 cells -> bit k = high-cell indicator, so every planted hamming
+  // distance is provable; gain scaling preserves every bit): corpus
+  // clips 1..3 persist in the index, batch clips probe it.
+  test("index-served video near-dups equal the live cross pairs bit " +
+      "for bit; lenient crawl fingerprints match the strict form") {
+    import graft.operators.{Dedup, Multimodal}
+    def y4m(highs: Set[Int], gain: Int): Array[Byte] = {
+      val frames = Vector.tabulate(4) { t =>
+        Array.tabulate[Byte](64) { i =>
+          val c = ((i / 8) / 2) * 4 + (i % 8) / 2
+          (if (highs(t * 16 + c)) 20 * gain else 5 * gain).toByte
+        }
+      }
+      graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(8, 8, "Cmono", frames))
+    }
+    val h1 = (0 to 4).toSet
+    val h2 = Set(20, 21, 22, 30, 31, 32)
+    val h3 = Set(40, 41, 50, 51, 60, 61, 62)
+    val plants: Seq[(Long, Array[Byte])] = Seq(
+      1L -> y4m(h1, 1), 2L -> y4m(h2, 1), 3L -> y4m(h3, 1),
+      // batch: 10 = one-cell edit of 1 (ham 1); 20 = clip 2 at triple
+      // gain (novel bytes, ham 0 - ratio bits are gain-invariant);
+      // 30 = unique (ham >= 5 to everything stored)
+      10L -> y4m(h1 + 9, 1),
+      20L -> y4m(h2, 3),
+      30L -> y4m(Set(7, 15, 23, 31, 39), 1))
+    val media = plants.toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("video").as("media_type"), col("payload"))
+    val fps = Multimodal.videoFingerprints(media)
+      .select(col("doc_id"), col("video_hash"))
+      .localCheckpoint(true)
+
+    val dir = tmp()
+    HashIndex.build(fps.filter(col("doc_id") < 10)
+      .withColumnRenamed("video_hash", "hash"), dir)
+    val served = Multimodal.videoNearDupsAgainstIndex(
+        HashIndex.load(spark, dir), media.filter(col("doc_id") >= 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == Set((10L, 1L, 1), (20L, 2L, 0)), served)
+
+    // the live all-pairs form, restricted to cross (batch, corpus) pairs
+    val live = Dedup.hammingNearDups(fps, "video_hash", maxHamming = 2,
+        keyBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect { case (a, b, h) if a < 10 && b >= 10 => (b, a, h) }
+      .toSet
+    assert(served == live, s"served $served vs live $live")
+
+    // the crawl loop's LENIENT video fingerprinter: same hashes bit for
+    // bit as the strict form; compressed/short/ragged payloads skip
+    val lenient = Multimodal.crawlVideoFingerprints(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strict = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lenient == strict, s"lenient $lenient vs strict $strict")
+    val junk = Seq(
+      // not Y4M at all
+      (90L, "video", Array[Byte](0, 0, 0, 24) ++
+        "ftypisom".getBytes("US-ASCII")),
+      // decodable but too short for tGrid=4 (2 frames)
+      (91L, "video", graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(
+        8, 8, "Cmono", Vector.fill(2)(new Array[Byte](64))))),
+      // decodable but 6x6: dims not divisible by sGrid=4
+      (92L, "video", graft.kernel.Y4m.encode(graft.kernel.Y4m.Video(
+        6, 6, "Cmono", Vector.fill(4)(new Array[Byte](36))))))
+      .toDF("doc_id", "media_type", "payload")
+    assert(Multimodal.crawlVideoFingerprints(
+      media.unionByName(junk)).count() == media.count())
+  }
 }
