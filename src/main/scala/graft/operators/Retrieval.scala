@@ -230,6 +230,37 @@ object Retrieval {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009, SIGIR):
+    * fuse any number of per-query rankings — e.g. BM25 lexical top-k and
+    * embedding-cosine top-k, the standard hybrid-retrieval stack — into
+    * one ranking by summed reciprocal rank. Scores are EXACT integers:
+    * contribution = ⌊Q / (kConst + rank)⌋ with Q = 2^20 (pure integer
+    * division — no floats anywhere), kConst = 60 per the paper, ties
+    * broken by doc_id, so the fused ranking hash-matches an independent
+    * engine. Input legs are (query_id, doc_id, rank) frames; a doc
+    * absent from a leg contributes 0 there (`n_legs` reports coverage).
+    *
+    * Scale shape: each leg is already top-k-bounded per query, so the
+    * union, the fusion aggregate, and the final window all carry at most
+    * legs·k rows per query — query-bounded, never corpus-bounded; the
+    * one exchange keys by query_id. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: no legs")
+    require(k >= 1 && kConst >= 0, s"rrfFuse: k=$k kConst=$kConst")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = legs.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"CAST(1048576 div ($kConst + rank) AS BIGINT)").as("c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_q"), count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_q"), col("n_legs"))
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // The positional inverted index over the documents corpus — the
@@ -346,6 +377,105 @@ object Retrieval {
         FROM scored)
       SELECT query_id, rank, doc_id, score
       FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
+
+    // Hybrid retrieval with reciprocal-rank fusion — the standard
+    // two-leg stack (BM25 lexical + embedding cosine) fused by RRF
+    // (Cormack et al. 2009). Queries are the doc_id ≡ 0 mod 97 set on
+    // BOTH legs (documents.doc_id and embeddings.vec_id share the id
+    // space); each leg is its own oracle-gated top-10 (r03's Q20 BM25,
+    // s01's exact cosine) and the fusion is pure integer arithmetic
+    // (⌊2^20/(60+rank)⌋ summed, ties by doc_id), so the ENTIRE hybrid
+    // pipeline hash-matches DuckDB replaying both legs and the fusion.
+    ("r10_hybrid_rrf", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qterms = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("qpos", "term")))
+        .filter(col("qpos") < 5)
+        .select(col("query_id"), col("term")).distinct()
+      val textLeg = bm25TopK(docs, qterms, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vecLeg = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 97 === 0), emb, 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      rrfFuse(Seq(textLeg, vecLeg), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM base),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
+        FROM dl),
+      p AS (SELECT doc_id, unnest(arr) AS term FROM base),
+      qt AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(arr[1:5]) AS term
+          FROM base WHERE doc_id % 97 = 0) z),
+      tf AS (
+        SELECT p.term, p.doc_id, count(*) AS tf
+        FROM p JOIN (SELECT DISTINCT term FROM qt) s ON p.term = s.term
+        GROUP BY p.term, p.doc_id),
+      idf AS (
+        SELECT term, CAST(floor(1048576.0 *
+            ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
+        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+          CAST(floor(CAST(idf.idf_q AS DOUBLE) *
+            ((CAST(tf.tf AS DOUBLE) * 2.25) /
+             (CAST(tf.tf AS DOUBLE) + 1.25 *
+              (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+            AS BIGINT) AS contrib
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN qt ON tf.term = qt.term
+        JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      tscored AS (
+        SELECT query_id, doc_id, SUM(contrib) AS score
+        FROM contrib GROUP BY query_id, doc_id),
+      tranked AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM tscored),
+      vq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+      vscored AS (
+        SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
+          list_sum(list_transform(list_zip(vq.embedding, c.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(vq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings c, vq WHERE vq.vec_id <> c.vec_id),
+      vranked AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM vscored),
+      legs AS (
+        SELECT query_id, doc_id, CAST(1048576 // (60 + rank) AS BIGINT) AS c
+        FROM tranked WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, doc_id, CAST(1048576 // (60 + rank) AS BIGINT) AS c
+        FROM vranked WHERE rank <= 10),
+      fused AS (
+        SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+          CAST(count(*) AS BIGINT) AS n_legs
+        FROM legs GROUP BY query_id, doc_id),
+      franked AS (
+        SELECT query_id, doc_id, rrf_q, n_legs,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_q DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf_q, n_legs
+      FROM franked WHERE rank <= 10
       ORDER BY query_id, rank""")),
 
     // Per-document top-3 TF-IDF keywords over the whole corpus — the

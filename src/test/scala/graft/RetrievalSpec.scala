@@ -191,4 +191,38 @@ class RetrievalSpec extends SparkSuite {
     // doc 30: near-miss shares at most a 7-gram → 0 of 1 hit
     assert(gram(30L) == (1L, 0L), s"gram leg 30: ${gram(30L)}")
   }
+
+  test("rrf fusion: hand-computed scores, overlap, tie-break, coverage") {
+    // leg A ranks docs (1,2,3); leg B ranks (2,3,4). Q = 2^20, k = 60:
+    // contrib(rank) = 1048576 div (60 + rank) -> r1: 17189, r2: 16912,
+    // r3: 16644 (all exact integer divisions: 63*16644 = 1048572)
+    val a = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((7L, 2L, 1), (7L, 3L, 2), (7L, 4L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(2),
+        (r.getInt(1), r.getLong(3), r.getLong(4)))).toMap
+    // doc 2: 16912 + 17189 = 34101 (both legs); doc 3: 16644 + 16912 =
+    // 33556; doc 1: 17189; doc 4: 16644
+    assert(fused(2L) == ((1, 34101L, 2L)), fused(2L))
+    assert(fused(3L) == ((2, 33556L, 2L)), fused(3L))
+    assert(fused(1L) == ((3, 17189L, 1L)), fused(1L))
+    assert(fused(4L) == ((4, 16644L, 1L)), fused(4L))
+
+    // equal fused scores break toward the smaller doc_id: two docs each
+    // rank 1 in exactly one leg
+    val c = Seq((1L, 9L, 1)).toDF("query_id", "doc_id", "rank")
+    val e = Seq((1L, 4L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(c, e), k = 10)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    assert(tied == Seq(4L, 9L), tied)
+
+    // k truncates the fused ranking, per query independently
+    val multi = Seq((1L, 1L, 1), (1L, 2L, 2), (2L, 5L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val cut = Retrieval.rrfFuse(Seq(multi), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(cut == Set((1L, 1L), (2L, 5L)), cut)
+  }
 }
