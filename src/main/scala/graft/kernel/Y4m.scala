@@ -55,10 +55,20 @@ object Y4m {
     val header = readLine()
     var w, h = -1
     var cs = "C420" // the documented default when C is absent
+    // untrusted-header discipline (the Png lesson): a non-numeric or
+    // absurd dimension must raise IAE — the lenient crawl wrapper's
+    // contract — never NumberFormatException or an int-overflowed
+    // frame size that out-of-bounds a later plane walk
+    def dim(p: String): Int = {
+      val v = p.substring(1)
+      require(v.nonEmpty && v.length <= 5 && v.forall(c => c >= '0' && c <= '9'),
+        s"bad Y4M dimension '$p'")
+      v.toInt
+    }
     header.split(" ").filter(_.nonEmpty).foreach { p =>
       p.charAt(0) match {
-        case 'W' => w = p.substring(1).toInt
-        case 'H' => h = p.substring(1).toInt
+        case 'W' => w = dim(p)
+        case 'H' => h = dim(p)
         case 'C' => cs = p
         case 'I' =>
           require(p == "Ip" || p == "I?",
@@ -67,6 +77,8 @@ object Y4m {
       }
     }
     require(w > 0 && h > 0, s"missing/bad dimensions in header '$header'")
+    require(w.toLong * h <= (1L << 26),
+      s"Y4M frame ${w}x$h exceeds the 64 MPx budget")
     val fb = frameBytes(cs, w, h)
     val frames = Vector.newBuilder[Array[Byte]]
     while (off < bytes.length) {

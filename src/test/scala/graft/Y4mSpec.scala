@@ -259,4 +259,32 @@ class Y4mSpec extends SparkSuite {
     }
     assert(pairs == Seq((1L, 2L, 0)))
   }
+
+  test("hostile headers: non-numeric and over-budget dims raise IAE; " +
+      "the lenient crawl fingerprinter skips them") {
+    import graft.operators.Multimodal
+    def hdr(line: String): Array[Byte] =
+      (line + "\nFRAME\n").getBytes("US-ASCII")
+    // non-numeric dimension: IAE, never NumberFormatException (the
+    // lenient contract catches IAE only)
+    intercept[IllegalArgumentException] {
+      graft.kernel.Y4m.decode(hdr("YUV4MPEG2 Wabc H8 Cmono"))
+    }
+    // absurd declared dims: the 64 MPx budget raises BEFORE any frame
+    // walk can int-overflow w*h*3/2 into an out-of-bounds plane read
+    intercept[IllegalArgumentException] {
+      graft.kernel.Y4m.decode(hdr("YUV4MPEG2 W99999 H99999 Cmono"))
+    }
+    // six-digit dimension: rejected at the parse
+    intercept[IllegalArgumentException] {
+      graft.kernel.Y4m.decode(hdr("YUV4MPEG2 W100000 H8 Cmono"))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val junk = Seq(
+      (1L, hdr("YUV4MPEG2 Wabc H8 Cmono")),
+      (2L, hdr("YUV4MPEG2 W99999 H99999 Cmono")))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.crawlVideoFingerprints(junk).count() == 0L)
+  }
 }
