@@ -496,12 +496,23 @@ object CrawlLoop {
           gain: Int): DataFrame = {
         val out = ids.select(col("doc_id")).as[Long].mapPartitions { it =>
           it.map { id =>
-            val m1 = (id * 2654435761L) % 13L + 2L
-            val m2 = (id * 40503L) % 11L + 3L
+            // per-cell luma via a splitmix finalizer — the m11 lesson:
+            // a linear residue in (cell, id) collapses to ~10 distinct
+            // cubes once ids share a stride, and "unique" clips collide
+            // (measured at sf0.1: 19 within-batch + 29 cross-batch
+            // spurious hamming-0 hits). Values ≤ 63 so gain ≤ 3 never
+            // clips; exact scaling keeps the ratio-form bits identical.
+            def mix(z0: Long): Long = {
+              var z = z0 + 0x9e3779b97f4a7c15L
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+              z ^ (z >>> 31)
+            }
             val frames = Vector.tabulate(4) { t =>
               Array.tabulate[Byte](64) { i =>
                 val c = ((i / 8) / 2) * 4 + (i % 8) / 2
-                (((c * m1 + t * m2 + id) % 30L + 5L).toInt * gain).toByte
+                (((mix(id * 8191L + t * 64L + c) & 0x3fL) + 1L).toInt
+                  * gain).toByte
               }
             }
             (s"https://h${id % 5}.example.com/$pathTag/$id-g$gain.y4m",

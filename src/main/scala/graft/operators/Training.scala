@@ -351,6 +351,15 @@ object Training {
         else {
           val (a, b) = bestPair
           val merged = a + b.stripPrefix("##")
+          // the ## marker is RESERVED: an initial merged piece that
+          // itself starts with "##" (only possible from word-initial
+          // '#' runs) is unrepresentable in the flat BERT-style vocab
+          // string — refuse loudly rather than emit a piece the encoder
+          // would silently reclassify as a continuation
+          require(!(merged.startsWith("##") && !a.startsWith("##")),
+            s"wordpieceTrain: merging ('$a','$b') would create initial " +
+              "piece '" + merged + "' colliding with the ## continuation " +
+              "marker — pre-normalize word-initial '#' runs")
           out += ((rank, a, b, merged, bestN))
           tbl = tbl.map { case (syms, c) =>
             if (syms.length < 2) syms -> c
@@ -377,7 +386,10 @@ object Training {
     * position-typed single character of the word-frequency table (the
     * alphabet — initial chars plain, later chars `##`-marked) plus every
     * merged piece. This is the input [[wordpieceSegmentColumn]] takes;
-    * greedy encode needs the ALPHABET for coverage, not just the merges. */
+    * greedy encode needs the ALPHABET for coverage, not just the merges.
+    * `minWordCount`/`caseFold` MUST match the [[wordpieceTrain]] call
+    * that produced `mergeTable`, or the alphabet derives from a
+    * different word table than the merges were trained on. */
   def wordpieceVocab(docs: DataFrame, mergeTable: DataFrame,
       minWordCount: Long = 1, caseFold: Boolean = true): Seq[String] = {
     val base = if (caseFold) lower(col("text")) else col("text")
@@ -958,13 +970,15 @@ object Training {
     // expression production uses; every piece of every word must match.
     ("t46_wordpiece_segment", (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
+      // the word table is the truly multi-referenced stage (substring
+      // census AND the final segmentation read it): eager leaf, so the
+      // corpus explode+aggregate runs exactly once
       val words = docs
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
-      // positional substrings ≤4 chars weighted by word occurrences;
-      // eager leaf — the substring census is vocab-sized but its plan
-      // holds a corpus explode, and it feeds two branches below
+        .localCheckpoint(true)
+      // positional substrings ≤4 chars weighted by word occurrences
       val subs = words
         .select(col("word"), col("wcnt"),
           explode(sequence(lit(1), length(col("word")))).as("st"))
@@ -981,7 +995,12 @@ object Training {
         .limit(200).select(col("form"), col("piece"))
       val chars = subs.filter(length(col("piece")) === 1)
         .select(col("form"), col("piece")).distinct()
+      // drop INITIAL pieces that start with the reserved ## marker
+      // (possible only when the corpus has word-initial '#' runs): the
+      // flat BERT-style vocab string can't represent them, and the
+      // oracle filters identically so both sides segment the same
       val vocab = topk.unionByName(chars).distinct()
+        .filter(!(col("form") === 0 && col("piece").startsWith("##")))
         .collect()
         .map(r => (if (r.getInt(0) == 1) "##" else "") + r.getString(1))
         .toSeq
@@ -1015,7 +1034,8 @@ object Training {
         SELECT DISTINCT form, piece FROM subs WHERE length(piece) = 1),
       vocab AS (
         SELECT DISTINCT form, piece FROM (
-          SELECT * FROM topk UNION ALL SELECT * FROM chars) u),
+          SELECT * FROM topk UNION ALL SELECT * FROM chars) u
+        WHERE NOT (form = 0 AND piece LIKE '##%')),
       positions AS (
         SELECT word, unnest(range(0, length(word))) AS pos FROM words),
       cands AS (

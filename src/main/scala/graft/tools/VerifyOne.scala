@@ -32,6 +32,10 @@ object VerifyOne {
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      // some queries persist LSH/IVF intermediates internally — clear
+      // between queries exactly like graft.Verify, or caches accumulate
+      // across the shared session
+      spark.catalog.clearCache()
       println(s"[verifyone] dumped $name")
     }
     val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
