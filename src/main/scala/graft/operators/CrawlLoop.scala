@@ -705,8 +705,60 @@ object CrawlLoop {
             docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 11 === 0
               && col("doc_id") % 4 === 0),
             "img2", gif = true)
+          // audio + video plants so the streamed loop exercises ALL
+          // THREE media legs: unique splitmix media per id; batch 1
+          // re-posts batch 0's at double gain — novel byte digests,
+          // identical amplitude/ratio-invariant fingerprints, caught
+          // only by the GROWN per-family indexes
+          def mixv(z0: Long): Long = {
+            var z = z0 + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z ^ (z >>> 31)
+          }
+          def wavOf(ids: DataFrame, tag: String, gain: Int): DataFrame =
+            ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+              it.map { id =>
+                val samples = Array.tabulate(200)(i =>
+                  ((mixv(id * 1000L + i) % 100L).toInt - 50) * gain)
+                (s"https://h${id % 5}.example.com/$tag/$id-g$gain.wav",
+                  graft.kernel.Wav.encode(
+                    graft.kernel.Wav.Audio(8000, 1, 16, samples)),
+                  "audio/wav")
+              }
+            }.toDF("url", "body", "content_type")
+          def y4mOf(ids: DataFrame, tag: String, gain: Int): DataFrame =
+            ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+              it.map { id =>
+                val frames = Vector.tabulate(4) { t =>
+                  Array.tabulate[Byte](64) { i =>
+                    val c = ((i / 8) / 2) * 4 + (i % 8) / 2
+                    (((mixv(id * 8191L + t * 64L + c) & 0x3fL) + 1L).toInt
+                      * gain).toByte
+                  }
+                }
+                (s"https://h${id % 5}.example.com/$tag/$id-g$gain.y4m",
+                  graft.kernel.Y4m.encode(
+                    graft.kernel.Y4m.Video(8, 8, "Cmono", frames)),
+                  "video/x-yuv4mpeg")
+              }
+            }.toDF("url", "body", "content_type")
+          val aIds = docs.filter(col("doc_id") % 3 === k
+            && col("doc_id") % 13 === 0)
+          val vIds = docs.filter(col("doc_id") % 3 === k
+            && col("doc_id") % 17 === 0)
+          val wavs = wavOf(aIds, "au", gain = 1)
+          val vids = y4mOf(vIds, "vid", gain = 1)
+          val rePost = if (k == 0) wavs.limit(0) else
+            wavOf(docs.filter(col("doc_id") % 3 === 0
+              && col("doc_id") % 13 === 0), "au2", gain = 2)
+          val reGain = if (k == 0) vids.limit(0) else
+            y4mOf(docs.filter(col("doc_id") % 3 === 0
+              && col("doc_id") % 17 === 0), "vid2", gain = 2)
           pages.unionByName(refetch).unionByName(copy)
             .unionByName(imgs).unionByName(reenc)
+            .unionByName(wavs).unionByName(rePost)
+            .unionByName(vids).unionByName(reGain)
             .withColumn("warc_date", lit(s"2025-02-0${k + 1}T00:00:00Z"))
             .select(col("url"), col("warc_date"), col("body"),
               col("content_type"))

@@ -935,4 +935,52 @@ class TrainingSpec extends SparkSuite {
     // the trained alphabet covers the corpus, so nothing is UNK here
     assert(seg.forall(_._2 != Seq("[UNK]")))
   }
+
+  test("wordpiece segmentation: seeded random fuzz vs the reference walk") {
+    import graft.operators.Training
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val alpha = "abcde"
+    def randPiece(maxLen: Int): String =
+      (0 until (1 + rnd.nextInt(maxLen))).map(_ =>
+        alpha(rnd.nextInt(alpha.length))).mkString
+    (0 until 5).foreach { round =>
+      // random vocab: overlapping prefixes on purpose; every single
+      // char present in both forms so nothing is trivially UNK unless
+      // the walk paints itself into a corner (which greedy CAN do -
+      // the reference must agree on exactly when)
+      val vocab = (alpha.map(_.toString) ++ alpha.map("##" + _) ++
+        (0 until 30).map(_ => randPiece(4)) ++
+        (0 until 30).map(_ => "##" + randPiece(4))).distinct
+      val init = vocab.filterNot(_.startsWith("##")).toSet
+      val cont = vocab.filter(_.startsWith("##")).map(_.substring(2)).toSet
+      def ref(w: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var pos = 0
+        while (pos < w.length) {
+          val set = if (pos == 0) init else cont
+          val hit = (math.min(w.length - pos, 4) to 1 by -1)
+            .find(l => set.contains(w.substring(pos, pos + l)))
+          hit match {
+            case None => return Seq("[UNK]")
+            case Some(l) =>
+              out += (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+              pos += l
+          }
+        }
+        out.toSeq
+      }
+      val words = (0 until 200).map(_ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString).distinct
+      val got = words.toDF("word")
+        .select(col("word"),
+          Training.wordpieceSegmentColumn(col("word"), vocab).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        assert(got(w) == ref(w), s"round $round word $w: ${got(w)}")
+      }
+    }
+  }
 }
