@@ -387,6 +387,10 @@ object Retrieval {
     // s01's exact cosine) and the fusion is pure integer arithmetic
     // (⌊2^20/(60+rank)⌋ summed, ties by doc_id), so the ENTIRE hybrid
     // pipeline hash-matches DuckDB replaying both legs and the fusion.
+    // Scale paths: the lexical leg serves from the stored RetrievalIndex
+    // (r11, same oracle); the vector leg's 100 TB form is the stored
+    // IVFPQ AnnIndex (s12) — approximate, so it trades this oracle for
+    // the recall gates, exactly the s01-vs-s02..s06 split.
     ("r10_hybrid_rrf", (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
