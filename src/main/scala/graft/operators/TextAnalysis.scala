@@ -985,6 +985,57 @@ object TextAnalysis {
       SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
         CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
         nfc_normalize(raw) AS norm
-      FROM raw ORDER BY doc_id"""))
+      FROM raw ORDER BY doc_id""")),
+
+    // Corpus DATA CARD — the datasheet every published training corpus
+    // ships (Gebru et al. 2021, "Datasheets for Datasets"): per-slice
+    // composition over explicit GROUPING SETS ((source, lang), (source),
+    // (lang), ()) with grouping() markers, exact doc/token/char masses,
+    // the largest document per slice, and each slice's Q20 token SHARE
+    // of the grand total (the number mixture weighting consumes). One
+    // Expand + one aggregation pass — at 100 TB this is the same single
+    // corpus scan as any t-stat, and the card is slice-cardinality-sized.
+    ("t48_data_card", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chr"))
+        .createOrReplaceTempView("doc_slices_v")
+      s.sql("""
+        WITH tot AS (SELECT sum(n_tok) AS total FROM doc_slices_v)
+        SELECT source, lang,
+          CAST(grouping(source) AS INT) AS g_source,
+          CAST(grouping(lang) AS INT) AS g_lang,
+          count(*) AS n_docs,
+          sum(n_tok) AS n_tokens,
+          sum(n_chr) AS n_chars,
+          max(n_tok) AS max_doc_tokens,
+          CAST(floor(1048576.0 * CAST(sum(n_tok) AS DOUBLE)
+            / CAST((SELECT total FROM tot) AS DOUBLE)) AS BIGINT)
+            AS token_share_q20
+        FROM doc_slices_v
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""")
+    },
+    Some("""WITH slices AS (
+        SELECT source, lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tok,
+          CAST(length(text) AS BIGINT) AS n_chr
+        FROM documents),
+      tot AS (SELECT sum(n_tok) AS total FROM slices)
+      SELECT source, lang,
+        CAST(grouping(source) AS INTEGER) AS g_source,
+        CAST(grouping(lang) AS INTEGER) AS g_lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chr) AS BIGINT) AS n_chars,
+        CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+        CAST(floor(1048576.0 * CAST(sum(n_tok) AS DOUBLE)
+          / CAST((SELECT total FROM tot) AS DOUBLE)) AS BIGINT)
+          AS token_share_q20
+      FROM slices
+      GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+      ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST"""))
   )
 }
