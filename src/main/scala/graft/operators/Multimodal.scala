@@ -1524,6 +1524,73 @@ object Multimodal {
       corpus.unpersist(blocking = false)
     }
 
+  /** The m12/m40 fixture: 650-sample mono WAVs — ids ≡ 0 mod 97 share
+    * one waveform, ids ≡ 0 mod 89 (not 97) carry it at half volume
+    * (amplitude-invariant energy-delta bits → hamming 0), everyone else
+    * gets splitmix-scrambled samples (the |s|-based fingerprint makes
+    * linear-residue or sign-mirrored streams collide HONESTLY). The
+    * whole formula replays in the m12/m40 oracle SQL. */
+  private def m12Media(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 650
+          val samples =
+            if (id % 97 == 0)
+              Array.tabulate(n)(i => (((i * 53L + 17L) % 3001L) - 1500L).toInt)
+            else if (id % 89 == 0)
+              // the same recording at half volume (truncating toward
+              // zero keeps energies proportional enough: bits from
+              // strict > on halved sums match the full-volume chain
+              // for this waveform — spec-pinned)
+              Array.tabulate(n)(i => ((((i * 53L + 17L) % 3001L) - 1500L) / 2L).toInt)
+            else
+              // splitmix-style scrambled samples: the fingerprint is
+              // |s|-based, so sign-mirrored or linear-residue streams
+              // collide HONESTLY (same energies) — a nonlinear
+              // finalizer is needed to make distinct docs' bit chains
+              // actually independent
+              Array.tabulate(n) { i =>
+                var z = i * 0x9E3779B97F4A7C15L + id * 0xBF58476D1CE4E5B9L
+                z ^= z >>> 30; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+                (java.lang.Math.floorMod(z, 3801L) - 1900L).toInt
+              }
+          (id, "audio",
+            graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** [[audioNearDups]] served from the STORED fingerprint index — the
+    * m37/m39 amortization for the audio modality, completing the
+    * per-modality serving family: the corpus's energy-delta fingerprints
+    * persist once; each arriving batch decodes ONLY its own audio and
+    * probes. Returns (doc_id, corpus_id, hamming ≤ maxHamming). */
+  def audioNearDupsAgainstIndex(ix: HashIndex.Loaded, audio: DataFrame,
+      maxHamming: Int = 2, maxBucket: Int = 100,
+      frames: Int = 65): DataFrame =
+    HashIndex.probe(ix,
+      audioFingerprints(audio, frames)
+        .select(col("doc_id"), col("audio_hash").as("hash")),
+      maxHamming, maxBucket)
+
+  /** Per-dataset stored audio fingerprint index over m40's corpus split
+    * (doc_id ≢ 0 mod 10), built 80/20 so grow parity sits under the
+    * oracle. */
+  private def audioHashIndexDir(s: SparkSession, d: String): String =
+    IxScratch.cached("hashix-audio:" + IxScratch.fingerprint(d),
+        "graft_hash_audio") { p =>
+      val corpus = audioFingerprints(
+          m12Media(s, d).filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id"), col("audio_hash").as("hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      HashIndex.build(corpus.filter(col("doc_id") % 7 =!= 0), p)
+      HashIndex.grow(corpus.filter(col("doc_id") % 7 === 0), p)
+      corpus.unpersist(blocking = false)
+    }
+
   /** The m28/m38 fixture: 16×8 frames of 8×8 blocks (2×1 px each),
     * varying multiplicatively per (id, salt) — each doc's still is
     * UNIQUE to it (a global shared tile would form a >maxBucket band
@@ -2835,36 +2902,7 @@ object Multimodal {
     // exact hamming verdict. Constructed-hamming semantics additionally
     // spec-gated in WavSpec.
     ("m12_audio_neardup", (s: SparkSession, d: String) => {
-      import s.implicits._
-      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val n = 650
-            val samples =
-              if (id % 97 == 0)
-                Array.tabulate(n)(i => (((i * 53L + 17L) % 3001L) - 1500L).toInt)
-              else if (id % 89 == 0)
-                // the same recording at half volume (truncating toward
-                // zero keeps energies proportional enough: bits from
-                // strict > on halved sums match the full-volume chain
-                // for this waveform — spec-pinned)
-                Array.tabulate(n)(i => ((((i * 53L + 17L) % 3001L) - 1500L) / 2L).toInt)
-              else
-                // splitmix-style scrambled samples: the fingerprint is
-                // |s|-based, so sign-mirrored or linear-residue streams
-                // collide HONESTLY (same energies) — a nonlinear
-                // finalizer is needed to make distinct docs' bit chains
-                // actually independent
-                Array.tabulate(n) { i =>
-                  var z = i * 0x9E3779B97F4A7C15L + id * 0xBF58476D1CE4E5B9L
-                  z ^= z >>> 30; z *= 0x94D049BB133111EBL; z ^= z >>> 27
-                  (java.lang.Math.floorMod(z, 3801L) - 1900L).toInt
-                }
-            (id, "audio",
-              graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples)))
-          }
-        }
-        .toDF("doc_id", "media_type", "payload")
+      val wav = m12Media(s, d)
       audioNearDups(wav, maxHamming = 2, keyBits = 16)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -2934,6 +2972,93 @@ object Multimodal {
         GROUP BY c.doc_a, c.doc_b)
       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
       ORDER BY doc_a, doc_b""")),
+
+    // m12 SERVED FROM THE STORED HashIndex — the audio modality's turn
+    // (the serving family is now complete: m37 image→image, m38
+    // video→image, m39 video→video, m40 audio→audio): the corpus side
+    // (doc_id ≢ 0 mod 10) fingerprints through the real WAV decode ONCE
+    // into a persisted index (build 80% → grow 20%), and the batch
+    // (doc_id ≡ 0 mod 10) decodes only itself and probes. FULLY
+    // oracle-gated: DuckDB rebuilds the energy-delta fingerprints from
+    // the planted sample formulas (incl. splitmix64 in HUGEINT and the
+    // truncate-toward-zero half-volume division), the 16-bit bands, the
+    // stored-side-only bucket cap, the candidate equi-join, and the
+    // exact hamming verdict. Served ≡ live parity spec'd in
+    // HashIndexSpec.
+    ("m40_index_audio_neardup", (s: SparkSession, d: String) => {
+      val batch = m12Media(s, d).filter(col("doc_id") % 10 === 0)
+      audioNearDupsAgainstIndex(
+          HashIndex.load(s, audioHashIndexDir(s, d)), batch,
+          maxHamming = 2, maxBucket = 100)
+        .orderBy(col("doc_id"), col("corpus_id"))
+    },
+    Some("""WITH pos AS (
+        SELECT d.doc_id, i.i FROM documents d,
+          (SELECT CAST(unnest(range(0, 650)) AS BIGINT) AS i) i),
+      mix AS (
+        -- splitmix64 in HUGEINT; the 64x64 multiply is split into
+        -- 32-bit halves (lo*cl + ((lo*ch + hi*cl) mod 2^32)*2^32, the
+        -- hi*ch*2^64 term vanishing mod 2^64) because the naive
+        -- product overflows INT128
+        SELECT doc_id, i, xor(z2, z2 // 134217728::HUGEINT) AS z3 FROM (
+          SELECT doc_id, i,
+            ((zx % 4294967296::HUGEINT) * 321982955::HUGEINT
+              + (((zx % 4294967296::HUGEINT) * 2496678331::HUGEINT
+                  + (zx // 4294967296::HUGEINT) * 321982955::HUGEINT)
+                % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+              % 18446744073709551616::HUGEINT AS z2
+          FROM (
+            SELECT doc_id, i, xor(z1, z1 // 1073741824::HUGEINT) AS zx
+            FROM (
+              SELECT doc_id, i,
+                (i::HUGEINT * 11400714819323198485::HUGEINT +
+                  doc_id::HUGEINT * 13787848793156543929::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z1
+              FROM pos) a0) a) b),
+      sm AS (
+        SELECT p.doc_id, p.i,
+          CASE WHEN p.doc_id % 97 = 0 THEN (p.i * 53 + 17) % 3001 - 1500
+            WHEN p.doc_id % 89 = 0 THEN
+              CASE WHEN (p.i * 53 + 17) % 3001 - 1500 < 0
+                THEN -((1500 - (p.i * 53 + 17) % 3001) // 2)
+                ELSE ((p.i * 53 + 17) % 3001 - 1500) // 2 END
+            ELSE CAST((CASE WHEN m.z3 >= 9223372036854775808::HUGEINT
+                THEN m.z3 - 18446744073709551616::HUGEINT ELSE m.z3 END
+                % 3801 + 3801) % 3801 - 1900 AS BIGINT)
+          END AS s
+        FROM pos p JOIN mix m ON p.doc_id = m.doc_id AND p.i = m.i),
+      en AS (
+        SELECT doc_id, i // 10 AS k, sum(abs(s)) AS e
+        FROM sm GROUP BY doc_id, k),
+      bits AS (
+        SELECT doc_id, k AS pos,
+          CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY k) > e
+            THEN 1 ELSE 0 END AS bit
+        FROM en WHERE k < 65),
+      b64 AS (SELECT * FROM bits WHERE pos < 64),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM b64 GROUP BY doc_id, blk),
+      keptC AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands WHERE doc_id % 10 <> 0) t WHERE n <= 100),
+      bandsB AS (
+        SELECT doc_id, blk, key FROM bands WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT b.doc_id, c.doc_id AS corpus_id
+        FROM bandsB b JOIN keptC c ON b.blk = c.blk AND b.key = c.key),
+      ham AS (
+        SELECT cd.doc_id, cd.corpus_id,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand cd
+        JOIN b64 ba ON ba.doc_id = cd.doc_id
+        JOIN b64 bb ON bb.doc_id = cd.corpus_id AND bb.pos = ba.pos
+        GROUP BY cd.doc_id, cd.corpus_id)
+      SELECT doc_id, corpus_id, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_id, corpus_id""")),
 
     // Image near-duplicate pairs over planted identities: ids ≡ 0 mod 97
     // share one image, ids ≡ 0 mod 89 (and not 97) carry the same image

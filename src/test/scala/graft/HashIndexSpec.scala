@@ -370,4 +370,62 @@ class HashIndexSpec extends SparkSuite {
     assert(Multimodal.crawlVideoFingerprints(
       media.unionByName(junk)).count() == media.count())
   }
+
+  // ---- m40 ≡ m12: index-served audio near-dups match the live form ----
+  test("index-served audio near-dups equal the live cross pairs bit " +
+      "for bit; lenient crawl fingerprints match the strict form") {
+    import graft.operators.{Dedup, Multimodal}
+    // deterministic mono WAV; gain scales every sample - the
+    // energy-delta fingerprint is amplitude-invariant (integer scaling
+    // preserves every strict > between segment energies)
+    def wavOf(seed: Long, gain: Int): Array[Byte] = {
+      val samples = Array.tabulate(700) { i =>
+        var z = seed * 1000L + i + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        (((z >>> 40) % 100L).toInt - 50) * gain
+      }
+      graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16, samples))
+    }
+    val plants: Seq[(Long, Array[Byte])] = Seq(
+      1L -> wavOf(1L, 1), 2L -> wavOf(2L, 1), 3L -> wavOf(3L, 1),
+      // batch: 20 = waveform 2 at triple gain (novel bytes, hamming 0);
+      // 30 = unrelated
+      20L -> wavOf(2L, 3),
+      30L -> wavOf(9L, 1))
+    val media = plants.toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("audio").as("media_type"), col("payload"))
+    val fps = Multimodal.audioFingerprints(media)
+      .select(col("doc_id"), col("audio_hash"))
+      .localCheckpoint(true)
+
+    val dir = tmp()
+    HashIndex.build(fps.filter(col("doc_id") < 10)
+      .withColumnRenamed("audio_hash", "hash"), dir)
+    val served = Multimodal.audioNearDupsAgainstIndex(
+        HashIndex.load(spark, dir), media.filter(col("doc_id") >= 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served.contains((20L, 2L, 0)), served)
+    assert(!served.exists(_._1 == 30L), served)
+
+    // the live all-pairs form, restricted to cross (batch, corpus) pairs
+    val live = Dedup.hammingNearDups(fps, "audio_hash", maxHamming = 2,
+        keyBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect { case (a, b, h) if a < 10 && b >= 10 => (b, a, h) }
+      .toSet
+    assert(served == live, s"served $served vs live $live")
+
+    // the crawl loop's LENIENT audio fingerprinter: same hashes bit for
+    // bit as the strict form; undecodable containers skip
+    val lenient = Multimodal.crawlAudioFingerprints(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strict = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lenient == strict, s"lenient $lenient vs strict $strict")
+    val junk = Seq((90L, "audio",
+        graft.kernel.Mp3.encodeHeader(10, 128, 44100)))
+      .toDF("doc_id", "media_type", "payload")
+    assert(Multimodal.crawlAudioFingerprints(
+      media.unionByName(junk)).count() == media.count())
+  }
 }
