@@ -546,6 +546,38 @@ object RetrievalIndex {
         FROM fused)
       SELECT query_id, rank, doc_id, rrf_q, n_legs
       FROM franked WHERE rank <= 10
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank""")),
+
+    // r11's 100 TB twin: BOTH legs served from stored indexes — lexical
+    // from the RetrievalIndex, vector from the persistent IVFPQ
+    // AnnIndex (s12's machinery: list-pruned probes, norm-aware ADC,
+    // exact re-rank). The vector leg is APPROXIMATE, so this is
+    // rows-only with a spec gate (the t40/t41 scale-twin discipline):
+    // RetrievalIndexSpec pins per-query fused-top-10 overlap with the
+    // exact r10 form plus determinism. The exact forms (r10/r11) stay
+    // the oracle anchors; this is the shape a 100 TB corpus actually
+    // serves.
+    ("r12_hybrid_rrf_ann", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qterms = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("qpos", "term")))
+        .filter(col("qpos") < 5)
+        .select(col("query_id"), col("term")).distinct()
+      val textLeg = bm25TopK(load(s, builtIndex(s, d)), qterms, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val annDir = IxScratch.cached(
+          "r12:" + IxScratch.fingerprint(d, "embeddings.parquet"),
+          "graft_r12_ix") { p =>
+        AnnIndex.build(emb, p)
+      }
+      val vecLeg = AnnIndex.topK(AnnIndex.load(s, annDir),
+          emb.filter(col("vec_id") % 97 === 0), emb, 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(Seq(textLeg, vecLeg), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, None)
   )
 }

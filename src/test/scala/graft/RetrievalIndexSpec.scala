@@ -277,4 +277,28 @@ class RetrievalIndexSpec extends SparkSuite {
       all.filter(col("doc_id") =!= 6L), k = 2)))
     assert(!after.exists(_._1 == 6L))
   }
+
+  test("r12 hybrid scale twin: ANN vector leg keeps high fused overlap " +
+      "with the exact r10 form, identical text contribution, determinism") {
+    def fused(name: String): Map[(Long, Long), (Int, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+          ((r.getInt(1), r.getLong(3)))).toMap
+    val exact = fused("r10_hybrid_rrf")
+    val ann = fused("r12_hybrid_rrf_ann")
+    assert(exact.nonEmpty && ann.nonEmpty)
+    val queries = exact.keys.map(_._1).toSet
+    assert(queries == ann.keys.map(_._1).toSet)
+    // per query: the ANN-legged fusion keeps at least 7 of the exact
+    // form's top-10 (IVFPQ recall on this corpus is spec'd higher
+    // still; the text leg is IDENTICAL and contributes half the mass)
+    queries.foreach { q =>
+      val e = exact.keys.filter(_._1 == q).map(_._2).toSet
+      val a = ann.keys.filter(_._1 == q).map(_._2).toSet
+      val overlap = (e intersect a).size
+      assert(overlap >= 7, s"query $q: overlap $overlap of ${e.size}")
+    }
+    // determinism: a second run is bit-identical
+    assert(fused("r12_hybrid_rrf_ann") == ann)
+  }
 }
