@@ -1065,6 +1065,122 @@ object Training {
       WHERE w.tok IS NOT NULL
       GROUP BY w.word, s.wcnt ORDER BY w.word""")),
 
+    // Tokenizer FERTILITY per language — the multilingual-fairness
+    // number a tokenizer eval reports (mean pieces per word, weighted
+    // by word occurrences, per language): languages whose words the
+    // vocabulary covers poorly pay more pieces per word, i.e. more
+    // sequence length for the same text. Reuses t46's SQL-derivable
+    // WordPiece vocabulary and greedy walk verbatim; the rollup weights
+    // each distinct word's piece count by its per-language occurrence
+    // counts — all exact integers, fertility as a Q20 integer ratio, so
+    // the whole multilingual report is oracle-gated.
+    ("t49_tokenizer_fertility", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val langWords = docs
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("wcnt"))
+        .localCheckpoint(true)
+      val words = langWords.groupBy(col("word"))
+        .agg(sum(col("wcnt")).as("wcnt"))
+      val subs = words
+        .select(col("word"), col("wcnt"),
+          explode(sequence(lit(1), length(col("word")))).as("st"))
+        .select(col("word"), col("wcnt"), col("st"),
+          explode(array(lit(1), lit(2), lit(3), lit(4))).as("l"))
+        .filter(col("st") + col("l") <= length(col("word")) + 1)
+        .select(when(col("st") === 1, 0).otherwise(1).as("form"),
+          col("word").substr(col("st"), col("l")).as("piece"),
+          col("wcnt"))
+        .groupBy(col("form"), col("piece")).agg(sum(col("wcnt")).as("cnt"))
+        .localCheckpoint(true)
+      val topk = subs
+        .orderBy(col("cnt").desc, col("form").asc, col("piece").asc)
+        .limit(200).select(col("form"), col("piece"))
+      val chars = subs.filter(length(col("piece")) === 1)
+        .select(col("form"), col("piece")).distinct()
+      val vocab = topk.unionByName(chars).distinct()
+        .filter(!(col("form") === 0 && col("piece").startsWith("##")))
+        .collect()
+        .map(r => (if (r.getInt(0) == 1) "##" else "") + r.getString(1))
+        .toSeq
+      val segged = words.select(col("word"),
+          size(wordpieceSegmentColumn(col("word"), vocab)).cast("long")
+            .as("n_pieces"))
+      langWords.join(segged, Seq("word"))
+        .groupBy(col("lang"))
+        .agg(sum(col("wcnt")).as("n_words"),
+          sum(col("wcnt") * col("n_pieces")).as("n_pieces"))
+        .withColumn("fertility_q20",
+          floor(lit(1048576.0) * col("n_pieces").cast("double")
+            / col("n_words").cast("double")).cast("long"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH RECURSIVE words AS (
+        SELECT word, count(*) AS wcnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents) t
+        WHERE word <> '' GROUP BY word),
+      starts AS (
+        SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS st
+        FROM words),
+      spans AS (
+        SELECT word, wcnt, st, unnest([1, 2, 3, 4]) AS l FROM starts),
+      subs AS (
+        SELECT CASE WHEN st = 1 THEN 0 ELSE 1 END AS form,
+          substr(word, st, l) AS piece, sum(wcnt) AS cnt
+        FROM spans WHERE st + l <= length(word) + 1
+        GROUP BY 1, 2),
+      topk AS (
+        SELECT form, piece FROM subs
+        ORDER BY cnt DESC, form ASC, piece ASC LIMIT 200),
+      chars AS (
+        SELECT DISTINCT form, piece FROM subs WHERE length(piece) = 1),
+      vocab AS (
+        SELECT DISTINCT form, piece FROM (
+          SELECT * FROM topk UNION ALL SELECT * FROM chars) u
+        WHERE NOT (form = 0 AND piece LIKE '##%')),
+      positions AS (
+        SELECT word, unnest(range(0, length(word))) AS pos FROM words),
+      cands AS (
+        SELECT p.word, p.pos, v.piece, v.form, length(v.piece) AS len
+        FROM (SELECT word, pos, unnest([1, 2, 3, 4]) AS l
+              FROM positions) p
+        JOIN vocab v ON v.form = (CASE WHEN p.pos = 0 THEN 0 ELSE 1 END)
+          AND v.piece = substr(p.word, p.pos + 1, p.l)
+        WHERE length(v.piece) = p.l),
+      best AS (
+        SELECT word, pos, piece, form, len FROM (
+          SELECT word, pos, piece, form, len,
+            row_number() OVER (PARTITION BY word, pos
+              ORDER BY len DESC) AS rn
+          FROM cands) b WHERE rn = 1),
+      walk AS (
+        SELECT word, 0 AS pos, 0 AS ord, CAST(NULL AS VARCHAR) AS tok
+        FROM words
+        UNION ALL
+        SELECT w.word, w.pos + b.len, w.ord + 1,
+          CASE WHEN b.form = 1 THEN '##' || b.piece ELSE b.piece END
+        FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos),
+      pieces AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+        FROM walk WHERE tok IS NOT NULL GROUP BY word),
+      lw AS (
+        SELECT lang, word, count(*) AS wcnt FROM (
+          SELECT lang,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents) t
+        WHERE word <> '' GROUP BY lang, word)
+      SELECT lw.lang,
+        CAST(sum(lw.wcnt) AS BIGINT) AS n_words,
+        CAST(sum(lw.wcnt * p.n_pieces) AS BIGINT) AS n_pieces,
+        CAST(floor(1048576.0 * CAST(sum(lw.wcnt * p.n_pieces) AS DOUBLE)
+          / CAST(sum(lw.wcnt) AS DOUBLE)) AS BIGINT) AS fertility_q20
+      FROM lw JOIN pieces p ON p.word = lw.word
+      GROUP BY lw.lang ORDER BY lw.lang""")),
+
     // Document-boundary greedy packing, oracle-gated: DuckDB replays
     // the sequential bin walk with a recursive CTE carrying (open bin,
     // fill) per stream — every placement, overflow flag, and bin close
