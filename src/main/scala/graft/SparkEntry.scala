@@ -56,7 +56,7 @@ object SparkEntry {
     * here are oracle-gated. GatesSpec asserts this map stays total
     * (every rows-only query names at least one existing suite) and in
     * sync with the committed gates.json + COVERAGE.md. */
-  private val rowsOnlyGates: Map[String, Seq[String]] = Map(
+  private[graft] val rowsOnlyGates: Map[String, Seq[String]] = Map(
     "c01_corpus_curate" -> Seq("spec:CorpusPipelineSpec"),
     "c02_crawl_curate" -> Seq("spec:CorpusPipelineSpec", "spec:WarcSpec"),
     "c08_crawl_loop" -> Seq("spec:CrawlLoopSpec"),
@@ -69,9 +69,6 @@ object SparkEntry {
     "k03_approx_quantiles" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
     "k04_heavy_hitters" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
     "m03_band_stats" -> Seq("spec:KernelSpec"),
-    "m09_image_neardup" -> Seq("spec:PngSpec"),
-    "m12_audio_neardup" -> Seq("spec:WavSpec"),
-    "m22_video_neardup" -> Seq("spec:Y4mSpec"),
     "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
     "m27_audio_clips" -> Seq("spec:WavSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),

@@ -77,6 +77,11 @@ object Y4m {
       }
     }
     require(w > 0 && h > 0, s"missing/bad dimensions in header '$header'")
+    // FRAMEWORK-WIDE decode budget (not just crawl hardening): every
+    // video operator holds whole frames on-heap per row, so dims are
+    // capped at 5 digits and w·h at 64 MPx — beyond 8K footage — to
+    // keep a single row's allocation bounded. Spec-valid streams above
+    // the budget are refused loudly here, by design.
     require(w.toLong * h <= (1L << 26),
       s"Y4M frame ${w}x$h exceeds the 64 MPx budget")
     val fb = frameBytes(cs, w, h)

@@ -246,7 +246,10 @@ object Retrieval {
     * one exchange keys by query_id. */
   def rrfFuse(legs: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: no legs")
-    require(k >= 1 && kConst >= 0, s"rrfFuse: k=$k kConst=$kConst")
+    // kConst >= 1: legs carry 1-based ranks, and with kConst = 0 a
+    // malformed rank-0 row would hit `1048576 div 0` — an opaque ANSI
+    // failure deep in the plan instead of this loud precondition
+    require(k >= 1 && kConst >= 1, s"rrfFuse: k=$k kConst=$kConst (>= 1)")
     import org.apache.spark.sql.expressions.Window
     val contribs = legs.map(_.select(col("query_id"), col("doc_id"),
       expr(s"CAST(1048576 div ($kConst + rank) AS BIGINT)").as("c")))
@@ -260,6 +263,85 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rrf_q"), col("n_legs"))
   }
+
+  /** The hybrid-RRF oracle (BM25 leg + exact-cosine leg + pure-integer
+    * ⌊2^20/(60+rank)⌋ fusion), shared VERBATIM by r10 (live lexical
+    * leg) and r11 (lexical leg served from the stored RetrievalIndex):
+    * the serving path changes, the fused ranking must not — and any
+    * change to the BM25/RRF constants now edits exactly one string. */
+  val hybridRrfOracleSql: String = """WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM base),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
+        FROM dl),
+      p AS (SELECT doc_id, unnest(arr) AS term FROM base),
+      qt AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(arr[1:5]) AS term
+          FROM base WHERE doc_id % 97 = 0) z),
+      tf AS (
+        SELECT p.term, p.doc_id, count(*) AS tf
+        FROM p JOIN (SELECT DISTINCT term FROM qt) s ON p.term = s.term
+        GROUP BY p.term, p.doc_id),
+      idf AS (
+        SELECT term, CAST(floor(1048576.0 *
+            ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
+        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+          CAST(floor(CAST(idf.idf_q AS DOUBLE) *
+            ((CAST(tf.tf AS DOUBLE) * 2.25) /
+             (CAST(tf.tf AS DOUBLE) + 1.25 *
+              (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+            AS BIGINT) AS contrib
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN qt ON tf.term = qt.term
+        JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      tscored AS (
+        SELECT query_id, doc_id, SUM(contrib) AS score
+        FROM contrib GROUP BY query_id, doc_id),
+      tranked AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM tscored),
+      vq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+      vscored AS (
+        SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
+          list_sum(list_transform(list_zip(vq.embedding, c.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(vq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings c, vq WHERE vq.vec_id <> c.vec_id),
+      vranked AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM vscored),
+      legs AS (
+        SELECT query_id, doc_id, CAST(1048576 // (60 + rank) AS BIGINT) AS c
+        FROM tranked WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, doc_id, CAST(1048576 // (60 + rank) AS BIGINT) AS c
+        FROM vranked WHERE rank <= 10),
+      fused AS (
+        SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+          CAST(count(*) AS BIGINT) AS n_legs
+        FROM legs GROUP BY query_id, doc_id),
+      franked AS (
+        SELECT query_id, doc_id, rrf_q, n_legs,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_q DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf_q, n_legs
+      FROM franked WHERE rank <= 10
+      ORDER BY query_id, rank"""
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
@@ -408,79 +490,7 @@ object Retrieval {
       rrfFuse(Seq(textLeg, vecLeg), k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some("""WITH base AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
-        FROM documents),
-      dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM base),
-      stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
-            CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
-        FROM dl),
-      p AS (SELECT doc_id, unnest(arr) AS term FROM base),
-      qt AS (
-        SELECT DISTINCT query_id, term FROM (
-          SELECT doc_id AS query_id, unnest(arr[1:5]) AS term
-          FROM base WHERE doc_id % 97 = 0) z),
-      tf AS (
-        SELECT p.term, p.doc_id, count(*) AS tf
-        FROM p JOIN (SELECT DISTINCT term FROM qt) s ON p.term = s.term
-        GROUP BY p.term, p.doc_id),
-      idf AS (
-        SELECT term, CAST(floor(1048576.0 *
-            ((CAST(n_docs - df AS DOUBLE) + 0.5) /
-             (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
-        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
-      contrib AS (
-        SELECT qt.query_id, tf.doc_id,
-          CAST(floor(CAST(idf.idf_q AS DOUBLE) *
-            ((CAST(tf.tf AS DOUBLE) * 2.25) /
-             (CAST(tf.tf AS DOUBLE) + 1.25 *
-              (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
-            AS BIGINT) AS contrib
-        FROM tf
-        JOIN idf ON tf.term = idf.term
-        JOIN qt ON tf.term = qt.term
-        JOIN dl ON tf.doc_id = dl.doc_id, stats),
-      tscored AS (
-        SELECT query_id, doc_id, SUM(contrib) AS score
-        FROM contrib GROUP BY query_id, doc_id),
-      tranked AS (
-        SELECT query_id, doc_id,
-          CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-        FROM tscored),
-      vq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
-      vscored AS (
-        SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
-          list_sum(list_transform(list_zip(vq.embedding, c.embedding),
-            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(vq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        FROM embeddings c, vq WHERE vq.vec_id <> c.vec_id),
-      vranked AS (
-        SELECT query_id, doc_id,
-          CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
-        FROM vscored),
-      legs AS (
-        SELECT query_id, doc_id, CAST(1048576 // (60 + rank) AS BIGINT) AS c
-        FROM tranked WHERE rank <= 10
-        UNION ALL
-        SELECT query_id, doc_id, CAST(1048576 // (60 + rank) AS BIGINT) AS c
-        FROM vranked WHERE rank <= 10),
-      fused AS (
-        SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
-          CAST(count(*) AS BIGINT) AS n_legs
-        FROM legs GROUP BY query_id, doc_id),
-      franked AS (
-        SELECT query_id, doc_id, rrf_q, n_legs,
-          CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY rrf_q DESC, doc_id ASC) AS INTEGER) AS rank
-        FROM fused)
-      SELECT query_id, rank, doc_id, rrf_q, n_legs
-      FROM franked WHERE rank <= 10
-      ORDER BY query_id, rank""")),
+    Some(hybridRrfOracleSql)),
 
     // Per-document top-3 TF-IDF keywords over the whole corpus — the
     // all-integer score (tf · Q20 rational idf, no division) makes the

@@ -308,8 +308,19 @@ object Training {
     require(collected.length <= maxVocab,
       s"vocab exceeds maxVocab=$maxVocab; raise minWordCount")
     var tbl: Array[(Array[String], Long)] = collected.map { r =>
-      val cs = r.getString(0).split("").filter(_.nonEmpty)
-      cs.zipWithIndex.map { case (c, i) =>
+      // split by CODE POINT, not UTF-16 code unit — the alphabet in
+      // [[wordpieceVocab]] / t46 derives via Spark substr (code-point
+      // semantics); String.split("") would leave unpaired surrogates
+      // for non-BMP chars and the vocab/merge tables would disagree
+      val w = r.getString(0)
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result().zipWithIndex.map { case (c, i) =>
         if (i == 0) c else "##" + c
       } -> r.getLong(1)
     }
@@ -422,6 +433,218 @@ object Training {
     require(vocab.nonEmpty, "wordpieceSegmentColumn: empty vocabulary")
     graft.functions.GraftFunctions.wordpiece_segment(word, vocab, unkToken)
   }
+
+  // ------------------------------------------------------------------
+  // Stored tokenizer models — the FIFTH stored-model family (next to
+  // the dedup/retrieval/decontam/hash-and-ann index families): train
+  // once, persist the tokenizer-sized model table, encode everywhere.
+  // Without this lifecycle every pipeline stage retrains (t22/t34/t45
+  // train per call), which a 100 TB corpus cannot afford and which
+  // breaks the train-here-encode-there deployment every production
+  // tokenizer has. Layout mirrors AnnIndex (model.parquet +
+  // meta.parquet under one dir): the model table IS the tokenizer, and
+  // `ord` pins a total row order so a loaded model is bit-identical to
+  // the stored one (merge tables are rank-ordered; vocab order is
+  // semantically free but kept stable for reproducible plans).
+  // ------------------------------------------------------------------
+
+  private val tokenizerFamilies = Set("bpe", "unigram", "wordpiece")
+
+  /** Persist a trained tokenizer model table under `dir`. `family`
+    * names the encode semantics the table drives; `params` carries the
+    * train-time settings an encoder must match (unk token, case fold —
+    * stringly, like parquet's own key-value metadata). The model is
+    * tokenizer-sized (vocab rows, not corpus rows), so it writes as a
+    * single file; overwrite = retrain replaces the model atomically. */
+  def storeTokenizer(model: DataFrame, dir: String, family: String,
+      params: Map[String, String] = Map.empty): Unit = {
+    require(tokenizerFamilies.contains(family),
+      s"storeTokenizer: unknown family '$family' (${tokenizerFamilies.mkString("/")})")
+    require(!params.contains("family"), "storeTokenizer: 'family' is reserved")
+    val spark = model.sparkSession
+    import spark.implicits._
+    model.coalesce(1).write.mode("overwrite").parquet(s"$dir/model.parquet")
+    (("family" -> family) +: params.toSeq.sortBy(_._1))
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Load a stored tokenizer: (family, model table, params). The model
+    * frame comes back lazily — family-specific helpers below collect it
+    * in its pinned order. */
+  def loadTokenizer(spark: SparkSession,
+      dir: String): (String, DataFrame, Map[String, String]) = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val family = meta.getOrElse("family",
+      sys.error(s"loadTokenizer: $dir/meta.parquet has no 'family' row"))
+    require(tokenizerFamilies.contains(family),
+      s"loadTokenizer: stored family '$family' unknown to this build")
+    (family, spark.read.parquet(s"$dir/model.parquet"), meta - "family")
+  }
+
+  /** Store a WordPiece vocabulary (the [[wordpieceVocab]] /
+    * SQL-derivable form [[wordpieceSegmentColumn]] consumes). */
+  def storeWordpieceVocab(spark: SparkSession, vocab: Seq[String],
+      dir: String, unkToken: String = "[UNK]"): Unit = {
+    require(vocab.nonEmpty, "storeWordpieceVocab: empty vocabulary")
+    import spark.implicits._
+    storeTokenizer(
+      vocab.zipWithIndex.map { case (p, i) => (i, p) }.toDF("ord", "piece"),
+      dir, "wordpiece", Map("unk_token" -> unkToken))
+  }
+
+  /** Load a stored WordPiece vocabulary: (pieces in stored order, unk
+    * token) — the exact arguments [[wordpieceSegmentColumn]] takes. */
+  def loadWordpieceVocab(spark: SparkSession,
+      dir: String): (Seq[String], String) = {
+    val (family, model, params) = loadTokenizer(spark, dir)
+    require(family == "wordpiece",
+      s"loadWordpieceVocab: $dir stores a '$family' model")
+    (model.orderBy(col("ord")).collect().map(_.getAs[String]("piece")).toSeq,
+      params.getOrElse("unk_token", "[UNK]"))
+  }
+
+  /** Store a BPE merge table ([[bpeTrain]]'s output, rank-ordered). */
+  def storeBpeMerges(merges: DataFrame, dir: String,
+      byteLevel: Boolean = false): Unit =
+    storeTokenizer(merges.orderBy(col("rank")), dir, "bpe",
+      Map("byte_level" -> byteLevel.toString))
+
+  /** Load stored BPE merges in rank order — the exact argument
+    * [[bpeSegmentColumn]] takes — plus the byte-level flag the caller
+    * must honor ([[graft.functions.GraftFunctions.byte_map]] first). */
+  def loadBpeMerges(spark: SparkSession,
+      dir: String): (Seq[(String, String)], Boolean) = {
+    val (family, model, params) = loadTokenizer(spark, dir)
+    require(family == "bpe", s"loadBpeMerges: $dir stores a '$family' model")
+    (model.orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq,
+      params.get("byte_level").contains("true"))
+  }
+
+  /** Store a unigram-LM model table ([[unigramTrain]]'s output). */
+  def storeUnigramModel(model: DataFrame, dir: String): Unit =
+    storeTokenizer(model.orderBy(col("log_prob").desc, col("piece")),
+      dir, "unigram")
+
+  /** Load a stored unigram model as the (piece, log_prob) pairs
+    * [[unigramSegmentColumn]] takes, in the stored (log_prob DESC,
+    * piece ASC) order. */
+  def loadUnigramModel(spark: SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val (family, model, _) = loadTokenizer(spark, dir)
+    require(family == "unigram",
+      s"loadUnigramModel: $dir stores a '$family' model")
+    model.orderBy(col("log_prob").desc, col("piece")).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Double]("log_prob"))).toSeq
+  }
+
+  /** t46's SQL-derivable WordPiece vocabulary over a (word, wcnt) table:
+    * top-200 positional substrings ≤4 chars by (count DESC, form, piece)
+    * plus every positional single char for coverage, initial pieces
+    * colliding with the reserved `##` marker dropped (the oracle filters
+    * identically). Shared by t46 (live anchor), the stored-vocab
+    * builder, and the TrainingSpec lifecycle gate. */
+  private[operators] def wordpieceSqlVocab(words: DataFrame): Seq[String] = {
+    // positional substrings ≤4 chars weighted by word occurrences; the
+    // census is re-read by topk AND chars — eager leaf, derive once
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("st"))
+      .select(col("word"), col("wcnt"), col("st"),
+        explode(array(lit(1), lit(2), lit(3), lit(4))).as("l"))
+      .filter(col("st") + col("l") <= length(col("word")) + 1)
+      .select(when(col("st") === 1, 0).otherwise(1).as("form"),
+        col("word").substr(col("st"), col("l")).as("piece"),
+        col("wcnt"))
+      .groupBy(col("form"), col("piece")).agg(sum(col("wcnt")).as("cnt"))
+      .localCheckpoint(true)
+    val topk = subs
+      .orderBy(col("cnt").desc, col("form").asc, col("piece").asc)
+      .limit(200).select(col("form"), col("piece"))
+    val chars = subs.filter(length(col("piece")) === 1)
+      .select(col("form"), col("piece")).distinct()
+    topk.unionByName(chars).distinct()
+      .filter(!(col("form") === 0 && col("piece").startsWith("##")))
+      .collect()
+      .map(r => (if (r.getInt(0) == 1) "##" else "") + r.getString(1))
+      .toSeq
+  }
+
+  /** The session's stored WordPiece vocabulary for dataset `d`: derive
+    * t46's SQL-derivable vocabulary once per (dataset fingerprint),
+    * [[storeWordpieceVocab]] it, and re-serve the directory for the
+    * rest of the JVM — the same build-once-probe-many discipline the
+    * four index families follow via [[IxScratch]]. t49/t50 encode from
+    * THIS stored artifact; t46 stays the live-derivation anchor. */
+  private def wordpieceStoreDir(s: SparkSession, d: String): String =
+    IxScratch.cached(IxScratch.fingerprint(d) + "|wordpiece-vocab",
+        "graft-tokstore-") { p =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .localCheckpoint(true)
+      storeWordpieceVocab(s, wordpieceSqlVocab(words), p)
+    }
+
+  /** The WordPiece-encode oracle (SQL-derivable vocab + per-position
+    * argmax table + join-only recursive greedy walk), shared VERBATIM
+    * by t46 (live vocab derivation) and t50 (encode from the STORED
+    * vocab): the serving path changes, the segmentation must not. */
+  val wordpieceEncodeOracleSql: String = """WITH RECURSIVE words AS (
+        SELECT word, count(*) AS wcnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents) t
+        WHERE word <> '' GROUP BY word),
+      starts AS (
+        SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS st
+        FROM words),
+      spans AS (
+        SELECT word, wcnt, st, unnest([1, 2, 3, 4]) AS l FROM starts),
+      subs AS (
+        SELECT CASE WHEN st = 1 THEN 0 ELSE 1 END AS form,
+          substr(word, st, l) AS piece, sum(wcnt) AS cnt
+        FROM spans WHERE st + l <= length(word) + 1
+        GROUP BY 1, 2),
+      topk AS (
+        SELECT form, piece FROM subs
+        ORDER BY cnt DESC, form ASC, piece ASC LIMIT 200),
+      chars AS (
+        SELECT DISTINCT form, piece FROM subs WHERE length(piece) = 1),
+      vocab AS (
+        SELECT DISTINCT form, piece FROM (
+          SELECT * FROM topk UNION ALL SELECT * FROM chars) u
+        WHERE NOT (form = 0 AND piece LIKE '##%')),
+      positions AS (
+        SELECT word, unnest(range(0, length(word))) AS pos FROM words),
+      cands AS (
+        SELECT p.word, p.pos, v.piece, v.form, length(v.piece) AS len
+        FROM (SELECT word, pos, unnest([1, 2, 3, 4]) AS l
+              FROM positions) p
+        JOIN vocab v ON v.form = (CASE WHEN p.pos = 0 THEN 0 ELSE 1 END)
+          AND v.piece = substr(p.word, p.pos + 1, p.l)
+        WHERE length(v.piece) = p.l),
+      best AS (
+        SELECT word, pos, piece, form, len FROM (
+          SELECT word, pos, piece, form, len,
+            row_number() OVER (PARTITION BY word, pos
+              ORDER BY len DESC) AS rn
+          FROM cands) b WHERE rn = 1),
+      walk AS (
+        SELECT word, 0 AS pos, 0 AS ord, CAST(NULL AS VARCHAR) AS tok
+        FROM words
+        UNION ALL
+        SELECT w.word, w.pos + b.len, w.ord + 1,
+          CASE WHEN b.form = 1 THEN '##' || b.piece ELSE b.piece END
+        FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos)
+      SELECT w.word, CAST(s.wcnt AS BIGINT) AS wcnt,
+        CAST(count(*) AS BIGINT) AS n_pieces,
+        string_agg(w.tok, ' ' ORDER BY w.ord) AS pieces
+      FROM walk w JOIN words s ON s.word = w.word
+      WHERE w.tok IS NOT NULL
+      GROUP BY w.word, s.wcnt ORDER BY w.word"""
 
   /** Unigram-LM tokenizer training (the SentencePiece unigram model,
     * Kudo 2018, arXiv 1804.10959) — the OTHER major subword family next
@@ -978,32 +1201,7 @@ object Training {
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
         .localCheckpoint(true)
-      // positional substrings ≤4 chars weighted by word occurrences
-      val subs = words
-        .select(col("word"), col("wcnt"),
-          explode(sequence(lit(1), length(col("word")))).as("st"))
-        .select(col("word"), col("wcnt"), col("st"),
-          explode(array(lit(1), lit(2), lit(3), lit(4))).as("l"))
-        .filter(col("st") + col("l") <= length(col("word")) + 1)
-        .select(when(col("st") === 1, 0).otherwise(1).as("form"),
-          col("word").substr(col("st"), col("l")).as("piece"),
-          col("wcnt"))
-        .groupBy(col("form"), col("piece")).agg(sum(col("wcnt")).as("cnt"))
-        .localCheckpoint(true)
-      val topk = subs
-        .orderBy(col("cnt").desc, col("form").asc, col("piece").asc)
-        .limit(200).select(col("form"), col("piece"))
-      val chars = subs.filter(length(col("piece")) === 1)
-        .select(col("form"), col("piece")).distinct()
-      // drop INITIAL pieces that start with the reserved ## marker
-      // (possible only when the corpus has word-initial '#' runs): the
-      // flat BERT-style vocab string can't represent them, and the
-      // oracle filters identically so both sides segment the same
-      val vocab = topk.unionByName(chars).distinct()
-        .filter(!(col("form") === 0 && col("piece").startsWith("##")))
-        .collect()
-        .map(r => (if (r.getInt(0) == 1) "##" else "") + r.getString(1))
-        .toSeq
+      val vocab = wordpieceSqlVocab(words)
       words
         .select(col("word"), col("wcnt"),
           wordpieceSegmentColumn(col("word"), vocab).as("segs"))
@@ -1012,58 +1210,30 @@ object Training {
           array_join(col("segs"), " ").as("pieces"))
         .orderBy(col("word"))
     },
-    Some("""WITH RECURSIVE words AS (
-        SELECT word, count(*) AS wcnt FROM (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-          FROM documents) t
-        WHERE word <> '' GROUP BY word),
-      starts AS (
-        SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS st
-        FROM words),
-      spans AS (
-        SELECT word, wcnt, st, unnest([1, 2, 3, 4]) AS l FROM starts),
-      subs AS (
-        SELECT CASE WHEN st = 1 THEN 0 ELSE 1 END AS form,
-          substr(word, st, l) AS piece, sum(wcnt) AS cnt
-        FROM spans WHERE st + l <= length(word) + 1
-        GROUP BY 1, 2),
-      topk AS (
-        SELECT form, piece FROM subs
-        ORDER BY cnt DESC, form ASC, piece ASC LIMIT 200),
-      chars AS (
-        SELECT DISTINCT form, piece FROM subs WHERE length(piece) = 1),
-      vocab AS (
-        SELECT DISTINCT form, piece FROM (
-          SELECT * FROM topk UNION ALL SELECT * FROM chars) u
-        WHERE NOT (form = 0 AND piece LIKE '##%')),
-      positions AS (
-        SELECT word, unnest(range(0, length(word))) AS pos FROM words),
-      cands AS (
-        SELECT p.word, p.pos, v.piece, v.form, length(v.piece) AS len
-        FROM (SELECT word, pos, unnest([1, 2, 3, 4]) AS l
-              FROM positions) p
-        JOIN vocab v ON v.form = (CASE WHEN p.pos = 0 THEN 0 ELSE 1 END)
-          AND v.piece = substr(p.word, p.pos + 1, p.l)
-        WHERE length(v.piece) = p.l),
-      best AS (
-        SELECT word, pos, piece, form, len FROM (
-          SELECT word, pos, piece, form, len,
-            row_number() OVER (PARTITION BY word, pos
-              ORDER BY len DESC) AS rn
-          FROM cands) b WHERE rn = 1),
-      walk AS (
-        SELECT word, 0 AS pos, 0 AS ord, CAST(NULL AS VARCHAR) AS tok
-        FROM words
-        UNION ALL
-        SELECT w.word, w.pos + b.len, w.ord + 1,
-          CASE WHEN b.form = 1 THEN '##' || b.piece ELSE b.piece END
-        FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos)
-      SELECT w.word, CAST(s.wcnt AS BIGINT) AS wcnt,
-        CAST(count(*) AS BIGINT) AS n_pieces,
-        string_agg(w.tok, ' ' ORDER BY w.ord) AS pieces
-      FROM walk w JOIN words s ON s.word = w.word
-      WHERE w.tok IS NOT NULL
-      GROUP BY w.word, s.wcnt ORDER BY w.word""")),
+    Some(wordpieceEncodeOracleSql)),
+
+    // WordPiece encode from the STORED vocabulary — the serving half of
+    // the fifth stored-model family: the vocab derives and persists
+    // ONCE per dataset (storeWordpieceVocab under an IxScratch dir, the
+    // AnnIndex model.parquet pattern) and this query encodes the corpus
+    // by LOADING it — train here, encode everywhere. Oracle is t46's
+    // VERBATIM: the serving path changes, the segmentation must not
+    // (the r11/c10 discipline); stored ≡ live parity is additionally
+    // TrainingSpec's lifecycle gate.
+    ("t50_wordpiece_stored", (s: SparkSession, d: String) => {
+      val (vocab, unk) = loadWordpieceVocab(s, wordpieceStoreDir(s, d))
+      Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .select(col("word"), col("wcnt"),
+          wordpieceSegmentColumn(col("word"), vocab, unk).as("segs"))
+        .select(col("word"), col("wcnt"),
+          size(col("segs")).cast("long").as("n_pieces"),
+          array_join(col("segs"), " ").as("pieces"))
+        .orderBy(col("word"))
+    },
+    Some(wordpieceEncodeOracleSql)),
 
     // Tokenizer FERTILITY per language — the multilingual-fairness
     // number a tokenizer eval reports (mean pieces per word, weighted
@@ -1085,29 +1255,13 @@ object Training {
         .localCheckpoint(true)
       val words = langWords.groupBy(col("word"))
         .agg(sum(col("wcnt")).as("wcnt"))
-      val subs = words
-        .select(col("word"), col("wcnt"),
-          explode(sequence(lit(1), length(col("word")))).as("st"))
-        .select(col("word"), col("wcnt"), col("st"),
-          explode(array(lit(1), lit(2), lit(3), lit(4))).as("l"))
-        .filter(col("st") + col("l") <= length(col("word")) + 1)
-        .select(when(col("st") === 1, 0).otherwise(1).as("form"),
-          col("word").substr(col("st"), col("l")).as("piece"),
-          col("wcnt"))
-        .groupBy(col("form"), col("piece")).agg(sum(col("wcnt")).as("cnt"))
-        .localCheckpoint(true)
-      val topk = subs
-        .orderBy(col("cnt").desc, col("form").asc, col("piece").asc)
-        .limit(200).select(col("form"), col("piece"))
-      val chars = subs.filter(length(col("piece")) === 1)
-        .select(col("form"), col("piece")).distinct()
-      val vocab = topk.unionByName(chars).distinct()
-        .filter(!(col("form") === 0 && col("piece").startsWith("##")))
-        .collect()
-        .map(r => (if (r.getInt(0) == 1) "##" else "") + r.getString(1))
-        .toSeq
+      // the eval reads the STORED vocabulary (same artifact t50 serves
+      // from — the lang-marginalized word counts equal t46's, so the
+      // derivation is identical): the served tokenizer answers the
+      // eval-side question too, nothing retrains here
+      val (vocab, unk) = loadWordpieceVocab(s, wordpieceStoreDir(s, d))
       val segged = words.select(col("word"),
-          size(wordpieceSegmentColumn(col("word"), vocab)).cast("long")
+          size(wordpieceSegmentColumn(col("word"), vocab, unk)).cast("long")
             .as("n_pieces"))
       langWords.join(segged, Seq("word"))
         .groupBy(col("lang"))

@@ -34,6 +34,18 @@ class GatesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"gates name suites that do not exist: $missing")
   }
 
+  test("rowsOnlyGates is minimal: no dead entries for oracle-gated or unregistered queries") {
+    // the inverse-drift check (r16 VERDICT): `gates` masks a stale
+    // rowsOnlyGates entry because oracleSql wins, so a query promoted
+    // to a full oracle would silently keep its dead rows-only entry
+    val shadowed = SparkEntry.rowsOnlyGates.keySet intersect SparkEntry.oracleSql.keySet
+    assert(shadowed.isEmpty,
+      s"rowsOnlyGates entries shadowed by an oracle — delete them: ${shadowed.toSeq.sorted}")
+    val unregistered = SparkEntry.rowsOnlyGates.keySet -- SparkEntry.queries.keySet
+    assert(unregistered.isEmpty,
+      s"rowsOnlyGates entries for unregistered queries: ${unregistered.toSeq.sorted}")
+  }
+
   test("committed gates.json matches the live SparkEntry.gates") {
     val committed = scala.io.Source.fromFile("gates.json", "UTF-8").mkString.trim
     assert(committed == SparkEntry.gatesJson,

@@ -983,4 +983,93 @@ class TrainingSpec extends SparkSuite {
       }
     }
   }
+
+  // ---- stored tokenizer lifecycle (the fifth stored-model family) ----
+
+  test("stored wordpiece vocab: store → load → encode is bit-identical " +
+      "to the in-session encode") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the the quick quick thequick browns"),
+      (2L, "unseen zebra")).toDF("doc_id", "text")
+    val words = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val merges = Training.wordpieceTrain(docs, merges = 8)
+    val vocab = Training.wordpieceVocab(docs, merges)
+    val dir = tempDir("graft-tokstore").toString
+    Training.storeWordpieceVocab(spark, vocab, dir, unkToken = "[UNK]")
+    val (loaded, unk) = Training.loadWordpieceVocab(spark, dir)
+    assert(loaded == vocab, "stored vocab lost content or order")
+    assert(unk == "[UNK]")
+    def enc(v: Seq[String]) = words
+      .select(col("word"),
+        Training.wordpieceSegmentColumn(col("word"), v, unk).as("p"))
+      .orderBy(col("word"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toSeq
+    assert(enc(loaded) == enc(vocab),
+      "encode from the stored vocab diverges from the in-session encode")
+  }
+
+  test("stored bpe merges: rank order survives the round trip and drives " +
+      "an identical segmentation") {
+    val docs = Seq(
+      (0L, "banana bandana ban ban banana"),
+      (1L, "an analog annal banana")).toDF("doc_id", "text")
+    val merges = Training.bpeTrain(docs, merges = 6)
+    val dir = tempDir("graft-tokstore").toString
+    Training.storeBpeMerges(merges, dir)
+    val (loaded, byteLevel) = Training.loadBpeMerges(spark, dir)
+    assert(!byteLevel)
+    val live = merges.orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(loaded == live, "merge table lost rank order in the store")
+    val words = Seq("banana", "bandana", "analog").toDF("word")
+    def seg(m: Seq[(String, String)]) = words
+      .select(col("word"),
+        Training.bpeSegmentColumn(col("word"), m).as("p"))
+      .orderBy(col("word"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toSeq
+    assert(seg(loaded) == seg(live))
+  }
+
+  test("stored unigram model: log-probs survive bit-exactly and Viterbi " +
+      "segmentation is unchanged") {
+    val docs = Seq(
+      (0L, "abc abc ab c abcabc"),
+      (1L, "cab cab ba")).toDF("doc_id", "text")
+    val model = Training.unigramTrain(docs, vocabSize = 12, maxPieceLen = 3,
+      emIters = 2)
+    val dir = tempDir("graft-tokstore").toString
+    Training.storeUnigramModel(model, dir)
+    val loaded = Training.loadUnigramModel(spark, dir)
+    val live = model.orderBy(col("log_prob").desc, col("piece")).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Double]("log_prob"))).toSeq
+    // bit-exact doubles: the store must not round-trip through text
+    assert(loaded.map(_._1) == live.map(_._1))
+    assert(loaded.zip(live).forall { case ((_, a), (_, b)) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    }, "log_prob doubles changed bits in the store")
+    val words = Seq("abc", "cab", "abcabc").toDF("word")
+    def seg(m: Seq[(String, Double)]) = words
+      .select(col("word"),
+        Training.unigramSegmentColumn(col("word"), m).as("p"))
+      .orderBy(col("word"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toSeq
+    assert(seg(loaded) == seg(live))
+  }
+
+  test("stored tokenizer meta: family mismatch and missing family fail loudly") {
+    val docs = Seq((0L, "aa ab aa")).toDF("doc_id", "text")
+    val dir = tempDir("graft-tokstore").toString
+    Training.storeBpeMerges(Training.bpeTrain(docs, merges = 2), dir)
+    val e = intercept[IllegalArgumentException] {
+      Training.loadWordpieceVocab(spark, dir)
+    }
+    assert(e.getMessage.contains("bpe"))
+    intercept[IllegalArgumentException] {
+      Training.storeTokenizer(docs, dir, "not-a-family")
+    }
+  }
 }
