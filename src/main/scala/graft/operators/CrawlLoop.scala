@@ -239,8 +239,9 @@ object CrawlLoop {
         st.hashDir, "media_images", "media_near_dup", "media_kept")
       // audio leg: amplitude-invariant energy-delta fingerprints — a
       // gain-scaled re-post arrives with a novel byte digest but the
-      // SAME fingerprint; only decodable WAV fingerprints (lenient —
-      // MP3/Ogg/FLAC skip, AV decode is loudly out of scope)
+      // SAME fingerprint; decodable WAV AND FLAC fingerprint (FLAC is
+      // lossless, a WAV→FLAC re-encode lands on the same fingerprint;
+      // lossy MP3/Ogg skip, their decode is loudly out of scope)
       leg("audio",
         Multimodal.crawlAudioFingerprints(
           mediaResp.filter(col("family") === "audio")

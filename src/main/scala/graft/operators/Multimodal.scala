@@ -744,6 +744,15 @@ object Multimodal {
     * (sample sum, absolute sum, peak) so the stage is engine-portable
     * and oracle-checkable. Float features (RMS, spectra) belong in a
     * downstream projection over these integers. */
+  /** Decode a supported LOSSLESS audio container to PCM: RIFF/WAV, or
+    * FLAC through the full frame decode ([[graft.kernel.Flac.decodeAudio]]
+    * — FLAC is lossless, so its samples are exactly recoverable, unlike
+    * the MP3/Ogg/MP4 lossy containers which stay header-only by the
+    * loud out-of-scope rule). Container sniffed by magic. */
+  private[operators] def decodeAudioAny(payload: Array[Byte]): graft.kernel.Wav.Audio =
+    if (graft.kernel.Flac.isFlac(payload)) graft.kernel.Flac.decodeAudio(payload)
+    else graft.kernel.Wav.decode(payload)
+
   def audioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -751,7 +760,7 @@ object Multimodal {
       .as[MediaIn]
       .mapPartitions { it =>
         it.map { m =>
-          val a = graft.kernel.Wav.decode(m.payload)
+          val a = decodeAudioAny(m.payload)
           var sum = 0L; var absSum = 0L; var peak = 0L
           var i = 0
           while (i < a.samples.length) {
@@ -863,11 +872,13 @@ object Multimodal {
   }
 
   /** [[audioFingerprints]] for CRAWLED audio — the htmlResponses
-    * lenient contract applied to the fingerprint stage: only decodable
-    * WAV payloads with ≥ `frames` samples fingerprint; MP3/Ogg/FLAC
-    * (AV decode is loudly out of scope) and malformed or too-short
-    * streams SKIP the row instead of failing the batch. Returns
-    * (doc_id, hash) — the [[HashIndex]] signature shape. */
+    * lenient contract applied to the fingerprint stage: decodable WAV
+    * and FLAC payloads with ≥ `frames` samples fingerprint (FLAC is
+    * lossless — a WAV→FLAC re-post decodes to the same PCM and the
+    * same fingerprint); lossy MP3/Ogg (decode loudly out of scope) and
+    * malformed or too-short streams SKIP the row instead of failing
+    * the batch. Returns (doc_id, hash) — the [[HashIndex]] signature
+    * shape. */
   def crawlAudioFingerprints(media: DataFrame,
       frames: Int = 65): DataFrame = {
     require(frames >= 2 && frames <= 65, s"frames $frames outside 2..65")
@@ -878,7 +889,10 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, p) =>
           try {
-            val a = graft.kernel.Wav.decode(p)
+            // WAV or FLAC (full lossless frame decode since r17) — a
+            // WAV→FLAC re-encode decodes to identical PCM, so it lands
+            // on the SAME fingerprint the stored index already holds
+            val a = decodeAudioAny(p)
             if (a.samples.length < frames) None
             else Some((id, packHash64(energyDeltaBytes(a.samples, frames))))
           } catch { case _: IllegalArgumentException => None }
@@ -1900,6 +1914,51 @@ object Multimodal {
       sm AS (
         SELECT doc_id, n, (i * 37 + doc_id * 11) % 4001 - 2000 AS s FROM pos)
       SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(sum(s) AS BIGINT) AS pcm_sum,
+        CAST(sum(abs(s)) AS BIGINT) AS pcm_abs_sum,
+        CAST(max(abs(s)) AS BIGINT) AS peak
+      FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // REAL FLAC frame decode, oracle-gated (the m10 treatment for the
+    // compressed lossless container): the same synthetic PCM encodes
+    // through the real FLAC encoder — multi-frame fixed-blocking
+    // streams with rice-coded fixed-predictor subframes, a partial
+    // last frame, and per-id stereo decorrelation (mono / left-side /
+    // mid-side) — then decodes through the full RFC 9639 frame grammar
+    // (CRC-8/CRC-16 verified per frame, STREAMINFO MD5 verified at the
+    // end). FLAC is lossless, so every feature is the exact integer
+    // DuckDB recomputes from the sample formula: rice coding, predictor
+    // reconstruction, and stereo inversion all land on the oracle hash.
+    ("m41_flac_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val flac = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (96 + (id % 48) * 2).toInt // even: always frame-aligned
+            val samples = Array.tabulate(n)(i =>
+              (((i * 37L + id * 11L) % 4001L) - 2000L).toInt)
+            val ch = (1 + id % 2).toInt
+            val stereo =
+              if (ch == 1) "independent"
+              else if (id % 4 == 1) "left_side" else "mid_side"
+            (id, "audio", graft.kernel.Flac.encode(
+              graft.kernel.Wav.Audio(8000, ch, 16, samples),
+              blockSize = 32, stereo = stereo))
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioFeatures(flac).orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(96 + (doc_id % 48) * 2 AS INTEGER) AS n
+        FROM documents),
+      pos AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+      sm AS (
+        SELECT doc_id, n, (i * 37 + doc_id * 11) % 4001 - 2000 AS s FROM pos)
+      SELECT doc_id, 8000 AS sample_rate,
+        CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
         CAST(n AS BIGINT) AS n_samples,
         CAST(sum(s) AS BIGINT) AS pcm_sum,
         CAST(sum(abs(s)) AS BIGINT) AS pcm_abs_sum,

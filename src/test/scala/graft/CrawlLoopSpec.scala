@@ -362,15 +362,23 @@ class CrawlLoopSpec extends SparkSuite {
       r1("media_audio_kept") == 2L, r1)
 
     // batch 2: gain-doubled X on a new url (novel digest, SAME
-    // fingerprint → caught by the GROWN index); byte-identical X at a
-    // new url (content_dup — never reaches the audio stage); unrelated
-    // wavZ (kept); an MP3 under an audio content type (admitted novel
-    // but NOT fingerprintable — skips the leg, never fails the batch)
+    // fingerprint → caught by the GROWN index); a WAV→FLAC re-encode
+    // of X (novel bytes, DIFFERENT container — FLAC decodes losslessly
+    // to X's exact PCM, so it collapses onto X's fingerprint within
+    // the batch and the pair dies on one index probe); byte-identical
+    // X at a new url (content_dup — never reaches the audio stage);
+    // unrelated wavZ (kept); an MP3 under an audio content type
+    // (admitted novel but NOT fingerprintable — skips the leg, never
+    // fails the batch)
     val r2 = counts(CrawlLoop.step(
       fetchesOf(Seq(pageD), "2025-01-02T00:00:00Z")
         .withColumn("content_type", lit("text/html; charset=utf-8"))
         .unionByName(mediaFetches(Seq(
           ("https://h1.example.com/au/x2.wav", wavOf(1L, 2), "audio/wav"),
+          ("https://h5.example.com/au/x.flac",
+            graft.kernel.Flac.encode(
+              graft.kernel.Wav.decode(wavOf(1L, 1)), blockSize = 64),
+            "audio/flac"),
           ("https://h2.example.com/mirror/x.wav", wavOf(1L, 1), "audio/wav"),
           ("https://h3.example.com/au/z.wav", wavOf(3L, 1), "audio/wav"),
           ("https://h4.example.com/au/m.mp3",
@@ -378,7 +386,7 @@ class CrawlLoopSpec extends SparkSuite {
           "2025-01-02T00:00:00Z")),
       st, opts, ixBuckets = 8))
     assert(r2("cdx_content_dup") == 1L, r2)
-    assert(r2("media_audio") == 2L && r2("media_audio_dup") == 1L &&
+    assert(r2("media_audio") == 3L && r2("media_audio_dup") == 1L &&
       r2("media_audio_kept") == 1L, r2)
 
     // stored audio index: X, Y, Z
