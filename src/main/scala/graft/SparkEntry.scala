@@ -61,6 +61,7 @@ object SparkEntry {
     "c02_crawl_curate" -> Seq("spec:CorpusPipelineSpec", "spec:WarcSpec"),
     "c08_crawl_loop" -> Seq("spec:CrawlLoopSpec"),
     "c11_crawl_loop_stream" -> Seq("spec:CrawlLoopSpec", "spec:StreamingSpec"),
+    "c12_crawl_takedown" -> Seq("spec:CrawlLoopSpec"),
     "d03_minhash_lsh" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec", "spec:ScaleSpec"),
     "d04_simhash_pairs" -> Seq("golden:GoldenDedupSpec", "spec:ScaleSpec"),
     "d05_winnow_overlap" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),

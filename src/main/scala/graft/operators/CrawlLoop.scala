@@ -67,6 +67,30 @@ object CrawlLoop {
   private def exists(p: String): Boolean =
     new java.io.File(p.stripPrefix("file:")).exists()
 
+  /** Exact row count of a parquet table from its file FOOTERS, summed
+    * driver-side — no Spark job, no scan. The manifest needs six stored
+    * tables' totals per batch; as Spark `count()` jobs those were the
+    * batch's only non-batch-shaped work (r16 VERDICT), where footer
+    * reads are microseconds per file. */
+  private[operators] def footerRows(p: String): Long = {
+    val root = new java.io.File(p.stripPrefix("file:"))
+    if (!root.exists()) return 0L
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root.toPath)
+    try {
+      files.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri),
+              new org.apache.hadoop.conf.Configuration()))
+          try in.getRecordCount finally in.close()
+        }.sum
+    } finally files.close()
+  }
+
   /** Per-host fetch budgets from the PREVIOUS batch's link graph —
     * c07's allocation: PageRank masses (Q fixed-point, engine-exact)
     * scaled to budget = 1 + ⌊mass·scale/10^12⌋. Hosts absent from the
@@ -343,8 +367,7 @@ object CrawlLoop {
       val done = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
       done.foreach(_.get)
     }
-    report += (("corpus_total",
-      spark.read.parquet(st.corpusDir).count(), stamp()))
+    report += (("corpus_total", footerRows(st.corpusDir), stamp()))
     verdicts.unpersist(blocking = false)
 
     val rep = report.toSeq.zipWithIndex
@@ -353,23 +376,23 @@ object CrawlLoop {
 
     // run ledger: append this batch's report + the stored tables' row
     // counts to the manifest, so a restarted loop serves per-batch
-    // history without re-running anything. Parquet count() is footer
-    // metadata only — no table is scanned. ONE file per batch (the
-    // report is tiny); batch_ord continues from the stored ledger.
+    // history without re-running anything. Counts come from parquet
+    // footers read DRIVER-SIDE ([[footerRows]]) — previously six Spark
+    // count() jobs, the batch's only non-batch-shaped work. ONE file
+    // per batch (the report is tiny); batch_ord continues from the
+    // stored ledger.
     val batchOrd =
       if (!exists(st.manifestDir)) 0L
       else Option(spark.read.parquet(st.manifestDir)
           .agg(max(col("batch_ord"))).head().get(0))
         .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
-    def tableRows(p: String): Long =
-      if (exists(p)) spark.read.parquet(p).count() else 0L
     val ixRows = Seq(
-      ("ix_dedup_docs", tableRows(s"${st.dedupDir}/exact.parquet")),
-      ("ix_retrieval_docs", tableRows(s"${st.retrievalDir}/doclens.parquet")),
-      ("ix_decontam_grams", tableRows(s"${st.decontamDir}/grams.parquet")),
-      ("ix_hash_sigs", tableRows(s"${st.hashDir}/hashes.parquet")),
-      ("ix_audio_hash_sigs", tableRows(s"${st.audioHashDir}/hashes.parquet")),
-      ("ix_video_hash_sigs", tableRows(s"${st.videoHashDir}/hashes.parquet")))
+      ("ix_dedup_docs", footerRows(s"${st.dedupDir}/exact.parquet")),
+      ("ix_retrieval_docs", footerRows(s"${st.retrievalDir}/doclens.parquet")),
+      ("ix_decontam_grams", footerRows(s"${st.decontamDir}/grams.parquet")),
+      ("ix_hash_sigs", footerRows(s"${st.hashDir}/hashes.parquet")),
+      ("ix_audio_hash_sigs", footerRows(s"${st.audioHashDir}/hashes.parquet")),
+      ("ix_video_hash_sigs", footerRows(s"${st.videoHashDir}/hashes.parquet")))
       .zipWithIndex
       .map { case ((stage, n), i) => (report.size + i, stage, n, 0.0) }
       .toDF("stage_idx", "stage", "rows", "secs")
@@ -802,6 +825,101 @@ object CrawlLoop {
         .select(col("batch_ord"), col("stage_idx"), col("stage"),
           col("rows"))
         .orderBy(col("batch_ord"), col("stage_idx"))
+    }, None),
+
+    // TAKEDOWN, registered: the right-to-be-forgotten pass under the
+    // driver's rows gate. A three-batch plants-only loop (fixed
+    // fixtures, sf-independent): batch 0 admits two unique pages and
+    // two unique WAVs; batch 1 re-posts all four (whitespace-variant
+    // text, gain-scaled audio — novel bytes everywhere) and every
+    // re-post dies on the grown indexes; then forget() purges ONE page
+    // and ONE wav across all stored artifacts (dedup index, audio
+    // fingerprints, corpus, CDX — physical vacuum, no tombstone
+    // masking); batch 2 re-posts all four again — the forgotten pair is
+    // RE-ADMITTED (kept), the control pair still dies. The served frame
+    // is the loop's manifest plus before/after/re-admit artifact row
+    // counts (parquet footers). Not SQL-expressible (stored-index
+    // lifecycle); CrawlLoopSpec asserts the batch-2 verdicts and the
+    // physical count deltas on this exact query. Runs once per dataset
+    // (the c11 IxScratch discipline) — re-serves the ledger after.
+    ("c12_crawl_takedown", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val root = IxScratch.cached(
+          "crawlloop-takedown:" + IxScratch.fingerprint(d),
+          "graft_loop_takedown") { p =>
+        val st = State(s"$p/state")
+        val opts = CorpusPipeline.Opts(lineGate = false)
+        def mixv(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        def pageRow(url: String, text: String): (String, Array[Byte], String) =
+          (url, s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"),
+            "text/html; charset=utf-8")
+        def wavRow(url: String, seed: Long,
+            gain: Int): (String, Array[Byte], String) =
+          (url, graft.kernel.Wav.encode(graft.kernel.Wav.Audio(8000, 1, 16,
+            Array.tabulate(200)(i =>
+              ((mixv(seed * 1000L + i) % 100L).toInt - 50) * gain))),
+            "audio/wav")
+        def fetches(rows: Seq[(String, Array[Byte], String)],
+            date: String): DataFrame =
+          rows.toDF("url", "body", "content_type")
+            .withColumn("warc_date", lit(date))
+            .select(col("url"), col("warc_date"), col("body"),
+              col("content_type"))
+        val textF = "zq alpha reactor manual describes the cooling " +
+          "assembly in exhaustive detail across eleven numbered sections"
+        val textC = "willow orchard almanac records seasonal pruning " +
+          "grafting and harvest schedules for heritage apple cultivars"
+        val urlF = "https://h0.example.com/take/f"
+        val urlC = "https://h0.example.com/keep/c"
+        val urlWavF = "https://h1.example.com/take/f.wav"
+        val urlWavC = "https://h1.example.com/keep/c.wav"
+        step(fetches(Seq(
+            pageRow(urlF, textF), pageRow(urlC, textC),
+            wavRow(urlWavF, 101L, 1), wavRow(urlWavC, 202L, 1)),
+          "2025-03-01T00:00:00Z"), st, opts, ixBuckets = 8)
+        step(fetches(Seq(
+            pageRow("https://h2.example.com/copy1/f", textF + "  "),
+            pageRow("https://h2.example.com/copy1/c", textC + "  "),
+            wavRow("https://h3.example.com/re1/f.wav", 101L, 2),
+            wavRow("https://h3.example.com/re1/c.wav", 202L, 2)),
+          "2025-03-02T00:00:00Z"), st, opts, ixBuckets = 8)
+        def snap(phase: String): Seq[(String, String, Long)] = Seq(
+          (phase, "ix_dedup_docs", footerRows(s"${st.dedupDir}/exact.parquet")),
+          (phase, "ix_audio_hash_sigs",
+            footerRows(s"${st.audioHashDir}/hashes.parquet")),
+          (phase, "corpus_docs", footerRows(st.corpusDir)),
+          (phase, "cdx_rows", footerRows(st.cdxDir)))
+        val pre = snap("pre_forget")
+        forget(Seq(urlF, urlWavF).toDF("url")
+          .select(xxhash64(Curate.canonicalUrl(col("url"))).as("doc_id")), st)
+        val post = snap("post_forget")
+        step(fetches(Seq(
+            pageRow("https://h4.example.com/copy2/f", textF + "   "),
+            pageRow("https://h4.example.com/copy2/c", textC + "   "),
+            wavRow("https://h0.example.com/re2/f.wav", 101L, 4),
+            wavRow("https://h0.example.com/re2/c.wav", 202L, 4)),
+          "2025-03-03T00:00:00Z"), st, opts, ixBuckets = 8)
+        val fin = snap("post_readmit")
+        (pre ++ post ++ fin).zipWithIndex
+          .map { case ((ph, stage, n), i) => (ph, i, stage, n) }
+          .toDF("phase", "stage_idx", "stage", "rows")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/takedown.parquet")
+      }
+      val manifest = s.read.parquet(State(s"$root/state").manifestDir)
+        .select(lit("loop").as("phase"), col("batch_ord"),
+          col("stage_idx"), col("stage"), col("rows"))
+      val takedown = s.read.parquet(s"$root/takedown.parquet")
+        .select(col("phase"), lit(-1L).as("batch_ord"),
+          col("stage_idx").cast("int").as("stage_idx"), col("stage"),
+          col("rows"))
+      manifest.unionByName(takedown)
+        .orderBy(col("phase"), col("batch_ord"), col("stage_idx"))
     }, None)
   )
 }

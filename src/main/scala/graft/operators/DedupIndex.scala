@@ -44,32 +44,71 @@ import graft.Tables
   */
 object DedupIndex {
 
-  final case class Loaded(k: Int, b: Int, r: Int,
+  final case class Loaded(k: Int, b: Int, r: Int, family: String,
       exact: DataFrame, buckets: DataFrame)
 
   /** The d01 normalization: case-folded, whitespace-collapsed md5. */
   def normMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  private def keyedBands(docs: DataFrame, k: Int, b: Int, r: Int): DataFrame =
+  /** The production band-key family: native FNV-1a64 minhash
+    * ([[graft.functions.MinHashSig]], row-local codegen) banded by
+    * xxhash64 — fast, but neither hash is replayable in an external
+    * SQL engine. */
+  private def keyedBandsFnv(docs: DataFrame, k: Int, b: Int, r: Int): DataFrame =
     docs
       .withColumn("bands", Dedup.bandKeys(
         Dedup.minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
       .select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").cast("string").as("key"))
+
+  /** The ORACLE-expressible band-key family: the same minhash-LSH
+    * construction with every hash an md5 derivation both Spark and
+    * DuckDB compute bit-identically — hash_i(gram) = the first 15 hex
+    * chars of md5("i:gram") as a 60-bit integer, signature_i = min over
+    * the doc's word-3-gram shingles, band key = md5 of the
+    * comma-joined r-slice. Slower than the native family (k md5 calls
+    * per shingle, interpreted HOFs) but exactly replayable, which puts
+    * the ENTIRE incremental-dedup verdict chain under a DuckDB oracle
+    * (d13); the fnv family stays the production default (d11). */
+  private def keyedBandsMd5(docs: DataFrame, k: Int, b: Int, r: Int): DataFrame = {
+    val grams = Dedup.shingles(col("text"))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(grams, g =>
+        conv(substring(md5(concat(lit(i + ":"), g)), 1, 15), 16, 10)
+          .cast("long"))).as(s"sig_$i")
+    }
+    docs.select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"), explode(array((0 until b).map { j =>
+        struct(lit(j).as("band"),
+          md5(concat_ws(",",
+            (0 until r).map(x => col(s"sig_${j * r + x}")): _*)).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def keyedBands(docs: DataFrame, k: Int, b: Int, r: Int,
+      family: String): DataFrame = family match {
+    case "fnv" => keyedBandsFnv(docs, k, b, r)
+    case "md5" => keyedBandsMd5(docs, k, b, r)
+    case other => throw new IllegalArgumentException(
+      s"dedup index family '$other' (fnv/md5)")
+  }
 
   /** Persist the corpus's dedup index. One pass over the corpus text;
     * everything written is id/hash-shaped (b+1 rows of a few longs per
     * document). */
   def build(corpus: DataFrame, dir: String,
-      k: Int = 12, b: Int = 4, r: Int = 3): Unit = {
+      k: Int = 12, b: Int = 4, r: Int = 3,
+      family: String = "fnv"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((k, b, r)).toDF("k", "b", "r")
+    Seq((k, b, r, family)).toDF("k", "b", "r", "family")
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     corpus.select(col("doc_id"), normMd5(col("text")).as("doc_md5"))
       .write.mode("overwrite").parquet(s"$dir/exact.parquet")
-    keyedBands(corpus, k, b, r)
+    keyedBands(corpus, k, b, r, family)
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/buckets.parquet")
   }
@@ -109,11 +148,12 @@ object DedupIndex {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     val (k, b, r) =
       (m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"))
+    val family = metaFamily(m)
     val frozen = survivors.select(col("doc_id"), col("text"))
       .localCheckpoint(true)
     frozen.select(col("doc_id"), normMd5(col("text")).as("doc_md5"))
       .write.mode("append").parquet(s"$dir/exact.parquet")
-    keyedBands(frozen, k, b, r)
+    keyedBands(frozen, k, b, r, family)
       .write.mode("append").partitionBy("band")
       .parquet(s"$dir/buckets.parquet")
     if (compactAbove > 0) {
@@ -171,6 +211,11 @@ object DedupIndex {
 
   /** Load the index; tombstoned ids ([[forget]]) are masked out of both
     * tables here, so every consumer honors takedowns. */
+  /** Pre-family indexes wrote no family column; they are all fnv. */
+  private def metaFamily(m: org.apache.spark.sql.Row): String =
+    if (m.schema.fieldNames.contains("family")) m.getAs[String]("family")
+    else "fnv"
+
   def load(spark: SparkSession, dir: String): Loaded = {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     val mask: DataFrame => DataFrame = tombstones(spark, dir) match {
@@ -178,6 +223,7 @@ object DedupIndex {
       case None => identity
     }
     Loaded(m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"),
+      metaFamily(m),
       mask(spark.read.parquet(s"$dir/exact.parquet")),
       mask(spark.read.parquet(s"$dir/buckets.parquet")))
   }
@@ -255,7 +301,7 @@ object DedupIndex {
     // candidate ids on both sides. The keyed frame persists because the
     // within-batch self-join (stage 3) reuses it — one signature pass
     // over the batch, two consumers.
-    val keyed = keyedBands(exSurv, ix.k, ix.b, ix.r)
+    val keyed = keyedBands(exSurv, ix.k, ix.b, ix.r, ix.family)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val crossCand = probe(keyed)
       .join(ix.buckets.select(col("band"), col("key"), col("doc_id").as("c_id")),
@@ -352,5 +398,143 @@ object DedupIndex {
       }
       dedupAgainst(batch, corpus, load(s, dir))
         .orderBy(col("doc_id"))
-    }, None))
+    }, None),
+
+    // d11's ORACLE TWIN: the IDENTICAL dedupAgainst code path — exact
+    // legs, stored-bucket probe, Jaccard verification, component
+    // infection, canonical resolution — under the md5 hash family
+    // (build(family = "md5")), whose minhash signatures and band keys
+    // DuckDB computes bit-identically. This puts the ENTIRE
+    // incremental-dedup verdict chain (including LSH banding, the
+    // bucket cap, and the transitive component closure as a recursive
+    // CTE) under a full oracle; d11 keeps the faster native FNV+xxhash
+    // family, whose per-byte stream hashes are not reasonably
+    // replayable in SQL — that family difference is the ONLY thing the
+    // oracle does not pin, and DedupIndexSpec's from-scratch parity
+    // covers d11 itself.
+    ("d13_incremental_dedup_md5", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val dir = IxScratch.cached("d13:" + IxScratch.fingerprint(d),
+          "graft_d13_ix") { p =>
+        build(corpus, p, family = "md5")
+      }
+      dedupAgainst(batch, corpus, load(s, dir))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      alldocs AS (SELECT doc_id, text FROM documents),
+      cmin AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5,
+          min(doc_id) AS c_min
+        FROM alldocs WHERE doc_id % 5 <> 0 GROUP BY 1),
+      bmd5 AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5
+        FROM alldocs WHERE doc_id % 5 = 0),
+      bmin AS (SELECT doc_md5, min(doc_id) AS b_min FROM bmd5 GROUP BY 1),
+      exact AS (
+        SELECT b.doc_id,
+          CASE WHEN c.c_min IS NOT NULL THEN 'exact_corpus'
+               WHEN b.doc_id <> m.b_min THEN 'exact_batch' END AS status,
+          CASE WHEN c.c_min IS NOT NULL THEN c.c_min
+               WHEN b.doc_id <> m.b_min THEN m.b_min END AS dup_of
+        FROM bmd5 b
+        JOIN bmin m ON b.doc_md5 = m.doc_md5
+        LEFT JOIN cmin c ON b.doc_md5 = c.doc_md5),
+      surv AS (SELECT doc_id FROM exact WHERE status IS NULL),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+               THEN list_distinct(list_transform(
+                 range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> concat_ws(' ',
+                   string_split_regex(trim(text), '\s+')[i+1],
+                   string_split_regex(trim(text), '\s+')[i+2],
+                   string_split_regex(trim(text), '\s+')[i+3])))
+               ELSE [text] END AS sh
+        FROM alldocs
+        WHERE doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM surv)),
+      grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      sig AS (
+        SELECT doc_id, i.range AS i,
+          min(CAST(concat('0x', substr(
+            md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+            AS BIGINT)) AS s
+        FROM grams CROSS JOIN range(12) i
+        GROUP BY doc_id, i.range),
+      bands AS (
+        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+          md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+        FROM sig GROUP BY doc_id, i // 3),
+      cband AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+      bband AS (
+        SELECT b.* FROM bands b JOIN surv s ON b.doc_id = s.doc_id),
+      crosscand AS (
+        SELECT DISTINCT bb.doc_id, cb.doc_id AS c_id
+        FROM bband bb JOIN cband cb
+          ON bb.band = cb.band AND bb.key = cb.key),
+      crossver AS (
+        SELECT cc.doc_id, cc.c_id
+        FROM crosscand cc
+        JOIN sh sa ON sa.doc_id = cc.doc_id
+        JOIN sh sb ON sb.doc_id = cc.c_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5),
+      crosslink AS (
+        SELECT doc_id, min(c_id) AS direct_of FROM crossver GROUP BY doc_id),
+      hot AS (
+        SELECT band, key FROM bband GROUP BY band, key
+        HAVING count(*) > 100),
+      capped AS (
+        SELECT bb.* FROM bband bb
+        LEFT JOIN hot h ON bb.band = h.band AND bb.key = h.key
+        WHERE h.band IS NULL),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        FROM capped x JOIN capped y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      vpairs AS (
+        SELECT p.u, p.v FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.u
+        JOIN sh sb ON sb.doc_id = p.v
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5),
+      edges AS (
+        SELECT u, v FROM vpairs UNION ALL SELECT v AS u, u AS v FROM vpairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM surv
+        UNION
+        SELECT e.v AS node, r.lbl
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.lbl < e.v),
+      comp AS (
+        SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+      plan AS (
+        SELECT c.doc_id, c.component,
+          first_value(c.doc_id) OVER (PARTITION BY c.component
+            ORDER BY length(a.text) DESC, c.doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS canonical_id
+        FROM comp c JOIN alldocs a ON a.doc_id = c.doc_id),
+      enriched AS (
+        SELECT p.doc_id, p.canonical_id, cl.direct_of,
+          min(cl.direct_of) OVER (PARTITION BY p.component) AS comp_of
+        FROM plan p LEFT JOIN crosslink cl ON cl.doc_id = p.doc_id),
+      nearv AS (
+        SELECT doc_id,
+          CASE WHEN comp_of IS NOT NULL THEN 'near_corpus'
+               WHEN doc_id <> canonical_id THEN 'near_batch'
+               ELSE 'kept' END AS status,
+          CASE WHEN comp_of IS NOT NULL THEN COALESCE(direct_of, comp_of)
+               WHEN doc_id <> canonical_id THEN canonical_id END AS dup_of
+        FROM enriched)
+      SELECT doc_id, status, CAST(dup_of AS BIGINT) AS dup_of
+      FROM (SELECT doc_id, status, dup_of FROM exact WHERE status IS NOT NULL
+            UNION ALL SELECT doc_id, status, dup_of FROM nearv) z
+      ORDER BY doc_id""")))
 }

@@ -989,23 +989,45 @@ object TextAnalysis {
 
     // Corpus DATA CARD — the datasheet every published training corpus
     // ships (Gebru et al. 2021, "Datasheets for Datasets"): per-slice
-    // composition over explicit GROUPING SETS ((source, lang), (source),
-    // (lang), ()) with grouping() markers, exact doc/token/char masses,
-    // the largest document per slice, and each slice's Q20 token SHARE
-    // of the grand total (the number mixture weighting consumes). One
-    // Expand + one aggregation pass — at 100 TB this is the same single
-    // corpus scan as any t-stat, and the card is slice-cardinality-sized.
+    // composition over explicit GROUPING SETS with grouping() markers,
+    // exact doc/token/char masses, the largest document per slice, and
+    // each slice's Q20 token SHARE of the grand total (the number
+    // mixture weighting consumes). Since r17 the card also slices by
+    // the two per-doc SIGNAL dimensions datasheet consumers ask for:
+    // a stopword-density QUALITY bucket (t02's signal as the exact
+    // integer test stop_cnt·5 >= n_tok) and a langid CONFIDENCE bucket
+    // (t43's Q30 margin: >= 2^20 confident / below uncertain / token-
+    // free none) — ((source,lang),(source),(lang),(quality),(conf),
+    // (quality,conf),()). One Expand + one aggregation pass over one
+    // corpus scan plus the bounded langid-model join; the card stays
+    // slice-cardinality-sized at 100 TB.
     ("t48_data_card", (s: SparkSession, d: String) => {
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val fns = graft.functions.GraftFunctions
+      val toks = split(trim(col("text")), "\\s+")
+      val slices = docs.select(col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"),
+        fns.marker_count(toks, Stopwords, lowercase = true).cast("long")
+          .as("stop_cnt"))
+      val marg = langIdMargin(docs)
+        .select(col("doc_id"), col("margin_q30"))
+      slices.join(marg, Seq("doc_id"), "left")
         .select(col("source"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
-          length(col("text")).cast("long").as("n_chr"))
+          when(col("stop_cnt") * 5 >= col("n_tok"), "hi").otherwise("lo")
+            .as("quality"),
+          when(col("margin_q30").isNull, "none")
+            .when(col("margin_q30") >= 1048576L, "confident")
+            .otherwise("uncertain").as("conf"),
+          col("n_tok"), col("n_chr"))
         .createOrReplaceTempView("doc_slices_v")
       s.sql("""
         WITH tot AS (SELECT sum(n_tok) AS total FROM doc_slices_v)
-        SELECT source, lang,
+        SELECT source, lang, quality, conf,
           CAST(grouping(source) AS INT) AS g_source,
           CAST(grouping(lang) AS INT) AS g_lang,
+          CAST(grouping(quality) AS INT) AS g_quality,
+          CAST(grouping(conf) AS INT) AS g_conf,
           count(*) AS n_docs,
           sum(n_tok) AS n_tokens,
           sum(n_chr) AS n_chars,
@@ -1014,19 +1036,69 @@ object TextAnalysis {
             / CAST((SELECT total FROM tot) AS DOUBLE)) AS BIGINT)
             AS token_share_q20
         FROM doc_slices_v
-        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-        ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""")
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang),
+          (quality), (conf), (quality, conf), ())
+        ORDER BY g_source, g_lang, g_quality, g_conf,
+          source NULLS FIRST, lang NULLS FIRST,
+          quality NULLS FIRST, conf NULLS FIRST""")
     },
-    Some("""WITH slices AS (
-        SELECT source, lang,
+    Some("""WITH tok AS (
+        SELECT doc_id, lang,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tk AS (
+        SELECT doc_id, lang,
+          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 2048 AS bucket
+        FROM tok WHERE token <> ''),
+      cnt AS (
+        SELECT lang AS model_lang, bucket, count(*) AS c
+        FROM tk GROUP BY 1, 2),
+      mtot AS (SELECT model_lang, sum(c) AS tot FROM cnt GROUP BY 1),
+      dense AS (
+        SELECT t.model_lang, r.range AS bucket,
+          CAST(floor(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+            / CAST(t.tot + 2048 AS DOUBLE) * 1073741824) AS BIGINT) AS wq
+        FROM mtot t CROSS JOIN range(2048) r
+        LEFT JOIN cnt c ON c.model_lang = t.model_lang AND c.bucket = r.range),
+      sc AS (
+        SELECT tk.doc_id, d.model_lang,
+          CAST(sum(d.wq) AS BIGINT) AS sum_wq
+        FROM tk JOIN dense d ON tk.bucket = d.bucket
+        GROUP BY 1, 2),
+      rnk AS (
+        SELECT doc_id, sum_wq,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY sum_wq DESC, model_lang) AS rk
+        FROM sc),
+      marg AS (
+        SELECT t.doc_id,
+          CAST(t.sum_wq - COALESCE(s.sum_wq, 0) AS BIGINT) AS margin_q30
+        FROM (SELECT * FROM rnk WHERE rk = 1) t
+        LEFT JOIN (SELECT * FROM rnk WHERE rk = 2) s ON t.doc_id = s.doc_id),
+      slices AS (
+        SELECT doc_id, source, lang,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
             AS n_tok,
-          CAST(length(text) AS BIGINT) AS n_chr
+          CAST(length(text) AS BIGINT) AS n_chr,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> list_contains(['the','a','an','and','or','of','to','in','is','it'],
+              lower(t)))) AS BIGINT) AS stop_cnt
         FROM documents),
-      tot AS (SELECT sum(n_tok) AS total FROM slices)
-      SELECT source, lang,
+      enriched AS (
+        SELECT s.source, s.lang,
+          CASE WHEN s.stop_cnt * 5 >= s.n_tok THEN 'hi' ELSE 'lo' END
+            AS quality,
+          CASE WHEN m.margin_q30 IS NULL THEN 'none'
+               WHEN m.margin_q30 >= 1048576 THEN 'confident'
+               ELSE 'uncertain' END AS conf,
+          s.n_tok, s.n_chr
+        FROM slices s LEFT JOIN marg m ON s.doc_id = m.doc_id),
+      tot AS (SELECT sum(n_tok) AS total FROM enriched)
+      SELECT source, lang, quality, conf,
         CAST(grouping(source) AS INTEGER) AS g_source,
         CAST(grouping(lang) AS INTEGER) AS g_lang,
+        CAST(grouping(quality) AS INTEGER) AS g_quality,
+        CAST(grouping(conf) AS INTEGER) AS g_conf,
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         CAST(sum(n_chr) AS BIGINT) AS n_chars,
@@ -1034,8 +1106,11 @@ object TextAnalysis {
         CAST(floor(1048576.0 * CAST(sum(n_tok) AS DOUBLE)
           / CAST((SELECT total FROM tot) AS DOUBLE)) AS BIGINT)
           AS token_share_q20
-      FROM slices
-      GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-      ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST"""))
+      FROM enriched
+      GROUP BY GROUPING SETS ((source, lang), (source), (lang),
+        (quality), (conf), (quality, conf), ())
+      ORDER BY g_source, g_lang, g_quality, g_conf,
+        source NULLS FIRST, lang NULLS FIRST,
+        quality NULLS FIRST, conf NULLS FIRST"""))
   )
 }

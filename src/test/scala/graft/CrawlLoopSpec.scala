@@ -552,4 +552,36 @@ class CrawlLoopSpec extends SparkSuite {
       .head().getAs[Long]("rows"))
     assert(dIx == Seq(3L, 4L, 5L), dIx)
   }
+
+  test("c12 registered takedown: physical purge across every artifact, " +
+      "control pair still dies, forgotten pair re-admitted") {
+    // ride the EXACT registered query (the r16 VERDICT ask): its plants
+    // are sf-independent, so the spec asserts absolute counts
+    val out = SparkEntry.queries("c12_crawl_takedown")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("phase"), r.getAs[Long]("batch_ord"),
+        r.getAs[String]("stage"), r.getAs[Long]("rows")))
+    def snap(phase: String): Map[String, Long] =
+      out.filter(_._1 == phase).map(t => t._3 -> t._4).toMap
+    val pre = snap("pre_forget"); val post = snap("post_forget")
+    val fin = snap("post_readmit")
+    // forget() physically removed ONE page and ONE wav from every store
+    for (a <- Seq("ix_dedup_docs", "ix_audio_hash_sigs", "corpus_docs")) {
+      assert(pre(a) == 2L && post(a) == 1L && fin(a) == 2L,
+        s"$a: pre=${pre(a)} post=${post(a)} fin=${fin(a)}")
+    }
+    // the CDX loses exactly the two purged capture rows (urlkey-addressed)
+    assert(pre("cdx_rows") - post("cdx_rows") == 2L, (pre, post))
+    // batch 1 (pre-forget): every re-post dies on the grown indexes
+    def batch(k: Long): Map[String, Long] =
+      out.filter(t => t._1 == "loop" && t._2 == k).map(t => t._3 -> t._4).toMap
+    val b1 = batch(1L)
+    assert(b1("corpus_exact_dup") == 2L && b1("corpus_kept") == 0L, b1)
+    assert(b1("media_audio_dup") == 2L && b1("media_audio_kept") == 0L, b1)
+    // batch 2 (post-forget): the forgotten pair is re-admitted, the
+    // control pair still dies — takedown does not leak into controls
+    val b2 = batch(2L)
+    assert(b2("corpus_kept") == 1L && b2("corpus_exact_dup") == 1L, b2)
+    assert(b2("media_audio_kept") == 1L && b2("media_audio_dup") == 1L, b2)
+  }
 }
