@@ -60,8 +60,11 @@ object DedupIndex {
       .withColumn("bands", Dedup.bandKeys(
         Dedup.minhashSignature(split(trim(col("text")), "\\s+"), k), b, r))
       .select(col("doc_id"), explode(col("bands")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.key").cast("string").as("key"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // key stays the raw xxhash64 LONG: probes only ever join a family
+      // against its own stored buckets, so the md5 family's string keys
+      // never meet these — and 8-byte keys beat 32-char strings in
+      // every shuffle/broadcast this index pays
 
   /** The ORACLE-expressible band-key family: the same minhash-LSH
     * construction with every hash an md5 derivation both Spark and

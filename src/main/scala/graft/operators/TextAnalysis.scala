@@ -672,6 +672,94 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }, None),
 
+    // t08's ORACLE TWIN (the d13 family treatment applied to
+    // winnowing): the SAME winnow selection — rightmost window minimum,
+    // emit when the argmin index moves — in closed form (slice /
+    // array_min / reversed array_position / consecutive-dedup) over an
+    // md5-derived k-gram hash family both engines compute
+    // bit-identically, so the selection ALGORITHM itself sits under a
+    // full DuckDB oracle; t08/d05 keep the rolling-hash+splitmix
+    // family, whose per-character wrap-around fold is not reasonably
+    // SQL-replayable (the closed form ≡ deque-algorithm equivalence is
+    // additionally spec-pinned against WinnowEval on shared hashes).
+    // Text capped at 200 chars: the selection math is length-invariant
+    // and the cap keeps the interpreted HOF chain gate-priced.
+    ("t51_winnow_md5", (s: SparkSession, d: String) => {
+      val k = 8; val w = 16
+      val t = substring(col("text"), 1, 200)
+      val hs = when(length(t) >= k,
+          transform(sequence(lit(1), length(t) - k + 1), p =>
+            conv(substring(md5(t.substr(p, lit(k))), 1, 15), 16, 10)
+              .cast("long")))
+        .otherwise(array().cast("array<bigint>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"), col("hs"),
+          least(lit(w), size(col("hs"))).as("win"))
+        .select(col("doc_id"), col("hs"),
+          when(size(col("hs")) > 0,
+            transform(sequence(lit(0), size(col("hs")) - col("win")), i => {
+              val sl = slice(col("hs"), i + 1, col("win"))
+              i + col("win") - array_position(reverse(sl), array_min(sl)) + 1
+            }))
+          .otherwise(array().cast("array<bigint>")).as("ga"))
+        .select(col("doc_id"), col("hs"), col("ga"),
+          when(size(col("ga")) > 0,
+            filter(sequence(lit(0), size(col("ga")) - 1), i =>
+              (i === 0) ||
+                element_at(col("ga"), i + 1) =!= element_at(col("ga"), i)))
+          .otherwise(array().cast("array<int>")).as("si"))
+        .select(col("doc_id"),
+          transform(col("si"), i =>
+            element_at(col("hs"),
+              element_at(col("ga"), i + 1).cast("int"))).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).as("n_prints"),
+          size(array_distinct(col("fps"))).as("n_distinct"),
+          array_join(col("fps").cast("array<string>"), "-").as("prints"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+      h AS (
+        SELECT doc_id,
+          CASE WHEN length(t) >= 8 THEN
+            list_transform(range(1, length(t) - 8 + 2),
+              p -> CAST(concat('0x',
+                substr(md5(substr(t, CAST(p AS INTEGER), 8)), 1, 15))
+                AS BIGINT))
+          ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM base),
+      g AS (SELECT doc_id, hs, least(16, len(hs)) AS win FROM h),
+      ga AS (
+        SELECT doc_id, hs,
+          CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+          ELSE list_transform(range(0, len(hs) - win + 1),
+            i -> i + win
+              - list_position(list_reverse(hs[CAST(i+1 AS INTEGER):CAST(i+win AS INTEGER)]),
+                  list_min(hs[CAST(i+1 AS INTEGER):CAST(i+win AS INTEGER)]))
+              + 1)
+          END AS ga
+        FROM g),
+      sels AS (
+        SELECT doc_id, hs, ga,
+          CASE WHEN len(ga) = 0 THEN CAST([] AS BIGINT[])
+          ELSE list_filter(range(0, len(ga)),
+            i -> i = 0 OR ga[CAST(i+1 AS INTEGER)] <> ga[CAST(i AS INTEGER)])
+          END AS si
+        FROM ga),
+      fp AS (
+        SELECT doc_id,
+          list_transform(si, i ->
+            hs[CAST(ga[CAST(i+1 AS INTEGER)] AS INTEGER)]) AS fps
+        FROM sels)
+      SELECT doc_id,
+        CAST(len(fps) AS INTEGER) AS n_prints,
+        CAST(len(list_distinct(fps)) AS INTEGER) AS n_distinct,
+        array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '-')
+          AS prints
+      FROM fp ORDER BY doc_id""")),
+
     // bigram-novelty quality score (LM-filter shape, count-based):
     // odd doc_ids scored against the model of even doc_ids
     ("t09_bigram_quality", (s: SparkSession, d: String) => {

@@ -57,4 +57,50 @@ class WinnowSpec extends SparkSuite {
       explode(GraftFunctions.winnow_fingerprint(col("text"), K, W)).as("fp"))
     assert(fps.count() > 0)
   }
+
+  test("t51 closed-form selection ≡ the deque algorithm on shared md5 hashes") {
+    // t51's slice/argmin/consecutive-dedup formulation must emit the
+    // EXACT sequence WinnowEval's monotonic deque emits — run the deque
+    // (verbatim semantics: evict-equal-on-push rightmost minimum, emit
+    // on argmin-index change) over the same md5-derived hashes and
+    // compare every document's print string against the registered query
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(gram: String): Long = {
+      val hex = md.digest(gram.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def deque(t0: String): Seq[Long] = {
+      val t = t0.take(200)
+      if (t.length < K) return Seq.empty
+      val hs = (0 to t.length - K).map(p => h(t.substring(p, p + K))).toArray
+      val m = hs.length
+      val win = math.min(W, m)
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0; var lastSel = -1
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - win) head += 1
+        if (i >= win - 1 && dq(head) != lastSel) {
+          lastSel = dq(head); out += hs(lastSel)
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val got = graft.SparkEntry.queries("t51_winnow_md5")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("prints")).toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val want = deque(r.getString(1)).mkString("-")
+      assert(got(r.getLong(0)) == want,
+        s"doc ${r.getLong(0)}: closed form diverges from the deque")
+    }
+  }
 }
