@@ -72,6 +72,10 @@ object CrawlLoop {
     * tables' totals per batch; as Spark `count()` jobs those were the
     * batch's only non-batch-shaped work (r16 VERDICT), where footer
     * reads are microseconds per file. */
+  // one Configuration for every footer read — constructing one per
+  // file re-parses the default resource XMLs
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   private[operators] def footerRows(p: String): Long = {
     val root = new java.io.File(p.stripPrefix("file:"))
     if (!root.exists()) return 0L
@@ -84,8 +88,7 @@ object CrawlLoop {
         .map { f =>
           val in = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f.toUri),
-              new org.apache.hadoop.conf.Configuration()))
+              new org.apache.hadoop.fs.Path(f.toUri), footerConf))
           try in.getRecordCount finally in.close()
         }.sum
     } finally files.close()

@@ -76,13 +76,16 @@ object DedupIndex {
     * the ENTIRE incremental-dedup verdict chain under a DuckDB oracle
     * (d13); the fnv family stays the production default (d11). */
   private def keyedBandsMd5(docs: DataFrame, k: Int, b: Int, r: Int): DataFrame = {
-    val grams = Dedup.shingles(col("text"))
+    // shingles materialize ONCE per row into a named column: the k
+    // interpreted transforms below would otherwise each re-run the
+    // word-gram kernel (measured ~12× the shingle work at sf0.1)
     val sigs = (0 until k).map { i =>
-      array_min(transform(grams, g =>
+      array_min(transform(col("grams"), g =>
         conv(substring(md5(concat(lit(i + ":"), g)), 1, 15), 16, 10)
           .cast("long"))).as(s"sig_$i")
     }
-    docs.select(col("doc_id") +: sigs: _*)
+    docs.select(col("doc_id"), Dedup.shingles(col("text")).as("grams"))
+      .select(col("doc_id") +: sigs: _*)
       .select(col("doc_id"), explode(array((0 until b).map { j =>
         struct(lit(j).as("band"),
           md5(concat_ws(",",
