@@ -567,6 +567,66 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }, None),
 
+    // d03's ORACLE TWIN (the d13/t51 family treatment): the IDENTICAL
+    // banded pairs path — [[minhashNearDupsKeyed]] with its bucket cap
+    // and exact-Jaccard verify — fed by the md5 hash family
+    // ([[DedupIndex.keyedBandsMd5]]), so DuckDB replays signatures,
+    // banding, the cap, the candidate self-join, and the verification;
+    // d03 keeps the native FNV+xxhash family (adjudicated not
+    // SQL-replayable, COVERAGE.md).
+    ("d14_minhash_lsh_md5", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val keyed = DedupIndex.keyedBandsMd5(docs, 12, 4, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashNearDupsKeyed(docs, keyed, tau = 0.5, maxBucket = 100)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+               THEN list_distinct(list_transform(
+                 range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> concat_ws(' ',
+                   string_split_regex(trim(text), '\s+')[i+1],
+                   string_split_regex(trim(text), '\s+')[i+2],
+                   string_split_regex(trim(text), '\s+')[i+3])))
+               ELSE [text] END AS sh
+        FROM documents),
+      grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      sig AS (
+        SELECT doc_id, i.range AS i,
+          min(CAST(concat('0x', substr(
+            md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+            AS BIGINT)) AS s
+        FROM grams CROSS JOIN range(12) i
+        GROUP BY doc_id, i.range),
+      bands AS (
+        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+          md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+        FROM sig GROUP BY doc_id, i // 3),
+      hot AS (
+        SELECT band, key FROM bands GROUP BY band, key
+        HAVING count(*) > 100),
+      capped AS (
+        SELECT b.* FROM bands b
+        LEFT JOIN hot h ON b.band = h.band AND b.key = h.key
+        WHERE h.band IS NULL),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM capped x JOIN capped y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT p.doc_a, p.doc_b,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5
+      ORDER BY p.doc_a, p.doc_b""")),
+
     // SimHash near-dup pairs (size-derived key width — see
     // simhashNearDups scaladoc for the scale posture).
     ("d04_simhash_pairs", (s: SparkSession, d: String) =>

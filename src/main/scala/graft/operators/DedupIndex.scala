@@ -75,7 +75,8 @@ object DedupIndex {
     * per shingle, interpreted HOFs) but exactly replayable, which puts
     * the ENTIRE incremental-dedup verdict chain under a DuckDB oracle
     * (d13); the fnv family stays the production default (d11). */
-  private def keyedBandsMd5(docs: DataFrame, k: Int, b: Int, r: Int): DataFrame = {
+  private[operators] def keyedBandsMd5(docs: DataFrame, k: Int, b: Int,
+      r: Int): DataFrame = {
     // shingles materialize ONCE per row into a named column: the k
     // interpreted transforms below would otherwise each re-run the
     // word-gram kernel (measured ~12× the shingle work at sf0.1)
