@@ -627,6 +627,74 @@ object Dedup {
           >= 0.5
       ORDER BY p.doc_a, p.doc_b""")),
 
+    // d04's ORACLE TWIN, completing the md5-family set (d14 minhash,
+    // t51 winnow, d15 simhash): a 60-bit SimHash whose per-token hash
+    // is md5-derived — bit k's vote is the exact ±1 sum both engines
+    // compute — packed and fed through the IDENTICAL
+    // [[hammingNearDups]] machinery (16-bit key windows, bucket cap,
+    // codegen'd bit_count(xor) verify). DuckDB replays token hashes,
+    // votes, packing, banding, the cap, and the per-bit hamming; d04
+    // keeps the native FNV family (adjudicated in COVERAGE.md).
+    ("d15_simhash_md5", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val votes = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(shiftrightunsigned(col("h"), 0).bitwiseAND(lit(1L)) === 1L,
+            1).otherwise(-1)).as("v0"),
+          (1 until 60).map(k =>
+            sum(when(shiftrightunsigned(col("h"), k)
+                .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$k")): _*)
+      val packed = votes.select(col("doc_id"),
+        (0 until 60).map(k =>
+          when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      hammingNearDups(packed, "simhash", maxHamming = 6, keyBits = 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      t2 AS (
+        SELECT doc_id,
+          CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tok WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, k.range AS k,
+          CASE WHEN sum(CASE WHEN ((h >> k.range) & 1) = 1
+            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM t2 CROSS JOIN range(60) k
+        GROUP BY doc_id, k.range),
+      bands AS (
+        SELECT doc_id, CAST(k // 16 AS INTEGER) AS blk,
+          sum(bit * (1::BIGINT << CAST(k % 16 AS INTEGER))) AS key
+        FROM bits GROUP BY doc_id, k // 16),
+      kept AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.doc_a
+        JOIN bits bb ON bb.doc_id = c.doc_b AND bb.k = ba.k
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+      ORDER BY doc_a, doc_b""")),
+
     // SimHash near-dup pairs (size-derived key width — see
     // simhashNearDups scaladoc for the scale posture).
     ("d04_simhash_pairs", (s: SparkSession, d: String) =>
