@@ -186,6 +186,12 @@ object Flac {
     v
   }
 
+  /** Framework-wide FLAC decode budget (interleaved samples): rows
+    * hold whole decoded streams on-heap and FLAC frames legally expand
+    * ~4096× (a 16-byte CONSTANT frame is 65536 samples), so the bound
+    * is on OUTPUT, enforced per frame. */
+  private val MaxInterleaved = 1L << 26
+
   private val BlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -8, -16,
     256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
   private val SampleRates = Array(0, 88200, 176400, 192000, 8000, 16000,
@@ -299,9 +305,18 @@ object Flac {
   def decodeAudio(bytes: Array[Byte]): Wav.Audio = {
     val meta = metadata(bytes)
     require(meta.bitsPerSample <= 32, s"flac: bps ${meta.bitsPerSample}")
-    require(meta.totalSamples <= (1L << 31) / math.max(1, meta.channels),
+    // hard decode budget, interleaved-sample count (~11 min of 48 kHz
+    // stereo): rows hold whole decoded streams on-heap, and FLAC is a
+    // compressed format — a ~16-byte CONSTANT frame legally expands to
+    // 65536 samples, so the budget must bind the OUTPUT, and it is
+    // ENFORCED in-loop too: a hostile stream declaring
+    // total_samples = 0 ("unknown", spec-legal) must not decode
+    // unboundedly off tiny repeated frames (the kernel-wide
+    // untrusted-input budget rule)
+    val maxInterleaved = MaxInterleaved
+    require(meta.totalSamples * meta.channels <= maxInterleaved,
       s"flac: ${meta.totalSamples} samples exceed the decode budget")
-    val out = new java.util.ArrayList[Array[Long]]() // per-frame interleaved
+    val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved
     var total = 0L
     var off = framesOffset(bytes)
     while (off < bytes.length &&
@@ -383,15 +398,23 @@ object Flac {
           }
         case _ => ()
       }
-      val inter = new Array[Long](blockSize * channels)
+      total += blockSize
+      require(total * channels <= maxInterleaved,
+        s"flac: decoded stream exceeds the ${maxInterleaved} interleaved-sample budget")
+      val inter = new Array[Int](blockSize * channels)
       var i = 0
       while (i < blockSize) {
         c = 0
-        while (c < channels) { inter(i * channels + c) = chans(c)(i); c += 1 }
+        while (c < channels) {
+          val v = chans(c)(i)
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            "flac: decoded sample outside 32-bit range")
+          inter(i * channels + c) = v.toInt
+          c += 1
+        }
         i += 1
       }
       out.add(inter)
-      total += blockSize
       off = r.bytePos
     }
     require(meta.totalSamples == 0 || total == meta.totalSamples,
@@ -399,12 +422,8 @@ object Flac {
     val samples = new Array[Int](out.stream().mapToInt(_.length).sum())
     var pos = 0
     out.forEach { a =>
-      var i = 0
-      while (i < a.length) {
-        require(a(i) >= Int.MinValue && a(i) <= Int.MaxValue,
-          "flac: decoded sample outside 32-bit range")
-        samples(pos) = a(i).toInt; pos += 1; i += 1
-      }
+      System.arraycopy(a, 0, samples, pos, a.length)
+      pos += a.length
     }
     // STREAMINFO MD5 is over the original interleaved little-endian
     // sample bytes; all-zero means unset (§8.2). Byte-aligned depths
@@ -579,6 +598,8 @@ object Flac {
     require(ch >= 1 && ch <= 8, s"flac encode: channels $ch")
     require(blockSize >= 16 && blockSize <= 32768, s"flac encode: block $blockSize")
     require(audio.samples.length % ch == 0, "flac encode: ragged interleave")
+    require(audio.samples.length <= MaxInterleaved,
+      s"flac encode: ${audio.samples.length} samples exceed the decode budget")
     val decorr = stereo match {
       case "independent" => 0
       case "left_side" => 8

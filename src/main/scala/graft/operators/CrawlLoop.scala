@@ -84,7 +84,14 @@ object CrawlLoop {
     try {
       files.iterator().asScala
         .filter(f => java.nio.file.Files.isRegularFile(f) &&
-          f.getFileName.toString.endsWith(".parquet"))
+          f.getFileName.toString.endsWith(".parquet") &&
+          // Spark's reader ignores _temporary/staging and hidden paths;
+          // counting them here would over-count vs what any consumer
+          // reads (orphans from a killed write, in-flight attempts)
+          !root.toPath.relativize(f).iterator().asScala.exists { seg =>
+            val s = seg.toString
+            s.startsWith("_") || s.startsWith(".")
+          })
         .map { f =>
           val in = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

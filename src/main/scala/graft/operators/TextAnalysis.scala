@@ -420,6 +420,43 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** The langid-model CTE chain (hashed naive-Bayes: token buckets →
+    * per-language counts → Laplace-smoothed Q30 weights → per-doc
+    * scores → ranked), shared VERBATIM by the t04, t43, and t48
+    * oracles — any change to the model constants (2048 buckets, +1
+    * smoothing, Q30 scale, the (sum_wq DESC, model_lang) tie-break)
+    * now edits exactly one string (the r10/r11 discipline). Ends with
+    * `rnk` (rk = 1 winner, rk = 2 runner-up); the model total is
+    * `mtot` so composers may define their own `tot`. */
+  private val langIdOracleCtes: String = """tok AS (
+        SELECT doc_id, lang,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tk AS (
+        SELECT doc_id, lang,
+          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 2048 AS bucket
+        FROM tok WHERE token <> ''),
+      cnt AS (
+        SELECT lang AS model_lang, bucket, count(*) AS c
+        FROM tk GROUP BY 1, 2),
+      mtot AS (SELECT model_lang, sum(c) AS tot FROM cnt GROUP BY 1),
+      dense AS (
+        SELECT t.model_lang, r.range AS bucket,
+          CAST(floor(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+            / CAST(t.tot + 2048 AS DOUBLE) * 1073741824) AS BIGINT) AS wq
+        FROM mtot t CROSS JOIN range(2048) r
+        LEFT JOIN cnt c ON c.model_lang = t.model_lang AND c.bucket = r.range),
+      sc AS (
+        SELECT tk.doc_id, d.model_lang, count(*) AS n_tokens,
+          CAST(sum(d.wq) AS BIGINT) AS sum_wq
+        FROM tk JOIN dense d ON tk.bucket = d.bucket
+        GROUP BY 1, 2),
+      rnk AS (
+        SELECT doc_id, model_lang, n_tokens, sum_wq,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY sum_wq DESC, model_lang) AS rk
+        FROM sc)"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // Sentence segmentation over punctuation-augmented documents (the
@@ -796,40 +833,13 @@ object TextAnalysis {
     // function (MarkerCountSpec).
     ("t04_langid", (s: SparkSession, d: String) =>
       langIdModel(Tables.documents(s, d)).orderBy(col("doc_id")),
-    Some("""WITH tok AS (
-        SELECT doc_id, lang,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        FROM documents),
-      tk AS (
-        SELECT doc_id, lang,
-          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 2048 AS bucket
-        FROM tok WHERE token <> ''),
-      cnt AS (
-        SELECT lang AS model_lang, bucket, count(*) AS c
-        FROM tk GROUP BY 1, 2),
-      tot AS (SELECT model_lang, sum(c) AS tot FROM cnt GROUP BY 1),
-      dense AS (
-        SELECT t.model_lang, r.range AS bucket,
-          CAST(floor(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-            / CAST(t.tot + 2048 AS DOUBLE) * 1073741824) AS BIGINT) AS wq
-        FROM tot t CROSS JOIN range(2048) r
-        LEFT JOIN cnt c ON c.model_lang = t.model_lang AND c.bucket = r.range),
-      sc AS (
-        SELECT tk.doc_id, d.model_lang, count(*) AS n_tokens,
-          CAST(sum(d.wq) AS BIGINT) AS sum_wq
-        FROM tk JOIN dense d ON tk.bucket = d.bucket
-        GROUP BY 1, 2),
-      best AS (
-        SELECT doc_id, model_lang, n_tokens, sum_wq,
-          row_number() OVER (PARTITION BY doc_id
-            ORDER BY sum_wq DESC, model_lang) AS rk
-        FROM sc)
+    Some("WITH " + langIdOracleCtes + """
       SELECT docs.doc_id, docs.lang AS label,
         COALESCE(b.model_lang, 'und') AS pred_lang,
         CAST(COALESCE(b.n_tokens, 0) AS BIGINT) AS n_tokens,
         CAST(COALESCE(b.sum_wq, 0) AS BIGINT) AS sum_wq
       FROM documents docs
-      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON docs.doc_id = b.doc_id
+      LEFT JOIN (SELECT * FROM rnk WHERE rk = 1) b ON docs.doc_id = b.doc_id
       ORDER BY docs.doc_id""")),
 
     // Langid confidence margins — the CCNet-style gate on top of t04:
@@ -838,34 +848,7 @@ object TextAnalysis {
     // docs have no score rows and are absent by contract on both sides.
     ("t43_langid_margin", (s: SparkSession, d: String) =>
       langIdMargin(Tables.documents(s, d)).orderBy(col("doc_id")),
-    Some("""WITH tok AS (
-        SELECT doc_id, lang,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        FROM documents),
-      tk AS (
-        SELECT doc_id, lang,
-          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 2048 AS bucket
-        FROM tok WHERE token <> ''),
-      cnt AS (
-        SELECT lang AS model_lang, bucket, count(*) AS c
-        FROM tk GROUP BY 1, 2),
-      tot AS (SELECT model_lang, sum(c) AS tot FROM cnt GROUP BY 1),
-      dense AS (
-        SELECT t.model_lang, r.range AS bucket,
-          CAST(floor(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-            / CAST(t.tot + 2048 AS DOUBLE) * 1073741824) AS BIGINT) AS wq
-        FROM tot t CROSS JOIN range(2048) r
-        LEFT JOIN cnt c ON c.model_lang = t.model_lang AND c.bucket = r.range),
-      sc AS (
-        SELECT tk.doc_id, d.model_lang, count(*) AS n_tokens,
-          CAST(sum(d.wq) AS BIGINT) AS sum_wq
-        FROM tk JOIN dense d ON tk.bucket = d.bucket
-        GROUP BY 1, 2),
-      rnk AS (
-        SELECT doc_id, model_lang, n_tokens, sum_wq,
-          row_number() OVER (PARTITION BY doc_id
-            ORDER BY sum_wq DESC, model_lang) AS rk
-        FROM sc)
+    Some("WITH " + langIdOracleCtes + """
       SELECT t.doc_id, t.model_lang AS pred_lang,
         COALESCE(s.model_lang, '') AS second_lang,
         CAST(t.n_tokens AS BIGINT) AS n_tokens,
@@ -1130,34 +1113,7 @@ object TextAnalysis {
           source NULLS FIRST, lang NULLS FIRST,
           quality NULLS FIRST, conf NULLS FIRST""")
     },
-    Some("""WITH tok AS (
-        SELECT doc_id, lang,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        FROM documents),
-      tk AS (
-        SELECT doc_id, lang,
-          CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 2048 AS bucket
-        FROM tok WHERE token <> ''),
-      cnt AS (
-        SELECT lang AS model_lang, bucket, count(*) AS c
-        FROM tk GROUP BY 1, 2),
-      mtot AS (SELECT model_lang, sum(c) AS tot FROM cnt GROUP BY 1),
-      dense AS (
-        SELECT t.model_lang, r.range AS bucket,
-          CAST(floor(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-            / CAST(t.tot + 2048 AS DOUBLE) * 1073741824) AS BIGINT) AS wq
-        FROM mtot t CROSS JOIN range(2048) r
-        LEFT JOIN cnt c ON c.model_lang = t.model_lang AND c.bucket = r.range),
-      sc AS (
-        SELECT tk.doc_id, d.model_lang,
-          CAST(sum(d.wq) AS BIGINT) AS sum_wq
-        FROM tk JOIN dense d ON tk.bucket = d.bucket
-        GROUP BY 1, 2),
-      rnk AS (
-        SELECT doc_id, sum_wq,
-          row_number() OVER (PARTITION BY doc_id
-            ORDER BY sum_wq DESC, model_lang) AS rk
-        FROM sc),
+    Some("WITH " + langIdOracleCtes + """,
       marg AS (
         SELECT t.doc_id,
           CAST(t.sum_wq - COALESCE(s.sum_wq, 0) AS BIGINT) AS margin_q30

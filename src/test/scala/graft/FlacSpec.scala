@@ -122,6 +122,15 @@ class FlacSpec extends AnyFunSuite {
     assert(d3.channels == 3 && d3.samples.toSeq == tri.toSeq)
   }
 
+  test("decode budget: an over-budget declared stream is refused before " +
+      "any frame decode (the unknown-length in-loop bound shares the " +
+      "same constant)") {
+    // 2^26 samples x 2 channels = 2^27 interleaved > the 2^26 budget
+    val hdr = Flac.encodeHeader(48000, 2, 16, 1L << 26)
+    val e = intercept[IllegalArgumentException](Flac.decodeAudio(hdr))
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("integrity: a flipped payload bit fails the CRC loudly, a flipped " +
       "STREAMINFO MD5 byte fails the checksum loudly") {
     val a = Wav.Audio(8000, 1, 16, ramp(400)(i => 33 * i % 5000 - 2500))

@@ -71,9 +71,15 @@ class WinnowSpec extends SparkSuite {
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
     def deque(t0: String): Seq[Long] = {
-      val t = t0.take(200)
-      if (t.length < K) return Seq.empty
-      val hs = (0 to t.length - K).map(p => h(t.substring(p, p + K))).toArray
+      // CODE-POINT semantics throughout — the product sides (Spark
+      // substring/substr, DuckDB substr) count code points, so the
+      // reference must too or a non-BMP char in the fixture would
+      // split cap and k-gram windows at different positions
+      val cps = t0.codePoints().toArray.take(200)
+      def cpSub(from: Int, until: Int): String =
+        new String(cps, from, until - from)
+      if (cps.length < K) return Seq.empty
+      val hs = (0 to cps.length - K).map(p => h(cpSub(p, p + K))).toArray
       val m = hs.length
       val win = math.min(W, m)
       val dq = new Array[Int](m)
