@@ -246,4 +246,57 @@ class CodecFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("FLAC: random rates/channels/samples/stereo modes round-trip " +
+      "bit-exactly through the frame codec") {
+    for (c <- 0 until Cases) {
+      val seed = mix(21000L + c)
+      val chn = 1 + pick(seed, 4, 3)
+      val n = chn * (1 + pick(seed, 1, 400))
+      val rate = Seq(8000, 16000, 44100, 12345)(pick(seed, 3, 4))
+      val bps = if (pick(seed, 5, 2) == 0) 8 else 16
+      val lim = if (bps == 8) 128L else 32768L
+      val samples = Array.tabulate(n)(i => (mix(seed + i) % lim).toInt)
+      val stereo =
+        if (chn != 2) "independent"
+        else Seq("independent", "left_side", "right_side",
+          "mid_side")(pick(seed, 6, 4))
+      val block = Seq(16, 64, 192, 256)(pick(seed, 7, 4))
+      val back = graft.kernel.Flac.decodeAudio(graft.kernel.Flac.encode(
+        graft.kernel.Wav.Audio(rate, chn, bps, samples), block, stereo))
+      assert(back.sampleRate == rate && back.channels == chn &&
+        back.bitsPerSample == bps, s"case $c")
+      assert(back.samples.sameElements(samples),
+        s"case $c: n=$n ch=$chn bps=$bps stereo=$stereo block=$block")
+    }
+  }
+
+  test("FLAC frame decode never hangs or throws unexpected errors on " +
+      "mutated streams") {
+    // decodeAudio is a CRAWL-path decoder (crawlAudioFingerprints):
+    // the untrusted-input theorem applies to the full frame grammar,
+    // not just the metadata walk — mutations of valid FRAME bytes hit
+    // rice decoders, subframe headers, and CRC checks
+    for (c <- 0 until Cases * 3) {
+      val seed = mix(23000L + c)
+      val n = 40 + pick(seed, 1, 200)
+      val samples = Array.tabulate(n)(i => (mix(seed + i) % 4001L).toInt - 2000)
+      val base = graft.kernel.Flac.encode(
+        graft.kernel.Wav.Audio(8000, 1, 16, samples), blockSize = 64)
+      val bytes = base.clone()
+      val flips = 1 + pick(seed, 3, 8)
+      for (f <- 0 until flips) {
+        val at = pick(seed, 10 + f, bytes.length)
+        bytes(at) = (bytes(at) ^ (1 << pick(seed, 20 + f, 8))).toByte
+      }
+      try {
+        val a = graft.kernel.Flac.decodeAudio(bytes)
+        // undetected-by-CRC mutations are possible only when the flip
+        // lands in metadata we don't checksum; output stays bounded
+        assert(a.samples.length * math.max(1, a.channels) <= (1 << 26))
+      } catch {
+        case _: IllegalArgumentException => () // loud rejection is correct
+      }
+    }
+  }
 }
