@@ -827,7 +827,7 @@ object Multimodal {
       .as[MediaIn]
       .mapPartitions { it =>
         it.map { m =>
-          val a = graft.kernel.Wav.decode(m.payload)
+          val a = decodeAudioAny(m.payload)
           val n = a.samples.length
           require(n >= frames, s"doc ${m.doc_id}: $n samples < $frames frames")
           val rowBytes = energyDeltaBytes(a.samples, frames)
@@ -932,7 +932,7 @@ object Multimodal {
       .as[MediaIn]
       .mapPartitions { it =>
         it.flatMap { m =>
-          val a = graft.kernel.Wav.decode(m.payload)
+          val a = decodeAudioAny(m.payload)
           val n = a.samples.length
           val nf = (n + frameLen - 1) / frameLen
           val e = new Array[Long](nf)
@@ -984,7 +984,7 @@ object Multimodal {
       .as[MediaIn]
       .mapPartitions { it =>
         it.flatMap { m =>
-          val a = graft.kernel.Wav.decode(m.payload)
+          val a = decodeAudioAny(m.payload)
           require(a.channels == 1,
             s"doc ${m.doc_id}: audioClips slices mono streams; " +
               s"${a.channels}-channel input must be downmixed upstream")
@@ -1964,6 +1964,98 @@ object Multimodal {
         CAST(sum(abs(s)) AS BIGINT) AS pcm_abs_sum,
         CAST(max(abs(s)) AS BIGINT) AS peak
       FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // CROSS-CONTAINER audio near-dups — the m16 story for the audio
+    // modality, possible now that FLAC decodes losslessly: pair p's
+    // recording ships as WAV under doc 2p and as FLAC under doc 2p+1
+    // (identical PCM, different containers and bytes); the sniffing
+    // decode collapses both onto ONE energy-delta fingerprint, so the
+    // banded hamming join finds every cross-container pair at hamming
+    // 0. Waveforms are splitmix-scrambled per pair (the m11 lesson —
+    // |s|-based energies make linear residues collide honestly), so
+    // distinct pairs stay apart. FULL oracle: DuckDB rebuilds the
+    // two-round splitmix in HUGEINT, the segment energies, every delta
+    // bit, the 16-bit band keys, the cap, and the per-bit hamming —
+    // container-blindness is exactly what the shared PCM formula
+    // proves, since both containers must decode to the same bits.
+    ("m42_mixed_audio_neardup", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val p = id / 2
+            val samples = Array.tabulate(650) { i =>
+              var z = i * 0x9E3779B97F4A7C15L + p * 0xBF58476D1CE4E5B9L
+              z ^= z >>> 30; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+              (java.lang.Math.floorMod(z, 3801L) - 1900L).toInt
+            }
+            val audio = graft.kernel.Wav.Audio(8000, 1, 16, samples)
+            val payload =
+              if (id % 2 == 0) graft.kernel.Wav.encode(audio)
+              else graft.kernel.Flac.encode(audio, blockSize = 256)
+            (id, "audio", payload)
+          }
+        }
+        .toDF("doc_id", "media_type", "payload")
+      audioNearDups(media, maxHamming = 2, keyBits = 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH pos AS (
+        SELECT d.doc_id, i.i FROM documents d,
+          (SELECT CAST(unnest(range(0, 650)) AS BIGINT) AS i) i),
+      mix AS (
+        SELECT doc_id, i, xor(z2, z2 // 134217728::HUGEINT) AS z3 FROM (
+          SELECT doc_id, i,
+            ((zx % 4294967296::HUGEINT) * 321982955::HUGEINT
+              + (((zx % 4294967296::HUGEINT) * 2496678331::HUGEINT
+                  + (zx // 4294967296::HUGEINT) * 321982955::HUGEINT)
+                % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+              % 18446744073709551616::HUGEINT AS z2
+          FROM (
+            SELECT doc_id, i, xor(z1, z1 // 1073741824::HUGEINT) AS zx
+            FROM (
+              SELECT doc_id, i,
+                (i::HUGEINT * 11400714819323198485::HUGEINT +
+                  (doc_id // 2)::HUGEINT * 13787848793156543929::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z1
+              FROM pos) a0) a) b),
+      sm AS (
+        SELECT doc_id, i,
+          CAST((CASE WHEN z3 >= 9223372036854775808::HUGEINT
+              THEN z3 - 18446744073709551616::HUGEINT ELSE z3 END
+              % 3801 + 3801) % 3801 - 1900 AS BIGINT) AS s
+        FROM mix),
+      en AS (
+        SELECT doc_id, i // 10 AS k, sum(abs(s)) AS e
+        FROM sm GROUP BY doc_id, k),
+      bits AS (
+        SELECT doc_id, k AS pos,
+          CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY k) > e
+            THEN 1 ELSE 0 END AS bit
+        FROM en WHERE k < 65),
+      b64 AS (SELECT * FROM bits WHERE pos < 64),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM b64 GROUP BY doc_id, blk),
+      kept AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands) t WHERE n <= 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN b64 ba ON ba.doc_id = c.doc_a
+        JOIN b64 bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_a, doc_b""")),
 
     // Audio activity segmentation, oracle-gated end to end: waveforms
     // carry REAL speech-like structure (32-sample blocks alternate loud
