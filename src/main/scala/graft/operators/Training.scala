@@ -1128,6 +1128,37 @@ object Training {
         .orderBy(col("doc_id"))
     }, None),
 
+    // t23 served from the STORED merge table — the fifth stored-model
+    // family's BPE leg (t50's discipline): train + storeBpeMerges ONCE
+    // per dataset into an IxScratch dir, every call after encodes from
+    // loadBpeMerges. Output is t23's VERBATIM shape; rows-only like
+    // t23 (the trained model is an iterated fixpoint), with
+    // TrainingSpec pinning stored ≡ live bit-for-bit on the registered
+    // queries themselves.
+    ("t52_bpe_stored", (s: SparkSession, d: String) => {
+      val dir = IxScratch.cached(
+          IxScratch.fingerprint(d) + "|bpe-merges", "graft-tokstore-") { p =>
+        storeBpeMerges(bpeTrain(Tables.documents(s, d), merges = 16), p)
+      }
+      val (merges, byteLevel) = loadBpeMerges(s, dir)
+      require(!byteLevel, "t52 serves the char-level model")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(bpeSegmentColumn(col("word"), merges)).cast("long")
+            .as("n_pieces"),
+          length(col("word")).cast("long").as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("compression",
+          col("n_chars").cast("double") / col("n_pieces").cast("double"))
+        .orderBy(col("doc_id"))
+    }, None),
+
     // Unigram-LM tokenizer training — the SentencePiece counterpart to
     // t22's BPE: 120-piece model over the corpus word table (substring
     // seed → EM on the segmentation lattice → char-preserving prune →
@@ -1153,6 +1184,36 @@ object Training {
           emIters = 3)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(unigramSegmentColumn(col("word"), model)).cast("long")
+            .as("n_pieces"),
+          length(col("word")).cast("long").as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("compression",
+          col("n_chars").cast("double") / col("n_pieces").cast("double"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // t35 served from the STORED unigram model — the family's third
+    // leg (t50/t52 discipline): train + storeUnigramModel once per
+    // dataset, encode from loadUnigramModel (bit-exact doubles — the
+    // store round-trips the EM log-probs without a text step). Output
+    // is t35's VERBATIM shape; rows-only, stored ≡ live spec-pinned.
+    ("t53_unigram_stored", (s: SparkSession, d: String) => {
+      val dir = IxScratch.cached(
+          IxScratch.fingerprint(d) + "|unigram-model",
+          "graft-tokstore-") { p =>
+        storeUnigramModel(unigramTrain(Tables.documents(s, d),
+          vocabSize = 120, maxPieceLen = 6, emIters = 3), p)
+      }
+      val model = loadUnigramModel(s, dir)
+      Tables.documents(s, d)
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .filter(col("word") =!= "")

@@ -1060,6 +1060,16 @@ class TrainingSpec extends SparkSuite {
     assert(seg(loaded) == seg(live))
   }
 
+  test("registered stored-serving forms equal their live twins bit for bit " +
+      "(t52 ≡ t23, t53 ≡ t35 on the same dataset)") {
+    def frame(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(frame("t52_bpe_stored") == frame("t23_bpe_segment"),
+      "BPE encode from the stored merge table diverges from the live form")
+    assert(frame("t53_unigram_stored") == frame("t35_unigram_segment"),
+      "unigram encode from the stored model diverges from the live form")
+  }
+
   test("stored tokenizer meta: family mismatch and missing family fail loudly") {
     val docs = Seq((0L, "aa ab aa")).toDF("doc_id", "text")
     val dir = tempDir("graft-tokstore").toString
