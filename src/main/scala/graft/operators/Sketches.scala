@@ -45,6 +45,104 @@ object Sketches {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
     }, None),
 
+    // k01's ORACLE TWIN (Flajolet et al. HyperLogLog, the md5-family
+    // treatment): a 256-register HLL whose ENTIRE state and estimate
+    // are exact integer arithmetic both engines replay — value hash is
+    // md5-derived (60 bits: 8-bit bucket + 52-bit suffix), rho is the
+    // leading-zero count extracted by the hex-nibble trick (no float
+    // log anywhere), registers are plain max-aggregates, Z rides as
+    // the EXACT scaled integer Σ 2^(53−M_b), and the estimate is one
+    // HUGEINT/decimal floor division against the precomputed constant
+    // ⌊α₂₅₆·2^20⌋·256²·2^53 (α₂₅₆ = 0.7213/(1+1.079/256)). The output
+    // pins all 256 registers, so the oracle gates the full sketch, not
+    // just the one number; exact_distinct rides along as the accuracy
+    // witness. The small-range linear-counting correction (m·ln(m/V))
+    // is deliberately NOT applied here — ln is not bit-stable across
+    // engines, so the output carries the raw estimate plus the
+    // zero-register count and the CONSUMER corrects (SketchesSpec
+    // does, and gates the error band in both regimes). k01 keeps
+    // Spark's HLL++ (implementation-specific bias tables, adjudicated
+    // rows-only).
+    ("k05_hll_md5", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val orders = graft.Tables.orders(s, d)
+      val h = conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+        16, 10).cast("long")
+      val hexs = lpad(upper(hex(shiftrightunsigned(col("h"), 8))), 13, "0")
+      val trimmed = ltrim(hexs, "0")
+      val lz = substring(trimmed, 1, 1)
+      val rho = when(shiftrightunsigned(col("h"), 8) === 0L, 53)
+        .otherwise(lit(4) * (lit(13) - length(trimmed)) +
+          when(lz === "1", 3)
+            .when(lz.isin("2", "3"), 2)
+            .when(lz.isin("4", "5", "6", "7"), 1)
+            .otherwise(0) + 1)
+      val regs = orders.select(h.as("h"))
+        .select(col("h").bitwiseAND(lit(255L)).cast("int").as("bucket"),
+          rho.as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mb"))
+      val filled = s.range(256)
+        .select(col("id").cast("int").as("bucket"))
+        .join(regs, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("mb"), lit(0)).as("mb"))
+      val sketch = filled.agg(
+        count(when(col("mb") === 0, true)).as("n_zero_buckets"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - mb)")).as("z_int"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("mb")))),
+          x => x.getField("mb").cast("string")), "-").as("registers"))
+      val a = lit("444588963417193824760365056").cast("decimal(38,0)")
+      val denom = col("z_int").cast("decimal(38,0)") *
+        lit(1048576L).cast("decimal(38,0)")
+      val exact = orders.agg(
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      sketch.crossJoin(exact)
+        .select(lit(256).as("m"),
+          col("n_zero_buckets").cast("long").as("n_zero_buckets"),
+          col("z_int"),
+          // exact floor division: subtract the remainder first so the
+          // decimal divide is of an exact multiple (a rounded decimal
+          // quotient could floor off by one near integers)
+          ((a - pmod(a, denom)) / denom).cast("long").as("hll_estimate"),
+          col("exact_distinct"), col("registers"))
+        .orderBy(col("m"))
+    },
+    Some("""WITH h AS (
+        SELECT CAST(concat('0x',
+          substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders),
+      hb AS (SELECT h % 256 AS bucket, h // 256 AS rem FROM h),
+      rho AS (
+        SELECT bucket,
+          CASE WHEN rem = 0 THEN 53
+          ELSE 4 * (13 - length(ltrim(lpad(upper(to_hex(rem)), 13, '0'), '0')))
+            + CASE substr(ltrim(lpad(upper(to_hex(rem)), 13, '0'), '0'), 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END + 1
+          END AS rho
+        FROM hb),
+      regs AS (
+        SELECT r.range AS bucket, COALESCE(mx.mb, 0) AS mb
+        FROM range(256) r LEFT JOIN (
+          SELECT bucket, max(rho) AS mb FROM rho GROUP BY bucket) mx
+          ON mx.bucket = r.range),
+      agg AS (
+        SELECT count(CASE WHEN mb = 0 THEN 1 END) AS n_zero_buckets,
+          CAST(sum(1::BIGINT << CAST(53 - mb AS INTEGER)) AS BIGINT) AS z_int,
+          string_agg(CAST(mb AS VARCHAR), '-' ORDER BY bucket) AS registers
+        FROM regs),
+      ex AS (
+        SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders)
+      SELECT 256 AS m,
+        CAST(n_zero_buckets AS BIGINT) AS n_zero_buckets, z_int,
+        CAST(CAST('444588963417193824760365056' AS HUGEINT)
+          // (z_int::HUGEINT * 1048576::HUGEINT) AS BIGINT) AS hll_estimate,
+        exact_distinct, registers
+      FROM agg, ex
+      ORDER BY m""")),
+
     // Bloom-pruned join: lineitem pruned by a bloom of high-value order
     // keys before the exact join. Oracle-gated with the PLAIN join SQL:
     // bloom false positives die in the exact join, so the result is

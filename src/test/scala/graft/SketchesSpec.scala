@@ -115,4 +115,29 @@ class SketchesSpec extends SparkSuite {
         s"CMS overshot eps*N bound for $t: $est vs $exact (N=$n)")
     }
   }
+
+  test("k05 oracle-replayable HLL lands within the m=256 error bound") {
+    // the oracle pins the sketch bit-for-bit; this pins that it is a
+    // GOOD estimator. The registered output deliberately reports only
+    // bit-stable integers (raw estimate + zero-register count) — the
+    // standard small-range linear-counting correction (Flajolet §4:
+    // if E ≤ 2.5m and V > 0, use m·ln(m/V)) involves ln, which is not
+    // bit-stable across engines, so the CONSUMER applies it — as this
+    // gate does, at both the small (sf0.001, linear regime) and the
+    // raw-HLL regime the larger SFs exercise.
+    val m = 256.0
+    val row = SparkEntry.queries("k05_hll_md5")(spark, sf0001).head()
+    val raw = row.getAs[Long]("hll_estimate").toDouble
+    val v = m - row.getAs[Long]("n_zero_buckets").toDouble // non-zero regs
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    assert(exact > 0)
+    val zeroRegs = row.getAs[Long]("n_zero_buckets").toDouble
+    val est =
+      if (raw <= 2.5 * m && zeroRegs > 0) m * math.log(m / zeroRegs)
+      else raw
+    assert(math.abs(est - exact) / exact < 0.20,
+      s"HLL estimate $est (raw $raw, V=$v) vs exact $exact")
+    // all 256 registers ride the output — spot the shape
+    assert(row.getAs[String]("registers").split("-").length == 256)
+  }
 }
