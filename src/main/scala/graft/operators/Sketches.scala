@@ -143,6 +143,76 @@ object Sketches {
       FROM agg, ex
       ORDER BY m""")),
 
+    // k04's ORACLE TWIN (Cormode & Muthukrishnan count-min, the md5
+    // treatment): a 4×1024 CMS whose counters are plain exact
+    // aggregates over md5-derived bucket assignments — the sketch
+    // build is one groupBy((row, bucket)), the probe is a broadcast
+    // join of the candidate terms' 4 buckets, the estimate is
+    // min-over-rows; every number is an exact integer DuckDB replays,
+    // including the per-candidate TRUE count riding along as the
+    // overcount witness (CMS never undercounts — spec-gated too). k04
+    // keeps Spark's CountMinSketch (implementation-specific hashing,
+    // adjudicated rows-only).
+    ("k06_cms_md5", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val W = 1024L; val D = 4
+      def bucketOf(i: Column, t: Column): Column =
+        pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), t)),
+          1, 15), 16, 10).cast("long"), lit(W))
+      val toks = graft.Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val depth = array((0 until D).map(lit): _*)
+      val sk = toks
+        .select(col("tok"), explode(depth).as("i"))
+        .select(col("i"), bucketOf(col("i"), col("tok")).as("bucket"))
+        .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+      val cands = Seq("table", "value", "query", "scan", "spark",
+        "window", "the", "a", "fast", "slow").toDF("term")
+      val probes = cands
+        .select(col("term"), explode(depth).as("i"))
+        .select(col("term"), col("i"),
+          bucketOf(col("i"), col("term")).as("bucket"))
+      val est = broadcast(probes).join(sk, Seq("i", "bucket"), "left")
+        .groupBy(col("term"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("approx_count"))
+      val exact = toks.groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("approx_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy(col("term"))
+    },
+    Some("""WITH t2 AS (
+        SELECT tok FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents) z
+        WHERE tok <> ''),
+      sk AS (
+        SELECT i.range AS i,
+          CAST(concat('0x', substr(md5(concat(CAST(i.range AS VARCHAR),
+            ':', tok)), 1, 15)) AS BIGINT) % 1024 AS bucket,
+          count(*) AS c
+        FROM t2 CROSS JOIN range(4) i GROUP BY 1, 2),
+      cand AS (
+        SELECT unnest(['table','value','query','scan','spark','window',
+          'the','a','fast','slow']) AS term),
+      pr AS (
+        SELECT term, i.range AS i,
+          CAST(concat('0x', substr(md5(concat(CAST(i.range AS VARCHAR),
+            ':', term)), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM cand CROSS JOIN range(4) i),
+      est AS (
+        SELECT pr.term, min(COALESCE(sk.c, 0)) AS approx_count
+        FROM pr LEFT JOIN sk ON sk.i = pr.i AND sk.bucket = pr.bucket
+        GROUP BY pr.term),
+      ex AS (SELECT tok AS term, count(*) AS exact_count FROM t2 GROUP BY 1)
+      SELECT e.term, CAST(e.approx_count AS BIGINT) AS approx_count,
+        CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+      FROM est e LEFT JOIN ex x ON x.term = e.term
+      ORDER BY e.term""")),
+
     // Bloom-pruned join: lineitem pruned by a bloom of high-value order
     // keys before the exact join. Oracle-gated with the PLAIN join SQL:
     // bloom false positives die in the exact join, so the result is

@@ -140,4 +140,13 @@ class SketchesSpec extends SparkSuite {
     // all 256 registers ride the output — spot the shape
     assert(row.getAs[String]("registers").split("-").length == 256)
   }
+
+  test("k06 oracle-replayable CMS never undercounts") {
+    val rows = SparkEntry.queries("k06_cms_md5")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("approx_count") >= r.getAs[Long]("exact_count"),
+        s"CMS undercounted ${r.getAs[String]("term")}")
+    }
+  }
 }
