@@ -209,7 +209,10 @@ object Flac {
     val parts = 1 << pOrder
     require(n % parts == 0, s"flac: block $n not divisible into $parts partitions")
     val per = n / parts
-    require(per >= order, "flac: first partition underflow")
+    // RFC 9639 §9.2.7: blockSize >> partitionOrder must exceed the
+    // predictor order — per == order would make the first partition
+    // zero-sample, which conformant decoders reject
+    require(per > order, "flac: first partition underflow")
     var idx = order
     var p = 0
     while (p < parts) {
@@ -342,15 +345,38 @@ object Flac {
         case -16 => r.readBits(16).toInt + 1
         case v => v
       }
+      // explicit frame sample rates must agree with STREAMINFO — the
+      // returned Wav.Audio advertises meta.sampleRate, so a divergent
+      // frame would silently mislabel the decoded PCM
       srCode match {
-        case 12 => r.readBits(8) // kHz byte
-        case 13 | 14 => r.readBits(16) // Hz / Hz·10
-        case _ => ()
+        case 12 =>
+          val khz = r.readBits(8)
+          require(khz * 1000 == meta.sampleRate.toLong,
+            s"flac: frame sample rate ${khz * 1000} != stream ${meta.sampleRate}")
+        case 13 =>
+          val hz = r.readBits(16)
+          require(hz == meta.sampleRate.toLong,
+            s"flac: frame sample rate $hz != stream ${meta.sampleRate}")
+        case 14 =>
+          val hz10 = r.readBits(16)
+          require(hz10 * 10 == meta.sampleRate.toLong,
+            s"flac: frame sample rate ${hz10 * 10} != stream ${meta.sampleRate}")
+        case 0 => () // from STREAMINFO
+        case c =>
+          require(SampleRates(c) == meta.sampleRate,
+            s"flac: frame sample rate ${SampleRates(c)} != stream ${meta.sampleRate}")
       }
       require(r.bitPos == 0, "flac: frame header not byte-aligned")
       val hdrCrc = r.readBits(8).toInt
       require(hdrCrc == crc8(bytes, frameStart, r.bytePos - 1),
         "flac: frame header CRC-8 mismatch")
+      // a frame-level depth differing from STREAMINFO would decode at
+      // the frame depth while the returned Audio advertises the stream
+      // depth — samples could exceed the advertised range undetected
+      // when the STREAMINFO MD5 is absent
+      require(BitDepths(bdCode) == 0 ||
+          BitDepths(bdCode) == meta.bitsPerSample,
+        s"flac: frame bit depth ${BitDepths(bdCode)} != stream ${meta.bitsPerSample}")
       val bps = if (BitDepths(bdCode) == 0) meta.bitsPerSample
                 else BitDepths(bdCode)
       val channels = if (chanCode <= 7) chanCode + 1 else 2

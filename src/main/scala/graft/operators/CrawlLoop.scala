@@ -76,7 +76,14 @@ object CrawlLoop {
   // file re-parses the default resource XMLs
   private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
 
-  private[operators] def footerRows(p: String): Long = {
+  private[graft] def footerRows(p: String): Long = {
+    // the java.nio walk below only sees the LOCAL filesystem: a state
+    // dir on hdfs:/s3a: would silently sum to 0 and the manifest would
+    // record zero row counts with no error — fail loudly instead (the
+    // loop's state dirs are file-local by construction; route through
+    // Hadoop FileSystem if that ever changes)
+    require(!p.contains("://") || p.startsWith("file://"),
+      s"footerRows: non-local path '$p' — only file: paths walk here")
     val root = new java.io.File(p.stripPrefix("file:"))
     if (!root.exists()) return 0L
     import scala.jdk.CollectionConverters._

@@ -553,6 +553,21 @@ class CrawlLoopSpec extends SparkSuite {
     assert(dIx == Seq(3L, 4L, 5L), dIx)
   }
 
+  test("footerRows: local paths count footers, non-local schemes fail " +
+      "loudly instead of silently summing 0") {
+    // the walk is java.nio — an hdfs:/s3a: state dir would return 0 and
+    // the manifest would record zero row counts without any error
+    val e = intercept[IllegalArgumentException](
+      CrawlLoop.footerRows("s3a://bucket/state/corpus"))
+    assert(e.getMessage.contains("non-local"))
+    val e2 = intercept[IllegalArgumentException](
+      CrawlLoop.footerRows("hdfs://nn:8020/state/corpus"))
+    assert(e2.getMessage.contains("non-local"))
+    // file: and bare paths still walk (missing dir -> 0, not an error)
+    assert(CrawlLoop.footerRows("/tmp/graft-footer-does-not-exist") == 0L)
+    assert(CrawlLoop.footerRows("file:/tmp/graft-footer-does-not-exist") == 0L)
+  }
+
   test("c12 registered takedown: physical purge across every artifact, " +
       "control pair still dies, forgotten pair re-admitted") {
     // ride the EXACT registered query (the r16 VERDICT ask): its plants

@@ -205,6 +205,60 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decodeAudio(bytes).samples.toSeq == expected)
   }
 
+  test("frame/stream consistency: mismatched frame bit depth, divergent " +
+      "explicit sample rate, and a zero-sample first partition are refused") {
+    // (1) STREAMINFO says 16-bit, the frame header declares 8-bit
+    // (bdCode 1): decoding at the frame depth while advertising the
+    // stream depth would let samples exceed the advertised range
+    def frame(bdCode: Int, srCode: Int, rateBits: Option[(Long, Int)])(
+        body: W => Unit): Array[Byte] = {
+      val head = Flac.encodeHeader(8000, 1, 16, 8L)
+      val w = new W
+      w.bits(0x3ffe, 14); w.bit(0); w.bit(0)
+      w.bits(7, 4) // 16-bit blocksize-1 follows
+      w.bits(srCode, 4)
+      w.bits(0, 4) // mono
+      w.bits(bdCode, 3)
+      w.bit(0)
+      w.bits(0, 8) // frame number 0
+      w.bits(8 - 1, 16)
+      rateBits.foreach { case (v, n) => w.bits(v, n) }
+      val hdr = w.bytes
+      w.bits(specCrc8(hdr), 8)
+      body(w)
+      w.align()
+      val all = w.bytes
+      val crc = specCrc16(all)
+      head ++ all ++ Array(((crc >> 8) & 0xff).toByte, (crc & 0xff).toByte)
+    }
+    val badDepth = frame(bdCode = 1, srCode = 0, rateBits = None) { w =>
+      w.bit(0); w.bits(1, 6); w.bit(0)
+      (0 until 8).foreach(_ => w.bits(0, 8))
+    }
+    val e1 = intercept[IllegalArgumentException](Flac.decodeAudio(badDepth))
+    assert(e1.getMessage.contains("bit depth"))
+    // (2) explicit 16-bit Hz sample rate (srCode 13) diverging from
+    // STREAMINFO's 8000
+    val badRate = frame(bdCode = 4, srCode = 13, rateBits = Some((9999L, 16))) { w =>
+      w.bit(0); w.bits(1, 6); w.bit(0)
+      (0 until 8).foreach(_ => w.bits(0, 16))
+    }
+    val e2 = intercept[IllegalArgumentException](Flac.decodeAudio(badRate))
+    assert(e2.getMessage.contains("sample rate"))
+    // (3) RFC 9639 §9.2.7: blockSize >> partitionOrder must EXCEED the
+    // predictor order — 8 >> 2 == 2 == order leaves the first partition
+    // zero-sample, out of spec
+    val badPart = frame(bdCode = 4, srCode = 0, rateBits = None) { w =>
+      w.bit(0); w.bits(0x08 | 2, 6); w.bit(0) // FIXED order 2
+      w.bits(10, 16); w.bits(20, 16)          // warmup
+      w.bits(0, 2)  // rice (4-bit params)
+      w.bits(2, 4)  // partition order 2 -> per = 2 == order
+      (0 until 8).foreach(_ => w.bits(0, 8))  // padding past the require
+    }
+    val e3 = intercept[IllegalArgumentException](Flac.decodeAudio(badPart))
+    assert(e3.getMessage.contains("partition"))
+  }
+
   test("hand-built wasted-bits subframe shifts decoded samples back up") {
     // samples all multiples of 4 -> 2 wasted bits; CONSTANT at bps-2
     val bytes = handStream(8000, 1, 16, 12, chanCode = 0) { w =>
