@@ -69,9 +69,7 @@ object SparkEntry {
     "k01_approx_distinct" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
     "k03_approx_quantiles" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
     "k04_heavy_hitters" -> Seq("golden:SketchesSpec", "spec:SketchesSpec"),
-    "m03_band_stats" -> Seq("spec:KernelSpec"),
     "m26_video_keyframes" -> Seq("spec:Y4mSpec"),
-    "m27_audio_clips" -> Seq("spec:WavSpec"),
     "s02_ann_lsh" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
     "s03_embedding_neardup" -> Seq("spec:LlmOpsSpec", "spec:ScaleSpec"),
     "s04_ann_ivf" -> Seq("golden:GoldenAnnSpec", "spec:LlmOpsSpec"),
@@ -84,12 +82,9 @@ object SparkEntry {
     "s15_ann_opq" -> Seq("spec:LlmOpsSpec", "spec:PcaSpec"),
     "s08_embedding_admission" -> Seq("spec:LlmOpsSpec", "spec:StreamingSpec"),
     "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
-    "t22_bpe_train" -> Seq("spec:TrainingSpec"),
-    "t23_bpe_segment" -> Seq("spec:TrainingSpec"),
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
     "t45_wordpiece_train" -> Seq("spec:TrainingSpec"),
-    "t52_bpe_stored" -> Seq("spec:TrainingSpec"),
     "t53_unigram_stored" -> Seq("spec:TrainingSpec"),
     "r12_hybrid_rrf_ann" -> Seq("spec:RetrievalIndexSpec"),
     "t37_bpe_bytes" -> Seq("spec:TrainingSpec"),

@@ -30,6 +30,13 @@ object GraftFunctions {
   def sign_lsh(v: Column, tables: Int, planesPerTable: Int, seed: Long = 0L): Column =
     toCol(SignLsh(expression(v), tables, planesPerTable, seed))
 
+  /** Per-table sign-LSH bucket keys under the md5-derived INTEGER
+    * hyperplane family — exact-arithmetic oracle twin of [[sign_lsh]]
+    * (see [[IntSignLsh]]). */
+  def int_sign_lsh(v: Column, tables: Int, planesPerTable: Int,
+      salt: String = "s16", qBits: Int = 24): Column =
+    toCol(IntSignLsh(expression(v), tables, planesPerTable, salt, qBits))
+
   /** MinHash signature (k slots) over word n-gram shingles of a token array. */
   def minhash_sig(tokens: Column, n: Int = 3, k: Int = 12): Column =
     toCol(MinHashSig(expression(tokens), n, k))

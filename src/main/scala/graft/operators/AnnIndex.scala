@@ -175,9 +175,13 @@ object AnnIndex {
   /** Load the models driver-side and the index lazily; tombstoned ids
     * ([[delete]]) are masked here, so EVERY consumer honors deletions. */
   def load(spark: SparkSession, dir: String): Loaded = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
-    val model = spark.read.parquet(s"$dir/model.parquet").collect()
+    val meta = StoreGuard.metaRow(spark, dir,
+      "dim", "m", "ks", "nlist", "replicas")
+    val model = StoreGuard.table(spark, dir, "model.parquet", "kind", "vals")
+      .collect()
       .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    Seq("centroids", "codebook").foreach(k => require(model.contains(k),
+      s"AnnIndex.load: $dir/model.parquet has no '$k' row"))
     val rotation =
       if (!new java.io.File(
           dir.stripPrefix("file:") + "/rotation.parquet").exists()) None
@@ -187,7 +191,8 @@ object AnnIndex {
         Some(r.getSeq[Double](r.fieldIndex("vals"))
           .grouped(d).map(_.toSeq).toSeq)
       }
-    val raw = spark.read.parquet(s"$dir/index.parquet")
+    val raw = StoreGuard.table(spark, dir, "index.parquet",
+      "vec_id", "list_id", "codes")
     val visible = tombstones(spark, dir) match {
       case Some(t) => raw.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => raw

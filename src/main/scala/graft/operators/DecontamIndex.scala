@@ -131,13 +131,14 @@ object DecontamIndex {
   /** Load the index; tombstoned train ids are masked here, so every
     * consumer honors takedowns. */
   def load(spark: SparkSession, dir: String): Loaded = {
-    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    val m = StoreGuard.metaRow(spark, dir, "n", "nBuckets")
     val mask: DataFrame => DataFrame = tombstones(spark, dir) match {
       case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => identity
     }
     Loaded(m.getAs[Int]("n"), m.getAs[Int]("nBuckets"),
-      mask(spark.read.parquet(s"$dir/grams.parquet")))
+      mask(StoreGuard.table(spark, dir, "grams.parquet",
+        "gram", "doc_id", "bucket")))
   }
 
   /** The DISTINCT stored grams matching an eval gram set: listing-level

@@ -224,15 +224,17 @@ object DedupIndex {
     else "fnv"
 
   def load(spark: SparkSession, dir: String): Loaded = {
-    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    val m = StoreGuard.metaRow(spark, dir, "k", "b", "r")
     val mask: DataFrame => DataFrame = tombstones(spark, dir) match {
       case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => identity
     }
     Loaded(m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"),
       metaFamily(m),
-      mask(spark.read.parquet(s"$dir/exact.parquet")),
-      mask(spark.read.parquet(s"$dir/buckets.parquet")))
+      mask(StoreGuard.table(spark, dir, "exact.parquet",
+        "doc_id", "doc_md5")),
+      mask(StoreGuard.table(spark, dir, "buckets.parquet",
+        "doc_id", "band", "key")))
   }
 
   /** Dedup `batch` against a loaded index (and itself), returning one

@@ -130,14 +130,15 @@ object HashIndex {
   }
 
   def load(spark: SparkSession, dir: String): Loaded = {
-    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    val m = StoreGuard.metaRow(spark, dir, "blocks", "keyBits")
     val mask: DataFrame => DataFrame = tombstones(spark, dir) match {
       case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => identity
     }
     Loaded(m.getAs[Int]("blocks"), m.getAs[Int]("keyBits"),
-      mask(spark.read.parquet(s"$dir/hashes.parquet")),
-      mask(spark.read.parquet(s"$dir/buckets.parquet")))
+      mask(StoreGuard.table(spark, dir, "hashes.parquet", "doc_id", "hash")),
+      mask(StoreGuard.table(spark, dir, "buckets.parquet",
+        "doc_id", "hash", "blk", "key")))
   }
 
   /** Near-dup matches of a `batch` (doc_id, hash) against the STORED

@@ -2114,10 +2114,12 @@ object Multimodal {
       FROM seg ORDER BY doc_id, seg_idx""")),
 
     // Active-clip extraction over the m24 corpus: one WAV per active
-    // run. The segmentation schedule is the oracle-verified m24 one;
-    // the clip payloads are gated in WavSpec (each WAV decodes back to
-    // the exact sample span). Rows-only: WAV bytes are not
-    // SQL-recomputable.
+    // run. FULL oracle since r18: the registered output carries the
+    // clip SCHEDULE (m35's oracle-replayed spans verbatim) plus the
+    // emitted payload's LENGTH — and a canonical 16-bit mono RIFF is
+    // exactly 44 + 2·n_samples bytes (Wav.encode's fixed layout), so
+    // even the length column is engine-exact. The payload BYTES remain
+    // gated by WavSpec round-trips and m35's re-decoded digests.
     ("m27_audio_clips", (s: SparkSession, d: String) => {
       import s.implicits._
       val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -2138,7 +2140,40 @@ object Multimodal {
         .select(col("doc_id"), col("seg_idx"), col("start_sample"),
           col("n_samples"), length(col("wav")).as("wav_len"))
         .orderBy(col("doc_id"), col("seg_idx"))
-    }, None),
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(192 + doc_id % 64 AS INTEGER) AS n FROM documents),
+      pos AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+      sm AS (
+        SELECT doc_id, n, i,
+          CASE WHEN ((i // 32) + doc_id) % 3 <> 0
+            THEN (i * 37 + doc_id * 11) % 4001 - 2000
+            ELSE (i * 7) % 21 - 10 END AS s
+        FROM pos),
+      fr AS (
+        SELECT doc_id, CAST(i // 16 AS INTEGER) AS f,
+          sum(abs(s)) AS e, count(*) AS c
+        FROM sm GROUP BY doc_id, i // 16),
+      act AS (
+        SELECT doc_id, f,
+          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM fr WHERE e >= 100 * c),
+      seg AS (
+        SELECT doc_id, min(f) AS sf, max(f) AS ef
+        FROM act GROUP BY doc_id, grp),
+      clips AS (
+        SELECT s2.doc_id,
+          CAST(row_number() OVER (PARTITION BY s2.doc_id ORDER BY s2.sf) - 1
+            AS INTEGER) AS seg_idx,
+          s2.sf * 16 AS start_sample,
+          least((s2.ef + 1) * 16, d2.n) - s2.sf * 16 AS n_samples
+        FROM seg s2 JOIN dims d2 ON s2.doc_id = d2.doc_id)
+      SELECT doc_id, seg_idx,
+        CAST(start_sample AS INTEGER) AS start_sample,
+        CAST(n_samples AS INTEGER) AS n_samples,
+        CAST(44 + 2 * n_samples AS INTEGER) AS wav_len
+      FROM clips ORDER BY doc_id, seg_idx""")),
 
     // Digest twin of m27 (the metadata-twin oracle pattern): m27's WAV
     // payload column is inherently un-oracle-able, but re-DECODING every
@@ -3785,9 +3820,17 @@ object Multimodal {
       ORDER BY doc_id, corpus_id""")),
 
     // Per-label embedding band statistics through the mergeable
-    // BandStats aggregator (A12's raster-stats shape over float arrays;
-    // rows-only — Chan-merged float means are order-sensitive in the
-    // last ulp, partition-independence is spec-gated in KernelSpec).
+    // BandStats aggregator (A12's raster-stats shape over float arrays).
+    // FULL oracle since r18: everything the REGISTERED output carries is
+    // order-free — count/min/max exactly, and the histogram-interpolated
+    // p50 is a FIXED-ORDER double formula over exact integer bin counts
+    // (bin = trunc-toward-zero of (v+1)/2·20 clamped to [0,19]; the
+    // first bin whose cumulative count reaches 0.5·n supplies
+    // histMin + (bin + (target−acc)/h)·w, clamped to [min,max]) that
+    // DuckDB replays op for op. The Chan-merged mean/m2 the aggregator
+    // also maintains stay OUT of the registered output (order-sensitive
+    // in the last ulp — partition-independence of the rest is spec-gated
+    // in KernelSpec).
     ("m03_band_stats", (s: SparkSession, d: String) => {
       import s.implicits._
       val agg = graft.kernel.BandStats.Agg(-1.0, 1.0, bins = 20)
@@ -3801,7 +3844,39 @@ object Multimodal {
           (label, st.count, st.min, st.max, st.p50) }
         .toDF("label", "n_values", "min_v", "max_v", "p50")
         .orderBy(col("label"))
-    }, None),
+    },
+    Some("""WITH vals AS (
+        SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings),
+      base AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_values,
+          min(v) AS min_v, max(v) AS max_v
+        FROM vals GROUP BY label),
+      binned AS (
+        SELECT label,
+          GREATEST(0, LEAST(19, CAST(trunc(
+            (v - (-1.0)) / (1.0 - (-1.0)) * 20) AS INTEGER))) AS bin
+        FROM vals),
+      hist AS (
+        SELECT label, bin, count(*) AS h FROM binned GROUP BY label, bin),
+      cum AS (
+        SELECT label, bin, h,
+          sum(h) OVER (PARTITION BY label ORDER BY bin) AS cumh
+        FROM hist),
+      sel AS (
+        SELECT label, bin, h, acc FROM (
+          SELECT c.label, c.bin, c.h, c.cumh - c.h AS acc,
+            row_number() OVER (PARTITION BY c.label ORDER BY c.bin) AS rn
+          FROM cum c JOIN base b ON b.label = c.label
+          WHERE c.h > 0
+            AND CAST(c.cumh AS DOUBLE) >= 0.5 * CAST(b.n_values AS DOUBLE)) z
+        WHERE rn = 1)
+      SELECT b.label, b.n_values, b.min_v, b.max_v,
+        GREATEST(b.min_v, LEAST(b.max_v,
+          -1.0 + (s.bin + (0.5 * CAST(b.n_values AS DOUBLE)
+            - CAST(s.acc AS DOUBLE)) / CAST(s.h AS DOUBLE))
+            * ((1.0 - (-1.0)) / 20))) AS p50
+      FROM base b JOIN sel s ON s.label = b.label
+      ORDER BY b.label""")),
 
     // m03's oracle-stable twin: every output survives the hash compare
     // because the arithmetic is exact — count/min/max are order-free,

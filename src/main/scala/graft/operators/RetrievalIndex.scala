@@ -164,14 +164,15 @@ object RetrievalIndex {
     * so every consumer honors takedowns. */
   def load(spark: SparkSession, dir: String): Loaded = {
     val nBuckets =
-      spark.read.parquet(s"$dir/meta.parquet").head().getAs[Int]("nBuckets")
+      StoreGuard.metaRow(spark, dir, "nBuckets").getAs[Int]("nBuckets")
     val mask: DataFrame => DataFrame = tombstones(spark, dir) match {
       case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => identity
     }
     Loaded(nBuckets,
-      mask(spark.read.parquet(s"$dir/postings.parquet")),
-      mask(spark.read.parquet(s"$dir/doclens.parquet")))
+      mask(StoreGuard.table(spark, dir, "postings.parquet",
+        "term", "doc_id", "tf", "bucket")),
+      mask(StoreGuard.table(spark, dir, "doclens.parquet", "doc_id", "dl")))
   }
 
   /** The stored postings restricted to a query vocabulary: partition

@@ -40,6 +40,19 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Signature family for the LSH machinery: (vector, tables, planes) →
+    * array<long> of per-table buckets. [[liveSigner]] is the default
+    * (native splitmix-double [[graft.functions.SignLsh]]);
+    * [[md5Signer]] is the exact-integer md5-hyperplane family the s16
+    * oracle twin runs the IDENTICAL machinery under. */
+  type Signer = (Column, Int, Int) => Column
+
+  val liveSigner: Signer =
+    (c, t, p) => graft.functions.GraftFunctions.sign_lsh(c, t, p)
+
+  val md5Signer: Signer =
+    (c, t, p) => graft.functions.GraftFunctions.int_sign_lsh(c, t, p)
+
   /** (vec_id, table, bucket) keys for `tables` LSH hash tables of
     * `planesPerTable` sign bits each (OR-amplification: a pair is a
     * candidate if it collides in ANY table — a single m-bit bucket has
@@ -47,10 +60,10 @@ object Similarity {
     * neighbors in this corpus). Buckets come from the native [[SignLsh]]
     * expression — a tight primitive loop, not per-plane HOFs.
     */
-  def lshKeyed(df: DataFrame, tables: Int, planesPerTable: Int): DataFrame =
+  def lshKeyed(df: DataFrame, tables: Int, planesPerTable: Int,
+      signer: Signer = liveSigner): DataFrame =
     df.select(col("vec_id"),
-        posexplode(graft.functions.GraftFunctions.sign_lsh(
-          col("embedding"), tables, planesPerTable)))
+        posexplode(signer(col("embedding"), tables, planesPerTable)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
@@ -60,8 +73,9 @@ object Similarity {
     * this buys recall for tables× fewer hash tables at query-side-only
     * cost (the corpus side stays single-keyed).
     */
-  def lshKeyedMultiProbe(df: DataFrame, tables: Int, planesPerTable: Int): DataFrame = {
-    val keyed = lshKeyed(df, tables, planesPerTable)
+  def lshKeyedMultiProbe(df: DataFrame, tables: Int, planesPerTable: Int,
+      signer: Signer = liveSigner): DataFrame = {
+    val keyed = lshKeyed(df, tables, planesPerTable, signer)
     val probes = keyed.select(col("vec_id"), col("table"),
         explode(array((0 until planesPerTable).map(b =>
           col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
@@ -86,14 +100,14 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 8, planesPerTable: Int = 0,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true, signer: Signer = liveSigner): DataFrame = {
     val planes = if (planesPerTable > 0) planesPerTable else planesFor(corpus.count())
     import org.apache.spark.sql.expressions.Window
     // candidate ids first (dedup over small (qid, nid) keys — never
     // shuffle the embedding arrays as dedup keys), then one scoring join
-    val qKeys = if (multiProbe) lshKeyedMultiProbe(queries, tables, planes)
-      else lshKeyed(queries, tables, planes)
-    val cands = lshKeyed(corpus, tables, planes).alias("c")
+    val qKeys = if (multiProbe) lshKeyedMultiProbe(queries, tables, planes, signer)
+      else lshKeyed(queries, tables, planes, signer)
+    val cands = lshKeyed(corpus, tables, planes, signer).alias("c")
       .join(broadcast(qKeys.alias("q")), Seq("table", "bucket"))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
@@ -127,11 +141,11 @@ object Similarity {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
       tables: Int = 8, planesPerTable: Int = 0,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, signer: Signer = liveSigner): DataFrame = {
     val planes = if (planesPerTable > 0) planesPerTable else planesFor(emb.count())
     // pre-cap persist: the cap's counts + probe and the self-join's two
     // sides all read the cached keys instead of re-hashing the corpus
-    val keyed = lshKeyed(emb, tables, planes)
+    val keyed = lshKeyed(emb, tables, planes, signer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = Scale.capBuckets(keyed,
       Seq("table", "bucket"), maxBucket) // skew guard — see Scale.capBuckets
@@ -979,12 +993,145 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }, None),
 
+    // s02's ORACLE TWIN (the d14/d15 hash-family treatment applied to
+    // the ANN stack): the IDENTICAL [[lshTopK]] machinery — multi-probe
+    // OR-amplified bucket keys, the broadcast bucket join, candidate-id
+    // dedup before the scoring joins, exact-cosine rerank, window top-k
+    // — under the md5-derived INTEGER hyperplane family
+    // ([[md5Signer]] / [[graft.functions.IntSignLsh]]): DuckDB replays
+    // hyperplane derivation, Q24 quantization, the exact integer dots,
+    // sign bits, bucket packing, every 1-bit probe flip, and the same
+    // double-cosine rerank s01 already pins. s02 keeps the native
+    // splitmix-double family (float dots are not SQL-derivable —
+    // adjudicated in COVERAGE.md). Geometry pinned (8 tables × 6
+    // planes) so the oracle is SF-static.
+    ("s16_ann_lsh_md5", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      lshTopK(emb.filter(col("vec_id") < 20), emb, 10,
+          tables = 8, planesPerTable = 6, multiProbe = true,
+          signer = md5Signer)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH qv AS (
+        SELECT vec_id, j.range AS j,
+          CAST(floor(CAST(embedding[CAST(j.range AS INTEGER) + 1] AS DOUBLE)
+            * 16777216) AS BIGINT) AS qj
+        FROM embeddings CROSS JOIN range(64) j),
+      hp AS (
+        SELECT t.range AS t, p.range AS p, j.range AS j,
+          (CAST(concat('0x', substr(md5('s16:' || CAST(t.range AS VARCHAR)
+            || ':' || CAST(p.range AS VARCHAR) || ':'
+            || CAST(j.range AS VARCHAR)), 1, 15)) AS BIGINT) % 31) - 15 AS h
+        FROM range(8) t CROSS JOIN range(6) p CROSS JOIN range(64) j),
+      dots AS (
+        SELECT v.vec_id, hp.t, hp.p, sum(v.qj * hp.h) AS dot
+        FROM qv v JOIN hp ON hp.j = v.j
+        GROUP BY v.vec_id, hp.t, hp.p),
+      keys AS (
+        SELECT vec_id, t,
+          CAST(sum(CASE WHEN dot >= 0
+            THEN 1::BIGINT << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM dots GROUP BY vec_id, t),
+      probes AS (
+        SELECT vec_id, t, bucket FROM keys WHERE vec_id < 20
+        UNION ALL
+        SELECT k.vec_id, k.t,
+          xor(k.bucket, 1::BIGINT << CAST(b.range AS INTEGER)) AS bucket
+        FROM keys k CROSS JOIN range(6) b WHERE k.vec_id < 20),
+      cands AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN keys c ON c.t = p.t AND c.bucket = p.bucket
+        WHERE p.vec_id <> c.vec_id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qe.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ce.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM cands cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ce ON ce.vec_id = cd.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // Embedding-cosine near-dup pairs above a threshold, candidates from
     // any-table LSH collision (rows-only). Candidate ids dedup first;
     // embeddings join back once for scoring.
     ("s03_embedding_neardup", (s: SparkSession, d: String) =>
       embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b")), None),
+
+    // s03's ORACLE TWIN — the PAIRS half of the ANN stack under the md5
+    // hyperplane family (s16 covers the top-k half): the IDENTICAL
+    // [[embeddingNearDups]] machinery — persisted keys, the
+    // [[Scale.capBuckets]] skew guard, left-side-only multi-probe, the
+    // id-ordered bucket self-join, candidate dedup before the scoring
+    // joins, exact-cosine threshold — with only the signature family
+    // swapped. DuckDB replays the cap (HAVING > maxBucket anti-join,
+    // the d14 pattern), every probe flip, and the rerank.
+    ("s17_embedding_neardup_md5", (s: SparkSession, d: String) =>
+      embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3,
+          tables = 8, planesPerTable = 6, signer = md5Signer)
+        .orderBy(col("vec_a"), col("vec_b")),
+    Some("""WITH qv AS (
+        SELECT vec_id, j.range AS j,
+          CAST(floor(CAST(embedding[CAST(j.range AS INTEGER) + 1] AS DOUBLE)
+            * 16777216) AS BIGINT) AS qj
+        FROM embeddings CROSS JOIN range(64) j),
+      hp AS (
+        SELECT t.range AS t, p.range AS p, j.range AS j,
+          (CAST(concat('0x', substr(md5('s16:' || CAST(t.range AS VARCHAR)
+            || ':' || CAST(p.range AS VARCHAR) || ':'
+            || CAST(j.range AS VARCHAR)), 1, 15)) AS BIGINT) % 31) - 15 AS h
+        FROM range(8) t CROSS JOIN range(6) p CROSS JOIN range(64) j),
+      dots AS (
+        SELECT v.vec_id, hp.t, hp.p, sum(v.qj * hp.h) AS dot
+        FROM qv v JOIN hp ON hp.j = v.j
+        GROUP BY v.vec_id, hp.t, hp.p),
+      keys AS (
+        SELECT vec_id, t,
+          CAST(sum(CASE WHEN dot >= 0
+            THEN 1::BIGINT << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM dots GROUP BY vec_id, t),
+      hot AS (
+        SELECT t, bucket FROM keys GROUP BY t, bucket
+        HAVING count(*) > 1000),
+      capped AS (
+        SELECT k.vec_id, k.t, k.bucket FROM keys k
+        LEFT JOIN hot h ON h.t = k.t AND h.bucket = k.bucket
+        WHERE h.t IS NULL),
+      probes AS (
+        SELECT vec_id, t, bucket FROM capped
+        UNION ALL
+        SELECT c.vec_id, c.t,
+          xor(c.bucket, 1::BIGINT << CAST(b.range AS INTEGER)) AS bucket
+        FROM capped c CROSS JOIN range(6) b),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM probes a JOIN capped b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.vec_a, p.vec_b,
+          list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.vec_a
+        JOIN embeddings eb ON eb.vec_id = p.vec_b)
+      SELECT vec_a, vec_b, cos FROM scored
+      WHERE cos >= 0.3 ORDER BY vec_a, vec_b""")),
 
     // IVF-bucketed ANN for the same 20 queries — the inverted-list scale
     // path (rows-only; recall vs brute force asserted in LlmOpsSpec).

@@ -253,6 +253,100 @@ object Sketches {
         .orderBy(col("l_returnflag"))
     }, None),
 
+    // k03's ORACLE TWIN, completing the sketch family (k01→k05 HLL,
+    // k04→k06 CMS): a deterministic-sample quantile sketch whose ENTIRE
+    // state is exact under the oracle — the sample is the 256 rows with
+    // the smallest md5 draw per group (reservoir-free and closed-form:
+    // one window rank, no RNG), the estimate is the exact type-1
+    // quantile (rank ⌈q·n⌉) over the sorted sample, and the TRUE
+    // quantile over the full group rides along as the error witness
+    // (the k05/k06 shape). Selection only — no value arithmetic — so
+    // every output is a value both engines hold bit-identically. k03
+    // keeps Spark's Greenwald-Khanna (accuracy-parameter-specific
+    // summary, adjudicated rows-only). At 100 TB the sample stays 256
+    // rows/group: the window rank is one exchange on the group key and
+    // the md5 order prunes with a per-partition top-256 pre-aggregation
+    // under AQE.
+    ("k07_quantiles_md5", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 256
+      val keyed = graft.Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("v"),
+        md5(concat(lit("k07:"), col("l_orderkey").cast("string"),
+          lit(":"), col("l_linenumber").cast("string"))).as("mk"),
+        col("l_orderkey"), col("l_linenumber"))
+      val samp = keyed.withColumn("rn", row_number().over(
+          Window.partitionBy(col("flag"))
+            .orderBy(col("mk"), col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn") <= W)
+      val sk = samp.groupBy(col("flag"))
+        .agg(sort_array(collect_list(col("v"))).as("vs"),
+          count(lit(1)).as("ns"))
+      def sel(q: Double): Column =
+        element_at(col("vs"), ceil(lit(q) * col("ns")).cast("int"))
+      val est = sk.select(col("flag"),
+        sel(0.25).as("approx_p25"), sel(0.5).as("approx_p50"),
+        sel(0.75).as("approx_p75"), sel(0.99).as("approx_p99"),
+        col("ns").cast("long").as("n_sample"))
+      val full = keyed.select(col("flag"), col("v"))
+        .withColumn("rv", row_number().over(
+          Window.partitionBy(col("flag")).orderBy(col("v"))))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("flag"))))
+      def ex(q: Double): Column =
+        max(when(col("rv") === ceil(lit(q) * col("nt")), col("v")))
+      val exact = full.groupBy(col("flag"))
+        .agg(ex(0.25).as("exact_p25"), ex(0.5).as("exact_p50"),
+          ex(0.75).as("exact_p75"), ex(0.99).as("exact_p99"),
+          count(lit(1)).as("n_total"))
+      est.join(exact, Seq("flag"))
+        .withColumnRenamed("flag", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH keyed AS (
+        SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS v,
+          md5('k07:' || CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR)) AS mk,
+          l_orderkey, l_linenumber
+        FROM lineitem),
+      samp AS (
+        SELECT flag, v, row_number() OVER (PARTITION BY flag
+          ORDER BY mk, l_orderkey, l_linenumber) AS rn
+        FROM keyed),
+      sk AS (
+        SELECT flag, list_sort(list(v)) AS vs, count(*) AS ns
+        FROM samp WHERE rn <= 256 GROUP BY flag),
+      est AS (
+        SELECT flag,
+          vs[CAST(ceil(CAST(0.25 AS DOUBLE) * ns) AS INTEGER)] AS approx_p25,
+          vs[CAST(ceil(CAST(0.5 AS DOUBLE) * ns) AS INTEGER)] AS approx_p50,
+          vs[CAST(ceil(CAST(0.75 AS DOUBLE) * ns) AS INTEGER)] AS approx_p75,
+          vs[CAST(ceil(CAST(0.99 AS DOUBLE) * ns) AS INTEGER)] AS approx_p99,
+          CAST(ns AS BIGINT) AS n_sample
+        FROM sk),
+      fullq AS (
+        SELECT flag, v,
+          row_number() OVER (PARTITION BY flag ORDER BY v) AS rv,
+          count(*) OVER (PARTITION BY flag) AS nt
+        FROM keyed),
+      ex AS (
+        SELECT flag,
+          max(CASE WHEN rv = ceil(CAST(0.25 AS DOUBLE) * nt) THEN v END)
+            AS exact_p25,
+          max(CASE WHEN rv = ceil(CAST(0.5 AS DOUBLE) * nt) THEN v END)
+            AS exact_p50,
+          max(CASE WHEN rv = ceil(CAST(0.75 AS DOUBLE) * nt) THEN v END)
+            AS exact_p75,
+          max(CASE WHEN rv = ceil(CAST(0.99 AS DOUBLE) * nt) THEN v END)
+            AS exact_p99,
+          CAST(count(*) AS BIGINT) AS n_total
+        FROM fullq GROUP BY flag)
+      SELECT e.flag AS l_returnflag,
+        e.approx_p25, e.approx_p50, e.approx_p75, e.approx_p99, e.n_sample,
+        x.exact_p25, x.exact_p50, x.exact_p75, x.exact_p99, x.n_total
+      FROM est e JOIN ex x ON x.flag = e.flag
+      ORDER BY l_returnflag""")),
+
     // Count-min-sketch heavy hitters: the sketch builds distributed
     // (mergeable partial aggregation — one pass, no per-key shuffle);
     // the driver probes candidate keys against the one merged sketch.

@@ -183,6 +183,23 @@ object TextAnalysis {
         .as("margin_q30"))
   }
 
+  /** [[langIdMargin]] materialized ONCE per dataset fingerprint (the
+    * c12/t50 IxScratch discipline): the margin frame is a per-dataset
+    * artifact — t43 and t48 both need it, and each live derivation
+    * rides the full 2048-bucket model build. The first caller builds
+    * and writes it; every later read is one parquet scan. All columns
+    * are long/string, so the round-trip is bit-exact and the oracle
+    * gates are unchanged. */
+  private def langIdMarginCached(s: SparkSession, d: String): DataFrame = {
+    val dir = IxScratch.cached(
+        IxScratch.fingerprint(d) + "|langid-margin", "graft-langid-") { p =>
+      langIdMargin(Tables.documents(s, d))
+        .coalesce(1)
+        .write.parquet(p + "/margin.parquet")
+    }
+    s.read.parquet(dir + "/margin.parquet")
+  }
+
   /** (doc_id, w1, w2) bigram rows — `slice` + `arrays_zip` (codegen'd
     * collection ops, no HOF lambda) then one explode. */
   def bigrams(docs: DataFrame): DataFrame = {
@@ -846,8 +863,12 @@ object TextAnalysis {
     // the exact Q30 gap between winner and runner-up, oracle-gated
     // (integer sums of the same bit-stable model weights). Token-free
     // docs have no score rows and are absent by contract on both sides.
+    // Served from the per-dataset cached frame (langIdMarginCached —
+    // built by the live langIdMargin derivation on first touch); the
+    // oracle still replays the full model+margin computation, so the
+    // cached artifact is hash-gated against the live math at both SFs.
     ("t43_langid_margin", (s: SparkSession, d: String) =>
-      langIdMargin(Tables.documents(s, d)).orderBy(col("doc_id")),
+      langIdMarginCached(s, d).orderBy(col("doc_id")),
     Some("WITH " + langIdOracleCtes + """
       SELECT t.doc_id, t.model_lang AS pred_lang,
         COALESCE(s.model_lang, '') AS second_lang,
@@ -1081,7 +1102,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chr"),
         fns.marker_count(toks, Stopwords, lowercase = true).cast("long")
           .as("stop_cnt"))
-      val marg = langIdMargin(docs)
+      val marg = langIdMarginCached(s, d)
         .select(col("doc_id"), col("margin_q30"))
       slices.join(marg, Seq("doc_id"), "left")
         .select(col("source"), col("lang"),

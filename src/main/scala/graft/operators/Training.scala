@@ -474,13 +474,14 @@ object Training {
     * in its pinned order. */
   def loadTokenizer(spark: SparkSession,
       dir: String): (String, DataFrame, Map[String, String]) = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").collect()
+    val meta = StoreGuard.table(spark, dir, "meta.parquet", "key", "value")
+      .collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val family = meta.getOrElse("family",
       sys.error(s"loadTokenizer: $dir/meta.parquet has no 'family' row"))
     require(tokenizerFamilies.contains(family),
       s"loadTokenizer: stored family '$family' unknown to this build")
-    (family, spark.read.parquet(s"$dir/model.parquet"), meta - "family")
+    (family, StoreGuard.table(spark, dir, "model.parquet"), meta - "family")
   }
 
   /** Store a WordPiece vocabulary (the [[wordpieceVocab]] /
@@ -501,8 +502,12 @@ object Training {
     val (family, model, params) = loadTokenizer(spark, dir)
     require(family == "wordpiece",
       s"loadWordpieceVocab: $dir stores a '$family' model")
-    (model.orderBy(col("ord")).collect().map(_.getAs[String]("piece")).toSeq,
-      params.getOrElse("unk_token", "[UNK]"))
+    Seq("ord", "piece").foreach(c => require(model.columns.contains(c),
+      s"loadWordpieceVocab: $dir/model.parquet has no '$c' column"))
+    val vocab =
+      model.orderBy(col("ord")).collect().map(_.getAs[String]("piece")).toSeq
+    require(vocab.nonEmpty, s"loadWordpieceVocab: $dir stores an empty vocab")
+    (vocab, params.getOrElse("unk_token", "[UNK]"))
   }
 
   /** Store a BPE merge table ([[bpeTrain]]'s output, rank-ordered). */
@@ -518,8 +523,18 @@ object Training {
       dir: String): (Seq[(String, String)], Boolean) = {
     val (family, model, params) = loadTokenizer(spark, dir)
     require(family == "bpe", s"loadBpeMerges: $dir stores a '$family' model")
-    (model.orderBy(col("rank")).collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq,
+    Seq("rank", "left", "right").foreach(c =>
+      require(model.columns.contains(c),
+        s"loadBpeMerges: $dir/model.parquet has no '$c' column"))
+    val rows = model.orderBy(col("rank")).collect()
+    // ranks must be exactly 1..n — a gap means a truncated/partial store
+    // whose encode order would silently skip merges
+    rows.map(_.getAs[Int]("rank")).zipWithIndex.foreach { case (rk, i) =>
+      require(rk == i + 1,
+        s"loadBpeMerges: $dir ranks are not contiguous (found $rk at " +
+          s"position ${i + 1})")
+    }
+    (rows.map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq,
       params.get("byte_level").contains("true"))
   }
 
@@ -536,8 +551,17 @@ object Training {
     val (family, model, _) = loadTokenizer(spark, dir)
     require(family == "unigram",
       s"loadUnigramModel: $dir stores a '$family' model")
-    model.orderBy(col("log_prob").desc, col("piece")).collect()
+    Seq("piece", "log_prob").foreach(c => require(model.columns.contains(c),
+      s"loadUnigramModel: $dir/model.parquet has no '$c' column"))
+    val rows = model.orderBy(col("log_prob").desc, col("piece")).collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Double]("log_prob"))).toSeq
+    require(rows.nonEmpty, s"loadUnigramModel: $dir stores an empty model")
+    // a NaN/positive log-prob would silently corrupt every Viterbi walk
+    rows.foreach { case (p, lp) =>
+      require(!lp.isNaN && lp <= 0.0,
+        s"loadUnigramModel: $dir piece '$p' has invalid log_prob $lp")
+    }
+    rows
   }
 
   /** t46's SQL-derivable WordPiece vocabulary over a (word, wcnt) table:
@@ -645,6 +669,159 @@ object Training {
       FROM walk w JOIN words s ON s.word = w.word
       WHERE w.tok IS NOT NULL
       GROUP BY w.word, s.wcnt ORDER BY w.word"""
+
+  /** The BPE-train oracle CTE chain: `merges` UNROLLED merge iterations
+    * over the corpus word table (the w07-PageRank discipline — a
+    * sequential fixpoint whose step count is a model constant unrolls
+    * as chained CTEs). Each iteration is plain SQL replaying
+    * [[bpeTrain]]'s loop exactly:
+    *
+    *  1. pair census over adjacent symbols weighted by word count
+    *     (`HAVING >= 2` = minPairCount — if the global max is below it
+    *     both sides stop: Spark sets `done`, the SQL's empty `b{k}`
+    *     makes every later iteration a no-op identity);
+    *  2. argmax under the exact tie order (count DESC, left ASC,
+    *     right ASC);
+    *  3. the greedy left-to-right rewrite in CLOSED FORM: a match at
+    *     position i can only be adjacent to another match when
+    *     left == right (else s[i+1] would have to equal both), and a
+    *     run of adjacent matches merges at alternating positions — so
+    *     "merge position" = match whose offset within its
+    *     gaps-and-islands run is even, no recursion needed. Consumed
+    *     positions (predecessor merged) drop; survivors renumber.
+    *
+    * Because encoding applies the merge table in rank order to the raw
+    * char split, the training end state st{merges} IS the segmentation
+    * of every corpus word — one chain gates t22 (the merge table), t23
+    * (live-train segmentation rollup), and t52 (stored-model serving)
+    * at once. */
+  private def bpeOracleCtes(merges: Int,
+      docsRel: String = "documents"): String = {
+    val base = s"""w0 AS MATERIALIZED (
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM $docsRel) z
+        WHERE word <> '' GROUP BY word),
+      st0 AS MATERIALIZED (
+        SELECT word, cnt, CAST(p AS INTEGER) AS pos,
+          substr(word, CAST(p AS INTEGER), 1) AS sym
+        FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS p
+              FROM w0) z)"""
+    val iters = (1 to merges).map { k =>
+      val pv = s"st${k - 1}"
+      s"""
+      pr$k AS MATERIALIZED (
+        SELECT a.sym AS l, b.sym AS r2, sum(a.cnt) AS pc
+        FROM $pv a JOIN $pv b ON a.word = b.word AND b.pos = a.pos + 1
+        GROUP BY 1, 2 HAVING sum(a.cnt) >= 2),
+      b$k AS MATERIALIZED (SELECT l, r2, pc FROM pr$k
+        ORDER BY pc DESC, l ASC, r2 ASC LIMIT 1),
+      m$k AS MATERIALIZED (
+        SELECT s.word, s.pos
+        FROM $pv s JOIN $pv t2 ON t2.word = s.word AND t2.pos = s.pos + 1
+        JOIN b$k bb ON s.sym = bb.l AND t2.sym = bb.r2),
+      ms$k AS MATERIALIZED (
+        SELECT word, pos FROM (
+          SELECT word, pos,
+            (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 AS par
+          FROM (
+            SELECT word, pos,
+              pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+            FROM m$k) g) z WHERE par = 0),
+      st$k AS MATERIALIZED (
+        SELECT s.word, s.cnt,
+          CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos)
+            AS INTEGER) AS pos,
+          CASE WHEN m.pos IS NOT NULL THEN s.sym || n.sym ELSE s.sym END AS sym
+        FROM $pv s
+        LEFT JOIN ms$k m ON m.word = s.word AND m.pos = s.pos
+        LEFT JOIN ms$k mp ON mp.word = s.word AND mp.pos = s.pos - 1
+        LEFT JOIN $pv n ON n.word = s.word AND n.pos = s.pos + 1
+        WHERE mp.pos IS NULL)"""
+    }.mkString(",")
+    base + "," + iters
+  }
+
+  /** t22's oracle: the 16-merge table straight from the unrolled
+    * chain's per-iteration argmax CTEs. */
+  val bpeTrainOracleSql: String =
+    "WITH " + bpeOracleCtes(16) + ",\n      mt AS (" +
+      (1 to 16).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS "rank", l, r2, pc FROM b$k""")
+        .mkString("\n        UNION ALL ") + """)
+      SELECT "rank", l AS "left", r2 AS "right", l || r2 AS merged,
+        CAST(pc AS BIGINT) AS pair_count
+      FROM mt ORDER BY "rank""""
+
+  /** The per-doc segmentation-rollup oracle over `docsRel`, trained by
+    * the unrolled chain over the same relation; `prefixCtes` lets a
+    * caller prepend the relation's own CTE (t54's snapshot union). */
+  private def bpeEncodeSql(docsRel: String, prefixCtes: String = ""): String =
+    "WITH " + prefixCtes + bpeOracleCtes(16, docsRel) + s""",
+      wp AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+             FROM st16 GROUP BY word),
+      dw AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM $docsRel) z
+        WHERE word <> '')
+      SELECT d.doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces,
+        CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+        CAST(sum(length(d.word)) AS DOUBLE)
+          / CAST(sum(wp.n_pieces) AS DOUBLE) AS compression
+      FROM dw d JOIN wp ON wp.word = d.word
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** t23/t52's oracle (shared VERBATIM — live train vs stored-model
+    * serving, the t46/t50 discipline): per-word piece counts are the
+    * training end state's row counts; the per-doc rollup re-joins the
+    * corpus words. */
+  val bpeEncodeOracleSql: String = bpeEncodeSql("documents")
+
+  /** The planted refresh batch: every 7th document re-posted with a
+    * run of a fresh token, heavy enough to MOVE the merge table at any
+    * test SF (45 repeats — the new word's internal pairs outweigh the
+    * organic rank-16 pair count, so v2 visibly diverges from v1 and
+    * the tie-break order gets exercised by the six equal-count pairs). */
+  private val refreshPlant: String = " graftql" * 45
+
+  /** corpus ∪ the synthetic refresh batch — deterministic and
+    * SQL-expressible so t54 stays oracle-gated end to end. */
+  private def refreshSnapshot(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(refreshPlant)).as("text")))
+
+  /** t54's oracle: the same unrolled train+encode chain over the
+    * snapshot union (the plant replayed via repeat()). */
+  val bpeRefreshOracleSql: String = bpeEncodeSql("docs54",
+    """docs54 AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+          text || repeat(' graftql', 45) AS text
+        FROM documents WHERE doc_id % 7 = 0),""")
+
+  /** v1/v2 store dirs for the t54 refresh lifecycle (IxScratch-cached,
+    * the c12 discipline): v1 trains on the corpus; v2 RETRAINS on
+    * corpus ∪ batch and stores ALONGSIDE v1 — a versioned store (the
+    * AnnIndex-meta idea applied as sibling dirs), so old-model encodes
+    * stay reproducible from the old dir after a refresh (TrainingSpec
+    * gates exactly that). */
+  private[graft] def bpeRefreshDirs(s: SparkSession,
+      d: String): (String, String) = {
+    val root = IxScratch.cached(
+        IxScratch.fingerprint(d) + "|bpe-refresh", "graft-tokstore-") { p =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      storeBpeMerges(bpeTrain(docs, merges = 16), p + "/v1")
+      storeBpeMerges(bpeTrain(refreshSnapshot(docs), merges = 16), p + "/v2")
+    }
+    (root + "/v1", root + "/v2")
+  }
 
   /** Unigram-LM tokenizer training (the SentencePiece unigram model,
     * Kudo 2018, arXiv 1804.10959) — the OTHER major subword family next
@@ -1096,17 +1273,25 @@ object Training {
     // bit-for-bit comparison against an independent local reference
     // implementation, plus determinism. Ordered by rank — the merge
     // sequence is the contract.
+    // FULL oracle since r18: the 16-merge fixpoint unrolls as chained
+    // CTEs (bpeOracleCtes — pair census, exact-tie argmax, closed-form
+    // greedy rewrite per iteration), so DuckDB replays the ENTIRE
+    // training loop and the merge table is hash-gated bit-for-bit.
     ("t22_bpe_train", (s: SparkSession, d: String) =>
       bpeTrain(Tables.documents(s, d), merges = 16)
-        .orderBy(col("rank")), None),
+        .orderBy(col("rank")), Some(bpeTrainOracleSql)),
 
     // Corpus segmentation with the trained tokenizer — per-doc word,
     // piece, and char totals plus the chars-per-piece compression the
     // merges buy. The segmentation itself is one shuffle-free codegen'd
     // projection (16 nested merge_pair applications); only the per-doc
     // stat rollup aggregates (production emits the pieces stream and
-    // skips even that). Gate: TrainingSpec segments every distinct word
-    // identically to the reference tokenizer.
+    // skips even that). FULL oracle since r18 (shared VERBATIM with
+    // t52): encoding applies the merges in rank order to the raw char
+    // split, so the unrolled training chain's end state IS each word's
+    // segmentation — one oracle replays train AND encode. TrainingSpec
+    // additionally pins every distinct word against the reference
+    // tokenizer.
     ("t23_bpe_segment", (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
       val merges = bpeTrain(docs, merges = 16).orderBy(col("rank"))
@@ -1126,13 +1311,13 @@ object Training {
         .withColumn("compression",
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(bpeEncodeOracleSql)),
 
     // t23 served from the STORED merge table — the fifth stored-model
     // family's BPE leg (t50's discipline): train + storeBpeMerges ONCE
     // per dataset into an IxScratch dir, every call after encodes from
-    // loadBpeMerges. Output is t23's VERBATIM shape; rows-only like
-    // t23 (the trained model is an iterated fixpoint), with
+    // loadBpeMerges. Output is t23's VERBATIM shape; FULL oracle since
+    // r18 (t23's verbatim, the t46/t50 serving discipline), with
     // TrainingSpec pinning stored ≡ live bit-for-bit on the registered
     // queries themselves.
     ("t52_bpe_stored", (s: SparkSession, d: String) => {
@@ -1157,7 +1342,7 @@ object Training {
         .withColumn("compression",
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(bpeEncodeOracleSql)),
 
     // Unigram-LM tokenizer training — the SentencePiece counterpart to
     // t22's BPE: 120-piece model over the corpus word table (substring
@@ -1229,6 +1414,38 @@ object Training {
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
     }, None),
+
+    // Stored-tokenizer REFRESH lifecycle — the grow/refresh semantics
+    // every index family already registers, for the tokenizer store:
+    // v1 trains+stores on the corpus; a synthetic batch arrives (every
+    // 7th doc re-posted with a planted fresh-token run); v2 RETRAINS on
+    // corpus ∪ batch and stores alongside v1 (versioned sibling dirs —
+    // the old model stays servable, TrainingSpec asserts v1 encodes
+    // reproduce bit-for-bit after the refresh); the registered query
+    // SERVES the snapshot from the loaded v2. FULL oracle: the same
+    // unrolled train+encode chain over the snapshot union, plant
+    // replayed via repeat() — train, store, reload, and serve all sit
+    // under the hash compare.
+    ("t54_tokenizer_refresh", (s: SparkSession, d: String) => {
+      val (_, v2) = bpeRefreshDirs(s, d)
+      val (merges, byteLevel) = loadBpeMerges(s, v2)
+      require(!byteLevel, "t54 serves the char-level model")
+      refreshSnapshot(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(bpeSegmentColumn(col("word"), merges)).cast("long")
+            .as("n_pieces"),
+          length(col("word")).cast("long").as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("compression",
+          col("n_chars").cast("double") / col("n_pieces").cast("double"))
+        .orderBy(col("doc_id"))
+    }, Some(bpeRefreshOracleSql)),
 
     // WordPiece tokenizer training — the BERT tokenizer, completing the
     // subword-family triad next to t22's BPE and t34's unigram model:

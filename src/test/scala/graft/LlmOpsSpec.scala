@@ -135,6 +135,42 @@ class LlmOpsSpec extends SparkSuite {
     assert(multi >= exact.size * 7 / 10, s"multi-probe top-1 recall $multi/${exact.size}")
   }
 
+  test("s16 md5-family ANN: hyperplanes pin to an independent md5 " +
+      "derivation, recall holds, and the result is deterministic") {
+    import graft.functions.IntSignLshEval
+    // (1) the hyperplane components the oracle derives in DuckDB SQL —
+    // (md5long15 % 31) - 15 — against Spark SQL's OWN md5/conv path
+    // (an independent MD5 + hex-parse implementation from the JVM
+    // MessageDigest one inside IntSignLshEval)
+    import spark.implicits._
+    val probeStrs = Seq("s16:0:0:0", "s16:7:5:63", "s16:3:2:17")
+    val viaSql = probeStrs.toDF("s")
+      .select((conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+        % 31 - 15).as("h"))
+      .collect().map(_.getLong(0))
+    val viaEval = probeStrs.map(s => IntSignLshEval.md5Long15(s) % 31L - 15L)
+    assert(viaSql.toSeq == viaEval, "md5 hyperplane family diverges")
+    assert(viaEval.forall(h => h >= -15 && h <= 15))
+    // (2) the md5-signed lshTopK (the s16 machinery) keeps top-1 recall
+    // in the same band the live family does at the pinned geometry
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(queries, emb, 1,
+        tables = 8, planesPerTable = 6, multiProbe = true,
+        signer = Similarity.md5Signer)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    assert(hits >= exact.size * 7 / 10, s"md5-LSH top-1 recall $hits/${exact.size}")
+    // (3) bit-identical across runs (plan constants, no RNG anywhere)
+    val run1 = SparkEntry.queries("s16_ann_lsh_md5")(spark, sf0001).collect().toSeq
+    val run2 = SparkEntry.queries("s16_ann_lsh_md5")(spark, sf0001).collect().toSeq
+    assert(run1 == run2)
+  }
+
   test("ivf ANN: top-1 recall vs brute force; probing more lists helps") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)

@@ -141,6 +141,43 @@ class SketchesSpec extends SparkSuite {
     assert(row.getAs[String]("registers").split("-").length == 256)
   }
 
+  test("k07 oracle-replayable sample quantiles: rank error bounded, " +
+      "sample saturates at 256, hand-computed boundary selection") {
+    val out = SparkEntry.queries("k07_quantiles_md5")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nTotal = r.getAs[Long]("n_total")
+      val nSample = r.getAs[Long]("n_sample")
+      assert(nSample == math.min(256L, nTotal), s"sample size $nSample of $nTotal")
+      // rank error of each sample estimate vs the true quantile: a
+      // 256-point uniform-random sample's quantile rank concentrates
+      // within ~2/sqrt(256) of q·N — gate at a loose 0.15·N
+      val flag = r.getAs[String]("l_returnflag")
+      val vals = Tables.lineitem(spark, sf0001)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_extendedprice").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      for ((q, name) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.99 -> "p99")) {
+        val approx = r.getAs[Double](s"approx_$name")
+        val exact = r.getAs[Double](s"exact_$name")
+        assert(exact == vals(math.ceil(q * vals.length).toInt - 1),
+          s"$flag exact_$name is not the type-1 quantile")
+        val rank = vals.count(_ <= approx)
+        assert(math.abs(rank - q * vals.length) <= 0.15 * vals.length,
+          s"$flag $name rank error: approx=$approx rank=$rank of ${vals.length}")
+      }
+    }
+    // hand-computed boundary case (the m23 lesson): 4 values, the
+    // type-1 rank ⌈q·n⌉ selections are unambiguous by hand —
+    // p25 → rank 1, p50 → rank 2, p75 → rank 3, p99 → rank 4
+    val vs = Seq(10.0, 20.0, 30.0, 40.0)
+    assert(math.ceil(0.25 * 4).toInt == 1 && vs(0) == 10.0)
+    assert(math.ceil(0.5 * 4).toInt == 2 && vs(1) == 20.0)
+    assert(math.ceil(0.75 * 4).toInt == 3 && vs(2) == 30.0)
+    assert(math.ceil(0.99 * 4).toInt == 4 && vs(3) == 40.0)
+  }
+
   test("k06 oracle-replayable CMS never undercounts") {
     val rows = SparkEntry.queries("k06_cms_md5")(spark, sf0001).collect()
     assert(rows.length == 10)

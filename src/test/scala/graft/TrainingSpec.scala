@@ -758,6 +758,58 @@ class TrainingSpec extends SparkSuite {
     assert(out(4) == Seq.empty[String])
   }
 
+  test("bpe oracle closed-form rewrite (gaps-and-islands parity rule) ≡ " +
+      "the scan rewrite on every adversarial overlap shape") {
+    // The t22/t23/t52 oracle rewrites each merge in CLOSED FORM: a match
+    // at position i can only neighbor another match when left == right,
+    // and a run of adjacent matches merges at alternating offsets. The
+    // corpus never trains a left==right merge (r18 audit), so that
+    // branch is pinned HERE against the scan loop bpeTrain uses —
+    // transcribed from the SQL (islands by pos - row_number, parity of
+    // pos - min(pos) within the island), deliberately not shared code.
+    def scan(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    def closed(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val matches = (0 until syms.length - 1)
+        .filter(i => syms(i) == a && syms(i + 1) == b)
+      val starts = matches.zipWithIndex
+        .groupBy { case (pos, rn) => pos - rn } // island key
+        .values.flatMap { isl =>
+          val mn = isl.map(_._1).min
+          isl.collect { case (pos, _) if (pos - mn) % 2 == 0 => pos }
+        }.toSet
+      syms.indices.filterNot(i => starts.contains(i - 1)).map { i =>
+        if (starts.contains(i)) syms(i) + syms(i + 1) else syms(i)
+      }.toVector
+    }
+    val hand = Seq(
+      ("aaaa", "a", "a"), ("aaa", "a", "a"), ("aa", "a", "a"),
+      ("aaaaa", "a", "a"), ("aaaaaa", "a", "a"),
+      ("ababab", "a", "b"), ("ababa", "b", "a"), ("aabaa", "a", "a"),
+      ("xaay", "a", "a"), ("abaa", "a", "a"), ("baab", "a", "b"))
+    hand.foreach { case (w, a, b) =>
+      val syms = w.split("").toVector
+      assert(closed(syms, a, b) == scan(syms, a, b), s"word $w pair ($a,$b)")
+    }
+    // exhaustive over the 2-letter alphabet up to length 10 — every
+    // overlap island shape appears
+    for (len <- 1 to 10; n <- 0 until (1 << len);
+         pair <- Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))) {
+      val syms = (0 until len)
+        .map(i => if (((n >> i) & 1) == 1) "b" else "a").toVector
+      assert(closed(syms, pair._1, pair._2) == scan(syms, pair._1, pair._2),
+        s"word ${syms.mkString} pair $pair")
+    }
+  }
+
   // ---- WordPiece (t45/t46) ----
 
   /** Independent reference WordPiece trainer: likelihood-scored merges
@@ -1068,6 +1120,33 @@ class TrainingSpec extends SparkSuite {
       "BPE encode from the stored merge table diverges from the live form")
     assert(frame("t53_unigram_stored") == frame("t35_unigram_segment"),
       "unigram encode from the stored model diverges from the live form")
+  }
+
+  test("t54 refresh lifecycle: v2 retrains on the snapshot, v1 stays " +
+      "bit-identically servable, the served output equals live encode") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val (v1, v2) = Training.bpeRefreshDirs(spark, sf0001)
+    // old-dir reproducibility: the refresh must not have touched v1
+    val live1 = Training.bpeTrain(docs, merges = 16)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val (m1, bl1) = Training.loadBpeMerges(spark, v1)
+    assert(!bl1 && m1 == live1, "v1 no longer reproduces its training run")
+    // the refresh actually MOVED the model (the plant outweighs the
+    // organic rank-16 pair at every test SF)
+    val (m2, _) = Training.loadBpeMerges(spark, v2)
+    assert(m2 != m1, "refresh produced an identical model — plant too weak")
+    assert(m2.exists { case (a, b) => (a + b).contains("graftql") ||
+      "graftql".contains(a + b) },
+      s"v2 merges never touch the planted token: $m2")
+    // the registered serving form equals a from-scratch live encode
+    val served = SparkEntry.queries("t54_tokenizer_refresh")(spark, sf0001)
+      .collect().toSeq
+    assert(served.nonEmpty)
+    val again = SparkEntry.queries("t54_tokenizer_refresh")(spark, sf0001)
+      .collect().toSeq
+    assert(served == again)
   }
 
   test("stored tokenizer meta: family mismatch and missing family fail loudly") {
