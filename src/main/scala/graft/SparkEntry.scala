@@ -84,10 +84,8 @@ object SparkEntry {
     "t08_winnow" -> Seq("golden:GoldenDedupSpec", "spec:LlmOpsSpec"),
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
-    "t45_wordpiece_train" -> Seq("spec:TrainingSpec"),
     "t53_unigram_stored" -> Seq("spec:TrainingSpec"),
     "r12_hybrid_rrf_ann" -> Seq("spec:RetrievalIndexSpec"),
-    "t37_bpe_bytes" -> Seq("spec:TrainingSpec"),
     "s14_cluster_mixture" -> Seq("spec:LlmOpsSpec"),
     "t40_dsir_scale" -> Seq("spec:TrainingSpec"),
     "t41_ccnet_buckets_scale" -> Seq("spec:CurateSpec"))

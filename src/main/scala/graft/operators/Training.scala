@@ -696,10 +696,11 @@ object Training {
     * (live-train segmentation rollup), and t52 (stored-model serving)
     * at once. */
   private def bpeOracleCtes(merges: Int,
-      docsRel: String = "documents"): String = {
+      docsRel: String = "documents", lowered: Boolean = true): String = {
+    val src = if (lowered) "trim(lower(text))" else "trim(text)"
     val base = s"""w0 AS MATERIALIZED (
         SELECT word, count(*) AS cnt FROM (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          SELECT unnest(string_split_regex($src, '\\s+')) AS word
           FROM $docsRel) z
         WHERE word <> '' GROUP BY word),
       st0 AS MATERIALIZED (
@@ -742,6 +743,109 @@ object Training {
     base + "," + iters
   }
 
+  /** The WordPiece-train oracle CTE chain — the bpeOracleCtes treatment
+    * for the likelihood-scored family: the same unrolled iterations and
+    * closed-form greedy rewrite, but the per-iteration argmax is over
+    * the EXACT RATIONAL score count(pair)/(count(l)·count(r)), replayed
+    * with a SOUND two-stage selection:
+    *
+    *  1. a double-precision score band — max(s)·(1−1e−9) — provably
+    *    contains the exact argmax (each score is one divide of two
+    *    exact-integer-valued doubles: relative error ≤ a few ulp ≈
+    *    2e−16, seven orders inside the band);
+    *  2. exact cross-multiplication among the banded candidates
+    *    (pc·cl'·cr' vs pc'·cl·cr in HUGEINT — counts ≤ corpus tokens,
+    *    so even the triple product is far under 2^127), ties (left,
+    *    right) ascending — the training loop's compare verbatim.
+    *
+    * Spark's loop picks the GLOBAL score argmax and stops when ITS
+    * pair count is < minPairCount — so the pc ≥ 2 gate applies AFTER
+    * the argmax here too (an empty b{k} makes every later iteration an
+    * identity no-op, which is equivalent to the loop's permanent stop
+    * because a no-op leaves every score unchanged). The merged symbol
+    * is left || right-without-##; the alphabet init marks non-initial
+    * code points with ##. */
+  private def wordpieceOracleCtes(merges: Int): String = {
+    val base = """w0 AS MATERIALIZED (
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents) z
+        WHERE word <> '' GROUP BY word),
+      st0 AS MATERIALIZED (
+        SELECT word, cnt, CAST(p AS INTEGER) AS pos,
+          CASE WHEN p = 1 THEN substr(word, CAST(p AS INTEGER), 1)
+               ELSE '##' || substr(word, CAST(p AS INTEGER), 1) END AS sym
+        FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS p
+              FROM w0) z)"""
+    val iters = (1 to merges).map { k =>
+      val pv = s"st${k - 1}"
+      s"""
+      sc$k AS MATERIALIZED (
+        SELECT sym, sum(cnt) AS c FROM $pv GROUP BY sym),
+      pr$k AS MATERIALIZED (
+        SELECT a.sym AS l, b.sym AS r2, sum(a.cnt) AS pc
+        FROM $pv a JOIN $pv b ON a.word = b.word AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      sj$k AS MATERIALIZED (
+        SELECT p.l, p.r2, CAST(p.pc AS BIGINT) AS pc,
+          CAST(cl.c AS BIGINT) AS cl, CAST(cr.c AS BIGINT) AS cr,
+          CAST(p.pc AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE))
+            AS s
+        FROM pr$k p
+        JOIN sc$k cl ON cl.sym = p.l
+        JOIN sc$k cr ON cr.sym = p.r2),
+      cand$k AS MATERIALIZED (
+        SELECT * FROM sj$k
+        WHERE s >= (SELECT max(s) FROM sj$k) * 0.999999999),
+      b$k AS MATERIALIZED (
+        SELECT c.l, c.r2, c.pc,
+          c.l || CASE WHEN c.r2 LIKE '##%' THEN substr(c.r2, 3)
+                      ELSE c.r2 END AS merged
+        FROM cand$k c
+        WHERE c.pc >= 2 AND NOT EXISTS (
+          SELECT 1 FROM cand$k d
+          WHERE CAST(d.pc AS HUGEINT) * c.cl * c.cr
+                  > CAST(c.pc AS HUGEINT) * d.cl * d.cr
+             OR (CAST(d.pc AS HUGEINT) * c.cl * c.cr
+                  = CAST(c.pc AS HUGEINT) * d.cl * d.cr
+                 AND (d.l < c.l OR (d.l = c.l AND d.r2 < c.r2))))),
+      m$k AS MATERIALIZED (
+        SELECT s.word, s.pos
+        FROM $pv s JOIN $pv t2 ON t2.word = s.word AND t2.pos = s.pos + 1
+        JOIN b$k bb ON s.sym = bb.l AND t2.sym = bb.r2),
+      ms$k AS MATERIALIZED (
+        SELECT word, pos FROM (
+          SELECT word, pos,
+            (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 AS par
+          FROM (
+            SELECT word, pos,
+              pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+            FROM m$k) g) z WHERE par = 0),
+      st$k AS MATERIALIZED (
+        SELECT s.word, s.cnt,
+          CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos)
+            AS INTEGER) AS pos,
+          CASE WHEN m.pos IS NOT NULL THEN (SELECT merged FROM b$k)
+               ELSE s.sym END AS sym
+        FROM $pv s
+        LEFT JOIN ms$k m ON m.word = s.word AND m.pos = s.pos
+        LEFT JOIN ms$k mp ON mp.word = s.word AND mp.pos = s.pos - 1
+        WHERE mp.pos IS NULL)"""
+    }.mkString(",")
+    base + "," + iters
+  }
+
+  /** t45's oracle: the 16-merge WordPiece table from the unrolled
+    * chain's per-iteration exact-rational argmax CTEs. */
+  val wordpieceTrainOracleSql: String =
+    "WITH " + wordpieceOracleCtes(16) + ",\n      mt AS (" +
+      (1 to 16).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS "rank", l, r2, merged, pc FROM b$k""")
+        .mkString("\n        UNION ALL ") + """)
+      SELECT "rank", l AS "left", r2 AS "right", merged,
+        CAST(pc AS BIGINT) AS pair_count
+      FROM mt ORDER BY "rank""""
+
   /** t22's oracle: the 16-merge table straight from the unrolled
     * chain's per-iteration argmax CTEs. */
   val bpeTrainOracleSql: String =
@@ -780,6 +884,32 @@ object Training {
     * training end state's row counts; the per-doc rollup re-joins the
     * corpus words. */
   val bpeEncodeOracleSql: String = bpeEncodeSql("documents")
+
+  /** t37's oracle: the unrolled train+encode chain over NON-lowered
+    * words. Sound because the GPT-2 byte map is the IDENTITY on the
+    * printable-ASCII range (33–126) and post-split words contain no
+    * spaces — and the driver's corpus is printable-ASCII at every SF
+    * (audited r18), so byte-level training ≡ char training on the raw
+    * words and n_bytes ≡ length. A non-ASCII regeneration would flag
+    * RED (hash mismatch), never silently pass. */
+  val bpeBytesOracleSql: String =
+    "WITH " + bpeOracleCtes(16, "documents", lowered = false) + """,
+      wp AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+             FROM st16 GROUP BY word),
+      dw AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents) z
+        WHERE word <> '')
+      SELECT d.doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces,
+        CAST(sum(length(d.word)) AS BIGINT) AS n_bytes,
+        CAST(sum(length(d.word)) AS DOUBLE)
+          / CAST(sum(wp.n_pieces) AS DOUBLE) AS compression
+      FROM dw d JOIN wp ON wp.word = d.word
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   /** The planted refresh batch: every 7th document re-posted with a
     * run of a fresh token, heavy enough to MOVE the merge table at any
@@ -1451,12 +1581,16 @@ object Training {
     // subword-family triad next to t22's BPE and t34's unigram model:
     // 16 likelihood-scored merges (count(pair)/(count(l)·count(r)),
     // exact rational compare) over the corpus word table, continuation
-    // symbols ##-marked from the start. Not SQL-expressible (iterated
-    // fixpoint); the gate is TrainingSpec's bit-for-bit parity against
-    // an independent in-spec reference plus hand-computed score cases.
+    // symbols ##-marked from the start. FULL oracle since r18
+    // (wordpieceOracleCtes — the t22 unrolled-chain treatment with the
+    // exact-rational argmax replayed by a sound two-stage selection:
+    // double-score band, then exact HUGEINT cross-multiplication among
+    // the banded candidates); TrainingSpec keeps the bit-for-bit parity
+    // against an independent in-spec reference plus hand-computed
+    // score cases.
     ("t45_wordpiece_train", (s: SparkSession, d: String) =>
       wordpieceTrain(Tables.documents(s, d), merges = 16)
-        .orderBy(col("rank")), None),
+        .orderBy(col("rank")), Some(wordpieceTrainOracleSql)),
 
     // WordPiece greedy encode under a FULL DuckDB oracle — the first
     // fully oracle-gated tokenizer in the family (t23/t35 are
@@ -1661,9 +1795,13 @@ object Training {
     // mapped chars, so the tokenizer covers ANY byte sequence with zero
     // unknown tokens; segmentation composes byte_map into the same
     // shuffle-free MergePair projection. Per-doc rollup like t23 with
-    // n_bytes = UTF-8 byte totals. Rows-only; ASCII-parity with char
-    // BPE, the bijection (emoji/CJK round-trips), and multibyte
-    // reassembly are spec-gated in TrainingSpec.
+    // n_bytes = UTF-8 byte totals. FULL oracle since r18
+    // (bpeBytesOracleSql): the byte map is the IDENTITY on printable
+    // ASCII and the driver's corpus is printable-ASCII at every SF, so
+    // the non-lowered unrolled chain replays byte-level training
+    // exactly (a non-ASCII regeneration flags red, never passes
+    // silently); the bijection (emoji/CJK round-trips) and multibyte
+    // reassembly stay spec-gated in TrainingSpec.
     ("t37_bpe_bytes", (s: SparkSession, d: String) => {
       val fns = graft.functions.GraftFunctions
       val docs = Tables.documents(s, d)
@@ -1686,7 +1824,7 @@ object Training {
         .withColumn("compression",
           col("n_bytes").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(bpeBytesOracleSql)),
 
     // Source mixture weighting — the sampling-temperature table a
     // training data loader consumes: per-source token mass, its share,
