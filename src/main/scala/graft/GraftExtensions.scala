@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.SignLsh].getName, "sign_lsh"),
       es => functions.SignLsh(es.head, intLit(es(1)), intLit(es(2)),
         seed = 0L))) // the DataFrame-side default seed
+    e.injectFunction((FunctionIdentifier("int_sign_lsh"),
+      new ExpressionInfo(classOf[functions.IntSignLsh].getName, "int_sign_lsh"),
+      es => functions.IntSignLsh(es.head, intLit(es(1)), intLit(es(2)),
+        salt = "s16", qBits = 24))) // the DataFrame-side defaults
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[functions.MinHashSig].getName, "minhash_sig"),
       es => functions.MinHashSig(es.head, intLit(es(1)), intLit(es(2)))))

@@ -26,6 +26,7 @@ object Smoke {
     println("extensions(sketch fns): " + spark.sql(
       "SELECT size(winnow_fingerprint('the quick brown fox jumps over the lazy dog', 8, 16)), " +
         "size(sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 8)), " +
+        "size(int_sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 6)), " +
         "size(minhash_sig(array('a', 'b', 'c', 'd'), 3, 12)), " +
         "word_grams('one two three four', 3), " +
         "c4_line_gate(array('keep this whole line.', 'nope'), 3, 'javascript'), " +

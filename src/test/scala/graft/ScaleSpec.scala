@@ -238,6 +238,29 @@ class ScaleSpec extends SparkSuite {
     assert(recall >= 0.8, s"near-dup recall $recall over ${exact.size} true pairs")
   }
 
+  test("md5-family ANN twins keep the banded/broadcast plan shape: no " +
+      "cartesian product, probe side broadcast, cap anti-join present") {
+    // s16/s17 exist to GATE the live machinery — they must also keep
+    // its scale shape (a twin that quietly fell back to a cross join
+    // would still hash-match)
+    val s16 = SparkEntry.queries("s16_ann_lsh_md5")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!s16.contains("CartesianProduct"),
+      "s16 candidate generation must be the bucket equi-join")
+    assert(s16.contains("BroadcastHashJoin") || s16.contains("BroadcastExchange"),
+      "s16 probe keys must broadcast")
+    val s17 = SparkEntry.queries("s17_embedding_neardup_md5")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!s17.contains("CartesianProduct"),
+      "s17 pair generation must be the bucket self-join")
+    assert(s17.contains("BroadcastHashJoin") || s17.contains("BroadcastExchange"))
+    // k07: the sketch half must be rank-pruned windows, never a sort of
+    // the full table per quantile
+    val k07 = SparkEntry.queries("k07_quantiles_md5")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!k07.contains("CartesianProduct"))
+  }
+
   test("simhash near-dup pairs match across key widths (window keys are a screen only)") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf0001)
