@@ -56,7 +56,14 @@ object CorpusPipeline {
         * ([[Curate.mainTextUdf]], t44) — the single biggest
         * text-quality lever on raw crawl. Ignored when the corpus is
         * already text. */
-      mainExtraction: Boolean = false)
+      mainExtraction: Boolean = false,
+      /** Near-dup hash family: false = the native FNV/xxhash path
+        * ([[Dedup.minhashNearDups]], production default); true = the
+        * md5-derived family ([[DedupIndex.keyedBandsMd5]]) through the
+        * IDENTICAL [[Dedup.minhashNearDupsKeyed]] machinery — the
+        * oracle-twin knob (c13), the d14/DedupIndex family
+        * parameterization applied to the composition. */
+      md5Family: Boolean = false)
 
   /** Returns (curated corpus, per-stage report (stage, rows) in run
     * order). `raw` needs (doc_id, text|html, ...); extra columns ride
@@ -135,7 +142,18 @@ object CorpusPipeline {
     // driver-side planning before this cut. The checkpoint is a
     // lineage-free leaf the size of the candidate pair list.
     val tNearDup0 = System.nanoTime()
-    val pairs = Dedup.minhashNearDups(exact, tau = opts.nearDupTau)
+    val rawPairs =
+      if (opts.md5Family) {
+        // the oracle-twin family: the same banded keyed-pairs machinery
+        // fed by md5-derived signatures/band keys (the d14 recipe); the
+        // keyed frame persists exactly like minhashNearDups' own
+        val keyedMd5 = DedupIndex.keyedBandsMd5(
+            exact.select(col("doc_id"), col("text")), 12, 4, 3)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        Dedup.minhashNearDupsKeyed(exact, keyedMd5, opts.nearDupTau,
+          maxBucket = 100)
+      } else Dedup.minhashNearDups(exact, tau = opts.nearDupTau)
+    val pairs = rawPairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint(true)
     val endpoints = pairs.select(col("u").as("node"))
@@ -286,6 +304,191 @@ object CorpusPipeline {
           st.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", "))
       report.orderBy(col("stage_idx"))
     }, None),
+
+    // c01's ORACLE TWIN — the COMPOSITION under the hash compare (the
+    // d14/s16 family treatment applied to the whole pipeline): the
+    // IDENTICAL curate() chain with the near-dup stage under the md5
+    // family (Opts.md5Family → keyedBandsMd5 through the same
+    // minhashNearDupsKeyed machinery) and raw-string grams for the
+    // substring/decontamination stages (hashGrams = false), so EVERY
+    // stage is SQL-replayable: PII redaction (t10's regex replay), the
+    // word floor, exact dedup (min-id per normalized md5), md5-minhash
+    // banding + cap + exact-Jaccard verify (d14), connected components
+    // + longest-text canonical survivors (d06's recursive closure),
+    // substring-span cuts + reassembly (d10), and the 8-gram eval
+    // decontamination (d08). The registered output is the per-stage
+    // row report — six exact counts that only match if every stage
+    // agreed. Built ONCE per dataset (IxScratch, the c12 discipline);
+    // the oracle hash-validates the artifact at both SFs; c01 stays the
+    // live production-family anchor.
+    ("c13_corpus_curate_md5", (s: SparkSession, d: String) => {
+      val dir = IxScratch.cached(
+          IxScratch.fingerprint(d) + "|c13-report", "graft-c13-") { p =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"))
+        val (_, report) = curate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          evalRef = Some(docs.filter(col("doc_id") % 97 === 0)),
+          opts = Opts(lineGate = false, hashGrams = false,
+            md5Family = true))
+        report.orderBy(col("stage_idx"))
+          .select(col("stage_idx"), col("stage"), col("rows"))
+          .coalesce(1).write.parquet(p + "/report.parquet")
+      }
+      s.read.parquet(dir + "/report.parquet").orderBy(col("stage_idx"))
+    },
+    Some("""WITH RECURSIVE src AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      gated AS MATERIALIZED (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+        FROM src),
+      gkept AS MATERIALIZED (
+        SELECT doc_id, text FROM gated
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+      ex AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM gkept) z WHERE rn = 1),
+      sh AS MATERIALIZED (
+        SELECT doc_id, text,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+               THEN list_distinct(list_transform(
+                 range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> concat_ws(' ',
+                   string_split_regex(trim(text), '\s+')[i+1],
+                   string_split_regex(trim(text), '\s+')[i+2],
+                   string_split_regex(trim(text), '\s+')[i+3])))
+               ELSE [text] END AS sh
+        FROM ex),
+      grams3 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      sig AS MATERIALIZED (
+        SELECT doc_id, i.range AS i,
+          min(CAST(concat('0x', substr(
+            md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+            AS BIGINT)) AS s
+        FROM grams3 CROSS JOIN range(12) i
+        GROUP BY doc_id, i.range),
+      bands AS MATERIALIZED (
+        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+          md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+        FROM sig GROUP BY doc_id, i // 3),
+      hot AS (
+        SELECT band, key FROM bands GROUP BY band, key
+        HAVING count(*) > 100),
+      capped AS MATERIALIZED (
+        SELECT b.* FROM bands b
+        LEFT JOIN hot h ON b.band = h.band AND b.key = h.key
+        WHERE h.band IS NULL),
+      prs AS (
+        SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        FROM capped x JOIN capped y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      ver AS MATERIALIZED (
+        SELECT u, v FROM prs p
+        JOIN sh a ON a.doc_id = p.u
+        JOIN sh b ON b.doc_id = p.v
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.5),
+      edges AS (SELECT u, v FROM ver UNION SELECT v AS u, u AS v FROM ver),
+      nodes AS (SELECT DISTINCT u AS node FROM edges),
+      reach(u, v) AS (
+        SELECT node AS u, node AS v FROM nodes
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+      dplan AS MATERIALIZED (
+        SELECT c.doc_id,
+          first_value(c.doc_id) OVER (PARTITION BY c.component
+            ORDER BY length(e.text) DESC, c.doc_id ASC) AS canonical_id
+        FROM comp c JOIN ex e ON e.doc_id = c.doc_id),
+      nd AS MATERIALIZED (
+        SELECT e.doc_id, e.text FROM ex e
+        WHERE NOT EXISTS (SELECT 1 FROM dplan p
+          WHERE p.doc_id = e.doc_id AND p.doc_id <> p.canonical_id)),
+      toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM nd),
+      g8 AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+          array_to_string(tk[r.i+1 : r.i+8], ' ') AS gram
+        FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+      dup AS (SELECT gram FROM g8 GROUP BY gram HAVING count(*) >= 2),
+      dpos AS (
+        SELECT doc_id, pos, pos + 7 AS e FROM g8
+        WHERE gram IN (SELECT gram FROM dup)),
+      runs AS (
+        SELECT doc_id, pos, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+        FROM dpos),
+      marked AS (
+        SELECT doc_id, pos, e,
+          lag(run_end) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_end
+        FROM runs),
+      flagged AS (
+        SELECT doc_id, pos, e,
+          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM marked),
+      sp AS MATERIALIZED (
+        SELECT doc_id, span_id, min(pos) AS s, max(e) AS e
+        FROM flagged GROUP BY doc_id, span_id),
+      tokens AS (
+        SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos, tk[r.i] AS tok
+        FROM toks, unnest(range(1, len(tk) + 1)) AS r(i)),
+      kept AS MATERIALIZED (
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+        FROM tokens t
+        WHERE NOT EXISTS (SELECT 1 FROM sp
+          WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)
+        GROUP BY t.doc_id),
+      ss AS MATERIALIZED (
+        SELECT doc_id, text FROM kept
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+      cg AS MATERIALIZED (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(
+            CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 8
+            THEN list_distinct(list_transform(
+              range(0, len(string_split_regex(trim(text), '\s+')) - 7),
+              i -> array_to_string(
+                string_split_regex(trim(text), '\s+')[i+1:i+8], ' ')))
+            ELSE [text] END) AS gram
+          FROM ev) z),
+      bad AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 8
+            THEN list_distinct(list_transform(
+              range(0, len(string_split_regex(trim(text), '\s+')) - 7),
+              i -> array_to_string(
+                string_split_regex(trim(text), '\s+')[i+1:i+8], ' ')))
+            ELSE [text] END) AS gram
+          FROM ss) z
+        WHERE gram IN (SELECT gram FROM cg)),
+      fin AS (
+        SELECT doc_id FROM ss
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+      SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        CAST("rows" AS BIGINT) AS "rows"
+      FROM (VALUES
+        (0, 'extract', (SELECT count(*) FROM src)),
+        (1, 'gate_scrub', (SELECT count(*) FROM gkept)),
+        (2, 'exact_dedup', (SELECT count(*) FROM ex)),
+        (3, 'near_dedup', (SELECT count(*) FROM nd)),
+        (4, 'substring_dedup', (SELECT count(*) FROM ss)),
+        (5, 'decontaminate', (SELECT count(*) FROM fin)))
+        AS t(stage_idx, stage, "rows")
+      ORDER BY stage_idx""")),
 
     // The crawl-to-corpus composition: documents become WARC crawl
     // segments (the w02 member-per-record layout) with PLANTED mess —

@@ -102,6 +102,31 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(wiped.count() == 0L)
   }
 
+  test("c13 md5-family composition: cached report equals a fresh live " +
+      "run, stage counts are sane, and the family knob only changes " +
+      "the near-dup stage's hash family") {
+    val reg = SparkEntry.queries("c13_corpus_curate_md5")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(reg.map(_._2) == Seq("extract", "gate_scrub", "exact_dedup",
+      "near_dedup", "substring_dedup", "decontaminate"))
+    // monotone: every stage can only drop rows after extract
+    reg.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"stage ${b._2} grew: $a -> $b")
+    }
+    assert(reg.last._3 > 0, "chain left no survivors")
+    // cached ≡ live: re-run the EXACT registered configuration fresh
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (_, live) = CorpusPipeline.curate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      evalRef = Some(docs.filter(col("doc_id") % 97 === 0)),
+      opts = CorpusPipeline.Opts(lineGate = false, hashGrams = false,
+        md5Family = true))
+    val liveRows = live.orderBy(col("stage_idx"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(liveRows == reg, "IxScratch-cached c13 report diverged from live")
+  }
+
   test("crawlCurate: every crawl stage drops exactly its witness") {
     import graft.kernel.Warc
     def resp(url: String, status: Int, mime: String, body: String) =
