@@ -318,12 +318,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 8, replicas: Int = 2,
       distributedTrain: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = corpus.count()
     val lists = if (nlist > 0) nlist else nlistFor(n)
     val (flat, dim) =
       if (distributedTrain) trainCentroidsDistributed(corpus, lists, n)
       else trainCentroids(corpus, lists, n)
+    ivfTopKWith(queries, corpus, k, flat, dim, nprobe, replicas)
+  }
+
+  /** [[ivfTopK]]'s machinery with the coarse quantizer supplied by the
+    * caller — assignment explode, broadcast probes, candidate-id dedup,
+    * exact-cosine rerank, window top-k. Exists so the s18 oracle twin
+    * runs the IDENTICAL plan under an SQL-derivable quantizer (the
+    * md5-sampled corpus vectors) while ivfTopK keeps Lloyd's k-means. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      flat: Array[Float], dim: Int, nprobe: Int = 8,
+      replicas: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lists = flat.length / dim
     def nearest(c: Column, p: Int) =
       graft.functions.GraftFunctions.nearest_centroids(c, flat, dim, p)
     val assigned = corpus.select(col("vec_id"),
@@ -345,6 +357,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** The SQL-derivable coarse quantizer for the s18 IVF oracle twin:
+    * the `nlist` corpus vectors with the smallest md5 draw, in draw
+    * order — sample-as-centroids (a legitimate quantizer init; the
+    * corpus is unit-normalized, so raw sample vectors ARE spherical
+    * centroids). No Lloyd iteration → every centroid component is a
+    * stored float DuckDB reads back exactly. Returns (flat, dim). */
+  def md5SampleCentroids(corpus: DataFrame, nlist: Int,
+      salt: String = "s18"): (Array[Float], Int) = {
+    val rows = corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit(salt + ":"), col("vec_id").cast("string"))).as("mk"))
+      .orderBy(col("mk"), col("vec_id")).limit(nlist)
+      .collect()
+    require(rows.nonEmpty, "md5SampleCentroids: empty corpus")
+    val dim = rows.head.getSeq[Float](1).length
+    (rows.flatMap(_.getSeq[Float](1)).toArray, dim)
   }
 
   // -------------------------------------------------------------------
@@ -1140,6 +1170,70 @@ object Similarity {
       ivfTopK(emb.filter(col("vec_id") < 20), emb, 10)
         .orderBy(col("query_id"), col("rank"))
     }, None),
+
+    // s04's ORACLE TWIN — the IVF candidate machinery under an
+    // SQL-derivable quantizer (completing the ANN twin set: s16 LSH
+    // top-k, s17 LSH pairs, s18 IVF lists): the IDENTICAL
+    // [[ivfTopKWith]] plan — replica assignment explode, broadcast
+    // probes, candidate-id dedup, exact-cosine rerank, window top-k —
+    // with centroids = the 16 smallest-md5-draw corpus vectors
+    // ([[md5SampleCentroids]]; the corpus is unit-normalized, so raw
+    // sample vectors are spherical centroids and the stored floats
+    // replay exactly). DuckDB recomputes every assignment dot (the s01
+    // sequential-double form, ties to the lower centroid index — the
+    // native expression's insertion order), both probe fans, and the
+    // rerank. s04 keeps Lloyd's k-means (float-iterative, adjudicated).
+    ("s18_ann_ivf_md5", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val (flat, dim) = md5SampleCentroids(emb, nlist = 16)
+      ivfTopKWith(emb.filter(col("vec_id") < 20), emb, 10,
+          flat, dim, nprobe = 4, replicas = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH cents AS (
+        SELECT cidx, embedding AS ce FROM (
+          SELECT CAST(row_number() OVER (
+              ORDER BY md5('s18:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+            AS INTEGER) AS cidx, embedding
+          FROM embeddings) z
+        WHERE cidx < 16),
+      dots AS (
+        SELECT e.vec_id, c.cidx,
+          list_sum(list_transform(list_zip(e.embedding, c.ce),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS dot
+        FROM embeddings e CROSS JOIN cents c),
+      ranked_dots AS (
+        SELECT vec_id, cidx,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY dot DESC, cidx ASC) AS rn
+        FROM dots),
+      asg AS (
+        SELECT vec_id, cidx AS list_id FROM ranked_dots WHERE rn <= 2),
+      probes AS (
+        SELECT vec_id AS query_id, cidx AS list_id
+        FROM ranked_dots WHERE vec_id < 20 AND rn <= 4),
+      cands AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM asg a JOIN probes p ON p.list_id = a.list_id
+        WHERE p.query_id <> a.vec_id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qe.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ce.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM cands cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ce ON ce.vec_id = cd.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // PQ compressed-scan ANN for the same 20 queries — the memory-
     // bandwidth scale path (rows-only; recall vs brute force asserted in

@@ -171,6 +171,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(run1 == run2)
   }
 
+  test("s18 md5-sample IVF twin: recall holds through the identical " +
+      "machinery and the result is deterministic") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (flat, dim) = Similarity.md5SampleCentroids(emb, nlist = 16)
+    assert(flat.length == 16 * dim)
+    val approx = Similarity.ivfTopKWith(queries, emb, 1, flat, dim,
+        nprobe = 4, replicas = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    assert(hits >= exact.size / 2,
+      s"md5-sample IVF top-1 recall $hits/${exact.size}")
+    val run1 = SparkEntry.queries("s18_ann_ivf_md5")(spark, sf0001).collect().toSeq
+    val run2 = SparkEntry.queries("s18_ann_ivf_md5")(spark, sf0001).collect().toSeq
+    assert(run1 == run2)
+  }
+
   test("ivf ANN: top-1 recall vs brute force; probing more lists helps") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)

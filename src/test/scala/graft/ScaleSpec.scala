@@ -259,6 +259,12 @@ class ScaleSpec extends SparkSuite {
     val k07 = SparkEntry.queries("k07_quantiles_md5")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!k07.contains("CartesianProduct"))
+    // s18: the IVF twin must keep the list-id equi-join shape
+    val s18 = SparkEntry.queries("s18_ann_ivf_md5")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!s18.contains("CartesianProduct"),
+      "s18 candidate generation must be the list-id equi-join")
+    assert(s18.contains("BroadcastHashJoin") || s18.contains("BroadcastExchange"))
   }
 
   test("simhash near-dup pairs match across key widths (window keys are a screen only)") {
