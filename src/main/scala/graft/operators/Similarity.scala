@@ -359,6 +359,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** The SQL-derivable PQ codebook for the s19 oracle twin: the `ks`
+    * smallest-md5-draw corpus vectors, each unit-normalized with
+    * EXACTLY [[graft.functions.PqEval]]'s arithmetic (sequential
+    * norm², multiply by a precomputed 1/√s) and float-rounded the way
+    * [[trainPq]] stores centroids — every codeword component is a
+    * value DuckDB re-derives via CAST(… AS REAL). Sample-as-codebook
+    * is a legitimate quantizer init (no Lloyd pass); layout is
+    * [[PqEncode]]'s subspace-major `[j][code][subdim]` flat. */
+  def md5SamplePqCodebook(corpus: DataFrame, m: Int, ks: Int,
+      salt: String = "s19"): (Array[Float], Int) = {
+    val rows = corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit(salt + ":"), col("vec_id").cast("string"))).as("mk"))
+      .orderBy(col("mk"), col("vec_id")).limit(ks)
+      .collect()
+    require(rows.nonEmpty, "md5SamplePqCodebook: empty corpus")
+    val dim = rows.head.getSeq[Float](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val ksEff = rows.length
+    val codebook = new Array[Float](m * ksEff * sub)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val e = r.getSeq[Float](1)
+      val v = new Array[Double](dim)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val x = e(i).toDouble; v(i) = x; s += x * x; i += 1 }
+      if (s > 0) {
+        val inv = 1.0 / math.sqrt(s)
+        i = 0
+        while (i < dim) { v(i) *= inv; i += 1 }
+      }
+      for (j <- 0 until m; i2 <- 0 until sub)
+        codebook(j * ksEff * sub + c * sub + i2) = v(j * sub + i2).toFloat
+    }
+    (codebook, dim)
+  }
+
   /** The SQL-derivable coarse quantizer for the s18 IVF oracle twin:
     * the `nlist` corpus vectors with the smallest md5 draw, in draw
     * order — sample-as-centroids (a legitimate quantizer init; the
@@ -451,9 +489,20 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ks: Int = 64, rerank: Int = 4): DataFrame = {
+    val (codebook, dim) = trainPq(corpus, corpus.count(), m, ks)
+    pqTopKWith(queries, corpus, k, codebook, dim, m, rerank)
+  }
+
+  /** [[pqTopK]]'s machinery with the codebook supplied by the caller —
+    * encode scan, broadcast LUTs, ADC crossJoin scan, bounded-heap
+    * top-R, exact rerank. Exists so the s19 oracle twin runs the
+    * IDENTICAL plan under an SQL-derivable codebook
+    * ([[md5SamplePqCodebook]]) while pqTopK keeps per-subspace Lloyd's. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebook: Array[Float], dim: Int, m: Int,
+      rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fns = graft.functions.GraftFunctions
-    val (codebook, dim) = trainPq(corpus, corpus.count(), m, ks)
     val ksEff = codebook.length / dim
     val codes = corpus.select(col("vec_id"),
       fns.pq_encode(col("embedding"), codebook, dim, m).as("codes"))
@@ -1243,6 +1292,93 @@ object Similarity {
       pqTopK(emb.filter(col("vec_id") < 20), emb, 10)
         .orderBy(col("query_id"), col("rank"))
     }, None),
+
+    // s05's ORACLE TWIN — the PQ COMPRESSION machinery under an
+    // SQL-derivable codebook (the last ANN leg: s16/s17 LSH, s18 IVF
+    // lists, s19 compressed-scan codes): the IDENTICAL [[pqTopKWith]]
+    // plan — PqEncode scan, broadcast PqLut tables, the ADC
+    // crossJoin scan, bounded-heap top-R, exact-cosine rerank — with
+    // the codebook = the 32 smallest-md5-draw corpus vectors
+    // ([[md5SamplePqCodebook]]). Every number replays: normalization is
+    // PqEval's exact op order (×(1/√s), NOT /√s), codewords are
+    // CAST-to-REAL float roundings, per-subspace argmin d2 ties to the
+    // lower code, the ADC sum is an ordered 8-term list_sum, top-R by
+    // (adc DESC, id ASC), rerank is s01's cosine. s05 keeps
+    // per-subspace Lloyd's (float-iterative, adjudicated).
+    ("s19_ann_pq_md5", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val (codebook, dim) = md5SamplePqCodebook(emb, m = 8, ks = 32)
+      pqTopKWith(emb.filter(col("vec_id") < 20), emb, 10,
+          codebook, dim, m = 8, rerank = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH nrm AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) *
+            (1.0 / sqrt(list_sum(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))) AS vn
+        FROM embeddings),
+      samp AS (
+        SELECT CAST(row_number() OVER (
+            ORDER BY md5('s19:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+          AS INTEGER) AS c, vec_id
+        FROM embeddings),
+      cb AS MATERIALIZED (
+        SELECT s2.c,
+          list_transform(n.vn, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cw
+        FROM samp s2 JOIN nrm n ON n.vec_id = s2.vec_id
+        WHERE s2.c < 32),
+      enc AS MATERIALIZED (
+        SELECT n.vec_id, CAST(j.range AS INTEGER) AS j, b.c,
+          list_sum(list_transform(range(0, 8), i ->
+            (n.vn[CAST(j.range * 8 + i AS INTEGER) + 1]
+              - b.cw[CAST(j.range * 8 + i AS INTEGER) + 1])
+            * (n.vn[CAST(j.range * 8 + i AS INTEGER) + 1]
+              - b.cw[CAST(j.range * 8 + i AS INTEGER) + 1]))) AS d2
+        FROM nrm n CROSS JOIN range(8) j CROSS JOIN cb b),
+      codes AS MATERIALIZED (
+        SELECT vec_id, j, c AS code FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j
+              ORDER BY d2 ASC, c ASC) AS rn
+          FROM enc) z WHERE rn = 1),
+      lutq AS MATERIALIZED (
+        SELECT n.vec_id AS query_id, CAST(j.range AS INTEGER) AS j, b.c,
+          list_sum(list_transform(range(0, 8), i ->
+            n.vn[CAST(j.range * 8 + i AS INTEGER) + 1]
+            * b.cw[CAST(j.range * 8 + i AS INTEGER) + 1])) AS dot
+        FROM nrm n CROSS JOIN range(8) j CROSS JOIN cb b
+        WHERE n.vec_id < 20),
+      adcs AS MATERIALIZED (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+          list_sum(list(l.dot ORDER BY l.j)) AS adc
+        FROM codes cd JOIN lutq l ON l.j = cd.j AND l.c = cd.code
+        WHERE l.query_id <> cd.vec_id
+        GROUP BY l.query_id, cd.vec_id),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc DESC, neighbor_id ASC) AS rn
+          FROM adcs) z WHERE rn <= 40),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qe.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ce.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM cands cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ce ON ce.vec_id = cd.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // IVFPQ — list pruning × code compression composed (rows-only;
     // recall vs brute force asserted in LlmOpsSpec).

@@ -192,6 +192,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(run1 == run2)
   }
 
+  test("s19 md5-sample PQ twin: recall holds through the identical " +
+      "ADC machinery and the result is deterministic") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (codebook, dim) = Similarity.md5SamplePqCodebook(emb, m = 8, ks = 32)
+    assert(codebook.length == 8 * 32 * (dim / 8))
+    // a sample codebook quantizes coarser than Lloyd's — gate at the
+    // REGISTERED shape (k=10, rerank 4 → 40-candidate pool): the true
+    // top-1 must surface in the twin's top-10 for most queries
+    val top10 = Similarity.pqTopKWith(queries, emb, 10, codebook, dim,
+        m = 8, rerank = 4)
+      .select("query_id", "neighbor_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = exact.count { case (q, n) => top10.get(q).exists(_.contains(n)) }
+    assert(hits >= exact.size * 6 / 10,
+      s"md5-sample PQ top-1-in-top-10 recall $hits/${exact.size}")
+    val run1 = SparkEntry.queries("s19_ann_pq_md5")(spark, sf0001).collect().toSeq
+    val run2 = SparkEntry.queries("s19_ann_pq_md5")(spark, sf0001).collect().toSeq
+    assert(run1 == run2)
+  }
+
   test("ivf ANN: top-1 recall vs brute force; probing more lists helps") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter(col("vec_id") < 20)
