@@ -776,6 +776,17 @@ object Similarity {
     val n = emb.count()
     val k = if (nClusters > 0) nClusters else nlistFor(n)
     val (cents, dim) = trainCentroids(emb, k, n)
+    semanticDedupWith(emb, threshold, cents, dim, maxCluster)
+  }
+
+  /** [[semanticDedup]]'s machinery with the cluster model supplied by
+    * the caller — assignment argmax, capBuckets guard, in-cluster
+    * id-ordered pair join, threshold flag. Exists so the s20 oracle
+    * twin runs the IDENTICAL plan under [[md5SampleCentroids]] while
+    * semanticDedup keeps spherical k-means. */
+  def semanticDedupWith(emb: DataFrame, threshold: Double,
+      cents: Array[Float], dim: Int,
+      maxCluster: Int = 10000): DataFrame = {
     val fns = graft.functions.GraftFunctions
     // read by the cap (counts + probe), both self-join sides, and the
     // final flag join — one cached materialization of (id, cluster, vec)
@@ -1437,6 +1448,62 @@ object Similarity {
     ("s07_semantic_dedup", (s: SparkSession, d: String) =>
       semanticDedup(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_id")), None),
+
+    // s07's ORACLE TWIN — SemDeDup's machinery under the md5-sample
+    // quantizer (the s18 treatment applied to the dedup composition):
+    // the IDENTICAL [[semanticDedupWith]] plan — row-local argmax
+    // assignment, the capBuckets guard, the in-cluster id-ordered pair
+    // join, exact-cosine threshold, survivors-by-min-id — with the
+    // clusters = the 16 smallest-md5-draw corpus vectors. DuckDB
+    // replays assignments (s01's sequential-double dots, lower-index
+    // ties), the cap, every pair, and the threshold. s07 keeps
+    // spherical k-means (float-iterative, adjudicated).
+    ("s20_semantic_dedup_md5", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, dim) = md5SampleCentroids(emb, nlist = 16, salt = "s20")
+      semanticDedupWith(emb, threshold = 0.45, cents, dim)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH cents AS (
+        SELECT cidx, embedding AS ce FROM (
+          SELECT CAST(row_number() OVER (
+              ORDER BY md5('s20:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+            AS INTEGER) AS cidx, embedding
+          FROM embeddings) z
+        WHERE cidx < 16),
+      dots AS (
+        SELECT e.vec_id, c.cidx,
+          list_sum(list_transform(list_zip(e.embedding, c.ce),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS dot
+        FROM embeddings e CROSS JOIN cents c),
+      asg AS (
+        SELECT vec_id, cidx AS cluster FROM (
+          SELECT vec_id, cidx,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot DESC, cidx ASC) AS rn
+          FROM dots) z WHERE rn = 1),
+      hot AS (
+        SELECT cluster FROM asg GROUP BY cluster
+        HAVING count(*) > 10000),
+      capped AS (
+        SELECT a.vec_id, a.cluster FROM asg a
+        LEFT JOIN hot h ON h.cluster = a.cluster
+        WHERE h.cluster IS NULL),
+      dropped AS (
+        SELECT DISTINCT b.vec_id FROM capped a
+        JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.45)
+      SELECT a.vec_id, a.cluster,
+        (d.vec_id IS NOT NULL) AS is_dup
+      FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+      ORDER BY a.vec_id""")),
 
     // Embedding-stream admission screen: the second half of the corpus
     // probed against an index of the first half — join/shuffle/state-

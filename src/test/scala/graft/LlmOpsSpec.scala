@@ -675,6 +675,30 @@ class LlmOpsSpec extends SparkSuite {
     assert(again == out.map { case (id, (c, f)) => (id, c, f) }.toSet)
   }
 
+  test("s20 md5-sample SemDeDup twin: planted copies flag through the " +
+      "identical machinery and the result is deterministic") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val all = emb.unionByName(copies)
+    val (cents, dim) = Similarity.md5SampleCentroids(all, nlist = 16,
+      salt = "s20")
+    val out = Similarity.semanticDedupWith(all, threshold = 0.9, cents, dim)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    // byte-equal copies assign to the SAME cluster under any quantizer,
+    // so the min-id survivor rule must flag exactly the copy
+    (0 until 5).foreach { i =>
+      assert(out(9000000L + i)._2, s"planted copy of $i not flagged")
+      assert(out(9000000L + i)._1 == out(i.toLong)._1)
+      assert(!out(i.toLong)._2, s"survivor $i wrongly flagged")
+    }
+    val run1 = SparkEntry.queries("s20_semantic_dedup_md5")(spark, sf0001)
+      .collect().toSeq
+    val run2 = SparkEntry.queries("s20_semantic_dedup_md5")(spark, sf0001)
+      .collect().toSeq
+    assert(run1 == run2)
+  }
+
   test("embedding admission: copies flag, negations pass, probe plan has no exchange") {
     val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
     val (index, planes) = Similarity.embeddingAdmissionIndex(emb, fpp = 0.001)
