@@ -725,6 +725,19 @@ object Similarity {
     val n = emb.count()
     val k = if (nClusters > 0) nClusters else nlistFor(n)
     val (cents, dim) = trainCentroids(emb, k, n)
+    clusterMixtureWith(emb, cents, dim,
+      rate = c => pow(c.cast("double"), lit(temperature - 1)))
+  }
+
+  /** [[clusterMixture]]'s machinery with the cluster model and the
+    * flattening-rate form supplied by the caller — assignment argmax,
+    * the k-row rate table, the md5-bucket accept. Exists so the s21
+    * oracle twin runs the IDENTICAL plan under [[md5SampleCentroids]]
+    * and an engine-exact rate (`1/√n` — IEEE sqrt is correctly rounded
+    * everywhere, `pow(n, −0.5)` is not), while clusterMixture keeps
+    * k-means + the general temperature exponent. */
+  def clusterMixtureWith(emb: DataFrame, cents: Array[Float], dim: Int,
+      rate: Column => Column): DataFrame = {
     val fns = graft.functions.GraftFunctions
     val assigned = emb.select(col("vec_id"),
         element_at(fns.nearest_centroids(col("embedding"), cents, dim, 1), 1)
@@ -734,7 +747,7 @@ object Similarity {
     // cluster keeps rate 1; Q24-quantized threshold, md5-bucket accept
     // (the t30 determinism discipline)
     val rated = counts
-      .withColumn("raw_rate", pow(col("n_c").cast("double"), lit(temperature - 1)))
+      .withColumn("raw_rate", rate(col("n_c")))
       .withColumn("rate", col("raw_rate") /
         max(col("raw_rate")).over(org.apache.spark.sql.expressions.Window
           .partitionBy()))
@@ -1608,6 +1621,60 @@ object Similarity {
     ("s14_cluster_mixture", (s: SparkSession, d: String) =>
       clusterMixture(Tables.embeddings(s, d), temperature = 0.5)
         .orderBy(col("vec_id")), None),
+
+    // s14's ORACLE TWIN — temperature-flattened cluster sampling under
+    // the md5-sample quantizer and an ENGINE-EXACT rate form: the
+    // IDENTICAL [[clusterMixtureWith]] machinery (argmax assignment,
+    // k-row rate table, Q24 threshold, md5-bucket accept) with
+    // rate = 1/√n_c — IEEE sqrt is correctly rounded in every engine
+    // where pow(n, τ−1) is a libm coin-flip in the last ulp (and a
+    // 1-ulp rate difference flips the floor'd threshold). Same τ=0.5
+    // flattening semantics; DuckDB replays assignments, counts, rates,
+    // thresholds, and each vector's md5-bucket accept. s14 keeps
+    // k-means + the general pow exponent (adjudicated).
+    ("s21_cluster_mixture_md5", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, dim) = md5SampleCentroids(emb, nlist = 16, salt = "s21")
+      clusterMixtureWith(emb, cents, dim,
+          rate = c => lit(1.0) / sqrt(c.cast("double")))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH cents AS (
+        SELECT cidx, embedding AS ce FROM (
+          SELECT CAST(row_number() OVER (
+              ORDER BY md5('s21:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+            AS INTEGER) AS cidx, embedding
+          FROM embeddings) z
+        WHERE cidx < 16),
+      dots AS (
+        SELECT e.vec_id, c.cidx,
+          list_sum(list_transform(list_zip(e.embedding, c.ce),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS dot
+        FROM embeddings e CROSS JOIN cents c),
+      asg AS (
+        SELECT vec_id, cidx AS cluster FROM (
+          SELECT vec_id, cidx,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot DESC, cidx ASC) AS rn
+          FROM dots) z WHERE rn = 1),
+      cnt AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_c
+        FROM asg GROUP BY cluster),
+      rated AS (
+        SELECT cluster, n_c,
+          1.0 / sqrt(CAST(n_c AS DOUBLE)) AS raw_rate
+        FROM cnt),
+      r3 AS (
+        SELECT cluster, n_c,
+          raw_rate / (SELECT max(raw_rate) FROM rated) AS rate,
+          CAST(floor(raw_rate / (SELECT max(raw_rate) FROM rated)
+            * 16777216.0) AS BIGINT) AS threshold
+        FROM rated)
+      SELECT a.vec_id, a.cluster, r3.n_c, r3.rate,
+        CAST(concat('0x', substr(md5('cmix:' || CAST(a.vec_id AS VARCHAR)),
+          1, 6)) AS BIGINT) < r3.threshold AS kept
+      FROM asg a JOIN r3 ON r3.cluster = a.cluster
+      ORDER BY a.vec_id""")),
 
     ("s13_scalar_quant", (s: SparkSession, d: String) =>
       scalarQuantize(Tables.embeddings(s, d))

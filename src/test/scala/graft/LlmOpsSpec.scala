@@ -699,6 +699,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(run1 == run2)
   }
 
+  test("s21 md5-sample mixture twin: flattening holds (smaller clusters " +
+      "keep higher rates, max rate is 1) and the result is deterministic") {
+    val out = SparkEntry.queries("s21_cluster_mixture_md5")(spark, sf0001)
+      .select("cluster", "n_c", "rate", "kept").collect()
+    val byCluster = out.map(r =>
+      (r.getInt(0), (r.getLong(1), r.getDouble(2)))).distinct.toMap
+    assert(byCluster.values.map(_._2).max == 1.0, "max rate must be 1")
+    // rate strictly decreases with cluster mass (1/sqrt(n) is monotone)
+    val sorted = byCluster.values.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq((na, ra), (nb, rb)) =>
+      if (na < nb) assert(ra >= rb, s"rate not flattening: $na->$ra, $nb->$rb")
+    }
+    // the most up-weighted cluster keeps EVERYTHING (threshold 2^24
+    // exceeds every 24-bit md5 bucket)
+    val minN = byCluster.values.map(_._1).min
+    val keepAll = out.filter(r => r.getLong(1) == minN)
+    assert(keepAll.forall(_.getBoolean(3)), "rate-1 cluster must keep all")
+    val again = SparkEntry.queries("s21_cluster_mixture_md5")(spark, sf0001)
+      .select("cluster", "n_c", "rate", "kept").collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("embedding admission: copies flag, negations pass, probe plan has no exchange") {
     val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
     val (index, planes) = Similarity.embeddingAdmissionIndex(emb, fpp = 0.001)
