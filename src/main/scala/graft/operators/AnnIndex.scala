@@ -50,17 +50,34 @@ object AnnIndex {
     * (a float-rounded rotation would break grow ≡ rebuild parity). */
   def build(corpus: DataFrame, dir: String, nlist: Int = 0,
       replicas: Int = 2, m: Int = 8, ks: Int = 64,
-      opq: Boolean = false): Unit = {
+      opq: Boolean = false,
+      /** Pre-derived (centroids, codebook) — skips training. The s22
+        * oracle twin supplies the md5-sample models here so the STORED
+        * index (and everything served from it) is SQL-replayable;
+        * production builds leave it None and train. Incompatible with
+        * `opq` (the rotation is part of training). */
+      models: Option[(Array[Float], Array[Float])] = None): Unit = {
+    require(models.isEmpty || !opq,
+      "AnnIndex.build: supplied models are incompatible with opq training")
     val spark = corpus.sparkSession
     import spark.implicits._
     val fns = graft.functions.GraftFunctions
     val rot: Option[Seq[Seq[Double]]] =
       if (opq) Some(Similarity.opqRotation(corpus, m)) else None
     val enc = rotated(corpus.select(col("vec_id"), col("embedding")), rot)
-    val n = enc.count()
-    val lists = if (nlist > 0) nlist else Similarity.nlistFor(n)
-    val (centroids, dim) = Similarity.trainCentroids(enc, lists, n)
-    val (codebook, _) = Similarity.trainPq(enc, n, m, ks)
+    val (centroids, codebook, dim, lists) = models match {
+      case Some((c, cb)) =>
+        require(nlist > 0, "AnnIndex.build: nlist required with models")
+        require(c.nonEmpty && cb.nonEmpty && c.length % nlist == 0,
+          "AnnIndex.build: model shapes inconsistent with nlist")
+        (c, cb, c.length / nlist, nlist)
+      case None =>
+        val n = enc.count()
+        val lists0 = if (nlist > 0) nlist else Similarity.nlistFor(n)
+        val (ctr, d) = Similarity.trainCentroids(enc, lists0, n)
+        val (cb, _) = Similarity.trainPq(enc, n, m, ks)
+        (ctr, cb, d, lists0)
+    }
     val ksEff = codebook.length / dim
 
     // persist the EFFECTIVE replication (encode uses min(replicas,

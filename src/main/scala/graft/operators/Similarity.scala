@@ -1432,6 +1432,134 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }, None),
 
+    // s12's ORACLE TWIN — the PERSISTENT index lifecycle under the
+    // oracle: AnnIndex.build with the md5-sample models (the s18
+    // centroid family + the s19 codebook family, reused salts so the
+    // oracle reuses those exact derivations), tombstone every 17th
+    // vector via AnnIndex.delete, then serve through AnnIndex.load +
+    // topK — store, masked load, IVFPQ probe (replica assignment,
+    // nprobe lists, ADC, top-R, rerank) ALL hash-replayed. DuckDB
+    // recomputes the index content (assignments + codes minus
+    // tombstones), both probe fans, the ordered ADC sums, and the
+    // rerank. s12 keeps the trained float models (adjudicated); the
+    // tombstone MACHINERY (physical vacuum parity, checkpoint
+    // discipline) stays spec-gated in LlmOpsSpec.
+    ("s22_ann_index_md5", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = IxScratch.cached(
+          "s22:" + IxScratch.fingerprint(d, "embeddings.parquet"),
+          "graft_s22_ix") { p =>
+        val (cents, _) = md5SampleCentroids(emb, nlist = 16, salt = "s18")
+        val (codebook, _) = md5SamplePqCodebook(emb, m = 8, ks = 32,
+          salt = "s19")
+        AnnIndex.build(emb, p, nlist = 16, replicas = 2, m = 8, ks = 32,
+          models = Some((cents, codebook)))
+        AnnIndex.delete(
+          emb.filter(col("vec_id") % 17 === 0).select(col("vec_id")), p)
+      }
+      AnnIndex.topK(AnnIndex.load(s, dir),
+          emb.filter(col("vec_id") < 20 && col("vec_id") % 17 =!= 0),
+          emb, 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH cents AS (
+        SELECT cidx, embedding AS ce FROM (
+          SELECT CAST(row_number() OVER (
+              ORDER BY md5('s18:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+            AS INTEGER) AS cidx, embedding
+          FROM embeddings) z
+        WHERE cidx < 16),
+      cdots AS (
+        SELECT e.vec_id, c.cidx,
+          list_sum(list_transform(list_zip(e.embedding, c.ce),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS dot
+        FROM embeddings e CROSS JOIN cents c),
+      ranked_dots AS (
+        SELECT vec_id, cidx,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY dot DESC, cidx ASC) AS rn
+        FROM cdots),
+      nrm AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) *
+            (1.0 / sqrt(list_sum(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))) AS vn
+        FROM embeddings),
+      samp AS (
+        SELECT CAST(row_number() OVER (
+            ORDER BY md5('s19:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+          AS INTEGER) AS c, vec_id
+        FROM embeddings),
+      cb AS MATERIALIZED (
+        SELECT s2.c,
+          list_transform(n.vn, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cw
+        FROM samp s2 JOIN nrm n ON n.vec_id = s2.vec_id
+        WHERE s2.c < 32),
+      enc AS MATERIALIZED (
+        SELECT n.vec_id, CAST(j.range AS INTEGER) AS j, b.c,
+          list_sum(list_transform(range(0, 8), i ->
+            (n.vn[CAST(j.range * 8 + i AS INTEGER) + 1]
+              - b.cw[CAST(j.range * 8 + i AS INTEGER) + 1])
+            * (n.vn[CAST(j.range * 8 + i AS INTEGER) + 1]
+              - b.cw[CAST(j.range * 8 + i AS INTEGER) + 1]))) AS d2
+        FROM nrm n CROSS JOIN range(8) j CROSS JOIN cb b),
+      codes AS MATERIALIZED (
+        SELECT vec_id, j, c AS code FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j
+              ORDER BY d2 ASC, c ASC) AS rn
+          FROM enc) z WHERE rn = 1),
+      ix AS (
+        SELECT vec_id, cidx AS list_id FROM ranked_dots
+        WHERE rn <= 2 AND vec_id % 17 <> 0),
+      probes AS (
+        SELECT vec_id AS query_id, cidx AS list_id
+        FROM ranked_dots
+        WHERE vec_id < 20 AND vec_id % 17 <> 0 AND rn <= 4),
+      pairs AS (
+        SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+        FROM ix i JOIN probes p ON p.list_id = i.list_id
+        WHERE p.query_id <> i.vec_id),
+      lutq AS MATERIALIZED (
+        SELECT n.vec_id AS query_id, CAST(j.range AS INTEGER) AS j, b.c,
+          list_sum(list_transform(range(0, 8), i ->
+            n.vn[CAST(j.range * 8 + i AS INTEGER) + 1]
+            * b.cw[CAST(j.range * 8 + i AS INTEGER) + 1])) AS dot
+        FROM nrm n CROSS JOIN range(8) j CROSS JOIN cb b
+        WHERE n.vec_id < 20 AND n.vec_id % 17 <> 0),
+      adcs AS (
+        SELECT pr2.query_id, pr2.neighbor_id,
+          list_sum(list(l.dot ORDER BY l.j)) AS adc
+        FROM pairs pr2
+        JOIN codes cd ON cd.vec_id = pr2.neighbor_id
+        JOIN lutq l ON l.query_id = pr2.query_id
+          AND l.j = cd.j AND l.c = cd.code
+        GROUP BY pr2.query_id, pr2.neighbor_id),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc DESC, neighbor_id ASC) AS rn
+          FROM adcs) z WHERE rn <= 40),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qe.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ce.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM cands cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ce ON ce.vec_id = cd.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // OPQ-rotated persistent index (FAISS's OPQ preprocessing reaching
     // the SERVED index, not just the one-shot s11 encode): build stores
     // the parametric-OPQ rotation as exact doubles, both models train

@@ -721,6 +721,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("s22 md5-model stored index: tombstoned ids never surface and " +
+      "the served result is deterministic") {
+    val out = SparkEntry.queries("s22_ann_index_md5")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) % 17 != 0,
+        s"tombstoned neighbor ${r.getLong(2)} surfaced")
+      assert(r.getLong(0) % 17 != 0)
+    }
+    val again = SparkEntry.queries("s22_ann_index_md5")(spark, sf0001)
+      .collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("embedding admission: copies flag, negations pass, probe plan has no exchange") {
     val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
     val (index, planes) = Similarity.embeddingAdmissionIndex(emb, fpp = 0.001)
