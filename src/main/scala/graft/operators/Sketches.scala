@@ -276,9 +276,16 @@ object Sketches {
         md5(concat(lit("k07:"), col("l_orderkey").cast("string"),
           lit(":"), col("l_linenumber").cast("string"))).as("mk"),
         col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem (audited r18: 118k duplicate key groups at sf0.1), so
+      // the draw key alone is not total — append the VALUE: rows tied
+      // on (mk, okey, lnum, v) are interchangeable, so the sampled
+      // value multiset is run-stable even at the rank-256 boundary
+      // (the q09 ordering-totality lesson)
       val samp = keyed.withColumn("rn", row_number().over(
           Window.partitionBy(col("flag"))
-            .orderBy(col("mk"), col("l_orderkey"), col("l_linenumber"))))
+            .orderBy(col("mk"), col("l_orderkey"), col("l_linenumber"),
+              col("v"))))
         .filter(col("rn") <= W)
       val sk = samp.groupBy(col("flag"))
         .agg(sort_array(collect_list(col("v"))).as("vs"),
@@ -311,7 +318,7 @@ object Sketches {
         FROM lineitem),
       samp AS (
         SELECT flag, v, row_number() OVER (PARTITION BY flag
-          ORDER BY mk, l_orderkey, l_linenumber) AS rn
+          ORDER BY mk, l_orderkey, l_linenumber, v) AS rn
         FROM keyed),
       sk AS (
         SELECT flag, list_sort(list(v)) AS vs, count(*) AS ns
