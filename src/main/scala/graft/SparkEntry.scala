@@ -85,7 +85,7 @@ object SparkEntry {
     "t34_unigram_train" -> Seq("spec:TrainingSpec"),
     "t35_unigram_segment" -> Seq("spec:TrainingSpec"),
     "t53_unigram_stored" -> Seq("spec:TrainingSpec"),
-    "r12_hybrid_rrf_ann" -> Seq("spec:RetrievalIndexSpec"),
+    "r12_hybrid_rrf_ann" -> Seq("golden:GoldenHybridSpec", "spec:RetrievalIndexSpec"),
     "s14_cluster_mixture" -> Seq("spec:LlmOpsSpec"),
     "t40_dsir_scale" -> Seq("spec:TrainingSpec"),
     "t41_ccnet_buckets_scale" -> Seq("spec:CurateSpec"))

@@ -188,7 +188,11 @@ object CrawlLoop {
     // appends to the very index the `stored` side reads.
     val stored =
       if (exists(st.cdxDir))
-        spark.read.parquet(st.cdxDir).select(col("url"), col("digest"))
+        // layout-guarded (the r18 StoreGuard discipline extended to the
+        // loop's state dirs): a truncated or column-dropped capture
+        // index must refuse loudly, not archive every re-fetch as novel
+        StoreGuard.table(spark, st.root, "cdx.parquet", "url", "digest")
+          .select(col("url"), col("digest"))
       else Seq.empty[(String, String)].toDF("url", "digest")
     val segments = WarcSource.archiveWithRevisits(batch, stored)
       .localCheckpoint(true)
@@ -330,7 +334,8 @@ object CrawlLoop {
         report += (("corpus_near_dup", 0L, stamp()))
         (sv, n)
       } else {
-        val corpusText = spark.read.parquet(st.corpusDir)
+        val corpusText = StoreGuard.table(spark, st.root, "corpus.parquet",
+            "doc_id", "text")
           .select(col("doc_id"), col("text"))
         val v = DedupIndex.dedupAgainst(curated, corpusText,
             DedupIndex.load(spark, st.dedupDir), opts.nearDupTau)
@@ -400,7 +405,8 @@ object CrawlLoop {
     // stored ledger.
     val batchOrd =
       if (!exists(st.manifestDir)) 0L
-      else Option(spark.read.parquet(st.manifestDir)
+      else Option(StoreGuard.table(spark, st.root, "manifest.parquet",
+            "stage_idx", "stage", "rows", "secs", "batch_ord")
           .agg(max(col("batch_ord"))).head().get(0))
         .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
     val ixRows = Seq(
@@ -453,11 +459,11 @@ object CrawlLoop {
       HashIndex.forget(frozen, dir)
       HashIndex.vacuum(spark, dir)
     }
-    val corpus = spark.read.parquet(st.corpusDir)
+    val corpus = StoreGuard.table(spark, st.root, "corpus.parquet", "doc_id")
       .join(broadcast(frozen), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     corpus.write.mode("overwrite").parquet(st.corpusDir)
-    val cdx = spark.read.parquet(st.cdxDir)
+    val cdx = StoreGuard.table(spark, st.root, "cdx.parquet", "urlkey")
       .withColumn("__did", xxhash64(col("urlkey")))
       .join(broadcast(frozen.withColumnRenamed("doc_id", "__did")),
         Seq("__did"), "left_anti")
@@ -838,7 +844,8 @@ object CrawlLoop {
         }.start()
         try q.processAllAvailable() finally q.stop()
       }
-      s.read.parquet(State(s"$root/state").manifestDir)
+      StoreGuard.table(s, s"$root/state", "manifest.parquet",
+          "batch_ord", "stage_idx", "stage", "rows")
         .select(col("batch_ord"), col("stage_idx"), col("stage"),
           col("rows"))
         .orderBy(col("batch_ord"), col("stage_idx"))
@@ -928,10 +935,12 @@ object CrawlLoop {
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$p/takedown.parquet")
       }
-      val manifest = s.read.parquet(State(s"$root/state").manifestDir)
+      val manifest = StoreGuard.table(s, s"$root/state", "manifest.parquet",
+          "batch_ord", "stage_idx", "stage", "rows")
         .select(lit("loop").as("phase"), col("batch_ord"),
           col("stage_idx"), col("stage"), col("rows"))
-      val takedown = s.read.parquet(s"$root/takedown.parquet")
+      val takedown = StoreGuard.table(s, root, "takedown.parquet",
+          "phase", "stage_idx", "stage", "rows")
         .select(col("phase"), lit(-1L).as("batch_ord"),
           col("stage_idx").cast("int").as("stage_idx"), col("stage"),
           col("rows"))

@@ -545,5 +545,178 @@ object DedupIndex {
       SELECT doc_id, status, CAST(dup_of AS BIGINT) AS dup_of
       FROM (SELECT doc_id, status, dup_of FROM exact WHERE status IS NOT NULL
             UNION ALL SELECT doc_id, status, dup_of FROM nearv) z
+      ORDER BY doc_id""")),
+
+    // The FORGET LIFECYCLE under the oracle (the s22 treatment applied
+    // to DedupIndex — d13 pins dedupAgainst over a built index; this
+    // pins build → grow → forget → re-probe): build(60%, md5 family) →
+    // grow(20%) → forget every 17th indexed doc → dedupAgainst a batch
+    // containing the LAST 20%, re-posts of FORGOTTEN content
+    // (id + 2^30), and re-posts of RETAINED content (id + 2^31). The
+    // stored index load masks tombstones out of BOTH the exact and
+    // bucket tables, so DuckDB replays the whole verdict chain against
+    // the RETAINED corpus only: forgotten docs stop claiming re-crawls
+    // of their own text (the tombstone re-admission property) and their
+    // band keys stop attracting near-dup candidates, while retained
+    // re-posts still resolve exact_corpus to their originals. Same
+    // machinery as d13 end to end; the only delta is the lifecycle and
+    // the masked corpus predicate. DedupIndexSpec pins the fnv-family
+    // forget parity; the spec here asserts no verdict ever points at a
+    // forgotten id.
+    ("d16_dedup_forget_md5", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(docs
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(1073741824L)).as("doc_id"),
+            col("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 17 =!= 0 &&
+            col("doc_id") % 19 === 0)
+          .select((col("doc_id") + lit(2147483648L)).as("doc_id"),
+            col("text")))
+      val dir = IxScratch.cached("d16:" + IxScratch.fingerprint(d),
+          "graft_d16_ix") { p =>
+        build(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4),
+          p, family = "md5")
+        grow(docs.filter(col("doc_id") % 5 === 4), p)
+        forget(docs
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 17 === 0)
+          .select(col("doc_id")), p)
+      }
+      dedupAgainst(batch, corpus, load(s, dir))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      alldocs AS (SELECT doc_id, text FROM documents),
+      corpus AS MATERIALIZED (
+        SELECT doc_id, text FROM alldocs
+        WHERE doc_id % 5 <> 0 AND doc_id % 17 <> 0),
+      batch AS MATERIALIZED (
+        SELECT doc_id, text FROM alldocs WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1073741824 AS doc_id, text FROM alldocs
+        WHERE doc_id % 5 <> 0 AND doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 2147483648 AS doc_id, text FROM alldocs
+        WHERE doc_id % 5 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 = 0),
+      cmin AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5,
+          min(doc_id) AS c_min
+        FROM corpus GROUP BY 1),
+      bmd5 AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5
+        FROM batch),
+      bmin AS (SELECT doc_md5, min(doc_id) AS b_min FROM bmd5 GROUP BY 1),
+      exact AS (
+        SELECT b.doc_id,
+          CASE WHEN c.c_min IS NOT NULL THEN 'exact_corpus'
+               WHEN b.doc_id <> m.b_min THEN 'exact_batch' END AS status,
+          CASE WHEN c.c_min IS NOT NULL THEN c.c_min
+               WHEN b.doc_id <> m.b_min THEN m.b_min END AS dup_of
+        FROM bmd5 b
+        JOIN bmin m ON b.doc_md5 = m.doc_md5
+        LEFT JOIN cmin c ON b.doc_md5 = c.doc_md5),
+      surv AS (SELECT doc_id FROM exact WHERE status IS NULL),
+      textsrc AS MATERIALIZED (
+        SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT b.doc_id, b.text FROM batch b
+        JOIN surv s ON b.doc_id = s.doc_id),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+               THEN list_distinct(list_transform(
+                 range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> concat_ws(' ',
+                   string_split_regex(trim(text), '\s+')[i+1],
+                   string_split_regex(trim(text), '\s+')[i+2],
+                   string_split_regex(trim(text), '\s+')[i+3])))
+               ELSE [text] END AS sh
+        FROM textsrc),
+      grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      sig AS (
+        SELECT doc_id, i.range AS i,
+          min(CAST(concat('0x', substr(
+            md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+            AS BIGINT)) AS s
+        FROM grams CROSS JOIN range(12) i
+        GROUP BY doc_id, i.range),
+      bands AS (
+        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+          md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+        FROM sig GROUP BY doc_id, i // 3),
+      cband AS (
+        SELECT b.* FROM bands b
+        JOIN corpus c ON b.doc_id = c.doc_id),
+      bband AS (
+        SELECT b.* FROM bands b JOIN surv s ON b.doc_id = s.doc_id),
+      crosscand AS (
+        SELECT DISTINCT bb.doc_id, cb.doc_id AS c_id
+        FROM bband bb JOIN cband cb
+          ON bb.band = cb.band AND bb.key = cb.key),
+      crossver AS (
+        SELECT cc.doc_id, cc.c_id
+        FROM crosscand cc
+        JOIN sh sa ON sa.doc_id = cc.doc_id
+        JOIN sh sb ON sb.doc_id = cc.c_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5),
+      crosslink AS (
+        SELECT doc_id, min(c_id) AS direct_of FROM crossver GROUP BY doc_id),
+      hot AS (
+        SELECT band, key FROM bband GROUP BY band, key
+        HAVING count(*) > 100),
+      capped AS (
+        SELECT bb.* FROM bband bb
+        LEFT JOIN hot h ON bb.band = h.band AND bb.key = h.key
+        WHERE h.band IS NULL),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        FROM capped x JOIN capped y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      vpairs AS (
+        SELECT p.u, p.v FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.u
+        JOIN sh sb ON sb.doc_id = p.v
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5),
+      edges AS (
+        SELECT u, v FROM vpairs UNION ALL SELECT v AS u, u AS v FROM vpairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM surv
+        UNION
+        SELECT e.v AS node, r.lbl
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.lbl < e.v),
+      comp AS (
+        SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+      plan AS (
+        SELECT c.doc_id, c.component,
+          first_value(c.doc_id) OVER (PARTITION BY c.component
+            ORDER BY length(a.text) DESC, c.doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS canonical_id
+        FROM comp c JOIN batch a ON a.doc_id = c.doc_id),
+      enriched AS (
+        SELECT p.doc_id, p.canonical_id, cl.direct_of,
+          min(cl.direct_of) OVER (PARTITION BY p.component) AS comp_of
+        FROM plan p LEFT JOIN crosslink cl ON cl.doc_id = p.doc_id),
+      nearv AS (
+        SELECT doc_id,
+          CASE WHEN comp_of IS NOT NULL THEN 'near_corpus'
+               WHEN doc_id <> canonical_id THEN 'near_batch'
+               ELSE 'kept' END AS status,
+          CASE WHEN comp_of IS NOT NULL THEN COALESCE(direct_of, comp_of)
+               WHEN doc_id <> canonical_id THEN canonical_id END AS dup_of
+        FROM enriched)
+      SELECT doc_id, status, CAST(dup_of AS BIGINT) AS dup_of
+      FROM (SELECT doc_id, status, dup_of FROM exact WHERE status IS NOT NULL
+            UNION ALL SELECT doc_id, status, dup_of FROM nearv) z
       ORDER BY doc_id""")))
 }

@@ -279,6 +279,76 @@ object HashIndex {
         JOIN bits bb ON bb.doc_id = cd.corpus_id AND bb.pos = ba.pos
         GROUP BY cd.doc_id, cd.corpus_id)
       SELECT doc_id, corpus_id, hamming FROM ham WHERE hamming <= 2
+      ORDER BY doc_id, corpus_id""")),
+
+    // The FORGET lifecycle under the oracle (the d16/r13 treatment for
+    // the fingerprint index, completing the per-family set): the m36
+    // index is built 80/20, then every 17th stored doc is tombstoned;
+    // the masked load drops its rows from the bucket table, so a
+    // forgotten image stops attracting near-dup candidates (including
+    // planted id+1 matches whose anchor happens to be forgotten) and
+    // stops counting toward the hot-bucket cap. The oracle is m36's
+    // full-replay SQL with the stored side restricted to RETAINED ids —
+    // a tombstone that failed to mask the buckets hash-mismatches.
+    // HashIndexSpec keeps the live forget/vacuum/regrow parity gates.
+    ("m43_hash_forget", (s: SparkSession, d: String) => {
+      val dir = IxScratch.cached("m43:" + IxScratch.fingerprint(d),
+          "graft_m43_ix") { p =>
+        val sigs = imageSigs(s, d).filter(col("doc_id") % 10 =!= 0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        build(sigs.filter(col("doc_id") % 7 =!= 0), p)
+        grow(sigs.filter(col("doc_id") % 7 === 0), p)
+        sigs.unpersist(blocking = false)
+        forget(Tables.documents(s, d)
+          .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 17 === 0)
+          .select(col("doc_id")), p)
+      }
+      val batch = imageSigs(s, d).filter(col("doc_id") % 10 === 0)
+      probe(load(s, dir), batch, maxHamming = 2, maxBucket = 100)
+        .orderBy(col("doc_id"), col("corpus_id"))
+    },
+    Some("""WITH grid AS (
+        SELECT bx.bx, by.by FROM
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bx) bx,
+          (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS by) by),
+      eff AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 30 = 0 AND doc_id % 10 = 0
+            THEN doc_id + 1 ELSE doc_id END AS src
+        FROM documents),
+      cells AS (
+        SELECT e.doc_id, g.by * 8 + g.bx AS pos,
+          (g.bx * ((e.src * 2654435761) % 251 + 2)
+            + g.by * ((e.src * 40503) % 239 + 3) + e.src) % 256 AS v
+        FROM eff e, grid g),
+      tot AS (SELECT doc_id, sum(v) AS total FROM cells GROUP BY doc_id),
+      bits AS (
+        SELECT c.doc_id, c.pos,
+          CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN tot t USING (doc_id)),
+      bands AS (
+        SELECT doc_id, pos // 16 AS blk,
+          sum(bit * (1 << (pos % 16))) AS key
+        FROM bits GROUP BY doc_id, blk),
+      keptC AS (
+        SELECT doc_id, blk, key FROM (
+          SELECT doc_id, blk, key,
+            count(*) OVER (PARTITION BY blk, key) AS n
+          FROM bands
+          WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 0) t WHERE n <= 100),
+      bandsB AS (
+        SELECT doc_id, blk, key FROM bands WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT b.doc_id, c.doc_id AS corpus_id
+        FROM bandsB b JOIN keptC c ON b.blk = c.blk AND b.key = c.key),
+      ham AS (
+        SELECT cd.doc_id, cd.corpus_id,
+          CAST(sum(abs(ba.bit - bb.bit)) AS INTEGER) AS hamming
+        FROM cand cd
+        JOIN bits ba ON ba.doc_id = cd.doc_id
+        JOIN bits bb ON bb.doc_id = cd.corpus_id AND bb.pos = ba.pos
+        GROUP BY cd.doc_id, cd.corpus_id)
+      SELECT doc_id, corpus_id, hamming FROM ham WHERE hamming <= 2
       ORDER BY doc_id, corpus_id"""))
   )
 }

@@ -451,6 +451,82 @@ object RetrievalIndex {
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id, rank""")),
 
+    // The FORGET lifecycle under the oracle (the s22/d16 treatment for
+    // RetrievalIndex — r04 pins build→grow; this pins build → grow →
+    // forget → re-serve): every 17th doc is tombstoned after the grow,
+    // and the masked load drops it from postings AND doclens, so
+    // N/avgdl/df/tf ALL shift exactly as if the doc were never indexed.
+    // The oracle recomputes BM25 from the RETAINED corpus only — a
+    // tombstone that failed to mask either table (stale N, ghost df, a
+    // forgotten doc still ranked) hash-mismatches. Queries stay the
+    // r04 vocabulary (including queries derived from forgotten docs —
+    // takedown removes a doc from the INDEX, not from the query
+    // stream). RetrievalIndexSpec keeps the forget/vacuum parity
+    // theorems on the live path.
+    ("r13_index_forget_bm25", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = IxScratch.cached("r13:" + IxScratch.fingerprint(d),
+          "graft_r13_ix") { p =>
+        build(docs.filter(col("doc_id") % 5 =!= 0), p)
+        grow(docs.filter(col("doc_id") % 5 === 0), p)
+        forget(docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id")), p)
+      }
+      val qterms = Tables.documents(s, d).filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("query_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("qpos", "term")))
+        .filter(col("qpos") < 4)
+        .select(col("query_id"), col("term")).distinct()
+      bm25TopK(load(s, dir), qterms, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH rawbase AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      base AS (SELECT doc_id, arr FROM rawbase WHERE doc_id % 17 <> 0),
+      dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM base),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
+        FROM dl),
+      p AS (SELECT doc_id, unnest(arr) AS term FROM base),
+      qt AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(arr[1:4]) AS term
+          FROM rawbase WHERE doc_id % 89 = 0) z),
+      tf AS (
+        SELECT p.term, p.doc_id, count(*) AS tf
+        FROM p JOIN (SELECT DISTINCT term FROM qt) s ON p.term = s.term
+        GROUP BY p.term, p.doc_id),
+      idf AS (
+        SELECT term, CAST(floor(1048576.0 *
+            ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
+        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+      contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+          CAST(floor(CAST(idf.idf_q AS DOUBLE) *
+            ((CAST(tf.tf AS DOUBLE) * 2.25) /
+             (CAST(tf.tf AS DOUBLE) + 1.25 *
+              (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+            AS BIGINT) AS contrib
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN qt ON tf.term = qt.term
+        JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      scored AS (
+        SELECT query_id, doc_id, SUM(contrib) AS score
+        FROM contrib GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, rank, doc_id, score
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
     // r10's hybrid RRF with the LEXICAL leg served from the STORED
     // index (the r04/r08 amortization applied to hybrid retrieval): the
     // BM25 leg reads postings/doclens off the built-then-grown index —

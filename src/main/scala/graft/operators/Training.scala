@@ -564,6 +564,54 @@ object Training {
     rows
   }
 
+  /** t55's SQL-derivable unigram model over the corpus word table — the
+    * closed-form twin of [[unigramTrain]] (the wordpieceSqlVocab idea
+    * applied to the unigram family): pieces are every single character
+    * plus the top multi-char substrings (len ≤ 6) by (weighted count
+    * DESC, piece ASC) up to a 120-piece vocabulary, and each piece's
+    * log_prob is the EXACT dyadic rational score_q/2^20 with
+    * score_q = −2^30 + len(piece)·2^20 + min(count, 2^16). Every
+    * Viterbi path sum is then an integer multiple of 2^-20 with
+    * magnitude ≪ 2^52 — bit-exact in double — so DuckDB replays the
+    * whole DP (including the longest-last-piece tie rule) in integer
+    * arithmetic. The objective the scores encode is real tokenizer
+    * behavior: fewest pieces first (the −2^30 term dominates), frequent
+    * pieces among equal-length segmentations (the capped count term;
+    * the len·2^20 term telescopes to a per-word constant). The EM
+    * trainer (t34) stays the live float-iterative anchor. */
+  private[graft] def q20UnigramModel(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
+      .select(col("word"), col("wcnt"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(6), length(col("word")) - col("i")))).as("l"))
+      .select(col("word").substr(col("i") + 1, col("l")).as("piece"),
+        col("wcnt"))
+    val cnts = subs.groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+      .localCheckpoint(true) // chars + ranked multi both read the census
+    val chars = cnts.filter(length(col("piece")) === 1)
+    val nChars = chars.count()
+    require(nChars > 0 && nChars < 120,
+      s"t55 model: $nChars single chars does not fit a 120-piece vocab")
+    val multi = cnts.filter(length(col("piece")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece"))))
+      .filter(col("rk") <= lit(120L - nChars)).drop("rk")
+    chars.unionByName(multi)
+      .select(col("piece"),
+        ((lit(-1073741824L) +
+          length(col("piece")).cast("long") * lit(1048576L) +
+          least(col("cnt"), lit(65536L))).cast("double") / lit(1048576.0))
+          .as("log_prob"),
+        length(col("piece")).as("piece_len"))
+  }
+
   /** t46's SQL-derivable WordPiece vocabulary over a (word, wcnt) table:
     * top-200 positional substrings ≤4 chars by (count DESC, form, piece)
     * plus every positional single char for coverage, initial pieces
@@ -1544,6 +1592,115 @@ object Training {
           col("n_chars").cast("double") / col("n_pieces").cast("double"))
         .orderBy(col("doc_id"))
     }, None),
+
+    // The unigram STORED-SERVING oracle leg (closing the one tokenizer
+    // family with no oracle): t53's exact machinery — storeUnigramModel
+    // → StoreGuard'd loadUnigramModel → the codegen'd UnigramSegment
+    // Viterbi — under the SQL-derivable Q20 model ([[q20UnigramModel]]:
+    // every log_prob an exact dyadic score_q/2^20, so every path sum
+    // and every DP comparison is bit-exact in both engines). The oracle
+    // re-derives the model from raw text and replays the FULL Viterbi —
+    // lattice arcs, the forward max-DP with the longest-last-piece tie
+    // rule (first max in j-ascending candidate order), and the
+    // backtrace — as recursive CTEs carrying the DP arrays as list
+    // state (the t39/t46 join-only-recursion discipline extended to
+    // DP). Targets are the distinct words of every 89th doc. t34/t35/
+    // t53 stay the live EM anchors (float fixpoint, adjudicated);
+    // TrainingSpec pins reassembly + stored ≡ fresh parity here.
+    ("t55_unigram_stored_q20", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val dir = IxScratch.cached(
+          IxScratch.fingerprint(d) + "|t55-model", "graft-t55-") { p =>
+        storeUnigramModel(q20UnigramModel(docs), p)
+      }
+      val model = loadUnigramModel(s, dir)
+      docs.filter(col("doc_id") % 89 === 0)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "").distinct()
+        .select(col("word"),
+          unigramSegmentColumn(col("word"), model).as("segs"))
+        .select(col("word"),
+          array_join(col("segs"), "|").as("segmentation"),
+          size(col("segs")).cast("long").as("n_pieces"))
+        .orderBy(col("word"))
+    },
+    Some("""WITH RECURSIVE words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents) z
+        WHERE word <> '' GROUP BY word),
+      pos AS (
+        SELECT word, wcnt, CAST(r.i AS INTEGER) AS i
+        FROM words, unnest(range(0, length(word))) AS r(i)),
+      subs AS (
+        SELECT substr(word, i + 1, CAST(r.l AS INTEGER)) AS piece, wcnt
+        FROM pos, unnest(range(1, least(6, length(word) - i) + 1)) AS r(l)),
+      cnts AS MATERIALIZED (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM subs GROUP BY piece),
+      chars AS MATERIALIZED (
+        SELECT piece, cnt FROM cnts WHERE length(piece) = 1),
+      nchars AS (SELECT count(*) AS nc FROM chars),
+      multi AS (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt,
+            row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+          FROM cnts WHERE length(piece) > 1) z, nchars
+        WHERE rk <= 120 - nc),
+      model AS MATERIALIZED (
+        SELECT piece,
+          -1073741824 + CAST(length(piece) AS BIGINT) * 1048576 +
+            least(cnt, 65536) AS score_q
+        FROM (SELECT piece, cnt FROM chars
+              UNION ALL SELECT piece, cnt FROM multi) u),
+      twn AS MATERIALIZED (
+        SELECT word, CAST(length(word) AS INTEGER) AS n FROM (
+          SELECT DISTINCT word FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+              AS word
+            FROM documents WHERE doc_id % 89 = 0) y
+          WHERE word <> '') z),
+      cand AS (
+        SELECT t.word, CAST(p.i AS INTEGER) AS j,
+          CAST(p.i + l.l AS INTEGER) AS i,
+          substr(t.word, CAST(p.i AS INTEGER) + 1, CAST(l.l AS INTEGER))
+            AS piece
+        FROM twn t, unnest(range(0, t.n)) AS p(i),
+          unnest(range(1, least(6, t.n - p.i) + 1)) AS l(l)),
+      arclist AS MATERIALIZED (
+        SELECT c.word, c.i,
+          list(c.j ORDER BY c.j) AS arcj,
+          list(m.score_q ORDER BY c.j) AS arcsc
+        FROM cand c JOIN model m ON m.piece = c.piece
+        GROUP BY c.word, c.i),
+      vit AS (
+        SELECT word, n, 0 AS i,
+          [CAST(0 AS BIGINT)] AS bests, [CAST(0 AS INTEGER)] AS backs
+        FROM twn
+        UNION ALL
+        SELECT word, n, i + 1,
+          list_append(bests, list_max(cands)),
+          list_append(backs, arcj[list_position(cands, list_max(cands))])
+        FROM (
+          SELECT v.word, v.n, v.i AS i, v.bests, v.backs, a.arcj,
+            list_transform(range(1, len(a.arcj) + 1),
+              k -> v.bests[a.arcj[k] + 1] + a.arcsc[k]) AS cands
+          FROM vit v JOIN arclist a ON a.word = v.word AND a.i = v.i + 1
+          WHERE v.i < v.n) z),
+      vf AS MATERIALIZED (
+        SELECT word, n, backs FROM vit WHERE i = n),
+      bt AS (
+        SELECT word, n, n AS p, CAST([] AS VARCHAR[]) AS rev FROM vf
+        UNION ALL
+        SELECT b.word, b.n, f.backs[b.p + 1] AS p,
+          list_append(b.rev, substr(b.word, f.backs[b.p + 1] + 1,
+            b.p - f.backs[b.p + 1]))
+        FROM bt b JOIN vf f ON f.word = b.word
+        WHERE b.p > 0)
+      SELECT word, array_to_string(list_reverse(rev), '|') AS segmentation,
+        CAST(len(rev) AS BIGINT) AS n_pieces
+      FROM bt WHERE p = 0
+      ORDER BY word""")),
 
     // Stored-tokenizer REFRESH lifecycle — the grow/refresh semantics
     // every index family already registers, for the tokenizer store:

@@ -127,6 +127,33 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(liveRows == reg, "IxScratch-cached c13 report diverged from live")
   }
 
+  test("c14 md5-family web composition: cached report equals a fresh " +
+      "live run and the stage list covers every crawl + curate leg") {
+    val reg = SparkEntry.queries("c14_crawl_curate_md5")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(reg.map(_._2) == Seq("records", "html_pages", "http_ok",
+      "url_dedup", "extract", "gate_scrub", "exact_dedup", "near_dedup",
+      "substring_dedup", "decontaminate"))
+    // every stage can only drop rows (records ⊇ html ⊇ ok ⊇ url-dedup
+    // survivors; extract is the identity count; curation only drops)
+    reg.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"stage ${b._2} grew: $a -> $b")
+    }
+    assert(reg.last._3 > 0, "web chain left no survivors")
+    // cached ≡ live: re-run the EXACT registered configuration fresh
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val segments = CorpusPipeline.syntheticSegments(
+      docs.filter(col("doc_id") % 97 =!= 0).as[(Long, String)])
+    val (_, live) = CorpusPipeline.crawlCurate(segments,
+      evalRef = Some(docs.filter(col("doc_id") % 97 === 0)),
+      opts = CorpusPipeline.Opts(lineGate = false, hashGrams = false,
+        md5Family = true))
+    val liveRows = live.orderBy(col("stage_idx"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(liveRows == reg, "IxScratch-cached c14 report diverged from live")
+  }
+
   test("crawlCurate: every crawl stage drops exactly its witness") {
     import graft.kernel.Warc
     def resp(url: String, status: Int, mime: String, body: String) =

@@ -271,4 +271,40 @@ class DedupIndexSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(re(201L) == "exact_corpus")
   }
+
+  test("d16 registered lifecycle: no verdict ever points at a forgotten " +
+      "doc, and retained re-posts still resolve exact_corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val forgotten = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 17 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty, "fixture must tombstone at least one doc")
+    val out = SparkEntry.queries("d16_dedup_forget_md5")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // the tombstone property: a forgotten doc neither claims exact
+    // re-crawls nor attracts near-dup attribution — NOTHING may point
+    // at it
+    out.foreach { case (id, st, dupOf) =>
+      assert(!dupOf.exists(forgotten.contains),
+        s"verdict ($id, $st, $dupOf) points at a forgotten doc")
+    }
+    // every retained re-post (id + 2^31) is an exact_corpus hit — its
+    // original is still in the masked index
+    val retained = out.filter(_._1 >= 2147483648L)
+    assert(retained.nonEmpty)
+    retained.foreach { case (id, st, _) =>
+      assert(st == "exact_corpus", s"retained re-post $id got $st")
+    }
+    // at least one forgotten re-post (2^30 band) re-enters as non-exact
+    // (its original stopped claiming it); it may still near-match a
+    // RETAINED doc organically, which the dup_of assertion above allows
+    val reposts = out.filter(t => t._1 >= 1073741824L && t._1 < 2147483648L)
+    assert(reposts.nonEmpty)
+    assert(reposts.exists(_._2 != "exact_corpus"),
+      "every forgotten re-post still resolved exact_corpus — " +
+        "tombstone masking is not reaching the exact table")
+  }
 }

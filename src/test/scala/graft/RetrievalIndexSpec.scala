@@ -159,6 +159,18 @@ class RetrievalIndexSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("r13 registered forget lifecycle: no forgotten doc is ever ranked") {
+    val out = SparkEntry.queries("r13_index_forget_bm25")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // every 17th doc is tombstoned in the registered lifecycle — a
+    // ranked result naming one means the mask missed the postings table
+    out.foreach { r =>
+      assert(r.getLong(2) % 17 != 0,
+        s"forgotten doc ${r.getLong(2)} still ranked for query ${r.getLong(0)}")
+    }
+  }
+
   test("probe prunes to the query terms' bucket partitions at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = tmp()

@@ -144,6 +144,51 @@ class StoreFuzzSpec extends SparkSuite {
     assert(loud(AnnIndex.load(spark, d2)).contains("codes"))
   }
 
+  // ---- crawl-loop state dirs (r18 VERDICT #6 → r19: the loop loads
+  // cdx/corpus/manifest across restarts — a truncated or
+  // column-dropped state table must refuse loudly, not serve a partial
+  // ledger or re-admit every fetch as novel) ----
+
+  test("crawl-loop state: column-dropped cdx, manifest, and corpus " +
+      "tables refuse loudly") {
+    import graft.operators.{CorpusPipeline, CrawlLoop}
+    val opts = CorpusPipeline.Opts(lineGate = false)
+    def fetch(url: String): org.apache.spark.sql.DataFrame =
+      Seq((url, "2025-01-01T00:00:00Z",
+        ("<html><body><p>guarded loop state fixture page with clearly " +
+          "enough words to survive the document floor here" +
+          "</p></body></html>").getBytes("UTF-8")))
+        .toDF("url", "warc_date", "body")
+    def seeded(): CrawlLoop.State = {
+      val st = CrawlLoop.freshState()
+      CrawlLoop.step(fetch("https://example.com/seed"), st, opts,
+        ixBuckets = 8)
+      st
+    }
+
+    // cdx loses its digest column → the next step's revisit screen
+    // refuses instead of archiving every re-fetch as novel
+    val st1 = seeded()
+    dropColumn(st1.cdxDir, Seq("urlkey", "ts", "url", "mime", "status"))
+    assert(loud(CrawlLoop.step(fetch("https://example.com/p2"), st1, opts,
+      ixBuckets = 8)).contains("digest"))
+
+    // manifest loses batch_ord → the ledger append refuses instead of
+    // silently restarting batch numbering
+    val st2 = seeded()
+    dropColumn(st2.manifestDir, Seq("stage_idx", "stage", "rows", "secs"))
+    assert(loud(CrawlLoop.step(fetch("https://example.com/p3"), st2, opts,
+      ixBuckets = 8)).contains("batch_ord"))
+
+    // corpus loses doc_id → forget refuses instead of rewriting the
+    // corpus into garbage
+    val st3 = seeded()
+    dropColumn(st3.corpusDir,
+      spark.read.parquet(st3.corpusDir).columns.filterNot(_ == "doc_id").toSeq)
+    assert(loud(CrawlLoop.forget(Seq(1L).toDF("doc_id"), st3))
+      .contains("doc_id"))
+  }
+
   private def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -645,6 +645,34 @@ class TrainingSpec extends SparkSuite {
     assert(segmented.exists { case (w, p) => w.length > 1 && p.size < w.length })
   }
 
+  test("t55 q20 model: exact dyadic scores, serving matches the in-spec " +
+      "reference Viterbi, pieces reassemble") {
+    import graft.operators.Training
+    val docs = Tables.documents(spark, sf0001)
+    val model = Training.q20UnigramModel(docs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(model.nonEmpty)
+    // every log_prob is an exact multiple of 2^-20 — the bit-exactness
+    // the oracle's integer DP replay rests on — finite and negative
+    model.foreach { case (p, lp) =>
+      val q = lp * 1048576.0
+      assert(q == math.rint(q) && lp < 0.0 && !lp.isInfinite,
+        s"piece '$p' score $lp is not an exact Q20 dyadic")
+    }
+    val reg = SparkEntry.queries("t55_unigram_stored_q20")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(reg.nonEmpty)
+    val refMap = model.toMap
+    val unk = model.map(_._2).min - 1.0
+    reg.filterNot(_._1.contains("|")).foreach { case (w, seg, n) =>
+      val pieces = seg.split("\\|", -1).toSeq
+      assert(pieces.mkString == w, s"pieces must reassemble '$w'")
+      assert(pieces.length.toLong == n, s"n_pieces drifted for '$w'")
+      assert(pieces == referenceViterbi(w, refMap, unk),
+        s"q20 serving diverged from the reference Viterbi on '$w'")
+    }
+  }
+
   test("unigram segmentation: hand cases — likelihood wins, ties keep longer, OOV falls back") {
     val spark2 = spark
     import spark2.implicits._
