@@ -372,7 +372,11 @@ object CrawlLoop {
       import scala.concurrent.duration.Duration
       val writes =
         if (first) Seq(
-          Future(DedupIndex.build(sized, st.dedupDir)),
+          // the dedup index follows the composition's hash family (the
+          // c13/c14 Signer discipline): the c15 oracle twin builds md5
+          // so the cross-batch verdicts replay; production stays fnv
+          Future(DedupIndex.build(sized, st.dedupDir,
+            family = if (opts.md5Family) "md5" else "fnv")),
           Future(RetrievalIndex.build(sized, st.retrievalDir,
             nBuckets = ixBuckets)),
           Future(DecontamIndex.build(sized, st.decontamDir,
@@ -470,6 +474,53 @@ object CrawlLoop {
       .drop("__did")
       .localCheckpoint(true)
     cdx.write.mode("overwrite").parquet(st.cdxDir)
+  }
+
+  /** The c15 fixture: two [[step]] batches under the md5 family into
+    * `stateRoot` — batch 0 seeds with the odd documents, batch 1 brings
+    * the even documents with planted cross-batch events by congruence
+    * precedence (10 → 14 → 22 → 6 → real). Shared by the registered
+    * query (IxScratch-cached) and CrawlLoopSpec's cached ≡ live gate. */
+  private[graft] def md5FamilyLoop(s: SparkSession, d: String,
+      stateRoot: String): Unit = {
+    val st = State(stateRoot)
+    val opts = CorpusPipeline.Opts(lineGate = false, hashGrams = false,
+      md5Family = true)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def page(text: org.apache.spark.sql.Column) =
+      concat(lit("<html><body><p>"), text, lit("</p></body></html>"))
+    val b0 = docs.filter(col("doc_id") % 2 === 1)
+      .select(
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+        lit("2025-05-01T00:00:00Z").as("warc_date"),
+        page(col("text")).cast("binary").as("body"))
+    val tgt = docs.select(col("doc_id").as("tid"), col("text").as("ttext"))
+    val pre = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("tid",
+        when(col("doc_id") % 10 === 0, col("doc_id") - 1)
+          .when(col("doc_id") % 14 === 0, col("doc_id") - 7)
+          .when(col("doc_id") % 22 === 0, col("doc_id") - 11)
+          .when(col("doc_id") % 6 === 0, col("doc_id") - 3))
+      .join(tgt, Seq("tid"), "left")
+    val ttext = coalesce(col("ttext"), col("text"))
+    val b1 = pre.select(
+      when(col("doc_id") % 10 === 0,
+          concat(lit("https://example.com/doc/"), col("tid")))
+        .when(col("doc_id") % 14 === 0,
+          concat(lit("https://example.com/copy/"), col("doc_id")))
+        .otherwise(concat(lit("https://example.com/doc/"), col("doc_id")))
+        .as("url"),
+      lit("2025-05-02T00:00:00Z").as("warc_date"),
+      when(col("doc_id") % 10 === 0, page(ttext))
+        .when(col("doc_id") % 14 === 0, page(ttext))
+        .when(col("doc_id") % 22 === 0, page(concat(
+          lit("edited"), col("doc_id").cast("string"), lit(" "), ttext)))
+        .when(col("doc_id") % 6 === 0, page(concat(ttext, lit("  "))))
+        .otherwise(page(col("text")))
+        .cast("binary").as("body"))
+    step(b0, st, opts, ixBuckets = 8)
+    step(b1, st, opts, ixBuckets = 8)
+    ()
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -946,6 +997,583 @@ object CrawlLoop {
           col("rows"))
       manifest.unionByName(takedown)
         .orderBy(col("phase"), col("batch_ord"), col("stage_idx"))
-    }, None)
+    }, None),
+
+    // The FULL LOOP under the oracle — the composition twin c13/c14
+    // built toward: TWO real CrawlLoop.step batches (archive → revisit
+    // screen → CDX admission → curation → incremental dedup against
+    // the GROWN index → index/corpus maintenance) under Opts.md5Family,
+    // with the complete two-batch run MANIFEST hash-gated. Batch 0
+    // seeds with the odd documents; batch 1 brings the even documents
+    // with planted cross-batch events by congruence precedence
+    // (10 → 14 → 22 → 6 → real): exact re-fetches of batch-0 urls
+    // (revisit records + cdx url_dup), mirrors of batch-0 bodies on
+    // new urls (content_dup), one-token edits of batch-0 docs
+    // (near_corpus via the grown md5 dedup index), and whitespace
+    // variants (novel digest, exact_corpus at dedup). The oracle
+    // replays EVERY manifest row: record/page/verdict counts off the
+    // url+body key joins, both batches' full curation chains (the c14
+    // SQL), the d16-style dedupAgainst with the stored-bucket probe,
+    // and the maintenance ledger (corpus totals and the decontam gram
+    // census; media families are absent so their index rows pin 0).
+    // `segments` is the one literal: archiveWithRevisits shards by
+    // MurmurHash3(url) mod 16, and with hundreds of urls per batch at
+    // every driver SF all 16 shards are occupied — a regeneration
+    // small enough to empty a shard flags red loudly, never silently
+    // passes. c08/c11/c12 stay the live fnv-family anchors.
+    ("c15_crawl_loop_md5", (s: SparkSession, d: String) => {
+      val root = IxScratch.cached(
+          "crawlloop-md5:" + IxScratch.fingerprint(d),
+          "graft_loop_md5") { p =>
+        md5FamilyLoop(s, d, s"$p/state")
+      }
+      StoreGuard.table(s, s"$root/state", "manifest.parquet",
+          "batch_ord", "stage_idx", "stage", "rows")
+        .select(col("batch_ord"), col("stage_idx"), col("stage"),
+          col("rows"))
+        .orderBy(col("batch_ord"), col("stage_idx"))
+    },
+    Some("""WITH RECURSIVE
+  docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
+  b0f AS MATERIALIZED (
+    SELECT doc_id,
+      'https://example.com/doc/' || doc_id AS url,
+      '<html><body><p>' || text || '</p></body></html>' AS body
+    FROM docs WHERE doc_id % 2 = 1),
+  tgt AS (SELECT doc_id AS tid, text AS ttext FROM docs),
+  b1p AS (
+    SELECT d.doc_id, d.text,
+      CASE WHEN d.doc_id % 10 = 0 THEN d.doc_id - 1
+           WHEN d.doc_id % 14 = 0 THEN d.doc_id - 7
+           WHEN d.doc_id % 22 = 0 THEN d.doc_id - 11
+           WHEN d.doc_id % 6 = 0 THEN d.doc_id - 3 END AS tid
+    FROM docs d WHERE d.doc_id % 2 = 0),
+  b1f AS MATERIALIZED (
+    SELECT p.doc_id,
+      CASE WHEN p.doc_id % 10 = 0 THEN 'https://example.com/doc/' || p.tid
+           WHEN p.doc_id % 14 = 0 THEN 'https://example.com/copy/' || p.doc_id
+           ELSE 'https://example.com/doc/' || p.doc_id END AS url,
+      '<html><body><p>' ||
+        CASE WHEN p.doc_id % 10 = 0 THEN coalesce(t.ttext, p.text)
+             WHEN p.doc_id % 14 = 0 THEN coalesce(t.ttext, p.text)
+             WHEN p.doc_id % 22 = 0 THEN 'edited' || p.doc_id || ' ' ||
+               coalesce(t.ttext, p.text)
+             WHEN p.doc_id % 6 = 0 THEN coalesce(t.ttext, p.text) || '  '
+             ELSE p.text END ||
+        '</p></body></html>' AS body
+    FROM b1p p LEFT JOIN tgt t ON t.tid = p.tid),
+  b0urls AS MATERIALIZED (SELECT DISTINCT url FROM b0f),
+  b0bodies AS MATERIALIZED (SELECT DISTINCT body FROM b0f),
+  v1 AS MATERIALIZED (
+    SELECT f.doc_id, f.url, f.body,
+      CASE WHEN u.url IS NOT NULL THEN 'url_dup'
+           WHEN b.body IS NOT NULL THEN 'content_dup'
+           ELSE 'novel' END AS verdict,
+      (b.body IS NOT NULL) AS revisit
+    FROM b1f f
+    LEFT JOIN b0urls u ON u.url = f.url
+    LEFT JOIN b0bodies b ON b.body = f.body),
+  b1adm AS MATERIALIZED (
+    SELECT url, body FROM v1 WHERE verdict = 'novel'),
+
+  b0_strip AS (
+    SELECT url,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(body,
+          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+          '(?s)<!--.*?-->', '', 'g'),
+          '(?i)</?(?:p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>',
+            chr(10), 'g'),
+          '<[^>]*>', '', 'g') AS t
+    FROM b0f),
+  b0_dec AS (
+    SELECT url,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(t,
+          '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+    FROM b0_strip),
+  b0_src AS MATERIALIZED (
+    SELECT CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) AS doc_id,
+      trim(regexp_replace(regexp_replace(regexp_replace(t,
+        '[ \t]+', ' ', 'g'),
+        '\s*\n\s*', chr(10), 'g'),
+        '^\n|\n$', '', 'g')) AS text
+    FROM b0_dec),
+  b0_gate AS MATERIALIZED (
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+        AS text
+    FROM b0_src),
+  b0_kept AS MATERIALIZED (
+    SELECT doc_id, text FROM b0_gate
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+  b0_ex AS MATERIALIZED (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text, row_number() OVER (
+        PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+      FROM b0_kept) z WHERE rn = 1),
+  b0_sh AS MATERIALIZED (
+    SELECT doc_id, text,
+      CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+           THEN list_distinct(list_transform(
+             range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> concat_ws(' ',
+               string_split_regex(trim(text), '\s+')[i+1],
+               string_split_regex(trim(text), '\s+')[i+2],
+               string_split_regex(trim(text), '\s+')[i+3])))
+           ELSE [text] END AS sh
+    FROM b0_ex),
+  b0_g3 AS (SELECT doc_id, unnest(sh) AS g FROM b0_sh),
+  b0_sig AS MATERIALIZED (
+    SELECT doc_id, i.range AS i,
+      min(CAST(concat('0x', substr(
+        md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+        AS BIGINT)) AS s
+    FROM b0_g3 CROSS JOIN range(12) i
+    GROUP BY doc_id, i.range),
+  b0_band AS MATERIALIZED (
+    SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+      md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+    FROM b0_sig GROUP BY doc_id, i // 3),
+  b0_hot AS (
+    SELECT band, key FROM b0_band GROUP BY band, key
+    HAVING count(*) > 100),
+  b0_cap AS MATERIALIZED (
+    SELECT b.* FROM b0_band b
+    LEFT JOIN b0_hot h ON b.band = h.band AND b.key = h.key
+    WHERE h.band IS NULL),
+  b0_prs AS (
+    SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+    FROM b0_cap x JOIN b0_cap y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+  b0_ver AS MATERIALIZED (
+    SELECT u, v FROM b0_prs pp
+    JOIN b0_sh a ON a.doc_id = pp.u
+    JOIN b0_sh b ON b.doc_id = pp.v
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.5),
+  b0_edge AS (
+    SELECT u, v FROM b0_ver UNION SELECT v AS u, u AS v FROM b0_ver),
+  b0_node AS (SELECT DISTINCT u AS node FROM b0_edge),
+  b0_reach(u, v) AS (
+    SELECT node AS u, node AS v FROM b0_node
+    UNION
+    SELECT r.u, e.v FROM b0_reach r JOIN b0_edge e ON r.v = e.u),
+  b0_comp AS (
+    SELECT u AS doc_id, min(v) AS component FROM b0_reach GROUP BY u),
+  b0_plan AS MATERIALIZED (
+    SELECT c.doc_id,
+      first_value(c.doc_id) OVER (PARTITION BY c.component
+        ORDER BY length(e.text) DESC, c.doc_id ASC) AS canonical_id
+    FROM b0_comp c JOIN b0_ex e ON e.doc_id = c.doc_id),
+  b0_nd AS MATERIALIZED (
+    SELECT e.doc_id, e.text FROM b0_ex e
+    WHERE NOT EXISTS (SELECT 1 FROM b0_plan pl
+      WHERE pl.doc_id = e.doc_id AND pl.doc_id <> pl.canonical_id)),
+  b0_tok AS MATERIALIZED (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM b0_nd),
+  b0_g8 AS MATERIALIZED (
+    SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+      array_to_string(tk[r.i+1 : r.i+8], ' ') AS gram
+    FROM b0_tok, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+  b0_dupg AS (SELECT gram FROM b0_g8 GROUP BY gram HAVING count(*) >= 2),
+  b0_dpos AS (
+    SELECT doc_id, pos, pos + 7 AS e FROM b0_g8
+    WHERE gram IN (SELECT gram FROM b0_dupg)),
+  b0_runs AS (
+    SELECT doc_id, pos, e,
+      max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+    FROM b0_dpos),
+  b0_mark AS (
+    SELECT doc_id, pos, e,
+      lag(run_end) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_end
+    FROM b0_runs),
+  b0_flag AS (
+    SELECT doc_id, pos, e,
+      sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+               THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+    FROM b0_mark),
+  b0_sp AS MATERIALIZED (
+    SELECT doc_id, span_id, min(pos) AS s, max(e) AS e
+    FROM b0_flag GROUP BY doc_id, span_id),
+  b0_tkn AS (
+    SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos, tk[r.i] AS tok
+    FROM b0_tok, unnest(range(1, len(tk) + 1)) AS r(i)),
+  b0_keep AS MATERIALIZED (
+    SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+    FROM b0_tkn t
+    WHERE NOT EXISTS (SELECT 1 FROM b0_sp sp
+      WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)
+    GROUP BY t.doc_id),
+  b0_ss AS MATERIALIZED (
+    SELECT doc_id, text FROM b0_keep
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+
+  b1_strip AS (
+    SELECT url,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(body,
+          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+          '(?s)<!--.*?-->', '', 'g'),
+          '(?i)</?(?:p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>',
+            chr(10), 'g'),
+          '<[^>]*>', '', 'g') AS t
+    FROM b1adm),
+  b1_dec AS (
+    SELECT url,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(t,
+          '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+    FROM b1_strip),
+  b1_src AS MATERIALIZED (
+    SELECT CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) AS doc_id,
+      trim(regexp_replace(regexp_replace(regexp_replace(t,
+        '[ \t]+', ' ', 'g'),
+        '\s*\n\s*', chr(10), 'g'),
+        '^\n|\n$', '', 'g')) AS text
+    FROM b1_dec),
+  b1_gate AS MATERIALIZED (
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+        AS text
+    FROM b1_src),
+  b1_kept AS MATERIALIZED (
+    SELECT doc_id, text FROM b1_gate
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+  b1_ex AS MATERIALIZED (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text, row_number() OVER (
+        PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+      FROM b1_kept) z WHERE rn = 1),
+  b1_sh AS MATERIALIZED (
+    SELECT doc_id, text,
+      CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+           THEN list_distinct(list_transform(
+             range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> concat_ws(' ',
+               string_split_regex(trim(text), '\s+')[i+1],
+               string_split_regex(trim(text), '\s+')[i+2],
+               string_split_regex(trim(text), '\s+')[i+3])))
+           ELSE [text] END AS sh
+    FROM b1_ex),
+  b1_g3 AS (SELECT doc_id, unnest(sh) AS g FROM b1_sh),
+  b1_sig AS MATERIALIZED (
+    SELECT doc_id, i.range AS i,
+      min(CAST(concat('0x', substr(
+        md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+        AS BIGINT)) AS s
+    FROM b1_g3 CROSS JOIN range(12) i
+    GROUP BY doc_id, i.range),
+  b1_band AS MATERIALIZED (
+    SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+      md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+    FROM b1_sig GROUP BY doc_id, i // 3),
+  b1_hot AS (
+    SELECT band, key FROM b1_band GROUP BY band, key
+    HAVING count(*) > 100),
+  b1_cap AS MATERIALIZED (
+    SELECT b.* FROM b1_band b
+    LEFT JOIN b1_hot h ON b.band = h.band AND b.key = h.key
+    WHERE h.band IS NULL),
+  b1_prs AS (
+    SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+    FROM b1_cap x JOIN b1_cap y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+  b1_ver AS MATERIALIZED (
+    SELECT u, v FROM b1_prs pp
+    JOIN b1_sh a ON a.doc_id = pp.u
+    JOIN b1_sh b ON b.doc_id = pp.v
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.5),
+  b1_edge AS (
+    SELECT u, v FROM b1_ver UNION SELECT v AS u, u AS v FROM b1_ver),
+  b1_node AS (SELECT DISTINCT u AS node FROM b1_edge),
+  b1_reach(u, v) AS (
+    SELECT node AS u, node AS v FROM b1_node
+    UNION
+    SELECT r.u, e.v FROM b1_reach r JOIN b1_edge e ON r.v = e.u),
+  b1_comp AS (
+    SELECT u AS doc_id, min(v) AS component FROM b1_reach GROUP BY u),
+  b1_plan AS MATERIALIZED (
+    SELECT c.doc_id,
+      first_value(c.doc_id) OVER (PARTITION BY c.component
+        ORDER BY length(e.text) DESC, c.doc_id ASC) AS canonical_id
+    FROM b1_comp c JOIN b1_ex e ON e.doc_id = c.doc_id),
+  b1_nd AS MATERIALIZED (
+    SELECT e.doc_id, e.text FROM b1_ex e
+    WHERE NOT EXISTS (SELECT 1 FROM b1_plan pl
+      WHERE pl.doc_id = e.doc_id AND pl.doc_id <> pl.canonical_id)),
+  b1_tok AS MATERIALIZED (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM b1_nd),
+  b1_g8 AS MATERIALIZED (
+    SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+      array_to_string(tk[r.i+1 : r.i+8], ' ') AS gram
+    FROM b1_tok, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+  b1_dupg AS (SELECT gram FROM b1_g8 GROUP BY gram HAVING count(*) >= 2),
+  b1_dpos AS (
+    SELECT doc_id, pos, pos + 7 AS e FROM b1_g8
+    WHERE gram IN (SELECT gram FROM b1_dupg)),
+  b1_runs AS (
+    SELECT doc_id, pos, e,
+      max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+    FROM b1_dpos),
+  b1_mark AS (
+    SELECT doc_id, pos, e,
+      lag(run_end) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_end
+    FROM b1_runs),
+  b1_flag AS (
+    SELECT doc_id, pos, e,
+      sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+               THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+    FROM b1_mark),
+  b1_sp AS MATERIALIZED (
+    SELECT doc_id, span_id, min(pos) AS s, max(e) AS e
+    FROM b1_flag GROUP BY doc_id, span_id),
+  b1_tkn AS (
+    SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos, tk[r.i] AS tok
+    FROM b1_tok, unnest(range(1, len(tk) + 1)) AS r(i)),
+  b1_keep AS MATERIALIZED (
+    SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+    FROM b1_tkn t
+    WHERE NOT EXISTS (SELECT 1 FROM b1_sp sp
+      WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)
+    GROUP BY t.doc_id),
+  b1_ss AS MATERIALIZED (
+    SELECT doc_id, text FROM b1_keep
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+  da_corpus AS MATERIALIZED (SELECT doc_id, text FROM b0_ss),
+  da_cmin AS (
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5,
+      min(doc_id) AS c_min
+    FROM da_corpus GROUP BY 1),
+  da_bmd5 AS (
+    SELECT doc_id,
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_md5
+    FROM b1_ss),
+  da_bmin AS (SELECT doc_md5, min(doc_id) AS b_min FROM da_bmd5 GROUP BY 1),
+  da_exact AS MATERIALIZED (
+    SELECT b.doc_id,
+      CASE WHEN c.c_min IS NOT NULL THEN 'exact_corpus'
+           WHEN b.doc_id <> m.b_min THEN 'exact_batch' END AS status
+    FROM da_bmd5 b
+    JOIN da_bmin m ON b.doc_md5 = m.doc_md5
+    LEFT JOIN da_cmin c ON b.doc_md5 = c.doc_md5),
+  da_surv AS (SELECT doc_id FROM da_exact WHERE status IS NULL),
+  da_text AS MATERIALIZED (
+    SELECT doc_id, text FROM da_corpus
+    UNION ALL
+    SELECT b.doc_id, b.text FROM b1_ss b
+    JOIN da_surv s ON b.doc_id = s.doc_id),
+  da_sh AS MATERIALIZED (
+    SELECT doc_id,
+      CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+           THEN list_distinct(list_transform(
+             range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> concat_ws(' ',
+               string_split_regex(trim(text), '\s+')[i+1],
+               string_split_regex(trim(text), '\s+')[i+2],
+               string_split_regex(trim(text), '\s+')[i+3])))
+           ELSE [text] END AS sh
+    FROM da_text),
+  da_g AS (SELECT doc_id, unnest(sh) AS g FROM da_sh),
+  da_sig AS MATERIALIZED (
+    SELECT doc_id, i.range AS i,
+      min(CAST(concat('0x', substr(
+        md5(concat(CAST(i.range AS VARCHAR), ':', g)), 1, 15))
+        AS BIGINT)) AS s
+    FROM da_g CROSS JOIN range(12) i
+    GROUP BY doc_id, i.range),
+  da_band AS MATERIALIZED (
+    SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+      md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS key
+    FROM da_sig GROUP BY doc_id, i // 3),
+  da_cband AS (
+    SELECT b.* FROM da_band b JOIN da_corpus c ON b.doc_id = c.doc_id),
+  da_bband AS (
+    SELECT b.* FROM da_band b JOIN da_surv s ON b.doc_id = s.doc_id),
+  da_cross AS (
+    SELECT DISTINCT bb.doc_id, cb.doc_id AS c_id
+    FROM da_bband bb JOIN da_cband cb
+      ON bb.band = cb.band AND bb.key = cb.key),
+  da_cver AS (
+    SELECT cc.doc_id, cc.c_id
+    FROM da_cross cc
+    JOIN da_sh sa ON sa.doc_id = cc.doc_id
+    JOIN da_sh sb ON sb.doc_id = cc.c_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      >= 0.5),
+  da_clink AS (
+    SELECT doc_id, min(c_id) AS direct_of FROM da_cver GROUP BY doc_id),
+  da_hot AS (
+    SELECT band, key FROM da_bband GROUP BY band, key
+    HAVING count(*) > 100),
+  da_cap AS (
+    SELECT bb.* FROM da_bband bb
+    LEFT JOIN da_hot h ON bb.band = h.band AND bb.key = h.key
+    WHERE h.band IS NULL),
+  da_prs AS (
+    SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+    FROM da_cap x JOIN da_cap y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+  da_vprs AS (
+    SELECT pp.u, pp.v FROM da_prs pp
+    JOIN da_sh sa ON sa.doc_id = pp.u
+    JOIN da_sh sb ON sb.doc_id = pp.v
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      >= 0.5),
+  da_edge AS (
+    SELECT u, v FROM da_vprs UNION ALL SELECT v AS u, u AS v FROM da_vprs),
+  da_reach AS (
+    SELECT doc_id AS node, doc_id AS lbl FROM da_surv
+    UNION
+    SELECT e.v AS node, r.lbl
+    FROM da_reach r JOIN da_edge e ON e.u = r.node
+    WHERE r.lbl < e.v),
+  da_comp AS (
+    SELECT node AS doc_id, min(lbl) AS component FROM da_reach GROUP BY node),
+  da_plan AS (
+    SELECT c.doc_id, c.component,
+      first_value(c.doc_id) OVER (PARTITION BY c.component
+        ORDER BY length(a.text) DESC, c.doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS canonical_id
+    FROM da_comp c JOIN b1_ss a ON a.doc_id = c.doc_id),
+  da_enr AS (
+    SELECT p.doc_id, p.canonical_id, cl.direct_of,
+      min(cl.direct_of) OVER (PARTITION BY p.component) AS comp_of
+    FROM da_plan p LEFT JOIN da_clink cl ON cl.doc_id = p.doc_id),
+  da_nearv AS (
+    SELECT doc_id,
+      CASE WHEN comp_of IS NOT NULL THEN 'near_corpus'
+           WHEN doc_id <> canonical_id THEN 'near_batch'
+           ELSE 'kept' END AS status
+    FROM da_enr),
+  da_all AS MATERIALIZED (
+    SELECT doc_id, status FROM da_exact WHERE status IS NOT NULL
+    UNION ALL SELECT doc_id, status FROM da_nearv),
+  b1_fin AS MATERIALIZED (
+    SELECT b.doc_id, b.text FROM b1_ss b
+    JOIN da_all v ON v.doc_id = b.doc_id AND v.status = 'kept'),
+  gr0 AS MATERIALIZED (
+    SELECT CAST(sum(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 8
+      THEN len(list_distinct(list_transform(
+        range(0, len(string_split_regex(trim(text), '\s+')) - 7),
+        i -> array_to_string(
+          string_split_regex(trim(text), '\s+')[i+1:i+8], ' '))))
+      ELSE 1 END) AS BIGINT) AS n
+    FROM b0_ss),
+  gr1 AS MATERIALIZED (
+    SELECT CAST(sum(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 8
+      THEN len(list_distinct(list_transform(
+        range(0, len(string_split_regex(trim(text), '\s+')) - 7),
+        i -> array_to_string(
+          string_split_regex(trim(text), '\s+')[i+1:i+8], ' '))))
+      ELSE 1 END) AS BIGINT) AS n
+    FROM b1_fin)
+  SELECT CAST(batch_ord AS BIGINT) AS batch_ord,
+    CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+    CAST("rows" AS BIGINT) AS "rows"
+  FROM (VALUES
+    (0, 0, 'fetched', (SELECT count(*) FROM b0f)),
+    (0, 1, 'segments', 16),
+    (0, 2, 'cdx_novel', (SELECT count(*) FROM b0f)),
+    (0, 3, 'cdx_url_dup', 0),
+    (0, 4, 'cdx_content_dup', 0),
+    (0, 5, 'media_images', 0),
+    (0, 6, 'media_near_dup', 0),
+    (0, 7, 'media_kept', 0),
+    (0, 8, 'media_audio', 0),
+    (0, 9, 'media_audio_dup', 0),
+    (0, 10, 'media_audio_kept', 0),
+    (0, 11, 'media_video', 0),
+    (0, 12, 'media_video_dup', 0),
+    (0, 13, 'media_video_kept', 0),
+    (0, 14, 'records', (SELECT count(*) FROM b0f)),
+    (0, 15, 'html_pages', (SELECT count(*) FROM b0f)),
+    (0, 16, 'http_ok', (SELECT count(*) FROM b0f)),
+    (0, 17, 'admitted', (SELECT count(*) FROM b0f)),
+    (0, 18, 'url_dedup', (SELECT count(*) FROM b0f)),
+    (0, 19, 'extract', (SELECT count(*) FROM b0_src)),
+    (0, 20, 'gate_scrub', (SELECT count(*) FROM b0_kept)),
+    (0, 21, 'exact_dedup', (SELECT count(*) FROM b0_ex)),
+    (0, 22, 'near_dedup', (SELECT count(*) FROM b0_nd)),
+    (0, 23, 'substring_dedup', (SELECT count(*) FROM b0_ss)),
+    (0, 24, 'corpus_kept', (SELECT count(*) FROM b0_ss)),
+    (0, 25, 'corpus_exact_dup', 0),
+    (0, 26, 'corpus_near_dup', 0),
+    (0, 27, 'corpus_total', (SELECT count(*) FROM b0_ss)),
+    (0, 28, 'ix_dedup_docs', (SELECT count(*) FROM b0_ss)),
+    (0, 29, 'ix_retrieval_docs', (SELECT count(*) FROM b0_ss)),
+    (0, 30, 'ix_decontam_grams', (SELECT n FROM gr0)),
+    (0, 31, 'ix_hash_sigs', 0),
+    (0, 32, 'ix_audio_hash_sigs', 0),
+    (0, 33, 'ix_video_hash_sigs', 0),
+    (1, 0, 'fetched', (SELECT count(*) FROM b1f)),
+    (1, 1, 'segments', 16),
+    (1, 2, 'cdx_novel', (SELECT count(*) FROM v1 WHERE verdict = 'novel')),
+    (1, 3, 'cdx_url_dup', (SELECT count(*) FROM v1 WHERE verdict = 'url_dup')),
+    (1, 4, 'cdx_content_dup',
+      (SELECT count(*) FROM v1 WHERE verdict = 'content_dup')),
+    (1, 5, 'media_images', 0),
+    (1, 6, 'media_near_dup', 0),
+    (1, 7, 'media_kept', 0),
+    (1, 8, 'media_audio', 0),
+    (1, 9, 'media_audio_dup', 0),
+    (1, 10, 'media_audio_kept', 0),
+    (1, 11, 'media_video', 0),
+    (1, 12, 'media_video_dup', 0),
+    (1, 13, 'media_video_kept', 0),
+    (1, 14, 'records', (SELECT count(*) FROM b1f)),
+    (1, 15, 'html_pages', (SELECT count(*) FROM v1 WHERE NOT revisit)),
+    (1, 16, 'http_ok', (SELECT count(*) FROM v1 WHERE NOT revisit)),
+    (1, 17, 'admitted', (SELECT count(*) FROM b1adm)),
+    (1, 18, 'url_dedup', (SELECT count(*) FROM b1adm)),
+    (1, 19, 'extract', (SELECT count(*) FROM b1_src)),
+    (1, 20, 'gate_scrub', (SELECT count(*) FROM b1_kept)),
+    (1, 21, 'exact_dedup', (SELECT count(*) FROM b1_ex)),
+    (1, 22, 'near_dedup', (SELECT count(*) FROM b1_nd)),
+    (1, 23, 'substring_dedup', (SELECT count(*) FROM b1_ss)),
+    (1, 24, 'corpus_kept', (SELECT count(*) FROM b1_fin)),
+    (1, 25, 'corpus_exact_dup',
+      (SELECT count(*) FROM da_all WHERE status LIKE 'exact%')),
+    (1, 26, 'corpus_near_dup',
+      (SELECT count(*) FROM da_all WHERE status LIKE 'near%')),
+    (1, 27, 'corpus_total',
+      (SELECT (SELECT count(*) FROM b0_ss) + (SELECT count(*) FROM b1_fin))),
+    (1, 28, 'ix_dedup_docs',
+      (SELECT (SELECT count(*) FROM b0_ss) + (SELECT count(*) FROM b1_fin))),
+    (1, 29, 'ix_retrieval_docs',
+      (SELECT (SELECT count(*) FROM b0_ss) + (SELECT count(*) FROM b1_fin))),
+    (1, 30, 'ix_decontam_grams',
+      (SELECT (SELECT n FROM gr0) + (SELECT n FROM gr1))),
+    (1, 31, 'ix_hash_sigs', 0),
+    (1, 32, 'ix_audio_hash_sigs', 0),
+    (1, 33, 'ix_video_hash_sigs', 0))
+    AS t(batch_ord, stage_idx, stage, "rows")
+  ORDER BY batch_ord, stage_idx"""))
   )
 }

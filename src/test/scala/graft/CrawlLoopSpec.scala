@@ -599,4 +599,36 @@ class CrawlLoopSpec extends SparkSuite {
     assert(b2("corpus_kept") == 1L && b2("corpus_exact_dup") == 1L, b2)
     assert(b2("media_audio_kept") == 1L && b2("media_audio_dup") == 1L, b2)
   }
+
+  test("c15 md5-family loop twin: cached manifest equals a fresh live " +
+      "two-step run and the cross-batch plants land") {
+    val reg = SparkEntry.queries("c15_crawl_loop_md5")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // two batches, the full 34-stage ledger each
+    assert(reg.map(_._1).distinct == Seq(0L, 1L), reg.map(_._1).distinct)
+    assert(reg.size == 68, reg.size)
+    def b(k: Long): Map[String, Long] =
+      reg.filter(_._1 == k).map(t => t._3 -> t._4).toMap
+    val b0 = b(0L); val b1 = b(1L)
+    // batch 0 seeds clean; batch 1's planted cross-batch events land:
+    // re-fetches die at cdx (url_dup), mirrors at content_dup, and the
+    // grown md5 dedup index catches exact + near re-posts
+    assert(b0("cdx_url_dup") == 0L && b0("corpus_kept") > 0L, b0)
+    assert(b1("cdx_url_dup") > 0L && b1("cdx_content_dup") > 0L, b1)
+    assert(b1("corpus_exact_dup") > 0L && b1("corpus_near_dup") > 0L, b1)
+    assert(b1("corpus_total") ==
+      b0("corpus_kept") + b1("corpus_kept"), (b0, b1))
+    // cached ≡ live: re-run the EXACT registered fixture fresh
+    val live = tempDir("graft-c15-live").toString
+    CrawlLoop.md5FamilyLoop(spark, sf0001, s"$live/state")
+    val liveRows = spark.read.parquet(s"$live/state/manifest.parquet")
+      .select(col("batch_ord"), col("stage_idx"), col("stage"), col("rows"))
+      .orderBy(col("batch_ord"), col("stage_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(liveRows == reg, "IxScratch-cached c15 manifest diverged from live")
+  }
 }
