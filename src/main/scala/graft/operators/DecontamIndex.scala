@@ -342,6 +342,58 @@ object DecontamIndex {
       FROM tot
       LEFT JOIN hit ON tot.doc_id = hit.doc_id
       LEFT JOIN pm ON tot.doc_id = pm.query_id
+      ORDER BY tot.doc_id""")),
+
+    // The FORGET lifecycle under the oracle (the d16/r13/m43 treatment,
+    // completing the set: every persistent index family's takedown path
+    // is now oracle-gated): c09's census is built 80/20, every 17th
+    // train doc is tombstoned, and the masked load drops its gram
+    // attributions — a forgotten doc's grams stop flagging eval docs
+    // UNLESS a retained doc also carries them (the shared-gram takedown
+    // semantics DecontamIndexSpec pins on the live path). The census
+    // stores raw gram strings, so no hash-family swap is needed: the
+    // oracle is c09's replay with the train side restricted to
+    // RETAINED ids — a tombstone that failed to mask the gram table
+    // hash-mismatches.
+    ("c16_decontam_forget", (s: SparkSession, d: String) => {
+      val dir = IxScratch.cached("c16:" + IxScratch.fingerprint(d),
+          "graft_c16_ix") { p =>
+        val train = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 10 =!= 0)
+        build(train.filter(col("doc_id") % 7 =!= 0), p)
+        grow(train.filter(col("doc_id") % 7 === 0), p)
+        forget(train.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id")), p)
+      }
+      val evalDocs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      screen(load(s, dir), evalDocs)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS arr
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(arr) >= 8
+          THEN list_distinct(list_transform(
+            range(0, len(arr) - 7),
+            i -> array_to_string(arr[i+1:i+8], ' ')))
+          ELSE [text] END) AS gram
+        FROM docs),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+              WHERE doc_id % 10 = 0 GROUP BY 1),
+      hit AS (SELECT doc_id, count(*) AS n_hit FROM grams g
+              WHERE doc_id % 10 = 0 AND gram IN
+                (SELECT gram FROM grams
+                 WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 0)
+              GROUP BY 1)
+      SELECT tot.doc_id, n_grams,
+        coalesce(hit.n_hit, 0) AS n_hit,
+        CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / n_grams AS contamination
+      FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
       ORDER BY tot.doc_id"""))
   )
 }
