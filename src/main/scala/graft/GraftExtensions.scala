@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[functions.MinHashSig].getName, "minhash_sig"),
       es => functions.MinHashSig(es.head, intLit(es(1)), intLit(es(2)))))
+    e.injectFunction((FunctionIdentifier("md5_minhash_sig"),
+      new ExpressionInfo(classOf[functions.Md5MinHashSig].getName,
+        "md5_minhash_sig"),
+      es => functions.Md5MinHashSig(es.head, intLit(es(1)))))
     e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[functions.WinnowFingerprint].getName,
         "winnow_fingerprint"),

@@ -41,6 +41,12 @@ object GraftFunctions {
   def minhash_sig(tokens: Column, n: Int = 3, k: Int = 12): Column =
     toCol(MinHashSig(expression(tokens), n, k))
 
+  /** The md5-family MinHash signature (k slots) over a shingle array —
+    * oracle-replayable hash family, one codegen'd pass (see
+    * [[Md5MinHashSig]]). */
+  def md5_minhash_sig(grams: Column, k: Int = 12): Column =
+    toCol(Md5MinHashSig(expression(grams), k))
+
   /** Distinct word n-gram shingles of a text column (codegen'd — the
     * corpus-scan shingle stage, see [[WordGrams]]). `distinct = false`
     * keeps every occurrence (repetition statistics; empty for < n

@@ -76,24 +76,26 @@ object DedupIndex {
     * the ENTIRE incremental-dedup verdict chain under a DuckDB oracle
     * (d13); the fnv family stays the production default (d11). */
   private[operators] def keyedBandsMd5(docs: DataFrame, k: Int, b: Int,
-      r: Int): DataFrame = {
-    // shingles materialize ONCE per row into a named column: the k
-    // interpreted transforms below would otherwise each re-run the
-    // word-gram kernel (measured ~12× the shingle work at sf0.1)
-    val sigs = (0 until k).map { i =>
-      array_min(transform(col("grams"), g =>
-        conv(substring(md5(concat(lit(i + ":"), g)), 1, 15), 16, 10)
-          .cast("long"))).as(s"sig_$i")
-    }
-    docs.select(col("doc_id"), Dedup.shingles(col("text")).as("grams"))
-      .select(col("doc_id") +: sigs: _*)
+      r: Int): DataFrame =
+    // the k signature mins come from ONE codegen'd pass over the shingle
+    // array ([[graft.functions.Md5MinHashSig]] — bit-identical to the k
+    // interpreted `array_min(transform(...))` HOFs this replaced, which
+    // re-walked the grams k times outside whole-stage codegen); band
+    // keys stay the same md5-of-comma-joined-slice built-ins
+    docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_minhash_sig(
+          Dedup.shingles(col("text")), k).as("sig"))
       .select(col("doc_id"), explode(array((0 until b).map { j =>
         struct(lit(j).as("band"),
           md5(concat_ws(",",
-            (0 until r).map(x => col(s"sig_${j * r + x}")): _*)).as("key"))
+            (0 until r).map(x => element_at(col("sig"), j * r + x + 1)): _*))
+            .as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
+
+  /** Test access ([[graft.functions.Md5MinHashSigSpec]] parity gate). */
+  private[graft] def testKeyedBandsMd5(docs: DataFrame, k: Int, b: Int,
+      r: Int): DataFrame = keyedBandsMd5(docs, k, b, r)
 
   private def keyedBands(docs: DataFrame, k: Int, b: Int, r: Int,
       family: String): DataFrame = family match {
