@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   * SQL-derivability lets specific queries keep a DuckDB oracle.
   */
 object Multimodal {
+  /** Shared media-fixture id spine: the documents ids, repartitioned to
+    * the session's parallelism BEFORE the per-row codec kernels run.
+    * documents.parquet ships as ONE row group, so without this every
+    * synthetic media fixture — and the image/audio/video encode+decode
+    * work that follows it — runs as a chain of SINGLE-task jobs (r19
+    * JobProbe: m16 = 13 jobs x 1 task, 10.9 s of serial codec work).
+    * The guide §2.5 input-skew fix: repartition immediately after an
+    * unsplittable input; the exchange carries 8-byte ids (noise next to
+    * one image encode), the round-robin assignment is deterministic
+    * (sort-before-repartition), and every consumer is row-local on
+    * doc_id, so results are unchanged — only parallel. */
+  private def docIds(s: SparkSession, d: String): Dataset[Long] = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
 
   /** A decoded media record: payload metadata + extracted features. */
   final case class MediaFeatures(
@@ -1383,7 +1400,7 @@ object Multimodal {
     * rotating by id mod 4). */
   private def mixedContainerMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d)
       .mapPartitions { it =>
         it.map { id =>
           val w = 64; val h = 64
@@ -1480,7 +1497,7 @@ object Multimodal {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d)
       .mapPartitions { it =>
         it.map { id =>
           def clip(base: Long, scale: Int): Vector[Array[Byte]] =
@@ -1546,7 +1563,7 @@ object Multimodal {
     * whole formula replays in the m12/m40 oracle SQL. */
   private def m12Media(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d)
       .mapPartitions { it =>
         it.map { id =>
           val n = 650
@@ -1624,7 +1641,7 @@ object Multimodal {
   private def m28Videos(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = 16; val h = 8
-    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d)
       .mapPartitions { it =>
         it.map { id =>
           val shared = id % 97 == 0
@@ -1647,7 +1664,7 @@ object Multimodal {
   private def m28Images(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = 16; val h = 8
-    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d)
       .mapPartitions { it =>
         it.map { id =>
           val px = m28Cells(id, if (id % 97 == 0) 31L else 9999L)
@@ -1792,7 +1809,7 @@ object Multimodal {
     // integer count, one correctly-rounded double division in both.
     ("m07_png_decode", (s: SparkSession, d: String) => {
       import s.implicits._
-      val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val png = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = (8 + id % 13).toInt
@@ -1841,7 +1858,7 @@ object Multimodal {
     // covers the uniform case.)
     ("m08_image_hash", (s: SparkSession, d: String) => {
       import s.implicits._
-      val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val png = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = (8 + 8 * (id % 2)).toInt
@@ -1894,7 +1911,7 @@ object Multimodal {
     // walk, little-endian int16 decode, and the feature math all gated.
     ("m10_audio_meta", (s: SparkSession, d: String) => {
       import s.implicits._
-      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val wav = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val n = (64 + id % 64).toInt
@@ -1932,7 +1949,7 @@ object Multimodal {
     // reconstruction, and stereo inversion all land on the oracle hash.
     ("m41_flac_decode", (s: SparkSession, d: String) => {
       import s.implicits._
-      val flac = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val flac = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val n = (96 + (id % 48) * 2).toInt // even: always frame-aligned
@@ -1980,7 +1997,7 @@ object Multimodal {
     // proves, since both containers must decode to the same bits.
     ("m42_mixed_audio_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val p = id / 2
@@ -2066,7 +2083,7 @@ object Multimodal {
     // hash-verified.
     ("m24_audio_segments", (s: SparkSession, d: String) => {
       import s.implicits._
-      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val wav = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val n = (192 + id % 64).toInt
@@ -2122,7 +2139,7 @@ object Multimodal {
     // gated by WavSpec round-trips and m35's re-decoded digests.
     ("m27_audio_clips", (s: SparkSession, d: String) => {
       import s.implicits._
-      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val wav = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val n = (192 + id % 64).toInt
@@ -2184,7 +2201,7 @@ object Multimodal {
     // hash, not just a corrupted one).
     ("m35_clip_digest", (s: SparkSession, d: String) => {
       import s.implicits._
-      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val wav = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val n = (192 + id % 64).toInt
@@ -2271,7 +2288,7 @@ object Multimodal {
     // chain, and byte packing all hash-verified.
     ("m11_audio_hash", (s: SparkSession, d: String) => {
       import s.implicits._
-      val wav = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val wav = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val n = 65 * (10 + id % 7).toInt
@@ -2320,7 +2337,7 @@ object Multimodal {
     ("m13_video_frames", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8
-      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val y4m = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (4 + id % 4).toInt
@@ -2373,7 +2390,7 @@ object Multimodal {
     ("m21_video_hash", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8
-      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val y4m = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (4 + id % 4).toInt
@@ -2442,7 +2459,7 @@ object Multimodal {
     // lossy-header files that must report dims with decodable=false.
     ("m25_image_meta", (s: SparkSession, d: String) => {
       import s.implicits._
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val payload = (id % 4) match {
@@ -2519,7 +2536,7 @@ object Multimodal {
     ("m23_scene_cuts", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8
-      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val y4m = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (6 + id % 5).toInt
@@ -2775,7 +2792,7 @@ object Multimodal {
     ("m26_video_keyframes", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8
-      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val y4m = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (6 + id % 5).toInt
@@ -2811,7 +2828,7 @@ object Multimodal {
     ("m34_keyframe_digest", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 16; val h = 8
-      val y4m = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val y4m = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (6 + id % 5).toInt
@@ -3260,7 +3277,7 @@ object Multimodal {
     // hand-built bit patterns.
     ("m09_image_neardup", (s: SparkSession, d: String) => {
       import s.implicits._
-      val png = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val png = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = 16; val h = 8
@@ -3351,7 +3368,7 @@ object Multimodal {
     // math against an engine that never saw the JPEG.
     ("m14_jpeg_decode", (s: SparkSession, d: String) => {
       import s.implicits._
-      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val jpg = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = (16 * (1 + id % 2)).toInt
@@ -3403,7 +3420,7 @@ object Multimodal {
     // row-byte across the JPEG path, hash-verified end to end.
     ("m15_jpeg_hash", (s: SparkSession, d: String) => {
       import s.implicits._
-      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val jpg = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = 32; val h = 32
@@ -3452,7 +3469,7 @@ object Multimodal {
     // baseline-only decoder silently drops them to the DLQ.)
     ("m17_jpeg_progressive", (s: SparkSession, d: String) => {
       import s.implicits._
-      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val jpg = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = (8 * (2 + id % 3)).toInt
@@ -3495,7 +3512,7 @@ object Multimodal {
     // dedup requirement: the hash must see the picture, not the storage.
     ("m18_jpeg_orientation", (s: SparkSession, d: String) => {
       import s.implicits._
-      val jpg = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val jpg = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = 24; val h = 16 // stored; displays as 16×24 under tag 6
@@ -3547,7 +3564,7 @@ object Multimodal {
     // exactness theorem is needed — ANY formula round-trips bit-exact.
     ("m19_gif_decode", (s: SparkSession, d: String) => {
       import s.implicits._
-      val gif = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val gif = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = (9 + id % 14).toInt
@@ -3595,7 +3612,7 @@ object Multimodal {
     ("m20_gif_frames", (s: SparkSession, d: String) => {
       import s.implicits._
       val w = 12; val h = 7
-      val gif = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val gif = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val nf = (3 + id % 3).toInt
@@ -3639,7 +3656,7 @@ object Multimodal {
     // theorem needed).
     ("m29_webp_decode", (s: SparkSession, d: String) => {
       import s.implicits._
-      val webp = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val webp = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val w = (9 + id % 14).toInt
@@ -3927,7 +3944,7 @@ object Multimodal {
     // (the m25 rule) for the dominant VIDEO container a crawl yields.
     ("m30_video_meta", (s: SparkSession, d: String) => {
       import s.implicits._
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val brand = if (id % 2 == 0) "isom" else "mp42"
@@ -3986,7 +4003,7 @@ object Multimodal {
       import s.implicits._
       val rates = Array(96, 128, 192, 320)
       val srs = Array(44100, 48000, 32000)
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             import graft.kernel.Mp3
@@ -4052,7 +4069,7 @@ object Multimodal {
     ("m32_audio_containers", (s: SparkSession, d: String) => {
       import s.implicits._
       import graft.kernel.{Flac, Mp3, Ogg}
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val payload = (id % 4) match {
@@ -4137,7 +4154,7 @@ object Multimodal {
     ("m33_webm_meta", (s: SparkSession, d: String) => {
       import s.implicits._
       import graft.kernel.Mkv
-      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = docIds(s, d)
         .mapPartitions { it =>
           it.map { id =>
             val tracks = (id % 3) match {
@@ -4215,7 +4232,7 @@ object Multimodal {
     ("c05_crawl_media", (s: SparkSession, d: String) => {
       import s.implicits._
       import graft.kernel.{Gif, Mp3, Mp4, Png, Warc, Webp}
-      val segments = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val segments = docIds(s, d)
         .mapPartitions { it =>
           val recs = it.map { id =>
             val url = s"https://m${id % 19}.example.com/f$id"
