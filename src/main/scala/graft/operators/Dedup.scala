@@ -636,7 +636,10 @@ object Dedup {
     // votes, packing, banding, the cap, and the per-bit hamming; d04
     // keeps the native FNV family (adjudicated in COVERAGE.md).
     ("d15_simhash_md5", (s: SparkSession, d: String) => {
+      // fixture-level scan widening (the Retrieval.docsWide treatment):
+      // the per-token md5 explode otherwise runs as one serial task
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
       val votes = docs
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))

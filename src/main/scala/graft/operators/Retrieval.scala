@@ -343,6 +343,21 @@ object Retrieval {
       FROM franked WHERE rank <= 10
       ORDER BY query_id, rank"""
 
+
+  /** Bench-fixture corpus for the serial-explode-dominated LIVE queries (r02/r06),
+    * repartitioned to the session's parallelism BEFORE the posting
+    * explode (the Multimodal.docIds treatment, guide §2.5): the
+    * single-row-group documents file otherwise runs each query's whole
+    * explode+probe scan as ONE task (r19 JobProbe: 1.3–1.6 s serial in
+    * r02/r06 — the dominant wall item). The exchange moves the 5k-row
+    * fixture once and is reused across the plan's subtrees; production
+    * corpora arrive multi-file, and the production operators
+    * (postings/bm25TopK/phraseMatches) stay exchange-free. Row-local
+    * downstream + total output orders ⇒ results unchanged (re-proven
+    * by the oracle after this change). */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // The positional inverted index over the documents corpus — the
@@ -366,7 +381,7 @@ object Retrieval {
     // three tokens as a phrase), so each query is guaranteed at least
     // its source match and the oracle can rebuild the query set.
     ("r02_phrase_search", (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       val phrases = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3))
@@ -530,7 +545,7 @@ object Retrieval {
     // side, clamped at document edges. Oracle recomputes adjacency AND
     // the clamped slice arithmetic.
     ("r06_phrase_snippets", (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       val phrases = docs.filter(col("doc_id") % 101 === 0)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
