@@ -47,13 +47,11 @@ object Clusters {
     val spark = edges.sparkSession
     import spark.implicits._
     // canonical direction u > v; self-loops and duplicates dropped
-    var e = edges
+    val e0 = edges
       .select(greatest(col("u"), col("v")).cast("long").as("u"),
         least(col("u"), col("v")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
-    var signature = edgeSignature(e)
     // Small-graph hatch: at or under `driverMax` edges (id pairs — ≤ a
     // few MB collected), a driver-side union-find answers in ONE job
     // where the distributed fixpoint pays checkpoint + signature jobs
@@ -63,8 +61,22 @@ object Clusters {
     // smallest reachable id, exactly the fixpoint's component label.
     // The same threshold trade AQE makes for broadcast joins; pass
     // driverMax = 0 to force the distributed path.
-    if (signature._1 <= driverMax) {
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    //
+    // r19: probe the hatch with ONE bounded collect (limit driverMax+1)
+    // instead of checkpoint + signature + collect — the hatch is the
+    // path every batch-sized caller takes (curate near-dedup,
+    // dedupAgainst within-batch pairs), and the old sequence charged
+    // three driver round-trips per call for the same answer. The limit
+    // is a full result iff the graph fits, so the collected edge SET —
+    // and therefore the union-find labels — are unchanged; an
+    // over-limit graph falls through to the checkpointed fixpoint,
+    // paying one bounded extra job on the rare large path.
+    val probeLimit = math.min(driverMax + 1, Int.MaxValue.toLong).toInt
+    val probed =
+      if (driverMax <= 0) Array.empty[org.apache.spark.sql.Row]
+      else e0.limit(probeLimit).collect()
+    if (driverMax > 0 && probed.length <= driverMax) {
+      val es = probed.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -80,6 +92,8 @@ object Clusters {
       return es.iterator.flatMap(t => Iterator(t._1, t._2)).toSeq.distinct
         .map(n => (n, find(n))).toDF("node", "component")
     }
+    var e = e0.localCheckpoint(true)
+    var signature = edgeSignature(e)
     var iter = 0
     var converged = signature._1 == 0L
     while (!converged && iter < maxIter) {

@@ -281,12 +281,16 @@ object Sketches {
       // the draw key alone is not total — append the VALUE: rows tied
       // on (mk, okey, lnum, v) are interchangeable, so the sampled
       // value multiset is run-stable even at the rank-256 boundary
-      // (the q09 ordering-totality lesson)
-      val samp = keyed.withColumn("rn", row_number().over(
-          Window.partitionBy(col("flag"))
-            .orderBy(col("mk"), col("l_orderkey"), col("l_linenumber"),
-              col("v"))))
-        .filter(col("rn") <= W)
+      // (the q09 ordering-totality lesson).
+      // r19: the rank column was only ever a filter — take the W-row
+      // prefix with the engine's own TopKPerKey operator (bounded
+      // per-key heaps + map-side partials) instead of the
+      // Window(row_number)+Filter plan that fully sorts every group
+      // (guide §2: don't sort what you only shortlist). Same total
+      // order, same selected multiset.
+      val samp = graft.plans.TopKPerKey.topKPerKey(keyed, Seq("flag"),
+        Seq(("mk", false), ("l_orderkey", false), ("l_linenumber", false),
+          ("v", false)), W)
       val sk = samp.groupBy(col("flag"))
         .agg(sort_array(collect_list(col("v"))).as("vs"),
           count(lit(1)).as("ns"))

@@ -26,13 +26,17 @@ object JobProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     final case class JobAgg(var start: Long = 0L, var end: Long = 0L,
-      var stages: Int = 0, var tasks: Int = 0, var taskTimeMs: Long = 0L)
+      var stages: Int = 0, var tasks: Int = 0, var taskTimeMs: Long = 0L,
+      var site: String = "")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobAgg]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (collecting) {
-        val a = new JobAgg(start = e.time)
+        val a = new JobAgg(start = e.time,
+          site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse(""))
         jobs.put(e.jobId, a)
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
       }
@@ -76,7 +80,7 @@ object JobProbe {
         f"stages=${js.map(_._2.stages).sum} tasks=${js.map(_._2.tasks).sum}")
       js.foreach { case (id, a) =>
         println(f"[jobprobe]   job $id%3d wall=${(a.end - a.start) / 1e3}%6.2fs " +
-          f"stages=${a.stages}%2d tasks=${a.tasks}%4d taskTime=${a.taskTimeMs / 1e3}%6.2fs")
+          f"stages=${a.stages}%2d tasks=${a.tasks}%4d taskTime=${a.taskTimeMs / 1e3}%6.2fs  ${a.site}")
       }
     }
     spark.stop()
