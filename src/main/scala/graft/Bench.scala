@@ -291,6 +291,16 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
     }
+    // FINAL compact summary line: the full line above is ~6 KB for 239
+    // queries and the driver's bounded stdout tail (~2000 chars) has
+    // truncated it every round since r15 (PERF parsed:null). This line is
+    // guaranteed short (< 400 chars: no per-query map), is the LAST thing
+    // on stdout, and restates every sweep-level verdict a reader needs;
+    // the per-query map lives in the full line and BENCH_LOCAL.json.
+    val canaryRatio = if (mcPaired.isEmpty) "null" else fmt(mcPaired.max / mcPaired.min)
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${res.timings.size},"sf":"$sfDir","canary_ratio":$canaryRatio,"canary_hot":${
+      mcPaired.nonEmpty && mcPaired.max / mcPaired.min > mcThreshold},"contended":${res.contended},"retimed":${res.retimed.size},"n_suspect":${res.suspect.size},"n_failed":${res.failed.size},"full":"BENCH_LOCAL.json"}"""
+    println(compact)
     spark.stop()
   }
 }
