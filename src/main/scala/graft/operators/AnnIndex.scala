@@ -177,17 +177,8 @@ object AnnIndex {
     }
   }
 
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    // existence check on the local path (dir may carry a file: scheme)
-    val p = new java.io.File(
-      dir.stripPrefix("file:") + "/tombstones.parquet")
-    if (!p.exists()) None
-    else {
-      val t = spark.read.parquet(s"$dir/tombstones.parquet")
-        .select(col("vec_id"))
-      if (t.isEmpty) None else Some(t.distinct())
-    }
-  }
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    StoreGuard.tombstoneIds(spark, dir, "vec_id") // footer-count emptiness
 
   /** Load the models driver-side and the index lazily; tombstoned ids
     * ([[delete]]) are masked here, so EVERY consumer honors deletions. */

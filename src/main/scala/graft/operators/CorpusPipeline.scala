@@ -224,7 +224,14 @@ object CorpusPipeline {
         * this (batch-bounded, broadcast) frame proceed to curation —
         * the continuous-crawl loop's seam, so url_dup/content_dup
         * captures never pay extraction or dedup. */
-      admitKeys: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      admitKeys: Option[DataFrame] = None,
+      /** A pre-parsed [[graft.sources.WarcSource.records]] frame over
+        * the SAME segments, when the caller already paid the archive
+        * parse (the crawl loop's media branch reads the same records):
+        * the gunzip + WARC-grammar pass over the batch archive runs
+        * once instead of twice per batch. Counts and results are
+        * identical — same transform, same input. */
+      preParsed: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = segments.sparkSession
     import spark.implicits._
     val pre = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
@@ -238,7 +245,7 @@ object CorpusPipeline {
       p
     }
     val records = mark("records",
-      graft.sources.WarcSource.records(segments))
+      preParsed.getOrElse(graft.sources.WarcSource.records(segments)))
     val pages = mark("html_pages",
       graft.sources.WarcSource.htmlResponses(records))
     val ok = mark("http_ok",

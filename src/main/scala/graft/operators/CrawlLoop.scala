@@ -108,6 +108,51 @@ object CrawlLoop {
     } finally files.close()
   }
 
+  /** Max of a non-null INT64 column across a parquet table, from the
+    * file FOOTER column statistics — the [[footerRows]] treatment for
+    * the manifest's `batch_ord` high-water mark (driver-side metadata
+    * read, no Spark job). Returns None when the dir is missing, empty,
+    * or any block lacks usable stats for `column` (caller falls back to
+    * a real read — correctness never rides on stats being present). */
+  private[graft] def footerMaxLong(p: String, column: String): Option[Long] = {
+    require(!p.contains("://") || p.startsWith("file://"),
+      s"footerMaxLong: non-local path '$p' — only file: paths walk here")
+    val root = new java.io.File(p.stripPrefix("file:"))
+    if (!root.exists()) return None
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root.toPath)
+    try {
+      val maxes = files.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet") &&
+          !root.toPath.relativize(f).iterator().asScala.exists { seg =>
+            val s = seg.toString
+            s.startsWith("_") || s.startsWith(".")
+          })
+        .map { f =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), footerConf))
+          try {
+            val blockMaxes = in.getFooter.getBlocks.asScala.map { blk =>
+              blk.getColumns.asScala
+                .find(_.getPath.toDotString == column)
+                .flatMap(c => Option(c.getStatistics))
+                .filter(s => !s.isEmpty && s.hasNonNullValue)
+                .map(_.genericGetMax) match {
+                case Some(v: java.lang.Long) => Some(v.longValue())
+                case _ => None
+              }
+            }
+            if (blockMaxes.isEmpty || blockMaxes.exists(_.isEmpty)) None
+            else Some(blockMaxes.flatten.max)
+          } finally in.close()
+        }.toSeq
+      if (maxes.isEmpty || maxes.exists(_.isEmpty)) None
+      else Some(maxes.flatten.max)
+    } finally files.close()
+  }
+
   /** Per-host fetch budgets from the PREVIOUS batch's link graph —
     * c07's allocation: PageRank masses (Q fixed-point, engine-exact)
     * scaled to budget = 1 + ⌊mass·scale/10^12⌋. Hosts absent from the
@@ -173,13 +218,17 @@ object CrawlLoop {
       val t = System.nanoTime(); val s = (t - tPrev) / 1e9; tPrev = t; s
     }
 
-    // freeze the batch: its plan may read paths this step appends to
+    // freeze the batch: its plan may read paths this step appends to.
+    // LAZY checkpoint + immediate count = ONE job doing both (r20: the
+    // eager checkpoint paid a materialization job and the count paid a
+    // second over the cache; the count IS the materializing action, and
+    // it runs before any append, so the freeze discipline holds)
     val batch = (if (fetches.columns.contains("content_type"))
         fetches.select(col("url"), col("warc_date"), col("body"),
           col("content_type"))
       else fetches.select(col("url"), col("warc_date"), col("body"),
         lit("text/html; charset=utf-8").as("content_type")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     report += (("fetched", batch.count(), stamp()))
 
     // 1. revisit-aware archiving against the STORED capture digests:
@@ -195,13 +244,14 @@ object CrawlLoop {
           .select(col("url"), col("digest"))
       else Seq.empty[(String, String)].toDF("url", "digest")
     val segments = WarcSource.archiveWithRevisits(batch, stored)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy + count below = one job (see `batch`)
     report += (("segments", segments.count(), stamp()))
 
     // 2. CDX admission: screen vs the stored capture index, append the
     // novel captures (single-writer contract), return verdicts
+    // cdxAdmit returns an eager localCheckpoint — already cached; a
+    // second persist layer would only duplicate the blocks
     val verdicts = WarcSource.cdxAdmit(segments, st.cdxDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // one aggregation pass for all three verdict counts; the whole
     // admission wall time is attributed to cdx_novel (ONE nameable row),
     // the sibling count rows deliberately read 0 — they share the pass
@@ -223,10 +273,15 @@ object CrawlLoop {
     // survivors grow them — batch k+1's media is screened against every
     // piece batch k admitted. Media doc_ids share the xxhash64(urlkey)
     // namespace with the page pipeline, so [[forget]] addresses both.
+    // ONE archive parse for the media branch AND curation (r20): the
+    // media legs and crawlCurate's records stage both read the parsed
+    // record rows of the same frozen segments — previously each paid
+    // its own gunzip + WARC-grammar pass over the whole batch archive
+    val recs = graft.sources.WarcSource.records(segments)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     locally {
       // both modality legs read the admitted-novel media projection
-      val mediaResp = graft.sources.WarcSource.mediaResponses(
-          graft.sources.WarcSource.records(segments))
+      val mediaResp = graft.sources.WarcSource.mediaResponses(recs)
         .withColumn("doc_id", xxhash64(Curate.canonicalUrl(col("url"))))
         .join(broadcast(novelKeys
             .select(xxhash64(col("urlkey")).as("doc_id"))),
@@ -238,28 +293,42 @@ object CrawlLoop {
       // vs the stored index, grow it with the survivors
       def screenAndGrow(sigs0: DataFrame, dir: String, inTag: String,
           dupTag: String, keptTag: String): Unit = {
-        val sigs = sigs0.localCheckpoint(true)
+        val sigs = sigs0.localCheckpoint(false) // lazy + count = one job
         report += ((inTag, sigs.count(), stamp()))
         val collapsed = sigs.groupBy(col("hash"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), col("hash"))
         val hashMeta = exists(s"$dir/meta.parquet")
-        val (keptSigs, nDup) =
-          if (!hashMeta) (collapsed.localCheckpoint(true), 0L)
-          else {
-            val dups = HashIndex.probe(
-                HashIndex.load(spark, dir), collapsed)
-              .select(col("doc_id")).distinct()
-            val kept = collapsed
-              .join(broadcast(dups), Seq("doc_id"), "left_anti")
-              .localCheckpoint(true)
-            (kept, dups.count())
-          }
-        report += ((dupTag, nDup, stamp()))
-        val nKept = keptSigs.count()
-        if (!hashMeta && nKept > 0) HashIndex.build(keptSigs, dir)
-        else if (hashMeta && nKept > 0) HashIndex.grow(keptSigs, dir)
-        report += ((keptTag, nKept, stamp()))
+        if (!hashMeta) {
+          val kept = collapsed.localCheckpoint(false)
+          val nKept = kept.count() // one job: materialize + count
+          report += ((dupTag, 0L, stamp()))
+          if (nKept > 0) HashIndex.build(kept, dir)
+          report += ((keptTag, nKept, stamp()))
+        } else {
+          // r20: ONE checkpointed probe-marked frame replaces the former
+          // dups.count + kept-checkpoint + kept.count trio (3 driver
+          // jobs → 1): `dups` is a DISTINCT id set ⊆ collapsed's unique
+          // doc_ids, so the left join is row-preserving and the marked
+          // counts equal the old dups.count / kept.count exactly
+          val dups = HashIndex.probe(
+              HashIndex.load(spark, dir), collapsed)
+            .select(col("doc_id")).distinct()
+            .withColumn("__dup", lit(true))
+          val marked = collapsed
+            .join(broadcast(dups), Seq("doc_id"), "left_outer")
+            .localCheckpoint(false)
+          val cnts = marked
+            .groupBy(coalesce(col("__dup"), lit(false)).as("d")).count()
+            .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          val nDup = cnts.getOrElse(true, 0L)
+          report += ((dupTag, nDup, stamp()))
+          val nKept = cnts.getOrElse(false, 0L)
+          if (nKept > 0) HashIndex.grow(
+            marked.filter(col("__dup").isNull)
+              .select(col("doc_id"), col("hash")), dir)
+          report += ((keptTag, nKept, stamp()))
+        }
       }
       // ONE family-count pass gates every leg: a batch with no media of
       // a family skips that leg's whole job chain (a text-only crawl
@@ -310,7 +379,8 @@ object CrawlLoop {
     // pay extraction or dedup); revisit records carry no payload and
     // never reach the page table at all
     val (fin, cReport) = CorpusPipeline.crawlCurate(
-      segments, evalRef, opts, admitKeys = Some(novelKeys))
+      segments, evalRef, opts, admitKeys = Some(novelKeys),
+      preParsed = Some(recs))
     report ++= cReport.orderBy(col("stage_idx")).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
     tPrev = System.nanoTime()
@@ -323,7 +393,8 @@ object CrawlLoop {
     // below fire many actions over it — Catalyst would re-analyze the
     // full tree per action (the c01 driver-planning lesson)
     val curated = fin.select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materialized by the next action,
+                              // which always precedes the grows/appends
     val (survivors, keptN) =
       if (first) {
         val sv = curated
@@ -337,14 +408,14 @@ object CrawlLoop {
         val corpusText = StoreGuard.table(spark, st.root, "corpus.parquet",
             "doc_id", "text")
           .select(col("doc_id"), col("text"))
+        // dedupAgainst returns an eager localCheckpoint — already cached
         val v = DedupIndex.dedupAgainst(curated, corpusText,
             DedupIndex.load(spark, st.dedupDir), opts.nearDupTau)
-          .persist(StorageLevel.MEMORY_AND_DISK)
         val kept = v.filter(col("status") === "kept").select(col("doc_id"))
         // freeze BEFORE the grows/appends below mutate the dedup index
-        // and corpus files this plan reads
+        // and corpus files this plan reads (lazy + count = one job)
         val sv = curated.join(broadcast(kept), Seq("doc_id"), "left_semi")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val n = sv.count()
         val sCounts = v.groupBy(col("status")).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -394,7 +465,6 @@ object CrawlLoop {
       done.foreach(_.get)
     }
     report += (("corpus_total", footerRows(st.corpusDir), stamp()))
-    verdicts.unpersist(blocking = false)
 
     val rep = report.toSeq.zipWithIndex
       .map { case ((stage, n, secs), i) => (i, stage, n, secs) }
@@ -407,12 +477,19 @@ object CrawlLoop {
     // count() jobs, the batch's only non-batch-shaped work. ONE file
     // per batch (the report is tiny); batch_ord continues from the
     // stored ledger.
+    // max(batch_ord) comes from the parquet FOOTER column statistics
+    // (the footerRows discipline): the ledger is one tiny file per
+    // batch, and reading its max as a Spark job was one more driver
+    // round trip per batch. Files with missing stats fall back to the
+    // layout-guarded Spark read.
     val batchOrd =
       if (!exists(st.manifestDir)) 0L
-      else Option(StoreGuard.table(spark, st.root, "manifest.parquet",
+      else footerMaxLong(st.manifestDir, "batch_ord")
+        .map(_ + 1L)
+        .getOrElse(Option(StoreGuard.table(spark, st.root, "manifest.parquet",
             "stage_idx", "stage", "rows", "secs", "batch_ord")
           .agg(max(col("batch_ord"))).head().get(0))
-        .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+        .map(_.asInstanceOf[Long] + 1L).getOrElse(0L))
     val ixRows = Seq(
       ("ix_dedup_docs", footerRows(s"${st.dedupDir}/exact.parquet")),
       ("ix_retrieval_docs", footerRows(s"${st.retrievalDir}/doclens.parquet")),

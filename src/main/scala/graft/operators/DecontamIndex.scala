@@ -81,7 +81,9 @@ object DecontamIndex {
   def grow(batch: DataFrame, dir: String, compactAbove: Int = 64,
       textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
-    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    // memoized driver-side meta read (StoreGuard) — was one Spark job
+    // per grow on the crawl loop's per-batch maintenance path
+    val m = StoreGuard.metaRow(spark, dir, "n", "nBuckets")
     val (n, nBuckets) = (m.getAs[Int]("n"), m.getAs[Int]("nBuckets"))
     val frozen = batch.select(col("doc_id"), col(textCol).as("text"))
       .localCheckpoint(true)
@@ -118,15 +120,8 @@ object DecontamIndex {
     }
   }
 
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new java.io.File(dir.stripPrefix("file:") + "/tombstones.parquet")
-    if (!p.exists()) None
-    else {
-      val t = spark.read.parquet(s"$dir/tombstones.parquet")
-        .select(col("doc_id"))
-      if (t.isEmpty) None else Some(t.distinct())
-    }
-  }
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    StoreGuard.tombstoneIds(spark, dir) // footer-count emptiness, no job
 
   /** Load the index; tombstoned train ids are masked here, so every
     * consumer honors takedowns. */

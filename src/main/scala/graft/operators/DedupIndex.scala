@@ -154,7 +154,9 @@ object DedupIndex {
   def grow(survivors: DataFrame, dir: String,
       compactAbove: Int = 64): Unit = {
     val spark = survivors.sparkSession
-    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    // memoized driver-side meta read (StoreGuard) — was one Spark job
+    // per grow on the crawl loop's per-batch maintenance path
+    val m = StoreGuard.metaRow(spark, dir, "k", "b", "r")
     val (k, b, r) =
       (m.getAs[Int]("k"), m.getAs[Int]("b"), m.getAs[Int]("r"))
     val family = metaFamily(m)
@@ -207,16 +209,8 @@ object DedupIndex {
     }
   }
 
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new java.io.File(
-      dir.stripPrefix("file:") + "/tombstones.parquet")
-    if (!p.exists()) None
-    else {
-      val t = spark.read.parquet(s"$dir/tombstones.parquet")
-        .select(col("doc_id"))
-      if (t.isEmpty) None else Some(t.distinct())
-    }
-  }
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    StoreGuard.tombstoneIds(spark, dir) // footer-count emptiness, no job
 
   /** Load the index; tombstoned ids ([[forget]]) are masked out of both
     * tables here, so every consumer honors takedowns. */

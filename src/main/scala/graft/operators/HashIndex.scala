@@ -80,7 +80,9 @@ object HashIndex {
     * discipline); compacts when fragmented. */
   def grow(batch: DataFrame, dir: String, compactAbove: Int = 64): Unit = {
     val spark = batch.sparkSession
-    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    // memoized driver-side meta read (StoreGuard) — was one Spark job
+    // per grow on the crawl loop's per-batch maintenance path
+    val m = StoreGuard.metaRow(spark, dir, "blocks", "keyBits")
     val (blocks, keyBits) = (m.getAs[Int]("blocks"), m.getAs[Int]("keyBits"))
     val frozen = batch.select(col("doc_id"), col("hash"))
       .localCheckpoint(true)
@@ -119,15 +121,8 @@ object HashIndex {
     }
   }
 
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new java.io.File(dir.stripPrefix("file:") + "/tombstones.parquet")
-    if (!p.exists()) None
-    else {
-      val t = spark.read.parquet(s"$dir/tombstones.parquet")
-        .select(col("doc_id"))
-      if (t.isEmpty) None else Some(t.distinct())
-    }
-  }
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    StoreGuard.tombstoneIds(spark, dir) // footer-count emptiness, no job
 
   def load(spark: SparkSession, dir: String): Loaded = {
     val m = StoreGuard.metaRow(spark, dir, "blocks", "keyBits")
@@ -154,9 +149,12 @@ object HashIndex {
     // ContextCleaner when unreferenced, so the per-micro-batch streaming
     // maintenance path cannot leak a pair of cached frames per trigger,
     // and the result stays LAZY
+    // bkeys is LAZY: the eager `probed` checkpoint below is its first
+    // action (via the broadcast build), so one job materializes both
+    // leaves — was two sequential checkpoint jobs per probe (r20)
     val bkeys = keyedOf(batch.select(col("doc_id"), col("hash")),
         ix.blocks, ix.keyBits)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val probed = ix.buckets
       .join(broadcast(bkeys.select(col("blk"), col("key")).distinct()),
         Seq("blk", "key"), "left_semi")
@@ -201,7 +199,13 @@ object HashIndex {
     * the codec path too. */
   private def imageSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // id-spine widening (the r19 Multimodal.docIds treatment, guide
+    // §2.5): documents.parquet is ONE row group, so without the
+    // repartition the PNG encode + sniffing decode below runs as a
+    // single serial task per probe. The exchange carries 8-byte ids;
+    // every consumer is row-local on doc_id, so results are unchanged.
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val w = 64; val h = 64

@@ -96,8 +96,10 @@ object RetrievalIndex {
     * files; <= 0 disables); re-[[load]] after a compacting grow. */
   def grow(batch: DataFrame, dir: String, compactAbove: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // memoized driver-side meta read (StoreGuard) — was one Spark job
+    // per grow on the crawl loop's per-batch maintenance path
     val nBuckets =
-      spark.read.parquet(s"$dir/meta.parquet").head().getAs[Int]("nBuckets")
+      StoreGuard.metaRow(spark, dir, "nBuckets").getAs[Int]("nBuckets")
     val frozen = batch.select(col("doc_id"), col("text"))
       .localCheckpoint(true)
     postingsOf(frozen, nBuckets)
@@ -150,15 +152,8 @@ object RetrievalIndex {
     }
   }
 
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new java.io.File(dir.stripPrefix("file:") + "/tombstones.parquet")
-    if (!p.exists()) None
-    else {
-      val t = spark.read.parquet(s"$dir/tombstones.parquet")
-        .select(col("doc_id"))
-      if (t.isEmpty) None else Some(t.distinct())
-    }
-  }
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    StoreGuard.tombstoneIds(spark, dir) // footer-count emptiness, no job
 
   /** Load the index; tombstoned ids are masked out of both tables here,
     * so every consumer honors takedowns. */

@@ -230,11 +230,68 @@ object Frontier {
     * double version away from sub-ppm ties. Same per-iteration
     * checkpoint discipline as [[pageRank]] (iterative-lineage trap). */
   def pageRankQ(edges: DataFrame, iters: Int = 6,
-      totalMass: Long = 1000000000000L): DataFrame = {
+      totalMass: Long = 1000000000000L,
+      driverMax: Long = 100000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(totalMass > 0 && totalMass <= (Long.MaxValue / 20),
       s"totalMass $totalMass out of the overflow-safe range")
-    val e = edges.select(col("src"), col("dst"))
+    // Small-graph hatch (the Clusters.connectedComponents r19 pattern):
+    // a HOST-level graph is host-cardinality, and the distributed loop
+    // below pays one localCheckpoint job per iteration plus the
+    // count/isEmpty probes — pure fixed scheduling cost when the graph
+    // fits on the driver. Probe with ONE bounded collect: the limit
+    // returns the full edge multiset iff it fits, and the in-memory
+    // rounds run the IDENTICAL integer arithmetic (floor divisions on
+    // non-negative longs, order-free Long sums), so the per-node masses
+    // are bit-identical to the distributed fixed point. Over-limit
+    // graphs fall through to the unchanged distributed loop; pass
+    // driverMax = 0 to force it.
+    val spark0 = edges.sparkSession
+    val eProj = edges.select(col("src"), col("dst"))
+    val probeLimit = math.min(driverMax + 1, Int.MaxValue.toLong).toInt
+    val probed =
+      if (driverMax <= 0) Array.empty[org.apache.spark.sql.Row]
+      else eProj.limit(probeLimit).collect()
+    if (driverMax > 0 && probed.length <= driverMax) {
+      // duplicate edges kept deliberately: the distributed loop never
+      // dedups `edges`, so a repeated (src,dst) row contributes its
+      // share once per occurrence there and must do the same here
+      val es: Array[(Any, Any)] = probed.map(r => (r.get(0), r.get(1)))
+      val nodes: Vector[Any] =
+        (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toVector.distinct
+      val n = nodes.size.toLong
+      require(n > 0, "pageRankQ: empty graph")
+      val base = (3L * totalMass) / (20L * n)
+      val outdeg = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (u, _) =>
+        outdeg(u) = outdeg.getOrElse(u, 0L) + 1L }
+      var mass: scala.collection.Map[Any, Long] =
+        nodes.iterator.map(nd => nd -> totalMass / n).toMap
+      var it = 0
+      while (it < iters) {
+        // dt = Σ_{deg(u)=0} (m(u) div n) — sum of floors, order-free
+        var dt = 0L
+        nodes.foreach { u =>
+          if (!outdeg.contains(u)) dt += mass(u) / n }
+        val contrib = scala.collection.mutable.HashMap.empty[Any, Long]
+        es.foreach { case (u, v) =>
+          contrib(v) = contrib.getOrElse(v, 0L) + mass(u) / outdeg(u) }
+        mass = nodes.iterator.map { nd =>
+          nd -> (base + (17L * (contrib.getOrElse(nd, 0L) + dt)) / 20L)
+        }.toMap
+        it += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          eProj.schema.fields(0).dataType),
+        org.apache.spark.sql.types.StructField("mass",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(nodes.map(nd =>
+          org.apache.spark.sql.Row(nd, mass(nd))): _*)
+      return spark0.createDataFrame(rows, schema)
+    }
+    val e = eProj
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -174,7 +174,11 @@ object WarcSource {
     * silently recomputes against the half-grown table. */
   def cdxAdmit(segments: DataFrame, indexDir: String): DataFrame = {
     val spark = segments.sparkSession
-    val cdx = cdxRows(segments).localCheckpoint(true)
+    // cdx is a LAZY checkpoint: the eager verdicts checkpoint below is
+    // its first action, so one job materializes BOTH frozen leaves
+    // (was two sequential checkpoint jobs); both are leaves before the
+    // append, so the freeze-before-append discipline holds unchanged
+    val cdx = cdxRows(segments).localCheckpoint(false)
     val stored =
       if (new java.io.File(indexDir.stripPrefix("file:")).exists())
         spark.read.parquet(indexDir)
@@ -433,6 +437,7 @@ object WarcSource {
     ("w01_warc_extract", (s: SparkSession, d: String) => {
       import s.implicits._
       graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .mapPartitions { it =>
           val sha256 = java.security.MessageDigest.getInstance("SHA-256")
@@ -621,7 +626,12 @@ object WarcSource {
     // the sha.
     ("w09_http_decode", (s: SparkSession, d: String) => {
       import s.implicits._
+      // fixture-spine widening (the r19 docsWide treatment, guide §2.5):
+      // the per-row gzip/chunk encode + archive round trip otherwise
+      // runs as ONE serial task off the single-row-group documents file;
+      // the chain is row-local, so results are unchanged
       graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .mapPartitions { it =>
           val sha256 = java.security.MessageDigest.getInstance("SHA-256")
@@ -701,8 +711,12 @@ object WarcSource {
     // the hash.
     ("w11_wet_extract", (s: SparkSession, d: String) => {
       import s.implicits._
+      // fixture-spine widening — see w09 (per-row gzip archive writes,
+      // then a second per-row WET re-archive + re-parse downstream)
       val segments = graft.Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
         .map { case (id, text) =>
           val html = s"<html><body><h1>Doc $id</h1><p>" + text +
             "</p></body></html>"

@@ -42,8 +42,12 @@ object VerifyOne {
     val json = sqls.map { case (n, q) =>
       s"${JsonUtil.quote(n)}: ${JsonUtil.quote(q)}"
     }.mkString("{", ", ", "}")
-    val w = new java.io.PrintWriter(s"$outDir/oracle_sql.json")
-    try w.write(json) finally w.close()
+    // UTF-8 explicitly (graft.Verify's Files.writeString default):
+    // PrintWriter used the platform charset, which in a POSIX-locale
+    // JVM mangled non-ASCII oracle literals (w09's 'éü' page) into '?'
+    // and made the DuckDB compare fail on a correct engine result
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"[verifyone] wrote ${sqls.size} oracle entries")
   }
 }

@@ -281,6 +281,23 @@ class FrontierSpec extends SparkSuite {
       Frontier.pageRankQ(ab, iters = 1, totalMass = Long.MaxValue))
   }
 
+  test("pageRankQ: driver hatch ≡ distributed fixed point (dangling, duplicate edges, hub)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // dangling D, a DUPLICATE edge (A→B twice — the loop never dedups,
+    // so each occurrence contributes its share), and a hub
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "D"), ("B", "A"),
+      ("C", "A"), ("C", "B"), ("E", "A"))
+      .toDF("src", "dst")
+    for (iters <- Seq(1, 3, 6)) {
+      val hatch = Frontier.pageRankQ(edges, iters = iters).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dist = Frontier.pageRankQ(edges, iters = iters, driverMax = 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hatch == dist, s"iters=$iters hatch $hatch != distributed $dist")
+    }
+  }
+
   test("trap detection: repeat/depth thresholds, root-url edge, query excluded, host rollup") {
     val spark2 = spark
     import spark2.implicits._
